@@ -1,0 +1,384 @@
+"""SURVEY §2.4 — aggregations.
+
+All double aggregates use the exact-DECIMAL-sum pattern (see
+queries/__init__) so Spark and the DuckDB oracle agree bit-for-bit.
+Plans are single-pass hash aggregates: Spark runs partial (map-side)
++ final HashAggregateExec automatically, so at 100 TB each of these is
+one shuffle on the group keys with map-side combine — the plan you
+want. Dimension-sized inputs broadcast in the join-based ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import SQL_DEC_AVG, SQL_DEC_SUM, dec_avg, dec_sum, table
+from ..registry import register
+
+# ---------------------------------------------------------------- Q1
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {SQL_DEC_SUM('l_quantity')} AS sum_qty,
+  {SQL_DEC_SUM('l_extendedprice')} AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  {SQL_DEC_AVG('l_quantity')} AS avg_qty,
+  {SQL_DEC_AVG('l_extendedprice')} AS avg_price,
+  {SQL_DEC_AVG('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", oracle=_Q1_ORACLE, tags=("flagship", "bench"))
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary over lineitem.
+
+    Scan -> filter (pushed to parquet) -> 2-phase hash agg on 2 keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
+    tax_dec = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("sum_disc_price"),
+            F.sum(price_dec * (F.lit(1) - disc_dec) * (F.lit(1) + tax_dec))
+            .cast("double")
+            .alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+  {SQL_DEC_SUM('l_quantity')} AS total_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: single global hash-agg, no shuffle of data
+    rows (partials reduce to one row per partition)."""
+    li = table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
+    return li.agg(
+        F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("total_revenue"),
+        dec_sum("l_quantity").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT n_name, COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group; nation dim broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_prios
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT)s -> Catalyst Expand-node rewrite, still one
+    shuffle pass."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, check="rows")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct orderkeys per status (approximate by design ->
+    rows-only check; property test asserts +-5% vs exact)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orderkeys")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       COUNT(*) AS n_rows
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dec_sum("c_acctbal").alias("sum_acctbal"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DEC_SUM('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, n_name,
+       GROUPING(c_mktsegment) AS g_seg,
+       GROUPING(n_name) AS g_nat,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS incl. grouping() marker columns."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "_gs_cust_nat"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+               CAST(GROUPING(n_name) AS INT) AS g_nat,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM _gs_cust_nat
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) > 50000000
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev_dec"))
+    )
+    return agg.filter(F.col("_rev_dec") > 50000000).select(
+        "n_name", F.col("_rev_dec").cast("double").alias("revenue")
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_value,
+       COUNT(*) AS n_total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / count_if pattern)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(urgent).alias("n_urgent"),
+        F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("urgent_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# Manual moment formulas: both engines do the same double ops on
+# exact decimal sums -> bit-identical stddev/variance/corr.
+_STATS_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       s1 / n AS avg_bal,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS std_bal,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_bal
+FROM m
+"""
+
+
+@register("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/stddev_samp/var_samp via exact decimal moments (identical
+    double arithmetic both engines -> hash-stable)."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bal).cast("double").alias("s1"),
+        F.sum(bal * bal).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1")
+    s2 = F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return m.select(
+        "c_mktsegment",
+        (s1 / n).alias("avg_bal"),
+        F.sqrt(var).alias("std_bal"),
+        var.alias("var_bal"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median, p90) per status."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@register("agg_approx_quantile", oracle=None, check="rows")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx p50/p90 (approximate by design -> rows check)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_name, list(s_name ORDER BY s_name) AS suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: deterministic sorted array of supplier names."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("suppliers"))
+    )
+
+
+# Tie-break acctbal ties deterministically: acctbal is an exact
+# 2-decimal double, so round(bal*100) is an exact integer; compose it
+# with the unique custkey into one orderable BIGINT both engines
+# compute identically.
+_BY_KEY = "CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey"
+
+
+@register(
+    "agg_min_max_by",
+    oracle=f"""
+SELECT c_mktsegment,
+       arg_max(c_name, {_BY_KEY}) AS richest_customer,
+       arg_min(c_name, {_BY_KEY}) AS poorest_customer,
+       MAX(c_acctbal) AS max_bal,
+       MIN(c_acctbal) AS min_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a deterministic composite ordering key."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr(f"max_by(c_name, {_BY_KEY})").alias("richest_customer"),
+        F.expr(f"min_by(c_name, {_BY_KEY})").alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )

@@ -1,0 +1,1 @@
+"""SURVEY §2 — scans (to be filled in)."""

@@ -1,0 +1,1 @@
+"""SURVEY §2 — udfs (to be filled in)."""

@@ -1,0 +1,73 @@
+"""SparkSession factory + per-session tuning.
+
+Two paths:
+
+- ``get_spark()``: used by our own tests/bench. Builds a local session
+  tuned for the 32-CPU dev box.
+- ``tune(spark)``: used by every registered query. The driver hands us
+  an arbitrary session; we apply the runtime-settable knobs we rely on
+  (UTC session timezone for cross-engine timestamp determinism, Arrow
+  for pandas exchange, sane shuffle parallelism). All of these are
+  dynamic SQL confs, safe to set on a running session.
+
+Scale notes (100 TB design point): everything here is also correct on
+a real cluster — AQE handles partition coalescing and skew splits at
+runtime, so a fixed ``shuffle.partitions`` seed value is only the
+pre-AQE upper bound. On a 1000-executor cluster you would raise
+``spark.sql.shuffle.partitions`` to ~2-3x total cores and let AQE
+coalesce; nothing in the operator code assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_TUNED_KEY = "spark.dags_spark.tuned"
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs we depend on. Idempotent and cheap."""
+    try:
+        if spark.conf.get(_TUNED_KEY, "") == "1":
+            return spark
+    except Exception:
+        pass
+    conf = {
+        # Cross-engine determinism: DuckDB oracle timestamps are naive
+        # (no zone); pin Spark's session zone to UTC so LTZ values render
+        # identically.
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow for toPandas/pandas_udf exchange (vectorized boundary).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Local dev parallelism; AQE coalesces small shuffles back down.
+        "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        _TUNED_KEY: "1",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this session — keep going
+    return spark
+
+
+def get_spark(app_name: str = "dags_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
