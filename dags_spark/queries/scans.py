@@ -1,1 +1,138 @@
-"""SURVEY §2 — scans (to be filled in)."""
+"""SURVEY §2.1 — scans / sources / sinks.
+
+`source_jdbc` is documented-only (no fixture DB on this machine):
+the implementation would be
+``spark.read.format("jdbc").option("url", ...).option("dbtable", ...)``
+— Spark pushes filters and projections into the remote SQL, and
+``partitionColumn/lowerBound/upperBound/numPartitions`` parallelize
+the read across executors at scale. Not registered (no oracle
+possible without a database fixture).
+
+Scale notes: writes here go to per-run temp dirs; at 100 TB the same
+code writes partitioned parquet to object storage and partition
+pruning (static + dynamic) applies on read-back — `sink_parquet
+_partitioned` exercises exactly that layout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import SQL_DEC_SUM, dec_sum, table
+from ..registry import register
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dags_spark_{tag}_")
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with column projection — ReadSchema prunes to
+    the 5 referenced columns (verify via explain: no other columns in
+    the scan node)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
+    "scan_parquet_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+""",
+)
+def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range filter pushed to the parquet reader (PushedFilters:
+    [GreaterThanOrEqual(l_shipdate,...), LessThan(...)]) — row groups
+    outside the range are skipped via min/max stats."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@register("source_csv_roundtrip", oracle="SELECT * FROM region")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write region to CSV, read it back with an explicit schema
+    (schema inference between nodes is banned — SURVEY §1.2)."""
+    out = os.path.join(_tmpdir("csv"), "region_csv")
+    table(spark, sf_dir, "region").write.mode("overwrite").csv(out)
+    return spark.read.schema("r_regionkey INT, r_name STRING").csv(out)
+
+
+@register(
+    "source_json_lines",
+    oracle="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON-string props column (semi-structured source)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_orders,
+       {SQL_DEC_SUM('o_totalprice')} AS year_value
+FROM orders
+GROUP BY 1
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year (hive layout), read back, and
+    aggregate per partition — the read-back scan prunes partitions by
+    directory, the standard 100 TB sink layout."""
+    out = os.path.join(_tmpdir("sink"), "orders_by_year")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("year_value"),
+    )
+
+
+_INMEM_ROWS = [
+    (1, "alpha", 1.5),
+    (2, "beta", -2.25),
+    (3, "gamma", 0.0),
+    (4, "delta", 10.75),
+]
+
+
+@register(
+    "source_inmemory",
+    oracle="""
+SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score
+FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', -2.25), (3, 'gamma', 0.0), (4, 'delta', 10.75))
+     AS t(id, name, score)
+""",
+)
+def source_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory rows -> DataFrame (the reference's import-records edge)."""
+    return spark.createDataFrame(_INMEM_ROWS, "id BIGINT, name STRING, score DOUBLE")

@@ -1,1 +1,86 @@
-"""SURVEY §2 — setops (to be filled in)."""
+"""SURVEY §2.7 — set operations.
+
+`set_union_all` mirrors the reference's `accumulator` stdlib
+component (append-only accumulation of new blocks [K]); UNION ALL in
+Spark is a zero-shuffle plan concatenation — exactly what block
+accumulation should compile to at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table
+from ..registry import register
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ts < TIMESTAMP '2024-01-08'
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping slices appended with duplicates kept (accumulator
+    semantics): unionByName, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    a = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select(*cols)
+    b = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    ).select(*cols)
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of two overlapping customer slices."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open and finished orders."""
+    o = table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(fin)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open but no finished orders (distinct EXCEPT)."""
+    o = table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(fin)  # subtract == EXCEPT (distinct)

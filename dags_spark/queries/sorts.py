@@ -1,1 +1,90 @@
-"""SURVEY §2 — sorts (to be filled in)."""
+"""SURVEY §2.6 — sorts / limits / top-k.
+
+The value-hash is order-insensitive, so ordering queries materialize
+their order as a rank column (deterministic via unique tie-break
+keys). Top-k uses Spark's TakeOrderedAndProjectExec (per-partition
+heap + driver merge — no global sort, the right plan at 100 TB).
+Global rank queries are correctness keys; at scale you'd zipWithIndex
+per sorted partition or rank within partition buckets instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import table
+from ..registry import register
+
+
+@register(
+    "sort_multi",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC) AS sort_rank
+FROM orders
+""",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (priority ASC, totalprice DESC) materialized as a
+    rank column with a unique tie-break."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderpriority").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return o.select("o_orderkey", F.row_number().over(w).alias("sort_rank"))
+
+
+@register(
+    "sort_nulls_last",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderpriority, '3-MEDIUM') ASC NULLS LAST, o_orderkey ASC) AS null_rank
+FROM orders
+""",
+)
+def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS LAST ordering over a column made nullable via NULLIF."""
+    o = table(spark, sf_dir, "orders")
+    nullable = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    w = Window.orderBy(nullable.asc_nulls_last(), F.col("o_orderkey").asc())
+    return o.select("o_orderkey", F.row_number().over(w).alias("null_rank"))
+
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by price -> TakeOrderedAndProject (heap per
+    partition, merge on driver; never a full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination over a unique sort key (rows 41-60)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(40).limit(20)
+    )
