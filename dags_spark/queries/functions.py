@@ -1,1 +1,288 @@
-"""SURVEY §2 — functions (to be filled in)."""
+"""SURVEY §2.8 — scalar function surface.
+
+Cross-engine dialect traps handled here:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all semantics;
+- day-of-week pinned to ISO (Spark weekday()+1 == DuckDB isodow);
+- months_between pinned to calendar-month delta (y*12+m arithmetic)
+  — Spark's fractional months_between has no DuckDB twin;
+- array_distinct output order is engine-specific -> always sorted
+  before comparison;
+- no rounding of 2-decimal money to fewer decimals (half-up vs
+  half-even on the .x5 boundary differs between engines); round() is
+  exercised on non-boundary quotients instead, and libm-dependent
+  fns (ln/log10/sqrt/power) are rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       substr(p_name, 1, 4) AS name4,
+       upper(p_name) AS name_up,
+       lower(p_type) AS type_lo,
+       length(p_name) AS name_len,
+       concat_ws('|', p_name, p_brand) AS name_brand,
+       replace(p_name, ' ', '_') AS name_snake,
+       lpad(p_brand, 12, '*') AS brand_pad,
+       trim('  ' || p_name || ' ') AS name_trim,
+       string_split(p_name, ' ')[2] AS second_word
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part names."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_name", "p_brand").alias("name_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.element_at(F.split("p_name", " "), 2).alias("second_word"),
+    )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS is_two_words
+FROM part
+""",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extract/replace/match with POSIX-portable patterns."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("is_two_words"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dy,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(date_part('isodow', o_orderdate) AS INTEGER) AS iso_dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus_30d,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       (2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS months_to_y2k
+FROM orders
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function family (ISO dow; calendar months delta)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        # DATE results re-cast to TIMESTAMP: both engines then surface
+        # datetime64 in pandas (python date objects hash differently)
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("plus_30d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("month_end"),
+        ((F.lit(2000) - F.year(d)) * 12 + (F.lit(1) - F.month(d))).alias("months_to_y2k"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity / 7, 2) AS qty_div7,
+       floor(l_quantity / 7) AS qty_floor,
+       ceil(l_quantity / 7) AS qty_ceil,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq,
+       ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+       ROUND(ln(l_quantity), 6) AS qty_ln,
+       ROUND(log10(l_quantity), 6) AS qty_log10,
+       l_orderkey % 7 AS key_mod7,
+       sign(l_quantity - 25) AS qty_sign
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family on integral-valued quantities (libm
+    outputs rounded to 6dp on both sides)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(q / 7, 2).alias("qty_div7"),
+        F.floor(q / 7).alias("qty_floor"),
+        F.ceil(q / 7).alias("qty_ceil"),
+        F.abs(q - 25).alias("qty_dev"),
+        (q * q).cast("double").alias("qty_sq"),
+        F.round(F.sqrt(q), 6).alias("qty_sqrt"),
+        F.round(F.log(q), 6).alias("qty_ln"),
+        F.round(F.log10(q), 6).alias("qty_log10"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(q - 25).alias("qty_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       greatest(o_custkey % 100, o_orderkey % 100) AS g_key,
+       least(o_custkey % 100, o_orderkey % 100) AS l_key
+FROM orders
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bands, COALESCE/NULLIF, GREATEST/LEAST."""
+    o = table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp < 100000, "small")
+        .when(tp < 300000, "medium")
+        .otherwise("large")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_custkey") % 100, F.col("o_orderkey") % 100).alias("g_key"),
+        F.least(F.col("o_custkey") % 100, F.col("o_orderkey") % 100).alias("l_key"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_contains(string_split(text, ' '), 'data') AS has_data,
+       list_sort(list_distinct(string_split(text, ' '))) AS uniq_tokens,
+       string_split(text, ' ')[1:5] AS first5,
+       list_transform(string_split(text, ' ')[1:5], t -> upper(t)) AS first5_up,
+       list_filter(string_split(text, ' '), t -> length(t) > 4) AS long_tokens
+FROM documents
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops + higher-order lambdas over tokenized text.
+    (distinct output sorted — engine-specific order otherwise)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.sort_array(F.array_distinct(toks)).alias("uniq_tokens"),
+        F.slice(toks, 1, 5).alias("first5"),
+        F.transform(F.slice(toks, 1, 5), lambda t: F.upper(t)).alias("first5_up"),
+        F.filter(toks, lambda t: F.length(t) > 4).alias("long_tokens"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       map_keys(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}) AS prop_keys,
+       map_values(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}) AS prop_values
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map from parsed props, extract keys/values (kept to
+    key-extraction — map literal semantics differ across engines)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("int"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_path,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_struct,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + from_json struct access + missing-key
+    null semantics."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable cross-engine content hashes (dedup fingerprints)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of tokenized text -> (doc_id, token) rows
+    (duplicates preserved; UDTF-shaped row expansion)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))

@@ -1,1 +1,336 @@
-"""SURVEY §2 — joins (to be filled in)."""
+"""SURVEY §2.3 — joins.
+
+Join-strategy notes for the 100 TB design point:
+- dims (region/nation/supplier, filtered part) are broadcast —
+  explicitly where we know sizes, otherwise AQE's size-based
+  selection handles it;
+- fact-fact joins (lineitem⋈orders) shuffle on the join key; at scale
+  both sides would be bucketed on orderkey to make this co-located;
+- theta/interval joins always carry an equi-key (brand / user_id) so
+  Spark picks sort-merge or shuffled-hash on that key with the range
+  predicate as a post-condition — never a cartesian plan;
+- the as-of join is the union-tag single-shuffle operator from
+  dags_spark.operators.asof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import table
+from ..operators.asof import asof_join
+from ..registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join (size-based strategy: customer broadcasts
+    at small SF, sort-merge at scale)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_star_multiway",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_regionkey < 3
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact-first chain, dims broadcast,
+    date + region filters pushed below the joins by Catalyst."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count=0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH open_side AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_open FROM orders
+  WHERE o_orderstatus = 'O' GROUP BY o_custkey
+),
+fin_side AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_fin FROM orders
+  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT COALESCE(open_side.k, fin_side.k) AS custkey,
+       COALESCE(n_open, 0) AS n_open,
+       COALESCE(n_fin, 0) AS n_fin
+FROM open_side FULL JOIN fin_side ON open_side.k = fin_side.k
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two partially-overlapping per-customer sets."""
+    o = table(spark, sf_dir, "orders")
+    open_side = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    fin_side = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_fin"))
+    )
+    j = open_side.join(fin_side, open_side.k == fin_side.k, "full")
+    return j.select(
+        F.coalesce(open_side.k, fin_side.k).alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_fin", F.lit(0)).alias("n_fin"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one order. Semi joins
+    never duplicate left rows — the shuffle carries only distinct keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (broadcast nested loop)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT a.p_partkey AS partkey_small, b.p_partkey AS partkey_large,
+       a.p_brand AS brand, a.p_size AS size_small, b.p_size AS size_large
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+WHERE a.p_size <= 10
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join with an equi anchor: same brand, strictly larger
+    size. The brand equi-key keeps this a hash/sort-merge join with the
+    range predicate as a residual — never a nested-loop over all pairs."""
+    p = table(spark, sf_dir, "part")
+    a = p.filter(F.col("p_size") <= 10).select(
+        F.col("p_partkey").alias("partkey_small"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size_small"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_large"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("size_large"),
+    )
+    return a.join(
+        b,
+        (a.brand == b.brand_b) & (a.size_small < b.size_large),
+    ).select("partkey_small", "partkey_large", "brand", "size_small", "size_large")
+
+
+@register(
+    "join_broadcast_hint",
+    oracle="""
+SELECT o_orderkey, c_name, n_name
+FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as a plain equi join, with explicit broadcast()
+    hints — plan-level feature: the fact table never shuffles."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name")
+    )
+
+
+# As-of: for every purchase event, the latest view event of the same
+# user at-or-before it. (SURVEY's orders-vs-events sketch is
+# degenerate — event timestamps (2024) never precede order dates
+# (1995-2001) — so the operator is exercised within `events`, where
+# matches are real.) Right side deduped per (user, ts) keeping max
+# event_id so equal-timestamp ties are deterministic in both engines.
+_ASOF_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.view_event_id, v.view_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the single-shuffle union-tag operator."""
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={
+            "view_event_id": "view_event_id",
+            "view_value": "view_value",
+            "ts": "view_ts",
+        },
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        "view_value",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30 * 60 * 1000000
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs whose ±15 min intervals overlap
+    (|Δts| <= 30 min), computed on exact integer microseconds.
+    user_id equi-anchor keeps the plan a hash join; the interval
+    predicate is a residual filter."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.unix_micros("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.user_b)
+            & (a.event_a < b.event_b)
+            & (F.abs(a.ts_a - b.ts_b) <= 30 * 60 * 1_000_000),
+        )
+        .select("event_a", "event_b", "user_id", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
+    )

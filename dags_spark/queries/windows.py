@@ -1,1 +1,224 @@
-"""SURVEY §2 — windows (to be filled in)."""
+"""SURVEY §2.5 — window functions.
+
+Determinism: every ORDER BY that feeds row_number/ntile/frames
+includes a unique tie-break key. rank/dense_rank/percent_rank/
+cume_dist are computed over the *value* ordering alone — they are
+tie-stable by definition, and keeping ties makes them genuinely
+different from row_number.
+
+Scale: all windows partition by a real key (status/user/customer), so
+each is one hash shuffle + per-partition sort; no global single-
+partition windows except the §2.6 rank queries that document it.
+Window sums over DECIMAL keep prefix sums exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import table
+from ..registry import register
+
+
+@register(
+    "win_ranking",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER()   OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       RANK()         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+       DENSE_RANK()   OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk,
+       NTILE(4)       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+       PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS prnk
+FROM orders
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one partitioned ordering."""
+    o = table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_value = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_value).alias("rnk"),
+        F.dense_rank().over(w_value).alias("drnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.percent_rank().over(w_value).alias("prnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next values and inter-event gap (exact µs)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (ep - F.lag(ep).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+FROM orders
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (exact decimal prefix sums)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS ma7_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average as exact-frame-sum / frame-count."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7_price"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_value
+FROM events
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on exact epoch-µs: per-user trailing-1h value sum.
+    Tie-stable by construction (equal timestamps share one frame)."""
+    ev = table(spark, sf_dir, "events").withColumn("ep_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT o_orderkey,
+       FIRST_VALUE(o_orderdate) OVER w AS first_order_date,
+       LAST_VALUE(o_orderdate)  OVER w AS last_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order date per customer alongside every row
+    (full-extent frame so last() is the true partition max)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w).alias("last_order_date"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn AS order_rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the reference's dedupe/top-pattern:
+    row_number over the natural key's ordering, then filter."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("order_rank", F.row_number().over(w))
+        .filter(F.col("order_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "order_rank")
+    )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT s_suppkey,
+       CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS bal_cume
+FROM supplier
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist of suppliers by account balance within nation."""
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return s.select("s_suppkey", F.cume_dist().over(w).alias("bal_cume"))
