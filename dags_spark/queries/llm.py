@@ -1,1 +1,273 @@
-"""SURVEY §2 — llm (to be filled in)."""
+"""SURVEY §2.11 — LLM-data operators (the north-star surface).
+
+Dedup, similarity search, text analysis, and the multimodal join —
+each formulated as joins/windows/aggregations (no driver-side loops,
+no collect), so the same plans scale to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import table
+from ..operators.dedup import exact_dedup, latest_by_key, minhash_near_dup_pairs
+from ..operators.similarity import SQL_DOT, SQL_NORM, SQL_VEC_D, blocked_pairs
+from ..registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per identical text (shuffles only
+    the md5 fingerprint, not the text)."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+SELECT event_id, user_id, event_type, ts, value
+FROM (
+  SELECT event_id, user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's accumulate+dedupe-by-natural-key semantic:
+    latest event per (user_id, event_type)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return latest_by_key(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+@register("dedup_fuzzy_minhash", oracle=None, check="rows")
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, est. Jaccard >= 0.6 on
+    5-char shingles (approximate by design -> rows check; the property
+    test asserts recall vs the exact Jaccard join)."""
+    return minhash_near_dup_pairs(table(spark, sf_dir, "documents"))
+
+
+_PAIR_SQL_COMMON = f"""
+WITH v AS (
+  SELECT vec_id, label, {SQL_VEC_D.format(v='embedding')} AS e,
+         {SQL_NORM.format(a=SQL_VEC_D.format(v='embedding'))} AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       ROUND({SQL_DOT.format(a='a.e', b='b.e')} / (a.n * b.n), 6) AS sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id {{op}} b.vec_id
+"""
+
+
+@register(
+    "sim_search_topk",
+    oracle=_PAIR_SQL_COMMON.format(op="<")
+    + "ORDER BY sim DESC, id_a, id_b LIMIT 100",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most-similar same-label embedding pairs by exact cosine
+    (label-blocked join -> TakeOrderedAndProject; no all-pairs)."""
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"))
+    return pairs.orderBy(
+        F.col("sim").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(100)
+
+
+@register(
+    "sim_knn_per_query",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x))) AS n
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) / (a.n * b.n), 6) AS sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= 10
+""",
+)
+def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 nearest neighbors per vector within its label block."""
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"), symmetric=True)
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "sim",
+            "rnk",
+        )
+    )
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+SELECT token, COUNT(*) AS tf FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token
+""",
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table (explode -> hash agg)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf per (doc, token); formula pinned: tf * ln(N / df).
+
+    df-table is tiny (vocab-sized) -> broadcast back onto tf; N joins
+    as a broadcast scalar. No collect anywhere."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+SELECT lang, bigram, COUNT(*) AS n FROM (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+) GROUP BY lang, bigram
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language (zip_with over the token array —
+    JVM-side, no UDF)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with null -> concat_ws drops the
+    # null, leaving a trailing 1-token "bigram"; filter to real pairs.
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").contains(" "))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+base AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+  FROM documents GROUP BY lang, source
+),
+toks AS (
+  SELECT lang, source, COUNT(DISTINCT token) AS n_distinct_tokens
+  FROM tok GROUP BY lang, source
+)
+SELECT base.lang, base.source, n_docs, avg_chars, n_distinct_tokens
+FROM base JOIN toks ON base.lang = toks.lang AND base.source = toks.source
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source): doc count, avg length, distinct vocab."""
+    d = table(spark, sf_dir, "documents")
+    base = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+    toks = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    return base.join(toks, ["lang", "source"])
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(label) AS BIGINT) AS label_sum
+FROM documents JOIN embeddings ON doc_id = vec_id
+WHERE label < 5
+GROUP BY lang
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings into a typed struct column {text, lang,
+    embedding}, filtered by label — scalar projection for hashing."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    joined = (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn("doc", F.struct("text", "lang", "embedding"))
+        .filter(F.col("label") < 5)
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("label_sum"),
+    )

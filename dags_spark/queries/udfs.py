@@ -1,1 +1,144 @@
-"""SURVEY §2 — udfs (to be filled in)."""
+"""SURVEY §2.10 — UDF / UDAF / UDTF surface.
+
+UDFs are the deliberate slow path: each key here exercises one Python
+boundary mechanism (row UDF, Arrow-vectorized pandas UDF, grouped
+pandas agg, UDTF, grouped-map). Everything else in the engine stays
+JVM-side. At 100 TB the pandas variants are the only acceptable ones
+in hot paths (Arrow batches, ~10-100x over row-at-a-time); the plain
+@udf key exists to cover the API, not as a pattern to copy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from . import table
+from ..registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(
+         list_transform(string_split(p_name, ' '), w -> upper(w[1]) || substr(w, 2)),
+         ' ') AS name_title
+FROM part
+""",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: title-case each word of p_name."""
+
+    @F.udf(returnType=StringType())
+    def title_words(s: str) -> str:
+        return " ".join(w[:1].upper() + w[1:] for w in s.split(" "))
+
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey", title_words("p_name").alias("name_title"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price_v
+FROM lineitem
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (per-row double arithmetic is
+    IEEE-identical to the SQL expression, no summation involved)."""
+
+    @F.pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price_v"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+SELECT l_returnflag, ROUND(exp(avg(ln(l_quantity))), 6) AS geomean_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas aggregation: geometric mean of quantity
+    (rounded 6dp — FP accumulation order differs across engines)."""
+
+    @F.pandas_udf(DoubleType())
+    def geomean(q: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(q.to_numpy()).mean()))
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_quantity"), 6).alias("geomean_qty")
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+       length(unnest(string_split(text, ' '))) AS token_len
+FROM documents
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF emitting (token, len) rows per document."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, token_len bigint")
+    class SplitTokens:
+        def eval(self, doc_id: int, text: str):
+            for tok in text.split(" "):
+                yield doc_id, tok, len(tok)
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs, LATERAL split_tokens(doc_id, text) t"
+    )
+
+
+@register(
+    "grouped_map_normalize",
+    oracle="""
+SELECT event_id,
+       ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z_value
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+QUALIFY count(*) OVER w >= 2
+""",
+)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score of event value
+    (groups of <2 dropped — stddev undefined; 6dp rounding)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["event_id"]].assign(z_value=0.0)
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "z_value": [round(x, 6) for x in z]}
+        )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id bigint, z_value double"
+    )
