@@ -1,0 +1,85 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries (aligned with BASELINE.md's q1-q6) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is executed once to warm the JVM
+(codegen/JIT, broadcast caches) and once timed — BASELINE.md's
+interpretation section pins the 2x comparison to warm timings with
+startup amortized across the suite.
+
+Consumption uses the noop sink (full execution, no driver collect)
+except tiny results, where collect() is the realistic path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dags_spark.io import table  # noqa: E402
+from dags_spark.registry import all_specs  # noqa: E402
+from dags_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sessionize_batch(spark, sf_dir):
+    """Batch twin of BASELINE q4 (sessionize events, 30-min gap) using
+    the native session_window aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def main() -> None:
+    t0 = time.time()
+    spark = get_spark("dags_spark-bench")
+    startup = time.time() - t0
+    specs = all_specs()
+
+    bench_queries = {
+        "q1_pricing_summary": specs["agg_pricing_summary"].fn,
+        "q2_star_join": specs["join_star_multiway"].fn,
+        "q3_topk_per_customer": specs["win_topk_per_group"].fn,
+        "q4_sessionize": _sessionize_batch,
+        "q5_dedup_exact": specs["dedup_exact"].fn,
+        "q6_cosine_topk": specs["sim_search_topk"].fn,
+    }
+
+    def run_once(fn) -> float:
+        t = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        run_once(fn)  # warm-up: codegen + shuffle file caches
+        timings[name] = round(run_once(fn), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_warm_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Node/DAG orchestration — the reference library's identity,
+re-expressed on Spark.
+
+The reference's pentad (DataBlock / Schema / Pipe / Node+Graph /
+Environment with incremental DataBlockLog state) maps here as:
+
+- **node output** = an immutable lazy DataFrame (plan), or a written
+  parquet snapshot when ``materialize=True``;
+- **schema** = an optional declared DDL string validated against the
+  node's output (schema inference between nodes is banned);
+- **unique_on** = first-class natural-key metadata: when set, the
+  node's output is automatically deduped to the latest row per key
+  (the reference's accumulate + dedupe_keep_newest semantics);
+- **pipe** = a Python function ``(spark, deps) -> DataFrame`` or a
+  SQL string whose upstream nodes are registered as temp views;
+- **incremental state** = a JSON ledger per (graph, node) recording
+  which source files were already processed — re-running the graph
+  consumes only new files (Structured Streaming checkpoints provide
+  the same semantic for true streams; see streaming/runner.py).
+
+Inter-node composition stays lazy: a non-materialized node
+contributes its logical plan to downstream Catalyst optimization, so
+a 10-node graph can still compile to ONE Spark job with filters
+pushed across node boundaries — this is the main scale win over
+per-node materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_by_key
+
+
+@dataclass
+class NodeSpec:
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame] | None = None
+    sql: str | None = None
+    source_path: str | None = None
+    source_format: str = "parquet"
+    upstream: tuple[str, ...] = ()
+    schema: str | None = None  # DDL string; validated, never inferred
+    unique_on: tuple[str, ...] = ()
+    order_by: tuple[str, ...] = ()  # recency columns (desc) for unique_on dedupe
+    materialize: bool = False
+
+
+class GraphError(Exception):
+    pass
+
+
+class Graph:
+    """A declared DAG of named nodes, topologically executed."""
+
+    def __init__(self, name: str = "graph") -> None:
+        self.name = name
+        self._nodes: dict[str, NodeSpec] = {}
+
+    # -- declaration ---------------------------------------------------
+    def node(
+        self,
+        name: str | None = None,
+        upstream: tuple[str, ...] | list[str] = (),
+        schema: str | None = None,
+        unique_on: tuple[str, ...] | list[str] = (),
+        order_by: tuple[str, ...] | list[str] = (),
+        materialize: bool = False,
+    ):
+        """Decorator: register a Python pipe ``fn(spark, deps)``."""
+
+        def deco(fn):
+            node_name = name or fn.__name__
+            self._add(
+                NodeSpec(
+                    name=node_name,
+                    fn=fn,
+                    upstream=tuple(upstream),
+                    schema=schema,
+                    unique_on=tuple(unique_on),
+                    order_by=tuple(order_by),
+                    materialize=materialize,
+                )
+            )
+            return fn
+
+        return deco
+
+    def sql_node(
+        self,
+        name: str,
+        sql: str,
+        upstream: tuple[str, ...] | list[str],
+        schema: str | None = None,
+        unique_on: tuple[str, ...] | list[str] = (),
+        order_by: tuple[str, ...] | list[str] = (),
+        materialize: bool = False,
+    ) -> None:
+        """A SQL pipe: upstream node names are visible as temp views."""
+        self._add(
+            NodeSpec(
+                name=name,
+                sql=sql,
+                upstream=tuple(upstream),
+                schema=schema,
+                unique_on=tuple(unique_on),
+                order_by=tuple(order_by),
+                materialize=materialize,
+            )
+        )
+
+    def source(
+        self, name: str, path: str, schema: str, format: str = "parquet"
+    ) -> None:
+        """A file-backed source node (incremental unit = new files)."""
+        self._add(NodeSpec(name=name, source_path=path, source_format=format, schema=schema))
+
+    def _add(self, spec: NodeSpec) -> None:
+        if spec.name in self._nodes:
+            raise GraphError(f"duplicate node: {spec.name}")
+        self._nodes[spec.name] = spec
+
+    # -- execution -----------------------------------------------------
+    def _topo_order(self) -> list[str]:
+        ts = TopologicalSorter()
+        for name, spec in self._nodes.items():
+            missing = [u for u in spec.upstream if u not in self._nodes]
+            if missing:
+                raise GraphError(f"node {name}: unknown upstream {missing}")
+            ts.add(name, *spec.upstream)
+        try:
+            return list(ts.static_order())
+        except Exception as e:  # CycleError
+            raise GraphError(f"cycle in graph: {e}") from e
+
+    def run(
+        self,
+        spark: SparkSession,
+        output_dir: str | None = None,
+        incremental: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Execute the graph; returns node name -> DataFrame.
+
+        incremental=True: source nodes consume only files not yet in
+        the ledger (stored under output_dir/_ledger); materialized
+        nodes append instead of overwrite.
+        """
+        if (incremental or any(s.materialize for s in self._nodes.values())) and not output_dir:
+            raise GraphError("output_dir required for materialize/incremental runs")
+        results: dict[str, DataFrame] = {}
+        for name in self._topo_order():
+            spec = self._nodes[name]
+            df = self._produce(spark, spec, results, output_dir, incremental)
+            if spec.unique_on:
+                order = [F.col(c).desc() for c in spec.order_by] or [
+                    F.col(c).desc() for c in spec.unique_on
+                ]
+                df = latest_by_key(df, list(spec.unique_on), order)
+            if spec.schema is not None:
+                df = _conform(df, spec.schema)
+            if spec.materialize:
+                out_path = os.path.join(output_dir, name)
+                mode = "append" if incremental else "overwrite"
+                df.write.mode(mode).parquet(out_path)
+                df = spark.read.parquet(out_path)
+            results[name] = df
+        return results
+
+    def _produce(
+        self,
+        spark: SparkSession,
+        spec: NodeSpec,
+        results: dict[str, DataFrame],
+        output_dir: str | None,
+        incremental: bool,
+    ) -> DataFrame:
+        if spec.source_path is not None:
+            return self._read_source(spark, spec, output_dir, incremental)
+        deps = {u: results[u] for u in spec.upstream}
+        if spec.sql is not None:
+            for u, udf_ in deps.items():
+                udf_.createOrReplaceTempView(u)
+            return spark.sql(spec.sql)
+        return spec.fn(spark, deps)
+
+    def _read_source(
+        self,
+        spark: SparkSession,
+        spec: NodeSpec,
+        output_dir: str | None,
+        incremental: bool,
+    ) -> DataFrame:
+        reader = spark.read.format(spec.source_format)
+        if spec.schema:
+            reader = reader.schema(spec.schema)
+        if not incremental:
+            return reader.load(spec.source_path)
+        ledger_path = os.path.join(output_dir, "_ledger", f"{self.name}.{spec.name}.json")
+        seen: set[str] = set()
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                seen = set(json.load(fh)["files"])
+        current = sorted(
+            os.path.join(spec.source_path, f)
+            for f in os.listdir(spec.source_path)
+            if not f.startswith(("_", "."))
+        )
+        new = [f for f in current if f not in seen]
+        os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
+        with open(ledger_path, "w") as fh:
+            json.dump({"files": sorted(seen | set(new))}, fh)
+        if not new:
+            return reader.load(spec.source_path).limit(0)
+        return reader.load(new)
+
+
+def _conform(df: DataFrame, ddl: str) -> DataFrame:
+    """Validate + cast the node output to its declared schema."""
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromDDL(ddl)
+    have = {f.name for f in df.schema.fields}
+    missing = [f.name for f in declared.fields if f.name not in have]
+    if missing:
+        raise GraphError(f"output missing declared columns: {missing}")
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in declared.fields]
+    )

@@ -51,42 +51,88 @@ def shingles(text_col: str, k: int = 5) -> F.Column:
     )
 
 
+# MinHash permutation family: h_i(shingle) = xxhash64(shingle, i).
+# Salting the hash input with the permutation index gives independent
+# 64-bit hash functions without any overflow-prone affine arithmetic
+# (Spark 4 runs ANSI mode — wrap-around multiply would throw).
+
+
+def _mh_expr(i: int) -> F.Column:
+    return F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     jaccard_threshold: float = 0.6,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Near-duplicate pairs (estimated Jaccard >= threshold) via
-    HashingTF(binary) -> MinHashLSH.approxSimilarityJoin.
+    """Near-duplicate pairs via hand-rolled MinHash + LSH banding,
+    verified with exact Jaccard — entirely JVM-side (no MLlib, no
+    Python UDFs):
 
-    LSH banding bounds candidate generation: each of the
-    ``num_hash_tables`` hash values buckets the corpus, and only
-    same-bucket pairs are compared — linear-ish in corpus size vs the
-    quadratic exact self-join. Returns (id_a, id_b, jaccard_est) with
-    id_a < id_b.
+      1. explode k-shingles, hash each with xxhash64 (one shuffle:
+         groupBy doc computes all ``num_hashes`` signature mins in a
+         single pass);
+      2. band signatures (b = num_hashes / rows_per_band); same
+         (band_id, band_hash) bucket -> candidate pair. With b=8, r=2
+         a true Jaccard-0.6 pair is bucketed with p = 1-(1-0.6²)⁸ ≈
+         0.97, and candidates stay ~linear in corpus size — the
+         O(n²)-avoidance that matters at 100 TB;
+      3. verify candidates with exact Jaccard on the shingle arrays
+         (array_intersect/union sizes), keep >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, exact jaccard.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh.cache()
 
-    sh = docs.select(id_col, shingles(text_col, k).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - jaccard_threshold, distCol="dist"
-    )
-    return (
-        pairs.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
-        )
+    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    sig = exploded.groupBy(id_col).agg(*[_mh_expr(i) for i in range(num_hashes)])
+
+    n_bands = num_hashes // rows_per_band
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -1,1 +1,234 @@
-"""SURVEY §2 — streaming (to be filled in)."""
+"""SURVEY §2.9 — Structured Streaming over the bounded events stream.
+
+Each hash-checked key runs its streaming query to completion
+(availableNow) and compares the final state against batch SQL — the
+streaming/batch equivalence that makes micro-batch semantics
+trustworthy. Watermark-dependent behavior (late-row drops,
+incremental file tracking) is rows-checked + unit-tested instead
+(not batch-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming.runner import (
+    events_stream,
+    run_foreach_batch_parquet,
+    run_to_memory,
+    stage_events,
+)
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling windows × event_type (streaming state == batch
+    GROUP BY on the bounded fixture)."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+SELECT window_start, COUNT(*) AS n_events FROM (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS window_start, * FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS window_start, * FROM events
+) GROUP BY window_start
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min — each event lands in exactly
+    two windows; oracle materializes the two covering window starts."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    agg = sdf.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+@register(
+    "stream_session",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS eu,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+  FROM events
+),
+f AS (
+  SELECT user_id, eu,
+         CASE WHEN pe IS NULL OR eu - pe >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT user_id, eu,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY eu
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, make_timestamp(MIN(eu)) AS session_start,
+       COUNT(*) AS n_events, MAX(eu) - MIN(eu) AS span_us
+FROM g GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap; oracle is the
+    classic gaps-and-islands rewrite. Session boundary is half-open:
+    an event exactly gap-after the previous one starts a new session."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("first_ts").alias("session_start"),
+        "n_events",
+        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("span_us"),
+    )
+
+
+@register("stream_watermark_late", oracle=None, check="rows")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute watermark over daily tumbling counts in append mode,
+    fed in two arrival batches (batch 2 contains rows 12+ days older
+    than batch 1's max timestamp).
+
+    Demonstrates the watermark's *guaranteed* semantics: a window row
+    is emitted only once the watermark passes its end, so the final
+    (still-open) day is absent from the result. Late-row dropping is
+    best-effort in Spark — verified empirically on 4.1: late rows
+    whose window state was already evicted re-create state and emit
+    when the watermark advances again (numRowsDroppedByWatermark=0) —
+    so this key asserts finalization, not drops. Deterministic on the
+    fixture; unit-tested in tests/test_streaming.py."""
+    base = stage_events(spark, sf_dir, split="two")
+    in_dir = os.path.join(base, "merged")
+    if not os.path.isdir(in_dir):
+        os.makedirs(in_dir, exist_ok=True)
+        # one file per arrival batch, ordered: part1 (on-time), part2 (late)
+        for i, part in enumerate(("part1", "part2")):
+            src = [f for f in os.listdir(os.path.join(base, part)) if f.endswith(".parquet")]
+            os.link(
+                os.path.join(base, part, src[0]),
+                os.path.join(in_dir, f"{i:02d}_{src[0]}"),
+            )
+    sdf = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(F.col("window.start").alias("day_start"), "n_events")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates on (user_id, event_type):
+    the emitted key set equals batch DISTINCT (only keys are emitted —
+    which row arrives first per key is scheduling-dependent)."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    deduped = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+""",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch micro-batch append to a parquet sink; verify the
+    sink contents equal the source (counts per type)."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="dags_spark_febs_"), "out")
+    run_foreach_batch_parquet(sdf, out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register("stream_incremental_ledger", oracle=None, check="rows")
+def stream_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core incremental semantic: run the pipeline,
+    add new input files, run again with the same checkpoint — only
+    unseen files are processed. Verified by appending every processed
+    row to a sink and checking total==distinct event count (each row
+    processed exactly once across both runs)."""
+    base = stage_events(spark, sf_dir, split="two")
+    work = tempfile.mkdtemp(prefix="dags_spark_ledger_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+
+    def _add(part: str) -> None:
+        src = [f for f in os.listdir(os.path.join(base, part)) if f.endswith(".parquet")]
+        os.link(os.path.join(base, part, src[0]), os.path.join(in_dir, f"{part}_{src[0]}"))
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    _add("part1")  # run 1: only part1 visible
+    run_foreach_batch_parquet(
+        spark.readStream.schema(schema).parquet(in_dir).select("event_id", "user_id"),
+        out_dir,
+        ckpt=ckpt,
+    )
+    _add("part2")  # run 2: same checkpoint — part1 must be skipped
+    run_foreach_batch_parquet(
+        spark.readStream.schema(schema).parquet(in_dir).select("event_id", "user_id"),
+        out_dir,
+        ckpt=ckpt,
+    )
+    sink = spark.read.parquet(out_dir)
+    return sink.agg(
+        F.count(F.lit(1)).alias("n_rows_processed"),
+        F.countDistinct("event_id").alias("n_distinct_events"),
+    )

@@ -1,0 +1,158 @@
+"""Graph/orchestration layer tests — the reference's node/DAG/
+incremental semantics on Spark."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dags_spark.graph.core import Graph, GraphError
+from dags_spark.io import table
+
+
+def test_topo_run_python_and_sql_nodes(spark, sf_dir):
+    g = Graph("t1")
+
+    @g.node(upstream=())
+    def orders(s, deps):
+        return table(s, sf_dir, "orders")
+
+    @g.node(upstream=["orders"])
+    def urgent(s, deps):
+        return deps["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+
+    g.sql_node(
+        "per_status",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM urgent GROUP BY o_orderstatus",
+        upstream=["urgent"],
+    )
+    out = g.run(spark)
+    rows = {r.o_orderstatus: r.n for r in out["per_status"].collect()}
+    expected = {
+        r.o_orderstatus: r.n
+        for r in table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == expected
+
+
+def test_cycle_detection(spark):
+    g = Graph("t2")
+    g.sql_node("a", "SELECT 1", upstream=["b"])
+    g.sql_node("b", "SELECT 1", upstream=["a"])
+    with pytest.raises(GraphError, match="cycle"):
+        g.run(spark)
+
+
+def test_unknown_upstream(spark):
+    g = Graph("t3")
+    g.sql_node("a", "SELECT 1", upstream=["nope"])
+    with pytest.raises(GraphError, match="unknown upstream"):
+        g.run(spark)
+
+
+def test_unique_on_dedupes_to_latest(spark, sf_dir):
+    g = Graph("t4")
+
+    @g.node(unique_on=["user_id", "event_type"], order_by=["ts", "event_id"])
+    def latest_events(s, deps):
+        return table(s, sf_dir, "events")
+
+    out = g.run(spark)["latest_events"]
+    n_keys = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_keys
+    # every kept row is the max-ts row for its key
+    ev = table(spark, sf_dir, "events")
+    mx = ev.groupBy("user_id", "event_type").agg(F.max("ts").alias("max_ts"))
+    joined = out.join(mx, ["user_id", "event_type"])
+    assert joined.filter(F.col("ts") != F.col("max_ts")).count() == 0
+
+
+def test_schema_conform_and_missing_column(spark, sf_dir):
+    g = Graph("t5")
+
+    @g.node(schema="r_regionkey BIGINT, r_name STRING")
+    def region_cast(s, deps):
+        return table(s, sf_dir, "region")
+
+    out = g.run(spark)["region_cast"]
+    assert dict(out.dtypes) == {"r_regionkey": "bigint", "r_name": "string"}
+
+    g2 = Graph("t6")
+
+    @g2.node(schema="missing_col INT")
+    def bad(s, deps):
+        return table(s, sf_dir, "region")
+
+    with pytest.raises(GraphError, match="missing declared columns"):
+        g2.run(spark)
+
+
+def test_materialize_writes_parquet(spark, sf_dir):
+    out_dir = tempfile.mkdtemp(prefix="dags_graph_mat_")
+    g = Graph("t7")
+
+    @g.node(materialize=True)
+    def nations(s, deps):
+        return table(s, sf_dir, "nation")
+
+    res = g.run(spark, output_dir=out_dir)
+    assert os.path.isdir(os.path.join(out_dir, "nations"))
+    assert res["nations"].count() == 25
+
+
+def test_incremental_source_processes_only_new_files(spark, sf_dir):
+    """The reference's DataBlockLog semantic: second run sees only
+    files added since the first run."""
+    work = tempfile.mkdtemp(prefix="dags_graph_incr_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    region = table(spark, sf_dir, "region")
+    region.filter(F.col("r_regionkey") < 3).coalesce(1).write.parquet(
+        os.path.join(work, "stage1")
+    )
+    region.filter(F.col("r_regionkey") >= 3).coalesce(1).write.parquet(
+        os.path.join(work, "stage2")
+    )
+
+    def _link(stage: str, prefix: str) -> None:
+        for f in os.listdir(os.path.join(work, stage)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(work, stage, f), os.path.join(src, prefix + f))
+
+    def build() -> Graph:
+        g = Graph("incr")
+        g.source("regions", src, schema="r_regionkey INT, r_name STRING")
+        g.sql_node(
+            "acc",
+            "SELECT r_regionkey, r_name FROM regions",
+            upstream=["regions"],
+            materialize=True,
+        )
+        return g
+
+    _link("stage1", "a_")
+    r1 = build().run(spark, output_dir=out, incremental=True)
+    assert r1["acc"].count() == 3
+
+    _link("stage2", "b_")
+    r2 = build().run(spark, output_dir=out, incremental=True)
+    acc = r2["acc"]
+    assert acc.count() == 5  # 3 + 2 appended, stage1 NOT reprocessed
+    assert acc.select("r_regionkey").distinct().count() == 5
+
+    # third run, nothing new -> no growth
+    r3 = build().run(spark, output_dir=out, incremental=True)
+    assert r3["acc"].count() == 5

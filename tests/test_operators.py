@@ -1,0 +1,114 @@
+"""Operator unit tests: as-of join edge cases, dedup helpers,
+approximate-op tolerance, MinHash recall property test (slow)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dags_spark.io import table
+from dags_spark.operators.asof import asof_join
+from dags_spark.operators.dedup import exact_dedup, minhash_near_dup_pairs, shingles
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),  # after r2 (same ts) -> matches r2
+            (2, 10, _ts("2024-01-01T09:30:00")),  # between r1 and r2 -> r1
+            (3, 10, _ts("2024-01-01T08:00:00")),  # before everything -> null
+            (4, 99, _ts("2024-01-01T12:00:00")),  # key with no right rows -> null
+        ],
+        "lid BIGINT, k BIGINT, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts("2024-01-01T09:00:00"), 1.0),
+            (102, 10, _ts("2024-01-01T10:00:00"), 2.0),  # equal-ts: <= matches
+        ],
+        "rid BIGINT, k BIGINT, ts TIMESTAMP, v DOUBLE",
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"rid": "rid", "v": "v"},
+    )
+    got = {r.lid: (r.rid, r.v) for r in out.collect()}
+    assert got[1] == (102, 2.0)
+    assert got[2] == (101, 1.0)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    assert len(got) == 4  # left-preserving
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id BIGINT, text STRING"
+    )
+    out = {r.content_md5: r.doc_id for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert sorted(out.values()) == [1, 2]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("ab",)], "text STRING")
+    rows = df.select(shingles("text", 5).alias("sh")).collect()
+    assert rows[0].sh == ["ab"]  # shorter than k -> single truncated shingle
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_quantile_tolerance(spark, sf_dir, duck):
+    o = table(spark, sf_dir, "orders")
+    approx = o.agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("p")).collect()[0].p
+    exact = duck.execute("SELECT quantile_cont(o_totalprice, 0.5) q FROM orders").fetchone()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+@pytest.mark.slow
+def test_minhash_recall_vs_exact_jaccard(spark, duck, sf_dir):
+    """Property: LSH candidate pairs recover >=90% of true pairs with
+    exact 5-shingle Jaccard >= 0.6."""
+    true_pairs = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 4, 1)),
+                   i -> substr(text, i, 5))) AS s
+          FROM documents
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        """
+            ).fetchall(),
+        )
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(table(spark, sf_dir, "documents")).collect()
+    }
+    if not true_pairs:
+        pytest.skip("no true near-dup pairs at this SF")
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(true_pairs)} true pairs"

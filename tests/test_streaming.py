@@ -1,0 +1,52 @@
+"""Streaming semantics tests: watermark-gated window finalization and
+exactly-once incremental file processing.
+
+Empirical note (Spark 4.1, verified during development): late input
+rows are NOT filtered from streaming aggregations — watermark
+dropping is best-effort (the docs guarantee only that on-time data is
+never dropped). What IS guaranteed, and what we assert: in append
+mode a window emits exactly when the watermark passes its end, so
+(a) every finalized window appears exactly once with exact counts,
+(b) the still-open trailing window is absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dags_spark.io import table
+from dags_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_watermark_finalizes_windows_append_mode(spark, sf_dir):
+    out = SPECS["stream_watermark_late"].fn(spark, sf_dir).toPandas()
+    got = dict(
+        zip(out["day_start"].dt.strftime("%Y-%m-%d"), out["n_events"].astype(int))
+    )
+    ev = table(spark, sf_dir, "events")
+    truth = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    last_day = max(truth)
+    # the trailing window is still open when the stream ends -> absent
+    assert last_day not in got
+    # each finalized window emitted exactly once with exact counts —
+    # including the "late" days delivered in arrival batch 2
+    expected = {d: n for d, n in truth.items() if d != last_day}
+    assert got == expected
+    # no duplicate window rows (append emitted each window once)
+    assert len(out) == len(set(out["day_start"]))
+
+
+def test_incremental_ledger_processes_each_row_once(spark, sf_dir):
+    out = SPECS["stream_incremental_ledger"].fn(spark, sf_dir).collect()[0]
+    n_events = table(spark, sf_dir, "events").count()
+    assert out.n_rows_processed == n_events
+    assert out.n_distinct_events == n_events
