@@ -17,6 +17,9 @@ so each pair costs one fused dot product.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +83,101 @@ def blocked_pairs(
                 "sim"
             ),
         )
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    k: int = 10,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate k-NN via random-hyperplane (sign-LSH) bucketing —
+    the scale path when label blocks (or any exact partitioner) are
+    unavailable.
+
+    1. ``n_tables`` independent ``n_bits``-bit sign-LSH codes per
+       vector, computed in ONE Arrow-batched pandas UDF (a numpy
+       matmul against fixed seeded hyperplanes — the realistic way to
+       run projections at scale; 64 JVM-side literal dot products per
+       row would bloat codegen instead).
+    2. candidate pairs = query probes ⋈ index codes on (table,
+       bucket) — an equi-join, ~linear in corpus size. With
+       ``multiprobe`` the query side also probes each bucket's
+       radius-1 Hamming neighbors (bit flips, JVM-side XOR), lifting
+       per-table collision odds from p^b to ~p^b + b·p^(b-1)(1-p)
+       without extra tables — the standard multi-probe LSH
+       memory/recall trade.
+    3. exact cosine on candidates (JVM-side), row_number top-k per
+       query. Approximate by design -> rows check + recall property
+       test vs exact kNN.
+
+    Tuning for scale: recall is set by (n_tables, n_bits, multiprobe)
+    against the corpus' similarity profile; bucket count (2^n_bits)
+    should grow with corpus size so candidate sets stay ~constant —
+    16-20 bits at 10^8-10^9 vectors, the defaults suit 10^3-10^6.
+    """
+    import random as _random
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = _random.Random(42)
+    planes = np.array(
+        [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_tables * n_bits)]
+    )  # (tables*bits, dim), fixed seed -> deterministic
+    weights = (1 << np.arange(n_bits)).astype("int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_codes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, tables*bits)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        codes = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(codes))
+
+    base = with_norm(emb.select(id_col, vec_col), vec_col)
+    coded = base.withColumn("codes", bucket_codes(as_double(F.col(vec_col))))
+    buckets = coded.select(
+        id_col, "vec_d", "vnorm", F.posexplode("codes").alias("tbl", "bucket")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(n_bits)]
+        )
+        a_src = buckets.select(
+            id_col, "vec_d", "vnorm", "tbl", F.explode(probes).alias("bucket")
+        )
+    else:
+        a_src = buckets
+    a = a_src.select(
+        F.col(id_col).alias("id_a"), F.col("vec_d").alias("_va"),
+        F.col("vnorm").alias("_na"), "tbl", "bucket",
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("vec_d").alias("_vb"),
+        F.col("vnorm").alias("_nb"), "tbl", "bucket",
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "sim", "rnk")
     )
 
 

@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, and rolling-hash
+fingerprinting over a document table — the text-side companions to
+dedup (operators/dedup.py, operators/simhash.py) and similarity
+(operators/similarity.py).
+
+Every operator is pure DataFrame built-ins (JVM-side, whole-stage
+codegen, no Python UDFs) and every score is either integer arithmetic
+or a single fixed-order float expression rounded to 6dp, so results
+hash-match a DuckDB oracle exactly.
+
+Scale notes (100 TB design point):
+  - token explodes feed map-side partial aggregation; the per-language
+    profile table is vocab-sized (tiny) and broadcast back, so
+    language-ID is one shuffle of doc term-frequencies, never N×L rows.
+  - quality / token-count / fingerprint are narrow per-row projections:
+    no shuffle at all, scan-bound, fully pushdown/prune friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-alnum marks.
+# Kept POSIX-simple so Java regex (Spark) and RE2 (DuckDB) agree.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny stopword list present in any English-ish corpus; the quality
+# formula only needs *a* deterministic stopword set.
+STOPWORDS = ("a", "an", "the", "of", "to", "in", "and", "is")
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish regex
+    tokens, and character length — the unit a token-budget pipeline
+    bills by. Narrow projection, no shuffle."""
+    ws = F.split(text_col, " ")
+    re_toks = F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(re_toks).cast("long").alias("re_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+    )
+
+
+def _stopword_hits(tokens: Column) -> Column:
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [~0, 1].
+
+    Pinned formula [D] (linear so float evaluation order is fixed and
+    identical across engines; rounded 6dp):
+
+        stop_ratio  = stopword_tokens / tokens
+        short_ratio = tokens with length <= 2 / tokens
+        punct_ratio = non-alnum-non-space chars / chars
+        quality     = round(1 - 0.5*stop_ratio - 0.3*short_ratio
+                              - 0.2*punct_ratio, 6)
+    """
+    toks = F.split(text_col, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = _stopword_hits(toks).cast("double") / n_tok
+    short_ratio = (
+        F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tok
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(text_col, F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
+        / F.length(text_col).cast("double")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(short_ratio, 6).alias("short_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(0.5) * stop_ratio
+            - F.lit(0.3) * short_ratio
+            - F.lit(0.2) * punct_ratio,
+            6,
+        ).alias("quality"),
+    )
+
+
+def langid_predict(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Corpus-trained token-profile language-ID (Cavnar–Trenkle
+    shape: score a document against each language's term-frequency
+    profile, predict the argmax).
+
+    score(d, L) = Σ_t  tf_doc(d, t) · tf_corpus(L, t)  — pure BIGINT
+    arithmetic, so the argmax (ties broken by lang name) hash-matches
+    the oracle exactly. On the synthetic fixture every language shares
+    one vocabulary, so accuracy is chance — the *mechanism* is what
+    ships; on real multilingual data the same plan separates languages.
+
+    Plan shape: one explode + two partial-agg shuffles; the per-lang
+    profile is vocab×langs rows (tiny) and re-joined via broadcast.
+    """
+    tok = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(F.split(text_col, " ")).alias("token")
+    )
+    doc_tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n_d"))
+    lang_tf = tok.groupBy(F.col(lang_col).alias("cand_lang"), F.col("token")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    scores = (
+        doc_tf.join(F.broadcast(lang_tf), "token")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.sum(F.col("n_d") * F.col("n_l")).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cand_lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cand_lang").alias("pred_lang"), "score")
+    )
+    return docs.select(id_col, lang_col).join(pred, id_col)
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+
+        h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 1e9+7)
+
+    Modding every step keeps acc < 2^35 (no int64 overflow), and the
+    fold is a JVM-side higher-order `aggregate` — per-row, no shuffle,
+    identical arithmetic to the DuckDB `list_reduce` oracle."""
+    rh = F.aggregate(
+        F.split(text_col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLLING_BASE) + F.ascii(c)) % F.lit(ROLLING_MOD),
+    )
+    return docs.select(F.col(id_col), rh.alias("fingerprint"))
+
+
+# --- DuckDB oracle fragments (same arithmetic, DuckDB spelling) ------
+
+SQL_TOKEN_RE = TOKEN_RE
+SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+SQL_ROLLING = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all({t}, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
+)

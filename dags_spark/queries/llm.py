@@ -12,7 +12,15 @@ from pyspark.sql import functions as F
 
 from . import table
 from ..operators.dedup import exact_dedup, latest_by_key, minhash_near_dup_pairs
-from ..operators.similarity import SQL_DOT, SQL_NORM, SQL_VEC_D, blocked_pairs
+from ..operators.multimodal import attach_binary, decode_features
+from ..operators.simhash import simhash, simhash_band_pairs, simhash_sql_fragments
+from ..operators.similarity import (
+    SQL_DOT,
+    SQL_NORM,
+    SQL_VEC_D,
+    ann_lsh_topk,
+    blocked_pairs,
+)
 from ..registry import register
 
 
@@ -271,3 +279,88 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("label").cast("long").alias("label_sum"),
     )
+
+
+# --- SimHash fingerprints + banded near-dup pairs --------------------
+
+_SH_VOTES, _SH_FOLD = simhash_sql_fragments(div_op="//")
+_SIMHASH_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  )
+),
+votes AS (SELECT doc_id, {', '.join(_SH_VOTES)} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SH_FOLD} AS simhash32 FROM votes)
+"""
+
+
+@register("text_simhash", oracle=_SIMHASH_CTE + "SELECT doc_id, simhash32 FROM sig")
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-nibble token hashes -> 32
+    SUM votes with map-side partial agg -> sign fold); the md5-nibble
+    arithmetic makes the fingerprint engine-portable, so it
+    hash-checks exactly."""
+    return simhash(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """,
+bands AS (
+  SELECT doc_id, simhash32, 0 AS band_id, simhash32 % 65536 AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, simhash32, 1 AS band_id, simhash32 // 65536 AS bv FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash32 AS sh_a, b.simhash32 AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band blocking (equi-join, never
+    all-pairs) then Hamming <= 6 on the full 32-bit signature. The
+    band condition is part of the pinned semantics, so the oracle
+    encodes it too and the result hash-checks exactly."""
+    return simhash_band_pairs(simhash(table(spark, sf_dir, "documents")))
+
+
+# --- Multimodal: binary payload decode via mapInPandas ---------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id, 'text/plain' AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(text) END AS INT)
+         AS first_byte,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> BinaryType payload + typed meta
+    struct, then Arrow-batched mapInPandas feature extraction
+    (deterministic byte-level fake standing in for the absent image
+    codec — the schema/batching/partition plumbing is the real path).
+    """
+    return decode_features(attach_binary(table(spark, sf_dir, "documents")))
+
+
+# --- ANN: sign-LSH bucketed approximate kNN --------------------------
+
+
+@register("sim_ann_lsh_topk", oracle=None, check="rows")
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via random-hyperplane LSH bucketing (8 tables x
+    8 bits): candidate pairs share a bucket (equi-join, ~linear), exact
+    cosine re-rank, top-10 per query. Approximate by design -> rows
+    check; the recall property test compares against exact kNN."""
+    return ann_lsh_topk(table(spark, sf_dir, "embeddings"), k=10)

@@ -1,0 +1,115 @@
+"""SURVEY §2.11 extension — text-analysis operators for training-data
+pipelines: token counting, quality scoring, language-ID, rolling-hash
+fingerprints. All hash-checked against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import table
+from ..operators.textops import (
+    SQL_ROLLING,
+    SQL_STOPWORDS,
+    TOKEN_RE,
+    langid_predict,
+    quality_score,
+    rolling_fingerprint,
+    token_counts,
+)
+from ..registry import register
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget: whitespace tokens + BPE-ish regex tokens
+    + char length (narrow projection, no shuffle)."""
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({SQL_STOPWORDS}, t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio_raw,
+         CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
+           / len(string_split(text, ' ')) AS short_ratio_raw,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio_raw
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(stop_ratio_raw, 6) AS stop_ratio,
+       ROUND(short_ratio_raw, 6) AS short_ratio,
+       ROUND(punct_ratio_raw, 6) AS punct_ratio,
+       ROUND(1.0 - 0.5 * stop_ratio_raw - 0.3 * short_ratio_raw
+                 - 0.2 * punct_ratio_raw, 6) AS quality
+FROM q
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (stopword/short-token/punct ratios,
+    pinned linear formula, round 6dp)."""
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+doc_tf AS (
+  SELECT doc_id, token, COUNT(*) AS n_d FROM tok GROUP BY doc_id, token
+),
+lang_tf AS (
+  SELECT lang AS cand_lang, token, COUNT(*) AS n_l FROM tok GROUP BY lang, token
+),
+scores AS (
+  SELECT doc_id, cand_lang, SUM(n_d * n_l) AS score
+  FROM doc_tf JOIN lang_tf USING (token)
+  GROUP BY doc_id, cand_lang
+),
+pred AS (
+  SELECT doc_id, cand_lang AS pred_lang, score FROM (
+    SELECT doc_id, cand_lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand_lang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, p.pred_lang, p.score
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-profile language-ID: integer dot-product of doc term
+    frequencies against corpus-trained per-language profiles, argmax
+    with deterministic tie-break."""
+    return langid_predict(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id, {SQL_ROLLING.format(t='text')} AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per document — identical
+    (base 31, mod 1e9+7) fold in Spark `aggregate` and DuckDB
+    `list_reduce`."""
+    return rolling_fingerprint(table(spark, sf_dir, "documents"))

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "streaming",
     "udfs",
     "llm",
+    "textops",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Unit tests for textops / simhash / multimodal / ANN operators:
+tiny literal frames for semantics, plus the ANN recall property test
+against exact kNN (slow)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dags_spark.io import table
+from dags_spark.operators.multimodal import attach_binary, decode_features
+from dags_spark.operators.simhash import simhash, simhash_band_pairs
+from dags_spark.operators.similarity import ann_lsh_topk, blocked_pairs
+from dags_spark.operators.textops import (
+    langid_predict,
+    quality_score,
+    rolling_fingerprint,
+    token_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "unit", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+
+
+def test_token_counts_regex_vs_ws(spark):
+    d = _docs(spark, [("hello world 42!", "en"), ("one", "en")])
+    got = {r.doc_id: r for r in token_counts(d).collect()}
+    assert got[0].ws_tokens == 3
+    assert got[0].re_tokens == 4  # hello / world / 42 / !
+    assert got[0].n_chars_measured == 15
+    assert got[1].ws_tokens == 1 and got[1].re_tokens == 1
+
+
+def test_quality_score_components(spark):
+    d = _docs(spark, [("the cat sat on a mat", "en")])
+    r = quality_score(d).collect()[0]
+    # 6 tokens; stopwords: the, on?, a -> STOPWORDS has the/a/of/to/in/and/is/an
+    # here: "the", "a" -> 2/6; short (<=2): on, a -> 2/6; punct: 0
+    assert r.stop_ratio == pytest.approx(2 / 6, abs=1e-6)
+    assert r.short_ratio == pytest.approx(2 / 6, abs=1e-6)
+    assert r.punct_ratio == 0.0
+    assert r.quality == pytest.approx(1 - 0.5 * 2 / 6 - 0.3 * 2 / 6, abs=1e-6)
+
+
+def test_langid_separates_disjoint_vocab(spark):
+    rows = [
+        ("der hund und die katze", "de"),
+        ("die katze und der vogel", "de"),
+        ("the dog and the cat", "en"),
+        ("the cat and the bird", "en"),
+    ]
+    out = {r.doc_id: r.pred_lang for r in langid_predict(_docs(spark, rows)).collect()}
+    assert out == {0: "de", 1: "de", 2: "en", 3: "en"}
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    txt = "hello world"
+    expect = 0
+    for ch in txt:
+        expect = (expect * 31 + ord(ch)) % 1_000_000_007
+    d = _docs(spark, [(txt, "en")])
+    assert rolling_fingerprint(d).collect()[0].fingerprint == expect
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    rows = [
+        ("spark makes big data small again and again", "en"),
+        ("spark makes big data small again and again", "en"),  # dup of 0
+        ("completely different words entirely here now", "en"),
+    ]
+    sig = simhash(_docs(spark, rows))
+    sigs = {r.doc_id: r.simhash32 for r in sig.collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_band_pairs(sig).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_multimodal_decode_features(spark):
+    d = _docs(spark, [("abc", "en"), ("", "en")])
+    feats = {r.doc_id: r for r in decode_features(attach_binary(d)).collect()}
+    assert feats[0].n_bytes == 3
+    assert feats[0].first_byte == ord("a")
+    assert feats[0].content_md5 == hashlib.md5(b"abc").hexdigest()
+    assert feats[0].format == "text/plain"
+    assert feats[1].n_bytes == 0 and feats[1].first_byte == -1
+
+
+@pytest.mark.slow
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """Sign-LSH kNN must recover >=60% of exact global top-10
+    neighborhoods on the fixture embeddings (8 tables x 8 bits;
+    random-hyperplane LSH recall on 64-dim synthetic data)."""
+    emb = table(spark, sf_dir, "embeddings")
+    approx = ann_lsh_topk(emb, k=10)
+    got = {
+        (r.query_id, r.neighbor_id) for r in approx.collect()
+    }
+    # exact global kNN (ignore label blocking: compare all-pairs)
+    from pyspark.sql import Window
+
+    one = emb.withColumn("_b", F.lit(1))
+    exact_pairs = blocked_pairs(one, block_col="_b", symmetric=True)
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    exact = (
+        exact_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("id_a", "id_b")
+    )
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"ANN recall {recall:.3f} below 0.6"
