@@ -64,7 +64,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         run_once(fn)  # warm-up: codegen + shuffle file caches
-        timings[name] = round(run_once(fn), 3)
+        # min-of-3: GC pauses / page-cache noise inflate single runs
+        timings[name] = round(min(run_once(fn) for _ in range(3)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

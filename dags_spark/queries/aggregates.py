@@ -13,10 +13,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import SQL_DEC_AVG, SQL_DEC_SUM, dec_avg, dec_sum, table
+from . import SQL_CENTS, SQL_DEC_AVG, SQL_DEC_SUM, cents, dec_avg, dec_sum, table
 from ..registry import register
 
 # ---------------------------------------------------------------- Q1
+
+# Exact product sums in scaled-integer space: price, discount, and tax
+# are exact 2-decimal values, so  price_c * (100 - disc_c)  (scale 4)
+# and  ... * (100 + tax_c)  (scale 6) are exact BIGINTs; one double
+# division at the end matches the oracle bit-for-bit.
+_SQL_P = SQL_CENTS("l_extendedprice")
+_SQL_D = SQL_CENTS("l_discount")
+_SQL_T = SQL_CENTS("l_tax")
+SQL_REVENUE_SUM = f"CAST(SUM({_SQL_P} * (100 - {_SQL_D})) AS DOUBLE) / 10000.0"
+_SQL_CHARGE_SUM = (
+    f"CAST(SUM({_SQL_P} * (100 - {_SQL_D}) * (100 + {_SQL_T})) AS DOUBLE) / 1000000.0"
+)
+
+
+def revenue_sum() -> F.Column:
+    """SUM(l_extendedprice * (1 - l_discount)) — exact, via cents."""
+    return (
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+        .cast("double")
+        / F.lit(10000.0)
+    )
+
+
+def _charge_sum() -> F.Column:
+    return (
+        F.sum(
+            cents("l_extendedprice")
+            * (F.lit(100) - cents("l_discount"))
+            * (F.lit(100) + cents("l_tax"))
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+
 
 _Q1_ORACLE = f"""
 SELECT
@@ -24,8 +57,8 @@ SELECT
   l_linestatus,
   {SQL_DEC_SUM('l_quantity')} AS sum_qty,
   {SQL_DEC_SUM('l_extendedprice')} AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  {SQL_REVENUE_SUM} AS sum_disc_price,
+  {_SQL_CHARGE_SUM} AS sum_charge,
   {SQL_DEC_AVG('l_quantity')} AS avg_qty,
   {SQL_DEC_AVG('l_extendedprice')} AS avg_price,
   {SQL_DEC_AVG('l_discount')} AS avg_disc,
@@ -40,22 +73,19 @@ GROUP BY l_returnflag, l_linestatus
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary over lineitem.
 
-    Scan -> filter (pushed to parquet) -> 2-phase hash agg on 2 keys.
+    Scan -> filter (pushed to parquet) -> 2-phase hash agg on 2 keys;
+    all money math in exact scaled-BIGINT space (integer codegen, no
+    decimal ops in the hot loop).
     """
     li = table(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(4,2)")
-    tax_dec = F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("sum_disc_price"),
-            F.sum(price_dec * (F.lit(1) - disc_dec) * (F.lit(1) + tax_dec))
-            .cast("double")
-            .alias("sum_charge"),
+            revenue_sum().alias("sum_disc_price"),
+            _charge_sum().alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),
@@ -68,7 +98,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     oracle=f"""
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+  {SQL_REVENUE_SUM} AS total_revenue,
   {SQL_DEC_SUM('l_quantity')} AS total_qty,
   COUNT(*) AS n_rows
 FROM lineitem
@@ -78,10 +108,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped aggregate: single global hash-agg, no shuffle of data
     rows (partials reduce to one row per partition)."""
     li = table(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(4,2)")
     return li.agg(
-        F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("total_revenue"),
+        revenue_sum().alias("total_revenue"),
         dec_sum("l_quantity").alias("total_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -137,9 +165,9 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
 SELECT r_name, n_name,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       {SQL_DEC_SUM('c_acctbal')} AS sum_acctbal,
        COUNT(*) AS n_rows
 FROM customer
   JOIN nation ON c_nationkey = n_nationkey
@@ -182,11 +210,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
 SELECT c_mktsegment, n_name,
        GROUPING(c_mktsegment) AS g_seg,
        GROUPING(n_name) AS g_nat,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       {SQL_DEC_SUM('c_acctbal')} AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
 """,
@@ -199,11 +227,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_gs_cust_nat"
     )
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment, n_name,
                CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
                CAST(GROUPING(n_name) AS INT) AS g_nat,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+               {SQL_DEC_SUM('c_acctbal')} AS sum_acctbal
         FROM _gs_cust_nat
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
@@ -212,44 +240,43 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_having",
-    oracle="""
+    oracle=f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       {SQL_REVENUE_SUM} AS revenue
 FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
-HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) > 50000000
+HAVING SUM({_SQL_P} * (100 - {_SQL_D})) > 500000000000
 """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING)."""
+    """Post-aggregation filter (HAVING) — threshold compared in exact
+    scale-4 integer space (50000000 * 10^4)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("_rev_dec"))
+        .agg(F.sum(rev_c4).alias("_rev_c4"))
     )
-    return agg.filter(F.col("_rev_dec") > 50000000).select(
-        "n_name", F.col("_rev_dec").cast("double").alias("revenue")
+    return agg.filter(F.col("_rev_c4") > 500000000000).select(
+        "n_name", (F.col("_rev_c4").cast("double") / F.lit(10000.0)).alias("revenue")
     )
 
 
 @register(
     "agg_filtered",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus,
        COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_value,
+       CAST(SUM({SQL_CENTS('o_totalprice')}) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS urgent_value,
        COUNT(*) AS n_total
 FROM orders GROUP BY o_orderstatus
 """,
@@ -260,21 +287,21 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = F.col("o_orderpriority") == "1-URGENT"
     return o.groupBy("o_orderstatus").agg(
         F.count_if(urgent).alias("n_urgent"),
-        F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("double")
+        (F.sum(F.when(urgent, cents("o_totalprice"))).cast("double") / F.lit(100.0))
         .alias("urgent_value"),
         F.count(F.lit(1)).alias("n_total"),
     )
 
 
 # Manual moment formulas: both engines do the same double ops on
-# exact decimal sums -> bit-identical stddev/variance/corr.
-_STATS_ORACLE = """
+# exact scaled-integer sums -> bit-identical stddev/variance/corr.
+_SQL_BAL = SQL_CENTS("c_acctbal")
+_STATS_ORACLE = f"""
 WITH m AS (
   SELECT c_mktsegment,
          COUNT(*) AS n,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+         CAST(SUM({_SQL_BAL}) AS DOUBLE) / 100.0 AS s1,
+         CAST(SUM({_SQL_BAL} * {_SQL_BAL}) AS DOUBLE) / 10000.0 AS s2
   FROM customer GROUP BY c_mktsegment
 )
 SELECT c_mktsegment,
@@ -287,14 +314,14 @@ FROM m
 
 @register("agg_stats", oracle=_STATS_ORACLE)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """avg/stddev_samp/var_samp via exact decimal moments (identical
-    double arithmetic both engines -> hash-stable)."""
+    """avg/stddev_samp/var_samp via exact scaled-integer moments
+    (identical double arithmetic both engines -> hash-stable)."""
     c = table(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    bal_c = cents("c_acctbal")
     m = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(bal).cast("double").alias("s1"),
-        F.sum(bal * bal).cast("double").alias("s2"),
+        (F.sum(bal_c).cast("double") / F.lit(100.0)).alias("s1"),
+        (F.sum(bal_c * bal_c).cast("double") / F.lit(10000.0)).alias("s2"),
     )
     n = F.col("n")
     s1 = F.col("s1")

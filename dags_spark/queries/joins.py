@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import table
+from . import cents, table
 from ..operators.asof import asof_join
 from ..registry import register
 
@@ -44,7 +44,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_multiway",
     oracle="""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
@@ -67,9 +67,7 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -77,7 +75,7 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

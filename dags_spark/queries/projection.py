@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import table
+from . import cents, table
 from ..registry import register
 
 
@@ -38,7 +38,7 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_computed",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS disc_price,
+       CAST(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT) * (100 - CAST(ROUND((l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS disc_price,
        CAST(l_quantity * 2 AS DOUBLE) AS double_qty
 FROM lineitem
 """,
@@ -50,11 +50,10 @@ def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        )
-        .cast("double")
-        .alias("disc_price"),
+            (cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("disc_price"),
         (F.col("l_quantity") * 2).cast("double").alias("double_qty"),
     )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import table
+from . import SQL_CENTS, cents, table
 from ..registry import register
 
 
@@ -78,9 +78,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle="""
 SELECT o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cum_spend
 FROM orders
 """,
 )
@@ -94,9 +94,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0))
         .alias("cum_spend"),
     )
 
@@ -105,7 +103,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
 SELECT o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100.0
          / COUNT(*) OVER w AS ma7_price
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -123,7 +121,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)
             / F.count(F.lit(1)).over(w)
         ).alias("ma7_price"),
     )
