@@ -136,3 +136,64 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def token_ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index join
+    (hash-checkable, unlike the probabilistic MinHash path):
+
+      1. distinct token n-grams per doc (JVM higher-order fns);
+      2. candidate pairs = docs sharing >= 1 n-gram — a self
+         equi-join on the exploded posting list, so cost is
+         sum(df(g)^2) over n-grams, not O(docs^2); the shared-gram
+         COUNT(*) per pair IS the intersection size;
+      3. jaccard = inter / (|A| + |B| - inter), one double division,
+         round 6dp.
+
+    At 100 TB the hot n-grams dominate sum(df^2) — drop gram
+    stop-grams above a df ceiling (standard posting-list pruning:
+    a pair sharing ONLY ultra-common grams is below any useful
+    threshold anyway). Fixture corpora don't need the ceiling, so it
+    is not applied here; minhash_near_dup_pairs is the probabilistic
+    alternative when even pruned posting lists explode.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            )
+        )
+    )
+    sh = docs.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
+    ex = sh.select(id_col, F.explode("g").alias("s"))
+    a = ex.select(F.col(id_col).alias("id_a"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("g").alias("n_g"))
+    la = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("na"))
+    lb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("nb"))
+    return (
+        inter.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import table
-from ..operators.dedup import exact_dedup, latest_by_key, minhash_near_dup_pairs
+from ..operators.dedup import (
+    exact_dedup,
+    latest_by_key,
+    minhash_near_dup_pairs,
+    token_ngram_jaccard_pairs,
+)
 from ..operators.multimodal import attach_binary, decode_features
 from ..operators.simhash import simhash, simhash_band_pairs, simhash_sql_fragments
 from ..operators.similarity import (
@@ -364,3 +369,53 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-rank, top-10 per query. Approximate by design -> rows
     check; the recall property test compares against exact kNN."""
     return ann_lsh_topk(table(spark, sf_dir, "embeddings"), k=10)
+
+
+# --- Exact n-gram Jaccard + embedding-cosine near-dup ----------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(g) AS n_g FROM sh WHERE len(g) > 0)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(i AS DOUBLE) / (la.n_g + lb.n_g - i), 6) AS jaccard
+  FROM inter
+    JOIN sizes la ON id_a = la.doc_id
+    JOIN sizes lb ON id_b = lb.doc_id
+) WHERE jaccard >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-3-gram Jaccard near-dup pairs (>= 0.5) via
+    inverted-index join — the deterministic, hash-checked counterpart
+    of dedup_fuzzy_minhash."""
+    return token_ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_PAIR_SQL_COMMON.format(op="<") + "WHERE ROUND({d} / (a.n * b.n), 6) >= 0.4".format(
+        d="list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))"
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: same-label blocked exact
+    cosine >= threshold (0.4 exercises the path on the random fixture
+    vectors; real near-dup corpora use ~0.95). Same Arrow kernel as
+    sim_search_topk; at scale swap label blocking for LSH/IVF buckets."""
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"))
+    return pairs.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "label", "sim")

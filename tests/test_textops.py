@@ -115,3 +115,17 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     want = {(r.id_a, r.id_b) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, f"ANN recall {recall:.3f} below 0.6"
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    from dags_spark.operators.dedup import token_ngram_jaccard_pairs
+
+    rows = [
+        ("a b c d e f", "en"),      # grams: abc bcd cde def
+        ("a b c d e x", "en"),      # grams: abc bcd cde dex -> inter 3, union 5 -> 0.6
+        ("z z z q q q", "en"),      # disjoint
+        ("a b", "en"),              # too short -> no grams, excluded
+    ]
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           token_ngram_jaccard_pairs(_docs(spark, rows), threshold=0.5).collect()}
+    assert out == {(0, 1): 0.6}
