@@ -232,3 +232,61 @@ def stream_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows_processed"),
         F.countDistinct("event_id").alias("n_distinct_events"),
     )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, max) maintained in explicit GroupState across
+    micro-batches (two staged arrival batches -> state survives a
+    batch boundary), update-mode emissions, final state per user ==
+    batch GROUP BY.
+
+    This is the engine's escape hatch for stateful logic Spark's
+    built-in aggregates can't express (per-key model state, custom
+    eviction); state lives in the checkpointed state store exactly
+    like built-in windows, so a 1000-executor run shards state by
+    key hash with no driver involvement.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            bmax = pdf["value"].max()
+            if not pd.isna(bmax):
+                mx = bmax if mx is None else max(mx, bmax)
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_value": [mx]})
+
+    base = stage_events(spark, sf_dir, split="two")
+    # glob both staged parts under one stream (part1/, part2/)
+    sdf = events_stream(spark, os.path.join(base, "part*"), max_files_per_trigger=1)
+    running = sdf.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+        stateStructType="n BIGINT, mx DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(running, "update")
+    # update mode emits one row per touched key per micro-batch; the
+    # final state per user is the row with the largest running count.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )

@@ -60,13 +60,18 @@ def stage_events(spark: SparkSession, sf_dir: str, split: str = "single") -> str
     return base
 
 
-def events_stream(spark: SparkSession, in_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
-
-
-def run_to_memory(
-    sdf: DataFrame, output_mode: str, max_files_per_trigger: int | None = None
+def events_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-source stream over staged events; max_files_per_trigger=1
+    forces one micro-batch per staged file (multi-batch state tests)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(in_dir)
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the final table."""
     name = f"mem_{uuid.uuid4().hex[:12]}"

@@ -1,0 +1,56 @@
+"""Plan-quality regression tests: the physical plans the 100 TB
+design point depends on — parquet filter pushdown, column pruning,
+broadcast dimension joins, top-k via TakeOrderedAndProject, and no
+cartesian fallback on anchored theta joins. A refactor that silently
+loses one of these properties fails here long before it shows up as
+a production-scale regression."""
+
+from __future__ import annotations
+
+from dags_spark.registry import all_specs
+
+
+def _formatted_plan(spark, key, sf_dir) -> str:
+    df = all_specs()[key].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    return df._jdf.queryExecution().explainString(mode("formatted"))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _formatted_plan(spark, "scan_parquet_pushdown", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate range not pushed"
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_column_pruning_q1(spark, sf_dir):
+    plan = _formatted_plan(spark, "agg_pricing_summary", sf_dir)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # Q1 needs exactly 7 lineitem columns; pruning must drop the rest.
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_shipmode"):
+        assert col not in read, f"{col} not pruned from scan"
+
+
+def test_partial_final_hash_aggregate(spark, sf_dir):
+    plan = _formatted_plan(spark, "agg_pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2, "expected partial+final hash agg"
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _formatted_plan(spark, "join_star_multiway", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # transitive filter inference: region filter reaches the nation scan
+    assert "LessThan(n_regionkey,3)" in plan.replace(" ", "")
+
+
+def test_theta_join_keeps_equi_anchor(spark, sf_dir):
+    plan = _formatted_plan(spark, "join_theta_range", sf_dir)
+    assert "CartesianProduct" not in plan, "theta join fell back to cartesian"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, "topk_global", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit not fused to top-k"

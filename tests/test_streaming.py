@@ -50,3 +50,22 @@ def test_incremental_ledger_processes_each_row_once(spark, sf_dir):
     n_events = table(spark, sf_dir, "events").count()
     assert out.n_rows_processed == n_events
     assert out.n_distinct_events == n_events
+
+
+def test_stateful_running_state_spans_batches(spark, sf_dir):
+    """applyInPandasWithState must accumulate across the two staged
+    micro-batches: final per-user counts equal the batch GROUP BY."""
+    from dags_spark.registry import all_specs
+    from dags_spark.io import table
+    from pyspark.sql import functions as F
+
+    out = all_specs()["stream_stateful_running"].fn(spark, sf_dir)
+    got = {r.user_id: (r.n_events, r.max_value) for r in out.collect()}
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
