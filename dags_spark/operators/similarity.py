@@ -219,3 +219,91 @@ SQL_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
 SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate kNN via IVF-flat: a data-adaptive coarse quantizer
+    (vs ann_lsh_topk's data-oblivious hyperplanes).
+
+    1. centroids = the ``n_cells`` vectors with smallest
+       ``md5(vec_id)`` — a deterministic uniform sample (k-means would
+       sharpen cells; sampled centroids keep the op fully
+       deterministic and single-pass). Collected to the driver and
+       broadcast — constant-size (cells × dim), the one legitimate
+       collect in this module, same pattern as shipping a fitted ML
+       model.
+    2. every vector is assigned to its nearest centroid by cosine
+       (one numpy matmul per Arrow batch); queries additionally probe
+       their ``n_probe`` nearest cells.
+    3. candidates = probe-cell equi-join, exact cosine re-rank
+       (same sequential-fold arithmetic as blocked_pairs), top-k per
+       query.
+
+    Scale: n_cells should grow ~sqrt(corpus) so cells stay bounded;
+    recall/latency trades via n_probe. The fixture's RANDOM vectors
+    have no cluster structure, so the default probes half the cells
+    (recall 0.73 vs exact top-10); real clustered embeddings reach the
+    same recall probing a small fraction. Approximate by design ->
+    rows check + recall property test.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    cents = cents / np.sqrt((cents * cents).sum(axis=1, keepdims=True))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = m @ cents.T  # (batch, n_cells)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    coded = with_norm(emb.select(id_col, vec_col), vec_col).withColumn(
+        "cells", probe_cells(F.col(vec_col))
+    )
+    index_side = coded.select(
+        F.col(id_col).alias("id_b"), F.col("vec_d").alias("_vb"),
+        F.col("vnorm").alias("_nb"), F.element_at("cells", 1).alias("cell"),
+    )
+    query_side = coded.select(
+        F.col(id_col).alias("id_a"), F.col("vec_d").alias("_va"),
+        F.col("vnorm").alias("_na"), F.explode("cells").alias("cell"),
+    )
+    cand = (
+        query_side.join(index_side, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"),
+            "sim", "rnk",
+        )
+    )

@@ -409,3 +409,48 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         F.min("c_acctbal").alias("min_bal"),
     )
+
+
+# corr via exact scaled-integer moments: qty and price are exact
+# 2-decimal values, so every sum below is an exact BIGINT; the final
+# correlation is a fixed-order double expression both engines evaluate
+# identically (rounded 6dp for hash stability).
+_CORR_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM({SQL_CENTS('l_quantity')}) AS DOUBLE) / 100.0 AS sx,
+         CAST(SUM({SQL_CENTS('l_extendedprice')}) AS DOUBLE) / 100.0 AS sy,
+         CAST(SUM({SQL_CENTS('l_quantity')} * {SQL_CENTS('l_quantity')}) AS DOUBLE) / 10000.0 AS sxx,
+         CAST(SUM({SQL_CENTS('l_extendedprice')} * {SQL_CENTS('l_extendedprice')}) AS DOUBLE) / 10000.0 AS syy,
+         CAST(SUM({SQL_CENTS('l_quantity')} * {SQL_CENTS('l_extendedprice')}) AS DOUBLE) / 10000.0 AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6)
+         AS corr_qty_price
+FROM m
+"""
+
+
+@register("agg_corr", oracle=_CORR_ORACLE)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(l_quantity, l_extendedprice) per returnflag via
+    exact integer moments (one hash-agg pass, no second scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    qx = cents("l_quantity")
+    py = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(qx).cast("double") / F.lit(100.0)).alias("sx"),
+        (F.sum(py).cast("double") / F.lit(100.0)).alias("sy"),
+        (F.sum(qx * qx).cast("double") / F.lit(10000.0)).alias("sxx"),
+        (F.sum(py * py).cast("double") / F.lit(10000.0)).alias("syy"),
+        (F.sum(qx * py).cast("double") / F.lit(10000.0)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return m.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))

@@ -419,3 +419,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_search_topk; at scale swap label blocking for LSH/IVF buckets."""
     pairs = blocked_pairs(table(spark, sf_dir, "embeddings"))
     return pairs.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "label", "sim")
+
+
+@register("sim_ann_ivf_topk", oracle=None, check="rows")
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via IVF-flat: deterministic sampled centroids
+    (coarse quantizer), nearest-cell assignment, 4-cell probing, exact
+    cosine re-rank top-10. The data-adaptive companion to the LSH
+    path; approximate by design -> rows check + recall property test."""
+    from ..operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(table(spark, sf_dir, "embeddings"), k=10)

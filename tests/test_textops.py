@@ -129,3 +129,25 @@ def test_ngram_jaccard_exact_pairs(spark):
     out = {(r.id_a, r.id_b): r.jaccard for r in
            token_ngram_jaccard_pairs(_docs(spark, rows), threshold=0.5).collect()}
     assert out == {(0, 1): 0.6}
+
+
+@pytest.mark.slow
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF-flat kNN (16 cells, 4 probes) must recover >=60% of exact
+    global top-10 neighborhoods on the fixture embeddings."""
+    from dags_spark.operators.similarity import ann_ivf_topk
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb, k=10).collect()}
+    one = emb.withColumn("_b", F.lit(1))
+    exact_pairs = blocked_pairs(one, block_col="_b", symmetric=True)
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    exact = (
+        exact_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("id_a", "id_b")
+    )
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"IVF recall {recall:.3f} below 0.6"
