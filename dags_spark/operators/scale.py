@@ -1,0 +1,88 @@
+"""Scale machinery: skew-salted joins and bucketed co-located joins.
+
+These are the two levers the 100 TB design point leans on when AQE's
+automatic handling isn't enough:
+
+- ``salted_join``: for a fact⋈fact equi-join with a few hot keys,
+  split each hot left row across N salt shards and replicate the
+  matching right rows to every shard — the hot key's work spreads
+  over N tasks instead of one straggler. (AQE's skew-join split
+  handles sort-merge joins automatically; explicit salting is for
+  when you need deterministic control or hash joins.)
+
+- ``write_bucketed`` / co-located reads: pre-shuffle both sides of a
+  recurring join into the same bucket layout so every subsequent join
+  on the bucket key is exchange-free (verified by plan test: no
+  Exchange above the scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting to defuse skew.
+
+    Left rows get a deterministic salt in [0, n_salts) (hash of the
+    whole row spread via xxhash64 on the key + a per-row uniform
+    component from ``rand(seed)`` would be non-deterministic; instead
+    we shard by xxhash64 of the row's own key-adjacent columns, which
+    spreads a hot key's rows across shards as long as non-key columns
+    vary). Right rows replicate to all n_salts shards. Join keys
+    become (key, salt) — the hot key's pairs now land in n_salts
+    tasks.
+
+    Result is row-identical to ``left.join(right, key, how)``.
+    Supported: inner/left joins (replication breaks right/full-outer
+    row accounting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    shard = (
+        F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n_salts
+    ).cast("int")
+    l_s = left.withColumn("__salt", shard)
+    r_s = right.join(
+        F.broadcast(
+            right.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    joined = l_s.join(r_s, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort_key: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a join key.
+
+    Both sides of a recurring fact⋈fact join written this way join
+    WITHOUT any Exchange: the bucket layout is the shuffle, paid once
+    at write time — the difference between re-shuffling 100 TB per
+    query and never. Requires a session with a warehouse dir (any
+    local path works; see tests/test_scale.py).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed saved tables on the bucket key
+    (exchange-free when bucket specs match)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

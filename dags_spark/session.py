@@ -57,9 +57,15 @@ def tune(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "dags_spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    import tempfile
+
+    warehouse = os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", os.path.join(tempfile.gettempdir(), "dags_spark_warehouse")
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
