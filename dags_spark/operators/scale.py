@@ -18,6 +18,8 @@ automatic handling isn't enough:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,6 +76,18 @@ def write_bucketed(
     query and never. Requires a session with a warehouse dir (any
     local path works; see tests/test_scale.py).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # A stale location (e.g. warehouse dir surviving a previous session
+    # whose in-memory catalog did not) blocks saveAsTable even in
+    # overwrite mode — clear it so the write is idempotent.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse:
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = Path(urlparse(warehouse).path) / name.split(".")[-1].lower()
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)
