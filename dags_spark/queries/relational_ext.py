@@ -1,0 +1,284 @@
+"""SURVEY §2.13 — relational extensions (round-1 widening).
+
+Pivot/unpivot reshaping, scalar and correlated aggregate subqueries,
+fixed-width histograms, boolean aggregates, bitwise scalar functions,
+and deterministic (hash-based) sampling.
+
+Scale notes (100 TB design point):
+- the scalar subquery is a 1-row broadcast join (what Catalyst itself
+  plans for `WHERE x > (SELECT avg ...)`), so the fact table streams
+  through a single stage;
+- the correlated Q17 shape self-joins lineitem on its own grouping
+  key, so the shuffle for the aggregate and for the join share one
+  exchange (same key, same partitioning);
+- deterministic sampling filters on a hash of the key at the scan —
+  no shuffle and no RNG state, so the sample is reproducible across
+  engines, retries, and cluster sizes (unlike `df.sample`).
+
+All money arithmetic uses the exact scaled-BIGINT helpers from
+``dags_spark.queries`` (determinism rule 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_sum, table
+from ..registry import register
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshape: order counts by priority pivoted on status.
+
+    Explicit pivot values keep the plan a single pass (no extra job to
+    discover the value set) with stable, deterministic column order.
+    """
+    o = table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    for s in _STATUSES:
+        out = out.withColumnRenamed(s, f"n_{s.lower()}")
+    return out
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of lineitem measures (quantity/discount/tax).
+
+    Spark's native ``unpivot`` expands rows inside one stage (an
+    Expand node) — no shuffle, unlike the UNION-ALL formulation which
+    would scan the table three times.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle=f"""
+WITH t AS (
+  SELECT SUM({SQL_CENTS('o_totalprice')}) AS s, COUNT(*) AS n FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_above,
+       {SQL_DEC_SUM('o_totalprice')} AS sum_above
+FROM orders, t
+WHERE {SQL_CENTS('o_totalprice')} * n > s
+GROUP BY o_orderpriority
+""",
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders strictly above the global average price, per priority.
+
+    The ``price > AVG(price)`` comparison is done in exact integer
+    arithmetic (``cents * n > sum_cents``) so both engines agree on
+    boundary rows — no double-division epsilon. The global aggregate
+    is a 1-row broadcast (Catalyst's own scalar-subquery plan).
+    """
+    o = table(spark, sf_dir, "orders").withColumn("__c", cents("o_totalprice"))
+    tot = o.agg(F.sum("__c").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    return (
+        o.join(F.broadcast(tot))
+        .filter(F.col("__c") * F.col("__n") > F.col("__s"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            dec_sum("o_totalprice").alias("sum_above"),
+        )
+    )
+
+
+@register(
+    "subquery_correlated_agg",
+    oracle=f"""
+WITH s AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {SQL_DEC_SUM('l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN s USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+""",
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lineitems below 20% of their part's
+    average quantity (small-order revenue).
+
+    The correlated ``qty < 0.2 * AVG(qty) per part`` is decorrelated
+    into aggregate+self-join on ``l_partkey`` — both sides shuffle on
+    the same key, so AQE plans one co-partitioned exchange. The 0.2
+    factor is exact: ``5*qty*cnt < sum_qty`` in BIGINT.
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "__q", F.col("l_quantity").cast("bigint")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("__cnt")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.lit(5) * F.col("__q") * F.col("__cnt") < F.col("__sq")
+    )
+    return small.agg(
+        (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT LEAST({SQL_CENTS('o_totalprice')} // 5000000, 9) AS bucket,
+       COUNT(*) AS n_orders,
+       {SQL_DEC_SUM('o_totalprice')} AS sum_price
+FROM orders GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10 buckets of 50k, last
+    bucket open-ended). Bucketing is integer division on exact cents —
+    boundary values land identically in both engines.
+    """
+    o = table(spark, sf_dir, "orders").withColumn("__c", cents("o_totalprice"))
+    bucket = F.least(F.expr("__c DIV 5000000"), F.lit(9).cast("long"))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 2000) AS all_above_2k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) per order status."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 2000).alias("all_above_2k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS set_bit,
+       xor(o_orderkey, 85) AS xored,
+       (o_orderkey & 15) << 2 AS shifted,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR, shifts, and popcount on the order key —
+    the building blocks of hash partitioning, bloom probes, and the
+    SimHash/LSH operators elsewhere in this repo."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 2).alias("shifted"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
+
+
+# Shared md5-nibble bucket expression — identical text runs in both
+# engines (Spark and DuckDB both have instr/substr/md5).
+def _NIB(key_expr: str) -> str:
+    return (
+        f"instr('0123456789abcdef', substr(md5(cast({key_expr} as string)), 1, 1)) - 1"
+    )
+
+
+@register(
+    "sample_hash_mod",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE {_NIB('o_orderkey')} = 0
+""",
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample: keep rows whose key's first md5
+    nibble is 0. Unlike ``df.sample`` this is reproducible across
+    engines, retries, and cluster sizes, and it evaluates at the scan
+    with no shuffle — the right sampling primitive for a 100 TB
+    pipeline snapshot."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.expr(f"{_NIB('o_orderkey')} = 0")).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "sample_stratified_topk",
+    oracle=f"""
+SELECT c_mktsegment, c_custkey, rn FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY md5(cast(c_custkey as string)), c_custkey
+         ) AS rn
+  FROM customer
+) WHERE rn <= 20
+""",
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 customers per
+    market segment, chosen by md5 order (uniform, reproducible).
+    One shuffle on the stratum key; rank evaluates within partitions.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )

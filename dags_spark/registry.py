@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "udfs",
     "llm",
     "textops",
+    "relational_ext",
 ]
 
 
