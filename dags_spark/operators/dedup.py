@@ -197,3 +197,94 @@ def token_ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- deterministic banded MinHash ------------------------------------
+# Engine-portable MinHash: the gram hash is built from md5 hex nibbles
+# (instr/substr/md5 evaluate identically in Spark and DuckDB), and the
+# k hash functions are pinned affine maps (a_i*h + b_i) mod p in exact
+# BIGINT arithmetic — so the signatures, bands, and candidate pairs
+# are bit-identical across engines and hash-checkable, unlike the
+# spark.ml MinHashLSH path (minhash_near_dup_pairs) whose hash family
+# is library-internal.
+
+MINHASH_P = 1_000_000_007
+# (a, b) pairs; a ~ 1.8e8 so a*h fits int64 for 32-bit gram hashes.
+MINHASH_COEFFS = [
+    (179424673, 7),
+    (179425457, 101),
+    (179425819, 1009),
+    (179426321, 10007),
+    (179426549, 100003),
+    (179428399, 1000003),
+    (179428429, 10000019),
+    (179431357, 100000007),
+]
+
+
+def gram_hash_sql(col: str = "s") -> str:
+    """32-bit integer hash of a string from the first 8 md5 hex
+    nibbles — identical SQL text runs in Spark and DuckDB."""
+    # BIGINT nibbles: the weighted sum tops out at 2^32-1, past INT32
+    # (Spark ANSI mode and DuckDB both trap the overflow otherwise).
+    return (
+        "("
+        + " + ".join(
+            f"cast(instr('0123456789abcdef', substr(md5({col}), {p}, 1)) - 1 as bigint)"
+            f" * {16 ** (p - 1)}"
+            for p in range(1, 9)
+        )
+        + ")"
+    )
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via deterministic banded MinHash.
+
+    1. distinct token n-grams per doc (JVM higher-order fns);
+    2. 8 MinHash signature values per doc (one hash-agg pass: 8
+       partial MINs, map-side combined);
+    3. banding: 2 bands of 4 rows — docs agreeing on ALL values of
+       any band become a candidate pair. Each band join is an
+       equi-join on the 4 signature columns, so cost is sum over
+       band-buckets of bucket², never O(docs²) — the LSH scale
+       property, here with exact reproducible arithmetic.
+
+    Returns (id_a, id_b, n_bands) with id_a < id_b.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(F.size(toks) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            )
+        )
+    )
+    ex = (
+        docs.select(F.col(id_col), grams.alias("g"))
+        .filter(F.size("g") > 0)
+        .select(id_col, F.explode("g").alias("s"))
+        .withColumn("h", F.expr(gram_hash_sql("s")))
+    )
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i + 1}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    n_bands = len(MINHASH_COEFFS) // rows_per_band
+    cands = None
+    for band in range(n_bands):
+        cols = [f"m{band * rows_per_band + j + 1}" for j in range(rows_per_band)]
+        a = sig.select(F.col(id_col).alias("id_a"), *cols)
+        b = sig.select(F.col(id_col).alias("id_b"), *cols)
+        pair = a.join(b, cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    return cands.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -430,3 +430,50 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(table(spark, sf_dir, "embeddings"), k=10)
+
+
+def _minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_COEFFS, MINHASH_P, gram_hash_sql
+
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i + 1}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    def band_join(cols: list[str]) -> str:
+        on = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        return (
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            f"  FROM m a JOIN m b ON {on} AND a.doc_id < b.doc_id"
+        )
+    b1 = band_join(["m1", "m2", "m3", "m4"])
+    b2 = band_join(["m5", "m6", "m7", "m8"])
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+hs AS (SELECT doc_id, {gram_hash_sql('s')} AS h FROM ex),
+m AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+c AS (
+  {b1}
+  UNION ALL
+  {b2}
+)
+SELECT id_a, id_b, COUNT(*) AS n_bands FROM c GROUP BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_banded", oracle=_minhash_oracle())
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic banded MinHash near-dup candidates: md5-nibble
+    gram hashes + pinned affine hash family + 2x4 banding — the
+    hash-checked, engine-reproducible counterpart of
+    dedup_fuzzy_minhash (whose spark.ml hash family is opaque).
+    Banding keeps candidate generation ~linear in corpus size; at
+    100 TB the band join IS the shuffle, on 4-int keys, never text."""
+    from ..operators.dedup import minhash_banded_pairs
+
+    return minhash_banded_pairs(table(spark, sf_dir, "documents"))

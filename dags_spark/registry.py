@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "llm",
     "textops",
     "relational_ext",
+    "composites",
 ]
 
 
