@@ -1,0 +1,77 @@
+"""SURVEY §2.15 — the graph/orchestration layer as a checked query.
+
+The reference library's identity is the declared DAG of pipes
+(Python functions and SQL templates over upstream nodes) executed in
+topological order. `graph_pipeline_revenue` runs a real 4-node graph
+— two Python source/filter pipes, a SQL join+aggregate pipe over
+their temp views, and a Python post-processing pipe — through
+``dags_spark.graph.Graph`` and hash-checks the final node against a
+single equivalent SQL statement.
+
+Because non-materialized nodes stay lazy, the whole 4-node graph
+compiles to ONE Catalyst plan: the shipdate filter from node 1 is
+pushed into the parquet scan of the final job, proving inter-node
+optimization (the main scale advantage over materialize-per-node
+orchestrators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import SQL_CENTS, SQL_DEC_SUM, table
+from ..graph.core import Graph
+from ..registry import register
+
+_CUTOFF = "1998-01-01"
+
+
+@register(
+    "graph_pipeline_revenue",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {SQL_DEC_SUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_CUTOFF}'
+GROUP BY o_orderpriority
+""",
+)
+def graph_pipeline_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-node DAG: python filter pipes -> SQL join/agg pipe -> python
+    projection pipe; the Graph layer wires temp views and topo-order,
+    Catalyst fuses all nodes into one optimized plan."""
+    g = Graph("revenue_pipeline")
+
+    @g.node(name="recent_items")
+    def recent_items(spark: SparkSession, deps) -> DataFrame:
+        return table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") >= F.lit(_CUTOFF).cast("timestamp")
+        )
+
+    @g.node(name="orders_src")
+    def orders_src(spark: SparkSession, deps) -> DataFrame:
+        return table(spark, sf_dir, "orders")
+
+    g.sql_node(
+        name="revenue_raw",
+        upstream=["recent_items", "orders_src"],
+        sql=f"""
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   SUM({SQL_CENTS('l_extendedprice * (1 - l_discount)', 4)}) AS rev_cents
+            FROM recent_items JOIN orders_src ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+    )
+
+    @g.node(name="revenue_by_priority", upstream=["revenue_raw"])
+    def revenue_by_priority(spark: SparkSession, deps) -> DataFrame:
+        return deps["revenue_raw"].select(
+            "o_orderpriority",
+            "n_items",
+            (F.col("rev_cents").cast("double") / F.lit(10_000.0)).alias("revenue"),
+        )
+
+    return g.run(spark)["revenue_by_priority"]

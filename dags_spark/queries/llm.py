@@ -477,3 +477,39 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_banded_pairs
 
     return minhash_banded_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "agg_vector_centroid",
+    oracle="""
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+FROM x GROUP BY label, pos
+""",
+)
+def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, elementwise.
+
+    Floats are quantized to 1e-6 (FLOOR — no rounding-mode ambiguity)
+    and summed as BIGINT, so the mean is exact and order-independent:
+    the same trick the money aggregates use, applied to vectors. One
+    hash-agg over (label, pos) — at 100 TB this is the map-side-
+    combinable formulation (vs collecting vectors per label).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(q).cast("double") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias(
+                "centroid"
+            )
+        )
+    )

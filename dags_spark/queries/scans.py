@@ -136,3 +136,24 @@ FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', -2.25), (3, 'gamma', 0.0), (4, 'delt
 def source_inmemory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-memory rows -> DataFrame (the reference's import-records edge)."""
     return spark.createDataFrame(_INMEM_ROWS, "id BIGINT, name STRING, score DOUBLE")
+
+
+@register("sink_json_roundtrip", oracle="SELECT * FROM nation")
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation to JSON-lines, read back with an explicit schema
+    (ints/strings only — float text round-trips are a separate
+    concern and parquet/ORC cover binary-exact numerics)."""
+    out = os.path.join(_tmpdir("json"), "nation_json")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(out)
+
+
+@register("sink_orc_roundtrip", oracle="SELECT * FROM customer")
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer to ORC and read it back — second columnar
+    format; doubles round-trip binary-exact."""
+    out = os.path.join(_tmpdir("orc"), "customer_orc")
+    table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "textops",
     "relational_ext",
     "composites",
+    "graphq",
 ]
 
 
