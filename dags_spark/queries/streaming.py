@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import table
 from ..registry import register
 from ..streaming.runner import (
     events_stream,
@@ -290,3 +291,34 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "max_value")
     )
+
+
+@register(
+    "stream_join_static",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON c_custkey = user_id % 100 + 1
+GROUP BY c_mktsegment
+""",
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (stateless — each micro-batch joins the
+    dim as a broadcast; the dim is re-readable, no state store), then
+    a streaming aggregate per market segment.
+
+    This is the canonical 100 TB enrichment topology: the fact stream
+    never shuffles for the join, only for the final aggregate.
+    """
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    cust = table(spark, sf_dir, "customer")
+    joined = sdf.join(
+        cust, (F.col("user_id") % 100 + 1) == F.col("c_custkey"), "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")

@@ -6,6 +6,7 @@ fingerprints. All hash-checked against DuckDB oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import table
 from ..operators.textops import (
@@ -113,3 +114,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base 31, mod 1e9+7) fold in Spark `aggregate` and DuckDB
     `list_reduce`."""
     return rolling_fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_pipeline_clean",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         ROUND(1.0
+           - 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({SQL_STOPWORDS}, t))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           - 0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           - 0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)), 6) AS quality
+  FROM documents
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= 0.55
+),
+ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM ded GROUP BY lang
+""",
+)
+def text_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline as ONE lazy plan:
+    quality-score filter (pinned linear formula) -> exact dedup
+    (min doc_id per identical text) -> per-language corpus stats.
+
+    The three stages fuse under Catalyst: the score is computed in the
+    scan stage, the dedup window is the only wide exchange (keyed on
+    md5(text), never raw text at the shuffle... the md5 partition key
+    is what survives a 100 TB corpus), and the final agg is map-side
+    combinable.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.55)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.length("text").cast("bigint").alias("n_chars"))
+    )
+    return ded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

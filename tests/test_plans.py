@@ -54,3 +54,41 @@ def test_theta_join_keeps_equi_anchor(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _formatted_plan(spark, "topk_global", sf_dir)
     assert "TakeOrderedAndProject" in plan, "orderBy+limit not fused to top-k"
+
+
+def test_tpch_q3_plan_shape(spark, sf_dir):
+    plan = _formatted_plan(spark, "tpch_q3_shipping", sf_dir)
+    assert "BroadcastHashJoin" in plan, "customer filter dim not broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 not fused"
+    assert "CartesianProduct" not in plan
+    # both date filters must reach the parquet scans
+    flat = plan.replace(" ", "")
+    assert "LessThan(o_orderdate" in flat
+    assert "GreaterThan(l_shipdate" in flat
+
+
+def test_scalar_subquery_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(spark, "subquery_scalar_agg", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "1-row global aggregate should broadcast, not shuffle"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_pipeline_fuses_nodes(spark, sf_dir):
+    """Cross-node optimization: the filter declared in graph node 1
+    must be pushed into the parquet scan of the single fused plan."""
+    plan = _formatted_plan(spark, "graph_pipeline_revenue", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")
+
+
+def test_unpivot_is_single_pass(spark, sf_dir):
+    plan = _formatted_plan(spark, "unpivot_long", sf_dir)
+    assert "Expand" in plan, "unpivot should expand rows, not union scans"
+    assert plan.count("Location: InMemoryFileIndex") == 1, "unpivot re-scanned the table"
+
+
+def test_minhash_band_join_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "dedup_minhash_banded", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, "band join must be equi-join"
