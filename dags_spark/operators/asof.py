@@ -32,9 +32,13 @@ def asof_join(
     right_ts: str,
     right_payload: dict[str, str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row
-    with ``right[right_ts] <= left[left_ts]`` within the ``on`` keys.
+    """For each left row, attach the payload of the closest right row
+    within the ``on`` keys: the latest with ``right_ts <= left_ts``
+    (direction="backward", default) or the earliest with
+    ``right_ts >= left_ts`` (direction="forward" — same plan, the
+    scan order is just reversed).
 
     right_payload maps right column -> output alias (aliases must not
     collide with left columns). ``tiebreak``: a right column that makes
@@ -55,7 +59,10 @@ def asof_join(
         if c not in lhs.columns:
             lhs = lhs.withColumn(c, F.lit(None).cast(dict(rhs.dtypes)[c]))
 
-    order: list[Column] = [F.col("__asof_ts").asc(), F.col(_TAG).asc()]
+    ts_order = (
+        F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
+    )
+    order: list[Column] = [ts_order, F.col(_TAG).asc()]
     if tiebreak is not None:
         # among right rows at the same ts, the highest tiebreak wins
         order.append(F.col(right_payload.get(tiebreak, tiebreak)).asc_nulls_first())

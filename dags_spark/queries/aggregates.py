@@ -454,3 +454,61 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
     )
     return m.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))
+
+
+# Pinned higher-moment formulas — ONE SQL text evaluated by both
+# engines, so the double arithmetic parses to the same AST and rounds
+# identically (the agg_corr trick extended to moments 3 and 4).
+_MOMENT_SUMS_SPARK = "CAST(l_quantity AS BIGINT)"
+_MU = "(CAST(s1 AS DOUBLE)/n)"
+_M2 = f"(CAST(s2 AS DOUBLE)/n - {_MU}*{_MU})"
+_M3 = f"(CAST(s3 AS DOUBLE)/n - 3*{_MU}*(CAST(s2 AS DOUBLE)/n) + 2*{_MU}*{_MU}*{_MU})"
+_M4 = (
+    f"(CAST(s4 AS DOUBLE)/n - 4*{_MU}*(CAST(s3 AS DOUBLE)/n)"
+    f" + 6*{_MU}*{_MU}*(CAST(s2 AS DOUBLE)/n) - 3*{_MU}*{_MU}*{_MU}*{_MU})"
+)
+_SKEW_EXPR = f"ROUND({_M3} / POW({_M2}, 1.5), 6)"
+_KURT_EXPR = f"ROUND({_M4} / ({_M2}*{_M2}) - 3, 6)"
+
+
+@register(
+    "agg_higher_moments",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         SUM(CAST(l_quantity AS BIGINT)) AS s1,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, {_SKEW_EXPR} AS skew_pop, {_KURT_EXPR} AS kurt_excess
+FROM s
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of l_quantity per
+    returnflag, from EXACT integer moment sums (q <= 50, so q^4 sums
+    stay far inside BIGINT even at fixture x10^6 row counts; beyond
+    that pre-aggregate per partition or widen to DECIMAL(38)).
+
+    Built-in skewness/kurtosis differ across engines (bias
+    corrections), so the formula is pinned as shared SQL text — both
+    engines parse the same AST and every double op rounds
+    identically. One hash-agg pass, map-side combinable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.selectExpr(
+        "l_returnflag",
+        f"{_SKEW_EXPR} AS skew_pop",
+        f"{_KURT_EXPR} AS kurt_excess",
+    )

@@ -286,3 +286,50 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicates preserved; UDTF-shaped row expansion)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (deterministic: sorted
+    before concatenation on both engines)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
+    )
+
+
+@register(
+    "fn_string_extra",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_brand, p_type) AS brand_type_dist,
+       reverse(p_brand) AS brand_rev,
+       left(p_name, 5) AS name_l5,
+       right(p_name, 4) AS name_r4,
+       repeat(p_brand, 2) AS brand_x2,
+       translate(p_brand, '#', '-') AS brand_dash,
+       ascii(p_name) AS first_code
+FROM part
+""",
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch: edit distance, reverse,
+    left/right slicing, repeat, translate, ascii."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("name_r4"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_x2"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+        F.ascii(F.col("p_name")).alias("first_code"),
+    )

@@ -332,3 +332,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_a", "event_b", "user_id", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.view_event_id, v.view_value,
+       epoch_us(v.ts) - epoch_us(p.ts) AS lead_us
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts >= p.ts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the EARLIEST view of the
+    same user at-or-after it — the same single-shuffle union-tag
+    operator with the scan order reversed (direction="forward")."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={
+            "view_event_id": "view_event_id",
+            "view_value": "view_value",
+            "ts": "view_ts",
+        },
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        "view_value",
+        (F.unix_micros("view_ts") - F.unix_micros("ts")).alias("lead_us"),
+    )

@@ -84,3 +84,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_.subtract(fin)  # subtract == EXCEPT (distinct)
+
+
+@register(
+    "set_union_byname_missing",
+    oracle="""
+SELECT c_custkey AS entity_key, c_mktsegment AS segment, c_acctbal AS acctbal
+FROM customer WHERE c_acctbal > 9000
+UNION ALL BY NAME
+SELECT s_suppkey AS entity_key, s_acctbal AS acctbal
+FROM supplier WHERE s_acctbal > 9000
+""",
+)
+def set_union_byname_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two entity slices with different column
+    sets appended by NAME, absent columns null-filled — the
+    accumulator semantics when upstream schemas drift (reference
+    schemas had loose implements/inherits relations)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(
+            F.col("s_suppkey").alias("entity_key"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True)
