@@ -22,22 +22,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from dags_spark.io import table  # noqa: E402
 from dags_spark.registry import all_specs  # noqa: E402
 from dags_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
-def _sessionize_batch(spark, sf_dir):
-    """Batch twin of BASELINE q4 (sessionize events, 30-min gap) using
-    the native session_window aggregate."""
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
 
 
 def main() -> None:
@@ -50,9 +38,13 @@ def main() -> None:
         "q1_pricing_summary": specs["agg_pricing_summary"].fn,
         "q2_star_join": specs["join_star_multiway"].fn,
         "q3_topk_per_customer": specs["win_topk_per_group"].fn,
-        "q4_sessionize": _sessionize_batch,
+        "q4_sessionize": specs["win_session_batch"].fn,
         "q5_dedup_exact": specs["dedup_exact"].fn,
         "q6_cosine_topk": specs["sim_search_topk"].fn,
+        "q7_tpch_q3": specs["tpch_q3_shipping"].fn,
+        "q8_tpch_q10": specs["tpch_q10_returns"].fn,
+        "q9_minhash_banded": specs["dedup_minhash_banded"].fn,
+        "q10_text_pipeline": specs["text_pipeline_clean"].fn,
     }
 
     def run_once(fn) -> float:

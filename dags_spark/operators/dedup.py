@@ -138,6 +138,38 @@ def minhash_near_dup_pairs(
     )
 
 
+def token_ngrams(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, g) with g = distinct token n-grams per doc.
+
+    The token array is materialized in its own projection FIRST: a
+    one-shot `slice(split(text), i, n)` inside the transform lambda
+    re-splits the full text once per gram — O(tokens^2) work per doc
+    that Catalyst does not CSE away (measured 5x slower on the 5k-doc
+    fixture). Against a named array column the split runs once.
+
+    The input is repartitioned to the session's default parallelism
+    before the CPU-bound shingling: a documents table is few bytes of
+    parquet per thousand rows, so the file-size-based splitter gives
+    it 1-2 partitions and the explode would otherwise run on one core
+    (true at 100 TB, too — doc tables are row-heavy, byte-light).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_parts).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = F.when(F.size("__toks") < n, F.array()).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+                f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+            )
+        )
+    )
+    return toks.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
+
+
 def token_ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -163,16 +195,7 @@ def token_ngram_jaccard_pairs(
     is not applied here; minhash_near_dup_pairs is the probabilistic
     alternative when even pruned posting lists explode.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = F.when(F.size(toks) < n, F.array()).otherwise(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
-            )
-        )
-    )
-    sh = docs.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
+    sh = token_ngrams(docs, id_col, text_col, n)
     ex = sh.select(id_col, F.explode("g").alias("s"))
     a = ex.select(F.col(id_col).alias("id_a"), "s")
     b = ex.select(F.col(id_col).alias("id_b"), "s")
@@ -258,18 +281,8 @@ def minhash_banded_pairs(
 
     Returns (id_a, id_b, n_bands) with id_a < id_b.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = F.when(F.size(toks) < n, F.array()).otherwise(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
-            )
-        )
-    )
     ex = (
-        docs.select(F.col(id_col), grams.alias("g"))
-        .filter(F.size("g") > 0)
+        token_ngrams(docs, id_col, text_col, n)
         .select(id_col, F.explode("g").alias("s"))
         .withColumn("h", F.expr(gram_hash_sql("s")))
     )
@@ -279,12 +292,33 @@ def minhash_banded_pairs(
             for i, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
+    # One (doc, band) row per band via explode, then ONE self-equi-join
+    # on (band_id, 4 signature values). Both join inputs are the same
+    # subplan, so Spark's ReuseExchange evaluates the shingle+signature
+    # pipeline once — a per-band join loop would recompute it 2x per
+    # band (measured 2.4x slower at sf0.1).
     n_bands = len(MINHASH_COEFFS) // rows_per_band
-    cands = None
-    for band in range(n_bands):
-        cols = [f"m{band * rows_per_band + j + 1}" for j in range(rows_per_band)]
-        a = sig.select(F.col(id_col).alias("id_a"), *cols)
-        b = sig.select(F.col(id_col).alias("id_b"), *cols)
-        pair = a.join(b, cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = pair if cands is None else cands.unionByName(pair)
-    return cands.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("b"),
+                *[
+                    F.col(f"m{band * rows_per_band + j + 1}").alias(f"v{j + 1}")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for band in range(n_bands)
+        ]
+    )
+    vcols = [f"v{j + 1}" for j in range(rows_per_band)]
+    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        id_col, "bd.b", *[f"bd.{v}" for v in vcols]
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "b", *vcols)
+    b = bands.select(F.col(id_col).alias("id_b"), "b", *vcols)
+    return (
+        a.join(b, ["b", *vcols])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

@@ -333,3 +333,27 @@ def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
         F.ascii(F.col("p_name")).alias("first_code"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4.x): parse once into
+    a Variant, extract typed fields — the open-schema JSON column
+    story. Variant's binary encoding decodes ~10x faster than
+    re-parsing JSON text per access, which is what matters when a
+    100 TB events table carries a props blob."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+    )

@@ -220,3 +220,48 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
     return s.select("s_suppkey", F.cume_dist().over(w).alias("bal_cume"))
+
+
+@register(
+    "win_session_batch",
+    oracle="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS eu,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+  FROM events
+),
+f AS (
+  SELECT user_id, eu,
+         CASE WHEN pe IS NULL OR eu - pe >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT user_id, eu,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY eu
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, make_timestamp(MIN(eu)) AS session_start,
+       COUNT(*) AS n_events, MAX(eu) - MIN(eu) AS span_us
+FROM g GROUP BY user_id, sid
+""",
+)
+def win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the native session_window aggregate
+    (the streaming twin is stream_session; the oracle is the classic
+    gaps-and-islands rewrite). One shuffle on user_id; the session
+    merge happens inside the aggregate — at 100 TB this beats the
+    window-function rewrite, which needs a full sort per user
+    partition plus two more window passes."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("first_ts").alias("session_start"),
+        "n_events",
+        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("span_us"),
+    )
