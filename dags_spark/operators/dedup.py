@@ -322,3 +322,54 @@ def minhash_banded_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint.
+
+    This is the dedup-clustering step that turns near-dup PAIRS into
+    dedup GROUPS (keep one doc per component). Converges in at most
+    graph-diameter rounds; each round is one join + one aggregate,
+    all distributed — no driver-side graph. ``localCheckpoint``
+    truncates lineage so the plan does not grow with iterations
+    (the standard Spark iterative-algorithm pattern).
+
+    Returns (id, component) with component = min reachable id —
+    a deterministic fixpoint, so the result is engine-checkable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "label_old")
+            .join(nbr_min, labels.id == nbr_min.s, "left")
+            .select(
+                "id",
+                "label_old",
+                F.least(
+                    F.col("label_old"), F.coalesce("nbr_label", F.col("label_old"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("label_old")).count()
+        labels = new_labels.select("id", "label").localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -374,10 +374,10 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Exact n-gram Jaccard + embedding-cosine near-dup ----------------
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-WITH sh AS (
+# Shared gram-pair CTE chain (token 3-gram Jaccard >= 0.5) — used by
+# dedup_ngram_jaccard and as the edge list for connected components.
+_NGRAM_PAIRS_CTES = """
+sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
@@ -389,15 +389,21 @@ inter AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(g) AS n_g FROM sh WHERE len(g) > 0)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT id_a, id_b,
-         ROUND(CAST(i AS DOUBLE) / (la.n_g + lb.n_g - i), 6) AS jaccard
-  FROM inter
-    JOIN sizes la ON id_a = la.doc_id
-    JOIN sizes lb ON id_b = lb.doc_id
-) WHERE jaccard >= 0.5
-""",
+sizes AS (SELECT doc_id, len(g) AS n_g FROM sh WHERE len(g) > 0),
+pairs AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (la.n_g + lb.n_g - i), 6) AS jaccard
+    FROM inter
+      JOIN sizes la ON id_a = la.doc_id
+      JOIN sizes lb ON id_b = lb.doc_id
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES}\nSELECT id_a, id_b, jaccard FROM pairs",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token-3-gram Jaccard near-dup pairs (>= 0.5) via
@@ -512,4 +518,41 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "centroid"
             )
         )
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+FROM reach GROUP BY s
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: near-dup PAIRS (exact 3-gram Jaccard >= 0.5)
+    -> dedup GROUPS via iterative min-label propagation (component id
+    = min reachable doc_id; keep that doc, drop the rest).
+
+    The only iterative-algorithm key: each round is a distributed
+    join+agg with lineage truncated by localCheckpoint; rounds are
+    bounded by graph diameter. The oracle reaches the same fixpoint
+    with a recursive CTE — fine at fixture scale, while the Spark
+    formulation is the one that survives a 100 TB pair graph.
+    """
+    from ..operators.dedup import connected_components
+
+    pairs = token_ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )

@@ -142,3 +142,63 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id bigint, z_value double"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT s_suppkey, upper(s_name) || '#' || CAST(length(s_name) AS VARCHAR) AS tag
+FROM supplier
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): scalar
+    signature like a plain @udf, but batched over Arrow instead of
+    pickled row-at-a-time — the drop-in upgrade path for existing
+    Python UDFs that can't be rewritten as pandas_udf."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def tag(name: str) -> str:
+        return f"{name.upper()}#{len(name)}"
+
+    s = table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", tag("s_name").alias("tag"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT o_orderkey, o_totalprice * 100 AS price_cents
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: RecordBatch-level transformation in raw pyarrow —
+    zero pandas materialization, the lowest-overhead Python hook for
+    columnar kernels (the multimodal decode path uses the pandas
+    flavor of the same mechanism)."""
+    import pyarrow as pa
+
+    def to_cents(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            keys = t.column("o_orderkey")
+            cents = pa.compute.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys.combine_chunks()
+                    if isinstance(keys, pa.ChunkedArray)
+                    else keys,
+                    cents.combine_chunks()
+                    if isinstance(cents, pa.ChunkedArray)
+                    else cents,
+                ],
+                names=["o_orderkey", "price_cents"],
+            )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+    )
+    return o.mapInArrow(to_cents, "o_orderkey BIGINT, price_cents DOUBLE")
