@@ -112,3 +112,42 @@ def test_minhash_recall_vs_exact_jaccard(spark, duck, sf_dir):
         pytest.skip("no true near-dup pairs at this SF")
     recall = len(true_pairs & got) / len(true_pairs)
     assert recall >= 0.9, f"recall {recall:.2f} over {len(true_pairs)} true pairs"
+
+
+def test_connected_components_fixpoint(spark):
+    """Hand graph: {1-2, 2-3} one component, {10-11} another, chain
+    {20-21, 21-22, 22-23} a third (diameter > 1 forces iteration)."""
+    from dags_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {
+        (r.id, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    from dags_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 205), (2, 50)], "k INT, ts INT")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c"), (2, 10, "d")],
+        "k INT, ts INT, payload STRING",
+    )
+    out = {
+        (r.k, r.ts, r.p)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_payload={"payload": "p"}, direction="forward",
+        ).collect()
+    }
+    # equal ts matches (1,100)->a; (1,205) skips b, takes c; (2,50) has
+    # no right row at-or-after -> null
+    assert out == {(1, 100, "a"), (1, 205, "c"), (2, 50, None)}
