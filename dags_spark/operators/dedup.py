@@ -369,7 +369,10 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("label") != F.col("label_old")).count()
-        labels = new_labels.select("id", "label").localCheckpoint()
+        # new_labels is already materialized by its localCheckpoint —
+        # projecting from it is free; a second checkpoint here doubles
+        # the per-round job count for nothing.
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
