@@ -357,3 +357,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
     )
+
+
+@register(
+    "fn_printf",
+    oracle="""
+SELECT s_suppkey, printf('%s#%05d', s_name, s_suppkey) AS tag
+FROM supplier
+""",
+)
+def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style formatted strings (format_string <-> printf)."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string("%s#%05d", F.col("s_name"), F.col("s_suppkey")).alias("tag"),
+    )
+
+
+@register(
+    "explode_outer_nulls",
+    oracle="""
+SELECT d.doc_id, l.long_tok
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) >= 12) AS g
+      FROM documents) d
+LEFT JOIN LATERAL (SELECT unnest(d.g) AS long_tok) l ON TRUE
+""",
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral expansion: docs with NO >=12-char token
+    keep one row with a NULL token (explode_outer), so the doc set
+    survives the expansion — the LEFT JOIN of row explosion."""
+    d = table(spark, sf_dir, "documents")
+    g = F.filter(F.split("text", " "), lambda t: F.length(t) >= 12)
+    return d.select("doc_id", F.explode_outer(g).alias("long_tok"))

@@ -389,3 +389,31 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_value",
         (F.unix_micros("view_ts") - F.unix_micros("ts")).alias("lead_us"),
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r,
+LATERAL (SELECT n_name FROM nation
+         WHERE n_regionkey = r.r_regionkey
+         ORDER BY n_name LIMIT 2) n
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL entry point EP2): per-region
+    top-2 nations by name. Catalyst decorrelates this into a join +
+    window under the hood — same plan family as win_topk_per_group,
+    written the way a SQL user would."""
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, n.n_name
+        FROM region r,
+        LATERAL (SELECT n_name FROM nation
+                 WHERE n_regionkey = r.r_regionkey
+                 ORDER BY n_name LIMIT 2) n
+        """
+    )

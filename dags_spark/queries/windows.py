@@ -265,3 +265,31 @@ def win_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("span_us"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       nth_value(o_totalprice, 3) OVER (
+         PARTITION BY o_orderstatus
+         ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS third_highest
+FROM orders
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full frame: every order sees its status
+    group's 3rd-highest price (tie-broken on orderkey)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_highest"),
+    )
