@@ -392,3 +392,28 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     g = F.filter(F.split("text", " "), lambda t: F.length(t) >= 12)
     return d.select("doc_id", F.explode_outer(g).alias("long_tok"))
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(substr(p_name, 1, 2) AS INTEGER) AS maybe_int,
+       TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS INTEGER) AS brand_num
+FROM part
+""",
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casts under ANSI mode: malformed input -> NULL instead of
+    a task failure. At 100 TB a single dirty row must not kill the
+    job — try_cast is the ingestion-edge rule."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_to_number(F.substring("p_name", 1, 2), F.lit("99")).cast("int").alias(
+            "maybe_int"
+        ),
+        F.expr("TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS INT)").alias(
+            "brand_num"
+        ),
+    )
