@@ -92,3 +92,30 @@ def test_minhash_band_join_no_cartesian(spark, sf_dir):
     plan = _formatted_plan(spark, "dedup_minhash_banded", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, "band join must be equi-join"
+
+
+def test_exact_dedup_shuffles_fingerprint_not_text(spark, sf_dir):
+    """The dedup exchange must carry (md5, id) only — at 100 TB the
+    text column never crosses the wire."""
+    plan = _formatted_plan(spark, "dedup_exact", sf_dir)
+    lines = plan.splitlines()
+    # the Exchange detail block: its Input [...] line lists shuffled cols
+    starts = [i for i, l in enumerate(lines) if l.startswith("(") and "Exchange" in l]
+    assert starts, "no Exchange block found"
+    inputs = [
+        l
+        for i in starts
+        for l in lines[i : i + 4]
+        if l.strip().startswith("Input")
+    ]
+    assert inputs and all("text#" not in l for l in inputs), (
+        "raw text column reached the shuffle"
+    )
+    assert any("content_md5" in l for l in inputs)
+
+
+def test_hash_sample_is_scan_level(spark, sf_dir):
+    """Deterministic sampling must evaluate in the scan stage: no
+    Exchange anywhere in the plan."""
+    plan = _formatted_plan(spark, "sample_hash_mod", sf_dir)
+    assert "Exchange" not in plan, "hash sample introduced a shuffle"
