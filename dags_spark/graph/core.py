@@ -155,9 +155,12 @@ class Graph:
         if (incremental or any(s.materialize for s in self._nodes.values())) and not output_dir:
             raise GraphError("output_dir required for materialize/incremental runs")
         results: dict[str, DataFrame] = {}
+        pending_ledger: list[tuple[str, set[str]]] = []
         for name in self._topo_order():
             spec = self._nodes[name]
-            df = self._produce(spark, spec, results, output_dir, incremental)
+            df = self._produce(
+                spark, spec, results, output_dir, incremental, pending_ledger
+            )
             if spec.unique_on:
                 order = [F.col(c).desc() for c in spec.order_by] or [
                     F.col(c).desc() for c in spec.unique_on
@@ -167,10 +170,38 @@ class Graph:
                 df = _conform(df, spec.schema)
             if spec.materialize:
                 out_path = os.path.join(output_dir, name)
-                mode = "append" if incremental else "overwrite"
-                df.write.mode(mode).parquet(out_path)
+                if incremental and spec.unique_on and os.path.exists(out_path):
+                    # Accumulate + dedupe across RUNS, not just within the
+                    # batch: union the new rows with the existing snapshot,
+                    # keep the latest row per natural key, and rewrite.
+                    # localCheckpoint (eager) materializes the combined
+                    # result to executor blocks first so the overwrite does
+                    # not race the parquet files it is reading from.
+                    order = [F.col(c).desc() for c in spec.order_by] or [
+                        F.col(c).desc() for c in spec.unique_on
+                    ]
+                    prev = spark.read.parquet(out_path)
+                    df = latest_by_key(
+                        prev.unionByName(df), list(spec.unique_on), order
+                    ).localCheckpoint()
+                    df.write.mode("overwrite").parquet(out_path)
+                else:
+                    mode = "append" if incremental else "overwrite"
+                    df.write.mode(mode).parquet(out_path)
                 df = spark.read.parquet(out_path)
             results[name] = df
+        # Ledger commits are deferred to HERE — after every node's action
+        # completed. If any node raised above, nothing was committed, so a
+        # rerun reprocesses the same source files instead of silently
+        # skipping them (no at-most-once data loss in the incremental
+        # path). Note the unit of progress is the whole run: downstream
+        # consumption of non-materialized (lazy) nodes must happen inside
+        # the run (materialize=True on the consuming node) for the ledger
+        # to guarantee the files were actually processed.
+        for ledger_path, files in pending_ledger:
+            os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
+            with open(ledger_path, "w") as fh:
+                json.dump({"files": sorted(files)}, fh)
         return results
 
     def _produce(
@@ -180,9 +211,12 @@ class Graph:
         results: dict[str, DataFrame],
         output_dir: str | None,
         incremental: bool,
+        pending_ledger: list[tuple[str, set[str]]],
     ) -> DataFrame:
         if spec.source_path is not None:
-            return self._read_source(spark, spec, output_dir, incremental)
+            return self._read_source(
+                spark, spec, output_dir, incremental, pending_ledger
+            )
         deps = {u: results[u] for u in spec.upstream}
         if spec.sql is not None:
             for u, udf_ in deps.items():
@@ -196,6 +230,7 @@ class Graph:
         spec: NodeSpec,
         output_dir: str | None,
         incremental: bool,
+        pending_ledger: list[tuple[str, set[str]]],
     ) -> DataFrame:
         reader = spark.read.format(spec.source_format)
         if spec.schema:
@@ -213,9 +248,11 @@ class Graph:
             if not f.startswith(("_", "."))
         )
         new = [f for f in current if f not in seen]
-        os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
-        with open(ledger_path, "w") as fh:
-            json.dump({"files": sorted(seen | set(new))}, fh)
+        # Do NOT write the ledger here: the returned DataFrame is a lazy
+        # plan, and committing these files as "seen" before the run's
+        # actions succeed would skip them forever after a mid-run failure.
+        # run() commits pending_ledger only after every node completed.
+        pending_ledger.append((ledger_path, seen | set(new)))
         if not new:
             return reader.load(spec.source_path).limit(0)
         return reader.load(new)

@@ -69,6 +69,7 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float = 0.6,
     num_hashes: int = 16,
     rows_per_band: int = 2,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via hand-rolled MinHash + LSH banding,
     verified with exact Jaccard — entirely JVM-side (no MLlib, no
@@ -86,11 +87,20 @@ def minhash_near_dup_pairs(
          (array_intersect/union sizes), keep >= threshold.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, exact jaccard.
+
+    cache_shingles=True persists the shingle DataFrame (it feeds both
+    the signature pass and the verify join). Opt-in only: the returned
+    plan is lazy, so the operator cannot know when to unpersist — a
+    caller that opts in owns the `.unpersist()` after consuming the
+    result. Default off: Catalyst's exchange reuse already shares most
+    of the work, and an unpaired cache leaks executor storage memory
+    across bench/test loops.
     """
     sh = docs.select(
         F.col(id_col), shingles(text_col, k).alias("sh")
     ).filter(F.size("sh") > 0)
-    sh.cache()
+    if cache_shingles:
+        sh.cache()
 
     exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
     sig = exploded.groupBy(id_col).agg(*[_mh_expr(i) for i in range(num_hashes)])
@@ -176,27 +186,42 @@ def token_ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index join
     (hash-checkable, unlike the probabilistic MinHash path):
 
       1. distinct token n-grams per doc (JVM higher-order fns);
-      2. candidate pairs = docs sharing >= 1 n-gram — a self
+      2. posting-list pruning: grams appearing in more than ``max_df``
+         docs (default 1000) are dropped from every doc's gram set —
+         see below;
+      3. candidate pairs = docs sharing >= 1 surviving n-gram — a self
          equi-join on the exploded posting list, so cost is
-         sum(df(g)^2) over n-grams, not O(docs^2); the shared-gram
+         sum(df(g)^2) over kept n-grams, not O(docs^2); the shared-gram
          COUNT(*) per pair IS the intersection size;
-      3. jaccard = inter / (|A| + |B| - inter), one double division,
-         round 6dp.
+      4. jaccard = inter / (|A| + |B| - inter) over the PRUNED gram
+         sets, one double division, round 6dp.
 
-    At 100 TB the hot n-grams dominate sum(df^2) — drop gram
-    stop-grams above a df ceiling (standard posting-list pruning:
-    a pair sharing ONLY ultra-common grams is below any useful
-    threshold anyway). Fixture corpora don't need the ceiling, so it
-    is not applied here; minhash_near_dup_pairs is the probabilistic
+    The df ceiling is the 100 TB safety valve: hot "stop-grams"
+    dominate sum(df^2) (one gram in 1M docs alone contributes 10^12
+    join rows), and a pair sharing ONLY ultra-common grams is below
+    any useful threshold anyway. The hot-gram list (df > ceiling) is
+    tiny by construction, so it is removed with a broadcast anti-join
+    — no extra shuffle of the posting list, and the pruning is fully
+    deterministic (mirrorable in the SQL oracle). ``max_df=None``
+    disables pruning; minhash_near_dup_pairs is the probabilistic
     alternative when even pruned posting lists explode.
     """
     sh = token_ngrams(docs, id_col, text_col, n)
     ex = sh.select(id_col, F.explode("g").alias("s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     a = ex.select(F.col(id_col).alias("id_a"), "s")
     b = ex.select(F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -205,7 +230,9 @@ def token_ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sh.select(F.col(id_col), F.size("g").alias("n_g"))
+    # sizes over the PRUNED posting list (grams per doc are already
+    # distinct, so the count is the pruned set size).
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
     la = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("na"))
     lb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("nb"))
     return (

@@ -50,6 +50,7 @@ def blocked_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     symmetric: bool = False,
+    max_block_rows: int = 8192,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -72,6 +73,12 @@ def blocked_pairs(
     task (fine for label/IVF-bucket blocking — cap block sizes
     upstream by splitting hot buckets, e.g. sub-bucket on an LSH
     band as in ann_lsh_topk).
+
+    Hot-block guard: the kernel is O(block^2) BY DESIGN, so a skewed
+    block key (one label holding 10^6 rows at 100 TB) would silently
+    turn the operator quadratic and OOM one task. Any block larger
+    than ``max_block_rows`` raises with the sub-bucketing advice
+    instead — loud task failure over a silent 10^12-pair kernel.
     """
     id_type = emb.schema[id_col].dataType.simpleString()
     blk_type = emb.schema[block_col].dataType.simpleString()
@@ -82,6 +89,13 @@ def blocked_pairs(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
+        if n > max_block_rows:
+            raise ValueError(
+                f"blocked_pairs: block {pdf[block_col].iloc[0]!r} has {n} rows "
+                f"(> max_block_rows={max_block_rows}); the within-block kernel "
+                f"is O(n^2) — split hot blocks upstream (sub-bucket on an LSH "
+                f"band / finer IVF cells) or raise max_block_rows explicitly."
+            )
         empty = pd.DataFrame({"id_a": [], "id_b": [], block_col: [], "sim": []})
         if n < 2:
             return empty

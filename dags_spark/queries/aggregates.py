@@ -366,19 +366,30 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-SELECT n_name, list(s_name ORDER BY s_name) AS suppliers
+SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per nation: deterministic sorted array of supplier names."""
+    """Per nation: deterministic sorted list of supplier names.
+
+    The list aggregation is exercised via sort_array(collect_list(...))
+    but serialized to one '|'-joined scalar: array-typed result columns
+    are not hashable by every downstream canonicalizer (pandas sort dies
+    on ndarray cells), and the scalar form is bit-identical across
+    engines anyway.
+    """
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_list("s_name")).alias("suppliers"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            )
+        )
     )
 
 

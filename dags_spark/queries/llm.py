@@ -364,7 +364,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_lsh_topk", oracle=None, check="rows")
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via random-hyperplane LSH bucketing (8 tables x
+    """Approximate kNN via random-hyperplane LSH bucketing (16 tables x
     8 bits): candidate pairs share a bucket (equi-join, ~linear), exact
     cosine re-rank, top-10 per query. Approximate by design -> rows
     check; the recall property test compares against exact kNN."""
@@ -383,13 +383,15 @@ sh AS (
            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
   FROM documents
 ),
-ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+ex0 AS (SELECT doc_id, unnest(g) AS s FROM sh),
+hot AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 1000),
+ex AS (SELECT doc_id, s FROM ex0 ANTI JOIN hot USING (s)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(g) AS n_g FROM sh WHERE len(g) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT id_a, id_b, jaccard FROM (
     SELECT id_a, id_b,

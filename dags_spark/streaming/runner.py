@@ -89,16 +89,30 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
 
 
 def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str, ckpt: str | None = None) -> None:
-    """Append each micro-batch to a parquet sink via foreachBatch.
+    """Write each micro-batch to a parquet sink via foreachBatch,
+    idempotently per batch_id.
 
     A stable checkpoint dir makes re-runs incremental: already-
     processed source files are skipped — the reference library's
     'process only unseen blocks' semantic, supplied by Spark's own
-    file-source tracking."""
+    file-source tracking.
+
+    foreachBatch is at-least-once: after a failure/restart Spark can
+    redeliver a batch_id that was already written. Partitioning the
+    sink by batch_id and overwriting ONLY that partition (dynamic
+    partition overwrite) makes redelivery replace rather than
+    duplicate — the standard exactly-once-sink recipe for foreachBatch.
+    """
     ckpt = ckpt or tempfile.mkdtemp(prefix="dags_spark_ckpt_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(out_dir)
+        )
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)

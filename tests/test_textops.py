@@ -131,6 +131,67 @@ def test_ngram_jaccard_exact_pairs(spark):
     assert out == {(0, 1): 0.6}
 
 
+def test_ngram_jaccard_df_ceiling_recall(spark, sf_dir):
+    """Posting-list pruning (df ceiling) must keep every >=0.5 pair the
+    unpruned run finds on the fixture corpus: a gram common enough to be
+    pruned cannot by itself carry a pair over any useful threshold."""
+    from dags_spark.operators.dedup import token_ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    unpruned = {
+        (r.id_a, r.id_b)
+        for r in token_ngram_jaccard_pairs(docs, max_df=None).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in token_ngram_jaccard_pairs(docs, max_df=1000).collect()
+    }
+    assert unpruned, "fixture should produce at least one near-dup pair"
+    recall = len(pruned & unpruned) / len(unpruned)
+    assert recall == 1.0, f"df-ceiling lost pairs: recall {recall:.3f}"
+
+
+def test_ngram_jaccard_df_ceiling_prunes_hot_grams(spark):
+    """A stop-gram present in every doc must not connect otherwise
+    dissimilar docs once pruned below the ceiling."""
+    from dags_spark.operators.dedup import token_ngram_jaccard_pairs
+
+    # every doc shares the 'the the the' gram; only 0/1 truly overlap
+    rows = [
+        ("the the the a b c d", "en"),
+        ("the the the a b c x", "en"),
+        ("the the the p q r s", "en"),
+        ("the the the t u v w", "en"),
+    ]
+    d = _docs(spark, rows)
+    with_hot = {
+        (r.id_a, r.id_b)
+        for r in token_ngram_jaccard_pairs(d, threshold=0.1, max_df=None).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in token_ngram_jaccard_pairs(d, threshold=0.1, max_df=3).collect()
+    }
+    assert (2, 3) in with_hot          # connected only via the stop-gram
+    assert (2, 3) not in pruned        # pruning cuts the spurious pair
+    assert (0, 1) in pruned            # genuine overlap survives
+
+
+def test_blocked_pairs_hot_block_guard(spark):
+    """A block exceeding max_block_rows must fail loudly, not run the
+    O(n^2) kernel."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0], "hot") for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING"
+    )
+    with _pytest.raises(Exception, match="max_block_rows"):
+        blocked_pairs(emb, max_block_rows=10).collect()
+    # same data passes when the guard is sized for it
+    assert blocked_pairs(emb, max_block_rows=32).count() == 20 * 19 // 2
+
+
 @pytest.mark.slow
 def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     """IVF-flat kNN (16 cells, 4 probes) must recover >=60% of exact
