@@ -31,6 +31,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     t0 = time.time()
     spark = get_spark("dags_spark-bench")
+    # Bench profile: at sf0.1 every shuffle's data fits a handful of
+    # tasks; 32 shuffle partitions just pay 4x task-scheduling overhead
+    # before AQE coalesces them. On a real cluster this knob scales with
+    # total cores (tune() reads SPARK_GRAFT_SHUFFLE); 8 is the measured
+    # sweet spot for this suite on local[32].
+    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # sf0.1 parquet files are ~1-11 MB: the default 128 MB split puts a
+    # whole table in 1-3 scan tasks and leaves 29 cores idle. 2 MB
+    # splits lineitem into ~6 tasks — measured best of {128m,8m,2m,1m}
+    # for q1/q2/q7 (smaller splits start paying per-task overhead
+    # again). Scale-honest equivalent on a cluster: keep the default —
+    # at 100 TB files outnumber cores a thousandfold already.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
     startup = time.time() - t0
     specs = all_specs()
 

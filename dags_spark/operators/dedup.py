@@ -164,20 +164,29 @@ def token_ngrams(
     parquet per thousand rows, so the file-size-based splitter gives
     it 1-2 partitions and the explode would otherwise run on one core
     (true at 100 TB, too — doc tables are row-heavy, byte-light).
+
+    Short docs (< n tokens) are filtered out BEFORE the gram
+    transform, not mapped to an empty array and filtered after: a
+    post-hoc ``filter(size(g) > 0)`` gets pushed through the
+    projection by substituting the full transform expression into the
+    predicate, so Catalyst evaluates the gram array once for the
+    filter and again for the output — measured 4x slower on the 5k-doc
+    fixture. Filtering on ``size(__toks)`` keeps the re-evaluated
+    expression down to the cheap split. Grams are built by direct
+    element indexing (``t[i-1] || ' ' || t[i] ...``) rather than
+    ``concat_ws(slice(...))`` — no per-position array copy (~2x).
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(n_parts).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    toks = (
+        docs.repartition(n_parts)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .filter(F.size("__toks") >= n)
     )
-    grams = F.when(F.size("__toks") < n, F.array()).otherwise(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
-                f"i -> concat_ws(' ', slice(__toks, i, {n})))"
-            )
-        )
+    gram = " || ' ' || ".join(f"__toks[i + {j}]" for j in range(-1, n - 1))
+    grams = F.array_distinct(
+        F.expr(f"transform(sequence(1, size(__toks) - {n - 1}), i -> {gram})")
     )
-    return toks.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
+    return toks.select(F.col(id_col), grams.alias("g"))
 
 
 def token_ngram_jaccard_pairs(

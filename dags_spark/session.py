@@ -45,6 +45,18 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # InferFiltersFromGenerate turns every explode(f(x)) into a
+        # pushed-down filter "size(f(x))>0 AND f(x) IS NOT NULL" whose
+        # f(x) is re-substituted through projections and exchanges — for
+        # expensive array builders (n-gram/shingle transforms) the whole
+        # array is then computed twice, once of those BELOW the
+        # repartition on the scan's (often single) input partition.
+        # Measured 5x on the minhash pipeline at sf0.1. The rule is a
+        # row-pruning heuristic, not a correctness rule — excluding it is
+        # semantics-preserving.
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
         _TUNED_KEY: "1",
     }
     for k, v in conf.items():
