@@ -43,6 +43,19 @@ def test_hash_queries_are_deterministic(spark, duck, sf_dir):
         assert not compare(a, b), f"{key} not deterministic"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("key", HASH_KEYS)
+def test_every_hash_key_is_deterministic(key, spark, sf_dir):
+    """Full determinism sweep: every hash-checked key run twice in one
+    session must return identical values — the cheapest insurance
+    against value-hash flakes when an external harness re-runs a key
+    (tie-breaks, partial-agg fold order, partition-dependent limits)."""
+    spec = SPECS[key]
+    a = spec.fn(spark, sf_dir).toPandas()
+    b = spec.fn(spark, sf_dir).toPandas()
+    assert not compare(a, b), f"{key} not deterministic across runs"
+
+
 def test_every_hash_key_has_matching_aliases(spark, duck, sf_dir):
     """Column names must match between Spark and oracle (driver sorts
     columns by name before hashing)."""
