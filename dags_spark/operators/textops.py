@@ -54,6 +54,30 @@ def _stopword_hits(tokens: Column) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def quality_expr(text_col: str = "text") -> F.Column:
+    """The pinned quality formula as a single column expression —
+    usable inline (``docs.withColumn(..., quality_expr())``) so
+    pipelines can filter on quality without joining the corpus back
+    to its own scored projection."""
+    toks = F.split(text_col, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = _stopword_hits(toks).cast("double") / n_tok
+    short_ratio = (
+        F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tok
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(text_col, F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
+        / F.length(text_col).cast("double")
+    )
+    return F.round(
+        F.lit(1.0)
+        - F.lit(0.5) * stop_ratio
+        - F.lit(0.3) * short_ratio
+        - F.lit(0.2) * punct_ratio,
+        6,
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [~0, 1].
 
@@ -144,6 +168,91 @@ def rolling_fingerprint(
         lambda acc, c: (acc * F.lit(ROLLING_BASE) + F.ascii(c)) % F.lit(ROLLING_MOD),
     )
     return docs.select(F.col(id_col), rh.alias("fingerprint"))
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization for training corpora: lowercase,
+    strip non-alphanumerics to spaces, collapse space runs, trim.
+    Narrow per-row projection — scan-bound, no shuffle; the standard
+    pre-pass before exact dedup so near-identical casings collapse."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens_norm"),
+    )
+
+
+def repetition_ratios(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repetition quality signals: duplicate-token fraction and
+    duplicate-n-gram fraction per doc (the classic 'repetitious
+    document' filter in LLM data pipelines — boilerplate and generated
+    spam repeat n-grams far more than natural text).
+
+        tok_rep  = 1 - |distinct tokens| / |tokens|
+        gram_rep = 1 - |distinct n-grams| / |n-grams|   (0 when < n)
+
+    All JVM higher-order functions on one row — no explode, no
+    shuffle; at 100 TB this is a pure scan-stage filter column."""
+    toks = F.split(text_col, " ")
+    tok_rep = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"),
+        6,
+    )
+    gram = " || ' ' || ".join(f"__t[i + {j}]" for j in range(-1, n - 1))
+    n_gram = F.size(F.col("__grams"))
+    gram_rep = F.when(n_gram <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__grams")).cast("double")
+            / n_gram.cast("double"),
+            6,
+        )
+    )
+    return (
+        docs.select(F.col(id_col), tok_rep.alias("tok_rep"), toks.alias("__t"))
+        .withColumn(
+            "__grams",
+            # explicit short-doc branch: Spark's sequence(1, 0) yields a
+            # DESCENDING [1, 0] (DuckDB's generate_series is empty), and
+            # the out-of-range element access would throw under ANSI.
+            F.expr(
+                f"case when size(__t) < {n} then array() "
+                f"else transform(sequence(1, size(__t) - {n - 1}), i -> {gram}) end"
+            ),
+        )
+        .select(id_col, "tok_rep", gram_rep.alias("gram_rep"))
+    )
+
+
+def strip_stopwords(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword removal accounting: tokens before/after dropping the
+    pinned stopword set, plus the kept ratio. Per-row lambda filter —
+    no shuffle, no explode."""
+    toks = F.split(text_col, " ")
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(arr, t))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(F.size(kept).cast("double") / F.size(toks).cast("double"), 6).alias(
+            "kept_ratio"
+        ),
+    )
 
 
 # --- DuckDB oracle fragments (same arithmetic, DuckDB spelling) ------

@@ -558,3 +558,117 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+@register(
+    "agg_embedding_quantize",
+    oracle="""
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT label,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale, e
+  FROM v
+),
+err AS (
+  SELECT label, scale,
+         list_sum(list_transform(e, x -> abs(x - ROUND(x / scale, 0) * scale)))
+           / len(e) AS verr
+  FROM s WHERE scale > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(scale * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+         AS avg_scale,
+       CAST(SUM(CAST(ROUND(verr * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+         AS avg_abs_err
+FROM err GROUP BY label
+""",
+)
+def agg_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per label: per-vector scale
+    (max|x|/127), mean |dequant error|, averaged per label.
+
+    This is the 100 TB shuffle-bytes lever: an int8 embedding column
+    moves 4x fewer bytes through every exchange than float32 (16x vs
+    float64), and this operator quantifies the recall-relevant error
+    budget before a pipeline commits to it. Per-vector math is one
+    JVM-side higher-order fold; the per-label average uses the exact
+    nano-quantized BIGINT sum (order-independent -> hash-stable).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    verr = (
+        F.aggregate(
+            F.transform(
+                F.col("__e"),
+                lambda x: F.abs(
+                    x - F.round(x / F.col("__scale"), 0) * F.col("__scale")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("__e")
+    )
+    per_vec = (
+        emb.select("label", e.alias("__e"), scale.alias("__scale"))
+        .filter(F.col("__scale") > 0)
+        .select("label", "__scale", verr.alias("__verr"))
+    )
+    nano = lambda c: F.sum(F.round(c * F.lit(1e9), 0).cast("bigint"))  # noqa: E731
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (nano(F.col("__scale")).cast("double") / F.lit(1e9) / F.count(F.lit(1))).alias(
+            "avg_scale"
+        ),
+        (nano(F.col("__verr")).cast("double") / F.lit(1e9) / F.count(F.lit(1))).alias(
+            "avg_abs_err"
+        ),
+    )
+
+
+@register(
+    "sim_pairwise_l2",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       ROUND(sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+             i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))), 6) AS l2
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+      i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))), 6) <= 1.2
+""",
+)
+def sim_pairwise_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close pairs by exact Euclidean distance within label blocks
+    (l2 <= 1.2 on the random fixture; real corpora tune the radius).
+    The metric-space companion to dedup_embedding_cosine: same
+    blocked equi-join shape, sequential-fold arithmetic identical to
+    the oracle's list_sum, so the raw doubles hash-match."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("e").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("e").alias("eb")
+    )
+    diff2 = F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y))
+    l2 = F.round(
+        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "label", l2.alias("l2"))
+        .filter(F.col("l2") <= 1.2)
+    )

@@ -14,8 +14,12 @@ from ..operators.textops import (
     SQL_STOPWORDS,
     TOKEN_RE,
     langid_predict,
+    normalize_text,
+    quality_expr,
     quality_score,
+    repetition_ratios,
     rolling_fingerprint,
+    strip_stopwords,
     token_counts,
 )
 from ..registry import register
@@ -164,8 +168,13 @@ def text_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    q = quality_score(docs).select("doc_id", "quality")
-    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.55)
+    # quality inline, not a join of the corpus with its own scored
+    # projection: a self-join on doc_id is an extra shuffle (or a
+    # pointless broadcast of the whole corpus) at 100 TB; as a column
+    # expression the filter fuses into the scan stage.
+    kept = docs.withColumn("quality", quality_expr("text")).filter(
+        F.col("quality") >= 0.55
+    )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     ded = (
         kept.withColumn("rn", F.row_number().over(w))
@@ -176,4 +185,105 @@ def text_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+         AS n_tokens_norm
+FROM documents
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pre-pass (lowercase / strip punctuation /
+    collapse whitespace) — the step that makes exact dedup catch casing
+    and punctuation variants. Narrow projection, scan-bound."""
+    return normalize_text(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         END AS gr
+  FROM t
+)
+SELECT doc_id,
+       ROUND(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS tok_rep,
+       CASE WHEN len(gr) <= 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr), 6)
+       END AS gram_rep
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token and duplicate-3-gram fractions per doc — the
+    standard repetitious-document filter for LLM training corpora."""
+    return repetition_ratios(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_stopword_strip",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+k AS (SELECT doc_id, tk,
+             list_filter(tk, x -> NOT list_contains({SQL_STOPWORDS}, x)) AS kept
+      FROM t)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       ROUND(CAST(len(kept) AS DOUBLE) / len(tk), 6) AS kept_ratio
+FROM k
+""",
+)
+def text_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-removal accounting (tokens before/after + kept ratio)
+    against the pinned stopword set."""
+    return strip_stopwords(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+SELECT token, freq, rnk FROM (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM tf
+) WHERE rnk <= 20
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by frequency (deterministic
+    tie-break on the token itself). Explode feeds a map-side-combined
+    hash agg; the vocab table stays tiny, and the final top-k is a
+    single-partition sort of a vocab-sized input (TakeOrdered at
+    scale — never a full-corpus sort)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("token", "freq", "rnk")
     )
