@@ -66,11 +66,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         run_once(fn)  # warm-up: codegen + shuffle file caches
-        # min-of-3: GC pauses / page-cache noise inflate single runs
-        timings[name] = round(min(run_once(fn) for _ in range(3)), 3)
+        # min-of-N: GC pauses / page-cache noise / co-tenant load
+        # inflate single runs by up to 50% on this box; the minimum is
+        # the reproducible floor the plan actually costs
+        timings[name] = round(min(run_once(fn) for _ in range(reps)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -281,20 +281,28 @@ MINHASH_COEFFS = [
 ]
 
 
-def gram_hash_sql(col: str = "s") -> str:
-    """32-bit integer hash of a string from the first 8 md5 hex
-    nibbles — identical SQL text runs in Spark and DuckDB."""
+def hex32_sql(col: str) -> str:
+    """32-bit BIGINT from the first 8 hex nibbles of an md5-hex string
+    expression — identical SQL text runs in Spark and DuckDB. Keep the
+    md5 in a named binding when folding many positions: this expression
+    references ``col`` 8 times."""
     # BIGINT nibbles: the weighted sum tops out at 2^32-1, past INT32
     # (Spark ANSI mode and DuckDB both trap the overflow otherwise).
     return (
         "("
         + " + ".join(
-            f"cast(instr('0123456789abcdef', substr(md5({col}), {p}, 1)) - 1 as bigint)"
+            f"cast(instr('0123456789abcdef', substr({col}, {p}, 1)) - 1 as bigint)"
             f" * {16 ** (p - 1)}"
             for p in range(1, 9)
         )
         + ")"
     )
+
+
+def gram_hash_sql(col: str = "s") -> str:
+    """32-bit integer hash of a string via md5 hex nibbles (engine-
+    portable; see hex32_sql)."""
+    return hex32_sql(f"md5({col})")
 
 
 def minhash_banded_pairs(
@@ -412,3 +420,86 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+# --- winnowing fingerprints (exact substring-overlap dedup) ----------
+# Document fingerprinting via winnowing (Schleimer, Wilkerson, Aiken,
+# SIGMOD 2003, public): hash every k-char gram, slide a window of w
+# consecutive gram hashes, keep each window's MINIMUM hash. Any shared
+# substring of length >= w + k - 1 between two docs is GUARANTEED to
+# produce at least one shared fingerprint — the exact-substring-overlap
+# detector used for training-data contamination and boilerplate dedup,
+# at ~1/w the fingerprint density of full k-gram shingling.
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 25,
+) -> DataFrame:
+    """(id, fps array) — distinct winnowing fingerprints per doc.
+
+    All JVM higher-order functions: one md5 per gram position (bound to
+    a named array so the 8-nibble fold reuses it, not 8 md5 calls), a
+    sliding array_min over w-slices for selection. Per-row cost is
+    O(len·w) array-min work — fine for document-sized rows; a
+    monotonic-deque kernel via mapInPandas is the drop-in if rows grow
+    to book length. Docs shorter than k + w - 1 chars have no complete
+    window and are excluded (they cannot share a >= w+k-1 substring).
+    """
+    md5s = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> md5(substr({text_col}, i, {k})))"
+    )
+    hashes = f"transform({md5s}, m -> {hex32_sql('m')})"
+    fps = (
+        f"array_distinct(transform(sequence(1, size(__hs) - {w - 1}),"
+        f" i -> array_min(slice(__hs, i, {w}))))"
+    )
+    return (
+        docs.filter(F.length(text_col) >= k + w - 1)
+        .select(F.col(id_col), F.expr(hashes).alias("__hs"))
+        .select(F.col(id_col), F.expr(fps).alias("fps"))
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 25,
+    min_shared: int = 3,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints —
+    candidate exact-substring overlaps (plagiarism / contamination /
+    boilerplate detection), with the same posting-list shape as
+    token_ngram_jaccard_pairs: explode fingerprints, broadcast-anti-
+    join away hot fingerprints (df > max_df — a fingerprint in
+    thousands of docs is boilerplate, not signal, and dominates the
+    sum(df^2) join cost at 100 TB), self equi-join, count per pair.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    ex = fp.select(id_col, F.explode("fps").alias("fp"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        ex = ex.join(F.broadcast(hot), "fp", "left_anti")
+    a = ex.select(F.col(id_col).alias("id_a"), "fp")
+    b = ex.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -672,3 +672,44 @@ def sim_pairwise_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "label", l2.alias("l2"))
         .filter(F.col("l2") <= 1.2)
     )
+
+
+def _winnow_oracle(k: int = 20, w: int = 25, min_shared: int = 3, max_df: int = 1000) -> str:
+    from ..operators.dedup import hex32_sql
+
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, length(text) - {k - 1}),
+                          i -> md5(substr(text, i, {k}))),
+           m -> {hex32_sql('m')}) AS hs
+  FROM documents WHERE length(text) >= {k + w - 1}
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - {w - 1}),
+             i -> list_min(hs[i:i+{w - 1}]))) AS fps
+  FROM h
+),
+ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+hot AS (SELECT fp FROM ex0 GROUP BY fp HAVING COUNT(*) > {max_df}),
+ex AS (SELECT doc_id, fp FROM ex0 ANTI JOIN hot USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+@register("dedup_winnow_substring", oracle=_winnow_oracle())
+def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-overlap candidates via winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003): min-hash-per-window selection
+    guarantees any shared run >= w+k-1 chars (44 here) yields a shared
+    fingerprint. The contamination/boilerplate detector of the dedup
+    family — posting-list join with a broadcast-anti-joined df ceiling,
+    ~1/w the index size of full shingling."""
+    from ..operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(table(spark, sf_dir, "documents"))

@@ -282,3 +282,41 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_mktsegment", "c_custkey", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.scale import zorder_bits
+
+    z = zorder_bits("//", "za", "zb")
+    return f"""
+WITH d AS (
+  SELECT o_orderkey,
+         o_custkey % 1024 AS za,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS zb
+  FROM orders
+)
+SELECT o_orderkey, za, zb, {z} AS zkey FROM d
+"""
+
+
+@register("fn_zorder_key", oracle=_zorder_oracle())
+def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key of (customer, order-day): the 2-D clustering
+    key behind write_zordered (operators/scale.py) — range-partition +
+    sort by this key and parquet row-group stats prune scans filtered
+    on EITHER dimension. Bit interleave is pure integer arithmetic,
+    identical in both engines."""
+    from ..operators.scale import zorder_bits
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("za"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 1024
+        ).alias("zb"),
+    )
+    return d.select(
+        "o_orderkey", "za", "zb", F.expr(zorder_bits("div", "za", "zb")).alias("zkey")
+    )

@@ -157,3 +157,48 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_tmpdir("orc"), "customer_orc")
     table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register("sink_text_roundtrip", oracle="SELECT n_name AS value FROM nation")
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write one column as raw text lines and read it back with the
+    text source (the log-file / one-doc-per-line ingestion format)."""
+    out = os.path.join(_tmpdir("text"), "nation_txt")
+    table(spark, sf_dir, "nation").select("n_name").write.mode("overwrite").text(out)
+    return spark.read.text(out)
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+SELECT CAST(length(string_agg(n_name, chr(10) ORDER BY n_nationkey)) + 1 AS BIGINT)
+         AS n_bytes,
+       md5(string_agg(n_name, chr(10) ORDER BY n_nationkey) || chr(10))
+         AS content_md5
+FROM nation
+""",
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via the binaryFile source — the
+    entry point for multimodal (image/audio/video) corpora: each file
+    arrives as one row of (path, length, content BINARY) feeding the
+    decode_features plumbing (operators/multimodal.py).
+
+    Exercised deterministically: write nation names as ONE ordered
+    text file, read it back as a binary blob, emit (byte length, md5)
+    — both reproducible from SQL on the source table, so the key stays
+    hash-checked without the oracle touching the filesystem."""
+    out = os.path.join(_tmpdir("binfile"), "nation_blob")
+    (
+        table(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .select("n_name")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "part-*").load(out)
+    return bf.select(
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

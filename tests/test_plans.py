@@ -119,3 +119,33 @@ def test_hash_sample_is_scan_level(spark, sf_dir):
     Exchange anywhere in the plan."""
     plan = _formatted_plan(spark, "sample_hash_mod", sf_dir)
     assert "Exchange" not in plan, "hash sample introduced a shuffle"
+
+
+def test_winnow_pairs_plan_prunes_hot_fps_broadcast(spark, sf_dir):
+    """The winnowing df ceiling must be a broadcast LEFT ANTI join (the
+    hot-fingerprint list is tiny by construction) and the pair join an
+    equi-join — no cartesian fallback anywhere."""
+    plan = _formatted_plan(spark, "dedup_winnow_substring", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_plan_prunes_hot_grams_broadcast(spark, sf_dir):
+    plan = _formatted_plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_pipeline_single_wide_exchange(spark, sf_dir):
+    """The fused cleaning pipeline should shuffle exactly twice (dedup
+    window + final agg) — no self-join of the corpus with its scored
+    projection."""
+    plan = _formatted_plan(spark, "text_pipeline_clean", sf_dir)
+    assert "Join" not in plan, "corpus self-join crept back into the pipeline"
+
+
+def test_vocab_topk_aggregates_before_window(spark, sf_dir):
+    """Top-k over the vocab must hash-aggregate (map-side combinable)
+    before the single-partition ranking window."""
+    plan = _formatted_plan(spark, "text_vocab_topk", sf_dir)
+    assert plan.count("HashAggregate") >= 2

@@ -61,3 +61,46 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         assert j.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_bits_interleave(spark):
+    from dags_spark.operators.scale import zorder_bits
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (1023, 1023)], "a BIGINT, b BIGINT"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r.z for r in df.select(F.expr(zorder_bits("div", "a", "b")).alias("z"))
+        .orderBy("a", "b").collect()
+    ]
+    # z(0,1)=2, z(1,0)=1, z(3,3)=15, z(1023,1023)=2^20-1
+    assert got == [2, 1, 15, (1 << 20) - 1]
+
+
+def test_write_zordered_roundtrip_and_clustering(spark, sf_dir, tmp_path):
+    from dags_spark.operators.scale import write_zordered, zorder_bits
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("a"),
+        (F.col("o_orderkey") % 1024).alias("b"),
+    )
+    out = str(tmp_path / "zord")
+    write_zordered(o, out, "a", "b", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    # clustering property: per-file z ranges are near-disjoint — the
+    # max lower-bound overlap across the 4 range-partitioned files is
+    # bounded (range partitioner boundaries are exact).
+    z = F.expr(zorder_bits("div", "a", "b"))
+    per_file = (
+        back.withColumn("f", F.input_file_name()).withColumn("z", z)
+        .groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "z-ranges of range-partitioned files must not overlap"

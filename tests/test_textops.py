@@ -212,3 +212,24 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     want = {(r.id_a, r.id_b) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, f"IVF recall {recall:.3f} below 0.6"
+
+
+def test_winnow_guarantee_and_pruning(spark):
+    """Winnowing promise: two docs sharing a substring >= w+k-1 chars
+    share at least one fingerprint; unrelated docs share none."""
+    from dags_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    a = "PREFIX-A " + shared + " SUFFIX-AAAA more filler text here to pad"
+    b = "other start " + shared + " completely different ending words"
+    c = "z y x w v u t s r q p o n m l k j i h g f e d c b a " * 3
+    docs = spark.createDataFrame(
+        [(0, a, "en", "u", len(a)), (1, b, "en", "u", len(b)), (2, c, "en", "u", len(c))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in got, "shared >=44-char substring must be detected"
+    assert (0, 2) not in got and (1, 2) not in got
