@@ -320,3 +320,87 @@ def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "o_orderkey", "za", "zb", F.expr(zorder_bits("div", "za", "zb")).alias("zkey")
     )
+
+
+@register(
+    "join_band_binned",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS event_a, CAST(ROUND(value * 100, 0) AS BIGINT) AS va
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT event_id AS event_b, CAST(ROUND(value * 100, 0) AS BIGINT) AS vb
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_a, event_b, va - vb AS diff_cents
+FROM a JOIN b ON abs(va - vb) <= 5
+""",
+    tags=("join", "scale"),
+)
+def join_band_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join with NO equi anchor: error/purchase event pairs whose
+    values differ by <= 5 cents, via the binned rewrite
+    (operators/rangejoin.py) — explode left to 3 adjacent value bins,
+    equi-join on the bin id, residual |diff| <= band. The naive plan
+    for this predicate is BroadcastNestedLoopJoin (O(n*m)); the binned
+    plan is an ordinary shuffled equi join on an integer key, so it
+    survives 100 TB and AQE can skew-split hot bins. Values quantized
+    to exact cents so the residual compare is integer-exact in both
+    engines."""
+    from ..operators.rangejoin import binned_band_join
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("event_a"), cents("value").alias("va")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("event_b"), cents("value").alias("vb")
+    )
+    return binned_band_join(a, b, "va", "vb", band=5).select(
+        "event_a", "event_b", (F.col("va") - F.col("vb")).alias("diff_cents")
+    )
+
+
+@register(
+    "agg_hypertable_rollup",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*) AS n_events,
+         sum({SQL_CENTS("value")}) AS sum_value_cents,
+         max({SQL_CENTS("value")}) AS max_value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, bucket, event_type, n_events,
+       sum_value_cents, max_value_cents
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket, event_type,
+       sum(n_events) AS n_events,
+       sum(sum_value_cents) AS sum_value_cents,
+       max(max_value_cents) AS max_value_cents
+FROM hourly GROUP BY 2, 3
+""",
+    tags=("agg", "time", "scale"),
+)
+def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate cascade (operators/hypertable.py):
+    hour and day rollups of events where the DAY level re-aggregates
+    the HOURLY partials — one raw scan + one shuffle total, vs GROUPING
+    SETS which re-expands every raw row per grain. All measures are
+    algebraic (count/sum/max on exact cents) so the cascade is
+    bit-exact; the oracle mirrors it with an explicit hourly CTE."""
+    from ..operators.hypertable import hierarchical_rollup
+
+    ev = table(spark, sf_dir, "events").withColumn("vc", cents("value"))
+    return hierarchical_rollup(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        measures={
+            "n_events": ("n", ""),
+            "sum_value_cents": ("sum", "vc"),
+            "max_value_cents": ("max", "vc"),
+        },
+        grains=["hour", "day"],
+    )

@@ -151,3 +151,70 @@ def test_asof_forward_picks_earliest_at_or_after(spark):
     # equal ts matches (1,100)->a; (1,205) skips b, takes c; (2,50) has
     # no right row at-or-after -> null
     assert out == {(1, 100, "a"), (1, 205, "c"), (2, 50, None)}
+
+
+def test_binned_band_join_matches_naive(spark):
+    """Binned rewrite produces every |Δ|<=band pair exactly once,
+    including band-boundary and bin-boundary pairs."""
+    from dags_spark.operators.rangejoin import binned_band_join
+
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 4, 5, 6, 9, 10, 14, 100, -3, -11])],
+        "lid long, x long",
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 15, 99, 105, -7, -10])],
+        "rid long, y long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in binned_band_join(left, right, "x", "y", band=5).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right).filter("abs(x - y) <= 5").collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # exactly once, no dup pairs
+
+
+def test_hierarchical_rollup_day_equals_direct(spark):
+    """Day level derived from hourly partials == day computed directly
+    from raw rows (algebraic re-aggregation exactness)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.hypertable import hierarchical_rollup
+
+    rows = [
+        (
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, minutes=m),
+            "a" if h % 2 else "b",
+            (h * 60 + m) % 7,
+        )
+        for h in range(0, 30, 3)
+        for m in (0, 14, 59)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v long")
+    out = hierarchical_rollup(
+        df, "ts", ["k"],
+        {"n": ("n", ""), "s": ("sum", "v"), "mx": ("max", "v")},
+        ["hour", "day"],
+    )
+    got_day = {
+        (r.bucket, r.k): (r.n, r.s, r.mx)
+        for r in out.filter("grain = 'day'").collect()
+    }
+    direct = {
+        (r.bucket, r.k): (r.n, r.s, r.mx)
+        for r in df.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), F.col("k")
+        )
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got_day == direct
+    # hour level covers the same totals
+    n_hour = out.filter("grain = 'hour'").agg(F.sum("n")).first()[0]
+    assert n_hour == len(rows)
