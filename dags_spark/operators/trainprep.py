@@ -1,0 +1,175 @@
+"""Training-set preparation operators: deterministic splits, source
+mixing, benchmark decontamination, and sequence packing.
+
+These are the last-mile ops between a cleaned corpus and a training
+run. The common design rule: every assignment (split, keep/drop,
+sequence id) is a PURE FUNCTION of the row's natural key — never RNG,
+never partition-dependent state — so results are reproducible across
+engines, retries, executor counts, and re-runs on appended data
+(rows already assigned keep their assignment). That property is what
+makes a 100 TB pipeline auditable; it is the same reasoning as
+`sample_hash_mod` (queries/relational_ext.py).
+
+Scale notes:
+- split/mix are scan-level filters/projections on an md5 byte — no
+  shuffle, pushdown-friendly, trivially parallel;
+- decontamination is an inverted-index semi-join: the benchmark gram
+  set is tiny (benchmarks are ~10^3-10^5 docs), so it broadcasts, and
+  the corpus side streams through one stage — never an all-pairs
+  text comparison;
+- sequence packing needs a GLOBAL running sum, which naively is a
+  single-partition window (a non-plan at 100 TB). `global_cumsum`
+  does the standard two-phase rewrite: per-bucket windows in
+  parallel + a tiny bucket-offset table (one row per bucket) that is
+  cumsum'd alone and broadcast back. Choose ``bucket_width`` so the
+  offset table stays ~10^5-10^6 rows; the result is bit-identical to
+  the single-window answer (integer sums are associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MD5_BYTE",
+    "hash_byte",
+    "assign_split",
+    "global_cumsum",
+    "pack_sequences",
+    "contaminated_docs",
+]
+
+
+def MD5_BYTE(key_expr: str) -> str:
+    """Shared Spark/DuckDB SQL: first md5 byte (0..255) of a key —
+    the uniform deterministic coin every operator here flips."""
+    h = f"md5(cast({key_expr} as string))"
+    nib = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return (
+        f"(({nib.format(h=h, i=1)}) * 16 + ({nib.format(h=h, i=2)}))"
+    )
+
+
+def hash_byte(key_expr: str) -> Column:
+    return F.expr(MD5_BYTE(key_expr))
+
+
+def assign_split(
+    df: DataFrame, key_expr: str, bounds: list[tuple[str, int]]
+) -> DataFrame:
+    """Add a ``split`` column by hash byte: row goes to the first
+    (name, upper_bound) whose bound exceeds its byte. Bounds are
+    cumulative in 1/256 units, last must be 256 — e.g.
+    ``[("train", 250), ("valid", 253), ("test", 256)]`` is a
+    ~97.7/1.2/1.2 split, exact and stable under appends."""
+    if bounds[-1][1] != 256:
+        raise ValueError("last bound must be 256 (cover the byte range)")
+    b = hash_byte(key_expr)
+    expr = F.lit(bounds[-1][0])
+    for name, ub in reversed(bounds[:-1]):
+        expr = F.when(b < ub, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    bucket_width: int,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """Exclusive global running sum of ``weight_col`` in ``order_col``
+    order (integer order key), via the two-phase bucket rewrite —
+    no single-partition window over the full table."""
+    bucket = F.expr(f"CAST({order_col} AS BIGINT) div {bucket_width}")
+    d = df.withColumn("__bkt", bucket)
+    win = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__within", F.sum(weight_col).over(win))
+    # one row per bucket; cumsum of this tiny table is the only
+    # unpartitioned window, then it broadcasts back onto the data.
+    offs = (
+        d.groupBy("__bkt")
+        .agg(F.sum(weight_col).alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bkt", "__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__bkt")
+        .withColumn(out_col, F.col("__off") + F.col("__within") - F.col(weight_col))
+        .drop("__bkt", "__within", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    seq_len: int,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Greedy contiguous packing: lay documents end-to-end in
+    ``order_col`` order and cut fixed ``seq_len``-token sequences.
+    Each doc is assigned the sequence containing its START offset
+    (``seq_id``) and its offset within it (``seq_offset``) — the
+    deterministic bookkeeping a packed-pretraining dataloader needs.
+    """
+    d = global_cumsum(df, order_col, weight_col, bucket_width)
+    return (
+        d.withColumn("seq_id", F.expr(f"cum_before div {seq_len}"))
+        .withColumn("seq_offset", F.expr(f"pmod(cum_before, {seq_len})"))
+        .drop("cum_before")
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing >= 1 distinct token
+    ``n``-gram with any benchmark doc, with the count of shared
+    grams. The benchmark gram set is distinct'd and broadcast; the
+    corpus explodes its grams once and inner-joins — cost is
+    corpus-grams x tiny, never corpus x corpus. (Production would use
+    n=13 per the usual contamination definition; the fixture docs are
+    ~50 tokens so tests pin n=3.)"""
+
+    def grams(d: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        g = F.array_distinct(
+            F.transform(
+                # sequence(0, -k) counts DOWN in Spark — guard short docs
+                F.when(
+                    F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+                ),
+            )
+        )
+        return d.select(F.col(id_col), F.explode(g).alias("gram"))
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -713,3 +713,131 @@ def dedup_winnow_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_overlap_pairs
 
     return winnow_overlap_pairs(table(spark, sf_dir, "documents"))
+
+
+# --- training-set preparation (operators/trainprep.py) ---------------
+
+def _md5_byte_sql(key_expr: str) -> str:
+    from ..operators.trainprep import MD5_BYTE
+
+    return MD5_BYTE(key_expr)
+
+
+@register(
+    "split_assign_hash",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN {_md5_byte_sql('doc_id')} < 250 THEN 'train'
+            WHEN {_md5_byte_sql('doc_id')} < 253 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("trainprep",),
+)
+def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (~97.7/1.2/1.2) from
+    the first md5 byte of doc_id — a pure function of the key, so the
+    split is stable across engines, retries, and corpus appends
+    (no RNG, no global sort, no shuffle; evaluates at the scan)."""
+    from ..operators.trainprep import assign_split
+
+    return assign_split(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        [("train", 250), ("valid", 253), ("test", 256)],
+    )
+
+
+@register(
+    "mix_sources_weighted",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_md5_byte_sql('doc_id')} * (1 + CAST(substr(source, 4) AS BIGINT) % 4) < 256
+""",
+    tags=("trainprep",),
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep each doc with per-source rate
+    1/(1 + src_num % 4) — i.e. sources cycle through 100/50/33/25 %
+    sampling weights — decided by the doc's own hash byte. This is the
+    deterministic form of dataset-mixture reweighting: a scan-level
+    filter, reproducible under retries, no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    from ..operators.trainprep import MD5_BYTE
+
+    return d.filter(
+        F.expr(f"{MD5_BYTE('doc_id')} * (1 + CAST(substr(source, 4) AS BIGINT) % 4) < 256")
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS gram
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+""",
+    tags=("trainprep",),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any distinct
+    token 3-gram with the 'benchmark' subset (doc_id % 97 = 0 stands
+    in for an eval set), with shared-gram counts. Benchmark grams are
+    distinct'd and BROADCAST (eval sets are tiny); the corpus explodes
+    grams once and streams through a single inner join + hash-agg —
+    never doc x doc. Production n=13; fixture docs are ~50 tokens, so
+    n=3 exercises the same plan."""
+    from ..operators.trainprep import contaminated_docs
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_docs(corpus, bench, n=3)
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+SELECT doc_id, n_tokens,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         COALESCE(SUM(len(string_split(text, ' '))) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM documents
+)
+""",
+    tags=("trainprep", "scale"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents laid end-to-end in
+    doc_id order, cut into 512-token sequences; each doc gets the
+    sequence id and offset of its start. The global running sum uses
+    the two-phase bucket rewrite (operators/trainprep.py:global_cumsum)
+    — parallel per-bucket windows + a one-row-per-bucket offset table
+    cumsum'd alone and broadcast back — bit-identical to the oracle's
+    single window without its single-partition bottleneck."""
+    from ..operators.trainprep import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, order_col="doc_id", weight_col="n_tokens", seq_len=512, bucket_width=64
+    )

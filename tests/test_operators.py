@@ -218,3 +218,62 @@ def test_hierarchical_rollup_day_equals_direct(spark):
     # hour level covers the same totals
     n_hour = out.filter("grain = 'hour'").agg(F.sum("n")).first()[0]
     assert n_hour == len(rows)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Two-phase bucket cumsum == the naive global window, for bucket
+    widths that do and don't divide the key range, with gaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.trainprep import global_cumsum
+
+    rows = [(k, (k * 7919) % 13 + 1) for k in range(0, 300, 3)]  # gaps
+    df = spark.createDataFrame(rows, "k long, w long")
+    naive = {
+        r.k: r.c
+        for r in df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(
+                    Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).collect()
+    }
+    for width in (1, 7, 64, 1000):
+        got = {r.k: r.cum_before for r in global_cumsum(df, "k", "w", width).collect()}
+        assert got == naive, f"bucket_width={width}"
+
+
+def test_assign_split_covers_and_validates(spark):
+    from dags_spark.operators.trainprep import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = assign_split(df, "id", [("train", 250), ("valid", 253), ("test", 256)])
+    counts = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == 500
+    assert counts.get("train", 0) > 400  # ~97.7%
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_split(df, "id", [("train", 200)])
+
+
+def test_contaminated_docs_counts_shared_grams(spark):
+    from dags_spark.operators.trainprep import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),      # shares 2 grams
+            (2, "a totally different document x"),  # clean
+            (3, "xy zz"),                           # shorter than n -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in contaminated_docs(corpus, bench).collect()}
+    assert got == {1: 2}

@@ -149,3 +149,49 @@ def test_vocab_topk_aggregates_before_window(spark, sf_dir):
     before the single-partition ranking window."""
     plan = _formatted_plan(spark, "text_vocab_topk", sf_dir)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_split_and_mix_are_scan_level(spark, sf_dir):
+    """Split assignment and source mixing are pure per-row functions of
+    the key: no Exchange may appear anywhere in either plan."""
+    for key in ("split_assign_hash", "mix_sources_weighted"):
+        plan = _formatted_plan(spark, key, sf_dir)
+        assert "Exchange" not in plan, f"{key} introduced a shuffle"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval sets are tiny); the
+    corpus side must never cartesian."""
+    plan = _formatted_plan(spark, "decontaminate_ngram", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pack_sequences_broadcasts_bucket_offsets(spark, sf_dir):
+    """The two-phase cumsum's offset table joins back via broadcast;
+    the only unpartitioned window runs over the tiny per-bucket
+    aggregate, not the raw rows (exactly one 'Window' over the
+    one-row-per-bucket side)."""
+    plan = _formatted_plan(spark, "pack_sequences_greedy", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned band join must plan as a hash equi-join on the bin
+    id — the naive BroadcastNestedLoopJoin is the scale failure the
+    operator exists to avoid."""
+    plan = _formatted_plan(spark, "join_band_binned", sf_dir)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_hypertable_rollup_single_raw_shuffle(spark, sf_dir):
+    """The day level re-aggregates hourly partials: after AQE the
+    hourly exchange is REUSED, so the raw table is scanned and
+    shuffled exactly once."""
+    df = all_specs()["agg_hypertable_rollup"].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "ReusedExchange" in final, "day level re-scanned the raw table"
