@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_sum, table
+from ..operators.dedup import latest_by_key
 from ..registry import register
 
 _STATUSES = ["F", "O", "P"]
@@ -403,4 +404,58 @@ def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value_cents": ("max", "vc"),
         },
         grains=["hour", "day"],
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'X-MERGED' AS o_orderstatus,
+         o_totalprice + 1.00 AS o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+  FROM (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS pri FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS pri FROM base
+  )
+) WHERE rn = 1
+""",
+    tags=("merge", "scale"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert without a table format: updates win over
+    base rows on the natural key, implemented as union + one window
+    on the key (the engine-portable MERGE INTO ... WHEN MATCHED THEN
+    UPDATE). One shuffle on the merge key; at scale, pair with
+    write_bucketed (operators/scale.py) so the base side is already
+    partitioned by the key and only the delta shuffles. Prices
+    emitted as exact cents (determinism rule 2)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_orderstatus", F.lit("X-MERGED"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.00)
+        .withColumn("pri", F.lit(0))
+    )
+    merged = latest_by_key(
+        o.withColumn("pri", F.lit(1)).unionByName(updates),
+        keys=["o_orderkey"],
+        order_by=[F.col("pri").asc()],
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("totalprice_cents"),
     )

@@ -202,3 +202,37 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "sink_sized_files",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orderkeys,
+       {SQL_DEC_SUM('l_extendedprice')} AS sum_price
+FROM lineitem
+""",
+)
+def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size-governed sink: range-repartition lineitem on its key
+    into a fixed file count before writing (plus maxRecordsPerFile as
+    the hard cap), then read back and verify content. This is the
+    small-files/large-files control every 100 TB sink needs — without
+    it, a 32k-task job writes 32k files per partition and the next
+    scan pays per-file open cost; range partitioning (vs round-robin
+    coalesce) additionally clusters the sort key so min/max row-group
+    stats stay selective."""
+    out = os.path.join(_tmpdir("sink"), "lineitem_sized")
+    li = table(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(4, "l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )

@@ -277,3 +277,48 @@ def test_contaminated_docs_counts_shared_grams(spark):
     )
     got = {r.doc_id: r.n_shared_grams for r in contaminated_docs(corpus, bench).collect()}
     assert got == {1: 2}
+
+
+def test_binned_band_join_property(spark):
+    """Randomized property check (fixed seeds): binned rewrite == naive
+    cross-join filter for assorted bands and value ranges, including
+    negatives and clustered duplicates."""
+    import random
+
+    from dags_spark.operators.rangejoin import binned_band_join
+
+    for seed, band in [(1, 1), (2, 3), (3, 17), (4, 250)]:
+        rng = random.Random(seed)
+        xs = [rng.randint(-500, 500) for _ in range(120)]
+        ys = [rng.randint(-500, 500) for _ in range(90)]
+        ys += ys[:10]  # duplicate right values
+        left = spark.createDataFrame(list(enumerate(xs)), "lid long, x long")
+        right = spark.createDataFrame(list(enumerate(ys)), "rid long, y long")
+        got = sorted(
+            (r.lid, r.rid)
+            for r in binned_band_join(left, right, "x", "y", band=band).collect()
+        )
+        naive = sorted(
+            (r.lid, r.rid)
+            for r in left.crossJoin(right)
+            .filter(f"abs(x - y) <= {band}")
+            .collect()
+        )
+        assert got == naive, f"seed={seed} band={band}"
+
+
+def test_sink_sized_files_writes_bounded_count(spark, sf_dir, tmp_path):
+    """repartitionByRange(4) must produce exactly 4 data files."""
+    import glob
+    import os
+
+    out = str(tmp_path / "sized")
+    li = table(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(4, "l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = [f for f in glob.glob(os.path.join(out, "*.parquet"))]
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == li.count()
