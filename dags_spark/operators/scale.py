@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -146,4 +146,58 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global ROW_NUMBER over a total order WITHOUT the
+    single-partition window (`Window.orderBy(...)` with no partition
+    key funnels the entire table through one task — a non-plan at
+    100 TB).
+
+    Two-phase rewrite, same shape as trainprep.global_cumsum:
+      1. range-partition on the sort key, rank within each partition
+         (parallel);
+      2. count rows per partition — a partitions-sized tiny table —
+         cumsum it alone, broadcast the offsets back;
+      3. rank = partition offset + within-partition rank.
+
+    The sort keys must include a unique tie-break column (house
+    determinism rule 3) so the total order — and therefore every
+    rank — is engine- and partitioning-independent. RangePartitioner
+    samples to pick boundaries; that only moves WHERE a row ranks,
+    never WHAT its rank is.
+    """
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    win = Window.partitionBy("__pid").orderBy(*cols)
+    d = d.withColumn("__within", F.row_number().over(win))
+    offs = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__within")).cast("long"))
+        .drop("__pid", "__within", "__off")
     )

@@ -4,8 +4,11 @@ The value-hash is order-insensitive, so ordering queries materialize
 their order as a rank column (deterministic via unique tie-break
 keys). Top-k uses Spark's TakeOrderedAndProjectExec (per-partition
 heap + driver merge — no global sort, the right plan at 100 TB).
-Global rank queries are correctness keys; at scale you'd zipWithIndex
-per sorted partition or rank within partition buckets instead.
+Global ranks use the two-phase global_rank operator
+(operators/scale.py): range-partition + parallel in-partition ranks +
+broadcast partition offsets — never `Window.orderBy()`'s
+single-partition funnel (tests/test_plan_lint.py enforces this
+surface-wide).
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import table
+from ..operators.scale import global_rank
 from ..registry import register
 
 
@@ -27,14 +31,19 @@ FROM orders
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort (priority ASC, totalprice DESC) materialized as a
-    rank column with a unique tie-break."""
+    rank column with a unique tie-break — via the two-phase global_rank
+    operator (operators/scale.py): range-partition + parallel in-partition
+    ranks + broadcast offsets, never a single-partition window."""
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_orderpriority").asc(),
-        F.col("o_totalprice").desc(),
-        F.col("o_orderkey").asc(),
-    )
-    return o.select("o_orderkey", F.row_number().over(w).alias("sort_rank"))
+    return global_rank(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        [
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        rank_col="sort_rank",
+    ).select("o_orderkey", "sort_rank")
 
 
 @register(
@@ -46,11 +55,15 @@ FROM orders
 """,
 )
 def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULLS LAST ordering over a column made nullable via NULLIF."""
+    """NULLS LAST ordering over a column made nullable via NULLIF,
+    ranked scalably via global_rank (see sort_multi)."""
     o = table(spark, sf_dir, "orders")
     nullable = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
-    w = Window.orderBy(nullable.asc_nulls_last(), F.col("o_orderkey").asc())
-    return o.select("o_orderkey", F.row_number().over(w).alias("null_rank"))
+    return global_rank(
+        o.select("o_orderkey", nullable.alias("__np")),
+        [F.col("__np").asc_nulls_last(), F.col("o_orderkey").asc()],
+        rank_col="null_rank",
+    ).select("o_orderkey", "null_rank")
 
 
 @register(

@@ -1,0 +1,101 @@
+"""Whole-surface plan-lint sweep: every registered batch query's
+physical plan must be free of scale anti-patterns (cartesian joins,
+single-partition exchanges, row-wise Python UDFs) except where the
+key's semantics REQUIRE the construct — those are allowlisted here,
+each with the reason. A refactor that silently degrades any plan
+fails this test, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from dags_spark.plans import lint_plan
+from dags_spark.registry import all_specs
+
+# key -> allowed finding codes, with the reason the construct is fine.
+ALLOWED = {
+    # semantics ARE cartesian
+    "join_cross": {"cartesian"},
+    # 1-row global aggregate broadcast-crossed into the fact side —
+    # Catalyst's own scalar-subquery plan; the single partition holds
+    # exactly one row.
+    "text_tfidf": {"cartesian", "single-partition-exchange"},
+    "subquery_scalar_agg": {"cartesian", "single-partition-exchange"},
+    "subquery_correlated_agg": {"single-partition-exchange"},
+    # global 1-row aggregates: the final stage reduces a handful of
+    # partial rows in one task by definition.
+    "agg_global": {"single-partition-exchange"},
+    "sink_sized_files": {"single-partition-exchange"},
+    # the tiny per-bucket/per-partition offset table (one row per
+    # bucket) is cumsum'd alone — that IS the two-phase rewrite; and
+    # for the sort keys the range-partitioned distributed sort is the
+    # intentional product (sorted output), not a smell.
+    "pack_sequences_greedy": {"single-partition-exchange"},
+    "sort_multi": {"single-partition-exchange", "global-sort"},
+    "sort_nulls_last": {"single-partition-exchange", "global-sort"},
+    # these keys exist to cover the row-wise Python UDF/UDTF API and
+    # are documented as not-a-pattern.
+    "udf_python_scalar": {"rowwise-python-udf"},
+    "udtf_python": {"rowwise-python-udf"},
+}
+
+
+def _batch_specs():
+    return [
+        (name, spec)
+        for name, spec in all_specs().items()
+        if spec.module != "streaming"
+    ]
+
+
+@pytest.mark.slow
+def test_every_batch_plan_is_lint_clean(spark, sf_dir):
+    violations = {}
+    for name, spec in _batch_specs():
+        df = spec.fn(spark, sf_dir)
+        findings = lint_plan(df)
+        bad = [f for f in findings if f.code not in ALLOWED.get(name, set())]
+        if bad:
+            violations[name] = [(f.code, f.node) for f in bad]
+    assert not violations, f"plan lint violations: {violations}"
+
+
+def test_lint_catches_cartesian_and_single_partition(spark):
+    """Linter self-test on deliberately bad plans."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    codes = {f.code for f in lint_plan(a.crossJoin(b))}
+    assert "cartesian" in codes
+
+    w = Window.orderBy("id")
+    ranked = a.withColumn("rn", F.row_number().over(w))
+    codes = {f.code for f in lint_plan(ranked)}
+    assert "single-partition-exchange" in codes
+
+
+def test_global_rank_matches_single_window(spark):
+    """Two-phase global_rank == naive global window, including
+    desc order, nulls-last, and duplicate sort values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.scale import global_rank
+
+    rows = [(i, (i * 37) % 11 if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("v").desc_nulls_last(), F.col("k").asc()]
+    naive = {
+        r.k: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    for nparts in (1, 5, 64):
+        got = {
+            r.k: r.rank
+            for r in global_rank(df, order, n_partitions=nparts).collect()
+        }
+        assert got == naive, f"n_partitions={nparts}"
