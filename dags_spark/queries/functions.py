@@ -190,26 +190,33 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        list_contains(string_split(text, ' '), 'data') AS has_data,
-       list_sort(list_distinct(string_split(text, ' '))) AS uniq_tokens,
-       string_split(text, ' ')[1:5] AS first5,
-       list_transform(string_split(text, ' ')[1:5], t -> upper(t)) AS first5_up,
-       list_filter(string_split(text, ' '), t -> length(t) > 4) AS long_tokens
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS uniq_tokens,
+       array_to_string(string_split(text, ' ')[1:5], '|') AS first5,
+       array_to_string(list_transform(string_split(text, ' ')[1:5], t -> upper(t)), '|') AS first5_up,
+       array_to_string(list_filter(string_split(text, ' '), t -> length(t) > 4), '|') AS long_tokens
 FROM documents
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array ops + higher-order lambdas over tokenized text.
-    (distinct output sorted — engine-specific order otherwise)."""
+    """Array ops + higher-order lambdas over tokenized text. Array
+    results are serialized with array_join — the driver's canonicalizer
+    hashes scalars only (the agg_collect_sorted lesson from round 1);
+    the array semantics are still fully exercised upstream of the
+    join."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.sort_array(F.array_distinct(toks)).alias("uniq_tokens"),
-        F.slice(toks, 1, 5).alias("first5"),
-        F.transform(F.slice(toks, 1, 5), lambda t: F.upper(t)).alias("first5_up"),
-        F.filter(toks, lambda t: F.length(t) > 4).alias("long_tokens"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), "|").alias("uniq_tokens"),
+        F.array_join(F.slice(toks, 1, 5), "|").alias("first5"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 5), lambda t: F.upper(t)), "|"
+        ).alias("first5_up"),
+        F.array_join(F.filter(toks, lambda t: F.length(t) > 4), "|").alias(
+            "long_tokens"
+        ),
     )
 
 
@@ -217,20 +224,21 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
 SELECT event_id,
-       map_keys(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}) AS prop_keys,
-       map_values(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}) AS prop_values
+       array_to_string(map_keys(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}), '|') AS prop_keys,
+       array_to_string(map_values(MAP {'k': CAST(json_extract(props, '$.k') AS INTEGER)}), '|') AS prop_values
 FROM events
 """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a map from parsed props, extract keys/values (kept to
-    key-extraction — map literal semantics differ across engines)."""
+    key-extraction — map literal semantics differ across engines).
+    Key/value lists serialized to scalars for driver hashability."""
     ev = table(spark, sf_dir, "events")
     m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("int"))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(F.map_keys(m), "|").alias("prop_keys"),
+        F.array_join(F.map_values(m).cast("array<string>"), "|").alias("prop_values"),
     )
 
 

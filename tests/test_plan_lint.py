@@ -50,13 +50,29 @@ def _batch_specs():
 
 @pytest.mark.slow
 def test_every_batch_plan_is_lint_clean(spark, sf_dir):
+    """Also enforces: hash-checked keys emit only atomic columns —
+    the external driver's canonicalizer cannot sort/hash array/map/
+    struct/binary cells (the round-1 agg_collect_sorted failure);
+    serialize with array_join/concat_ws instead."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
     violations = {}
     for name, spec in _batch_specs():
         df = spec.fn(spark, sf_dir)
         findings = lint_plan(df)
-        bad = [f for f in findings if f.code not in ALLOWED.get(name, set())]
+        bad = [
+            (f.code, f.node)
+            for f in findings
+            if f.code not in ALLOWED.get(name, set())
+        ]
+        if spec.check == "hash":
+            bad += [
+                ("non-atomic-column", f.name)
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+            ]
         if bad:
-            violations[name] = [(f.code, f.node) for f in bad]
+            violations[name] = bad
     assert not violations, f"plan lint violations: {violations}"
 
 
