@@ -841,3 +841,39 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, order_col="doc_id", weight_col="n_tokens", seq_len=512, bucket_width=64
     )
+
+
+@register(
+    "vec_normalize_stats",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, {SQL_VEC_D.format(v='embedding')} AS e FROM embeddings
+)
+SELECT vec_id, label,
+       len(e) AS dim,
+       ROUND({SQL_NORM.format(a='e')}, 6) AS l2_norm,
+       ROUND(list_sum(e) / NULLIF({SQL_NORM.format(a='e')}, 0.0), 6) AS unit_sum
+FROM v
+""",
+    tags=("vector", "trainprep"),
+)
+def vec_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization audit per embedding — the unit-norm pre-step
+    cosine retrieval and centroid training assume: vector dim, L2
+    norm, and the normalized element sum (a scalar checksum of the
+    normalized vector, emitted instead of the array for driver
+    hashability). Left-to-right `aggregate` folds mirror DuckDB's
+    list_sum fold order so doubles are bit-identical; narrow
+    projection, no shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sumsq = F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    s = F.aggregate(e, F.lit(0.0), lambda a, x: a + x)
+    norm = F.sqrt(sumsq)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(s / F.nullif(norm, F.lit(0.0)), 6).alias("unit_sum"),
+    )

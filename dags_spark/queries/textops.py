@@ -287,3 +287,42 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("token", "freq", "rnk")
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+SELECT doc_id,
+       CAST((start_tok - 1) / 24 AS BIGINT) AS chunk_id,
+       start_tok,
+       len(toks[start_tok:start_tok + 31]) AS n_chunk_tokens,
+       array_to_string(toks[start_tok:start_tok + 31], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         unnest(generate_series(1, len(string_split(text, ' ')), 24)) AS start_tok
+  FROM documents
+)
+""",
+    tags=("text", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24 —
+    8-token overlap): the pre-step of every embedding/RAG indexing
+    pipeline. One explode per chunk start; chunk text re-serialized
+    with array_join so the output is driver-hashable. Narrow,
+    shuffle-free, scales linearly with corpus tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(24))).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), 32)
+    return d.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / 24).cast("long").alias("chunk_id"),
+        "start_tok",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
