@@ -523,3 +523,41 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_SKEW_EXPR} AS skew_pop",
         f"{_KURT_EXPR} AS kurt_excess",
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent priority per order
+    status, ties broken lexicographically (engine `mode()` built-ins
+    leave ties undefined — this spelling pins them). Hash-agg on the
+    tiny (status, priority) grid, then a window over that grid only —
+    the raw table never feeds the window."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )

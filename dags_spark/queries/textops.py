@@ -326,3 +326,52 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+_PII_EMAIL = "[a-z0-9]+@[a-z]+[.][a-z]+"
+_PII_PHONE = "[+]1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM synth
+""",
+    tags=("text", "privacy"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction accounting — the privacy-scrub pass of a corpus
+    pipeline: count and replace email/phone patterns, emit the md5 of
+    the scrubbed text (scalar proof the replacement is identical
+    cross-engine). The fixture text contains no PII, so deterministic
+    synthetic PII is appended in-query from doc_id — both engines
+    build and scrub the identical string. Narrow projection: regex
+    work is scan-local, no shuffle; at 100 TB this runs at IO speed."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
