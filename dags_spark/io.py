@@ -21,13 +21,29 @@ from . import TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session id, sf_dir, name) -> lazy scan DataFrame. A DataFrame is an
+# immutable logical plan, so handing the same object to every caller is
+# safe — and saves the ~100 ms per call that spark.read.parquet spends
+# on file listing + py4j roundtrips (a star join re-built per bench rep
+# paid that 5x). Fixture dirs are read-only, so the cached schema can
+# never go stale within a session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = (
+            _read_events(spark, path)
+            if name == "events"
+            else spark.read.parquet(path)
+        )
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
