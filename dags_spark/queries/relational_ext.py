@@ -459,3 +459,64 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         cents("o_totalprice").alias("totalprice_cents"),
     )
+
+
+@register(
+    "join_salted_checked",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_li,
+       {SQL_DEC_SUM('l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "scale", "skew"),
+)
+def join_salted_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-defusing salted join as a hash-checked key: lineitem
+    (salted on l_orderkey into 8 shards) ⋈ orders (replicated to all
+    shards) — row-identical to the plain equi join the oracle runs,
+    which is the operator's correctness contract. At 100 TB this is
+    how a hot key (one customer with 10^9 rows) stops serializing one
+    task: its rows spread across n_salts tasks and AQE handles the
+    rest."""
+    from ..operators.scale import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "join_bucketed_checked",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {SQL_DEC_SUM('o_totalprice')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "scale", "bucketing"),
+)
+def join_bucketed_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once bucketed join as a hash-checked key:
+    orders and customer both written bucketed on the join key, then
+    joined exchange-free (the bucket layout IS the shuffle, amortized
+    across every future query — the 100 TB recurring-join pattern).
+    tests/test_plans.py separately asserts the no-Exchange property;
+    this key gives the RESULT hard driver evidence."""
+    from ..operators.scale import bucketed_join, write_bucketed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o.withColumnRenamed("o_custkey", "c_custkey"), "bk_orders", "c_custkey", 8)
+    write_bucketed(c, "bk_customer", "c_custkey", 8)
+    j = bucketed_join(spark, "bk_orders", "bk_customer", "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )

@@ -16,6 +16,10 @@ from dags_spark.registry import all_specs
 ALLOWED = {
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
+    # salted join replicates the right side against a broadcast
+    # n_salts-row literal table — a bounded, by-design cross product
+    # (that replication is the skew defense itself).
+    "join_salted_checked": {"cartesian"},
     # 1-row global aggregate broadcast-crossed into the fact side —
     # Catalyst's own scalar-subquery plan; the single partition holds
     # exactly one row.
