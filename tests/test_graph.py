@@ -156,3 +156,83 @@ def test_incremental_source_processes_only_new_files(spark, sf_dir):
     # third run, nothing new -> no growth
     r3 = build().run(spark, output_dir=out, incremental=True)
     assert r3["acc"].count() == 5
+
+
+def test_failed_run_does_not_commit_ledger(spark, sf_dir):
+    """ADVICE r1: ledger commits must happen only after the whole run
+    succeeds — a mid-run failure may not mark source files seen, or
+    they are silently skipped forever on rerun."""
+    work = tempfile.mkdtemp(prefix="dags_graph_fail_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    table(spark, sf_dir, "region").coalesce(1).write.parquet(
+        os.path.join(work, "stage")
+    )
+    for f in os.listdir(os.path.join(work, "stage")):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(work, "stage", f), os.path.join(src, f))
+
+    def build(fail: bool) -> Graph:
+        g = Graph("failrun")
+        g.source("regions", src, schema="r_regionkey INT, r_name STRING")
+
+        @g.node("boom", upstream=["regions"], materialize=True)
+        def boom(spark_, deps):
+            if fail:
+                raise RuntimeError("downstream failure")
+            return deps["regions"]
+
+        return g
+
+    with pytest.raises(RuntimeError):
+        build(fail=True).run(spark, output_dir=out, incremental=True)
+    ledger = os.path.join(out, "_ledger", "failrun.regions.json")
+    assert not os.path.exists(ledger), "ledger committed despite failure"
+
+    # rerun after the fix: the same files ARE processed
+    res = build(fail=False).run(spark, output_dir=out, incremental=True)
+    assert res["boom"].count() == 5
+    assert os.path.exists(ledger)
+
+
+def test_incremental_materialize_dedupes_across_runs(spark, sf_dir):
+    """ADVICE r1: unique_on + incremental materialize must keep ONE
+    (latest) row per key across runs, not accumulate duplicates."""
+    work = tempfile.mkdtemp(prefix="dags_graph_upsert_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+
+    def feed(rows, stage):
+        df = spark.createDataFrame(rows, "k INT, v INT, ver INT")
+        df.coalesce(1).write.parquet(os.path.join(work, stage))
+        for f in os.listdir(os.path.join(work, stage)):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(work, stage, f), os.path.join(src, stage + f)
+                )
+
+    def build() -> Graph:
+        g = Graph("upsert")
+        g.source("kv", src, schema="k INT, v INT, ver INT")
+        g.sql_node(
+            "acc",
+            "SELECT k, v, ver FROM kv",
+            upstream=["kv"],
+            materialize=True,
+            unique_on=("k",),
+            order_by=("ver",),
+        )
+        return g
+
+    feed([(1, 10, 1), (2, 20, 1)], "s1")
+    build().run(spark, output_dir=out, incremental=True)
+    feed([(1, 11, 2), (3, 30, 1)], "s2")
+    build().run(spark, output_dir=out, incremental=True)
+
+    snap = {
+        r.k: (r.v, r.ver)
+        for r in spark.read.parquet(os.path.join(out, "acc")).collect()
+    }
+    assert snap == {1: (11, 2), 2: (20, 1), 3: (30, 1)}

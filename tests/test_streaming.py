@@ -69,3 +69,35 @@ def test_stateful_running_state_spans_batches(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, sf_dir, tmp_path):
+    """ADVICE r1: foreachBatch is at-least-once — replaying the same
+    source through a FRESH checkpoint (same batch ids) must REPLACE
+    the per-batch partitions, not duplicate rows."""
+    import tempfile
+
+    from dags_spark.streaming.runner import run_foreach_batch_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("n_nationkey BIGINT, n_name STRING")
+            .parquet(src)
+        )
+
+    run_foreach_batch_parquet(
+        stream(), out, ckpt=tempfile.mkdtemp(prefix="ckpt1_")
+    )
+    n1 = spark.read.parquet(out).count()
+    # fresh checkpoint -> Spark replays batch 0 over the same files
+    run_foreach_batch_parquet(
+        stream(), out, ckpt=tempfile.mkdtemp(prefix="ckpt2_")
+    )
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 25, f"replay duplicated rows: {n1} -> {n2}"
