@@ -877,3 +877,49 @@ def vec_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(s / F.nullif(norm, F.lit(0.0)), 6).alias("unit_sum"),
     )
+
+
+_EMB_EDGE_SQL = (
+    _PAIR_SQL_COMMON.format(op="<")
+    + "WHERE ROUND({d} / (a.n * b.n), 6) >= 0.4".format(
+        d="list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))"
+    )
+)
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=f"""
+WITH RECURSIVE epairs AS ({_EMB_EDGE_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM epairs
+  UNION ALL
+  SELECT id_b, id_a FROM epairs
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS vec_id, LEAST(s, MIN(d)) AS component_id
+FROM reach GROUP BY s
+""",
+    tags=("dedup", "semantic"),
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering end-to-end: embedding-cosine near-dup
+    edges (same Arrow kernel as dedup_embedding_cosine, >= 0.4) fed
+    into distributed min-label propagation — vectors collapse into
+    semantic groups, keep min vec_id per group. This is the
+    SemDeDup-style pipeline shape: candidate edges from blocked exact
+    cosine (LSH/IVF buckets at scale), clusters from the iterative
+    components operator, every round a join+agg with localCheckpoint
+    lineage truncation."""
+    from ..operators.dedup import connected_components
+
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings")).filter(
+        F.col("sim") >= 0.4
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b")
+    ).select(F.col("id").alias("vec_id"), F.col("component").alias("component_id"))
