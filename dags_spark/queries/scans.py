@@ -236,3 +236,40 @@ def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orderkeys"),
         dec_sum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "obs_pipeline_metrics",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+       {SQL_DEC_SUM('o_totalprice')} AS sum_price
+FROM orders
+""",
+)
+def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe(): named metrics
+    accumulate ON the task stream during a normal action — zero extra
+    scans, unlike a separate COUNT query. The observed values are
+    surfaced as a 1-row DataFrame so the driver can hash-check them
+    against the oracle computing the same aggregates the slow way.
+    At 100 TB this is how row-count/quality gates ride along with the
+    real write instead of doubling the IO bill."""
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_urgent"], float(m["sum_price"]))],
+        "n_rows BIGINT, n_urgent BIGINT, sum_price DOUBLE",
+    )

@@ -375,3 +375,32 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "corpus_summary_card",
+    oracle="""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       COUNT(DISTINCT md5(text)) AS n_unique_texts,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+""",
+    tags=("text", "reporting"),
+)
+def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (source, lang) doc counts, token
+    totals, unique-text counts (dedup-rate numerator), char ranges —
+    the summary table every corpus release ships with. One hash-agg
+    pass; the distinct is over md5 fingerprints, never raw text, so
+    the shuffle stays narrow at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
