@@ -75,3 +75,64 @@ def graph_pipeline_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return g.run(spark)["revenue_by_priority"]
+
+
+@register(
+    "graph_incremental_upsert",
+    oracle="""
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def graph_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph layer's full incremental lifecycle under the hash
+    check: events arrive in two batches (even event_ids, then odd),
+    each run consumes only unseen files (ledger), and the materialized
+    node accumulates + dedupes to the latest row per (user_id,
+    event_type) ACROSS runs. The final snapshot must equal a plain
+    latest-per-key query over all events — machinery (ledger, staged
+    files, cross-run upsert rewrite) checked against semantics (one
+    window)."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dags_graph_upsert_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    def build() -> Graph:
+        g = Graph("incr_upsert")
+        g.source(
+            "ev",
+            src,
+            schema="event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+        )
+        g.sql_node(
+            "acc",
+            "SELECT event_id, user_id, event_type, ts, value FROM ev",
+            upstream=["ev"],
+            materialize=True,
+            unique_on=("user_id", "event_type"),
+            order_by=("ts", "event_id"),
+        )
+        return g
+
+    for stage, pred in (("even", "event_id % 2 = 0"), ("odd", "event_id % 2 = 1")):
+        staged = os.path.join(work, stage)
+        ev.filter(pred).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(staged, f), os.path.join(src, f"{stage}_{f}"))
+        build().run(spark, output_dir=out, incremental=True)
+
+    snap = spark.read.parquet(os.path.join(out, "acc"))
+    return snap.select("user_id", "event_type", "event_id", "value")
