@@ -404,3 +404,59 @@ def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+_URL_HOST_RE = "^https?://([^/]+)"
+
+
+@register(
+    "web_domain_stats",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example.com/p/' || doc_id
+           || (CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END) AS url,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT lower(regexp_replace(regexp_extract(url, '{_URL_HOST_RE}', 1), '^www[.]', '')) AS domain,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       COUNT(CASE WHEN url LIKE '%?%' THEN 1 END) AS n_with_query
+FROM u GROUP BY 1
+""",
+    tags=("text", "web"),
+)
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting — the web-pipeline staple behind
+    domain allow/deny lists and per-domain caps: canonicalize the URL
+    host (strip scheme, leading www., query string) and aggregate doc
+    and token counts per domain. Fixture docs carry no URLs, so
+    deterministic synthetic URLs are built in-query from (source,
+    doc_id) — both engines construct and parse the identical string.
+    The host regex is shared verbatim for parity (Spark's parse_url
+    built-in does the same job but has no DuckDB twin). Scan-local
+    regex + one hash-agg; at 100 TB the agg output is domain-count
+    sized (~10^7), broadcastable back for cap enforcement."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm=x")).otherwise(F.lit("")),
+    )
+    u = docs.select(
+        url.alias("url"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    domain = F.lower(
+        F.regexp_replace(F.regexp_extract("url", _URL_HOST_RE, 1), "^www[.]", "")
+    )
+    return u.groupBy(domain.alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.when(F.col("url").contains("?"), 1)).alias("n_with_query"),
+    )
