@@ -10,8 +10,6 @@ in hot paths (Arrow batches, ~10-100x over row-at-a-time); the plain
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession

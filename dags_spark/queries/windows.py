@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import SQL_CENTS, cents, table
+from . import cents, table
 from ..registry import register
 
 
