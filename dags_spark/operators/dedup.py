@@ -70,6 +70,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     cache_shingles: bool = False,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-duplicate pairs via hand-rolled MinHash + LSH banding,
     verified with exact Jaccard — entirely JVM-side (no MLlib, no
@@ -96,9 +97,25 @@ def minhash_near_dup_pairs(
     of the work, and an unpaired cache leaks executor storage memory
     across bench/test loops.
     """
-    sh = docs.select(
-        F.col(id_col), shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Repartition BEFORE the CPU-bound shingle transform: a documents
+    # table is bytes-per-thousand-rows small, so the file-size splitter
+    # gives it 1-2 partitions and everything downstream (signature agg,
+    # candidate verify with array_intersect over every candidate pair)
+    # runs on one core — measured 430 s -> ~20 s at sf0.1 (the fixture's
+    # tiny vocabulary makes shingle sets collide, so the verify stage
+    # carries real candidate volume; same at 100 TB with boilerplate).
+    # Filter on the CHEAP precondition (non-empty text), never on
+    # size(sh): a post-hoc filter over the shingle array gets pushed
+    # through the repartition into the scan, where Catalyst re-evaluates
+    # the whole shingle transform for every doc on the scan's single
+    # input partition (the token_ngrams lesson; here it was the 60 s
+    # single-task stage the scale smoke caught at sf0.1).
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .repartition(n_parts)
+        .select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    )
     if cache_shingles:
         sh.cache()
 
@@ -126,6 +143,25 @@ def minhash_near_dup_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
 
+    # Hot-bucket ceiling — the LSH twin of the stop-gram/df ceiling:
+    # a (band_id, band_hash) bucket holding thousands of docs is a
+    # degenerate collision cluster (tiny-vocab fixtures here;
+    # boilerplate at 100 TB), and its members are overwhelmingly NOT
+    # similar — but it alone contributes O(bucket²) candidate pairs,
+    # each paying an exact-Jaccard verify. Dropping buckets over the
+    # ceiling removed a 1913-doc bucket at sf0.1 and cut this operator
+    # 491 s -> ~25 s with recall intact: a true pair lands in ~3 of
+    # the 8 bands in expectation, so losing one degenerate bucket
+    # almost never loses the pair (recall property test pins >= 0.9).
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     candidates = (
@@ -135,8 +171,24 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # AQE coalesces the (byte-tiny) candidate list to one partition,
+    # but each verify row costs an array_intersect over ~10^3-element
+    # shingle sets — CPU-bound, not byte-bound. Spread the verify
+    # explicitly so the exact-Jaccard stage uses the cluster.
+    candidates = candidates.repartition(n_parts, "id_a")
+
+    # SHUFFLE_HASH hints: row-count stats make the shingle table look
+    # broadcastable, but its payload is the full shingle arrays —
+    # megabytes per thousand docs. Broadcasting it serializes the build
+    # on one task (the last singleton the scale smoke flagged) and at
+    # 100 TB would broadcast the corpus. Shuffling both sides on the id
+    # keeps the verify fully parallel.
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "SHUFFLE_HASH"
+    )
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "SHUFFLE_HASH"
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
