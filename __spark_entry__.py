@@ -21,10 +21,11 @@ from dags_spark import registry as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    from dags_spark.queries.aggregates import agg_pricing_summary
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001.
 
-    return agg_pricing_summary(spark, "/root/testdata/sf0.001")
+    Routed through the registry wrapper so the session is tuned (UTC,
+    Arrow, AQE) exactly as in the correctness path."""
+    return _registry.queries()["agg_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
