@@ -520,3 +520,104 @@ def join_bucketed_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "table_diff_reconcile",
+    oracle="""
+WITH newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X-NEW' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+  WHERE o_orderkey % 101 <> 0
+),
+oldsnap AS (
+  SELECT o_orderkey, o_orderstatus FROM orders
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM oldsnap o FULL OUTER JOIN newsnap n USING (o_orderkey)
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      OR o.o_orderstatus <> n.o_orderstatus
+""",
+    tags=("diff", "reconcile"),
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the change-data-feed primitive without
+    a table format): FULL OUTER join two snapshots on the key and
+    classify added / removed / changed rows. The 'new' snapshot is
+    derived in-query (drop keys %101, restatus keys %97) so both
+    engines diff identical inputs. One shuffle on the key; at scale
+    both snapshots bucket-written on the key diff exchange-free, and
+    unchanged rows (the overwhelming majority) are filtered before
+    any wide output is materialized."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X-NEW")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumnRenamed("o_orderstatus", "n_status")
+    )
+    old = o.withColumnRenamed("o_orderstatus", "o_status")
+    j = old.join(new, "o_orderkey", "full_outer")
+    return j.filter(
+        F.col("o_status").isNull()
+        | F.col("n_status").isNull()
+        | (F.col("o_status") != F.col("n_status"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_status").isNull(), "added")
+        .when(F.col("n_status").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+    )
+
+
+@register(
+    "dq_rules_summary",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS bad_status,
+       SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys
+FROM orders
+""",
+    tags=("dq",),
+)
+def dq_rules_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: null / range / set-membership / uniqueness
+    rule violations counted in ONE scan (conditional sums share the
+    pass; the uniqueness rule rides the same agg as count-distinct).
+    The output is the go/no-go row a pipeline checks before
+    publishing a snapshot — at 100 TB the single-pass property is the
+    difference between one scan and one scan per rule."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2003-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("date_out_of_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+    )
