@@ -293,3 +293,104 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.nth_value("o_totalprice", 3).over(w).alias("third_highest"),
     )
+
+
+@register(
+    "funnel_two_step",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_viewed,
+       COUNT(p.user_id) AS n_converted,
+       SUM(CASE WHEN epoch_us(p.first_purchase) - epoch_us(v.first_view)
+                     <= 3600000000 THEN 1 ELSE 0 END) AS n_converted_1h
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+""",
+    tags=("funnel", "events"),
+)
+def funnel_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (view -> purchase): users with a view, users
+    whose first at-or-after purchase converts, and conversions within
+    1 h — the event-analytics staple. Two hash-aggs + one join, all
+    keyed on user_id so the shuffles share partitioning; time math in
+    exact integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = v.join(p, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("first_purchase").alias("n_converted"),
+        F.sum(
+            F.when(
+                F.unix_micros("first_purchase") - F.unix_micros("first_view")
+                <= 3_600_000_000,
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_1h"),
+    )
+
+
+@register(
+    "agg_retention_cohort",
+    oracle="""
+WITH firstseen AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firstseen f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+    tags=("retention", "events"),
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, counted on
+    each subsequent active day (offset 0-7) — the DAU-retention
+    triangle. first-seen agg + join + distinct + agg, every shuffle on
+    user_id or the small (cohort, offset) grid; integer day math via
+    datediff on date_trunc'd days, identical in both engines."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.col("cohort_day").cast("date"),
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -30,6 +30,7 @@ ALLOWED = {
     # partial rows in one task by definition.
     "agg_global": {"single-partition-exchange"},
     "dq_rules_summary": {"single-partition-exchange"},
+    "funnel_two_step": {"single-partition-exchange"},
     "sink_sized_files": {"single-partition-exchange"},
     # the tiny per-bucket/per-partition offset table (one row per
     # bucket) is cumsum'd alone — that IS the two-phase rewrite; and
