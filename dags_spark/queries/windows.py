@@ -394,3 +394,55 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "win_streak_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_no
+  FROM events
+),
+islands AS (
+  SELECT user_id, day_no,
+         day_no - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len, MIN(day_no) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, MAX(streak_len) AS longest_streak,
+       MIN(streak_start) AS first_day_no,
+       COUNT(*) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+    tags=("window", "islands"),
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per
+    user (the canonical day_no - row_number() island key — constant
+    within each unbroken run). Distinct user-day grid, one window
+    partitioned by user, two hash-aggs — every shuffle on user_id, so
+    at scale the window and aggs share one exchange. Day numbers are
+    integer date_diffs from a pinned epoch, identical cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    islands = days.withColumn(
+        "island", F.col("day_no") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day_no").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.min("streak_start").alias("first_day_no"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
