@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 from graphlib import TopologicalSorter
@@ -170,13 +171,26 @@ class Graph:
                 df = _conform(df, spec.schema)
             if spec.materialize:
                 out_path = os.path.join(output_dir, name)
+                # Crash recovery for the snapshot swap below: a failure
+                # between its two renames leaves the previous snapshot at
+                # .__old__ and no out_path — restore it so the upsert
+                # branch (not the fresh-write branch) runs.
+                if not os.path.exists(out_path) and os.path.exists(
+                    out_path + ".__old__"
+                ):
+                    os.rename(out_path + ".__old__", out_path)
                 if incremental and spec.unique_on and os.path.exists(out_path):
                     # Accumulate + dedupe across RUNS, not just within the
                     # batch: union the new rows with the existing snapshot,
                     # keep the latest row per natural key, and rewrite.
-                    # localCheckpoint (eager) materializes the combined
-                    # result to executor blocks first so the overwrite does
-                    # not race the parquet files it is reading from.
+                    # The rewrite goes to a TEMP dir first and swaps in via
+                    # rename: overwriting the only copy in place would open
+                    # a crash window where already-ledgered rows exist
+                    # nowhere (the previous snapshot deleted, the new one
+                    # partial, the source files never re-read). With the
+                    # swap, a crash anywhere leaves either the old snapshot
+                    # (and an uncommitted ledger -> files reprocessed,
+                    # upsert is idempotent) or the complete new one.
                     order = [F.col(c).desc() for c in spec.order_by] or [
                         F.col(c).desc() for c in spec.unique_on
                     ]
@@ -184,7 +198,14 @@ class Graph:
                     df = latest_by_key(
                         prev.unionByName(df), list(spec.unique_on), order
                     ).localCheckpoint()
-                    df.write.mode("overwrite").parquet(out_path)
+                    tmp_path = out_path + ".__tmp__"
+                    old_path = out_path + ".__old__"
+                    shutil.rmtree(tmp_path, ignore_errors=True)
+                    shutil.rmtree(old_path, ignore_errors=True)
+                    df.write.mode("overwrite").parquet(tmp_path)
+                    os.rename(out_path, old_path)
+                    os.rename(tmp_path, out_path)
+                    shutil.rmtree(old_path, ignore_errors=True)
                 else:
                     mode = "append" if incremental else "overwrite"
                     df.write.mode(mode).parquet(out_path)

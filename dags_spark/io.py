@@ -33,7 +33,14 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries of dead sessions: stale applicationIds pin py4j
+    # references and plans forever in long-lived processes that cycle
+    # Spark sessions (test harnesses do).
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")

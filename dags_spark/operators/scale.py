@@ -173,6 +173,8 @@ def global_rank(
     samples to pick boundaries; that only moves WHERE a row ranks,
     never WHAT its rank is.
     """
+    from .trainprep import bucket_offsets
+
     cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
     d = (
         df.repartitionByRange(n_partitions, *cols)
@@ -180,22 +182,7 @@ def global_rank(
     )
     win = Window.partitionBy("__pid").orderBy(*cols)
     d = d.withColumn("__within", F.row_number().over(win))
-    offs = (
-        d.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__off")
-    )
+    offs = bucket_offsets(d, "__pid", F.lit(1))
     return (
         d.join(F.broadcast(offs), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__within")).cast("long"))

@@ -35,6 +35,7 @@ __all__ = [
     "MD5_BYTE",
     "hash_byte",
     "assign_split",
+    "bucket_offsets",
     "global_cumsum",
     "pack_sequences",
     "contaminated_docs",
@@ -65,11 +66,42 @@ def assign_split(
     ~97.7/1.2/1.2 split, exact and stable under appends."""
     if bounds[-1][1] != 256:
         raise ValueError("last bound must be 256 (cover the byte range)")
+    ubs = [ub for _, ub in bounds]
+    if ubs != sorted(ubs) or len(set(ubs)) != len(ubs) or ubs[0] <= 0:
+        raise ValueError(
+            f"bounds must be strictly increasing in (0, 256]: {ubs} — a "
+            "mis-ordered list would silently route every row to the first "
+            "split"
+        )
     b = hash_byte(key_expr)
     expr = F.lit(bounds[-1][0])
     for name, ub in reversed(bounds[:-1]):
         expr = F.when(b < ub, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def bucket_offsets(d: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """The shared second phase of every two-phase global-order rewrite
+    (global_cumsum here, global_rank in operators/scale.py): one row
+    per bucket/partition, cumsum'd alone — the only unpartitioned
+    window, over an input the size of the bucket count — then
+    broadcast back onto the data. Returns (key_col, __off)."""
+    return (
+        d.groupBy(key_col)
+        .agg(F.sum(weight).alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy(key_col).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(key_col, "__off")
+    )
 
 
 def global_cumsum(
@@ -90,24 +122,7 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__within", F.sum(weight_col).over(win))
-    # one row per bucket; cumsum of this tiny table is the only
-    # unpartitioned window, then it broadcasts back onto the data.
-    offs = (
-        d.groupBy("__bkt")
-        .agg(F.sum(weight_col).alias("__tot"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__tot").over(
-                    Window.orderBy("__bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__bkt", "__off")
-    )
+    offs = bucket_offsets(d, "__bkt", F.col(weight_col))
     return (
         d.join(F.broadcast(offs), "__bkt")
         .withColumn(out_col, F.col("__off") + F.col("__within") - F.col(weight_col))

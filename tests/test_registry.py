@@ -35,8 +35,9 @@ def test_driver_verified_reads_correctness_files():
     v = registry._driver_verified()
     # the hardcoded round-1 set is always included
     assert "scan_parquet" in v and "agg_pricing_summary" in v
-    # and the round-1 failure is never marked verified
-    assert "agg_collect_sorted" not in v
+    # the round-1 failure is not in the HARDCODED set (later rounds'
+    # CORRECTNESS files may legitimately mark it green once re-checked)
+    assert "agg_collect_sorted" not in registry._DRIVER_VERIFIED
 
 
 def test_every_hash_key_has_oracle_and_consistent_maps():
