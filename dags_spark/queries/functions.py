@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import table
+from . import SQL_DEC_SUM, dec_sum, table
 from ..registry import register
 
 
@@ -425,3 +425,27 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_num"
         ),
     )
+
+
+@register(
+    "fn_time_bucket",
+    oracle=f"""
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS bucket_15m,
+       event_type,
+       COUNT(*) AS n,
+       {SQL_DEC_SUM('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time_bucket (15 min — widths date_trunc can't
+    express): integer epoch-µs arithmetic, identical both engines.
+    The hypertable-rollup companion for non-calendar grains; bucket
+    math is scan-local, then one hash-agg."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bucket = F.timestamp_micros(us - us % 900_000_000)
+    return ev.groupBy(
+        bucket.alias("bucket_15m"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))

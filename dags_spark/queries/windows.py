@@ -446,3 +446,29 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("streak_start").alias("first_day_no"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "win_sequence_gaps",
+    oracle="""
+SELECT user_id, event_id, next_id, next_id - event_id - 1 AS missing
+FROM (
+  SELECT user_id, event_id,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+  FROM events
+) WHERE next_id - event_id > 1000
+""",
+    tags=("window", "dq"),
+)
+def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (the islands inverse, a data-quality
+    staple): per-user consecutive event_id pairs whose id distance
+    exceeds a threshold — lost-events audit. One window on the
+    natural partition key; integer arithmetic only."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select("user_id", "event_id", F.lead("event_id").over(w).alias("next_id"))
+        .filter(F.col("next_id") - F.col("event_id") > 1000)
+        .withColumn("missing", F.col("next_id") - F.col("event_id") - 1)
+    )
