@@ -513,9 +513,14 @@ def join_bucketed_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed(o.withColumnRenamed("o_custkey", "c_custkey"), "bk_orders", "c_custkey", 8)
-    write_bucketed(c, "bk_customer", "c_custkey", 8)
-    j = bucketed_join(spark, "bk_orders", "bk_customer", "c_custkey")
+    # Session-unique table names: the warehouse dir is shared across
+    # processes (CWD), so a fixed name races concurrent test/check runs
+    # rewriting the same location.
+    tag = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    t_o, t_c = f"bk_orders_{tag}", f"bk_customer_{tag}"
+    write_bucketed(o.withColumnRenamed("o_custkey", "c_custkey"), t_o, "c_custkey", 8)
+    write_bucketed(c, t_c, "c_custkey", 8)
+    j = bucketed_join(spark, t_o, t_c, "c_custkey")
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("sum_price"),
