@@ -626,3 +626,59 @@ def dq_rules_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("date_out_of_range"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
     )
+
+
+@register(
+    "agg_pareto_customers",
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey, SUM({SQL_CENTS('o_totalprice')}) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rnk,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM rev
+)
+SELECT o_custkey, rnk, CAST(rev_c AS DOUBLE) / 100.0 AS revenue
+FROM ranked, (SELECT SUM(rev_c) AS tot FROM rev)
+WHERE (cum_c - rev_c) * 5 < tot * 4
+""",
+    tags=("pareto", "scale"),
+)
+def agg_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: the smallest prefix of customers, by
+    descending revenue, whose cumulative revenue stays under 80% of
+    total — i.e. every customer whose EXCLUSIVE running total is below
+    the threshold (exact integer compare: cum_before*5 < total*4).
+    Composes both two-phase operators: global_rank for the revenue
+    order and global_cumsum for the running total — no
+    single-partition window over the customer table; the 1-row total
+    broadcasts. The whale-curve query every revenue (or token-budget)
+    report needs."""
+    from ..operators.scale import global_rank
+    from ..operators.trainprep import global_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    ranked = global_rank(
+        rev, [F.col("rev_c").desc(), F.col("o_custkey").asc()], rank_col="rnk"
+    )
+    # global_cumsum orders by an integer key: the rank IS that key.
+    cum = global_cumsum(
+        ranked, order_col="rnk", weight_col="rev_c", bucket_width=256
+    )
+    tot = rev.agg(F.sum("rev_c").alias("tot"))
+    return (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("cum_before") * 5 < F.col("tot") * 4)
+        .select(
+            "o_custkey",
+            "rnk",
+            (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -39,6 +39,14 @@ ALLOWED = {
     "pack_sequences_greedy": {"single-partition-exchange"},
     "sort_multi": {"single-partition-exchange", "global-sort"},
     "sort_nulls_last": {"single-partition-exchange", "global-sort"},
+    # composes global_rank + global_cumsum + a 1-row broadcast total:
+    # the tiny offset tables and the scalar cross are each components'
+    # by-design constructs (see the entries above).
+    "agg_pareto_customers": {
+        "single-partition-exchange",
+        "global-sort",
+        "cartesian",
+    },
     # these keys exist to cover the row-wise Python UDF/UDTF API and
     # are documented as not-a-pattern.
     "udf_python_scalar": {"rowwise-python-udf"},
