@@ -54,16 +54,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as raw int64 ns (legacy conf) and convert
-    to a microsecond TimestampType with *integer* division — ns epoch
-    values exceed 2^53, so float division would corrupt the low
-    digits. DuckDB's ns->us conversion floors identically."""
+    """Normalize events.ts to a microsecond TimestampType (LTZ, session
+    zone pinned to UTC) whatever the fixture generation wrote:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read
+      as raw int64 ns (legacy conf) and convert with *integer*
+      division — ns epoch values exceed 2^53, so float division would
+      corrupt the low digits. DuckDB's ns->us conversion floors
+      identically.
+    - TIMESTAMP(MICROS) (isAdjustedToUTC either way): reads natively
+      as TimestampType or TimestampNTZType; cast NTZ -> LTZ, which is
+      value-identical under the UTC session zone and keeps every
+      downstream operator on one timestamp class.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
