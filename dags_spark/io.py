@@ -70,6 +70,17 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The NTZ->LTZ cast below is value-preserving only under a UTC
+    # session zone; pin it here so table() is correct even for callers
+    # that built their own session without tune().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Session-wide side effect, deliberate: nanosAsLong must be set at
+    # analysis time for this scan, and the resulting plan is cached in
+    # _TABLE_CACHE for the session's lifetime, so restoring the conf
+    # after the read would leave a cached plan that re-resolves under
+    # the wrong setting. Fixture tables are the only TIMESTAMP(NANOS)
+    # parquet this engine reads; any external source needing NANOS
+    # semantics must set the conf itself.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType

@@ -112,3 +112,113 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+SELECT n_name, {SQL_DEC_SUM(_REV, 4)} AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 1997 revenue by nation where the supplier is
+    local to the customer (c_nationkey = s_nationkey), restricted to
+    one region.
+
+    Plan: region -> nation is a two-level broadcast chain into
+    supplier; the fact side (lineitem x filtered orders) shuffles once
+    on the order key; the local-supplier predicate rides the supplier
+    join as a second equi-condition, so Catalyst keeps it a hash join
+    (no theta-join blowup). Output is nation-count sized — the final
+    sort is trivial. At 100 TB the only big exchange is
+    lineitem-orders; everything else is broadcast."""
+    region = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dec_sum(F.expr(_REV), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {SQL_DEC_SUM("l_quantity", 2)} > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {SQL_DEC_SUM("l_quantity", 2)} AS total_qty
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN big ON o_orderkey = big.l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold (large-volume buyers), top-100 by order price.
+
+    Plan: the HAVING subquery is a first hash-agg over lineitem keyed
+    on l_orderkey; its survivors (rare) semi-filter the fact join. The
+    second agg reuses the same l_orderkey partitioning, so AQE can
+    plan the big-orders join without a new shuffle of lineitem; the
+    threshold list is tiny and broadcasts. Exact cents quantity sums
+    keep the > threshold cut and the final ordering engine-identical
+    (ties broken on o_orderkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", 2).alias("q"))
+        .filter(F.col("q") > 250.0)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity", 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -120,15 +120,15 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ROUND(l_quantity / 7, 2) AS qty_div7,
-       floor(l_quantity / 7) AS qty_floor,
-       ceil(l_quantity / 7) AS qty_ceil,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
        abs(l_quantity - 25) AS qty_dev,
        CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq,
        ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
        ROUND(ln(l_quantity), 6) AS qty_ln,
        ROUND(log10(l_quantity), 6) AS qty_log10,
        l_orderkey % 7 AS key_mod7,
-       sign(l_quantity - 25) AS qty_sign
+       CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign
 FROM lineitem
 """,
 )
@@ -149,7 +149,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(q), 6).alias("qty_ln"),
         F.round(F.log10(q), 6).alias("qty_log10"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
-        F.signum(q - 25).alias("qty_sign"),
+        F.signum(q - 25).cast("long").alias("qty_sign"),
     )
 
 

@@ -813,8 +813,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences_greedy",
     oracle="""
 SELECT doc_id, n_tokens,
-       cum_before // 512 AS seq_id,
-       cum_before % 512 AS seq_offset
+       CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       CAST(cum_before % 512 AS BIGINT) AS seq_offset
 FROM (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          COALESCE(SUM(len(string_split(text, ' '))) OVER (
@@ -923,3 +923,213 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs.select("id_a", "id_b")
     ).select(F.col("id").alias("vec_id"), F.col("component").alias("component_id"))
+
+
+@register(
+    "dedup_prefix_cluster",
+    oracle="""
+SELECT md5(substr(text, 1, 40)) AS prefix_md5,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS member_ids
+FROM documents
+GROUP BY md5(substr(text, 1, 40))
+HAVING COUNT(*) > 1
+""",
+    tags=("dedup", "trainprep"),
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-key near-dup clustering: docs sharing their first 40
+    chars (the fixture's seeded near-dup population, FIXTURES.md)
+    grouped into clusters, keeping the min doc_id as canonical and
+    emitting the sorted member list as a scalar '|' join (arrays
+    break the driver canonicalizer). Shuffles only (md5(prefix),
+    doc_id) — never the text — so the exchange stays narrow at
+    100 TB; this is the cheap first pass before MinHash earns its
+    keep on the remainder."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.substring("text", 1, 40)).alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                "|",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+SELECT doc_id, source, n_tokens, cum_before
+FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+) WHERE cum_before < 2000
+""",
+    tags=("trainprep", "sample"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per source, take docs in doc_id order
+    until a 2000-token budget fills — the mixture-capping step of a
+    pretraining data recipe (cap each source, keep selection
+    deterministic and resumable). The exclusive running sum is one
+    window per source partition — naturally parallel; no global
+    window. A doc straddling the budget boundary is kept (its start
+    offset is inside budget), matching how packing consumes it."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).filter(F.col("cum_before") < 2000)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example.com/p/' || (doc_id % 50)
+           || (CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END) AS url
+  FROM documents
+)
+SELECT lower(regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1), '^www[.]', ''))
+         || regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS canonical_url,
+       COUNT(*) AS n_variants,
+       MIN(doc_id) AS keep_doc_id
+FROM u
+GROUP BY 1
+""",
+    tags=("dedup", "web", "trainprep"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup — the CommonCrawl-style first pass: strip
+    scheme, leading www. and the query string, lowercase the host,
+    then keep one doc per canonical page (min doc_id) with the
+    variant count. Synthetic URLs are built in-query from
+    (source, doc_id % 50) so www/utm variants of the same page
+    genuinely collide (fixture docs carry no URLs). Scan-local regex
+    + one hash-agg on the canonical key; the canonical map is what a
+    recrawl dedup at 100 TB shuffles instead of page bodies."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm=x")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract("url", "^https?://([^/]+)", 1), "^www[.]", ""
+            )
+        ),
+        F.regexp_extract("url", "^https?://[^/]+([^?]*)", 1),
+    )
+    return u.groupBy(canonical.alias("canonical_url")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "sim_centroid_outliers",
+    oracle="""
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+c AS (
+  SELECT label, pos, CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*) AS cv
+  FROM x GROUP BY label, pos
+),
+carr AS (SELECT label, list(cv ORDER BY pos) AS c FROM c GROUP BY label),
+v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, v.label AS label,
+         ROUND(list_sum(list_transform(generate_series(1, len(e)),
+                        i -> (e[i] - c[i]) * (e[i] - c[i]))), 6) AS dist2
+  FROM v JOIN carr ON v.label = carr.label
+)
+SELECT label, vec_id, dist2
+FROM (
+  SELECT label, vec_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rn
+  FROM d
+) WHERE rn <= 3
+""",
+    tags=("vector", "dq", "trainprep"),
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: the 3 vectors farthest (squared L2)
+    from their own label centroid — the mislabeled/garbage-vector
+    screen run before centroid training. Centroids use the exact
+    quantized-BIGINT sums of agg_vector_centroid (order-independent),
+    then broadcast back (label-count rows) for a scan-local distance
+    fold; ranking happens on the 6-dp ROUNDED distance so both
+    engines cut identical top-3 sets (vec_id tie-break). No shuffle
+    touches the vectors except the one posexplode agg."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("v").cast("double") * 1_000_000).cast("bigint")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(q).cast("double") / F.lit(1_000_000.0) / F.count(F.lit(1))).alias(
+                "cv"
+            )
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+        ).alias("c")
+    )
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(ed, F.col("c"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    d = e.join(F.broadcast(carr), "label").select(
+        "label", "vec_id", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "dist2")
+    )

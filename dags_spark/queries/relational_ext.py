@@ -368,7 +368,7 @@ def join_band_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,
          count(*) AS n_events,
-         sum({SQL_CENTS("value")}) AS sum_value_cents,
+         CAST(sum({SQL_CENTS("value")}) AS BIGINT) AS sum_value_cents,
          max({SQL_CENTS("value")}) AS max_value_cents
   FROM events GROUP BY 1, 2
 )
@@ -377,8 +377,8 @@ SELECT 'hour' AS grain, bucket, event_type, n_events,
 FROM hourly
 UNION ALL
 SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket, event_type,
-       sum(n_events) AS n_events,
-       sum(sum_value_cents) AS sum_value_cents,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(sum_value_cents) AS BIGINT) AS sum_value_cents,
        max(max_value_cents) AS max_value_cents
 FROM hourly GROUP BY 2, 3
 """,
@@ -588,11 +588,11 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_rules_summary",
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS bad_status,
-       SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
-                  OR o_orderdate > TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2003-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
        COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys
 FROM orders
 """,

@@ -242,7 +242,7 @@ def sink_sized_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "obs_pipeline_metrics",
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
        {SQL_DEC_SUM('o_totalprice')} AS sum_price
 FROM orders
 """,

@@ -83,7 +83,7 @@ lang_tf AS (
   SELECT lang AS cand_lang, token, COUNT(*) AS n_l FROM tok GROUP BY lang, token
 ),
 scores AS (
-  SELECT doc_id, cand_lang, SUM(n_d * n_l) AS score
+  SELECT doc_id, cand_lang, CAST(SUM(n_d * n_l) AS BIGINT) AS score
   FROM doc_tf JOIN lang_tf USING (token)
   GROUP BY doc_id, cand_lang
 ),
@@ -382,7 +382,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        COUNT(DISTINCT md5(text)) AS n_unique_texts,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents
@@ -422,7 +422,7 @@ WITH u AS (
 )
 SELECT lower(regexp_replace(regexp_extract(url, '{_URL_HOST_RE}', 1), '^www[.]', '')) AS domain,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        COUNT(CASE WHEN url LIKE '%?%' THEN 1 END) AS n_with_query
 FROM u GROUP BY 1
 """,

@@ -310,8 +310,8 @@ p AS (
 )
 SELECT COUNT(*) AS n_viewed,
        COUNT(p.user_id) AS n_converted,
-       SUM(CASE WHEN epoch_us(p.first_purchase) - epoch_us(v.first_view)
-                     <= 3600000000 THEN 1 ELSE 0 END) AS n_converted_1h
+       CAST(SUM(CASE WHEN epoch_us(p.first_purchase) - epoch_us(v.first_view)
+                     <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
 FROM v LEFT JOIN p ON v.user_id = p.user_id
 """,
     tags=("funnel", "events"),
@@ -471,4 +471,118 @@ def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", F.lead("event_id").over(w).alias("next_id"))
         .filter(F.col("next_id") - F.col("event_id") > 1000)
         .withColumn("missing", F.col("next_id") - F.col("event_id") - 1)
+    )
+
+
+@register(
+    "win_ntile_deciles",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       NTILE(10) OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS decile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC), 6) AS pct_rank
+FROM customer
+""",
+    tags=("window",),
+)
+def win_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing per segment: account-balance deciles
+    (NTILE) plus the continuous percent_rank. NTILE's bucket cut
+    depends on row order, so the ORDER BY carries the unique
+    c_custkey tie-break; percent_rank is computed over the value
+    ordering alone (tie-stable). One window shuffle on the segment
+    key."""
+    cust = table(spark, sf_dir, "customer")
+    w_tied = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_val = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w_tied).alias("decile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(MEDIAN(value_cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ), 6) AS med5_cents
+FROM (SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+      FROM events)
+""",
+    tags=("window", "time"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the last 5 event values per user — the
+    robust-smoothing twin of win_moving_avg (medians shrug off the
+    spikes an avg chases). Exact `percentile` over a 5-row frame on
+    integer cents: both engines interpolate the even-count midpoint
+    in double, identically, and the frame is unambiguous via the
+    (ts, event_id) tie-break. One window shuffle on user_id; the
+    per-frame sort cost is bounded by the constant frame width."""
+    ev = table(spark, sf_dir, "events").withColumn("value_cents", cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value_cents, 0.5)").over(w), 6).alias(
+            "med5_cents"
+        ),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+SELECT event_id AS purchase_id, user_id, touch_type, touch_id
+FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS touch_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END
+                    IGNORE NULLS) OVER w AS touch_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+) WHERE event_type = 'purchase'
+""",
+    tags=("window", "events", "funnel"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event (type + id). The carry-forward
+    is `last(..., ignorenulls)` over an UNBOUNDED..1 PRECEDING frame —
+    the classic conditional fill-down — with (ts, event_id) making the
+    frame deterministic. One window shuffle on user_id; the purchase
+    filter happens after the window so the frame sees every touch."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_id = F.when(F.col("event_type") != "purchase", F.col("event_id"))
+    return (
+        ev.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "event_type",
+            F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+            F.last(touch_id, ignorenulls=True).over(w).alias("touch_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
     )

@@ -135,9 +135,15 @@ _MODULE_PRIORITY = [
     "projection", "scans", "streaming",
 ]
 
-# The one driver-visible FAILURE from round 1 — re-check it first so the
-# fix lands a green entry this round.
-_RECHECK_FIRST = ["agg_collect_sorted"]
+# Driver-visible FAILURES from the previous round — re-check them first
+# so the fixes land green entries this round. (r02: all four were
+# HUGEINT->float64 oracle dtype drift, fixed with explicit CASTs.)
+_RECHECK_FIRST = [
+    "pack_sequences_greedy",
+    "text_langid",
+    "corpus_summary_card",
+    "web_domain_stats",
+]
 
 
 def _driver_verified() -> frozenset[str]:

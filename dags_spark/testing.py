@@ -69,6 +69,22 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = canon(spark_pdf), canon(duck_pdf)
     if list(a.columns) != list(b.columns):
         return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
+    # dtype-family guard: `123 == 123.0` is True element-wise, but a
+    # value-hash over int64 vs float64 columns differs — DuckDB returns
+    # HUGEINT (-> pandas float64) for SUM(BIGINT), so an un-CAST oracle
+    # passes a tolerant compare yet fails the driver. Flag it here.
+    for c in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf) or (af and bi):
+            problems.append(
+                f"column {c}: dtype family differs (spark={a[c].dtype} "
+                f"duck={b[c].dtype}) — CAST the oracle (HUGEINT->BIGINT?)"
+            )
+    if problems:
+        return problems
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} duck={len(b)}"]
     a, b = sort_rows(a), sort_rows(b)

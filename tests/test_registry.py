@@ -11,8 +11,8 @@ def test_ordering_tiers():
     specs = registry.all_specs()
     names = list(specs)
 
-    # round-1 red key is re-checked first
-    assert names[0] == "agg_collect_sorted"
+    # previous round's red keys are re-checked first
+    assert names[: len(registry._RECHECK_FIRST)] == registry._RECHECK_FIRST
 
     # streaming keys are last (they pay checkpoint + micro-batch setup)
     stream = [n for n, s in specs.items() if s.module == "streaming"]
@@ -21,7 +21,7 @@ def test_ordering_tiers():
     # every never-verified hash key precedes every already-verified one
     verified = registry._driver_verified()
     tiers = [
-        0 if n == "agg_collect_sorted"
+        0 if n in registry._RECHECK_FIRST
         else 4 if s.module == "streaming"
         else 3 if s.check != "hash"
         else 2 if n in verified
