@@ -449,3 +449,52 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         bucket.alias("bucket_15m"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example.com/p/' || doc_id
+           || (CASE WHEN doc_id % 2 = 0 THEN '?utm=x&ref=' || lang ELSE '' END) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       NULLIF(regexp_extract(url, '[?]([^#]*)', 1), '') AS query,
+       NULLIF(regexp_extract(url, '[?&]ref=([^&#]*)', 1), '') AS ref_param
+FROM u
+""",
+    tags=("fn", "web"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — protocol/host/path/query/named-param over
+    deterministic synthetic URLs (the fixture carries none). Spark's
+    JVM `parse_url` does the extraction on the engine side; the
+    oracle mirrors each part with an anchored regex, with NULLIF('')
+    matching parse_url's NULL on absent parts. Scan-local projection,
+    no shuffle — at 100 TB this runs at IO speed."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("?utm=x&ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )

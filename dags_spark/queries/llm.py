@@ -1133,3 +1133,56 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", "dist2")
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+q AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+  FROM tok t JOIN tf USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(sq) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_surprisal_nats
+FROM q GROUP BY doc_id
+""",
+    tags=("text", "quality", "trainprep"),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (perplexity proxy): mean per-token
+    surprisal -ln p(token) under the corpus's own unigram model — the
+    statistical upgrade of heuristic quality scoring (gibberish and
+    boilerplate both drift from typical surprisal). Per-token
+    surprisal is quantized FLOOR(x*1e6) to micro-nats and summed as
+    BIGINT, so the per-doc mean is exact and shuffle-order-free; the
+    tf table is vocab-sized and broadcasts, the total is a 1-row
+    broadcast scalar. Two hash-aggs + one broadcast join — at 100 TB
+    the heavy exchange is the (doc_id) agg, which is the same
+    cardinality as the corpus scan."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    sq = F.floor(
+        -F.log(F.col("tf").cast("double") / F.col("total")) * 1_000_000
+    ).cast("bigint")
+    return (
+        tok.join(F.broadcast(tf), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", sq.alias("sq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("sq").cast("double") / F.lit(1_000_000.0) / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal_nats"),
+        )
+    )

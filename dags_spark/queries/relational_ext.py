@@ -682,3 +682,42 @@ def agg_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+WITH cohorts AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cohort_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+       k.cohort_size,
+       k.cohort_size < 5 AS suppress
+FROM customer c JOIN cohorts k
+  ON c.c_mktsegment = k.c_mktsegment AND c.c_nationkey = k.c_nationkey
+""",
+    tags=("dq", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (segment, nation):
+    each customer's cohort size and whether releasing the pair would
+    violate k=5 (cohort smaller than k -> suppress before publishing).
+    The cohort table is quasi-identifier-domain sized, so it
+    broadcasts back onto the scan; one hash-agg + one broadcast join,
+    no wide shuffle at 100 TB."""
+    cust = table(spark, sf_dir, "customer")
+    cohorts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey")
+        .join(F.broadcast(cohorts), ["c_mktsegment", "c_nationkey"])
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_nationkey",
+            "cohort_size",
+            (F.col("cohort_size") < 5).alias("suppress"),
+        )
+    )

@@ -195,3 +195,50 @@ def test_hypertable_rollup_single_raw_shuffle(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "ReusedExchange" in final, "day level re-scanned the raw table"
+
+
+def test_prefix_cluster_and_token_budget_single_exchange(spark, sf_dir):
+    """Prefix clustering is one hash-agg on md5(prefix); token-budget
+    sampling is one per-source window — each exactly one shuffle."""
+    for key in ("dedup_prefix_cluster", "sample_token_budget"):
+        plan = _formatted_plan(spark, key, sf_dir)
+        assert plan.count("Exchange") <= 2, f"{key} shuffled more than planned"
+        assert "Join" not in plan, f"{key} grew an unexpected join"
+
+
+def test_tpch_q5_broadcast_dim_chain(spark, sf_dir):
+    """Q5's region->nation->supplier chain and the supplier join must
+    all broadcast; the only shuffled join is lineitem-orders."""
+    plan = _formatted_plan(spark, "tpch_q5_local_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q18_threshold_list_broadcasts(spark, sf_dir):
+    """Q18's HAVING survivors (rare) must broadcast back onto
+    lineitem, never shuffle the fact side for the semi filter."""
+    plan = _formatted_plan(spark, "tpch_q18_large_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
+    """Label centroids (label-count rows) broadcast back for the
+    scan-local distance fold; no vector-carrying shuffle besides the
+    posexplode aggregation."""
+    plan = _formatted_plan(spark, "sim_centroid_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_tf_broadcasts(spark, sf_dir):
+    """The unigram tf table (vocab-sized) must broadcast onto the
+    exploded token stream."""
+    plan = _formatted_plan(spark, "text_perplexity_proxy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_k_anonymity_cohorts_broadcast(spark, sf_dir):
+    """The cohort table (quasi-identifier-domain sized) must broadcast
+    back onto the customer scan."""
+    plan = _formatted_plan(spark, "dq_k_anonymity", sf_dir)
+    assert "BroadcastHashJoin" in plan
