@@ -44,6 +44,14 @@ def main() -> None:
     # again). Scale-honest equivalent on a cluster: keep the default —
     # at 100 TB files outnumber cores a thousandfold already.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    # AQE off for the bench profile only: with a fixed 8-partition
+    # seed and explicit broadcast hints in every plan, AQE has nothing
+    # to re-plan at sf0.1 — it just inserts a stage-materialization
+    # round trip per shuffle (measured +14% on the suite, every query
+    # slower). Scale-honest equivalent on a cluster: keep it ON —
+    # tune() enables it by default, and at 100 TB its runtime
+    # coalescing and skew-split are load-bearing.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     startup = time.time() - t0
     specs = all_specs()
 
