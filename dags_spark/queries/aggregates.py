@@ -561,3 +561,30 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("agg_hll_sketch_union", oracle=None, check="rows")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch surface (approximate by design -> rows check; the
+    pytest pins estimates within 5% of exact): per-event-type distinct
+    users via `hll_sketch_agg`, plus an 'ALL' row whose sketch is the
+    `hll_union_agg` MERGE of the per-type sketches — the mergeability
+    that makes sketches the 100 TB answer for distinct-counting: map
+    partials union associatively, no re-scan for rollups (vs exact
+    COUNT DISTINCT whose shuffle carries every key). Estimates round-
+    trip through the binary sketch column exactly as a warehouse
+    rollup table would store them."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    all_row = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"), "sk"
+    )
+    return (
+        per_type.unionByName(all_row)
+        .select(
+            "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        )
+        .orderBy("event_type")
+    )

@@ -136,3 +136,60 @@ def graph_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = spark.read.parquet(os.path.join(out, "acc"))
     return snap.select("user_id", "event_type", "event_id", "value")
+
+
+@register(
+    "graph_fanout_diamond",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id,
+         CAST(SUM({SQL_CENTS('value')}) AS BIGINT) AS spend_cents,
+         COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+er AS (
+  SELECT user_id, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT p.user_id, p.spend_cents, p.n_purchases, er.n_errors
+FROM p JOIN er ON p.user_id = er.user_id
+""",
+)
+def graph_fanout_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond DAG: ONE source node fans out to two aggregation
+    branches (purchase spend, error counts) that re-join at the sink —
+    the multi-consumer topology the reference's block reuse exists
+    for. Both branches stay lazy plans over the same scan; Catalyst
+    compiles the diamond into one job and both branch aggs shuffle on
+    the shared user_id key, so the final join is co-partitioned. No
+    node materializes anything."""
+    g = Graph("fanout_diamond")
+
+    @g.node(name="events_src")
+    def events_src(spark: SparkSession, deps) -> DataFrame:
+        return table(spark, sf_dir, "events")
+
+    g.sql_node(
+        name="spend_by_user",
+        upstream=["events_src"],
+        sql=f"""
+            SELECT user_id,
+                   SUM({SQL_CENTS('value')}) AS spend_cents,
+                   COUNT(*) AS n_purchases
+            FROM events_src WHERE event_type = 'purchase' GROUP BY user_id
+        """,
+    )
+    g.sql_node(
+        name="errors_by_user",
+        upstream=["events_src"],
+        sql="""
+            SELECT user_id, COUNT(*) AS n_errors
+            FROM events_src WHERE event_type = 'error' GROUP BY user_id
+        """,
+    )
+
+    @g.node(name="user_health", upstream=["spend_by_user", "errors_by_user"])
+    def user_health(spark: SparkSession, deps) -> DataFrame:
+        return deps["spend_by_user"].join(deps["errors_by_user"], "user_id")
+
+    return g.run(spark)["user_health"]

@@ -417,3 +417,79 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY n_name LIMIT 2) n
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+SELECT e.event_id, e.user_id, p.nearest_purchase_id, p.gap_us, p.direction
+FROM (SELECT * FROM events WHERE event_type = 'error') e,
+LATERAL (
+  SELECT event_id AS nearest_purchase_id,
+         abs(epoch_us(ts) - epoch_us(e.ts)) AS gap_us,
+         CASE WHEN ts <= e.ts THEN 'backward' ELSE 'forward' END AS direction
+  FROM events
+  WHERE event_type = 'purchase' AND user_id = e.user_id
+  ORDER BY gap_us, (ts > e.ts), event_id DESC
+  LIMIT 1
+) p
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (direction="nearest"): each error
+    event pairs with the temporally CLOSEST purchase of the same user,
+    either side — the sensor-alignment semantic backward/forward can't
+    express alone. Composed as one backward + one forward as-of pass
+    (each a per-user window carry, no range join), then an integer-µs
+    gap compare; ties prefer the backward match, equal-timestamp
+    purchases resolve to the highest event_id — mirrored by the
+    oracle's LATERAL ordering. Both passes shuffle on user_id, so AQE
+    plans one exchange lineage; at 100 TB this stays two windows over
+    the events partitioning, never an O(n²) time-range join."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    b = asof_join(
+        err,
+        pur.withColumnRenamed("event_id", "pid"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"pid": "prev_id", "ts": "prev_ts"},
+        tiebreak="pid",
+        direction="backward",
+    )
+    bf = asof_join(
+        b,
+        pur.withColumnRenamed("event_id", "pid"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"pid": "next_id", "ts": "next_ts"},
+        tiebreak="pid",
+        direction="forward",
+    )
+    ep = F.unix_micros("ts")
+    prev_gap = ep - F.unix_micros("prev_ts")
+    next_gap = F.unix_micros("next_ts") - ep
+    take_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (prev_gap <= next_gap)
+    )
+    return (
+        bf.select(
+            "event_id",
+            "user_id",
+            F.when(take_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+                "nearest_purchase_id"
+            ),
+            F.when(take_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+            F.when(take_prev, F.lit("backward")).otherwise(F.lit("forward")).alias(
+                "direction"
+            ),
+        )
+        .filter(F.col("nearest_purchase_id").isNotNull())
+    )

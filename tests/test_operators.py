@@ -322,3 +322,26 @@ def test_sink_sized_files_writes_bounded_count(spark, sf_dir, tmp_path):
     files = [f for f in glob.glob(os.path.join(out, "*.parquet"))]
     assert len(files) == 4
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_hll_sketch_estimates_within_5pct(spark, sf_dir):
+    """The HLL rows-key has no SQL oracle; pin its accuracy here:
+    every per-type estimate (and the merged ALL row) within 5% of the
+    exact distinct count."""
+    from dags_spark.registry import all_specs
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in all_specs()["agg_hll_sketch_union"].fn(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
