@@ -41,6 +41,13 @@ HEAVY = {
     "join_interval_overlap": 45,
     "text_tfidf": 45,
     "graph_incremental_upsert": 60,
+    # round-3 additions (healthy 0.5-6.5 s at sf0.1)
+    "text_perplexity_proxy": 45,
+    "sim_centroid_outliers": 20,
+    "join_asof_nearest": 20,
+    "dedup_url_canonical": 15,
+    "tpch_q5_local_supplier": 15,
+    "tpch_q18_large_orders": 15,
 }
 
 
