@@ -51,6 +51,16 @@ ALLOWED = {
     # are documented as not-a-pattern.
     "udf_python_scalar": {"rowwise-python-udf"},
     "udtf_python": {"rowwise-python-udf"},
+    # 1-row corpus-total broadcast-crossed into the token stream —
+    # the same scalar-subquery shape as text_tfidf above.
+    "text_perplexity_proxy": {"cartesian", "single-partition-exchange"},
+    # final ORDER BY over a nation-count-sized aggregate (5 rows at
+    # any SF): sorted output is the query's product, and the sort
+    # input is dim-table sized by construction.
+    "tpch_q5_local_supplier": {"global-sort"},
+    # the ALL row unions 5 per-type sketches into one task by
+    # definition; output ordering over 6 rows is the product.
+    "agg_hll_sketch_union": {"single-partition-exchange", "global-sort"},
 }
 
 
