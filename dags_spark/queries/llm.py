@@ -1186,3 +1186,125 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal_nats"),
         )
     )
+
+
+# BM25 contribution per (doc, term), quantized to exact micro-units.
+# The arithmetic text is shared verbatim between F.expr and the DuckDB
+# oracle so both engines execute the identical double expression tree
+# before the FLOOR quantization (k1=1.2, b=0.75; idf is the BM25+
+# log((N-df+.5)/(df+.5)+1) variant, positive for any df).
+_BM25_Q = (
+    "CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    " * 1000000) AS BIGINT)"
+)
+_BM25_TERMS = "'table', 'scan', 'merge'"
+
+
+@register(
+    "text_bm25_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ({_BM25_TERMS}) GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id, {_BM25_Q} AS q
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       COUNT(*) AS n_matched_terms,
+       ROUND(CAST(SUM(q) AS DOUBLE) / 1000000.0, 6) AS bm25
+FROM contrib GROUP BY doc_id
+""",
+    tags=("text", "retrieval"),
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, BM25+ idf) of every
+    document against the query {table, scan, merge} — the classic
+    sparse-retrieval ranking tf-idf graduates to. Corpus stats
+    (N, avgdl) are a 1-row broadcast; df is query-term sized; per-term
+    contributions run through the IDENTICAL expression text in both
+    engines and are quantized to micro-unit BIGINTs before the per-doc
+    sum, so the score is exact regardless of shuffle order. At 100 TB
+    the only wide exchange is the (doc, term) tf agg, which is
+    match-sized, not corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    terms = [t.strip().strip("'") for t in _BM25_TERMS.split(",")]
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_Q).alias("q"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        F.round(F.sum("q").cast("double") / F.lit(1_000_000.0), 6).alias("bm25"),
+    )
+
+
+@register(
+    "dedup_apply_keep",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 40))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM ranked WHERE rn = 1
+GROUP BY source
+""",
+    tags=("dedup", "trainprep"),
+)
+def dedup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED, not just detected: keep the canonical (min
+    doc_id) member of every 40-char-prefix cluster, drop the rest,
+    and report the per-source kept corpus (doc + token counts) — the
+    deliverable a training pipeline actually consumes after the
+    cluster pass. One window on the cluster key + one hash-agg; only
+    (md5, ids, counts) shuffle, never text."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.substring("text", 1, 40)).alias("__pfx"),
+    )
+    w = Window.partitionBy("__pfx").orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )

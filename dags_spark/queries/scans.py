@@ -273,3 +273,57 @@ def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_urgent"], float(m["sum_price"]))],
         "n_rows BIGINT, n_urgent BIGINT, sum_price DOUBLE",
     )
+
+
+_CSV_MESSY = (
+    "id,name,score\n"
+    "1,alpha,1.5\n"
+    "2,beta,notanumber\n"      # score fails DoubleType -> corrupt
+    "3,gamma\n"                # missing column -> corrupt
+    "4,delta,10.75\n"
+    "5,\"epsi,lon\",0.25\n"    # quoted delimiter -> valid
+)
+
+
+@register(
+    "source_csv_permissive",
+    oracle="""
+SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score,
+       is_corrupt
+FROM (VALUES
+  (1, 'alpha',     1.5,  false),
+  (2, 'beta',      NULL, true),
+  (3, 'gamma',     NULL, true),
+  (4, 'delta',     10.75, false),
+  (5, 'epsi,lon',  0.25, false)
+) AS t(id, name, score, is_corrupt)
+""",
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion (PERMISSIVE mode + corrupt-record
+    capture): malformed rows survive the scan as nulls with the raw
+    line preserved in _corrupt_record instead of failing the job —
+    the contract a 100 TB ingest needs, where a handful of bad lines
+    must quarantine, not kill, the pipeline. The messy fixture is
+    written in-query (type error, missing column, quoted delimiter);
+    the output flags corrupt rows as a scalar boolean so the result
+    stays driver-hashable. DROPMALFORMED/FAILFAST are the same
+    reader's stricter modes."""
+    out = os.path.join(_tmpdir("csvperm"), "messy.csv")
+    with open(out, "w") as fh:
+        fh.write(_CSV_MESSY)
+    df = (
+        spark.read.schema(
+            "id BIGINT, name STRING, score DOUBLE, _corrupt_record STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return df.select(
+        "id",
+        "name",
+        "score",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )

@@ -322,3 +322,51 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+WITH b AS (
+  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
+         user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, user_id, n_events, rn AS rank_in_window
+FROM (
+  SELECT win_start, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY n_events DESC, user_id) AS rn
+  FROM b
+) WHERE rn <= 3
+""",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming agg + batch serving rank — the lambda-free top-k
+    topology: the STREAM maintains per-(6h window, user) counts (the
+    only state Structured Streaming must keep; top-k itself is not a
+    streaming-safe operator since a late row can reorder ranks), and
+    the serving read ranks the materialized counts top-3 per window.
+    The 6h grain exercises non-calendar `window()` buckets (epoch-
+    aligned), emitted as a scalar start timestamp so the result stays
+    driver-hashable. At 100 TB the streaming state is (windows x
+    active users) rows — compact — and the rank query reads only the
+    agg table, never the raw stream."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    counts = sdf.groupBy(
+        F.window("ts", "6 hours").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(counts, "complete")
+    from pyspark.sql import Window
+
+    ranked = out.select(
+        F.col("w.start").alias("win_start"), "user_id", "n_events"
+    ).withColumn(
+        "rank_in_window",
+        F.row_number().over(
+            Window.partitionBy("win_start").orderBy(
+                F.col("n_events").desc(), F.col("user_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank_in_window") <= 3)

@@ -242,3 +242,24 @@ def test_k_anonymity_cohorts_broadcast(spark, sf_dir):
     back onto the customer scan."""
     plan = _formatted_plan(spark, "dq_k_anonymity", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir, tmp_path):
+    """A year-filtered read over the hive-partitioned sink layout must
+    prune at the directory level: PartitionFilters carries the
+    predicate and the data filter list stays empty."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table as t
+
+    out = os.path.join(str(tmp_path), "orders_by_year")
+    t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    ).write.partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    start = plan.index("PartitionFilters: [")
+    assert "1997" in plan[start : start + 200], "year predicate not in PartitionFilters"
