@@ -460,3 +460,52 @@ def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.when(F.col("url").contains("?"), 1)).alias("n_with_query"),
     )
+
+
+@register(
+    "text_entropy_per_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM tf GROUP BY source),
+q AS (
+  SELECT tf.source,
+         CAST(FLOOR(-(CAST(n AS DOUBLE) / total)
+                    * ln(CAST(n AS DOUBLE) / total) * 1000000000) AS BIGINT) AS qe,
+         n
+  FROM tf JOIN tot ON tf.source = tot.source
+)
+SELECT source,
+       COUNT(*) AS vocab_size,
+       ROUND(CAST(SUM(qe) AS DOUBLE) / 1000000000.0, 6) AS token_entropy_nats
+FROM q GROUP BY source
+""",
+    tags=("text", "diagnostics"),
+)
+def text_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (plus vocab
+    size) — the diversity diagnostic behind mixture design: a source
+    whose entropy collapses is boilerplate, one far above corpus norm
+    is noise. Per-token -p·ln p terms are quantized to nano-nat
+    BIGINTs, so the entropy sum is exact under any aggregation order;
+    everything is (source, token)-agg sized, the corpus text itself
+    never shuffles twice."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.groupBy("source").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    qe = F.floor(-p * F.log(p) * 1_000_000_000).cast("bigint")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .select("source", qe.alias("qe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(
+                F.sum("qe").cast("double") / F.lit(1_000_000_000.0), 6
+            ).alias("token_entropy_nats"),
+        )
+    )
