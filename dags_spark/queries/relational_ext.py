@@ -721,3 +721,72 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cohort_size") < 5).alias("suppress"),
         )
     )
+
+
+@register(
+    "dq_fd_check",
+    oracle="""
+WITH fd1 AS (
+  SELECT 'o_orderkey->o_custkey' AS fd,
+         COUNT(*) AS n_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
+        FROM orders GROUP BY o_orderkey)
+),
+fd2 AS (
+  SELECT 'o_custkey->o_orderpriority' AS fd,
+         COUNT(*) AS n_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+        FROM orders GROUP BY o_custkey)
+),
+fd3 AS (
+  SELECT 'l_orderkey,l_linenumber->l_partkey' AS fd,
+         COUNT(*) AS n_lhs,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs
+  FROM (SELECT l_orderkey, l_linenumber, COUNT(DISTINCT l_partkey) AS n_rhs
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+)
+SELECT fd, n_lhs, n_violating_lhs, n_violating_lhs = 0 AS holds FROM fd1
+UNION ALL SELECT fd, n_lhs, n_violating_lhs, n_violating_lhs = 0 FROM fd2
+UNION ALL SELECT fd, n_lhs, n_violating_lhs, n_violating_lhs = 0 FROM fd3
+""",
+    tags=("dq", "profiling"),
+)
+def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification (the counting core of
+    distributed FD discovery, cf. 'Distributed Discovery of
+    Functional Dependencies', ICDE 2019 — see PAPERS.md): a candidate
+    FD X->Y holds iff no X-group sees more than one distinct Y.
+    Three pinned candidates profile the fixture: the orders key FD
+    (holds), a deliberately false one, and the lineitem composite-key
+    FD. Each check is one hash-agg on its LHS (map-side combinable)
+    + a count-distinct on the RHS — at 100 TB this is exactly the
+    per-candidate cost model the discovery lattice prunes with."""
+
+    def check(df: DataFrame, lhs: list[str], rhs: str, name: str) -> DataFrame:
+        per = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+        ).withColumn("holds", F.col("n_violating_lhs") == 0)
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        check(o, ["o_orderkey"], "o_custkey", "o_orderkey->o_custkey")
+        .unionByName(
+            check(o, ["o_custkey"], "o_orderpriority", "o_custkey->o_orderpriority")
+        )
+        .unionByName(
+            check(
+                li,
+                ["l_orderkey", "l_linenumber"],
+                "l_partkey",
+                "l_orderkey,l_linenumber->l_partkey",
+            )
+        )
+    )

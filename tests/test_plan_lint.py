@@ -30,6 +30,7 @@ ALLOWED = {
     # partial rows in one task by definition.
     "agg_global": {"single-partition-exchange"},
     "dq_rules_summary": {"single-partition-exchange"},
+    "dq_fd_check": {"single-partition-exchange"},
     "funnel_two_step": {"single-partition-exchange"},
     "sink_sized_files": {"single-partition-exchange"},
     # the tiny per-bucket/per-partition offset table (one row per
@@ -54,6 +55,7 @@ ALLOWED = {
     # 1-row corpus-total broadcast-crossed into the token stream —
     # the same scalar-subquery shape as text_tfidf above.
     "text_perplexity_proxy": {"cartesian", "single-partition-exchange"},
+    "text_bm25_score": {"cartesian", "single-partition-exchange"},
     # final ORDER BY over a nation-count-sized aggregate (5 rows at
     # any SF): sorted output is the query's product, and the sort
     # input is dim-table sized by construction.
