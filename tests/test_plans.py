@@ -263,3 +263,27 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     start = plan.index("PartitionFilters: [")
     assert "1997" in plan[start : start + 200], "year predicate not in PartitionFilters"
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A join whose partition-key values only become known at runtime
+    (filtered dim side) must trigger dynamic partition pruning on the
+    hive-partitioned fact — the mechanism that keeps a 100 TB
+    partitioned fact from full-scanning under dim-filtered joins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table as t
+
+    out = os.path.join(str(tmp_path), "orders_by_year_dpp")
+    t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    ).write.partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(1997, "focus"), (1998, "other")], "y INT, tag STRING"
+    ).filter(F.col("tag") == "focus")
+    j = fact.join(dim, fact.o_year == dim.y).groupBy("o_year").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery absent from scan"
