@@ -327,3 +327,66 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+SELECT CAST(n AS BIGINT) AS n, CAST(n * n AS BIGINT) AS n_sq,
+       CAST(n % 7 AS BIGINT) AS bucket
+FROM (SELECT unnest(generate_series(0, 199)) AS n)
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 DataSource API): a
+    deterministic generator source registered with
+    ``spark.dataSource.register`` and read via ``spark.read.format``,
+    partitioned 4 ways so the rows are produced IN PARALLEL on
+    executors — the extension point for bespoke feeds (internal APIs,
+    tape formats) when no JVM connector exists. Each partition emits
+    its own disjoint range, so the output is engine-deterministic
+    regardless of partition scheduling."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _GenReader(DataSourceReader):
+        def __init__(self, n_rows: int, n_parts: int) -> None:
+            self._n, self._p = n_rows, n_parts
+
+        def partitions(self):
+            step = self._n // self._p
+            return [
+                _RangePartition(i * step, self._n if i == self._p - 1 else (i + 1) * step)
+                for i in range(self._p)
+            ]
+
+        def read(self, partition):
+            for n in range(partition.start, partition.end):
+                yield (n, n * n, n % 7)
+
+    class GenSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_gen"
+
+        def schema(self) -> str:
+            return "n BIGINT, n_sq BIGINT, bucket BIGINT"
+
+        def reader(self, schema):
+            return _GenReader(
+                int(self.options.get("rows", 200)),
+                int(self.options.get("partitions", 4)),
+            )
+
+    try:
+        spark.dataSource.register(GenSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("dags_gen").option("rows", 200).load()
