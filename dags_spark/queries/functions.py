@@ -498,3 +498,29 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+SELECT event_id,
+       CAST(timezone('America/New_York', timezone('UTC', ts)) AS TIMESTAMP) AS ts_nyc,
+       CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS TIMESTAMP) AS ts_tokyo,
+       CAST(timezone('UTC', timezone('Europe/Berlin', ts)) AS TIMESTAMP) AS berlin_wall_as_utc
+FROM events
+""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family: UTC event instants rendered as
+    New York / Tokyo wall-clock (`from_utc_timestamp`) and the
+    inverse (`to_utc_timestamp`), mirrored by DuckDB's two-step
+    `timezone(tz, timezone('UTC', ts))` ICU composition. January
+    fixtures pin EST/JST/CET offsets; the same code covers DST
+    transitions because both engines delegate to the IANA tzdb."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "America/New_York").alias("ts_nyc"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("ts_tokyo"),
+        F.to_utc_timestamp("ts", "Europe/Berlin").alias("berlin_wall_as_utc"),
+    )
