@@ -390,3 +390,31 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # already registered in this session
     return spark.read.format("dags_gen").option("rows", 200).load()
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+""",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns on the parquet scan
+    (`_metadata.file_name`, Spark 3.4+) — the zero-cost lineage hook:
+    per-file row counts and key ranges without any path bookkeeping
+    in user code. At 100 TB this is how a pipeline attributes bad
+    rows back to their source object without a filename ETL column.
+    The fixture is one file per table, so the oracle pins the
+    basename literally."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )

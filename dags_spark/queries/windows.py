@@ -586,3 +586,37 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+@register(
+    "win_distinct_running",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_types_seen
+FROM events
+""",
+    tags=("window",),
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user (how many event types has this
+    user touched so far) — Spark windows reject COUNT(DISTINCT), so
+    the engine-idiomatic rewrite is size(collect_set()) over the same
+    frame: the set state is event-type-domain bounded, so the frame
+    carry stays O(|domain|) per row at any scale. The oracle runs the
+    native COUNT(DISTINCT) OVER, proving the rewrite exact."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_types_seen"
+        ),
+    )
