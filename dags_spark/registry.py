@@ -177,7 +177,9 @@ def _order_key(spec: QuerySpec, idx: int, verified: frozenset[str]) -> tuple:
     tier 4: streaming keys (each pays checkpoint + micro-batch setup,
             ~5-15 s; placed last so they cannot eat the budget).
     """
-    if spec.name in _RECHECK_FIRST:
+    if spec.name in _RECHECK_FIRST and spec.name not in verified:
+        # self-retiring: once a CORRECTNESS file records the fix green,
+        # the key drops to tier 2 and stops consuming recheck slots.
         tier = 0
     elif spec.module == "streaming":
         tier = 4

@@ -11,17 +11,19 @@ def test_ordering_tiers():
     specs = registry.all_specs()
     names = list(specs)
 
-    # previous round's red keys are re-checked first
-    assert names[: len(registry._RECHECK_FIRST)] == registry._RECHECK_FIRST
+    # previous round's red keys are re-checked first (unless a later
+    # CORRECTNESS file already recorded the fix green — self-retiring)
+    verified = registry._driver_verified()
+    recheck = [n for n in registry._RECHECK_FIRST if n not in verified]
+    assert names[: len(recheck)] == recheck
 
     # streaming keys are last (they pay checkpoint + micro-batch setup)
     stream = [n for n, s in specs.items() if s.module == "streaming"]
     assert names[-len(stream):] == stream
 
     # every never-verified hash key precedes every already-verified one
-    verified = registry._driver_verified()
     tiers = [
-        0 if n in registry._RECHECK_FIRST
+        0 if n in recheck
         else 4 if s.module == "streaming"
         else 3 if s.check != "hash"
         else 2 if n in verified
