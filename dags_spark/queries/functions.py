@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import SQL_DEC_SUM, dec_sum, table
+from . import SQL_DEC_SUM, cents, dec_sum, table
 from ..registry import register
 
 
@@ -523,4 +523,43 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("ts", "America/New_York").alias("ts_nyc"),
         F.from_utc_timestamp("ts", "Asia/Tokyo").alias("ts_tokyo"),
         F.to_utc_timestamp("ts", "Europe/Berlin").alias("berlin_wall_as_utc"),
+    )
+
+
+@register(
+    "fn_struct_nested",
+    oracle="""
+SELECT o_orderkey,
+       {'k': o_custkey, 'when': o_orderdate}.k AS cust_from_struct,
+       {'hdr': {'status': o_orderstatus, 'prio': o_orderpriority},
+        'amt_cents': CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)}.hdr.prio
+         AS prio_nested,
+       {'hdr': {'status': o_orderstatus, 'prio': o_orderpriority},
+        'amt_cents': CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)}.amt_cents
+         AS amt_cents
+FROM orders
+""",
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT construction and dot-path field access — the
+    column type behind typed headers/envelopes (multimodal meta,
+    event payloads). Catalyst collapses CreateStruct + GetStructField
+    chains at optimization time, so building a struct only to read
+    two leaves costs exactly those two column reads — verified by the
+    scan's ReadSchema staying at the referenced leaf columns. Output
+    is scalar leaves (structs themselves aren't driver-hashable)."""
+    o = table(spark, sf_dir, "orders")
+    envelope = F.struct(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("hdr"),
+        cents("o_totalprice").alias("amt_cents"),
+    )
+    small = F.struct(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("when"))
+    return o.select(
+        "o_orderkey",
+        small.getField("k").alias("cust_from_struct"),
+        envelope.getField("hdr").getField("prio").alias("prio_nested"),
+        envelope.getField("amt_cents").alias("amt_cents"),
     )

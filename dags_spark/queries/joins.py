@@ -493,3 +493,44 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nearest_purchase_id").isNotNull())
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS prio
+  FROM orders WHERE o_orderstatus = 'F'
+),
+b AS (
+  SELECT NULLIF(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_open
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY 1
+)
+SELECT a.o_orderkey, a.prio, b.n_open
+FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the classic
+    pitfall when a join key has sentinel nulls ('5-LOW' nulled here
+    in-query to create them). Catalyst plans `<=>` as a hash join
+    (null-safe keys hash like values), so this costs the same one
+    shuffle as a plain equi join — not the nested-loop a general
+    null-tolerant predicate would force."""
+    o = table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", prio.alias("prio")
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(prio.alias("prio_b"))
+        .groupBy("prio_b")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    return (
+        a.join(b, a.prio.eqNullSafe(b.prio_b))
+        .select("o_orderkey", "prio", "n_open")
+    )

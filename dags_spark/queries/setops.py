@@ -119,3 +119,44 @@ def set_union_byname_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "set_bag_ops",
+    oracle="""
+WITH a AS (SELECT l_suppkey % 100 AS k FROM lineitem WHERE l_returnflag = 'R'),
+b AS (SELECT l_suppkey % 100 AS k FROM lineitem WHERE l_linestatus = 'F')
+SELECT 'except_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+UNION ALL
+SELECT 'intersect_all', k, COUNT(*)
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+""",
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG (multiset) set operations — `exceptAll` / `intersectAll`
+    keep multiplicities (count-difference / count-min per value),
+    unlike the distinct §2.7 variants: the semantics behind 'how many
+    rows did stage B drop'. Both plan as one hash-agg of per-side
+    counts + a generate — no sort, no distinct shuffle of raw rows.
+    Output is re-aggregated per key so the check is order-free."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_suppkey") % 100).alias("k")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        (F.col("l_suppkey") % 100).alias("k")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionByName(ix)
