@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the composed operators whose
+correctness depends on subtle invariants (tie resolution in the as-of
+window carry; the bin-distance<=1 lemma in the band join). Each
+example is a full Spark job, so examples are few but adversarially
+generated (duplicate timestamps, negative values, empty sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dags_spark.operators.asof import asof_join
+from dags_spark.operators.rangejoin import binned_band_join
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same examples every run
+)
+
+# Small key/time domains force collisions: same-ts ties and key overlap
+# are the cases a naive as-of implementation gets wrong.
+_key = st.integers(min_value=0, max_value=2)
+_ts = st.integers(min_value=0, max_value=9)
+_val = st.integers(min_value=-50, max_value=50)
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), max_size=12),
+    right=st.lists(st.tuples(_key, _ts, _val), max_size=12),
+)
+@_SLOW
+def test_asof_backward_matches_bruteforce(spark, left, right):
+    import pyspark.sql.functions as F
+
+    ldf = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, k, pd.Timestamp(t, unit="s")) for i, (k, t) in enumerate(left)],
+            columns=["lid", "k", "ts"],
+        )
+        if left
+        else pd.DataFrame({"lid": pd.Series(dtype="int64"),
+                           "k": pd.Series(dtype="int64"),
+                           "ts": pd.Series(dtype="datetime64[ns]")}),
+        schema="lid BIGINT, k BIGINT, ts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(j, k, pd.Timestamp(t, unit="s"), v) for j, (k, t, v) in enumerate(right)],
+            columns=["rid", "k", "rts", "v"],
+        )
+        if right
+        else pd.DataFrame({"rid": pd.Series(dtype="int64"),
+                           "k": pd.Series(dtype="int64"),
+                           "rts": pd.Series(dtype="datetime64[ns]"),
+                           "v": pd.Series(dtype="int64")}),
+        schema="rid BIGINT, k BIGINT, rts TIMESTAMP, v BIGINT",
+    )
+    got = {
+        r["lid"]: r["pick"]
+        for r in asof_join(
+            ldf,
+            rdf.withColumnRenamed("rts", "ts2"),
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts2",
+            right_payload={"rid": "pick"},
+            tiebreak="rid",
+            direction="backward",
+        )
+        .select("lid", F.col("pick"))
+        .collect()
+    }
+    # brute force: latest right with rts <= ts; equal-ts -> max rid wins
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, j) for j, (rk, rt, _v) in enumerate(right) if rk == k and rt <= t
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(
+    xs=st.lists(_val, max_size=10),
+    ys=st.lists(_val, max_size=10),
+    band=st.integers(min_value=1, max_value=7),
+)
+@_SLOW
+def test_band_join_matches_bruteforce(spark, xs, ys, band):
+    a = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)] or [(None, None)],
+        "ia BIGINT, x BIGINT",
+    ).filter("ia IS NOT NULL")
+    b = spark.createDataFrame(
+        [(j, y) for j, y in enumerate(ys)] or [(None, None)],
+        "ib BIGINT, y BIGINT",
+    ).filter("ib IS NOT NULL")
+    got = {
+        (r["ia"], r["ib"])
+        for r in binned_band_join(a, b, "x", "y", band=band)
+        .select("ia", "ib")
+        .collect()
+    }
+    expect = {
+        (i, j)
+        for i, x in enumerate(xs)
+        for j, y in enumerate(ys)
+        if abs(x - y) <= band
+    }
+    assert got == expect
