@@ -111,3 +111,50 @@ def test_band_join_matches_bruteforce(spark, xs, ys, band):
         if abs(x - y) <= band
     }
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from dags_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    # reference union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {}
+    for n in nodes:
+        root = find(n)
+        expect[n] = min(m for m in nodes if find(m) == root)
+    assert got == expect
