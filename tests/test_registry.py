@@ -51,3 +51,10 @@ def test_every_hash_key_has_oracle_and_consistent_maps():
         else:
             assert name not in oracles or oracles[name] is None
     assert set(registry.queries()) == set(specs)
+
+
+def test_api_facade_exports_resolve():
+    import dags_spark.api as api
+
+    missing = [n for n in api.__all__ if not hasattr(api, n)]
+    assert not missing
