@@ -48,6 +48,8 @@ HEAVY = {
     "dedup_url_canonical": 15,
     "tpch_q5_local_supplier": 15,
     "tpch_q18_large_orders": 15,
+    # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
+    "dedup_levenshtein_verify": 15,
 }
 
 
