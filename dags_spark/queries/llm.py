@@ -1358,3 +1358,59 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sim_ratio"),
     )
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+WITH RECURSIVE epairs AS ({_EMB_EDGE_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM epairs
+  UNION ALL
+  SELECT id_b, id_a FROM epairs
+),
+reach (s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (SELECT s AS vec_id, LEAST(s, MIN(d)) AS cid FROM reach GROUP BY s),
+dropped AS (SELECT vec_id FROM comp WHERE cid < vec_id)
+SELECT label,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM dropped))
+            AS BIGINT) AS n_kept
+FROM embeddings GROUP BY label
+""",
+    tags=("dedup", "semantic", "trainprep"),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup APPLIED (the SemDeDup deliverable): canonical
+    (min vec_id) members of every cosine-similarity component are
+    kept, the rest dropped, reported per label as kept/total counts.
+    The component labeling is the same iterative min-label operator
+    as dedup_embedding_components; the drop set (components' non-
+    canonical members) is near-dup-population sized, so it broadcasts
+    into an anti-join against the full collection — the corpus never
+    shuffles for the subtraction."""
+    from ..operators.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = blocked_pairs(emb).filter(F.col("sim") >= 0.4)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    dropped = comp.filter(F.col("component") < F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    kept_flag = F.when(F.col("__dropped").isNull(), 1).otherwise(0)
+    return (
+        emb.join(
+            F.broadcast(dropped.withColumn("__dropped", F.lit(1))),
+            "vec_id",
+            "left",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept_flag).cast("bigint").alias("n_kept"),
+        )
+    )
