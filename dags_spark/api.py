@@ -8,7 +8,7 @@ transformations under one Catalyst plan.
 
 from __future__ import annotations
 
-from .graph.core import Graph, NodeSpec
+from .graph.core import Graph, NodeSpec, schema_implements
 from .io import load_tables, register_views, table
 from .operators.asof import asof_join
 from .operators.dedup import (
@@ -48,6 +48,7 @@ from .session import get_spark, tune
 __all__ = [
     "Graph",
     "NodeSpec",
+    "schema_implements",
     "get_spark",
     "tune",
     "table",

@@ -49,6 +49,7 @@ class NodeSpec:
     source_format: str = "parquet"
     upstream: tuple[str, ...] = ()
     schema: str | None = None  # DDL string; validated, never inferred
+    implements: str | None = None  # interface DDL the output must widen-satisfy
     unique_on: tuple[str, ...] = ()
     order_by: tuple[str, ...] = ()  # recency columns (desc) for unique_on dedupe
     materialize: bool = False
@@ -74,6 +75,7 @@ class Graph:
         unique_on: tuple[str, ...] | list[str] = (),
         order_by: tuple[str, ...] | list[str] = (),
         materialize: bool = False,
+        implements: str | None = None,
     ):
         """Decorator: register a Python pipe ``fn(spark, deps)``."""
 
@@ -88,6 +90,7 @@ class Graph:
                     unique_on=tuple(unique_on),
                     order_by=tuple(order_by),
                     materialize=materialize,
+                    implements=implements,
                 )
             )
             return fn
@@ -169,6 +172,8 @@ class Graph:
                 df = latest_by_key(df, list(spec.unique_on), order)
             if spec.schema is not None:
                 df = _conform(df, spec.schema)
+            if spec.implements is not None:
+                _check_implements(df, spec.implements, spec.name)
             if spec.materialize:
                 out_path = os.path.join(output_dir, name)
                 # Crash recovery for the snapshot swap below: a failure
@@ -277,6 +282,55 @@ class Graph:
         if not new:
             return reader.load(spec.source_path).limit(0)
         return reader.load(new)
+
+
+# Safe widenings for the implements-relation: value-preserving only.
+_WIDEN = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def schema_implements(impl, iface_ddl: str) -> list[str]:
+    """The reference's schema implements/inherits relation: does
+    ``impl`` (a StructType or DDL string) satisfy the interface DDL?
+
+    Satisfy = every interface field exists with the SAME type or a
+    value-preserving widening of it (byte<short<int<long, float<
+    double); a non-nullable interface field must be non-nullable in
+    the implementation; extra implementation fields are always
+    allowed (that is the point of the relation). Lossy coercions
+    (long->int, double->float, string->anything) are violations, not
+    casts — unlike ``schema=`` conformance, implements never rewrites
+    data. Returns a list of violation descriptions (empty == ok).
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(impl, str):
+        impl = StructType.fromDDL(impl)
+    iface = StructType.fromDDL(iface_ddl)
+    have = {f.name: f for f in impl.fields}
+    problems: list[str] = []
+    for f in iface.fields:
+        g = have.get(f.name)
+        if g is None:
+            problems.append(f"missing field {f.name}")
+            continue
+        want, got = f.dataType.simpleString(), g.dataType.simpleString()
+        widened = want == got or (got, want) in _WIDEN
+        if not widened:
+            problems.append(f"{f.name}: {got} does not widen to {want}")
+        if not f.nullable and g.nullable:
+            problems.append(f"{f.name}: interface requires NOT NULL")
+    return problems
+
+
+def _check_implements(df: DataFrame, iface_ddl: str, node: str) -> None:
+    problems = schema_implements(df.schema, iface_ddl)
+    if problems:
+        raise GraphError(f"node {node} does not implement interface: {problems}")
 
 
 def _conform(df: DataFrame, ddl: str) -> DataFrame:

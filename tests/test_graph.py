@@ -236,3 +236,39 @@ def test_incremental_materialize_dedupes_across_runs(spark, sf_dir):
         for r in spark.read.parquet(os.path.join(out, "acc")).collect()
     }
     assert snap == {1: (11, 2), 2: (20, 1), 3: (30, 1)}
+
+
+def test_schema_implements_relation(spark):
+    from dags_spark.graph.core import schema_implements
+
+    # widening + extra fields satisfy; narrowing / missing / nullability fail
+    assert schema_implements("a INT, b STRING, extra DOUBLE", "a BIGINT, b STRING") == []
+    assert schema_implements("a INT", "a INT") == []
+    probs = schema_implements("a BIGINT", "a INT")
+    assert probs and "does not widen" in probs[0]
+    assert "missing field b" in schema_implements("a INT", "a INT, b STRING")[0]
+    assert schema_implements("a DOUBLE", "a FLOAT")  # lossy -> violation
+    assert schema_implements("a STRING", "a INT")    # string never widens
+
+
+def test_graph_node_implements_enforced(spark):
+    import pytest as _pytest
+
+    from dags_spark.graph.core import Graph, GraphError
+
+    g = Graph("iface_ok")
+
+    @g.node(name="src", implements="id BIGINT")
+    def src(spark, deps):
+        return spark.createDataFrame([(1, "x")], "id INT, tag STRING")
+
+    assert g.run(spark)["src"].count() == 1
+
+    bad = Graph("iface_bad")
+
+    @bad.node(name="src", implements="id INT, missing STRING")
+    def src2(spark, deps):
+        return spark.createDataFrame([(1,)], "id BIGINT")
+
+    with _pytest.raises(GraphError, match="does not implement"):
+        bad.run(spark)
