@@ -158,3 +158,42 @@ def test_connected_components_matches_union_find(spark, edges):
         root = find(n)
         expect[n] = min(m for m in nodes if find(m) == root)
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # order key (dups dropped)
+            st.integers(min_value=0, max_value=30),   # weight
+        ),
+        max_size=20,
+    ),
+    width=st.integers(min_value=1, max_value=9),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+def test_global_cumsum_property(spark, rows, width):
+    """The two-phase bucket rewrite must equal the single-window
+    exclusive prefix sum for any order keys, weights, and bucket
+    width — including widths that leave buckets empty or put all
+    rows in one bucket."""
+    from dags_spark.operators.trainprep import global_cumsum
+
+    uniq = {}
+    for k, w in rows:
+        uniq.setdefault(k, w)
+    if not uniq:
+        return
+    df = spark.createDataFrame(list(uniq.items()), "k BIGINT, w BIGINT")
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_cumsum(df, "k", "w", bucket_width=width).collect()
+    }
+    run = 0
+    for k in sorted(uniq):
+        assert got[k] == run, (k, got[k], run, width)
+        run += uniq[k]
