@@ -135,65 +135,84 @@ _MODULE_PRIORITY = [
     "projection", "scans", "streaming",
 ]
 
-# Driver-visible FAILURES from the previous round — re-check them first
-# so the fixes land green entries this round. (r02: all four were
-# HUGEINT->float64 oracle dtype drift, fixed with explicit CASTs.)
-_RECHECK_FIRST = [
-    "pack_sequences_greedy",
-    "text_langid",
-    "corpus_summary_card",
-    "web_domain_stats",
-]
+# Keys needing fresh driver evidence: key -> first round whose green
+# entry counts. Two uses: (a) prior-round FAILURES (fixed this round —
+# re-check first), (b) keys whose output CHANGED this round, making
+# older green entries stale. Self-retiring: once CORRECTNESS_r{N>=round}
+# records the key green, it drops to tier 2 and frees its slot.
+# (r03: zero failures; entries below are round-4 output changes.)
+_RECHECK_FIRST: dict[str, int] = {}
 
 
-def _driver_verified() -> frozenset[str]:
+def _driver_verified() -> dict[str, int]:
+    """Map of key -> latest round with hard driver evidence on record.
+
+    Hash keys count once a CORRECTNESS file records hash_match; rows-only
+    keys can never hash-match, so for them a recorded rows_match (the
+    driver's weaker by-design check) is the strongest evidence possible
+    and retires the key from the never-checked tier.
+    """
     import glob
     import json
     import os
+    import re
 
-    verified = set(_DRIVER_VERIFIED)
+    verified = {name: 1 for name in _DRIVER_VERIFIED}
+    rows_only = {
+        name for name, spec in _REGISTRY.items() if spec.check != "hash"
+    }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
             for key, rec in data.items():
-                if isinstance(rec, dict) and rec.get("hash_match"):
-                    verified.add(key)
+                if not isinstance(rec, dict):
+                    continue
+                if rec.get("hash_match") or (
+                    key in rows_only and rec.get("rows_match")
+                ):
+                    verified[key] = max(verified.get(key, 0), rnd)
         except (OSError, ValueError):
             continue
-    return frozenset(verified)
+    return verified
 
 
-def _order_key(spec: QuerySpec, idx: int, verified: frozenset[str]) -> tuple:
-    """Sort key implementing the check-budget ordering:
+def _order_key(spec: QuerySpec, idx: int, verified: dict[str, int]) -> tuple:
+    """Sort key implementing the check-budget ordering.
 
-    tier 0: round-1 red keys (fixed this round — must be re-checked);
-    tier 1: hash keys with NO driver evidence yet, non-streaming
-            (module priority above — LLM surface first);
-    tier 2: hash keys the driver already verified in round 1;
-    tier 3: rows-only (approx/by-design) non-streaming keys — they
-            return err:"no_oracle" and must not displace a hash key;
-    tier 4: streaming keys (each pays checkpoint + micro-batch setup,
-            ~5-15 s; placed last so they cannot eat the budget).
+    Round-4 policy (VERDICT r03 "What's wrong" #1): every key with NO
+    driver evidence ranks ahead of every already-evidenced key, so a
+    finite per-round budget rotates coverage instead of re-proving the
+    same keys. Previously streaming/rows-only keys sat in permanent
+    last tiers and after three 50-key rounds had never been checked.
+
+    tier 0: keys whose evidence is stale — prior-round failures now
+            fixed, or outputs changed this round (_RECHECK_FIRST);
+    tier 1: never-evidenced keys, sub-ranked:
+              0 = hash, non-streaming (module priority — LLM first),
+              1 = streaming (checkpoint setup cost, after cheap keys),
+              2 = rows-only (weaker check, last among the unproven);
+    tier 2: keys the driver already verified in any past round.
     """
-    if spec.name in _RECHECK_FIRST and spec.name not in verified:
-        # self-retiring: once a CORRECTNESS file records the fix green,
-        # the key drops to tier 2 and stops consuming recheck slots.
-        tier = 0
+    green = verified.get(spec.name, 0)
+    if green < _RECHECK_FIRST.get(spec.name, 0):
+        tier, sub = 0, 0
+    elif green > 0:
+        tier, sub = 2, 0
     elif spec.module == "streaming":
-        tier = 4
+        tier, sub = 1, 1
     elif spec.check != "hash":
-        tier = 3
-    elif spec.name in verified:
-        tier = 2
+        tier, sub = 1, 2
     else:
-        tier = 1
+        tier, sub = 1, 0
     try:
         mod_rank = _MODULE_PRIORITY.index(spec.module)
     except ValueError:
         mod_rank = len(_MODULE_PRIORITY)
-    return (tier, mod_rank, idx)
+    return (tier, sub, mod_rank, idx)
 
 
 def all_specs() -> dict[str, QuerySpec]:
