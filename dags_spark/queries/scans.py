@@ -1,12 +1,8 @@
 """SURVEY §2.1 — scans / sources / sinks.
 
-`source_jdbc` is documented-only (no fixture DB on this machine):
-the implementation would be
-``spark.read.format("jdbc").option("url", ...).option("dbtable", ...)``
-— Spark pushes filters and projections into the remote SQL, and
-``partitionColumn/lowerBound/upperBound/numPartitions`` parallelize
-the read across executors at scale. Not registered (no oracle
-possible without a database fixture).
+`source_jdbc` runs against Spark's bundled embedded Derby (zero
+network, zero extra jars) — see its docstring for the scale shape of
+a real warehouse read (partitionColumn bounds, pushdown).
 
 Scale notes: writes here go to per-run temp dirs; at 100 TB the same
 code writes partitioned parquet to object storage and partition
@@ -390,6 +386,78 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # already registered in this session
     return spark.read.format("dags_gen").option("rows", 200).load()
+
+
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@register(
+    "source_jdbc",
+    oracle="""
+SELECT r_regionkey, r_name, n_nations
+FROM (
+  SELECT r.r_regionkey, r.r_name,
+         CAST(COUNT(n.n_nationkey) AS INTEGER) AS n_nations
+  FROM region r LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_regionkey, r.r_name
+)
+""",
+)
+def source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source/sink round-trip against Spark's bundled embedded
+    Derby (no network, no extra jars — derby*.jar ship in
+    /opt/spark/jars). region and nation are written with
+    ``df.write.jdbc`` then read back with ``spark.read.jdbc`` using
+    ``partitionColumn/lowerBound/upperBound/numPartitions``, so the
+    read is issued as one range-bounded SQL query PER PARTITION — the
+    exact mechanism that parallelizes a warehouse extract across
+    executors at scale (against Postgres/MySQL only the url/driver
+    change). The join + aggregate runs in Spark after the parallel
+    read; Catalyst pushes column pruning into the generated JDBC SQL.
+
+    Derby is single-process, so at 100 TB the same code points at a
+    real server and numPartitions controls extract parallelism;
+    embedded mode here keeps the key hermetic and hash-checkable."""
+    home = _tmpdir("derby_home")
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.system.home", home
+    )  # keep derby.log out of the repo cwd
+    db = os.path.join(_tmpdir("derby_db"), "db")
+    url = f"jdbc:derby:{db};create=true"
+
+    def _write(name: str) -> None:
+        (
+            table(spark, sf_dir, name)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", _DERBY_DRIVER)
+            .mode("overwrite")
+            .save()
+        )
+
+    def _read(name: str, part_col: str, ub: int) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", _DERBY_DRIVER)
+            .option("partitionColumn", part_col)
+            .option("lowerBound", "0")
+            .option("upperBound", str(ub))
+            .option("numPartitions", "2")
+            .load()
+        )
+
+    _write("region")
+    _write("nation")
+    r = _read("region", "r_regionkey", 5)
+    n = _read("nation", "n_nationkey", 25)
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"], "left")
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count("n_nationkey").cast("int").alias("n_nations"))
+    )
 
 
 @register(

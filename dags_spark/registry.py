@@ -140,8 +140,11 @@ _MODULE_PRIORITY = [
 # re-check first), (b) keys whose output CHANGED this round, making
 # older green entries stale. Self-retiring: once CORRECTNESS_r{N>=round}
 # records the key green, it drops to tier 2 and frees its slot.
-# (r03: zero failures; entries below are round-4 output changes.)
-_RECHECK_FIRST: dict[str, int] = {}
+# (r03: zero failures; entries below are round-4 additions/changes
+# that VERDICT r03 explicitly asked to see driver-green this round.)
+_RECHECK_FIRST: dict[str, int] = {
+    "source_jdbc": 4,
+}
 
 
 def _driver_verified() -> dict[str, int]:
@@ -192,10 +195,15 @@ def _order_key(spec: QuerySpec, idx: int, verified: dict[str, int]) -> tuple:
     tier 0: keys whose evidence is stale — prior-round failures now
             fixed, or outputs changed this round (_RECHECK_FIRST);
     tier 1: never-evidenced keys, sub-ranked:
-              0 = hash, non-streaming (module priority — LLM first),
-              1 = streaming (checkpoint setup cost, after cheap keys),
+              0 = streaming (the only §2 surface with zero driver
+                  evidence after 3 rounds — guaranteed inside a
+                  50-key budget, VERDICT r03 defect #1),
+              1 = hash, non-streaming (module priority — LLM first),
               2 = rows-only (weaker check, last among the unproven);
     tier 2: keys the driver already verified in any past round.
+
+    With a 50-key budget the unproven tail past 50 simply rolls to the
+    next round, where this same ordering puts it in front.
     """
     green = verified.get(spec.name, 0)
     if green < _RECHECK_FIRST.get(spec.name, 0):
@@ -203,11 +211,11 @@ def _order_key(spec: QuerySpec, idx: int, verified: dict[str, int]) -> tuple:
     elif green > 0:
         tier, sub = 2, 0
     elif spec.module == "streaming":
-        tier, sub = 1, 1
+        tier, sub = 1, 0
     elif spec.check != "hash":
         tier, sub = 1, 2
     else:
-        tier, sub = 1, 0
+        tier, sub = 1, 1
     try:
         mod_rank = _MODULE_PRIORITY.index(spec.module)
     except ValueError:
