@@ -7,10 +7,12 @@ feature-extract / resize / frame-sample run as Arrow-batched
 columnar batches (never row-at-a-time, never collected).
 
 The image/audio codec libraries (PIL, torchvision, ffmpeg, ...) are
-NOT in this container, so the codec step is stubbed: each operator
-documents its real signature, gates the import, and (for tests)
-offers a deterministic fake decode whose features are pure functions
-of the bytes — the Spark-side plumbing (schema, batching, partition
+NOT in this container. Pixel-level work (resize, frame-sample) is
+stubbed behind import probes, but image METADATA is implemented for
+real: PNG/BMP/GIF/JPEG carry width/height in fixed header fields, so
+sniff_image parses them in pure Python and encode_* build minimal
+structurally-valid payloads (correct CRC32s, segment walks) to test
+against. The Spark-side plumbing (schema, Arrow batching, partition
 behavior) is real and hash-checked against a DuckDB oracle.
 
 Scale: mapInPandas preserves partitioning (no shuffle); decoding is
@@ -85,6 +87,170 @@ def decode_features(binary_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- Real (library-free) image header codecs -------------------------
+#
+# The container has no PIL/ffmpeg, but image METADATA needs no codec:
+# PNG/BMP/GIF/JPEG all carry width/height in fixed header fields.
+# encode_* build minimal structurally-valid payloads (correct CRCs,
+# segment lengths); sniff_image walks the real container format.
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG: IHDR + one zlib IDAT of
+    zero scanlines + IEND, each chunk with a correct CRC32."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    zeroed pixel rows padded to 4 bytes."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = (b"\x00" * row + b"\x00" * pad) * height
+    off = 14 + 40
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    return head + info + pixels
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def encode_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG header stream: SOI + APP0(JFIF) + DQT stub + SOF0
+    carrying the dimensions + EOI. Decoders of the FRAME HEADER (which
+    is all metadata extraction needs) must skip the leading variable-
+    length segments to reach SOF0 — exactly what sniff_image does."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..15 minus DHT/JPG/DAC
+
+
+def sniff_image(buf: bytes) -> tuple[str, int, int]:
+    """Parse (format, width, height) from real container headers —
+    PNG IHDR, BMP BITMAPINFOHEADER, GIF screen descriptor, JPEG SOFn —
+    in pure Python (no codec library). Returns ('unknown', -1, -1)
+    for unrecognized or truncated payloads; never raises."""
+    import struct
+
+    try:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", buf[16:24])
+            return "png", w, h
+        if buf[:2] == b"BM" and len(buf) >= 26:
+            w, h = struct.unpack("<ii", buf[18:26])
+            return "bmp", w, abs(h)  # negative height = top-down rows
+        if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+            w, h = struct.unpack("<HH", buf[6:10])
+            return "gif", w, h
+        if buf[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(buf):
+                if buf[i] != 0xFF:
+                    break
+                marker = buf[i + 1]
+                if marker in _JPEG_SOF_MARKERS:
+                    h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                    return "jpeg", w, h
+                if marker == 0xD9:  # EOI before any SOF
+                    break
+                seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+    except (struct.error, IndexError):
+        pass
+    return "unknown", -1, -1
+
+
+IMAGE_META_SCHEMA = "doc_id BIGINT, format STRING, width INT, height INT"
+
+
+def image_meta(binary_df: DataFrame) -> DataFrame:
+    """Real image-metadata extraction over a binary payload column:
+    Arrow-batched mapInPandas running sniff_image per payload —
+    (format, width, height) without any codec library. Input needs
+    (doc_id, content); partitioning is preserved (no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["content"].map(sniff_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]).astype("int32"),
+                    "height": meta.map(lambda m: m[2]).astype("int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+_ENCODERS = (encode_png, encode_bmp, encode_gif, encode_jpeg)
+
+
+def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: build a structurally-valid image payload per
+    row — format cycles png/bmp/gif/jpeg by id % 4, dimensions are
+    (1 + id % 31, 1 + id % 23) so an oracle can recompute them
+    arithmetically. Encoding runs distributed in mapInPandas (the
+    generator and parser share only the container-format spec)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [
+                        _ENCODERS[i % 4](1 + i % 31, 1 + i % 23)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema="doc_id BIGINT, content BINARY"
+    )
 
 
 def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:

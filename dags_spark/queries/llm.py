@@ -359,6 +359,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary(table(spark, sf_dir, "documents")))
 
 
+@register(
+    "multimodal_image_meta",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
+       CAST(1 + doc_id % 31 AS INT) AS width,
+       CAST(1 + doc_id % 23 AS INT) AS height
+FROM documents
+""",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata without any codec library: per document a
+    structurally-valid PNG/BMP/GIF/JPEG payload is built (correct
+    CRC32s / segment lengths, dimensions derived from doc_id), then a
+    second mapInPandas stage parses the actual container headers —
+    PNG IHDR, BMP info header, GIF screen descriptor, JPEG SOFn after
+    a real segment walk (operators/multimodal.py sniff_image). The
+    oracle recomputes the dimensions arithmetically, so any header
+    mis-parse hash-fails. Both stages are Arrow-batched and preserve
+    partitioning; at 100 TB this is the pattern for metadata backfill
+    over parquet binary columns — no shuffle, no Python-row path."""
+    from ..operators.multimodal import attach_fake_images, image_meta
+
+    return image_meta(attach_fake_images(table(spark, sf_dir, "documents")))
+
+
 # --- ANN: sign-LSH bucketed approximate kNN --------------------------
 
 

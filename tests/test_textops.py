@@ -91,6 +91,70 @@ def test_multimodal_decode_features(spark):
     assert feats[1].n_bytes == 0 and feats[1].first_byte == -1
 
 
+def test_sniff_image_parses_all_encoders():
+    from dags_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        sniff_image,
+    )
+
+    for enc, fmt in [
+        (encode_png, "png"),
+        (encode_bmp, "bmp"),
+        (encode_gif, "gif"),
+        (encode_jpeg, "jpeg"),
+    ]:
+        assert sniff_image(enc(31, 23)) == (fmt, 31, 23), fmt
+        assert sniff_image(enc(1, 1)) == (fmt, 1, 1), fmt
+    # large dims cross byte boundaries in every width field
+    assert sniff_image(encode_png(70000, 300)) == ("png", 70000, 300)
+    assert sniff_image(encode_gif(65535, 2)) == ("gif", 65535, 2)
+    assert sniff_image(encode_jpeg(4096, 8191)) == ("jpeg", 4096, 8191)
+
+
+def test_sniff_image_edge_cases():
+    import struct
+
+    from dags_spark.operators.multimodal import (
+        encode_bmp,
+        encode_jpeg,
+        sniff_image,
+    )
+
+    assert sniff_image(b"") == ("unknown", -1, -1)
+    assert sniff_image(b"not an image at all") == ("unknown", -1, -1)
+    # truncated PNG signature
+    assert sniff_image(b"\x89PNG\r\n\x1a\n\x00\x00") == ("unknown", -1, -1)
+    # top-down BMP stores negative height; parser reports magnitude
+    bmp = bytearray(encode_bmp(7, 5))
+    bmp[22:26] = struct.pack("<i", -5)
+    assert sniff_image(bytes(bmp)) == ("bmp", 7, 5)
+    # JPEG with an extra APPn segment before SOF0 still parses
+    jpg = encode_jpeg(12, 34)
+    extra = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    assert sniff_image(jpg[:2] + extra + jpg[2:]) == ("jpeg", 12, 34)
+    # JPEG truncated before any SOF marker
+    assert sniff_image(jpg[:6]) == ("unknown", -1, -1)
+
+
+def test_image_meta_distributed_pipeline(spark):
+    from dags_spark.operators.multimodal import attach_fake_images, image_meta
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r for r in image_meta(attach_fake_images(docs)).collect()}
+    fmts = ["png", "bmp", "gif", "jpeg"]
+    assert len(got) == 50
+    for i in range(50):
+        r = got[i]
+        assert (r.format, r.width, r.height) == (
+            fmts[i % 4],
+            1 + i % 31,
+            1 + i % 23,
+        ), i
+
+
 @pytest.mark.slow
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     """Sign-LSH kNN must recover >=60% of exact global top-10
