@@ -4,6 +4,16 @@ and returns plain DataFrames, so these compose with arbitrary user
 transformations under one Catalyst plan.
 
     from dags_spark.api import asof_join, exact_dedup, Graph, ...
+
+Session-conf contract: ``table``/``load_tables``/``register_views``
+pin ``spark.sql.session.timeZone`` to UTC (with a warning if that
+changes an explicit non-UTC zone) the first time the ``events`` table
+is read — its NTZ->LTZ timestamp normalization is only
+value-preserving under UTC. They also enable
+``spark.sql.legacy.parquet.nanosAsLong`` for the same scan; any
+external TIMESTAMP(NANOS) parquet read in the same session must set
+that conf itself (see io.py for why it cannot be scoped/restored:
+the lazily-cached scan plan re-resolves under the live conf).
 """
 
 from __future__ import annotations

@@ -305,6 +305,12 @@ def schema_implements(impl, iface_ddl: str) -> list[str]:
     (long->int, double->float, string->anything) are violations, not
     casts — unlike ``schema=`` conformance, implements never rewrites
     data. Returns a list of violation descriptions (empty == ok).
+
+    Widening applies to TOP-LEVEL PRIMITIVE fields only: complex
+    types (struct/array/map, decimal precision) are compared for
+    exact equality, so e.g. an ``array<int>`` implementation of an
+    ``array<bigint>`` interface field is reported as a violation even
+    though it would be value-preserving. Conservative, never unsafe.
     """
     from pyspark.sql.types import StructType
 

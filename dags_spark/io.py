@@ -72,7 +72,21 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
     # The NTZ->LTZ cast below is value-preserving only under a UTC
     # session zone; pin it here so table() is correct even for callers
-    # that built their own session without tune().
+    # that built their own session without tune(). Session-wide
+    # mutation — warn loudly when it actually changes an explicit
+    # non-UTC zone, so pipeline authors relying on another zone for
+    # timestamp rendering elsewhere see the repin instead of silently
+    # shifted behavior (documented on the api.py facade too).
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    if prev_tz not in ("UTC", "Etc/UTC", "Z"):
+        import warnings
+
+        warnings.warn(
+            f"dags_spark reading 'events' repins spark.sql.session.timeZone "
+            f"from {prev_tz!r} to 'UTC' for the whole session (the events "
+            f"NTZ->LTZ normalization is only value-preserving under UTC)",
+            stacklevel=3,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Session-wide side effect, deliberate: nanosAsLong must be set at
     # analysis time for this scan, and the resulting plan is cached in

@@ -1172,7 +1172,7 @@ tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
 tot AS (SELECT COUNT(*) AS total FROM tok),
 q AS (
   SELECT t.doc_id,
-         CAST(FLOOR(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+         CAST(FLOOR(ROUND(-ln(CAST(tf.tf AS DOUBLE) / tot.total), 9) * 1000000) AS BIGINT) AS sq
   FROM tok t JOIN tf USING (token) CROSS JOIN tot
 )
 SELECT doc_id,
@@ -1197,8 +1197,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    # round to 9 guard digits before FLOOR: JVM and libm ln may differ
+    # by 1 ulp, and an ulp landing on a quantization boundary would
+    # flip the micro-nat integer cross-engine.
     sq = F.floor(
-        -F.log(F.col("tf").cast("double") / F.col("total")) * 1_000_000
+        F.round(
+            -F.log(F.col("tf").cast("double") / F.col("total")), 9
+        )
+        * 1_000_000
     ).cast("bigint")
     return (
         tok.join(F.broadcast(tf), "token")
@@ -1219,11 +1225,13 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The arithmetic text is shared verbatim between F.expr and the DuckDB
 # oracle so both engines execute the identical double expression tree
 # before the FLOOR quantization (k1=1.2, b=0.75; idf is the BM25+
-# log((N-df+.5)/(df+.5)+1) variant, positive for any df).
+# log((N-df+.5)/(df+.5)+1) variant, positive for any df). ROUND to 9
+# guard digits first: a 1-ulp ln() divergence on a quantization
+# boundary would otherwise flip the BIGINT cross-engine.
 _BM25_Q = (
-    "CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    "CAST(FLOOR(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
     " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-    " * 1000000) AS BIGINT)"
+    ", 9) * 1000000) AS BIGINT)"
 )
 _BM25_TERMS = "'table', 'scan', 'merge'"
 
@@ -1351,7 +1359,7 @@ pairs AS (
 SELECT id_a, id_b,
        CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
        ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-                 / greatest(length(ta), length(tb)), 6) AS sim_ratio
+                 / greatest(length(ta), length(tb), 1), 6) AS sim_ratio
 FROM pairs
 """,
     tags=("dedup", "fuzzy"),
@@ -1380,8 +1388,12 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         dist.alias("edit_dist"),
+        # greatest(..., 1): two empty texts share the empty-prefix
+        # block; without the clamp 0/0 -> NaN diverges cross-engine.
         F.round(
-            1.0 - dist.cast("double") / F.greatest(F.length("ta"), F.length("tb")),
+            1.0
+            - dist.cast("double")
+            / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
             6,
         ).alias("sim_ratio"),
     )

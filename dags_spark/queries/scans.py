@@ -383,8 +383,12 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(GenSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # Only an already-registered duplicate is benign; a genuine
+        # registration failure must propagate, not resurface later as
+        # a confusing "format dags_gen not found" at read time.
+        if "dags_gen" not in str(e):
+            raise
     return spark.read.format("dags_gen").option("rows", 200).load()
 
 

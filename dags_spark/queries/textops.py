@@ -472,8 +472,8 @@ tf AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
 tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM tf GROUP BY source),
 q AS (
   SELECT tf.source,
-         CAST(FLOOR(-(CAST(n AS DOUBLE) / total)
-                    * ln(CAST(n AS DOUBLE) / total) * 1000000000) AS BIGINT) AS qe,
+         CAST(FLOOR(ROUND(-(CAST(n AS DOUBLE) / total)
+                    * ln(CAST(n AS DOUBLE) / total), 12) * 1000000000) AS BIGINT) AS qe,
          n
   FROM tf JOIN tot ON tf.source = tot.source
 )
@@ -497,7 +497,9 @@ def text_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
     tot = tf.groupBy("source").agg(F.sum("n").cast("bigint").alias("total"))
     p = F.col("n").cast("double") / F.col("total")
-    qe = F.floor(-p * F.log(p) * 1_000_000_000).cast("bigint")
+    # 12 guard digits before the nano-nat FLOOR (1-ulp ln drift
+    # protection, same rationale as text_bm25_score)
+    qe = F.floor(F.round(-p * F.log(p), 12) * 1_000_000_000).cast("bigint")
     return (
         tf.join(F.broadcast(tot), "source")
         .select("source", qe.alias("qe"))

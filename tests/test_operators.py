@@ -345,3 +345,31 @@ def test_hll_sketch_estimates_within_5pct(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_read_events_warns_and_repins_non_utc_zone(spark, sf_dir):
+    """Reading events under an explicit non-UTC session zone must warn
+    about the session-wide UTC repin (not silently shift timestamps),
+    and the values must come back identical to a UTC-session read."""
+    import warnings
+
+    from dags_spark import io as dio
+
+    baseline = {
+        (r.event_id, r.ts)
+        for r in table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+
+    dio._TABLE_CACHE.clear()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            ev = table(spark, sf_dir, "events")
+            assert any("repins spark.sql.session.timeZone" in str(w.message) for w in caught)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = {(r.event_id, r.ts) for r in ev.select("event_id", "ts").collect()}
+        assert got == baseline
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        dio._TABLE_CACHE.clear()
