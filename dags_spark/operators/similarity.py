@@ -235,24 +235,91 @@ SQL_DOT = (
 SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 
+def _lloyd_refine(
+    emb: DataFrame,
+    cents: "np.ndarray",
+    vec_col: str,
+    iters: int,
+) -> "np.ndarray":
+    """Fixed-iteration spherical k-means refinement of IVF centroids,
+    computed DISTRIBUTIVELY and DETERMINISTICALLY:
+
+    - assignment: one numpy matmul per Arrow batch against the current
+      centroids (same kernel as query probing);
+    - update: per-(cell, dim) means via posexplode + hash-agg, with
+      components quantized FLOOR(x*1e8) to BIGINT so the partial sums
+      are exact under any shuffle/aggregation order (float addition is
+      non-associative; quantized integer addition is not) — the same
+      trick the exact vector-centroid keys use;
+    - only the (n_cells × dim) aggregate ever reaches the driver,
+      the same constant-size footprint as the fitted centroids
+      themselves. Empty cells keep their previous centroid.
+    """
+    from pyspark.sql.types import IntegerType
+
+    def make_nearest_cell(cur: "np.ndarray"):
+        @F.pandas_udf(IntegerType())
+        def nearest_cell(vecs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+            sims = m @ cur.T
+            return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+        return nearest_cell
+
+    for _ in range(iters):
+        nearest_cell = make_nearest_cell(cents)
+
+        stats = (
+            with_norm(emb, vec_col)
+            .select(
+                nearest_cell(F.col(vec_col)).alias("cell"),
+                F.posexplode(
+                    F.transform("vec_d", lambda x: x / F.col("vnorm"))
+                ).alias("pos", "v"),
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("v") * 1e8).cast("long")).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        by_cell: dict[int, list] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell, rows in by_cell.items():
+            vec = np.zeros(cents.shape[1])
+            for r in rows:
+                vec[r["pos"]] = (r["qs"] / 1e8) / r["n"]
+            norm = np.sqrt((vec * vec).sum())
+            if norm > 0:
+                new[cell] = vec / norm
+        cents = new
+    return cents
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
-    n_probe: int = 8,
+    n_probe: int = 10,
     k: int = 10,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """Approximate kNN via IVF-flat: a data-adaptive coarse quantizer
     (vs ann_lsh_topk's data-oblivious hyperplanes).
 
-    1. centroids = the ``n_cells`` vectors with smallest
-       ``md5(vec_id)`` — a deterministic uniform sample (k-means would
-       sharpen cells; sampled centroids keep the op fully
-       deterministic and single-pass). Collected to the driver and
-       broadcast — constant-size (cells × dim), the one legitimate
-       collect in this module, same pattern as shipping a fitted ML
-       model.
+    1. initial centroids = the ``n_cells`` vectors with smallest
+       ``md5(vec_id)`` — a deterministic uniform sample — then
+       ``lloyd_iters`` fixed spherical-k-means refinement passes
+       (_lloyd_refine: distributed assignment + exact quantized
+       per-cell means, deterministic by construction). Centroids are
+       collected to the driver and broadcast — constant-size
+       (cells × dim), the one legitimate collect in this module, same
+       pattern as shipping a fitted ML model.
     2. every vector is assigned to its nearest centroid by cosine
        (one numpy matmul per Arrow batch); queries additionally probe
        their ``n_probe`` nearest cells.
@@ -261,11 +328,14 @@ def ann_ivf_topk(
        query.
 
     Scale: n_cells should grow ~sqrt(corpus) so cells stay bounded;
-    recall/latency trades via n_probe. The fixture's RANDOM vectors
-    have no cluster structure, so the default probes half the cells
-    (recall 0.73 vs exact top-10); real clustered embeddings reach the
-    same recall probing a small fraction. Approximate by design ->
-    rows check + recall property test.
+    recall/latency trades via n_probe; Lloyd refinement balances the
+    cells. Measured exact-top-10 recall on the fixture's RANDOM
+    64-dim vectors (the hardest case — no cluster structure): sampled
+    centroids @8 probes 0.73; +2 Lloyd iters 0.79; +2 Lloyd iters
+    @10 probes 0.87 (the defaults). On real clustered embeddings the
+    same refinement reaches that recall at a much smaller probe
+    fraction. Approximate by design -> rows check + recall property
+    test (threshold 0.85).
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -278,6 +348,10 @@ def ann_ivf_topk(
     )
     cents = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
     cents = cents / np.sqrt((cents * cents).sum(axis=1, keepdims=True))
+    if lloyd_iters > 0:
+        cents = _lloyd_refine(
+            emb.select(id_col, vec_col), cents, vec_col, lloyd_iters
+        )
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:

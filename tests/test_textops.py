@@ -258,8 +258,10 @@ def test_blocked_pairs_hot_block_guard(spark):
 
 @pytest.mark.slow
 def test_ann_ivf_recall_vs_exact(spark, sf_dir):
-    """IVF-flat kNN (16 cells, 4 probes) must recover >=60% of exact
-    global top-10 neighborhoods on the fixture embeddings."""
+    """IVF-flat kNN (16 cells, 10 probes, 2 Lloyd refinement passes)
+    must recover >=85% of exact global top-10 neighborhoods on the
+    fixture embeddings (measured 0.871; sampled-centroid baseline
+    without refinement sat at 0.727)."""
     from dags_spark.operators.similarity import ann_ivf_topk
     from pyspark.sql import Window
 
@@ -275,7 +277,7 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     )
     want = {(r.id_a, r.id_b) for r in exact.collect()}
     recall = len(got & want) / len(want)
-    assert recall >= 0.6, f"IVF recall {recall:.3f} below 0.6"
+    assert recall >= 0.85, f"IVF recall {recall:.3f} below 0.85"
 
 
 def test_winnow_guarantee_and_pruning(spark):
