@@ -19,6 +19,7 @@ the lazily-cached scan plan re-resolves under the live conf).
 from __future__ import annotations
 
 from .graph.core import Graph, NodeSpec, schema_implements
+from .graph.schemas import SchemaDoc, load_schema_file, load_schemas
 from .io import load_tables, register_views, table
 from .operators.asof import asof_join
 from .operators.dedup import (
@@ -59,6 +60,9 @@ __all__ = [
     "Graph",
     "NodeSpec",
     "schema_implements",
+    "SchemaDoc",
+    "load_schemas",
+    "load_schema_file",
     "get_spark",
     "tune",
     "table",

@@ -293,9 +293,11 @@ _WIDEN = {
 }
 
 
-def schema_implements(impl, iface_ddl: str) -> list[str]:
+def schema_implements(impl, iface_ddl) -> list[str]:
     """The reference's schema implements/inherits relation: does
-    ``impl`` (a StructType or DDL string) satisfy the interface DDL?
+    ``impl`` (a StructType or DDL string) satisfy the interface
+    (a DDL string, or a StructType for session-free callers — DDL
+    parsing needs an active SparkSession)?
 
     Satisfy = every interface field exists with the SAME type or a
     value-preserving widening of it (byte<short<int<long, float<
@@ -316,7 +318,11 @@ def schema_implements(impl, iface_ddl: str) -> list[str]:
 
     if isinstance(impl, str):
         impl = StructType.fromDDL(impl)
-    iface = StructType.fromDDL(iface_ddl)
+    iface = (
+        iface_ddl
+        if isinstance(iface_ddl, StructType)
+        else StructType.fromDDL(iface_ddl)
+    )
     have = {f.name: f for f in impl.fields}
     problems: list[str] = []
     for f in iface.fields:

@@ -370,3 +370,93 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rank_in_window") <= 3)
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) ---------------
+#
+# The successor to applyInPandasWithState: named state variables
+# (value/list/map), timers, and TTL on a StatefulProcessor class.
+# Its Arrow state serialization rides on protobuf, which this
+# container lacks (verified: `import google.protobuf` ->
+# ModuleNotFoundError, and pip is unavailable). The implementation
+# below is complete and registers ITSELF the moment the environment
+# grows protobuf — until then stream_stateful_running covers the
+# same semantics on the older API, so the engine never loses the
+# capability, only the newer ABI.
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run (its
+    python worker imports google.protobuf for state serialization)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _build_tws_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, max) via transformWithStateInPandas —
+    the same contract as stream_stateful_running, expressed on the
+    Spark 4 StatefulProcessor API with a named ValueState."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._state.get() if self._state.exists() else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                bmax = pdf["value"].max()
+                if not pd.isna(bmax):
+                    mx = bmax if mx is None else max(mx, bmax)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    base = stage_events(spark, sf_dir, split="two")
+    sdf = events_stream(spark, os.path.join(base, "part*"), max_files_per_trigger=1)
+    running = sdf.groupBy("user_id").transformWithStateInPandas(
+        RunningAgg(),
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = run_to_memory(running, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
+
+
+if tws_available():  # pragma: no cover — env-gated (protobuf absent here)
+
+    @register(
+        "stream_stateful_tws",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+    )
+    def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas running per-user (count, max)
+        across staged micro-batches; final state == batch GROUP BY.
+        Registered only when protobuf is importable (see
+        tws_available)."""
+        return _build_tws_query(spark, sf_dir)

@@ -272,3 +272,113 @@ def test_graph_node_implements_enforced(spark):
 
     with _pytest.raises(GraphError, match="does not implement"):
         bad.run(spark)
+
+
+# --- YAML schema loader ----------------------------------------------
+
+_YAML_SCHEMAS = """
+name: event_iface
+fields:
+  - {name: event_id, type: bigint, nullable: false}
+  - {name: ts, type: timestamp}
+---
+name: base_events
+implements: event_iface
+unique_on: [event_id]
+order_by: [ts]
+fields:
+  - {name: event_id, type: bigint, nullable: false}
+  - {name: ts, type: timestamp}
+  - {name: value, type: double}
+---
+name: user_events
+inherits: base_events
+fields:
+  - {name: value, type: double, nullable: false}
+  - {name: user_id, type: bigint}
+"""
+
+
+def test_yaml_schema_roundtrip_and_inherits():
+    from dags_spark.graph.schemas import load_schemas
+
+    docs = load_schemas(_YAML_SCHEMAS)
+    assert set(docs) == {"event_iface", "base_events", "user_events"}
+    ue = docs["user_events"]
+    # parent fields first, child override in place, new fields appended
+    assert [f.name for f in ue.struct.fields] == ["event_id", "ts", "value", "user_id"]
+    assert not ue.struct["value"].nullable  # child override applied
+    # inherits is transitive for metadata? no — unique_on stays per-doc
+    assert docs["base_events"].unique_on == ("event_id",)
+    # node_kwargs feeds Graph.node directly
+    kw = docs["base_events"].node_kwargs()
+    assert kw["unique_on"] == ("event_id",) and "event_id bigint NOT NULL" in kw["schema"]
+
+
+def test_yaml_schema_implements_validation():
+    import pytest as _pytest
+
+    from dags_spark.graph.core import GraphError
+    from dags_spark.graph.schemas import load_schemas
+
+    bad = """
+name: iface
+fields:
+  - {name: k, type: bigint, nullable: false}
+---
+name: impl
+implements: iface
+fields:
+  - {name: k, type: int, nullable: true}
+"""
+    # int does not widen to bigint? it DOES widen (int->bigint ok) but
+    # nullable=true violates the NOT NULL interface field.
+    with _pytest.raises(GraphError, match="does not implement"):
+        load_schemas(bad)
+
+
+def test_yaml_schema_errors():
+    import pytest as _pytest
+
+    from dags_spark.graph.core import GraphError
+    from dags_spark.graph.schemas import load_schemas
+
+    with _pytest.raises(GraphError, match="cycle"):
+        load_schemas(
+            "name: a\ninherits: b\nfields: [{name: x, type: int}]\n---\n"
+            "name: b\ninherits: a\nfields: [{name: y, type: int}]\n"
+        )
+    with _pytest.raises(GraphError, match="unknown schema"):
+        load_schemas("name: a\ninherits: missing\nfields: [{name: x, type: int}]\n")
+    with _pytest.raises(GraphError, match="invalid"):
+        load_schemas("name: a\nfields: [{name: x, type: notatype}]\n")
+    with _pytest.raises(GraphError, match="not in"):
+        load_schemas("name: a\nunique_on: [nope]\nfields: [{name: x, type: int}]\n")
+
+
+def test_yaml_schema_drives_graph_node(spark, tmp_path):
+    """A YAML-declared schema plugs into the Graph lifecycle: the
+    node's output is validated against the declared DDL and deduped
+    on unique_on/order_by exactly as hand-written NodeSpec args."""
+    from dags_spark.graph.core import Graph
+    from dags_spark.graph.schemas import load_schemas
+
+    doc = load_schemas(
+        "name: latest\nunique_on: [k]\norder_by: [ts]\nfields:\n"
+        "  - {name: k, type: bigint}\n  - {name: ts, type: bigint}\n"
+        "  - {name: v, type: string}\n"
+    )["latest"]
+
+    g = Graph("yaml-schema")
+
+    @g.node(upstream=())
+    def src(s, up):
+        return s.createDataFrame(
+            [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+            "k BIGINT, ts BIGINT, v STRING",
+        )
+
+    g.sql_node("latest", "SELECT * FROM src", upstream=("src",), **doc.node_kwargs())
+    out = g.run(spark)["latest"]
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, "new"), (2, "only")}

@@ -287,3 +287,55 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     j = fact.join(dim, fact.o_year == dim.y).groupBy("o_year").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP subquery absent from scan"
+
+
+def test_aqe_skew_join_engages_on_synthetic_skew(spark):
+    """The tune() profile keeps AQE on (bench.py alone disables it);
+    pin that a genuinely skewed shuffle join actually ENGAGES the AQE
+    skew-join splitter at runtime — the mechanism the 100 TB design
+    leans on for organic key skew (salting covers the known-hot-key
+    case; AQE covers the discovered-at-runtime case)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force a sort-merge join and make the skew thresholds small
+        # enough that local-mode data sizes trip them
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # one hot key holding ~97% of the left side
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 290_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # global agg on top: a per-key aggregate would REQUIRE the
+        # join's hash partitioning and legally veto the skew split
+        # (splitting duplicates right-side rows across sub-partitions)
+        joined = left.join(right, "k").agg(F.sum("v").alias("s"))
+        # collect() drives THIS Dataset's QueryExecution to its final
+        # adaptive plan (a write.save() would execute a fresh copy and
+        # leave this one isFinalPlan=false)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, f"AQE skew join did not engage:\n{final[:2000]}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

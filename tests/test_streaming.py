@@ -101,3 +101,13 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, sf_dir, tmp_path):
     )
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 25, f"replay duplicated rows: {n1} -> {n2}"
+
+
+def test_tws_gating_matches_environment():
+    """stream_stateful_tws self-activates with protobuf: registered
+    iff google.protobuf imports (here it normally doesn't, so the key
+    must be absent rather than registered-and-broken)."""
+    from dags_spark.queries.streaming import tws_available
+    from dags_spark.registry import all_specs
+
+    assert tws_available() == ("stream_stateful_tws" in all_specs())
