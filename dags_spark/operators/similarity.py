@@ -138,9 +138,10 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_tables: int = 16,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     k: int = 10,
     multiprobe: bool = True,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Approximate k-NN via random-hyperplane (sign-LSH) bucketing —
     the scale path when label blocks (or any exact partitioner) are
@@ -164,12 +165,34 @@ def ann_lsh_topk(
 
     Tuning for scale: recall is set by (n_tables, n_bits, multiprobe)
     against the corpus' similarity profile; bucket count (2^n_bits)
-    should grow with corpus size so candidate sets stay ~constant —
-    16-20 bits at 10^8-10^9 vectors, the defaults suit 10^3-10^6.
+    must grow with corpus size so candidate sets stay ~constant —
+    with a FIXED bit width, average occupancy n/2^bits grows linearly
+    and candidate count grows ~n² (measured: 23s @5k, 208s @20k on
+    the 20x near-dup stress tier). ``n_bits=None`` (default)
+    therefore self-sizes to ceil(log2(n / 16)) clamped to [6, 16] —
+    ~16 vectors per bucket at any corpus size, the FAISS-style
+    heuristic — at the cost of one metadata-cheap count() job.
+
+    Hot-bucket ceiling (``max_bucket``, the LSH twin of the minhash
+    ceiling in operators/dedup.py): a (table, bucket) cell holding a
+    large fraction of the corpus — mass near-duplication, or a
+    degenerate projection — contributes O(cell²) candidate pairs by
+    itself and funnels them through one join partition. Cells over
+    the ceiling are dropped via a broadcast anti-join BEFORE pairing;
+    with 16 independent tables (+multiprobe) a true neighbor pair
+    still collides elsewhere with high probability, so recall
+    degrades gracefully while the worst-case join cost stays bounded
+    at n_tables * max_bucket² (the 20x near-dup stress tier in
+    tools/scale_smoke.py pins exactly this regime).
     """
+    import math as _math
     import random as _random
 
     from pyspark.sql.types import ArrayType, LongType
+
+    if n_bits is None:
+        n_vec = emb.count()
+        n_bits = min(16, max(6, _math.ceil(_math.log2(max(n_vec, 2) / 16))))
 
     rng = _random.Random(42)
     planes = np.array(
@@ -190,6 +213,24 @@ def ann_lsh_topk(
     buckets = coded.select(
         id_col, "vec_d", "vnorm", F.posexplode("codes").alias("tbl", "bucket")
     )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("tbl", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+    # Spread candidate generation across the cluster explicitly: the
+    # downstream equi-join is CPU-bound (one 64-dim exact cosine per
+    # candidate), not byte-bound, so when the scan arrives in few
+    # partitions (one parquet file) — or the index side broadcasts —
+    # the whole pairing would otherwise run in those few map tasks.
+    # Same rationale as the pre-verify repartition in operators/dedup.
+    n_parts = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    buckets = buckets.repartition(n_parts, "tbl", "bucket")
     if multiprobe:
         probes = F.array(
             F.col("bucket"), *[F.expr(f"bucket ^ {1 << j}") for j in range(n_bits)]
@@ -304,10 +345,11 @@ def ann_ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 10,
     k: int = 10,
     lloyd_iters: int = 2,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """Approximate kNN via IVF-flat: a data-adaptive coarse quantizer
     (vs ann_lsh_topk's data-oblivious hyperplanes).
@@ -323,21 +365,40 @@ def ann_ivf_topk(
     2. every vector is assigned to its nearest centroid by cosine
        (one numpy matmul per Arrow batch); queries additionally probe
        their ``n_probe`` nearest cells.
-    3. candidates = probe-cell equi-join, exact cosine re-rank
-       (same sequential-fold arithmetic as blocked_pairs), top-k per
-       query.
+    3. scoring runs as ONE numpy matmul PER CELL inside
+       applyInPandas — the classic IVF-flat kernel (queries x index
+       members of the cell, BLAS-vectorized, chunked so no
+       intermediate exceeds ~128 MB), emitting per-(query, cell)
+       top-k; a global window then takes top-k per query. A JVM-side
+       per-pair zip_with cosine was ~100x slower at stress scale —
+       same lesson as blocked_pairs' kernel.
 
-    Scale: n_cells should grow ~sqrt(corpus) so cells stay bounded;
-    recall/latency trades via n_probe; Lloyd refinement balances the
-    cells. Measured exact-top-10 recall on the fixture's RANDOM
-    64-dim vectors (the hardest case — no cluster structure): sampled
+    Scale levers, all bounded:
+    - ``n_cells=None`` self-sizes to ~128 vectors per cell
+      (ceil(n/128), min 16 — the fixture keeps its pinned 16-cell
+      config), so per-cell work stays constant as the corpus grows;
+      one metadata-cheap count() job.
+    - hot cells (skewed quantizer) are SUB-SPLIT, not dropped: a cell
+      with more than ``max_cell`` members shards by hash(id) and
+      queries probe every shard — correctness preserved, worst-case
+      matmul bounded at max_cell x queries-chunk.
+    - index side lives in exactly one (cell, shard), so a candidate
+      pair forms exactly once: no dropDuplicates shuffle at all.
+
+    Measured exact-top-10 recall on the fixture's RANDOM 64-dim
+    vectors (the hardest case — no cluster structure): sampled
     centroids @8 probes 0.73; +2 Lloyd iters 0.79; +2 Lloyd iters
     @10 probes 0.87 (the defaults). On real clustered embeddings the
     same refinement reaches that recall at a much smaller probe
     fraction. Approximate by design -> rows check + recall property
     test (threshold 0.85).
     """
+    import math as _math
+
     from pyspark.sql.types import ArrayType, IntegerType
+
+    if n_cells is None:
+        n_cells = max(16, _math.ceil(emb.count() / 128))
 
     cent_rows = (
         emb.select(id_col, vec_col)
@@ -352,6 +413,7 @@ def ann_ivf_topk(
         cents = _lloyd_refine(
             emb.select(id_col, vec_col), cents, vec_col, lloyd_iters
         )
+    n_probe = min(n_probe, len(cents))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -361,29 +423,85 @@ def ann_ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe].astype("int32")))
 
-    coded = with_norm(emb.select(id_col, vec_col), vec_col).withColumn(
+    coded = emb.select(id_col, vec_col).withColumn(
         "cells", probe_cells(F.col(vec_col))
     )
     index_side = coded.select(
-        F.col(id_col).alias("id_b"), F.col("vec_d").alias("_vb"),
-        F.col("vnorm").alias("_nb"), F.element_at("cells", 1).alias("cell"),
+        F.lit("i").alias("role"), F.col(id_col).alias("id"), vec_col,
+        F.element_at("cells", 1).alias("cell"),
     )
     query_side = coded.select(
-        F.col(id_col).alias("id_a"), F.col("vec_d").alias("_va"),
-        F.col("vnorm").alias("_na"), F.explode("cells").alias("cell"),
+        F.lit("q").alias("role"), F.col(id_col).alias("id"), vec_col,
+        F.explode("cells").alias("cell"),
     )
-    cand = (
-        query_side.join(index_side, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("sim"),
+
+    # hot-cell sub-split: shard count per cell from index occupancy
+    splits = (
+        index_side.groupBy("cell")
+        .agg(F.ceil(F.count(F.lit(1)) / max_cell).cast("int").alias("s"))
+    )
+    idx_sharded = index_side.join(F.broadcast(splits), "cell").withColumn(
+        "shard", F.pmod(F.xxhash64("id"), F.col("s")).cast("int")
+    )
+    qry_sharded = (
+        query_side.join(F.broadcast(splits), "cell")
+        .withColumn("shard", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
+        .withColumn("shard", F.col("shard").cast("int"))
+    )
+    both = idx_sharded.select("role", "id", vec_col, "cell", "shard").unionByName(
+        qry_sharded.select("role", "id", vec_col, "cell", "shard")
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf[pdf["role"] == "i"]
+        qry = pdf[pdf["role"] == "q"]
+        if idx.empty or qry.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        # deterministic member order -> deterministic tie handling
+        idx = idx.sort_values("id", kind="mergesort")
+        qry = qry.sort_values("id", kind="mergesort")
+        mat_i = np.array([np.asarray(v, dtype=np.float64) for v in idx[vec_col]])
+        mat_i /= np.sqrt((mat_i * mat_i).sum(axis=1, keepdims=True))
+        ids_i = idx["id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, (128 << 20) // (8 * max(len(idx), 1)))
+        for lo in range(0, len(qry), chunk):
+            qc = qry.iloc[lo : lo + chunk]
+            mat_q = np.array([np.asarray(v, dtype=np.float64) for v in qc[vec_col]])
+            mat_q /= np.sqrt((mat_q * mat_q).sum(axis=1, keepdims=True))
+            sims = np.round(mat_q @ mat_i.T, 6)  # (q_chunk, n_idx)
+            ids_q = qc["id"].to_numpy()
+            for r in range(len(qc)):
+                row = sims[r]
+                keep = ids_i != ids_q[r]
+                cand_ids, cand_sims = ids_i[keep], row[keep]
+                if len(cand_ids) > k:
+                    # deterministic top-k under ties: everything above
+                    # the kth similarity, then smallest ids AT it
+                    # (argpartition's pick among equal sims is not
+                    # stable across runs/layouts)
+                    nsims = -cand_sims
+                    kth = np.partition(nsims, k - 1)[k - 1]
+                    strict = np.nonzero(nsims < kth)[0]
+                    tied = np.nonzero(nsims == kth)[0]
+                    tied = tied[np.argsort(cand_ids[tied], kind="stable")]
+                    sel = np.concatenate([strict, tied[: k - len(strict)]])
+                else:
+                    sel = np.arange(len(cand_ids))
+                order = sorted(sel, key=lambda j: (-cand_sims[j], cand_ids[j]))
+                out_a.extend([ids_q[r]] * len(order))
+                out_b.extend(cand_ids[j] for j in order)
+                out_s.extend(cand_sims[j] for j in order)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim": "float64"}
         )
-        .dropDuplicates(["id_a", "id_b"])
+
+    cand = both.groupBy("cell", "shard").applyInPandas(
+        cell_kernel, schema="id_a BIGINT, id_b BIGINT, sim DOUBLE"
     )
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))

@@ -588,3 +588,39 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (round 4) — the scalable
+    alternative between COUNT(DISTINCT) (shuffles every key) and HLL
+    (approximate): user ids are bucketed with bitmap_bucket_number,
+    each (event_type, bucket) builds a fixed-size bitmap with
+    bitmap_construct_agg (map-side partials merge by OR — associative
+    like a sketch, but exact), and the final count is the SUM of
+    per-bucket bitmap_count. The shuffle carries (groups x buckets)
+    bitmaps of <=4KB instead of every distinct key — at 100 TB with
+    10^9 users that is ~30k bitmaps per group vs 10^9 shuffled longs.
+    The oracle recomputes with plain COUNT(DISTINCT), so the bitmap
+    path must be exactly right."""
+    ev = table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select("event_type", F.col("user_id").alias("uid"))
+        .groupBy(
+            "event_type", F.expr("bitmap_bucket_number(uid)").alias("bkt")
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(uid)))"
+            ).alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_users")
+    )

@@ -563,3 +563,30 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelope.getField("hdr").getField("prio").alias("prio_nested"),
         envelope.getField("amt_cents").alias("amt_cents"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name AS name_roundtrip,
+       CAST((length(c_name) // 16 + 1) * 16 AS INT) AS cipher_len
+FROM customer
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip (round 4): aes_encrypt ->
+    aes_decrypt on customer names in ECB mode (deterministic; GCM's
+    random IV is the production default but cannot hash-check). The
+    output proves the round-trip is lossless AND pins the PKCS#7
+    ciphertext length ((len/16 + 1) * 16 bytes), which the oracle
+    recomputes arithmetically. This is the at-rest PII pattern for a
+    100 TB lake: encrypt on write with a per-dataset key, decrypt in
+    authorized readers — all JVM-side, no Python boundary."""
+    key = F.lit("0123456789abcdef")
+    c = table(spark, sf_dir, "customer")
+    cipher = F.aes_encrypt(F.col("c_name"), key, F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("name_roundtrip"),
+        F.length(cipher).cast("int").alias("cipher_len"),
+    )

@@ -790,3 +790,52 @@ def dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "dq_benford",
+    oracle="""
+WITH digits AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+tot AS (SELECT COUNT(*) AS n_total FROM digits)
+SELECT CAST(d AS INT) AS first_digit,
+       COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS observed_freq,
+       ROUND(ABS(CAST(COUNT(*) AS DOUBLE) / n_total
+                 - ROUND(log10(1.0 + 1.0 / CAST(d AS INT)), 9)), 6)
+         AS benford_deviation
+FROM digits CROSS JOIN tot
+GROUP BY d, n_total
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals
+    (round 4) — the classic fabricated-data / unit-mix-up detector:
+    naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); a column whose deviation spikes was
+    truncated, synthesized, or re-scaled somewhere upstream. One
+    narrow scan -> 9-group hash-agg (the total is a 1-row broadcast);
+    log10(1+1/d) is rounded to 9 guard digits on both engines before
+    the deviation, same ulp discipline as the quantized-log keys."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    freq = F.col("n").cast("double") / F.col("n_total")
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 9)
+    return (
+        digits.groupBy(F.col("d").cast("int").alias("first_digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(F.abs(freq - benford), 6).alias("benford_deviation"),
+        )
+    )

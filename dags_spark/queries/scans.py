@@ -490,3 +490,33 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+@register(
+    "source_xml",
+    oracle="""
+SELECT n_nationkey AS nk, n_name AS nname, n_regionkey AS rk
+FROM nation
+""",
+)
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via from_xml (round 4): each nation row is
+    serialized to an XML fragment in-query, then parsed back through
+    Spark's native XML reader expression with an explicit schema (the
+    third semi-structured format after JSON and variant). The oracle
+    reads the source table directly, so any parse/serialize asymmetry
+    (escaping, type coercion) hash-fails. At scale this is
+    `spark.read.format('xml')` over document dumps; the expression
+    form shown here is what a mixed pipeline uses for an XML column
+    inside an existing table."""
+    n = table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><nk>"), F.col("n_nationkey").cast("string"),
+        F.lit("</nk><nname>"), F.col("n_name"),
+        F.lit("</nname><rk>"), F.col("n_regionkey").cast("string"),
+        F.lit("</rk></nation>"),
+    )
+    parsed = n.select(
+        F.from_xml(xml, "nk INT, nname STRING, rk INT").alias("v")
+    )
+    return parsed.select("v.nk", "v.nname", "v.rk")

@@ -8,8 +8,17 @@ are deliberately loose (~5-10x the measured healthy time on idle
 local[32]) — they only trip on complexity-class regressions (all-pairs
 fallback, lost pushdown, single-partition funnel), not noise.
 
-Usage:  python tools/scale_smoke.py [--sf DIR]
-Exit 0 = all within ceiling.
+Usage:  python tools/scale_smoke.py [--sf DIR] [--stress]
+
+--stress additionally builds (once, cached under /tmp) a deterministic
+~20x perturbation of documents/embeddings/events on top of sf0.1 and
+runs the blocked/bucketed heavy family against it: every document gets
+20 near-duplicate replicas (so prefix/minhash/ngram cluster sizes grow
+20x — a direct attack on the hot-bucket and stop-gram ceilings),
+embeddings get 20 jittered copies (40k vectors through LSH/IVF), and
+events replicate 20x onto the SAME user ids (2M rows, 20x hotter
+session keys). Ceilings at this tier prove the df/hot-bucket guards
+are structural, not fixture-tuned. Exit 0 = all within ceiling.
 """
 
 from __future__ import annotations
@@ -53,18 +62,124 @@ HEAVY = {
 }
 
 
+# Stress tier (~20x documents/embeddings/events): ceilings are looser
+# in proportion to the data, but still trip on a complexity-class
+# regression (e.g. an unguarded hot bucket goes quadratic: 20x cluster
+# size = 400x pair count, far beyond any ceiling below).
+STRESS_REPLICAS = 20
+STRESS = {
+    "dedup_minhash_banded": 240,
+    "dedup_fuzzy_minhash": 300,
+    "dedup_simhash_pairs": 240,
+    "dedup_ngram_jaccard": 300,
+    "dedup_prefix_cluster": 120,
+    "dedup_connected_components": 420,
+    "sim_ann_lsh_topk": 300,
+    "sim_ann_ivf_topk": 300,
+    "text_tfidf": 120,
+    "pack_sequences_greedy": 120,
+    "stream_tumbling": 90,
+    "stream_session": 120,
+    "stream_dedup_keys": 120,
+    "stream_topk_per_window": 120,
+}
+
+
+def build_stress_dir(base_sf: str) -> str:
+    """Materialize the deterministic ~20x perturbed tier under /tmp
+    (cached across runs; rebuilt only if the marker file is absent).
+    Unperturbed tables are symlinked so every registry key can run
+    against the directory unchanged."""
+    import os
+
+    out = "/tmp/dags_spark_stress_v1"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    spark = get_spark("dags_spark-stress-build")
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table as t
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(STRESS_REPLICAS - 1))).alias("r")
+
+    docs = t(spark, base_sf, "documents").select("*", reps)
+    # replica 0 keeps the original text; others append a small suffix
+    # -> every cluster key (prefix, shingles, simhash bands) sees ~20x
+    # membership, exactly the hot-bucket regime the guards must bound.
+    docs = docs.select(
+        (F.col("doc_id") * STRESS_REPLICAS + F.col("r")).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" rep"), F.col("r")))
+        .alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + F.when(F.col("r") == 0, 0).otherwise(5 + F.length(F.col("r").cast("string")))).alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb = t(spark, base_sf, "embeddings").select("*", reps)
+    # jitter one dimension per replica (deterministic, tiny) so the
+    # copies are near-identical -> dense LSH/IVF buckets.
+    emb = emb.select(
+        (F.col("vec_id") * STRESS_REPLICAS + F.col("r")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == F.col("r") % 64, F.col("r") / F.lit(1000.0)).otherwise(0.0)
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    ev = t(spark, base_sf, "events").select("*", reps)
+    # same user ids on purpose: 20x hotter session/window keys.
+    ev = ev.select(
+        (F.col("event_id") * STRESS_REPLICAS + F.col("r")).alias("event_id"),
+        (F.col("ts") + F.make_interval(secs=F.col("r"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    ):
+        link = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(base_sf, f"{name}.parquet"), link)
+
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--stress", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("dags_spark-scale-smoke")
     specs = all_specs()
+    plan = dict(HEAVY)
+    sf_for = {k: args.sf for k in plan}
+    if args.stress:
+        stress_dir = build_stress_dir(args.sf)
+        for k, ceil in STRESS.items():
+            plan[f"stress:{k}"] = ceil
+            sf_for[f"stress:{k}"] = stress_dir
     failed = []
-    for key, ceiling in HEAVY.items():
+    for key, ceiling in plan.items():
+        spec_name = key.removeprefix("stress:")
         t0 = time.time()
         try:
-            df = specs[key].fn(spark, args.sf)
+            df = specs[spec_name].fn(spark, sf_for[key])
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             ok = dt <= ceiling
