@@ -839,3 +839,71 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(freq - benford), 6).alias("benford_deviation"),
         )
     )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_id
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+versioned AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM runs
+)
+SELECT user_id, state, valid_from,
+       COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+       CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+FROM versioned
+""",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build (round 4): collapse each
+    user's event-type history into validity intervals
+    [valid_from, valid_to) with an is_current flag — the warehouse
+    versioned-dimension pattern (the reference's DB-storage identity
+    made this a daily shape). Two windows over one (user_id) shuffle:
+    LAG detects run starts (consecutive-duplicate collapse), LEAD
+    closes each version with the next run's start; ties break on
+    event_id so the timeline is total. At 100 TB both windows reuse
+    ONE hash partitioning on user_id — no second exchange — and state
+    per key is a scalar, not the history."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    versioned = runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    # open-ended current version carries the conventional high-date
+    # sentinel instead of NULL (SCD2 practice, and NULL timestamps
+    # compare NaT!=NaT in cross-engine value checks)
+    return versioned.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.coalesce(
+            "valid_to", F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

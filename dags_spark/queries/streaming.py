@@ -460,3 +460,67 @@ FROM events GROUP BY user_id
         Registered only when protobuf is importable (see
         tws_available)."""
         return _build_tws_query(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       COUNT(*) AS n_view_purchase_pairs,
+       CAST(SUM(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)
+         AS sum_lag_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the hardest Structured Streaming
+    shape: views ⋈ purchases per user within a 1-hour event-time
+    window. Both sides carry watermarks and the join has an explicit
+    time-range condition, which is what lets Spark BOUND the join
+    state: a buffered view row can be evicted once the purchase-side
+    watermark passes view.ts + 1h (without the range + watermarks the
+    state would grow forever — Spark rejects the query). Counts and
+    the exact lag-second sum are then aggregated per user and the
+    final table must equal the batch self-join oracle.
+
+    At 100 TB/day this is the ad-attribution topology: state size ~
+    (events within the watermark horizon), sharded by the join key
+    across executors; availableNow here swaps for a continuous
+    trigger unchanged."""
+    base = stage_events(spark, sf_dir)
+    views = (
+        events_stream(spark, os.path.join(base, "in"))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, os.path.join(base, "in"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_to_memory(joined, "append")
+    # exact microsecond lags: second-granularity unix_timestamp would
+    # TRUNCATE in Spark while DuckDB's epoch()->BIGINT cast ROUNDS
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_view_purchase_pairs"),
+        F.sum(
+            F.unix_micros("p_ts") - F.unix_micros("v_ts")
+        ).alias("sum_lag_us"),
+    )

@@ -56,6 +56,9 @@ ALLOWED = {
     # the same scalar-subquery shape as text_tfidf above.
     "text_perplexity_proxy": {"cartesian", "single-partition-exchange"},
     "text_bm25_score": {"cartesian", "single-partition-exchange"},
+    # 1-row digit-total broadcast-crossed into the 9-group digit agg —
+    # the same scalar-subquery shape (round 4).
+    "dq_benford": {"cartesian", "single-partition-exchange"},
     # final ORDER BY over a nation-count-sized aggregate (5 rows at
     # any SF): sorted output is the query's product, and the sort
     # input is dim-table sized by construction.
