@@ -624,3 +624,34 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").alias("n_users")
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       ROUND(CAST(SUM({SQL_CENTS('l_discount')} * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / 100.0 / SUM(CAST(l_quantity AS BIGINT)), 6) AS wavg_discount,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average discount per return flag (round 4):
+    the weighted mean every mixture/pricing rollup needs, computed as
+    exact integer sums (discount cents x quantity) divided once at
+    the end — order-free under any shuffle, unlike a naive
+    SUM(d*q)/SUM(q) on doubles whose partials re-associate. One
+    map-side-combinable hash-agg."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(cents("l_discount") * q).cast("double")
+            / F.lit(100.0)
+            / F.sum(q),
+            6,
+        ).alias("wavg_discount"),
+        F.sum(q).alias("total_qty"),
+    )

@@ -1453,3 +1453,61 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept_flag).cast("bigint").alias("n_kept"),
         )
     )
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+           ' +', ' ', 'g')) AS ntext
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, md5(ntext) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+  FROM norm
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(DISTINCT fp) AS n_distinct_norm
+FROM ranked
+GROUP BY source
+""",
+    tags=("dedup", "trainprep"),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (round 4): case-fold, strip
+    punctuation, collapse whitespace, THEN fingerprint — catches the
+    re-encoded/re-formatted duplicates plain byte-exact dedup misses
+    (the first pass of every web-corpus pipeline, before any fuzzy
+    stage). The normalization is scan-local regex; only (md5, ids)
+    shuffle, never text; one window on the fingerprint + one
+    hash-agg. The regex text is shared semantics with the oracle, so
+    both engines must normalize identically."""
+    d = table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "),
+                " +",
+                " ",
+            )
+        ).alias("ntext"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = norm.select(
+        "doc_id", "source", F.md5("ntext").alias("fp")
+    ).withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.countDistinct("fp").alias("n_distinct_norm"),
+    )

@@ -907,3 +907,93 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS gmin, date_trunc('day', MAX(ts)) AS gmax
+  FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+  SELECT u.user_id, CAST(d.d AS TIMESTAMP) AS day
+  FROM users u CROSS JOIN bounds b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.gmin, b.gmax, INTERVAL 1 DAY)) AS d
+  ) d
+),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+joined AS (
+  SELECT s.user_id, s.day,
+         COALESCE(d.n_events, 0) AS n_events,
+         d.day_value
+  FROM spine s LEFT JOIN daily d
+    ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+       COALESCE(
+         last_value(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         -1.0) AS value_locf,
+       CAST(n_events = 0 AS BOOLEAN) AS is_filled
+FROM joined
+""",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL + LOCF (round 4) — the hypertable
+    operation rollups feed into: build the dense per-user daily spine
+    across the observed range (sequence + explode — generated, never
+    stored), left-join the sparse daily aggregates, and forward-fill
+    each gap with the last observed value (last_value IGNORE NULLS
+    over one user_id window; -1 sentinel before first observation —
+    a NULL would compare NaT-style cross-engine). Day sums are exact
+    DECIMAL. At 100 TB the spine is (users x days) — generated
+    colocated with the join, so the only wide exchange is the daily
+    aggregate itself; the LOCF window rides the same user_id
+    partitioning."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("gmin"),
+        F.date_trunc("DAY", F.max("ts")).alias("gmax"),
+    )
+    users = ev.select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("gmin", "gmax", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("day_value"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.last("day_value", ignorenulls=True).over(w), F.lit(-1.0)
+        ).alias("value_locf"),
+        F.coalesce("n_events", F.lit(0)).eqNullSafe(0).alias("is_filled"),
+    )

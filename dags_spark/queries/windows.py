@@ -620,3 +620,55 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types_seen"
         ),
     )
+
+
+@register(
+    "win_session_native",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization through Spark's NATIVE session_window
+    aggregate (round 4) — the same gap-merge semantics the streaming
+    path uses, here as a single groupBy: window start = first event,
+    end = last event + 30min gap. One shuffle on (user, session);
+    session assembly happens inside the aggregate, no self-join and
+    no window-function pass. The oracle derives identical sessions
+    with the classic LAG/run-sum island construction, so the native
+    aggregate's merge rules are pinned against first principles
+    (win_session_batch covers the manual construction on the Spark
+    side; this key covers the built-in)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
