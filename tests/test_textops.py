@@ -299,3 +299,20 @@ def test_winnow_guarantee_and_pruning(spark):
     }
     assert (0, 1) in got, "shared >=44-char substring must be detected"
     assert (0, 2) not in got and (1, 2) not in got
+
+
+@pytest.mark.slow
+def test_ann_keys_deterministic_across_runs(spark, sf_dir):
+    """The ANN keys are rows-only (no oracle hash), so the global
+    determinism sweep skips them — pin double-run determinism here
+    explicitly: the numpy cell kernel (IVF) and bucketed pairing
+    (LSH) must return identical rows run-to-run (tie handling at the
+    kth value, quantized Lloyd means, fixed-seed hyperplanes)."""
+    from dags_spark.registry import all_specs
+
+    specs = all_specs()
+    for key in ("sim_ann_ivf_topk", "sim_ann_lsh_topk"):
+        fn = specs[key].fn
+        a = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        b = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        assert a == b, f"{key} differs across runs"
