@@ -590,3 +590,61 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("name_roundtrip"),
         F.length(cipher).cast("int").alias("cipher_len"),
     )
+
+
+@register(
+    "fn_mask_pii",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS name_masked,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '*', 'g')
+         AS segment_masked
+FROM customer
+""",
+)
+def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving PII masking via the native mask() function
+    (round 4): upper->X, lower->x, digit->n (or a custom digit
+    char), everything else kept — the redaction that keeps layout
+    (lengths, separators) for debugging while removing content, the
+    lightweight sibling of fn_aes_roundtrip's reversible encryption.
+    JVM-side single projection; the oracle mirrors with three
+    character-class regexes."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.mask("c_mktsegment", digitChar=F.lit("*")).alias("segment_masked"),
+    )
+
+
+@register(
+    "fn_codec_roundtrip",
+    oracle="""
+SELECT n_nationkey,
+       to_base64(CAST(n_name AS BLOB)) AS b64,
+       lower(hex(n_name)) AS hexed,
+       n_name AS b64_roundtrip,
+       n_name AS hex_roundtrip
+FROM nation
+""",
+)
+def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary<->text codec round-trips (round 4): base64/unbase64 and
+    hex/unhex on nation names — the encodings every interchange
+    boundary (JSON payloads, URL-safe ids, wire logs) leans on; both
+    decode paths must reproduce the source exactly and the encoded
+    forms are pinned against DuckDB's encoders."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.lower(F.hex("n_name")).alias("hexed"),
+        F.unbase64(F.base64(F.col("n_name").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.unhex(F.hex("n_name")).cast("string").alias("hex_roundtrip"),
+    )

@@ -193,3 +193,68 @@ def graph_fanout_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
         return deps["spend_by_user"].join(deps["errors_by_user"], "user_id")
 
     return g.run(spark)["user_health"]
+
+
+_YAML_LATEST = """
+name: latest_user_state
+unique_on: [user_id, event_type]
+order_by: [ts, event_id]
+implements: user_state_iface
+fields:
+  - {name: user_id, type: bigint, nullable: false}
+  - {name: event_type, type: string, nullable: false}
+  - {name: ts, type: timestamp}
+  - {name: event_id, type: bigint}
+  - {name: value, type: double}
+---
+name: user_state_iface
+fields:
+  - {name: user_id, type: bigint}
+  - {name: event_type, type: string}
+  - {name: value, type: double}
+"""
+
+
+@register(
+    "graph_yaml_node",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts, event_id, value
+FROM ranked WHERE rn = 1
+""",
+)
+def graph_yaml_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YAML schema front door driven END-TO-END under the hash
+    check (round 4): a declarative document (graph/schemas.py)
+    declares the node's fields, NOT NULL constraints, unique_on +
+    order_by recency, and an `implements` interface it must
+    widen-satisfy; `SchemaDoc.node_kwargs()` feeds the Graph node,
+    whose run then validates the output schema and collapses to
+    latest-per-(user, type) exactly as the document says. The oracle
+    recomputes the collapse with a plain window, so the whole
+    YAML -> StructType -> NodeSpec -> dedupe chain must be right —
+    the reference's declarative-schema identity on Spark
+    primitives."""
+    from ..graph.schemas import load_schemas
+
+    doc = load_schemas(_YAML_LATEST)["latest_user_state"]
+    g = Graph("yaml_front_door")
+
+    @g.node(name="events_src")
+    def events_src(spark: SparkSession, deps) -> DataFrame:
+        return table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        )
+
+    g.sql_node(
+        name="latest_user_state",
+        upstream=["events_src"],
+        sql="SELECT * FROM events_src",
+        **doc.node_kwargs(),
+    )
+    return g.run(spark)["latest_user_state"]

@@ -59,6 +59,9 @@ ALLOWED = {
     # 1-row digit-total broadcast-crossed into the 9-group digit agg —
     # the same scalar-subquery shape (round 4).
     "dq_benford": {"cartesian", "single-partition-exchange"},
+    # 1-row global (min_day, max_day) bounds broadcast-crossed into
+    # the user spine before sequence() — scalar-subquery shape again.
+    "ts_gapfill_locf": {"cartesian", "single-partition-exchange"},
     # final ORDER BY over a nation-count-sized aggregate (5 rows at
     # any SF): sorted output is the query's product, and the sort
     # input is dim-table sized by construction.
