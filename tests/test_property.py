@@ -197,3 +197,27 @@ def test_global_cumsum_property(spark, rows, width):
     for k in sorted(uniq):
         assert got[k] == run, (k, got[k], run, width)
         run += uniq[k]
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    fmt=st.sampled_from(["png", "bmp", "gif", "jpeg"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_image_header_roundtrip_property(w, h, fmt):
+    """Any (width, height) must round-trip through encode -> sniff for
+    every container format (BMP rows are padded, so cap pixel volume
+    to keep payloads small; header parsing is unaffected)."""
+    from dags_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        sniff_image,
+    )
+
+    enc = {"png": encode_png, "bmp": encode_bmp, "gif": encode_gif, "jpeg": encode_jpeg}[fmt]
+    if fmt in ("png", "bmp") and w * h > 4_000_000:
+        h = max(1, 4_000_000 // w)
+    assert sniff_image(enc(w, h)) == (fmt, w, h)

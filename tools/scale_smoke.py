@@ -59,6 +59,12 @@ HEAVY = {
     "tpch_q18_large_orders": 15,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
+    # round-4 additions (healthy 0.7-11 s at sf0.1)
+    "ts_gapfill_locf": 45,
+    "stream_stream_join": 60,
+    "merge_scd2": 15,
+    "multimodal_image_meta": 20,
+    "dedup_normalized_exact": 20,
 }
 
 
@@ -82,6 +88,9 @@ STRESS = {
     "stream_session": 120,
     "stream_dedup_keys": 120,
     "stream_topk_per_window": 120,
+    "stream_stream_join": 240,
+    "ts_gapfill_locf": 120,
+    "dedup_normalized_exact": 120,
 }
 
 
