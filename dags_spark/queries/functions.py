@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import SQL_DEC_SUM, cents, dec_sum, table
+from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_sum, table
 from ..registry import register
 
 
@@ -647,4 +647,96 @@ def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("b64_roundtrip"),
         F.unhex(F.hex("n_name")).cast("string").alias("hex_roundtrip"),
+    )
+
+
+@register(
+    "fn_bround_even",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(CASE WHEN {SQL_CENTS('o_totalprice')} % 100 > 50
+                 THEN {SQL_CENTS('o_totalprice')} // 100 + 1
+                 WHEN {SQL_CENTS('o_totalprice')} % 100 < 50
+                 THEN {SQL_CENTS('o_totalprice')} // 100
+                 ELSE {SQL_CENTS('o_totalprice')} // 100
+                      + ({SQL_CENTS('o_totalprice')} // 100) % 2
+            END AS DOUBLE) AS price_bankers,
+       CAST(floor(CAST({SQL_CENTS('o_totalprice')} AS DOUBLE) / 100.0 + 0.5)
+            AS DOUBLE) AS price_half_up
+FROM orders
+""",
+)
+def fn_bround_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-MODE semantics pinned exactly (round 4): bround's
+    HALF_EVEN (banker's) vs round's HALF_UP on order totals. The
+    oracle cannot call a native half-even (DuckDB ROUND is
+    half-away), so it derives both modes from exact integer cents —
+    boundary rows (cents % 100 == 50) round to the EVEN dollar —
+    which means Spark's bround implementation is checked against the
+    arithmetic definition, not another library's rounding. The mode
+    difference is a classic silent financial-report discrepancy."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.bround("o_totalprice", 0).alias("price_bankers"),
+        F.round("o_totalprice", 0).alias("price_half_up"),
+    )
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle="""
+SELECT n_nationkey, 'n_name' AS col_name, n_name AS col_value FROM nation
+UNION ALL
+SELECT n_nationkey, 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation
+""",
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze` API, round 4): the
+    output schema is computed at ANALYSIS time from the input table's
+    column names — here a generic wide->long melter that emits one
+    (key, col_name, col_value) row per non-key column, whatever table
+    it receives. This is the UDTF counterpart of unpivot_long:
+    unpivot needs the column list spelled at call time; the analyze
+    method discovers it. Registered lazily per session; the oracle
+    mirrors with a UNION ALL melt."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Melt:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            cols = [f.name for f in row.dataType.fields]
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(cols[0], LongType()),
+                        StructField("col_name", StringType()),
+                        StructField("col_value", StringType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            d = row.asDict()
+            keys = list(d)
+            key = d[keys[0]]
+            for c in keys[1:]:
+                yield key, c, str(d[c])
+
+    spark.udtf.register("melt_udtf", udtf(Melt))
+    n = table(spark, sf_dir, "nation")
+    n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+    ).createOrReplaceTempView("nation_for_melt")
+    return spark.sql(
+        "SELECT * FROM melt_udtf(TABLE(SELECT * FROM nation_for_melt))"
     )

@@ -52,6 +52,7 @@ ALLOWED = {
     # are documented as not-a-pattern.
     "udf_python_scalar": {"rowwise-python-udf"},
     "udtf_python": {"rowwise-python-udf"},
+    "udtf_analyze_polymorphic": {"rowwise-python-udf"},
     # 1-row corpus-total broadcast-crossed into the token stream —
     # the same scalar-subquery shape as text_tfidf above.
     "text_perplexity_proxy": {"cartesian", "single-partition-exchange"},
