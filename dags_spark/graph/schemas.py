@@ -102,23 +102,36 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def parse_type(s: str) -> T.DataType:
-    """Parse a simpleString-style type without a SparkSession."""
-    s = s.strip().lower()
-    if s in _PRIMITIVES:
-        return _PRIMITIVES[s]
-    if s.startswith("decimal"):
+    """Parse a simpleString-style type without a SparkSession.
+
+    Type KEYWORDS are case-insensitive (like Spark DDL) but struct
+    field names keep their declared case — lowercasing the whole
+    string would silently case-fold nested column names.
+    """
+    s = s.strip()
+    low = s.lower()
+    if low in _PRIMITIVES:
+        return _PRIMITIVES[low]
+    if low.startswith("decimal"):
         inner = s[len("decimal"):].strip()
         if not inner:
             return T.DecimalType(10, 0)
         if inner.startswith("(") and inner.endswith(")"):
-            p, sc = (int(x) for x in inner[1:-1].split(","))
-            return T.DecimalType(p, sc)
-    if s.startswith("array<") and s.endswith(">"):
+            try:
+                parts = [int(x) for x in inner[1:-1].split(",")]
+            except ValueError as e:
+                raise GraphError(f"invalid type: {s!r}") from e
+            if len(parts) == 1:  # decimal(p) — scale defaults to 0
+                return T.DecimalType(parts[0], 0)
+            if len(parts) == 2:
+                return T.DecimalType(parts[0], parts[1])
+            raise GraphError(f"invalid type: {s!r}")
+    if low.startswith("array<") and low.endswith(">"):
         return T.ArrayType(parse_type(s[6:-1]))
-    if s.startswith("map<") and s.endswith(">"):
+    if low.startswith("map<") and low.endswith(">"):
         k, v = _split_top(s[4:-1])
         return T.MapType(parse_type(k), parse_type(v))
-    if s.startswith("struct<") and s.endswith(">"):
+    if low.startswith("struct<") and low.endswith(">"):
         fields = []
         for part in _split_top(s[7:-1]):
             nm, tp = part.split(":", 1)

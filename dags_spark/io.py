@@ -78,7 +78,12 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     # timestamp rendering elsewhere see the repin instead of silently
     # shifted behavior (documented on the api.py facade too).
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    if prev_tz not in ("UTC", "Etc/UTC", "Z"):
+    _utc_equivalents = {
+        "UTC", "Etc/UTC", "Z", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0",
+        "Etc/GMT+0", "Etc/GMT-0", "Greenwich", "Universal", "Zulu",
+        "UCT", "Etc/UCT", "Etc/Universal", "Etc/Zulu", "+00:00", "-00:00",
+    }
+    if prev_tz not in _utc_equivalents:
         import warnings
 
         warnings.warn(

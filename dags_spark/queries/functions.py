@@ -701,22 +701,19 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     method discovers it. Registered lazily per session; the oracle
     mirrors with a UNION ALL melt."""
     from pyspark.sql.functions import udtf
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import StringType, StructField, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
     class Melt:
         @staticmethod
         def analyze(row: AnalyzeArgument) -> AnalyzeResult:
-            cols = [f.name for f in row.dataType.fields]
+            # key column keeps the INPUT's name and type (true
+            # polymorphism — a string/int/date key passes through)
+            key_field = row.dataType.fields[0]
             return AnalyzeResult(
                 StructType(
                     [
-                        StructField(cols[0], LongType()),
+                        StructField(key_field.name, key_field.dataType),
                         StructField("col_name", StringType()),
                         StructField("col_value", StringType()),
                     ]

@@ -386,8 +386,11 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception as e:
         # Only an already-registered duplicate is benign; a genuine
         # registration failure must propagate, not resurface later as
-        # a confusing "format dags_gen not found" at read time.
-        if "dags_gen" not in str(e):
+        # a confusing "format dags_gen not found" at read time. Match
+        # the duplicate condition, not the source name — a real
+        # failure message can also contain "dags_gen".
+        msg = str(e).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
             raise
     return spark.read.format("dags_gen").option("rows", 200).load()
 

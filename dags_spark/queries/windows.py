@@ -626,7 +626,7 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session_native",
     oracle="""
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -635,7 +635,7 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM marked

@@ -382,3 +382,19 @@ def test_yaml_schema_drives_graph_node(spark, tmp_path):
     out = g.run(spark)["latest"]
     got = {(r.k, r.v) for r in out.collect()}
     assert got == {(1, "new"), (2, "only")}
+
+
+def test_parse_type_preserves_nested_case_and_decimal_forms():
+    from dags_spark.graph.core import GraphError
+    from dags_spark.graph.schemas import parse_type
+    import pytest as _pytest
+
+    t = parse_type("struct<eventId:bigint, UserName:string>")
+    assert [f.name for f in t.fields] == ["eventId", "UserName"]
+    assert parse_type("DECIMAL(10)").simpleString() == "decimal(10,0)"
+    assert parse_type("decimal(16, 8)").simpleString() == "decimal(16,8)"
+    assert parse_type("Array<Struct<X:int>>").elementType.fields[0].name == "X"
+    with _pytest.raises(GraphError, match="invalid"):
+        parse_type("decimal(a,b)")
+    with _pytest.raises(GraphError, match="invalid"):
+        parse_type("decimal(1,2,3)")

@@ -101,7 +101,7 @@ def build_stress_dir(base_sf: str) -> str:
     against the directory unchanged."""
     import os
 
-    out = "/tmp/dags_spark_stress_v1"
+    out = "/tmp/dags_spark_stress_v2"  # v2: n_chars suffix-length fix
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -125,7 +125,13 @@ def build_stress_dir(base_sf: str) -> str:
         .alias("text"),
         "lang",
         "source",
-        (F.col("n_chars") + F.when(F.col("r") == 0, 0).otherwise(5 + F.length(F.col("r").cast("string")))).alias("n_chars"),
+        (
+            F.col("n_chars")
+            + F.when(F.col("r") == 0, 0).otherwise(
+                # ' rep' + digits(r): keeps n_chars == length(text)
+                4 + F.length(F.col("r").cast("string"))
+            )
+        ).alias("n_chars"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
