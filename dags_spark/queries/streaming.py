@@ -524,3 +524,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("p_ts") - F.unix_micros("v_ts")
         ).alias("sum_lag_us"),
     )
+
+
+@register(
+    "stream_append_finalized",
+    oracle="""
+WITH maxts AS (SELECT MAX(ts) AS mx FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+         event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, event_type, n_events
+FROM agg CROSS JOIN maxts
+WHERE win_start + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+""",
+)
+def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windowed aggregation (round 4) — the
+    output-mode semantics the other streaming keys don't pin: in
+    append mode a window row is emitted exactly ONCE, when the
+    watermark passes its end (finalized — no further late row can
+    change it). With availableNow + a no-data flush batch, the final
+    memory table holds precisely the windows whose end <= max(ts) -
+    10min; windows still inside the watermark horizon are withheld.
+    The oracle recomputes that closed-window set from batch SQL, so
+    both the aggregation AND the emission rule are checked. This is
+    the contract an idempotent downstream sink (file/exactly-once
+    delivery) builds on at scale: append rows are immutable facts,
+    no upsert machinery needed."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").alias("win_start"), "event_type", "n_events"
+    )
