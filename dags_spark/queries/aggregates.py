@@ -655,3 +655,74 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_discount"),
         F.sum(q).alias("total_qty"),
     )
+
+
+@register(
+    "agg_regr_linear",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0,
+             6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares linear fit of extendedprice on quantity per
+    return flag (slope / intercept / R²) — the regression aggregate
+    family (REGR_SLOPE etc.) computed from exact integer moment sums.
+
+    Spark's native regr_* (and DuckDB's) accumulate double partials
+    whose value depends on shuffle order, so they can't pass an exact
+    cross-engine hash. Instead the five moments (Σx, Σy, Σx², Σxy,
+    Σy²) accumulate as exact BIGINTs over integer cents — one
+    map-side-combinable hash-agg, order-free — and the closed-form
+    slope/intercept/R² arithmetic runs on bit-identical doubles with
+    the same operation tree on both engines (x and y share the 100×
+    scale, so the slope is scale-free and the intercept divides it
+    out). Moment magnitudes: Σ(xy-cents) ≲ 5e10/row → int64 holds
+    ~2e8 rows per group; past that, pre-aggregate per partition or
+    widen to DECIMAL(38) partials."""
+    li = table(spark, sf_dir, "lineitem")
+    x = cents("l_quantity")
+    y = cents("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round(((sy - slope * sx) / n) / F.lit(100.0), 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

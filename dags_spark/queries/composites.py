@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import SQL_DEC_SUM, dec_sum, table
+from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_avg, dec_sum, table
 from ..registry import register
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -221,4 +221,559 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("l_quantity", 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
+    )
+
+
+# --- round 4 batch 2: the remaining fixture-expressible TPC-H shapes.
+# The fixture schema (FIXTURES.md) has no partsupp table and no
+# l_shipmode/l_commitdate/l_receiptdate/c_phone/p_container columns,
+# so Q2/Q9/Q11/Q15/Q16/Q20 are out of scope and Q7/Q8/Q13/Q17/Q19/
+# Q21/Q22 are adapted: the missing filter column is replaced by an
+# existing one with the same selectivity role, keeping the plan shape
+# (and therefore the scale behavior) of the original query intact.
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if discounts in a band were
+    eliminated — the pure scan-filter-aggregate query.
+
+    Plan: single parquet scan with ALL three predicates pushed
+    (shipdate range, quantity, and the discount band rewritten to an
+    exact integer-cents BETWEEN so the fp literal boundary cannot
+    diverge between engines), no shuffle at all before the 1-row
+    partial+final agg. At 100 TB this is scan-bound by design —
+    the query reads 4 columns of lineitem and nothing else."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100, 0).cast("long").between(2, 4)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "forecast_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS yr,
+       {SQL_DEC_SUM(_REV, 4)} AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_10')
+       OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_5'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction (who supplied whom).
+
+    Plan: the nation dim is pre-filtered to the two nations of
+    interest, so the broadcast joins against supplier and customer
+    act as semi-filters — only lines whose supplier AND customer are
+    in {NATION_5, NATION_10} survive to the fact join, and the
+    symmetric direction predicate is a cheap residual filter on two
+    low-cardinality strings. The only big exchange is lineitem-orders
+    on the order key; grouping output is 2 directions x 2 years."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01").cast("timestamp")
+    nation = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_5", "NATION_10"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= cutoff_lo) & (F.col("l_shipdate") < cutoff_hi)
+    )
+    orders = table(spark, sf_dir, "orders")
+    pair = (F.col("supp_nation") == "NATION_5") & (
+        F.col("cust_nation") == "NATION_10"
+    ) | (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_5")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(dec_sum(F.expr(_REV), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+WITH allrev AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         n1.n_name AS supp_nation,
+         {SQL_CENTS(_REV, 4)} AS rev_cents
+  FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_cents ELSE 0 END)
+            AS DOUBLE)
+         / CAST(SUM(rev_cents) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev_cents) AS DOUBLE) / 10000.0 AS total_revenue
+FROM allrev
+GROUP BY yr
+ORDER BY yr
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of ECONOMY-type part
+    revenue sold into EUROPE-region customers, by order year.
+
+    Plan: region->nation(customer side) is a broadcast chain that
+    semi-filters customer; part is filtered on p_type before its join
+    (selectivity ~1/6) and broadcasts; supplier carries its nation
+    name via a 25-row broadcast. The share division happens AFTER the
+    exact integer cents sums — numerator and denominator are
+    identical BIGINTs on both engines, so the one double division is
+    bit-reproducible. The only large exchanges are lineitem-orders
+    and orders-customer, both on their natural keys."""
+    cust_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev_cents = cents(F.expr(_REV), 4)
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("supp_nation"),
+            rev_cents.alias("rev_cents"),
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("rev_cents")).otherwise(
+            F.lit(0)
+        )
+    )
+    total_cents = F.sum("rev_cents")
+    return (
+        joined.groupBy("yr")
+        .agg(
+            (nation_cents.cast("double") / total_cents.cast("double")).alias(
+                "mkt_share"
+            ),
+            (total_cents.cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "tpch_q13_order_counts",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer
+    (how many customers placed 0, 1, 2, ... qualifying orders).
+    Adapted: the original excludes orders by comment pattern; the
+    fixture has no o_comment, so '5-LOW' priority orders play the
+    excluded class (same selectivity role).
+
+    Plan: the join predicate's non-equi half (priority filter) is
+    pushed into the orders scan; LEFT join keeps 0-order customers,
+    counting o_orderkey (not *) so NULL matches count as zero. Two
+    cascaded hash-aggs: the first shuffles on c_custkey (or rides the
+    join's partitioning), the second is a tiny count-of-counts.
+    This is the canonical double-aggregation shape: at 100 TB the
+    second agg's input is |customers| rows, output ~100 rows."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                             THEN {SQL_CENTS(_REV, 4)} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({SQL_CENTS(_REV, 4)}) AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from a
+    'promo' part class (p_type = 'ECONOMY' stands in for PROMO%).
+
+    Plan: lineitem scans one month (shipdate pushed), part broadcasts
+    whole (only p_partkey+p_type read, column-pruned); conditional
+    and total revenue accumulate as exact integer cents in ONE
+    hash-agg pass, so the final 100*x/y double division is identical
+    on both engines. No shuffle except the 1-row final agg."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.expr(_REV), 4)
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0)))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_share"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+WITH avgq AS (
+  SELECT l_partkey AS ap_partkey,
+         0.2 * (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                / 100.0 / COUNT(*)) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN avgq ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < qty_cut
+""",
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts (lines below 20% of that part's average quantity) —
+    the correlated-aggregate-subquery query, decorrelated into a
+    per-part aggregate joined back to the fact.
+
+    Plan: the per-part average is a hash-agg keyed on l_partkey; the
+    join back to lineitem reuses the same key, so AQE coalesces into
+    one shuffle of lineitem; the brand filter broadcasts via part.
+    Exact arithmetic: the average is an exact cents sum / count (one
+    double division, identical operands both engines), then one
+    multiply by 0.2 — the qty_cut doubles are bit-identical, so the
+    < cut keeps the same row set. A 1-ulp boundary tie is impossible
+    because both engines compute the same two doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    avgq = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(
+            (F.lit(0.2) * (dec_avg("l_quantity", 2))).alias("qty_cut"),
+        )
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avgq, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (dec_sum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the disjunctive-predicate query that punishes engines
+    which can't evaluate multi-branch residuals in one pass.
+
+    Plan: part is filtered to the union of the three brand/size
+    envelopes BEFORE broadcasting (Catalyst extracts the common
+    p_brand IN (...) and p_size <= 35 conjuncts and pushes them to
+    the part scan), then the full three-way disjunction runs as a
+    residual filter after the broadcast hash join — lineitem is
+    scanned exactly once, no union-of-three-scans blowup. All
+    predicate arithmetic is integer/exact-2-decimal, so the row set
+    is engine-identical."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            dec_sum(F.expr(_REV), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  GROUP BY l_orderkey, l_suppkey
+),
+all_supps AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+  JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM all_supps a
+              WHERE a.l_orderkey = l1.l_orderkey
+                AND a.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order. Adapted: the fixture has no
+    l_commitdate/l_receiptdate, so 'late' = shipped more than 90 days
+    after the order date.
+
+    Plan: 'late' and 'all supplier participations' are two hash-aggs
+    over (l_orderkey, l_suppkey) — the second reuses the first's
+    shuffle partitioning. The EXISTS becomes a left-semi join (some
+    OTHER supplier on the order) and the NOT EXISTS a left-anti join
+    (no OTHER late supplier), both keyed on l_orderkey — the classic
+    Q21 double-correlated decorrelation. Supplier broadcasts for the
+    name lookup; top-20 via TakeOrderedAndProject with a name
+    tie-break. At scale the joins stay on one key (l_orderkey), so
+    the whole query is two shuffles of the deduped pair set."""
+    li = table(spark, sf_dir, "lineitem")
+    orders_f = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supps = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    # rows of `late` that have SOME other participant on the order:
+    with_other = l1.join(
+        all_supps.alias("a"),
+        (F.col("a.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.alias("w").join(
+        late.alias("l2"),
+        (F.col("l2.l_orderkey") == F.col("w.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("w.l_suppkey")),
+        "left_anti",
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS totacctbal
+FROM customer, pos
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers (above-average
+    balance, no orders since 2000) bucketed by 'country code'.
+    Adapted: no c_phone in the fixture, so nationkey % 7 plays the
+    code prefix, and 'inactive' = no order after 2000-01-01 (the
+    fixture's every customer has SOME order, so the literal
+    never-ordered cut would be empty).
+
+    Plan: the global positive-balance average is a 1-row broadcast
+    (scalar subquery -> BroadcastNestedLoopJoin over one row — the
+    correct plan, not a cartesian risk); inactive is a left-anti
+    join against recent orders on the customer key (orders filtered
+    on the pushed date predicate and projected to o_custkey before
+    the shuffle); final agg groups ~7 rows. The average is
+    exact-cents/count so the > cut is engine-exact."""
+    cust = table(spark, sf_dir, "customer")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_avg("c_acctbal", 2).alias("avg_bal"))
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 7).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

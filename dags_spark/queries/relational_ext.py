@@ -997,3 +997,198 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_locf"),
         F.coalesce("n_events", F.lit(0)).eqNullSafe(0).alias("is_filled"),
     )
+
+
+@register(
+    "iter_reachability_bfs",
+    oracle="""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * 37 + 11) % (SELECT n FROM nn) AS dst
+  FROM customer
+),
+reach (node, depth) AS (
+  SELECT src, 0 FROM edges WHERE src % 100 = 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(depth) AS INTEGER) AS depth
+FROM reach GROUP BY node ORDER BY node
+""",
+)
+def iter_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability (min hops <= 6 from seed nodes)
+    over a derived functional graph — the iterative frontier-
+    expansion shape behind label propagation, influence radius, and
+    k-hop neighborhood features. The edge set is derived in-plan
+    (dst = (37*key + 11) mod N, N a 1-row broadcast count — no
+    collect); seeds are key % 100 == 0.
+
+    Spark formulation: the depth bound is static, so the loop
+    UNROLLS into 6 chained equi-joins (frontier ⋈ edges on the
+    node key) with a per-level distinct() keeping each frontier at
+    most |nodes| — no driver-side iteration state at all, one job.
+    The oracle reaches the same fixpoint with a recursive CTE;
+    min-depth semantics make revisit rows harmless on both sides.
+    At 100 TB-scale graphs the same code runs with localCheckpoint
+    per level (as dedup_connected_components does for its unbounded
+    variant); bounded-k unrolling is the cheaper plan when k is
+    known."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 37 + 11) % F.col("n")).alias("dst"),
+        )
+    )
+    frontier = edges.filter(F.col("src") % 100 == 0).select(
+        F.col("src").alias("node")
+    ).distinct()
+    levels = [frontier.withColumn("depth", F.lit(0))]
+    for d in range(1, 7):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("depth", F.lit(d)))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionAll(lv)
+    return (
+        allv.groupBy("node")
+        .agg(F.min("depth").cast("int").alias("depth"))
+        .select(F.col("node").cast("bigint").alias("node"), "depth")
+        .orderBy("node")
+    )
+
+
+@register(
+    "ts_resample_interp",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS gmin, date_trunc('day', MAX(ts)) AS gmax
+  FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (
+  SELECT u.user_id, CAST(d.d AS TIMESTAMP) AS day
+  FROM users u CROSS JOIN bounds b
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(b.gmin, b.gmax, INTERVAL 1 DAY)) AS d
+  ) d
+),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS vc
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+joined AS (
+  SELECT s.user_id, s.day, d.vc,
+         CASE WHEN d.vc IS NOT NULL THEN s.day END AS obs_day
+  FROM spine s LEFT JOIN daily d
+    ON d.user_id = s.user_id AND d.day = s.day
+),
+ctx AS (
+  SELECT user_id, day, vc,
+         last_value(vc IGNORE NULLS) OVER w_prev AS pv,
+         last_value(obs_day IGNORE NULLS) OVER w_prev AS pd,
+         first_value(vc IGNORE NULLS) OVER w_next AS nv,
+         first_value(obs_day IGNORE NULLS) OVER w_next AS nd
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE
+         WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE) / 100.0
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           (CAST(pv AS DOUBLE)
+            + CAST(nv - pv AS DOUBLE)
+              * date_diff('day', pd, day) / date_diff('day', pd, nd)) / 100.0
+         WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE) / 100.0
+         ELSE CAST(nv AS DOUBLE) / 100.0
+       END AS value_interp,
+       (vc IS NULL) AS is_filled
+FROM ctx
+ORDER BY user_id, day
+""",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with LINEAR interpolation — the sibling
+    of ts_gapfill_locf for continuous signals: each missing day gets
+    prev + (next - prev) * elapsed/gap, holding flat before the first
+    / after the last observation.
+
+    Same dense-spine construction as LOCF (sequence + explode,
+    generated colocated — never stored); prev/next context comes from
+    two mirrored IGNORE NULLS windows over the SAME user_id
+    partitioning (one sort, two frames — no extra shuffle). All
+    inputs to the interpolation are exact integers (cents sums, day
+    diffs), so the double expression tree is bit-identical on both
+    engines. At 100 TB the wide exchange is the daily aggregate;
+    spine + windows ride its partitioning."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("gmin"),
+        F.date_trunc("DAY", F.max("ts")).alias("gmax"),
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("gmin", "gmax", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum(cents("value")).alias("vc")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "obs_day", F.when(F.col("vc").isNotNull(), F.col("day"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "vc",
+        F.last("vc", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last("obs_day", ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("vc", ignorenulls=True).over(w_next).alias("nv"),
+        F.first("obs_day", ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd")
+    ) / F.lit(100.0)
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("vc").isNotNull(), F.col("vc").cast("double") / 100.0)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv").cast("double") / 100.0)
+        .otherwise(F.col("nv").cast("double") / 100.0)
+        .alias("value_interp"),
+        F.col("vc").isNull().alias("is_filled"),
+    ).orderBy("user_id", "day")
