@@ -1511,3 +1511,189 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.countDistinct("fp").alias("n_distinct_norm"),
     )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         CAST(FLOOR(ROUND(pow(CAST(SUM(n_chars) AS DOUBLE), 0.7), 9) * 1000000)
+              AS BIGINT) AS r
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(r) AS rs FROM per_src)
+SELECT source, n_docs, n_chars_total,
+       ROUND(CAST(r AS DOUBLE) / CAST(rs AS DOUBLE), 6) AS mix_weight,
+       CAST(FLOOR(CAST(r AS DOUBLE) / CAST(rs AS DOUBLE) * 100000.0) AS BIGINT)
+         AS target_docs
+FROM per_src, tot
+ORDER BY source
+""",
+    tags=("trainprep",),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (round 4): the standard
+    multi-source LLM-data rebalancer — sample source i proportional
+    to size^alpha (alpha = 0.7), which upsamples small sources and
+    flattens head-heavy corpora; outputs each source's weight and its
+    document budget out of a 100k-doc target.
+
+    One hash-agg sizes every source (by total chars, the token
+    proxy); pow() runs per GROUP (tiny), is guard-rounded to 9 digits
+    and quantized to BIGINT micro-units BEFORE the total — a 1-ulp
+    pow() divergence between JVM and libm cannot flip the integer,
+    and the integer total is shuffle-order-free where a double sum of
+    raw pow values would re-associate. The 1-row total broadcasts
+    back (scalar-subquery pattern). Scale: everything after the
+    first agg is |sources|-sized."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    per_src = per_src.withColumn(
+        "r",
+        F.floor(
+            F.round(F.pow(F.col("n_chars_total").cast("double"), 0.7), 9)
+            * 1_000_000
+        ).cast("bigint"),
+    )
+    tot = per_src.agg(F.sum("r").alias("rs"))
+    w = F.col("r").cast("double") / F.col("rs").cast("double")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars_total",
+            F.round(w, 6).alias("mix_weight"),
+            F.floor(w * F.lit(100000.0)).cast("bigint").alias("target_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sim_matryoshka_overlap",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         {SQL_VEC_D.format(v='embedding')} AS e,
+         {SQL_VEC_D.format(v='embedding[1:16]')} AS et,
+         {SQL_NORM.format(a=SQL_VEC_D.format(v='embedding'))} AS n,
+         {SQL_NORM.format(a=SQL_VEC_D.format(v='embedding[1:16]'))} AS nt
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, a.label AS label,
+         {SQL_DOT.format(a='a.e', b='b.e')} / (a.n * b.n) AS sim_full,
+         {SQL_DOT.format(a='a.et', b='b.et')} / (a.nt * b.nt) AS sim_trunc
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+rf AS (
+  SELECT label, qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_full DESC, cid) AS r
+  FROM pairs
+),
+rt AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, cid) AS r
+  FROM pairs
+),
+ov AS (
+  SELECT f.label, f.qid,
+         SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+  FROM (SELECT * FROM rf WHERE r <= 3) f
+  LEFT JOIN (SELECT * FROM rt WHERE r <= 3) t
+    ON f.qid = t.qid AND f.cid = t.cid
+  GROUP BY f.label, f.qid
+)
+SELECT label,
+       COUNT(*) AS n_queries,
+       ROUND(CAST(SUM(n_common) AS DOUBLE) / (3.0 * COUNT(*)), 6)
+         AS recall_at_3,
+       CAST(MIN(n_common) AS INTEGER) AS min_common
+FROM ov GROUP BY label ORDER BY label
+""",
+    tags=("similarity",),
+)
+def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-dimension retrieval audit: how much of
+    each exact top-3 neighbor set survives when cosine runs on only
+    the first 16 of 64 dims — the measurement behind MRL-style
+    dimension-reduction rollouts (serve short vectors, verify recall
+    before cutting storage 4x).
+
+    Both rankings share one label-blocked pair DEFINITION (never
+    all-pairs): full and truncated similarities sit in the same
+    projection, and each ranking branch gets WindowGroupLimit
+    map-side top-k pruning before its qid exchange. Catalyst
+    evaluates the pair branch once per ranking (different window
+    sort keys block exchange reuse); if the pair join dominated at
+    scale you would materialize pairs once via write_bucketed and
+    rank twice from the bucketed copy. Dot products are sequential
+    JVM fold / list_sum over identical operand order, so sims are
+    bit-identical cross-engine and the DESC/cid tie-broken top-3 row
+    sets agree exactly. At scale, label = IVF/LSH bucket id and the
+    truncated variant is the cheap pre-rank whose quality this query
+    certifies."""
+    from ..operators.similarity import as_double, dot, norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("e"),
+        as_double(F.slice("embedding", 1, 16)).alias("et"),
+    ).select(
+        "*",
+        norm(F.col("e")).alias("n"),
+        norm(F.col("et")).alias("nt"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("cid"),
+        F.col("a.label").alias("label"),
+        (dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))).alias(
+            "sim_full"
+        ),
+        (
+            dot(F.col("a.et"), F.col("b.et")) / (F.col("a.nt") * F.col("b.nt"))
+        ).alias("sim_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("sim_full").desc(), F.col("cid"))
+    wt = Window.partitionBy("qid").orderBy(F.col("sim_trunc").desc(), F.col("cid"))
+    rf = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= 3)
+        .select("label", "qid", "cid")
+    )
+    rt = (
+        pairs.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= 3)
+        .select("qid", "cid", F.lit(1).alias("m"))
+    )
+    ov = (
+        rf.join(rt, ["qid", "cid"], "left")
+        .groupBy("label", "qid")
+        .agg(F.sum(F.coalesce("m", F.lit(0))).alias("n_common"))
+    )
+    return (
+        ov.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum("n_common").cast("double") / (3.0 * F.count(F.lit(1))), 6
+            ).alias("recall_at_3"),
+            F.min("n_common").cast("int").alias("min_common"),
+        )
+        .orderBy("label")
+    )

@@ -1016,7 +1016,7 @@ reach (node, depth) AS (
   WHERE r.depth < 6
 )
 SELECT CAST(node AS BIGINT) AS node, CAST(MIN(depth) AS INTEGER) AS depth
-FROM reach GROUP BY node ORDER BY node
+FROM reach GROUP BY node
 """,
 )
 def iter_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,7 +1065,6 @@ def iter_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         allv.groupBy("node")
         .agg(F.min("depth").cast("int").alias("depth"))
         .select(F.col("node").cast("bigint").alias("node"), "depth")
-        .orderBy("node")
     )
 
 
@@ -1120,7 +1119,6 @@ SELECT user_id, day,
        END AS value_interp,
        (vc IS NULL) AS is_filled
 FROM ctx
-ORDER BY user_id, day
 """,
 )
 def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,4 +1189,65 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("nv").cast("double") / 100.0)
         .alias("value_interp"),
         F.col("vc").isNull().alias("is_filled"),
-    ).orderBy("user_id", "day")
+    )
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.user_id = m.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(d.adev), 6) AS max_abs_dev,
+       ROUND(MAX(m.mad), 6) AS mad
+FROM dev d JOIN mad m ON d.user_id = m.user_id
+GROUP BY d.user_id
+""",
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per user: events whose |value - median|
+    exceeds 3x the Median Absolute Deviation — the data-quality gate
+    that, unlike z-scores, one wild value cannot poison (median and
+    MAD both resist contamination).
+
+    Two exact-percentile hash-aggs and two joins, ALL keyed on
+    user_id — one logical exchange reused end-to-end (AQE keeps the
+    co-partitioning). Exact medians: both engines interpolate
+    (a+b)/2 over the same sorted 2-decimal values, so med, adev, and
+    the 3x cut are bit-identical doubles cross-engine (the
+    agg_percentile_exact determinism argument, composed twice).
+    At 100 TB this is the grouped-median pattern: no global sort,
+    percentile accumulates per group."""
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("adev"), 6).alias("max_abs_dev"),
+            F.round(F.max("mad"), 6).alias("mad"),
+        )
+    )

@@ -70,6 +70,41 @@ ALLOWED = {
     # the ALL row unions 5 per-type sketches into one task by
     # definition; output ordering over 6 rows is the product.
     "agg_hll_sketch_union": {"single-partition-exchange", "global-sort"},
+    # 1-row global aggregates (the query's entire output), same class
+    # as agg_global above (round 4 TPC-H shapes).
+    "tpch_q6_forecast": {"single-partition-exchange"},
+    "tpch_q14_promo_share": {"single-partition-exchange"},
+    "tpch_q17_small_quantity": {"single-partition-exchange"},
+    "tpch_q19_disjunctive": {"single-partition-exchange"},
+    # canonical TPC-H ORDER BY over a group-count-sized aggregate
+    # (directions x years / years / count-of-counts buckets / country
+    # codes / return flags — dozens of rows at any SF): sorted output
+    # is the query's product, sort input is tiny by construction.
+    "tpch_q7_volume_shipping": {"global-sort"},
+    "tpch_q8_market_share": {"global-sort"},
+    "tpch_q13_order_counts": {"global-sort"},
+    "agg_regr_linear": {"global-sort"},
+    # scalar-subquery broadcast (1-row positive-balance average) +
+    # 7-row country-code output sort — both by-design constructs.
+    "tpch_q22_sales_opportunity": {
+        "cartesian",
+        "single-partition-exchange",
+        "global-sort",
+    },
+    # 1-row broadcast scalars crossed into the plan (node-count N for
+    # the derived edge set / the mixture total) — the subquery_scalar
+    # shape; BFS repeats it once per unrolled level.
+    "iter_reachability_bfs": {"cartesian", "single-partition-exchange"},
+    "sample_temperature_mix": {
+        "cartesian",
+        "single-partition-exchange",
+        "global-sort",
+    },
+    # 1-row global (min_day, max_day) bounds broadcast into the spine
+    # — same shape as ts_gapfill_locf above.
+    "ts_resample_interp": {"cartesian", "single-partition-exchange"},
+    # 10-label summary output sort — dim-sized product ordering.
+    "sim_matryoshka_overlap": {"global-sort"},
 }
 
 

@@ -339,3 +339,48 @@ def test_aqe_skew_join_engages_on_synthetic_skew(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q6_is_pure_scan_agg(spark, sf_dir):
+    plan = _formatted_plan(spark, "tpch_q6_forecast", sf_dir)
+    assert "Join" not in plan, "Q6 must be scan+agg only"
+    # all three predicates reach the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # exactly one exchange: the 1-row final aggregate (count nodes in
+    # the tree section only — the detail section repeats each header)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_tpch_q19_single_scan_disjunction(spark, sf_dir):
+    plan = _formatted_plan(spark, "tpch_q19_disjunctive", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # ONE lineitem + ONE part scan — no union-of-three-scans rewrite
+    # (tree section only; the detail section repeats each header)
+    assert plan.split("\n\n")[0].count("Scan parquet") == 2
+    # the OR of quantity bands is pushed into the lineitem scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan.replace(" ", "")
+
+
+def test_tpch_q21_decorrelates_to_semi_anti(spark, sf_dir):
+    plan = _formatted_plan(spark, "tpch_q21_waiting_supplier", sf_dir)
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must decorrelate to an anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_broadcasts_all_dims(spark, sf_dir):
+    plan = _formatted_plan(spark, "tpch_q8_market_share", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, "part/supp/cust-nation dims must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_rankings_prune_mapside(spark, sf_dir):
+    plan = _formatted_plan(spark, "sim_matryoshka_overlap", sf_dir)
+    # both top-3 rankings must engage WindowGroupLimit before their
+    # qid exchange (map-side top-k pruning, 2 limits per ranking:
+    # partial + final)
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "CartesianProduct" not in plan
