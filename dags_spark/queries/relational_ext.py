@@ -1047,24 +1047,13 @@ def iter_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("c_custkey") * 37 + 11) % F.col("n")).alias("dst"),
         )
     )
-    frontier = edges.filter(F.col("src") % 100 == 0).select(
+    from ..operators.iterative import bounded_bfs
+
+    seeds = edges.filter(F.col("src") % 100 == 0).select(
         F.col("src").alias("node")
-    ).distinct()
-    levels = [frontier.withColumn("depth", F.lit(0))]
-    for d in range(1, 7):
-        frontier = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        levels.append(frontier.withColumn("depth", F.lit(d)))
-    allv = levels[0]
-    for lv in levels[1:]:
-        allv = allv.unionAll(lv)
-    return (
-        allv.groupBy("node")
-        .agg(F.min("depth").cast("int").alias("depth"))
-        .select(F.col("node").cast("bigint").alias("node"), "depth")
+    )
+    return bounded_bfs(edges, seeds, max_depth=6).select(
+        F.col("node").cast("bigint").alias("node"), "depth"
     )
 
 
@@ -1150,46 +1139,10 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day")).agg(
         F.sum(cents("value")).alias("vc")
     )
-    joined = spine.join(daily, ["user_id", "day"], "left").withColumn(
-        "obs_day", F.when(F.col("vc").isNotNull(), F.col("day"))
-    )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    ctx = joined.select(
-        "user_id",
-        "day",
-        "vc",
-        F.last("vc", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last("obs_day", ignorenulls=True).over(w_prev).alias("pd"),
-        F.first("vc", ignorenulls=True).over(w_next).alias("nv"),
-        F.first("obs_day", ignorenulls=True).over(w_next).alias("nd"),
-    )
-    interp = (
-        F.col("pv").cast("double")
-        + (F.col("nv") - F.col("pv")).cast("double")
-        * F.datediff("day", "pd")
-        / F.datediff("nd", "pd")
-    ) / F.lit(100.0)
-    return ctx.select(
-        "user_id",
-        "day",
-        F.when(F.col("vc").isNotNull(), F.col("vc").cast("double") / 100.0)
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
-        )
-        .when(F.col("pv").isNotNull(), F.col("pv").cast("double") / 100.0)
-        .otherwise(F.col("nv").cast("double") / 100.0)
-        .alias("value_interp"),
-        F.col("vc").isNull().alias("is_filled"),
-    )
+    from ..operators.iterative import resample_interp_daily
+
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return resample_interp_daily(joined)
 
 
 @register(

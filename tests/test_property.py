@@ -221,3 +221,102 @@ def test_image_header_roundtrip_property(w, h, fmt):
     if fmt in ("png", "bmp") and w * h > 4_000_000:
         h = max(1, 4_000_000 // w)
     assert sniff_image(enc(w, h)) == (fmt, w, h)
+
+
+# --- bounded-depth BFS vs a pure-Python reference --------------------
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+)
+
+
+@given(
+    edges=st.lists(_edge, min_size=1, max_size=24),
+    seeds=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=3),
+    depth=st.integers(min_value=0, max_value=4),
+)
+@_SLOW
+def test_bounded_bfs_matches_reference(spark, edges, seeds, depth):
+    """Unrolled frontier-join BFS == textbook queue BFS for min-hop
+    depth, on adversarial small graphs (self-loops, multi-edges,
+    unreachable seeds, depth 0)."""
+    from dags_spark.operators.iterative import bounded_bfs
+
+    edf = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node BIGINT")
+    got = {
+        r["node"]: r["depth"]
+        for r in bounded_bfs(edf, sdf, max_depth=depth).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, depth + 1):
+        nxt = {d for s in frontier for d in adj.get(s, ())}
+        frontier = {d for d in nxt if d not in want}
+        for d in frontier:
+            want[d] = lvl
+        if not frontier:
+            break
+    assert got == want
+
+
+# --- daily linear interpolation vs a pandas reference ----------------
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # day offset
+        st.one_of(st.none(), st.integers(min_value=-500, max_value=500)),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(a=_series, b=_series)
+@_SLOW
+def test_resample_interp_matches_pandas(spark, a, b):
+    """Dual-IGNORE-NULLS-window interpolation == pandas interpolate
+    (linear on the interior, flat at both edges), including all-null
+    and single-observation keys."""
+    from dags_spark.operators.iterative import resample_interp_daily
+
+    rows = [
+        (
+            key,
+            (pd.Timestamp("2024-01-01") + pd.Timedelta(days=off)).to_pydatetime(),
+            vc,
+        )
+        for key, series in ((0, a), (1, b))
+        for off, vc in series
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, day TIMESTAMP, vc BIGINT")
+    got = {
+        (r["user_id"], r["day"]): r["value_interp"]
+        for r in resample_interp_daily(df).collect()
+    }
+
+    for key, series in ((0, a), (1, b)):
+        s = pd.Series(
+            {off: (float(vc) if vc is not None else float("nan")) for off, vc in series}
+        ).sort_index()
+        if s.isna().all():
+            want = s  # no observation at all -> NULLs
+        else:
+            want = (
+                s.interpolate(method="index", limit_direction="both") / 100.0
+            )
+        for off in s.index:
+            day = pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(off))
+            g = got[(key, day)]
+            w = want.loc[off]
+            if pd.isna(w):
+                assert g is None
+            else:
+                assert g is not None and abs(g - (w if w == w else 0.0)) < 1e-9, (
+                    key, off, g, w,
+                )
