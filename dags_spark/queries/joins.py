@@ -534,3 +534,77 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.prio.eqNullSafe(b.prio_b))
         .select("o_orderkey", "prio", "n_open")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS view_event_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+raw AS (
+  SELECT p.event_id, p.user_id,
+         v.view_event_id, v.view_value,
+         epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+  FROM purchases p
+  ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id,
+       CASE WHEN lag_us <= 3600000000 THEN view_event_id END AS view_event_id,
+       CASE WHEN lag_us <= 3600000000 THEN view_value END AS view_value,
+       CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us,
+       COALESCE(lag_us <= 3600000000, FALSE) AS within_tolerance
+FROM raw
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof
+    `tolerance` / kdb wj within-window): each purchase attaches the
+    most recent prior view only if it happened within the last hour;
+    older context is nulled, not silently attached — the guard every
+    feature-joining training pipeline needs against stale features.
+
+    Same single-shuffle union-tag as-of plan as join_asof (the
+    tolerance is a post-attach projection, zero extra exchanges);
+    the matched right timestamp rides along as payload so the lag
+    computes scan-locally. NULL lag (never any prior view) maps to
+    within_tolerance = FALSE on both engines."""
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={
+            "view_event_id": "view_event_id",
+            "view_value": "view_value",
+            "ts": "view_ts",
+        },
+    )
+    lag = F.unix_micros("ts") - F.unix_micros("view_ts")
+    ok = lag <= F.lit(3_600_000_000)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("view_event_id")).alias("view_event_id"),
+        F.when(ok, F.col("view_value")).alias("view_value"),
+        F.when(ok, lag).alias("lag_us"),
+        F.coalesce(ok, F.lit(False)).alias("within_tolerance"),
+    )

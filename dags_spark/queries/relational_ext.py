@@ -1204,3 +1204,85 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 6).alias("mad"),
         )
     )
+
+
+@register(
+    "merge_cdc_apply",
+    oracle="""
+WITH base AS (
+  SELECT user_id, 'I' AS op, value,
+         TIMESTAMP '2023-12-31 00:00:00' AS ts, CAST(-1 AS BIGINT) AS seq
+  FROM (
+    SELECT user_id, arg_min(value, event_id) AS value,
+           MIN(event_id) AS first_id
+    FROM events GROUP BY user_id
+  )
+),
+changes AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value, ts, event_id AS seq
+  FROM events
+),
+unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM changes
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM unioned
+)
+SELECT user_id, value, ts AS last_ts, CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY with tombstones — the missing half of merge_upsert:
+    a change stream of Insert/Update/DELETE ops (error events play
+    the delete marker) folds onto a base snapshot; last writer per
+    key wins by (ts, seq), and a key whose LAST op is a delete
+    vanishes from the final state instead of keeping its stale row —
+    the semantics every Debezium/binlog-to-warehouse sync needs.
+
+    One unionByName + ONE window over the key partitioning (rank and
+    op-count share the sort), then a scan-local tombstone filter; the
+    change stream never joins the snapshot row-by-row. At 100 TB this
+    is the same latest-per-key shuffle as merge_upsert — deletes add
+    zero extra exchanges, unlike MERGE implementations that anti-join
+    deletes separately."""
+    ev = table(spark, sf_dir, "events")
+    base = (
+        ev.groupBy("user_id")
+        .agg(F.expr("min_by(value, event_id)").alias("value"))
+        .select(
+            "user_id",
+            F.lit("I").alias("op"),
+            "value",
+            F.lit("2023-12-31 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(-1).cast("bigint").alias("seq"),
+        )
+    )
+    changes = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+    )
+    unioned = base.unionByName(changes)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("seq").desc())
+    wc = Window.partitionBy("user_id")
+    ranked = unioned.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        "value",
+        F.col("ts").alias("last_ts"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+    )
