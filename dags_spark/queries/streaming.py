@@ -564,3 +564,72 @@ def stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("win_start"), "event_type", "n_events"
     )
+
+
+@register(
+    "stream_state_restart",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""",
+)
+def stream_state_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful aggregation STATE RECOVERY across a restart — the
+    production property stateful streaming lives or dies by: a
+    running per-user count/sum processes batch one, the query STOPS,
+    more files arrive, and a new query instance on the SAME
+    checkpoint must resume from the recovered state store, not from
+    zero. The final per-user totals must equal one batch GROUP BY
+    over everything — if recovery failed, run two's rows would carry
+    part-two-only counts and the hash would diverge.
+
+    Update-mode foreachBatch appends each micro-batch's changed
+    per-user rows tagged with batch_id; the final state is the
+    latest row per user across both runs (one window). Exact cents
+    keep the sums order- and restart-invariant."""
+    base = stage_events(spark, sf_dir, split="two")
+    work = tempfile.mkdtemp(prefix="dags_spark_restart_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+
+    def _add(part: str) -> None:
+        src = [
+            f
+            for f in os.listdir(os.path.join(base, part))
+            if f.endswith(".parquet")
+        ]
+        os.link(
+            os.path.join(base, part, src[0]),
+            os.path.join(in_dir, f"{part}_{src[0]}"),
+        )
+
+    def run_once() -> None:
+        agg = (
+            events_stream(spark, in_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+        run_foreach_batch_parquet(agg, out_dir, ckpt=ckpt, output_mode="update")
+
+    _add("part1")
+    run_once()  # run 1: state built from part1
+    _add("part2")
+    run_once()  # run 2: NEW query, same checkpoint -> state recovered
+
+    from pyspark.sql import Window
+
+    sink = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("__batch_id").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )

@@ -88,7 +88,12 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
-def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str, ckpt: str | None = None) -> None:
+def run_foreach_batch_parquet(
+    sdf: DataFrame,
+    out_dir: str,
+    ckpt: str | None = None,
+    output_mode: str | None = None,
+) -> None:
     """Write each micro-batch to a parquet sink via foreachBatch,
     idempotently per batch_id.
 
@@ -114,9 +119,13 @@ def run_foreach_batch_parquet(sdf: DataFrame, out_dir: str, ckpt: str | None = N
             .parquet(out_dir)
         )
 
+    writer = sdf.writeStream.foreachBatch(write_batch)
+    if output_mode is not None:
+        # "update" lets a stateful aggregation emit its changed rows
+        # per micro-batch (append would require a watermark close).
+        writer = writer.outputMode(output_mode)
     q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
+        writer.trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()
     )

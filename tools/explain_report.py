@@ -51,16 +51,30 @@ def main() -> None:
         "exchange counts matching the docstrings' shuffle budgets.",
         "",
     ]
-    for bench_name, key in BENCH.items():
+    def fmt(key: str) -> str:
         df = specs[key].fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().explainString(
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-        out += [f"## {bench_name} ({key})", "", "```", plan.rstrip(), "```", ""]
+
+    for bench_name, key in BENCH.items():
+        out += [f"## {bench_name} ({key})", "", "```", fmt(key).rstrip(), "```", ""]
+
+    tpch = sorted(k for k in specs if k.startswith("tpch_"))
+    out += [
+        "# TPC-H composite plans",
+        "",
+        "The full composite suite (SURVEY §2.14) at the same profile —",
+        "evidence that every shape keeps its broadcast dims, pushed",
+        "filters, and decorrelated semi/anti joins.",
+        "",
+    ]
+    for key in tpch:
+        out += [f"## {key}", "", "```", fmt(key).rstrip(), "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote {REPO / 'PLANS.md'} ({len(BENCH)} plans)")
+    print(f"wrote {REPO / 'PLANS.md'} ({len(BENCH) + len(tpch)} plans)")
 
 
 if __name__ == "__main__":
