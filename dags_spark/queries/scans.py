@@ -523,3 +523,77 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml(xml, "nk INT, nname STRING, rk INT").alias("v")
     )
     return parsed.select("v.nk", "v.nname", "v.rk")
+
+
+@register(
+    "source_python_datasource_stream",
+    oracle="""
+SELECT r AS n, r * r AS n_sq FROM range(0, 200) t(r)
+""",
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python data source (Spark 4
+    SimpleDataSourceStreamReader): a resumable-cursor feed — each
+    micro-batch pulls the next 50-row chunk and commits its offset to
+    the checkpoint, and a NEW query instance on the same checkpoint
+    resumes from the committed cursor, never re-emitting rows. The
+    extension point for paginated internal APIs / queues when no JVM
+    connector exists.
+
+    The Python micro-batch stream does not support AvailableNow
+    (Spark falls back to single-batch execution), so the drive loop
+    restarts the query until the cursor stops advancing — four runs
+    of 50 here, each a genuine cold restart; exactly-once lands in
+    the parquet sink via the batch-id-partitioned foreachBatch
+    writer. readBetweenOffsets serves replay of an uncommitted
+    batch after a crash."""
+    import tempfile
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from ..streaming.runner import run_foreach_batch_parquet
+
+    class _CursorReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= 200:
+                return iter([]), {"pos": pos}
+            end = min(pos + 50, 200)
+            return iter([(n, n * n) for n in range(pos, end)]), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(n, n * n) for n in range(start["pos"], end["pos"])]
+            )
+
+    class GenStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_gen_stream"
+
+        def schema(self) -> str:
+            return "n BIGINT, n_sq BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return _CursorReader()
+
+    try:
+        spark.dataSource.register(GenStreamSource)
+    except Exception as e:
+        msg = str(e).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise
+
+    work = tempfile.mkdtemp(prefix="dags_spark_pyds_stream_")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    for _ in range(6):  # cursor cap 200 -> 4 advancing runs, 2 no-ops
+        sdf = spark.readStream.format("dags_gen_stream").load()
+        run_foreach_batch_parquet(sdf, out_dir, ckpt=ckpt)
+        got = spark.read.parquet(out_dir)
+        if got.count() >= 200:
+            break
+    return spark.read.parquet(out_dir).select("n", "n_sq")

@@ -10,6 +10,8 @@ in hot paths (Arrow batches, ~10-100x over row-at-a-time); the plain
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,3 +202,31 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
     )
     return o.mapInArrow(to_cents, "o_orderkey BIGINT, price_cents DOUBLE")
+
+
+@register(
+    "udf_pandas_iterator",
+    oracle="""
+SELECT c_custkey,
+       ROUND(c_acctbal * 1.07 + 5.0, 4) AS adjusted_bal
+FROM customer
+""",
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[Series] -> Iterator[Series])
+    — the variant for UDFs with expensive one-time setup (model load,
+    codec init): the cost is paid once per PARTITION, then every
+    Arrow batch streams through the same initialized state. Here the
+    'expensive state' is a deterministic (rate, fee) pair initialized
+    before the loop; per-batch work stays vectorized pandas.
+
+    Same Arrow transfer as a scalar pandas UDF — one Python worker
+    round-trip per batch, never per row."""
+    @F.pandas_udf(DoubleType())
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rate, fee = 1.07, 5.0  # once-per-partition setup
+        for s in batches:
+            yield (s * rate + fee).round(4)
+
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", adjust("c_acctbal").alias("adjusted_bal"))
