@@ -597,3 +597,100 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         if got.count() >= 200:
             break
     return spark.read.parquet(out_dir).select("n", "n_sq")
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON batch SINK (Spark 4 DataSourceWriter): each task
+    streams its partition's rows through Python into a uniquely-named
+    staging file and returns a commit message listing what it wrote;
+    the driver-side commit() publishes a manifest naming exactly the
+    committed files — the two-phase protocol that makes bespoke sinks
+    (internal APIs, tape formats) exactly-once under task retries
+    (an aborted attempt's file is never manifested). Read-back goes
+    through the manifest only, so orphaned staging files from failed
+    attempts are invisible.
+
+    The write path is the supplier table round-tripped through the
+    sink as tab-separated lines; the returned DataFrame re-parses the
+    manifested files and must equal the source relation."""
+    import glob as _glob
+    import json as _json
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_root = tempfile.mkdtemp(prefix="dags_spark_pysink_")
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str, n: int) -> None:
+            self.path, self.n = path, n
+
+    class _TsvWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self._dir = options["path"]
+
+        def write(self, iterator):
+            path = os.path.join(self._dir, f"part-{_uuid.uuid4().hex}.tsv")
+            n = 0
+            with open(path, "w") as fh:
+                for row in iterator:
+                    fh.write(f"{row['s_suppkey']}\t{row['s_name']}\n")
+                    n += 1
+            return _Msg(path, n)
+
+        def commit(self, messages):
+            manifest = [
+                {"path": m.path, "rows": m.n} for m in messages if m is not None
+            ]
+            with open(os.path.join(self._dir, "_manifest.json"), "w") as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class TsvSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_tsv_sink"
+
+        def writer(self, schema, overwrite):
+            return _TsvWriter(self.options)
+
+    try:
+        spark.dataSource.register(TsvSink)
+    except Exception as e:
+        msg = str(e).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise
+
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    supp.write.format("dags_tsv_sink").option("path", out_root).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out_root, "_manifest.json")) as fh:
+        manifest = _json.load(fh)
+    files = [m["path"] for m in manifest]
+    assert files, "python sink committed no files"
+    parsed = (
+        spark.read.text(files)
+        .select(F.split("value", "\t").alias("p"))
+        .select(
+            F.col("p")[0].cast("bigint").alias("s_suppkey"),
+            F.col("p")[1].alias("s_name"),
+        )
+    )
+    return parsed
