@@ -22,6 +22,7 @@ from .graph.core import Graph, NodeSpec, schema_implements
 from .graph.schemas import SchemaDoc, load_schema_file, load_schemas
 from .io import load_tables, register_views, table
 from .operators.asof import asof_join
+from .operators.iterative import bounded_bfs, resample_interp_daily
 from .operators.dedup import (
     connected_components,
     exact_dedup,
@@ -69,6 +70,8 @@ __all__ = [
     "load_tables",
     "register_views",
     "asof_join",
+    "bounded_bfs",
+    "resample_interp_daily",
     "exact_dedup",
     "latest_by_key",
     "minhash_near_dup_pairs",

@@ -633,3 +633,105 @@ def stream_state_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "value_cents")
     )
+
+
+@register(
+    "stream_python_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python sink (Spark 4 DataSourceStreamWriter):
+    the write-side twin of the streaming Python source — tasks stage
+    each micro-batch's rows into uniquely-named files, and the
+    per-batch commit(messages, batchId) publishes a batch manifest;
+    a redelivered batchId OVERWRITES its manifest instead of
+    appending, so restarts stay exactly-once at the sink (the same
+    idempotent-commit recipe as the foreachBatch parquet runner, but
+    implemented through the connector API a bespoke external system
+    would use).
+
+    Read-back unions exactly the manifested files of every committed
+    batch; the per-type counts must equal the batch GROUP BY."""
+    import glob as _glob
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    out_root = tempfile.mkdtemp(prefix="dags_spark_pystreamsink_")
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class _Writer(DataSourceStreamWriter):
+        def __init__(self, options) -> None:
+            self._dir = options["path"]
+
+        def write(self, iterator):
+            path = os.path.join(
+                self._dir, f"stage-{_uuid.uuid4().hex}.tsv"
+            )
+            with open(path, "w") as fh:
+                for row in iterator:
+                    fh.write(f"{row['event_id']}\t{row['event_type']}\n")
+            return _Msg(path)
+
+        def commit(self, messages, batchId):
+            manifest = [m.path for m in messages if m is not None]
+            with open(
+                os.path.join(self._dir, f"_manifest-{batchId}.json"), "w"
+            ) as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class TsvStreamSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_tsv_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _Writer(self.options)
+
+    try:
+        spark.dataSource.register(TsvStreamSink)
+    except Exception as e:
+        msg = str(e).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise
+
+    sdf = events_stream(
+        spark, os.path.join(stage_events(spark, sf_dir), "in")
+    ).select("event_id", "event_type")
+    ckpt = tempfile.mkdtemp(prefix="dags_spark_ckpt_")
+    q = (
+        sdf.writeStream.format("dags_tsv_stream_sink")
+        .option("path", out_root)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    files: list[str] = []
+    for mf in _glob.glob(os.path.join(out_root, "_manifest-*.json")):
+        with open(mf) as fh:
+            files.extend(_json.load(fh))
+    assert files, "python stream sink committed no files"
+    return (
+        spark.read.text(files)
+        .select(F.split("value", "\t").alias("p"))
+        .groupBy(F.col("p")[1].alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
