@@ -254,10 +254,16 @@ def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: image resize (PIL absent). Real shape: mapInPandas
-    emitting the re-encoded payload with updated meta."""
+    """STUB for COMPRESSED formats: PNG/JPEG/GIF pixel decode needs
+    PIL (absent). The uncompressed path is REAL: see
+    resize_bmp_nearest below (pure-Python 24-bit BMP decode ->
+    nearest-neighbor resample -> re-encode), driven end-to-end under
+    the hash check by the multimodal_resize_bmp key. Real shape for
+    the compressed variants: mapInPandas emitting the re-encoded
+    payload with updated meta."""
     raise NotImplementedError(
-        "image resize requires PIL; pipeline shape: "
+        "compressed-format resize requires PIL; BMP resize is implemented "
+        "(resize_bmp_nearest); pipeline shape: "
         "binary_df.mapInPandas(resize_batch, 'doc_id BIGINT, content BINARY, meta STRUCT<...>')"
     )
 
@@ -269,3 +275,90 @@ def sample_frames(binary_df: DataFrame, every_n: int) -> DataFrame:
         "frame sampling requires ffmpeg bindings; pipeline shape: "
         "mapInPandas yielding one row per sampled frame (doc_id, frame_idx, content)"
     )
+
+
+def encode_bmp_pattern(width: int, height: int) -> bytes:
+    """24-bit BMP with a deterministic per-pixel pattern (in IMAGE
+    coordinates, y=0 at the top): B=(x*7+y*13)%256, G=(x*11+y*3)%256,
+    R=(x*5+y*17)%256. BMP stores rows bottom-up, so file row r holds
+    image row height-1-r. The closed-form pattern lets an oracle
+    recompute any derived statistic (including after resampling)
+    arithmetically — real pixel work, checkable without a codec."""
+    import struct
+
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    rows = []
+    for r in range(height):
+        y = height - 1 - r  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                (
+                    (x * 7 + y * 13) % 256,
+                    (x * 11 + y * 3) % 256,
+                    (x * 5 + y * 17) % 256,
+                )
+            )
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    return head + info + pixels
+
+
+def decode_bmp_pixels(buf: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-Python 24-bit BMP decode -> (width, height, rows of
+    (B, G, R) tuples in image coordinates, y=0 top)."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)[0:2]
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_len = width * 3
+    stride = row_len + (4 - row_len % 4) % 4
+    img = []
+    for y in range(height):
+        r = height - 1 - y  # image row y lives at file row height-1-y
+        base = off + r * stride
+        row = [
+            tuple(buf[base + 3 * x : base + 3 * x + 3]) for x in range(width)
+        ]
+        img.append(row)
+    return width, height, img
+
+
+def resize_bmp_nearest(buf: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize without any codec library: decode the 24-bit
+    BMP, nearest-neighbor resample (src = floor(dst * in/out) — the
+    standard forward mapping), re-encode a valid BMP. Runs per row
+    inside the mapInPandas batch kernel; the compressed-format
+    variants still require PIL and keep their stub."""
+    import struct
+
+    in_w, in_h, img = decode_bmp_pixels(buf)
+    row_len = out_w * 3
+    pad = (4 - row_len % 4) % 4
+    rows = []
+    for r in range(out_h):
+        y = out_h - 1 - r
+        sy = (y * in_h) // out_h
+        row = bytearray()
+        for x in range(out_w):
+            sx = (x * in_w) // out_w
+            row += bytes(img[sy][sx])
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    return head + info + pixels

@@ -1697,3 +1697,87 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "multimodal_resize_bmp",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 31 AS in_w,
+         1 + doc_id % 23 AS in_h
+  FROM documents WHERE doc_id % 4 = 1
+),
+px AS (
+  SELECT doc_id, in_w, in_h,
+         (x.x * in_w) // 8 AS sx,
+         (y.y * in_h) // 6 AS sy
+  FROM dims
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) y
+)
+SELECT doc_id, in_w, in_h,
+       CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+       CAST(SUM((sx * 7 + sy * 13) % 256
+                + 256 * ((sx * 11 + sy * 3) % 256)
+                + 65536 * ((sx * 5 + sy * 17) % 256)) AS BIGINT) AS checksum
+FROM px
+GROUP BY doc_id, in_w, in_h
+""",
+    tags=("multimodal",),
+)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, no codec library: 24-bit BMPs (the
+    uncompressed format — byte layout IS the spec) are generated with
+    a closed-form pixel pattern, decoded, nearest-neighbor resampled
+    to 8x6, RE-ENCODED, then re-decoded for the checksum — all in
+    pure Python inside one mapInPandas kernel, Arrow-batched. The
+    oracle recomputes the resampled checksum arithmetically from the
+    pattern + the floor(dst*in/out) mapping, so the hash certifies
+    genuine pixel decode/resample/encode work cross-engine.
+    Compressed formats (PNG/JPEG) still gate their pixel path behind
+    the PIL probe — only their header parse is native.
+
+    Scale: payloads never leave the executor; one input row -> one
+    output row of atomic stats. doc_id % 4 = 1 selects the BMP slice
+    of the fixture's format cycle (operators/multimodal.py
+    attach_fake_images)."""
+    from ..operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_pattern,
+        resize_bmp_nearest,
+        sniff_image,
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            rows = []
+            for i in ids:
+                payload = encode_bmp_pattern(1 + i % 31, 1 + i % 23)
+                in_fmt, in_w, in_h = sniff_image(payload)
+                resized = resize_bmp_nearest(payload, 8, 6)
+                out_fmt, out_w, out_h = sniff_image(resized)
+                assert (in_fmt, out_fmt) == ("bmp", "bmp")
+                _, _, img = decode_bmp_pixels(resized)
+                cks = sum(
+                    b + 256 * g + 65536 * r for row in img for (b, g, r) in row
+                )
+                rows.append((i, in_w, in_h, out_w, out_h, cks))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h", "checksum",
+                ],
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    return d.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id BIGINT, in_w BIGINT, in_h BIGINT, "
+            "out_w BIGINT, out_h BIGINT, checksum BIGINT"
+        ),
+    )

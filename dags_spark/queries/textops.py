@@ -12,6 +12,7 @@ from . import table
 from ..operators.textops import (
     SQL_ROLLING,
     SQL_STOPWORDS,
+    STOPWORDS,
     TOKEN_RE,
     langid_predict,
     normalize_text,
@@ -510,4 +511,85 @@ def text_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("qe").cast("double") / F.lit(1_000_000_000.0), 6
             ).alias("token_entropy_nats"),
         )
+    )
+
+
+@register(
+    "quality_classifier_logistic",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({SQL_STOPWORDS}, t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      t -> length(t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_tok_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS digit_ratio
+  FROM documents
+),
+z AS (
+  SELECT doc_id,
+         -2.0 + 0.01 * n_tok + 3.0 * stop_ratio - 0.2 * mean_tok_len
+              - 1.5 * digit_ratio AS z
+  FROM f
+)
+SELECT doc_id,
+       CAST(FLOOR(ROUND(1.0 / (1.0 + exp(-z)), 9) * 1000000) AS BIGINT)
+         AS score_micro,
+       z >= 0.0 AS keep
+FROM z
+""",
+    tags=("llm",),
+)
+def quality_classifier_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretrained-classifier APPLY at corpus scale — the
+    fasttext-style quality gate every LLM data pipeline runs: a fixed
+    logistic model (weights broadcast as literals; in production,
+    loaded once per partition) scores each document from cheap
+    lexical features, and the keep decision feeds the downstream
+    filter. Scan-local projection — zero shuffles, zero Python.
+
+    Determinism: features are exact integer ratios; the logit z is
+    the same double expression tree on both engines; the sigmoid's
+    libm exp() gets the 9-guard-digit micro-unit quantization (the
+    ln()/pow() rule), and the keep flag uses z >= 0 — algebraically
+    sigmoid >= 0.5 but free of any libm call, so the cut can never
+    flip cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.size(toks)
+    )
+    mean_tok_len = (
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / F.size(toks)
+    )
+    digit_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("double")
+        / F.size(toks)
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.01) * n_tok
+        + F.lit(3.0) * stop_ratio
+        - F.lit(0.2) * mean_tok_len
+        - F.lit(1.5) * digit_ratio
+    )
+    return d.select(
+        "doc_id",
+        F.floor(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9) * 1_000_000)
+        .cast("bigint")
+        .alias("score_micro"),
+        (z >= 0.0).alias("keep"),
     )

@@ -320,3 +320,37 @@ def test_resample_interp_matches_pandas(spark, a, b):
                 assert g is not None and abs(g - (w if w == w else 0.0)) < 1e-9, (
                     key, off, g, w,
                 )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    ow=st.integers(min_value=1, max_value=9),
+    oh=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=200, deadline=None)
+def test_bmp_resize_matches_closed_form(w, h, ow, oh):
+    """Pure-Python BMP decode -> nearest-neighbor resize -> encode ->
+    decode equals the closed-form pattern sampled at floor(dst*in/out)
+    for every (in, out) dimension pair, including identity and
+    1-pixel degenerate sizes."""
+    from dags_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_pattern,
+        resize_bmp_nearest,
+        sniff_image,
+    )
+
+    out = resize_bmp_nearest(encode_bmp_pattern(w, h), ow, oh)
+    fmt, got_w, got_h = sniff_image(out)
+    assert (fmt, got_w, got_h) == ("bmp", ow, oh)
+    _, _, img = decode_bmp_pixels(out)
+    for y in range(oh):
+        sy = (y * h) // oh
+        for x in range(ow):
+            sx = (x * w) // ow
+            assert img[y][x] == (
+                (sx * 7 + sy * 13) % 256,
+                (sx * 11 + sy * 3) % 256,
+                (sx * 5 + sy * 17) % 256,
+            )
