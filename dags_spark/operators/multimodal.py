@@ -269,10 +269,15 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(binary_df: DataFrame, every_n: int) -> DataFrame:
-    """STUB: video frame sampling (ffmpeg absent). Real shape: one
-    input row -> many frame rows via mapInPandas generator."""
+    """STUB for COMPRESSED containers: mp4/webm decode needs ffmpeg
+    (absent). The uncompressed path is REAL: see sample_y4m_frames
+    below (pure-Python YUV4MPEG2 stream walk), driven end-to-end
+    under the hash check by the multimodal_video_y4m key. Real shape
+    for compressed variants: mapInPandas yielding one row per
+    sampled frame (doc_id, frame_idx, content)."""
     raise NotImplementedError(
-        "frame sampling requires ffmpeg bindings; pipeline shape: "
+        "compressed-container frame sampling requires ffmpeg; Y4M sampling "
+        "is implemented (sample_y4m_frames); pipeline shape: "
         "mapInPandas yielding one row per sampled frame (doc_id, frame_idx, content)"
     )
 
@@ -362,3 +367,105 @@ def resize_bmp_nearest(buf: bytes, out_w: int, out_h: int) -> bytes:
     )
     head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
     return head + info + pixels
+
+
+def encode_wav_pattern(n_samples: int, sample_rate: int) -> bytes:
+    """Minimal valid 16-bit mono PCM WAV whose samples follow the
+    closed form s_i = ((i * 2654435761) % 65536) - 32768 — a real
+    RIFF container (audio's uncompressed format, like BMP for images)
+    whose derived statistics an oracle can recompute arithmetically."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((i * 2654435761) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav(buf: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-Python PCM WAV parse -> (sample_rate, n_channels,
+    bits_per_sample, samples). Walks RIFF chunks (fmt / data) the way
+    a real reader must — no assumption about chunk order."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, chans, bits, samples = 12, None, None, None, []
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _fmt, chans, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"data":
+            if bits != 16:
+                raise ValueError(f"unsupported bits {bits}")
+            samples = [
+                struct.unpack_from("<h", body, 2 * i)[0]
+                for i in range(len(body) // 2)
+            ]
+        pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
+    if rate is None:
+        raise ValueError("missing fmt chunk")
+    return rate, chans, bits, samples
+
+
+def encode_y4m_pattern(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal YUV4MPEG2 (uncompressed video) stream, 4:2:0: header +
+    FRAME-delimited raw planes. Luma follows the closed form
+    Y(f, x, y) = (x*3 + y*5 + f*7) % 256; chroma planes are flat 128.
+    Width/height must be even (4:2:0 subsampling)."""
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    uv = bytes([128]) * ((width // 2) * (height // 2))
+    for f in range(n_frames):
+        y_plane = bytes(
+            (x * 3 + y * 5 + f * 7) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        out.append(b"FRAME\n" + y_plane + uv + uv)
+    return b"".join(out)
+
+
+def sample_y4m_frames(buf: bytes, every_n: int) -> list[tuple[int, int, int, int]]:
+    """REAL video frame sampling without ffmpeg, for the uncompressed
+    Y4M container: parse the stream header, walk FRAME records, keep
+    every n-th frame, and return (frame_idx, width, height,
+    y_checksum) per kept frame (checksum = sum of luma bytes). The
+    compressed-container variant (mp4/webm) still requires ffmpeg
+    and keeps its stub in sample_frames."""
+    header_end = buf.index(b"\n")
+    header = buf[:header_end].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    params = dict(
+        (p[0], p[1:]) for p in header.split()[1:] if p and p[0] in "WHFIAC"
+    )
+    width, height = int(params["W"]), int(params["H"])
+    y_len = width * height
+    uv_len = (width // 2) * (height // 2)
+    frame_len = y_len + 2 * uv_len
+    pos, idx, kept = header_end + 1, 0, []
+    while pos < len(buf):
+        if buf[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos += 6
+        if idx % every_n == 0:
+            kept.append(
+                (idx, width, height, sum(buf[pos : pos + y_len]))
+            )
+        pos += frame_len
+        idx += 1
+    return kept

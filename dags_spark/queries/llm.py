@@ -1781,3 +1781,158 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_w BIGINT, out_h BIGINT, checksum BIGINT"
         ),
     )
+
+
+@register(
+    "multimodal_audio_wav",
+    oracle="""
+WITH docs4 AS (
+  SELECT doc_id,
+         200 + (doc_id % 7) * 50 AS n_samples,
+         8000 + (doc_id % 3) * 4000 AS sample_rate
+  FROM documents WHERE doc_id % 4 = 2
+),
+s AS (
+  SELECT doc_id, n_samples, sample_rate,
+         abs(((i.i * 2654435761) % 65536) - 32768) AS a
+  FROM docs4
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, n_samples - 1)) AS i
+  ) i
+)
+SELECT doc_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(SUM(a) AS BIGINT) AS sum_abs
+FROM s
+GROUP BY doc_id, sample_rate, n_samples
+""",
+    tags=("multimodal",),
+)
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio parse + feature extraction, no codec library: PCM
+    WAV is audio's uncompressed format (like BMP for images) — the
+    RIFF chunk walk, fmt/data parsing, and 16-bit sample decode are
+    pure byte work. Each doc gets a closed-form-sampled WAV
+    (generated AND parsed inside one Arrow mapInPandas kernel), and
+    the extracted features (rate, count, duration, sum of |sample|)
+    must match the oracle's arithmetic recomputation — certifying a
+    genuine RIFF decode path. Compressed audio (mp3/ogg) would gate
+    behind a codec probe exactly like PIL for images.
+
+    Scale: payloads never leave the executor; one row in, one
+    feature row out; doc_id % 4 = 2 is this key's slice of the
+    fixture's media-format cycle."""
+    from ..operators.multimodal import encode_wav_pattern, parse_wav
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = 200 + (i % 7) * 50
+                rate = 8000 + (i % 3) * 4000
+                got_rate, chans, bits, samples = parse_wav(
+                    encode_wav_pattern(n, rate)
+                )
+                assert (got_rate, chans, bits, len(samples)) == (rate, 1, 16, n)
+                rows.append(
+                    (
+                        i,
+                        got_rate,
+                        len(samples),
+                        len(samples) * 1000 // got_rate,
+                        sum(abs(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "sum_abs",
+                ],
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    return d.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id BIGINT, sample_rate BIGINT, n_samples BIGINT, "
+            "duration_ms BIGINT, sum_abs BIGINT"
+        ),
+    )
+
+
+@register(
+    "multimodal_video_y4m",
+    oracle="""
+WITH docs4 AS (
+  SELECT doc_id,
+         2 * (1 + doc_id % 5) AS w,
+         2 * (1 + doc_id % 4) AS h,
+         4 + doc_id % 5 AS n_frames
+  FROM documents WHERE doc_id % 4 = 3
+),
+frames AS (
+  SELECT doc_id, w, h, f.f AS frame_idx
+  FROM docs4
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, n_frames - 1)) AS f
+  ) f
+  WHERE f.f % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h, frame_idx,
+         (x.x * 3 + y.y * 5 + frame_idx * 7) % 256 AS luma
+  FROM frames
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(luma) AS BIGINT) AS y_checksum
+FROM px
+GROUP BY doc_id, frame_idx, w, h
+""",
+    tags=("multimodal",),
+)
+def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, no ffmpeg: YUV4MPEG2 is video's
+    uncompressed container — a text header plus FRAME-delimited raw
+    4:2:0 planes — so the stream walk and luma-plane extraction are
+    pure byte work. Each doc gets a closed-form multi-frame Y4M;
+    every 2nd frame is sampled (one input row -> many frame rows,
+    the fan-out shape of frame extraction) and each kept frame's
+    luma checksum must match the oracle's arithmetic recomputation.
+    Compressed containers (mp4/webm) keep the ffmpeg stub.
+
+    Scale: frame fan-out happens executor-side in the Arrow kernel;
+    at real scale you'd repartition by payload size first so batches
+    stay balanced. doc_id % 4 = 3 is this key's media-cycle slice."""
+    from ..operators.multimodal import encode_y4m_pattern, sample_y4m_frames
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = 2 * (1 + i % 5), 2 * (1 + i % 4)
+                buf = encode_y4m_pattern(w, h, 4 + i % 5)
+                for idx, gw, gh, cks in sample_y4m_frames(buf, 2):
+                    rows.append((i, idx, gw, gh, cks))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "y_checksum"],
+            )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    return d.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id BIGINT, frame_idx BIGINT, width BIGINT, "
+            "height BIGINT, y_checksum BIGINT"
+        ),
+    )

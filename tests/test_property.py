@@ -354,3 +354,44 @@ def test_bmp_resize_matches_closed_form(w, h, ow, oh):
                 (sx * 11 + sy * 3) % 256,
                 (sx * 5 + sy * 17) % 256,
             )
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_property(n, rate):
+    """Every (n_samples, rate) must round-trip encode -> RIFF-walk
+    parse with the closed-form samples intact."""
+    from dags_spark.operators.multimodal import encode_wav_pattern, parse_wav
+
+    got_rate, chans, bits, samples = parse_wav(encode_wav_pattern(n, rate))
+    assert (got_rate, chans, bits, len(samples)) == (rate, 1, 16, n)
+    for i in (0, n // 2, n - 1):
+        assert samples[i] == ((i * 2654435761) % 65536) - 32768
+
+
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    frames=st.integers(min_value=1, max_value=7),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_y4m_frame_sampling_property(w, h, frames, k):
+    """Frame sampling keeps exactly the f % k == 0 indices with the
+    closed-form luma checksum, for any even dimensions and stride."""
+    from dags_spark.operators.multimodal import (
+        encode_y4m_pattern,
+        sample_y4m_frames,
+    )
+
+    w, h = 2 * w, 2 * h  # 4:2:0 needs even dims
+    kept = sample_y4m_frames(encode_y4m_pattern(w, h, frames), k)
+    assert [f for f, *_ in kept] == [f for f in range(frames) if f % k == 0]
+    for f, gw, gh, cks in kept:
+        assert (gw, gh) == (w, h)
+        assert cks == sum(
+            (x * 3 + y * 5 + f * 7) % 256 for y in range(h) for x in range(w)
+        )
