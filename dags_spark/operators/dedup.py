@@ -248,6 +248,7 @@ def token_ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index join
     (hash-checkable, unlike the probabilistic MinHash path):
@@ -296,17 +297,25 @@ def token_ngram_jaccard_pairs(
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
     la = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("na"))
     lb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("nb"))
+    # metric="jaccard": symmetric  i / (|A| u |B|).
+    # metric="containment": i / min(|A|, |B|) — the asymmetric measure
+    # that catches doc-in-doc inclusion (quotes, boilerplate wrappers)
+    # which symmetric Jaccard dilutes below threshold when the host
+    # document is much larger than the embedded one.
+    if metric == "jaccard":
+        score = F.col("i").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("i")
+        )
+    elif metric == "containment":
+        score = F.col("i").cast("double") / F.least("na", "nb")
+    else:  # pragma: no cover
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         inter.join(la, "id_a")
         .join(lb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(metric, F.round(score, 6))
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
 
 

@@ -1936,3 +1936,49 @@ def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height BIGINT, y_checksum BIGINT"
         ),
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+WITH
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
+  FROM documents
+),
+ex0 AS (SELECT doc_id, unnest(g) AS s FROM sh),
+hot AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 1000),
+ex AS (SELECT doc_id, s FROM ex0 ANTI JOIN hot USING (s)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM ex GROUP BY doc_id)
+SELECT id_a, id_b, containment FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(i AS DOUBLE) / LEAST(la.n_g, lb.n_g), 6) AS containment
+  FROM inter
+    JOIN sizes la ON id_a = la.doc_id
+    JOIN sizes lb ON id_b = lb.doc_id
+) WHERE containment >= 0.8
+""",
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs (>= 0.8): the asymmetric measure
+    i / min(|A|, |B|) that catches doc-in-doc inclusion — a short
+    document quoted wholesale inside a much larger one scores ~1.0
+    here while its symmetric Jaccard (diluted by the host's extra
+    grams) stays far below any dedup threshold. The standard
+    complement to Jaccard in corpus dedup (and the measure behind
+    suffix-array-style substring dedup decisions).
+
+    Same inverted-index plan as dedup_ngram_jaccard — posting-list
+    equi-join with the broadcast hot-gram ceiling — only the final
+    scan-local score projection differs."""
+    return token_ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8, metric="containment"
+    )

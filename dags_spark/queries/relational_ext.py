@@ -1286,3 +1286,77 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("n_ops").cast("bigint").alias("n_ops"),
     )
+
+
+@register(
+    "dq_referential_orphans",
+    oracle="""
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'events->supplier(canary)',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = e.user_id))
+""",
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    relation in one report — the cross-table DQ gate dq_rules_summary
+    (single-table) does not cover. Three real FK edges (expected
+    0 orphans) plus a deliberately-broken CANARY relation
+    (events.user_id -> supplier.s_suppkey: user ids exceed the
+    supplier key range) proving the check actually detects orphans
+    rather than vacuously passing.
+
+    Each relation is child LEFT-ANTI JOIN parent-keys on the FK —
+    parent key sets are projected to the single key column before the
+    join, so at 100 TB each check shuffles (key) pairs only (or
+    broadcasts, when the parent is dim-sized). The per-relation
+    1-row aggregates union into the report."""
+    def check(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        orphans = child.select(F.col(fk)).join(
+            parent.select(F.col(pk)), child[fk] == parent[pk], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    ev = table(spark, sf_dir, "events")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        check(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(check(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(check(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(
+            check(ev, "user_id", s, "s_suppkey", "events->supplier(canary)")
+        )
+    )

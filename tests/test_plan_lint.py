@@ -105,6 +105,9 @@ ALLOWED = {
     "ts_resample_interp": {"cartesian", "single-partition-exchange"},
     # 10-label summary output sort — dim-sized product ordering.
     "sim_matryoshka_overlap": {"global-sort"},
+    # four (n_child, n_orphans) 1-row aggregates crossed into the
+    # report rows — the scalar-subquery shape, once per FK relation.
+    "dq_referential_orphans": {"cartesian", "single-partition-exchange"},
 }
 
 
