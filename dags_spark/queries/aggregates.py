@@ -726,3 +726,53 @@ def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_decayed_sum",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+t AS (
+  SELECT user_id,
+         CAST(FLOOR(ROUND(
+           CAST(ROUND(value * 100, 0) AS BIGINT)
+             * pow(0.9, date_diff('day', ts, tmax)), 9) * 1000) AS BIGINT)
+           AS term_milli
+  FROM events, mx
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(term_milli) AS BIGINT) AS decayed_milli
+FROM t GROUP BY user_id
+""",
+)
+def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: each event contributes
+    value * 0.9^age_days (age relative to the corpus max timestamp) —
+    the exponential-recency feature behind churn/engagement models,
+    equivalent to the EWMA recursion but computed as an
+    order-independent SUM instead of an inherently sequential scan.
+
+    Determinism under shuffle AND cross-engine: the decay term is
+    quantized PER ROW (9 guard digits against libm pow drift, then
+    milli-units) BEFORE the integer sum — quantizing after a double
+    sum would depend on accumulation order. The 1-row max-timestamp
+    aggregate broadcasts (scalar-subquery shape); everything else is
+    one map-side-combinable hash-agg."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    term = F.floor(
+        F.round(
+            cents("value") * F.pow(F.lit(0.9), F.datediff("tmax", "ts")), 9
+        )
+        * 1000
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("term_milli"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("term_milli").cast("bigint").alias("decayed_milli"),
+        )
+    )

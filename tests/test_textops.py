@@ -311,8 +311,34 @@ def test_ann_keys_deterministic_across_runs(spark, sf_dir):
     from dags_spark.registry import all_specs
 
     specs = all_specs()
-    for key in ("sim_ann_ivf_topk", "sim_ann_lsh_topk"):
+    for key in ("sim_ann_ivf_topk", "sim_ann_lsh_topk", "sim_ann_pq_topk"):
         fn = specs[key].fn
         a = {tuple(r) for r in fn(spark, sf_dir).collect()}
         b = {tuple(r) for r in fn(spark, sf_dir).collect()}
         assert a == b, f"{key} differs across runs"
+
+
+@pytest.mark.slow
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC kNN (16 subspaces x 32 codes, 5x overfetch, exact
+    re-rank) must recover >=90% of exact within-label top-3
+    neighborhoods on the fixture embeddings (measured 0.949; random
+    vectors are PQ's hardest case)."""
+    from pyspark.sql import Window
+
+    from dags_spark.operators.similarity import ann_pq_topk, blocked_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = {
+        (r.query_id, r.neighbor_id) for r in ann_pq_topk(emb, k=3).collect()
+    }
+    exact_pairs = blocked_pairs(emb, symmetric=True)
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    exact = (
+        exact_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("id_a", "id_b")
+    )
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"PQ recall {recall:.3f} below 0.9"
