@@ -1998,3 +1998,36 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_pq_topk
 
     return ann_pq_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN {_md5_byte_sql('source')} < 204 THEN 'train'
+            WHEN {_md5_byte_sql('source')} < 230 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("trainprep",),
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the coin is flipped on the
+    SOURCE, not the document, so every document of a source lands in
+    the same split — the leakage guard doc-level splitting
+    (split_assign_hash) cannot give: near-duplicate documents inside
+    one source can otherwise straddle train and test and inflate
+    eval. ~80/10/10 by source; same scan-level deterministic-hash
+    filter, reproducible under retries, no shuffle, no RNG state."""
+    from ..operators.trainprep import MD5_BYTE
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    byte = F.expr(MD5_BYTE("source"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(byte < 204, "train")
+        .when(byte < 230, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1360,3 +1360,45 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             check(ev, "user_id", s, "s_suppkey", "events->supplier(canary)")
         )
     )
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+)
+SELECT CAST(length(ltrim(bin(cents), '0')) AS INTEGER) AS log2_bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM c WHERE cents > 0
+GROUP BY log2_bucket
+""",
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logarithmic (power-of-2) histogram of order values — the
+    HDR-histogram shape latency/value distributions use when
+    fixed-width buckets (agg_histogram) can't span orders of
+    magnitude. The bucket is the integer bit position of the cents
+    value (floor(log2)+1), computed with INTEGER bit arithmetic on
+    both engines — no libm log() anywhere, so no guard digits needed;
+    one map-side-combinable hash-agg over ~30 buckets."""
+    o = table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    # floor(log2(c)) + 1 == number of significant bits via bin()
+    # string length — exact integer arithmetic. Dialect traps pinned
+    # here: Spark's two-arg ltrim is (trimStr, str) while DuckDB's is
+    # (str, chars), and DuckDB bit_length() counts STRING BYTES x 8,
+    # so both oracles use length().
+    bucket = F.length(F.expr("ltrim('0', bin(__c))")).cast("int")
+    return (
+        o.select(c.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("__c").cast("bigint").alias("min_cents"),
+            F.max("__c").cast("bigint").alias("max_cents"),
+        )
+    )

@@ -108,6 +108,9 @@ ALLOWED = {
     # four (n_child, n_orphans) 1-row aggregates crossed into the
     # report rows — the scalar-subquery shape, once per FK relation.
     "dq_referential_orphans": {"cartesian", "single-partition-exchange"},
+    # 1-row max-timestamp aggregate broadcast into the decay term —
+    # the scalar-subquery shape again.
+    "agg_decayed_sum": {"cartesian", "single-partition-exchange"},
 }
 
 
