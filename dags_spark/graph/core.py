@@ -149,13 +149,22 @@ class Graph:
         spark: SparkSession,
         output_dir: str | None = None,
         incremental: bool = False,
+        params: dict | None = None,
     ) -> dict[str, DataFrame]:
         """Execute the graph; returns node name -> DataFrame.
 
         incremental=True: source nodes consume only files not yet in
         the ledger (stored under output_dir/_ledger); materialized
         nodes append instead of overwrite.
+
+        params: values for ``:name`` markers in SQL nodes — bound via
+        Spark's native parameterized ``spark.sql(sql, args=...)``
+        (typed literal substitution at the analyzer, injection-safe),
+        so one declared pipe runs for any cutoff/segment/limit without
+        string templating. The same params dict applies to every SQL
+        node in the run.
         """
+        self._run_params = dict(params or {})
         if (incremental or any(s.materialize for s in self._nodes.values())) and not output_dir:
             raise GraphError("output_dir required for materialize/incremental runs")
         results: dict[str, DataFrame] = {}
@@ -247,6 +256,9 @@ class Graph:
         if spec.sql is not None:
             for u, udf_ in deps.items():
                 udf_.createOrReplaceTempView(u)
+            run_params = getattr(self, "_run_params", None)
+            if run_params:
+                return spark.sql(spec.sql, args=run_params)
             return spark.sql(spec.sql)
         return spec.fn(spark, deps)
 

@@ -357,3 +357,47 @@ def graph_backfill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "daily")).select(
         "day", "n_events", "value_cents", "n_users"
     )
+
+
+@register(
+    "graph_param_pipe",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {SQL_DEC_SUM('o_totalprice')} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_totalprice > 1000.0
+GROUP BY o_orderpriority
+""",
+)
+def graph_param_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL pipe — the reference's templated-pipe
+    identity, done the Spark-native way: the node declares ``:name``
+    markers and ``Graph.run(params=...)`` binds them through
+    parameterized ``spark.sql(sql, args=...)``, so values are typed
+    literals substituted at the analyzer (injection-safe, plan-cache
+    friendly) rather than string-formatted SQL. One declared pipe
+    serves any (cutoff, floor) configuration; this run binds
+    cutoff='1999-01-01', floor=1000.0 and must equal the plain SQL
+    with those literals inlined."""
+    g = Graph("param_pipe")
+
+    @g.node(name="orders_src")
+    def _orders(spark: SparkSession, deps: dict) -> DataFrame:
+        return table(spark, sf_dir, "orders")
+
+    g.sql_node(
+        "pri_rev",
+        f"""SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   {SQL_DEC_SUM('o_totalprice')} AS revenue
+            FROM orders_src
+            WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+              AND o_totalprice > :floor
+            GROUP BY o_orderpriority""",
+        upstream=["orders_src"],
+    )
+    return g.run(spark, params={"cutoff": "1999-01-01", "floor": 1000.0})[
+        "pri_rev"
+    ]

@@ -398,3 +398,34 @@ def test_parse_type_preserves_nested_case_and_decimal_forms():
         parse_type("decimal(a,b)")
     with _pytest.raises(GraphError, match="invalid"):
         parse_type("decimal(1,2,3)")
+
+
+def test_sql_node_params_bind_and_rebind(spark, sf_dir):
+    """One declared SQL pipe runs under different params per run —
+    Spark-native :name binding (typed, analyzer-level), and a
+    paramless graph still runs untouched."""
+    from dags_spark.queries import table
+
+    g = Graph("params")
+
+    @g.node(name="src")
+    def _src(spark_, deps):
+        return table(spark_, sf_dir, "orders")
+
+    g.sql_node(
+        "big",
+        "SELECT COUNT(*) AS n FROM src WHERE o_totalprice > :floor",
+        upstream=["src"],
+    )
+    lo = g.run(spark, params={"floor": 1000.0})["big"].collect()[0]["n"]
+    hi = g.run(spark, params={"floor": 100000.0})["big"].collect()[0]["n"]
+    assert lo > hi >= 0
+
+    g2 = Graph("no_params")
+
+    @g2.node(name="src")
+    def _src2(spark_, deps):
+        return table(spark_, sf_dir, "orders")
+
+    g2.sql_node("n", "SELECT COUNT(*) AS n FROM src", upstream=["src"])
+    assert g2.run(spark)["n"].collect()[0]["n"] > 0
