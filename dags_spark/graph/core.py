@@ -164,7 +164,7 @@ class Graph:
         string templating. The same params dict applies to every SQL
         node in the run.
         """
-        self._run_params = dict(params or {})
+        run_params = dict(params or {})
         if (incremental or any(s.materialize for s in self._nodes.values())) and not output_dir:
             raise GraphError("output_dir required for materialize/incremental runs")
         results: dict[str, DataFrame] = {}
@@ -172,7 +172,8 @@ class Graph:
         for name in self._topo_order():
             spec = self._nodes[name]
             df = self._produce(
-                spark, spec, results, output_dir, incremental, pending_ledger
+                spark, spec, results, output_dir, incremental, pending_ledger,
+                run_params,
             )
             if spec.unique_on:
                 order = [F.col(c).desc() for c in spec.order_by] or [
@@ -247,6 +248,7 @@ class Graph:
         output_dir: str | None,
         incremental: bool,
         pending_ledger: list[tuple[str, set[str]]],
+        run_params: dict | None = None,
     ) -> DataFrame:
         if spec.source_path is not None:
             return self._read_source(
@@ -256,7 +258,9 @@ class Graph:
         if spec.sql is not None:
             for u, udf_ in deps.items():
                 udf_.createOrReplaceTempView(u)
-            run_params = getattr(self, "_run_params", None)
+            # params threaded per-run (not instance state), so two
+            # concurrent run() calls on one Graph cannot race on each
+            # other's bindings.
             if run_params:
                 return spark.sql(spec.sql, args=run_params)
             return spark.sql(spec.sql)

@@ -121,18 +121,26 @@ def encode_png(width: int, height: int) -> bytes:
     )
 
 
-def encode_bmp(width: int, height: int) -> bytes:
-    """Minimal 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
-    zeroed pixel rows padded to 4 bytes."""
+def _bmp_file(width: int, height: int, rows_topdown: list[bytes]) -> bytes:
+    """Assemble a 24-bit BMP from unpadded top-down pixel rows (w*3
+    bytes each): pads rows to 4 bytes, flips to the format's bottom-up
+    order, and writes BITMAPFILEHEADER + BITMAPINFOHEADER — the ONE
+    place the header/padding layout lives (three encoders share it)."""
     import struct
 
-    row = width * 3
-    pad = (4 - row % 4) % 4
-    pixels = (b"\x00" * row + b"\x00" * pad) * height
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    pixels = b"".join(row + pad for row in reversed(rows_topdown))
     off = 14 + 40
-    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
     head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
     return head + info + pixels
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal 24-bit BMP: zeroed pixel rows."""
+    return _bmp_file(width, height, [b"\x00" * (width * 3)] * height)
 
 
 def encode_gif(width: int, height: int) -> bytes:
@@ -285,34 +293,22 @@ def sample_frames(binary_df: DataFrame, every_n: int) -> DataFrame:
 def encode_bmp_pattern(width: int, height: int) -> bytes:
     """24-bit BMP with a deterministic per-pixel pattern (in IMAGE
     coordinates, y=0 at the top): B=(x*7+y*13)%256, G=(x*11+y*3)%256,
-    R=(x*5+y*17)%256. BMP stores rows bottom-up, so file row r holds
-    image row height-1-r. The closed-form pattern lets an oracle
+    R=(x*5+y*17)%256. The closed-form pattern lets an oracle
     recompute any derived statistic (including after resampling)
     arithmetically — real pixel work, checkable without a codec."""
-    import struct
-
-    row_len = width * 3
-    pad = (4 - row_len % 4) % 4
-    rows = []
-    for r in range(height):
-        y = height - 1 - r  # bottom-up
-        row = bytearray()
-        for x in range(width):
-            row += bytes(
-                (
-                    (x * 7 + y * 13) % 256,
-                    (x * 11 + y * 3) % 256,
-                    (x * 5 + y * 17) % 256,
-                )
+    rows = [
+        bytes(
+            v
+            for x in range(width)
+            for v in (
+                (x * 7 + y * 13) % 256,
+                (x * 11 + y * 3) % 256,
+                (x * 5 + y * 17) % 256,
             )
-        rows.append(bytes(row) + b"\x00" * pad)
-    pixels = b"".join(rows)
-    off = 14 + 40
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
-    )
-    head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
-    return head + info + pixels
+        )
+        for y in range(height)
+    ]
+    return _bmp_file(width, height, rows)
 
 
 def decode_bmp_pixels(buf: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
@@ -346,27 +342,16 @@ def resize_bmp_nearest(buf: bytes, out_w: int, out_h: int) -> bytes:
     standard forward mapping), re-encode a valid BMP. Runs per row
     inside the mapInPandas batch kernel; the compressed-format
     variants still require PIL and keep their stub."""
-    import struct
-
     in_w, in_h, img = decode_bmp_pixels(buf)
-    row_len = out_w * 3
-    pad = (4 - row_len % 4) % 4
-    rows = []
-    for r in range(out_h):
-        y = out_h - 1 - r
-        sy = (y * in_h) // out_h
-        row = bytearray()
-        for x in range(out_w):
-            sx = (x * in_w) // out_w
-            row += bytes(img[sy][sx])
-        rows.append(bytes(row) + b"\x00" * pad)
-    pixels = b"".join(rows)
-    off = 14 + 40
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
-    )
-    head = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
-    return head + info + pixels
+    rows = [
+        bytes(
+            v
+            for x in range(out_w)
+            for v in img[(y * in_h) // out_h][(x * in_w) // out_w]
+        )
+        for y in range(out_h)
+    ]
+    return _bmp_file(out_w, out_h, rows)
 
 
 def encode_wav_pattern(n_samples: int, sample_rate: int) -> bytes:
@@ -402,7 +387,7 @@ def parse_wav(buf: bytes) -> tuple[int, int, int, list[int]]:
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, rate, chans, bits, samples = 12, None, None, None, []
+    pos, rate, chans, bits, data = 12, None, None, None, b""
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -410,15 +395,15 @@ def parse_wav(buf: bytes) -> tuple[int, int, int, list[int]]:
         if tag == b"fmt ":
             _fmt, chans, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
         elif tag == b"data":
-            if bits != 16:
-                raise ValueError(f"unsupported bits {bits}")
-            samples = [
-                struct.unpack_from("<h", body, 2 * i)[0]
-                for i in range(len(body) // 2)
-            ]
+            data = body  # decode AFTER the walk: fmt may follow data
         pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
     if rate is None:
         raise ValueError("missing fmt chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported bits {bits}")
+    samples = [
+        struct.unpack_from("<h", data, 2 * i)[0] for i in range(len(data) // 2)
+    ]
     return rate, chans, bits, samples
 
 

@@ -725,7 +725,9 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys = list(d)
             key = d[keys[0]]
             for c in keys[1:]:
-                yield key, c, str(d[c])
+                # preserve SQL NULL — str(None) would emit the literal
+                # string 'None' where CAST(x AS STRING) yields NULL
+                yield key, c, None if d[c] is None else str(d[c])
 
     spark.udtf.register("melt_udtf", udtf(Melt))
     n = table(spark, sf_dir, "nation")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import SQL_DEC_SUM, dec_sum, table
+from ..io import register_python_datasource
 from ..registry import register
 
 
@@ -381,17 +382,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(self.options.get("partitions", 4)),
             )
 
-    try:
-        spark.dataSource.register(GenSource)
-    except Exception as e:
-        # Only an already-registered duplicate is benign; a genuine
-        # registration failure must propagate, not resurface later as
-        # a confusing "format dags_gen not found" at read time. Match
-        # the duplicate condition, not the source name — a real
-        # failure message can also contain "dags_gen".
-        msg = str(e).upper()
-        if "ALREADY" not in msg and "EXISTS" not in msg:
-            raise
+    register_python_datasource(spark, GenSource)
     return spark.read.format("dags_gen").option("rows", 200).load()
 
 
@@ -580,12 +571,7 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         def simpleStreamReader(self, schema):
             return _CursorReader()
 
-    try:
-        spark.dataSource.register(GenStreamSource)
-    except Exception as e:
-        msg = str(e).upper()
-        if "ALREADY" not in msg and "EXISTS" not in msg:
-            raise
+    register_python_datasource(spark, GenStreamSource)
 
     work = tempfile.mkdtemp(prefix="dags_spark_pyds_stream_")
     out_dir = os.path.join(work, "out")
@@ -669,12 +655,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def writer(self, schema, overwrite):
             return _TsvWriter(self.options)
 
-    try:
-        spark.dataSource.register(TsvSink)
-    except Exception as e:
-        msg = str(e).upper()
-        if "ALREADY" not in msg and "EXISTS" not in msg:
-            raise
+    register_python_datasource(spark, TsvSink)
 
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     supp.write.format("dags_tsv_sink").option("path", out_root).mode(

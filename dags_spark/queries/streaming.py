@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import table
+from ..io import register_python_datasource
 from ..registry import register
 from ..streaming.runner import (
     events_stream,
@@ -704,12 +705,7 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         def streamWriter(self, schema, overwrite):
             return _Writer(self.options)
 
-    try:
-        spark.dataSource.register(TsvStreamSink)
-    except Exception as e:
-        msg = str(e).upper()
-        if "ALREADY" not in msg and "EXISTS" not in msg:
-            raise
+    register_python_datasource(spark, TsvStreamSink)
 
     sdf = events_stream(
         spark, os.path.join(stage_events(spark, sf_dir), "in")

@@ -208,7 +208,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_iterator",
     oracle="""
 SELECT c_custkey,
-       ROUND(c_acctbal * 1.07 + 5.0, 4) AS adjusted_bal
+       c_acctbal * 1.07 + 5.0 AS adjusted_bal
 FROM customer
 """,
 )
@@ -222,11 +222,15 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same Arrow transfer as a scalar pandas UDF — one Python worker
     round-trip per batch, never per row."""
+    # No rounding on either side: pandas .round() is half-to-even
+    # while DuckDB ROUND is half-away-from-zero, so a decimal tie
+    # would diverge — the raw fma-free double expression is identical
+    # cross-engine and needs no guard.
     @F.pandas_udf(DoubleType())
     def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         rate, fee = 1.07, 5.0  # once-per-partition setup
         for s in batches:
-            yield (s * rate + fee).round(4)
+            yield s * rate + fee
 
     c = table(spark, sf_dir, "customer")
     return c.select("c_custkey", adjust("c_acctbal").alias("adjusted_bal"))

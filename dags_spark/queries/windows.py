@@ -627,6 +627,10 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH marked AS (
   SELECT user_id, ts, event_id,
+         -- strict >, not >=: Spark's session_window MERGES an event
+         -- arriving EXACTLY gap after the previous one (verified
+         -- empirically — tests/test_operators.py pins it), so only a
+         -- strictly-exceeded gap starts a new session.
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

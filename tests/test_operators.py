@@ -373,3 +373,30 @@ def test_read_events_warns_and_repins_non_utc_zone(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         dio._TABLE_CACHE.clear()
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary convention pin (empirical): Spark's session_window
+    MERGES an event arriving EXACTLY gap after the previous one (its
+    window end is inclusive of the next start), so the
+    win_session_native oracle must use a STRICT > gap comparison in
+    its island construction — a >= would split this case and
+    hash-diverge on round-timestamp data."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (1, base + dt.timedelta(minutes=30)),  # exactly gap after
+            (1, base + dt.timedelta(minutes=61)),  # strictly beyond gap
+        ],
+        "user_id BIGINT, ts TIMESTAMP",
+    )
+    native = (
+        df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(native) == 2, f"expected 2 sessions, got {native}"
+    assert sorted(r["n"] for r in native) == [1, 2]
