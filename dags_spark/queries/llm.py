@@ -1587,11 +1587,18 @@ WITH v AS (
          {SQL_NORM.format(a=SQL_VEC_D.format(v='embedding[1:16]'))} AS nt
   FROM embeddings
 ),
+qs AS (
+  SELECT * FROM (
+    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS qrn
+    FROM v
+  ) WHERE qrn <= 64
+),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid, a.label AS label,
          {SQL_DOT.format(a='a.e', b='b.e')} / (a.n * b.n) AS sim_full,
          {SQL_DOT.format(a='a.et', b='b.et')} / (a.nt * b.nt) AS sim_trunc
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM qs a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 rf AS (
   SELECT label, qid, cid,
@@ -1639,7 +1646,15 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine and the DESC/cid tie-broken top-3 row
     sets agree exactly. At scale, label = IVF/LSH bucket id and the
     truncated variant is the cheap pre-rank whose quality this query
-    certifies."""
+    certifies.
+
+    Audit-sample cap (the scale guard): a recall audit doesn't need
+    every vector as a query — the QUERY side is capped at 64 per
+    block (deterministic md5-order row_number; candidates stay the
+    FULL block), so pair cost is 64·|block| per block, linear in the
+    corpus, instead of |block|² — the 20x stress tier went quadratic
+    without it. Fixture blocks (~50) sit under the cap, so results
+    are unchanged there; the oracle mirrors the same capped CTE."""
     from ..operators.similarity import as_double, dot, norm
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1653,7 +1668,15 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("e")).alias("n"),
         norm(F.col("et")).alias("nt"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    wq = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    q_sample = (
+        v.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= 64)
+        .drop("qrn")
+    )
+    a, b = q_sample.alias("a"), v.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))

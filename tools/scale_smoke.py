@@ -65,6 +65,16 @@ HEAVY = {
     "merge_scd2": 15,
     "multimodal_image_meta": 20,
     "dedup_normalized_exact": 20,
+    # round-4 session-2 additions (healthy 1-8 s at sf0.1)
+    "sim_matryoshka_overlap": 45,
+    "sim_ann_pq_topk": 60,
+    "iter_reachability_bfs": 30,
+    "dedup_ngram_containment": 60,
+    "ts_resample_interp": 45,
+    "dq_mad_outliers": 30,
+    "multimodal_resize_bmp": 30,
+    "multimodal_video_y4m": 30,
+    "tpch_q21_waiting_supplier": 30,
 }
 
 
@@ -91,6 +101,12 @@ STRESS = {
     "stream_stream_join": 240,
     "ts_gapfill_locf": 120,
     "dedup_normalized_exact": 120,
+    # round-4 session-2: PQ/matryoshka ride 20x embeddings (40k
+    # vectors through per-block kernels), containment rides the 20x
+    # near-dup documents (direct attack on the stop-gram ceiling).
+    "sim_ann_pq_topk": 300,
+    "sim_matryoshka_overlap": 300,
+    "dedup_ngram_containment": 300,
 }
 
 
