@@ -350,6 +350,7 @@ def ann_ivf_topk(
     k: int = 10,
     lloyd_iters: int = 2,
     max_cell: int = 4096,
+    pq: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Approximate kNN via IVF-flat: a data-adaptive coarse quantizer
     (vs ann_lsh_topk's data-oblivious hyperplanes).
@@ -415,6 +416,19 @@ def ann_ivf_topk(
         )
     n_probe = min(n_probe, len(cents))
 
+    # Optional IVF-PQ composition (the faiss IVFPQ shape): PQ
+    # codebooks trained on the same deterministic sample; inside each
+    # cell the scoring kernel preselects via ADC lookup tables over
+    # 16-byte codes and only the overfetch*k survivors get the exact
+    # matmul — the memory/computation profile a billion-vector index
+    # actually runs.
+    cb = None
+    if pq is not None:
+        pq_m, pq_k, pq_overfetch = pq
+        cb = _train_pq_codebooks(
+            emb, id_col, vec_col, pq_m, pq_k, train_size=256, train_iters=3
+        )
+
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
@@ -462,21 +476,48 @@ def ann_ivf_topk(
         # deterministic member order -> deterministic tie handling
         idx = idx.sort_values("id", kind="mergesort")
         qry = qry.sort_values("id", kind="mergesort")
-        mat_i = np.array([np.asarray(v, dtype=np.float64) for v in idx[vec_col]])
-        mat_i /= np.sqrt((mat_i * mat_i).sum(axis=1, keepdims=True))
+        mat_i_raw = np.array([np.asarray(v, dtype=np.float64) for v in idx[vec_col]])
+        mat_i = mat_i_raw / np.sqrt((mat_i_raw * mat_i_raw).sum(axis=1, keepdims=True))
         ids_i = idx["id"].to_numpy()
+        codes_i = None
+        if cb is not None:
+            n_i, dsub = len(mat_i_raw), cb.shape[2]
+            subs_i = mat_i_raw.reshape(n_i, cb.shape[0], dsub)
+            codes_i = np.empty((n_i, cb.shape[0]), dtype=np.int64)
+            for m in range(cb.shape[0]):
+                d2 = ((subs_i[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                codes_i[:, m] = d2.argmin(1)
         out_a, out_b, out_s = [], [], []
         chunk = max(1, (128 << 20) // (8 * max(len(idx), 1)))
         for lo in range(0, len(qry), chunk):
             qc = qry.iloc[lo : lo + chunk]
-            mat_q = np.array([np.asarray(v, dtype=np.float64) for v in qc[vec_col]])
-            mat_q /= np.sqrt((mat_q * mat_q).sum(axis=1, keepdims=True))
-            sims = np.round(mat_q @ mat_i.T, 6)  # (q_chunk, n_idx)
+            mat_q_raw = np.array([np.asarray(v, dtype=np.float64) for v in qc[vec_col]])
+            mat_q = mat_q_raw / np.sqrt((mat_q_raw * mat_q_raw).sum(axis=1, keepdims=True))
             ids_q = qc["id"].to_numpy()
+            if cb is not None:
+                # ADC preselect: (q, M, K) LUTs gathered over index codes
+                subs_q = mat_q_raw.reshape(len(mat_q_raw), cb.shape[0], cb.shape[2])
+                luts = ((subs_q[:, :, None, :] - cb[None]) ** 2).sum(-1)
+                adc = np.zeros((len(mat_q_raw), len(ids_i)))
+                for m in range(cb.shape[0]):
+                    adc += luts[:, m, codes_i[:, m]]
+                sims = None
+            else:
+                sims = np.round(mat_q @ mat_i.T, 6)  # (q_chunk, n_idx)
             for r in range(len(qc)):
-                row = sims[r]
-                keep = ids_i != ids_q[r]
-                cand_ids, cand_sims = ids_i[keep], row[keep]
+                if cb is not None:
+                    keep_mask = ids_i != ids_q[r]
+                    keep_idx = np.nonzero(keep_mask)[0]
+                    n_over = min(pq_overfetch * k, len(keep_idx))
+                    pre = keep_idx[
+                        np.lexsort((ids_i[keep_idx], adc[r, keep_idx]))[:n_over]
+                    ]
+                    cand_ids = ids_i[pre]
+                    cand_sims = np.round(mat_i[pre] @ mat_q[r], 6)
+                else:
+                    row = sims[r]
+                    keep = ids_i != ids_q[r]
+                    cand_ids, cand_sims = ids_i[keep], row[keep]
                 if len(cand_ids) > k:
                     # deterministic top-k under ties: everything above
                     # the kth similarity, then smallest ids AT it
@@ -513,6 +554,47 @@ def ann_ivf_topk(
             "sim", "rnk",
         )
     )
+
+
+def _train_pq_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int,
+    k_codes: int,
+    train_size: int,
+    train_iters: int,
+) -> "np.ndarray":
+    """Train per-subspace PQ codebooks on a deterministic md5-ordered
+    sample (constant-size driver work — shipping a fitted model, same
+    pattern as the IVF centroids). Returns (M, K, dim/M)."""
+    sample_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(train_size)
+        .collect()
+    )
+    sample = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
+    )
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    dsub = dim // m_subspaces
+    codebooks = []
+    for m in range(m_subspaces):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cents = sub[:k_codes].copy()
+        for _ in range(train_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+        codebooks.append(cents)
+    return np.stack(codebooks)
 
 
 def ann_pq_topk(
@@ -554,34 +636,10 @@ def ann_pq_topk(
     """
     import pandas as pd
 
-    md5_key = F.md5(F.col(id_col).cast("string"))
-    sample_rows = (
-        emb.select(id_col, vec_col)
-        .withColumn("_h", md5_key)
-        .orderBy("_h", id_col)
-        .limit(train_size)
-        .collect()
+    cb = _train_pq_codebooks(
+        emb, id_col, vec_col, m_subspaces, k_codes, train_size, train_iters
     )
-    sample = np.array(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
-    )
-    dim = sample.shape[1]
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
-    dsub = dim // m_subspaces
-    codebooks = []
-    for m in range(m_subspaces):
-        sub = sample[:, m * dsub : (m + 1) * dsub]
-        cents = sub[:k_codes].copy()
-        for _ in range(train_iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(k_codes):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(0)
-        codebooks.append(cents)
-    cb = np.stack(codebooks)  # (M, K, dsub) — broadcast via closure
+    dsub = cb.shape[2]
 
     n_over = overfetch * k
 

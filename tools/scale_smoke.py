@@ -68,6 +68,7 @@ HEAVY = {
     # round-4 session-2 additions (healthy 1-8 s at sf0.1)
     "sim_matryoshka_overlap": 45,
     "sim_ann_pq_topk": 60,
+    "sim_ann_ivfpq_topk": 60,
     "iter_reachability_bfs": 30,
     "dedup_ngram_containment": 60,
     "ts_resample_interp": 45,
@@ -105,6 +106,7 @@ STRESS = {
     # vectors through per-block kernels), containment rides the 20x
     # near-dup documents (direct attack on the stop-gram ceiling).
     "sim_ann_pq_topk": 300,
+    "sim_ann_ivfpq_topk": 300,
     "sim_matryoshka_overlap": 300,
     "dedup_ngram_containment": 300,
 }
