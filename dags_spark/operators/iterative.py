@@ -108,3 +108,66 @@ def resample_interp_daily(
         .alias("value_interp"),
         F.col(vc_col).isNull().alias("is_filled"),
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Ranks live as BIGINTs scaled by `scale`; the damping update
+    r' = (100-d)% * (scale/|V|) + d% * S(v)   (integer div by 100)
+    uses only integer sums and truncating division, so the result is
+    bit-identical under any shuffle/agg order and across engines
+    (DuckDB mirrors with `//`). The iteration count is static, so the
+    loop UNROLLS into `iterations` chained join+agg rounds — one
+    logical plan, no driver-side state; every round shuffles on the
+    node key only (rank table is |V| rows, contributions <= |E|).
+    For unbounded/convergence variants add localCheckpoint per round
+    as dedup_connected_components does. Dangling nodes (no
+    out-edges) are not redistributed — the caller's graph should be
+    functional (out-degree >= 1), as a derived hash-successor graph
+    is by construction.
+    """
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        nodes.select(node_col)
+        .crossJoin(F.broadcast(n_nodes))
+        .selectExpr(node_col, f"CAST({scale} AS BIGINT) div n AS rank")
+    )
+    out_deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(out_deg, src_col)
+            .join(
+                ranks.withColumnRenamed(node_col, src_col),
+                src_col,
+            )
+            .selectExpr(
+                f"{dst_col} AS {node_col}",
+                "rank div out_deg AS share",
+            )
+            .groupBy(node_col)
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.select(node_col)
+            .join(contrib, node_col, "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .selectExpr(
+                node_col,
+                f"({100 - damping_pct} * (CAST({scale} AS BIGINT) div n))"
+                f" div 100 + ({damping_pct} * COALESCE(s, CAST(0 AS BIGINT)))"
+                f" div 100 AS rank",
+            )
+        )
+    return ranks

@@ -739,3 +739,218 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM melt_udtf(TABLE(SELECT * FROM nation_for_melt))"
     )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+            AS TIMESTAMP) AS plus_3mo,
+       CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 DAY AS DATE)
+            AS TIMESTAMP) AS minus_14d,
+       CAST(CAST(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH
+            AS DATE) AS TIMESTAMP) AS eom_clamp,
+       o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH
+                           AS DATE))
+            AS INTEGER) AS days_in_2mo
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERVAL arithmetic (§1 type lattice): year-month and
+    day-time interval addition on DATE and TIMESTAMP, including the
+    end-of-month clamp both engines share (Jan 31 + 1 month ->
+    Feb 29/28, pinned via last_day so every row exercises the clamp)
+    and a month-length measurement via date arithmetic. Intervals
+    themselves are not emitted (interval columns are not
+    driver-hashable and their rendering is engine-specific); every
+    output is a concrete DATE/TIMESTAMP/INTEGER. DuckDB's date +
+    interval returns TIMESTAMP, so the oracle CASTs back to DATE.
+    Scan-local projection — runs at IO speed, no shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 MONTH")).cast("timestamp").alias("plus_3mo"),
+        (d - F.expr("INTERVAL 14 DAY")).cast("timestamp").alias("minus_14d"),
+        (F.last_day(d) + F.expr("INTERVAL 1 MONTH"))
+        .cast("timestamp")
+        .alias("eom_clamp"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTE")).alias(
+            "plus_90min"
+        ),
+        F.datediff((d + F.expr("INTERVAL 2 MONTH")), d)
+        .cast("int")
+        .alias("days_in_2mo"),
+    )
+
+
+@register(
+    "fn_map_lambda",
+    oracle="""
+SELECT p_partkey,
+       concat('retail_cents=', CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) * 2 AS VARCHAR),
+              ',size=', CAST(p_size * 2 AS VARCHAR)) AS doubled,
+       concat('RETAIL_CENTS=', CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR),
+              ',SIZE=', CAST(p_size AS VARCHAR)) AS upper_keys,
+       CASE
+         WHEN CAST(round(p_retailprice * 100, 0) AS BIGINT) > 100000
+              AND p_size > 100000
+           THEN concat('retail_cents=', CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR),
+                       ',size=', CAST(p_size AS VARCHAR))
+         WHEN CAST(round(p_retailprice * 100, 0) AS BIGINT) > 100000
+           THEN concat('retail_cents=', CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS VARCHAR))
+         WHEN p_size > 100000
+           THEN concat('size=', CAST(p_size AS VARCHAR))
+         ELSE ''
+       END AS big_only,
+       concat('retail_cents=', CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) * 2 + 7 AS VARCHAR),
+              ',size=', CAST(p_size * 2 + 7 AS VARCHAR)) AS zipped
+FROM part
+""",
+)
+def fn_map_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order lambda functions (`transform_values`,
+    `transform_keys`, `map_filter`, `map_zip_with`) — the §2.8 family
+    fn_map leaves uncovered. Maps are built per row from scalar
+    columns with literal keys, so each lambda's output has a CLOSED
+    FORM the oracle recomputes without any map type at all (DuckDB's
+    map lambda surface differs; the contract here is the lambda
+    semantics, not the container encoding). Every map result is
+    serialized deterministically via sorted map_entries ->
+    'k=v,...' strings. Scan-local projection, no shuffle; lambdas run
+    inside whole-stage codegen (no Python)."""
+    p = table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("retail_cents"), cents("p_retailprice"),
+        F.lit("size"), F.col("p_size").cast("long"),
+    )
+    ser = (
+        lambda mp: F.array_join(  # noqa: E731
+            F.transform(
+                F.array_sort(F.map_entries(mp)),
+                lambda e: F.concat_ws("=", e.key, e.value.cast("string")),
+            ),
+            ",",
+        )
+    )
+    return p.select(
+        "p_partkey",
+        ser(F.transform_values(m, lambda k, v: v * 2)).alias("doubled"),
+        ser(F.transform_keys(m, lambda k, v: F.upper(k))).alias("upper_keys"),
+        ser(F.map_filter(m, lambda k, v: v > 100000)).alias("big_only"),
+        ser(F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2 + 7)).alias(
+            "zipped"
+        ),
+    )
+
+
+@register(
+    "fn_collate_group",
+    oracle="""
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS seg_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_casings,
+       CAST(SUM(CASE WHEN seg = upper(seg) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upper
+FROM mixed
+GROUP BY lower(seg)
+""",
+)
+def fn_collate_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive COLLATION semantics (Spark 4 `collate`): a
+    mixed-case segment column (case flipped in-query on key parity)
+    grouped under UTF8_LCASE — 'AUTOMOBILE' and 'automobile' land in
+    ONE group while the binary-collated casing count still sees two.
+    The oracle proves the collation exactly equal to lower()-keyed
+    grouping (DuckDB's NOCASE collation does not thread through
+    DISTINCT, so the mirror uses the definitional rewrite). The group
+    key is re-emitted as lower() — which representative casing a
+    collated group surfaces is engine-undefined, the lower() image is
+    not. One hash-agg; collation compares run JVM-side in codegen."""
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+    )
+    return (
+        mixed.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("seg_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # binary-collated distinct INSIDE a collated group: cast
+            # back to UTF8_BINARY so both casings count
+            F.countDistinct(F.expr("collate(seg, 'UTF8_BINARY')")).alias(
+                "n_casings"
+            ),
+            F.sum(
+                F.when(
+                    F.expr("collate(seg, 'UTF8_BINARY')")
+                    == F.upper(F.expr("collate(seg, 'UTF8_BINARY')")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_upper"),
+        )
+        .select(
+            F.lower(F.expr("collate(seg_key, 'UTF8_BINARY')")).alias("seg_ci"),
+            "n_rows",
+            "n_casings",
+            "n_upper",
+        )
+    )
+
+
+@register(
+    "fn_decimal_arith",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price,
+       CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+         AS VARCHAR) AS min_price,
+       CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+         AS VARCHAR) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p,s) arithmetic end-to-end — the money type's exactness
+    contract, checked in the decimal domain itself rather than via
+    the scaled-BIGINT rewrite the perf-critical keys use. Products
+    widen per SQL rules ((12,2)x(12,2) -> scale 4), sums stay exact
+    under any shuffle/agg order, and both engines CAST the final
+    aggregate to the SAME (18,4)/(12,2) shape, rendered as VARCHAR
+    for the hash (house convention, project_rename_cast: DuckDB's
+    pandas surface turns wide decimals into float64, Spark keeps
+    Decimal objects — the string image is the portable exact form
+    and pins scale: '5.00' vs '5.0000' would hash-differ).
+    Division is deliberately absent: Spark returns DECIMAL with its
+    own precision rules where DuckDB returns DOUBLE — a dialect trap,
+    not a portable semantic. One hash-agg pass."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price * (one - disc))
+        .cast("decimal(18,4)")
+        .cast("string")
+        .alias("sum_disc_price"),
+        F.min(price).cast("decimal(12,2)").cast("string").alias("min_price"),
+        F.max(price).cast("decimal(12,2)").cast("string").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1402,3 +1402,73 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__c").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@register(
+    "iter_pagerank",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+nodes AS (SELECT c_custkey AS node FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * 37 + 11) % (SELECT n FROM nn) + 1 AS dst
+  FROM customer
+),
+base AS (
+  SELECT CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS r0
+),
+r0 AS (SELECT node, (SELECT r0 FROM base) AS rank FROM nodes),
+s1 AS (SELECT e.dst AS node, SUM(r.rank) AS s
+       FROM edges e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT nodes.node,
+              (15 * (SELECT r0 FROM base)) // 100
+              + (85 * COALESCE(s1.s, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN s1 ON s1.node = nodes.node),
+s2 AS (SELECT e.dst AS node, SUM(r.rank) AS s
+       FROM edges e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT nodes.node,
+              (15 * (SELECT r0 FROM base)) // 100
+              + (85 * COALESCE(s2.s, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN s2 ON s2.node = nodes.node),
+s3 AS (SELECT e.dst AS node, SUM(r.rank) AS s
+       FROM edges e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT nodes.node,
+              (15 * (SELECT r0 FROM base)) // 100
+              + (85 * COALESCE(s3.s, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN s3 ON s3.node = nodes.node)
+SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_scaled
+FROM r3
+""",
+    tags=("iterative", "graph"),
+)
+def iter_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85, 3 rounds) over the
+    derived functional customer graph (dst = (37*key+11) mod N + 1 —
+    same in-plan edge construction as iter_reachability_bfs, so the
+    two iterative keys share one graph). All arithmetic is integer:
+    ranks are BIGINTs scaled by 1e12, the damping update divides by
+    100 with truncating integer division — exact under any shuffle
+    order and engine (operators/iterative.pagerank_fixed). The static
+    iteration count unrolls into 3 chained join+agg rounds in ONE
+    lazy plan; each round's shuffle carries (node, rank) pairs only.
+    The oracle replays the identical integer recurrence as chained
+    CTEs. This is the power-iteration shape behind centrality
+    features and influence scoring at 100 TB: per-round cost is one
+    |E| join + one |V| agg, never materializing paths."""
+    from ..operators.iterative import pagerank_fixed
+
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 37 + 11) % F.col("n") + 1).alias("dst"),
+        )
+    )
+    return pagerank_fixed(edges, nodes, iterations=3).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank_scaled"),
+    )

@@ -675,3 +675,148 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parsed
+
+
+@register(
+    "source_python_pushdown",
+    oracle="""
+SELECT CAST(n AS BIGINT) AS n, CAST(n * n AS BIGINT) AS n_sq,
+       CAST(n % 7 AS BIGINT) AS bucket,
+       CAST(50 + ((n - 50) // 25) * 25 AS BIGINT) AS part_lo
+FROM (SELECT unnest(generate_series(0, 199)) AS n)
+WHERE n >= 50 AND n < 150 AND n % 7 <> 3
+""",
+)
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through a custom Python data source (Spark 4
+    ``pushFilters`` API): the reader receives Catalyst's filters at
+    planning time, absorbs the n-range predicates (>= 50, < 150) by
+    CLIPPING its partition grid to the requested range, and hands the
+    non-range predicate (bucket <> 3) back as unsupported so Spark
+    evaluates it above. The pushdown is PROVEN by the hash, not just
+    the plan: each row carries its generator partition's start
+    offset (part_lo), and the oracle's closed form (50 + ((n-50) div
+    25)*25) is only reproduced when the grid really was re-derived
+    from the pushed bounds — an unpushed read would emit the 0-based
+    grid and hash-fail. This is the scan-reduction contract that
+    makes bespoke feeds viable at 100 TB: the source transfers only
+    the requested key range, exactly like parquet row-group pruning.
+    Requires spark.sql.python.filterPushdown.enabled (set here)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    class _ClippedPartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _PushdownReader(DataSourceReader):
+        def __init__(self, n_rows: int, n_parts: int) -> None:
+            self._lo, self._hi, self._p = 0, n_rows, n_parts
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and tuple(f.attribute) == ("n",)
+                ):
+                    self._lo = max(self._lo, int(f.value))
+                elif isinstance(f, LessThan) and tuple(f.attribute) == ("n",):
+                    self._hi = min(self._hi, int(f.value))
+                else:
+                    yield f  # unsupported -> Spark evaluates it above
+
+        def partitions(self):
+            lo, hi = self._lo, max(self._hi, self._lo)
+            step = max((hi - lo) // self._p, 1)
+            parts = []
+            for i in range(self._p):
+                s = lo + i * step
+                e = hi if i == self._p - 1 else min(lo + (i + 1) * step, hi)
+                if s < hi:
+                    parts.append(_ClippedPartition(s, e))
+            return parts or [_ClippedPartition(lo, lo)]
+
+        def read(self, partition):
+            for n in range(partition.start, partition.end):
+                yield (n, n * n, n % 7, partition.start)
+
+    class PushdownSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_gen_pd"
+
+        def schema(self) -> str:
+            return "n BIGINT, n_sq BIGINT, bucket BIGINT, part_lo BIGINT"
+
+        def reader(self, schema):
+            return _PushdownReader(
+                int(self.options.get("rows", 200)),
+                int(self.options.get("partitions", 4)),
+            )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_python_datasource(spark, PushdownSource)
+    return (
+        spark.read.format("dags_gen_pd")
+        .option("rows", 200)
+        .load()
+        .filter(
+            (F.col("n") >= 50) & (F.col("n") < 150) & (F.col("bucket") != 3)
+        )
+    )
+
+
+@register(
+    "sink_atomic_swap",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {{SQL_DEC_SUM}} AS total_value
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+""".format(SQL_DEC_SUM=SQL_DEC_SUM("o_totalprice")),
+)
+def sink_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic snapshot PUBLISH without a table format: writers stage
+    each snapshot under an immutable versioned directory (v1, v2, …)
+    and flip a tiny CURRENT pointer file as the last step — readers
+    resolve the pointer, then read a directory that is never mutated
+    in place, so they see the old version or the new one, never a
+    half-written mix (the pointer write is one small atomic rename;
+    this is the poor-man's Iceberg/Delta commit, and exactly how the
+    graph layer's ledgered snapshots publish). The key stages v1
+    (all orders) then v2 (non-finalized orders only), swaps the
+    pointer, and returns the read-through-pointer aggregate — which
+    must equal the v2 content, proving the swap took effect and the
+    v1 data stayed isolated."""
+    root = _tmpdir("swap")
+    o = table(spark, sf_dir, "orders")
+    v1 = os.path.join(root, "v1")
+    v2 = os.path.join(root, "v2")
+    o.write.mode("overwrite").parquet(v1)
+    _publish_pointer(root, "v1")
+    o.filter(F.col("o_orderstatus") != "F").write.mode("overwrite").parquet(v2)
+    _publish_pointer(root, "v2")  # atomic flip: rename over CURRENT
+    current = os.path.join(root, open(os.path.join(root, "CURRENT")).read().strip())
+    return (
+        spark.read.parquet(current)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+def _publish_pointer(root: str, version: str) -> None:
+    """Write CURRENT via temp-file + os.replace (atomic on POSIX)."""
+    tmp = os.path.join(root, f".CURRENT.{version}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(root, "CURRENT"))

@@ -593,3 +593,98 @@ def quality_classifier_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_micro"),
         (z >= 0.0).alias("keep"),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+bi AS (
+  SELECT string_split(text, ' ')[i] AS w1,
+         string_split(text, ' ')[i + 1] AS w2
+  FROM (
+    SELECT text,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+    FROM documents
+  )
+),
+bic AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi)
+SELECT w1, w2, pair_count,
+       CAST(FLOOR(ROUND(LN(
+           (CAST(pair_count AS DOUBLE) * t * t)
+           / (CAST(b AS DOUBLE) * u1.c * u2.c)
+         ), 9) * 1000000) AS BIGINT) AS pmi_micro
+FROM bic
+JOIN uni u1 ON u1.w = bic.w1
+JOIN uni u2 ON u2.w = bic.w2
+CROSS JOIN tot CROSS JOIN btot
+""",
+    tags=("text", "analysis"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    lexical-association upgrade of raw bigram counts (text_ngrams):
+    PMI = ln( p(xy) / (p(x)p(y)) ), high for pairs that co-occur far
+    above chance ('monte carlo'), ~0 for independent pairs. Pairs
+    with support < 5 are dropped (PMI is unstable at low counts —
+    the standard filter). Determinism: counts are exact BIGINTs, the
+    PMI argument is ONE double division of two exact integer
+    products (each < 2^53 at fixture scale), and the ln gets the
+    house 9-guard-digit micro-unit quantization (see
+    text_perplexity_proxy) so the BIGINT output is engine-exact.
+    Plan: one explode -> two vocab-sized hash-aggs + two 1-row
+    totals; the unigram table broadcasts into the (match-sized)
+    bigram join — at 100 TB the only heavy exchange is the bigram
+    agg, same cardinality as the corpus scan. Beyond int64 product
+    range, switch the argument to ln-sum form (ln cxy + 2 ln t -
+    ln b - ln cx - ln cy) — same quantization contract."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = d.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws("\x00", a, b),
+    )
+    bi = (
+        d.select(F.explode(bigrams).alias("pair"))
+        .filter(F.col("pair").contains("\x00"))
+        .select(
+            F.split_part(F.col("pair"), F.lit("\x00"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("pair"), F.lit("\x00"), F.lit(2)).alias("w2"),
+        )
+    )
+    bic = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 5)
+    )
+    btot = bi.agg(F.count(F.lit(1)).alias("b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    num = F.col("pair_count").cast("double") * F.col("t") * F.col("t")
+    den = F.col("b").cast("double") * F.col("cx") * F.col("cy")
+    return (
+        bic.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.floor(F.round(F.log(num / den), 9) * 1_000_000)
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )

@@ -111,6 +111,13 @@ ALLOWED = {
     # 1-row max-timestamp aggregate broadcast into the decay term —
     # the scalar-subquery shape again.
     "agg_decayed_sum": {"cartesian", "single-partition-exchange"},
+    # 1-row node-count broadcast into the derived edge set plus one
+    # teleport-term scalar cross per unrolled power-iteration round —
+    # the same shape iter_reachability_bfs carries per BFS level.
+    "iter_pagerank": {"cartesian", "single-partition-exchange"},
+    # 1-row unigram/bigram corpus totals broadcast-crossed into the
+    # match-sized PMI join — the text_tfidf scalar-subquery shape.
+    "text_collocations_pmi": {"cartesian", "single-partition-exchange"},
 }
 
 

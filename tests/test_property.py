@@ -395,3 +395,40 @@ def test_y4m_frame_sampling_property(w, h, frames, k):
         assert cks == sum(
             (x * 3 + y * 5 + f * 7) % 256 for y in range(h) for x in range(w)
         )
+
+
+# --- fixed-iteration integer PageRank vs a pure-Python reference -----
+
+
+@given(
+    edges=st.lists(_edge, min_size=1, max_size=24),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@_SLOW
+def test_pagerank_fixed_matches_reference(spark, edges, iters):
+    """Integer-arithmetic PageRank == a literal Python replay of the
+    same recurrence (truncating div, per-node share split) on
+    adversarial small graphs (self-loops, multi-edges, sinks with
+    in-edges only). Nodes = union of endpoints; every node is ranked,
+    nodes without in-edges keep only the teleport term."""
+    from dags_spark.operators.iterative import pagerank_fixed
+
+    nodes = sorted({v for e in edges for v in e})
+    edf = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node BIGINT")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(edf, ndf, iterations=iters).collect()
+    }
+
+    scale, n = 1_000_000_000_000, len(nodes)
+    out_deg: dict[int, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s_in: dict[int, int] = {v: 0 for v in nodes}
+        for s, d in edges:
+            s_in[d] += rank[s] // out_deg[s]
+        rank = {v: (15 * (scale // n)) // 100 + (85 * s_in[v]) // 100 for v in nodes}
+    assert got == rank
