@@ -1472,3 +1472,57 @@ def iter_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("rank").cast("bigint").alias("rank_scaled"),
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child, c_custkey // 2 AS parent
+  FROM customer WHERE c_custkey > 1
+),
+walk (node, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT w.node, e.parent, w.depth + 1
+  FROM walk w JOIN edges e ON e.child = w.cur
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MAX(depth) AS INTEGER) AS depth_to_root
+FROM walk GROUP BY node
+""",
+    tags=("sql", "iterative"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 `WITH RECURSIVE` — new in 4.0):
+    each customer's depth in the implicit binary-ownership hierarchy
+    (parent = key div 2, root = 1), walked by the engine's own
+    fixpoint iteration with a JOIN inside the recursive member — the
+    declarative twin of the hand-unrolled iter_reachability_bfs /
+    iter_pagerank keys, for the cases where the depth is NOT known
+    statically. Spark executes the recursion as iterated UnionLoop
+    steps over the same join+filter plan; each level's frontier is
+    one halving pass, so the walk terminates in ~log2(N) rounds and
+    the exchange per round carries (node, cur, depth) triples only.
+    DuckDB runs the identical SQL text modulo the integer-division
+    spelling (`div` vs `//`). Both sides aggregate MAX(depth) per
+    node, which is the root distance since `cur` strictly halves."""
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_rec_src")
+    return spark.sql(
+        """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child, c_custkey div 2 AS parent
+  FROM customer_rec_src WHERE c_custkey > 1
+),
+walk (node, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer_rec_src
+  UNION ALL
+  SELECT w.node, e.parent, w.depth + 1
+  FROM walk w JOIN edges e ON e.child = w.cur
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MAX(depth) AS INT) AS depth_to_root
+FROM walk GROUP BY node
+"""
+    )
