@@ -384,3 +384,42 @@ def test_matryoshka_rankings_prune_mapside(spark, sf_dir):
     # partial + final)
     assert plan.count("WindowGroupLimit") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """When a shuffle join's build side carries a selective filter,
+    Catalyst's InjectRuntimeFilter must add a might_contain() bloom
+    pre-filter on the probe-side SCAN — the automatic scan-reduction
+    that makes selective fact⋈dim shuffle joins viable at 100 TB
+    (rows failing the filter never enter the exchange). At fixture
+    scale every dim broadcasts (so the rule is dormant in the bench
+    plans); this test disables broadcast and lowers the size
+    thresholds to pin that the rule still ENGAGES when the join does
+    shuffle — a conf/refactor that silently kills it fails here."""
+    from dags_spark.io import table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -76,6 +76,10 @@ HEAVY = {
     "multimodal_resize_bmp": 30,
     "multimodal_video_y4m": 30,
     "tpch_q21_waiting_supplier": 30,
+    # round-4 session-3 additions (healthy 2-3 s at sf0.1)
+    "iter_pagerank": 30,
+    "text_collocations_pmi": 30,
+    "sql_recursive_cte": 30,
 }
 
 
@@ -109,6 +113,9 @@ STRESS = {
     "sim_ann_ivfpq_topk": 300,
     "sim_matryoshka_overlap": 300,
     "dedup_ngram_containment": 300,
+    # round-4 session-3: PMI rides the 20x documents (bigram agg is
+    # corpus-sized; an unbroadcast unigram join would blow this).
+    "text_collocations_pmi": 240,
 }
 
 
