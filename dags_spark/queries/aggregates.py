@@ -776,3 +776,52 @@ def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_milli").cast("bigint").alias("decayed_milli"),
         )
     )
+
+
+@register(
+    "agg_approx_topk_exact",
+    oracle="""
+SELECT o_orderpriority AS item,
+       CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       TRUE AS sketch_exact
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("sketch", "agg"),
+)
+def agg_approx_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` (Spark 4 space-saving/frequent-items sketch) in
+    its EXACTNESS REGIME, which is what makes it hash-checkable: a
+    space-saving sketch whose capacity (maxItemsTracked=100) exceeds
+    the item domain (5 priorities) never evicts, so every tracked
+    count is exact — the property that lets one sketch config serve
+    both small-domain exact rollups and large-domain heavy-hitter
+    estimates. The sketch result is exploded, re-joined against the
+    exact GROUP BY, and each row emits (est, exact, est==exact): the
+    hash proves equality row-for-row, while the sketch's own tie
+    ordering (engine-arbitrary) is erased by the re-sort. At 100 TB
+    the sketch aggregates with constant state per partition and
+    merges associatively — the same mergeability contract as
+    agg_hll_sketch_union, but for WHO the heavy keys are, not how
+    many distinct. Oracle: the exact counts with the flag pinned
+    true."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_topk_src")
+    est = spark.sql(
+        """
+SELECT t.item AS item, t.count AS est_count
+FROM (
+  SELECT explode(approx_top_k(o_orderpriority, 5, 100)) AS t
+  FROM orders_topk_src
+)
+"""
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "item").select(
+        "item",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") == F.col("exact_count")).alias("sketch_exact"),
+    )

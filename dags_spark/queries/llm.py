@@ -2073,3 +2073,131 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(
         table(spark, sf_dir, "embeddings"), k=10, pq=(16, 32, 5)
     )
+
+
+@register(
+    "embedding_pca_power",
+    oracle="""
+WITH q0 AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, pos,
+         q + ((vec_id % 21) - 10) * 3 * (pos + 1) AS q
+  FROM q0
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+sums AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY pos),
+s2 AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s2
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+),
+m AS (
+  SELECT i, j, (SELECT n FROM nn) * s2.s2 - si.s * sj.s AS m
+  FROM s2 JOIN sums si ON si.pos = s2.i JOIN sums sj ON sj.pos = s2.j
+),
+v0 AS (SELECT DISTINCT pos AS j, CAST(1000 AS BIGINT) AS v FROM q),
+w1 AS (SELECT m.i, CAST(SUM(m.m * v0.v) AS BIGINT) AS w
+       FROM m JOIN v0 ON v0.j = m.j GROUP BY m.i),
+x1 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w1),
+v1 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x1) AS v
+          FROM w1),
+w2 AS (SELECT m.i, CAST(SUM(m.m * v1.v) AS BIGINT) AS w
+       FROM m JOIN v1 ON v1.j = m.j GROUP BY m.i),
+x2 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w2),
+v2 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x2) AS v
+          FROM w2),
+w3 AS (SELECT m.i, CAST(SUM(m.m * v2.v) AS BIGINT) AS w
+       FROM m JOIN v2 ON v2.j = m.j GROUP BY m.i),
+x3 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w3),
+v3 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x3) AS v
+          FROM w3)
+SELECT CAST(j AS INTEGER) AS pos, CAST(v AS BIGINT) AS pc1_scaled
+FROM v3
+""",
+    tags=("similarity", "ml"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal component by POWER ITERATION
+    in exact integer arithmetic — the linear-algebra primitive behind
+    embedding whitening, drift monitoring, and matryoshka dimension
+    audits. Phase 1 (the only corpus-scale work) builds the exact
+    64x64 scatter matrix in ONE pass shape: coordinates quantize to
+    milli-units (FLOOR, BIGINT), the second-moment table S[i,j] comes
+    from a vec_id-partitioned self-join (|V| x d^2 rows, shuffle on
+    vec_id only), and the centered scatter M = n*S - s_i*s_j is pure
+    integer algebra (bounds: |q|<=578, so |M| <= n^2*578^2 ~ 1.3e12
+    at sf0.1 — int64-safe; matvec terms peak ~9e16 < 2^63). Phase 2
+    iterates v' = M.v twice on CONSTANT-SIZE tables (M is d^2 = 4096
+    rows, v is d rows, broadcast): after each matvec the vector
+    renormalizes to scale 1000 by truncating integer division
+    (Spark `div` == DuckDB `//`, both truncate toward zero), so
+    every intermediate is exactly reproducible cross-engine — no
+    libm, no doubles, no collect. The oracle replays the identical
+    recurrence CTE-for-CTE. CONVERGENCE is real, not nominal: the
+    fixture's random embeddings have spectral gap ~1.01 (no fixed
+    iteration count converges), so the query plants a deterministic
+    zero-mean rank-1 spike (coefficient (vec_id%21-10)*3, direction
+    = the index ramp) giving gap ~1e3 — three iterations then land
+    exactly on the dominant eigenvector (cos = 1.0 vs a float eigh,
+    pinned in tests/test_property.py) instead of merely replaying
+    arithmetic. At 100 TB only phase 1 grows; for d
+    where d^2 rows stop being 'tiny', switch phase 2 to the IVF
+    centroid pattern (constant-size driver-side eigensolve)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "pos",
+        (
+            F.floor(F.col("x").cast("double") * 1000).cast("bigint")
+            + ((F.col("vec_id") % 21) - 10) * 3 * (F.col("pos") + 1)
+        ).alias("q"),
+    )
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    sums = q.groupBy("pos").agg(F.sum("q").alias("s"))
+    a, b = q.alias("a"), q.alias("b")
+    s2 = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("s2"))
+    )
+    si = sums.select(F.col("pos").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    m = (
+        s2.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", (F.col("n") * F.col("s2") - F.col("si") * F.col("sj")).alias("m"))
+    )
+    v = q.select("pos").distinct().select(
+        F.col("pos").alias("j"), F.lit(1000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        w = (
+            m.join(F.broadcast(v), "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        # pre-shrink before the x1000 renorm: |w| peaks ~2e16, and
+        # w*1000 would transiently overflow int64; a truncating div
+        # (identical in Spark `div` and DuckDB `//`, both toward
+        # zero) keeps every intermediate in range without touching
+        # cross-engine exactness.
+        ws = w.selectExpr("i", "w div 65536 AS ws")
+        vmax = ws.agg(
+            F.greatest(F.max(F.abs("ws")), F.lit(1).cast("bigint")).alias("vmax")
+        )
+        v = ws.crossJoin(F.broadcast(vmax)).selectExpr(
+            "i AS j", "(ws * 1000) div vmax AS v"
+        )
+    return v.select(
+        F.col("j").cast("int").alias("pos"),
+        F.col("v").cast("bigint").alias("pc1_scaled"),
+    )

@@ -118,6 +118,15 @@ ALLOWED = {
     # 1-row unigram/bigram corpus totals broadcast-crossed into the
     # match-sized PMI join — the text_tfidf scalar-subquery shape.
     "text_collocations_pmi": {"cartesian", "single-partition-exchange"},
+    # 1-row scalars crossed into constant-size tables: vector count n
+    # into the 4096-row scatter matrix, then one max-abs renorm
+    # scalar per power-iteration round — each the subquery_scalar
+    # shape over d- or d^2-row inputs, never corpus-scale.
+    "embedding_pca_power": {"cartesian", "single-partition-exchange"},
+    # the sketch is ONE global aggregate by definition (its whole
+    # point: constant-size associative state reduced to one value) —
+    # the same class as agg_global.
+    "agg_approx_topk_exact": {"single-partition-exchange"},
 }
 
 

@@ -432,3 +432,62 @@ def test_pagerank_fixed_matches_reference(spark, edges, iters):
             s_in[d] += rank[s] // out_deg[s]
         rank = {v: (15 * (scale // n)) // 100 + (85 * s_in[v]) // 100 for v in nodes}
     assert got == rank
+
+
+# --- PCA power iteration: exact replay + true-eigenvector alignment -
+
+
+def test_pca_power_matches_replay_and_converges(spark, sf_dir):
+    """embedding_pca_power == an exact python-int replay of the same
+    integer recurrence (trunc div, planted spike), AND the result
+    genuinely aligns with the float eigensolver's top eigenvector
+    (|cos| >= 0.999) — the planted rank-1 spike gives the spectral
+    gap that makes 3 iterations converge rather than merely replay
+    arithmetic."""
+    import numpy as np
+
+    from dags_spark.registry import all_specs
+
+    got = (
+        all_specs()["embedding_pca_power"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("pos")["pc1_scaled"]
+        .sort_index()
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"select vec_id, embedding from read_parquet('{sf_dir}/embeddings.parquet')"
+        " order by vec_id"
+    ).df()
+    ids = df["vec_id"].values
+    Q = np.floor(np.stack(df["embedding"].values).astype(np.float64) * 1000).astype(
+        object
+    )
+    n, d = Q.shape
+    Qs = Q + np.outer(((ids % 21) - 10) * 3, np.arange(1, d + 1)).astype(object)
+    S = Qs.T @ Qs
+    s = Qs.sum(axis=0)
+    M = n * S - np.outer(s, s)
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = np.array([1000] * d, dtype=object)
+    for _ in range(3):
+        w = M @ v
+        ws = np.array([tdiv(x, 65536) for x in w], dtype=object)
+        vmax = max(max(abs(x) for x in ws), 1)
+        v = np.array([tdiv(x * 1000, vmax) for x in ws], dtype=object)
+
+    assert list(got.values) == [int(x) for x in v], "integer recurrence diverged"
+
+    ev, evec = np.linalg.eigh(M.astype(np.float64))
+    pc1 = evec[:, -1]
+    vf = v.astype(np.float64)
+    cos = abs(vf @ pc1) / np.linalg.norm(vf)
+    assert cos >= 0.999, f"power iteration did not converge: cos={cos:.4f}"

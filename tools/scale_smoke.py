@@ -80,6 +80,7 @@ HEAVY = {
     "iter_pagerank": 30,
     "text_collocations_pmi": 30,
     "sql_recursive_cte": 30,
+    "embedding_pca_power": 45,
 }
 
 
