@@ -954,3 +954,47 @@ def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price).cast("decimal(12,2)").cast("string").alias("max_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "fn_array_fold",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> length(t) > 7)) > 0
+         AS has_long_token,
+       len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+         = len(string_split(text, ' ')) AS all_nonempty,
+       CAST(list_reduce(list_prepend(0,
+              list_transform(string_split(text, ' '), t -> length(t))),
+            (acc, x) -> acc + x) AS BIGINT) AS total_chars,
+       CAST(list_position(string_split(text, ' '), 'data') AS INTEGER)
+         AS data_pos,
+       array_to_string(list_filter(string_split(text, ' '),
+                                   t -> t <> 'the'), ' ') AS no_the
+FROM documents
+""",
+)
+def fn_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fold/quantifier higher-order functions — the §2.8 family
+    fn_array leaves uncovered: `exists` / `forall` (short-circuit
+    quantifiers), `aggregate` (explicit-init fold; DuckDB mirrors by
+    prepending the init and list_reduce'ing), `array_position`
+    (1-based, 0 when absent — both engines agree), and `array_remove`
+    via the filter lambda (array_remove itself returns NULL-vs-[]
+    differently across engines for empty inputs — the filter spelling
+    is the portable form). All lambdas run inside whole-stage
+    codegen; scan-local projection, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 7).alias("has_long_token"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+        F.array_join(F.filter(toks, lambda t: t != "the"), " ").alias(
+            "no_the"
+        ),
+    )

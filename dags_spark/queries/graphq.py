@@ -401,3 +401,118 @@ def graph_param_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.run(spark, params={"cutoff": "1999-01-01", "floor": 1000.0})[
         "pri_rev"
     ]
+
+
+@register(
+    "graph_quarantine_split",
+    oracle="""
+WITH raw AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_id % 20 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 77, 'purchase', CAST(NULL AS DOUBLE)),
+    (9000002, 78, 'bogus_kind', 10.0),
+    (9000003, NULL, 'view', 5.0),
+    (9000004, 79, 'purchase', -99999.0)
+  ) AS bad(event_id, user_id, event_type, value)
+),
+validated AS (
+  SELECT *,
+         CASE
+           WHEN user_id IS NULL THEN 'null_user'
+           WHEN value IS NULL THEN 'null_value'
+           WHEN value < -1000 OR value > 1000000 THEN 'value_range'
+           WHEN event_type NOT IN ('view', 'purchase', 'error', 'click',
+                                   'signup')
+             THEN 'unknown_type'
+         END AS reject_reason
+  FROM raw
+),
+clean AS (
+  SELECT 'clean' AS bucket_kind, event_type AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM validated WHERE reject_reason IS NULL GROUP BY event_type
+),
+quarantine AS (
+  SELECT 'quarantine' AS bucket_kind, reject_reason AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM validated WHERE reject_reason IS NOT NULL GROUP BY reject_reason
+)
+SELECT * FROM clean UNION ALL SELECT * FROM quarantine
+""",
+    tags=("graph", "dq"),
+)
+def graph_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-QUARANTINE topology in the graph layer — the
+    error-routing pattern a production ingest DAG needs (the
+    row-level sibling of source_csv_permissive's file-level capture):
+    one validate node stamps each record with its FIRST failing rule
+    (null keys, null/range measures, enum membership), then a
+    clean branch and a quarantine branch consume the same validated
+    node — bad rows are never dropped silently and never kill the
+    job; they land in an inspectable side table with a reason. The
+    fan-out diamond keeps ONE scan: both branches are lazy over the
+    validated plan (Catalyst reuses the exchange), and the final
+    report unions clean per-type counts with per-reason quarantine
+    counts. Deterministic bad rows are injected in-query (the
+    fixture is clean by construction). At 100 TB the quarantine
+    branch writes its own partitioned sink; counts here stand in for
+    that write."""
+    g = Graph("quarantine_split")
+
+    @g.node(name="raw_events")
+    def raw_events(spark: SparkSession, deps) -> DataFrame:
+        ev = table(spark, sf_dir, "events").filter(
+            F.col("event_id") % 20 == 0
+        ).select("event_id", "user_id", "event_type", "value")
+        bad = spark.createDataFrame(
+            [
+                (9000001, 77, "purchase", None),
+                (9000002, 78, "bogus_kind", 10.0),
+                (9000003, None, "view", 5.0),
+                (9000004, 79, "purchase", -99999.0),
+            ],
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        )
+        return ev.unionByName(bad)
+
+    @g.node(name="validated", upstream=["raw_events"])
+    def validated(spark: SparkSession, deps) -> DataFrame:
+        ok_types = ["view", "purchase", "error", "click", "signup"]
+        return deps["raw_events"].withColumn(
+            "reject_reason",
+            F.when(F.col("user_id").isNull(), "null_user")
+            .when(F.col("value").isNull(), "null_value")
+            .when(
+                (F.col("value") < -1000) | (F.col("value") > 1000000),
+                "value_range",
+            )
+            .when(~F.col("event_type").isin(ok_types), "unknown_type"),
+        )
+
+    g.sql_node(
+        name="clean_counts",
+        upstream=["validated"],
+        sql="""
+            SELECT 'clean' AS bucket_kind, event_type AS bucket,
+                   COUNT(*) AS n
+            FROM validated WHERE reject_reason IS NULL GROUP BY event_type
+        """,
+    )
+    g.sql_node(
+        name="quarantine_counts",
+        upstream=["validated"],
+        sql="""
+            SELECT 'quarantine' AS bucket_kind, reject_reason AS bucket,
+                   COUNT(*) AS n
+            FROM validated WHERE reject_reason IS NOT NULL
+            GROUP BY reject_reason
+        """,
+    )
+
+    @g.node(name="report", upstream=["clean_counts", "quarantine_counts"])
+    def report(spark: SparkSession, deps) -> DataFrame:
+        return deps["clean_counts"].unionByName(deps["quarantine_counts"])
+
+    return g.run(spark)["report"]

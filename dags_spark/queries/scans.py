@@ -820,3 +820,47 @@ def _publish_pointer(root: str, version: str) -> None:
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+@register(
+    "source_csv_inferschema",
+    oracle="""
+SELECT r_regionkey, r_name,
+       'r_regionkey:int,r_name:string,has_i:boolean,weight:double'
+         AS inferred_schema
+FROM region
+""",
+)
+def source_csv_inferschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema INFERENCE at the ingestion edge — the one place the
+    engine's schema-from-data mode is allowed (§1.2 contract:
+    declared schemas everywhere else). Region plus two derived typed
+    columns round-trips through headered CSV with inferSchema=true;
+    the emitted `inferred_schema` string is built from the actual
+    read-back StructType, so the hash pins WHAT the sampler inferred
+    (small ints -> INT, 'true'/'false' -> BOOLEAN, decimals ->
+    DOUBLE),
+    not just the values. Inference costs one extra pass over the
+    files — acceptable at an ingestion edge, never between nodes
+    (FIXTURES.md documents the declared-DDL path for that)."""
+    out = os.path.join(_tmpdir("infer"), "region_csv")
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        "r_name",
+        (F.col("r_regionkey") % 2 == 0).alias("has_i"),
+        (F.col("r_regionkey") * 1.5).alias("weight"),
+    )
+    r.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(out)
+    )
+    schema_str = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in back.schema.fields
+    )
+    return back.select(
+        F.col("r_regionkey").cast("bigint").alias("r_regionkey"),
+        "r_name",
+        F.lit(schema_str).alias("inferred_schema"),
+    )
