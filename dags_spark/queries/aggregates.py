@@ -825,3 +825,168 @@ FROM (
         "exact_count",
         (F.col("est_count") == F.col("exact_count")).alias("sketch_exact"),
     )
+
+
+# Shared Welch formula text (identical in both engines: same literal
+# expression tree => bit-identical doubles before the final ROUND).
+_WELCH = """
+ROUND((s1 / n1 - s2 / n2) / 100.0, 6) AS mean_diff,
+ROUND(
+  ((s1 / n1 - s2 / n2) / 100.0)
+  / sqrt(
+      ((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0) / n1
+      + ((q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0) / n2
+    ),
+  6) AS t_stat,
+ROUND(
+  pow(((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0) / n1
+      + ((q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0) / n2, 2)
+  / (pow(((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0) / n1, 2) / (n1 - 1)
+     + pow(((q2 - s2 * s2 / n2) / (n2 - 1) / 10000.0) / n2, 2) / (n2 - 1)),
+  3) AS welch_df
+"""
+
+
+@register(
+    "stats_ab_ttest",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+    CAST(SUM(CASE WHEN user_id % 2 = 0
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+         AS DOUBLE) AS s1,
+    CAST(SUM(CASE WHEN user_id % 2 = 1
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+         AS DOUBLE) AS s2,
+    CAST(SUM(CASE WHEN user_id % 2 = 0
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+         AS DOUBLE) AS q1,
+    CAST(SUM(CASE WHEN user_id % 2 = 1
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+         AS DOUBLE) AS q2
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(n1 AS BIGINT) AS n_control, CAST(n2 AS BIGINT) AS n_treat,
+       {_WELCH}
+FROM m
+""",
+    tags=("stats", "agg"),
+)
+def stats_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test — the A/B experiment-evaluation
+    primitive (unequal variances, the safe default): purchase values
+    split into control/treatment by user parity, t statistic and
+    Welch-Satterthwaite df computed from SIX exact integer sums
+    (counts, cent sums, squared-cent sums) in ONE
+    map-side-combinable pass. The double formula tree is pinned as
+    shared SQL text evaluated identically by both engines (the
+    agg_higher_moments pattern), so the 6-dp rounded statistics are
+    engine-exact. At 100 TB: one scan, one 1-row agg — the entire
+    experiment readout costs a filter + agg, and per-metric variants
+    just add more conditional sums to the same pass."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = cents("value")
+    ctl, trt = F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1
+    m = ev.agg(
+        F.sum(F.when(ctl, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(trt, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(ctl, v).otherwise(0)).cast("double").alias("s1"),
+        F.sum(F.when(trt, v).otherwise(0)).cast("double").alias("s2"),
+        F.sum(F.when(ctl, v * v).otherwise(0)).cast("double").alias("q1"),
+        F.sum(F.when(trt, v * v).otherwise(0)).cast("double").alias("q2"),
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_control",
+        "CAST(n2 AS BIGINT) AS n_treat",
+        *[e.strip() for e in _split_select_exprs(_WELCH)],
+    )
+
+
+def _split_select_exprs(block: str) -> list[str]:
+    """Split a shared multi-expression SQL block on top-level commas
+    (commas inside parentheses stay put) so selectExpr gets one
+    string per output column — keeping ONE formula text for both
+    engines."""
+    out, depth, cur = [], 0, []
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS r, o_orderpriority AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+margins AS (
+  SELECT r, CAST(SUM(n) AS BIGINT) AS rn FROM obs GROUP BY r
+),
+colm AS (
+  SELECT c, CAST(SUM(n) AS BIGINT) AS cn FROM obs GROUP BY c
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+SELECT obs.r, obs.c, obs.n,
+       ROUND(CAST(rn AS DOUBLE) * cn / t, 6) AS expected,
+       ROUND(pow(n - CAST(rn AS DOUBLE) * cn / t, 2)
+             / (CAST(rn AS DOUBLE) * cn / t), 6) AS chi2_term
+FROM obs
+JOIN margins ON margins.r = obs.r
+JOIN colm ON colm.c = obs.c
+CROSS JOIN tot
+""",
+    tags=("stats", "agg"),
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen over the (order status, order
+    priority) contingency table — the categorical-association test
+    behind segmentation checks and drift monitors. Observed counts
+    are exact BIGINTs from one hash-agg; row/column margins are
+    grid-sized re-aggregates of those partials (never a second
+    scan); expected = rn*cn/t and each cell's (obs-exp)^2/exp run
+    the same double expression tree in both engines, rounded 6dp.
+    Emitting per-cell terms (not just the total) keeps the result a
+    table the analyst actually reads — which cell drives the
+    dependence — and the total is SUM(chi2_term) away. Shuffle
+    footprint: the 15-cell grid; the margins broadcast."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    margins = obs.groupBy("r").agg(F.sum("n").alias("rn"))
+    colm = obs.groupBy("c").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    return (
+        obs.join(F.broadcast(margins), "r")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            "n",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - exp, 2) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )

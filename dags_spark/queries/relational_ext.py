@@ -1526,3 +1526,192 @@ SELECT CAST(node AS BIGINT) AS node,
 FROM walk GROUP BY node
 """
     )
+
+
+@register(
+    "dq_completeness_profile",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg,
+         c_acctbal, c_nationkey
+  FROM customer
+)
+SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+  SELECT 'c_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'seg', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(seg) AS BIGINT),
+         CAST(COUNT(DISTINCT seg) AS BIGINT),
+         CAST(MIN(seg) AS VARCHAR), CAST(MAX(seg) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'c_acctbal', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+         CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+         CAST(CAST(ROUND(MIN(c_acctbal) * 100, 0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(ROUND(MAX(c_acctbal) * 100, 0) AS BIGINT) AS VARCHAR)
+  FROM src
+  UNION ALL
+  SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+         CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+  FROM src
+)
+""",
+    tags=("dq", "profile"),
+)
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column PROFILING in one pass — the table-summary report every
+    dataset onboarding starts with (deequ/TFDV profile shape): per
+    column, (rows, nulls, distincts, min, max) emitted long-format.
+    All columns profile in a SINGLE aggregate over one scan (the
+    per-column UNION in the oracle is the readable mirror; Spark
+    computes one wide agg row and unpivots it with a literal stack —
+    an Expand node, no second scan, no join). min/max render as
+    strings so one report schema fits every column type (doubles via
+    exact cents). A nullable column is derived in-query since the
+    fixture has no NULLs. At 100 TB this is one map-side-combinable
+    pass; COUNT(DISTINCT) is the only expensive term — swap to
+    approx_count_distinct when exactness isn't required."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    wide = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for col, mm in [
+                ("c_custkey", False),
+                ("seg", False),
+                ("c_acctbal", True),
+                ("c_nationkey", False),
+            ]
+            for x in [
+                (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+                F.countDistinct(col).alias(f"{col}__distinct"),
+                (
+                    cents(F.min(col)).cast("string")
+                    if mm
+                    else F.min(col).cast("string")
+                ).alias(f"{col}__min"),
+                (
+                    cents(F.max(col)).cast("string")
+                    if mm
+                    else F.max(col).cast("string")
+                ).alias(f"{col}__max"),
+            ]
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{col}__nulls").alias("n_nulls"),
+            F.col(f"{col}__distinct").alias("n_distinct"),
+            F.col(f"{col}__min").alias("min_str"),
+            F.col(f"{col}__max").alias("max_str"),
+        )
+        for col in ["c_custkey", "seg", "c_acctbal", "c_nationkey"]
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM changes WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+  FROM runs
+),
+facts AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT COALESCE(d.state, 'no_state') AS state_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(f.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM facts f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts >= d.valid_from AND f.ts < d.valid_to
+GROUP BY COALESCE(d.state, 'no_state')
+""",
+    tags=("join", "scd2", "warehouse"),
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2 dimension — the consuming
+    half of merge_scd2 (which builds the versioned dimension, this
+    key reads it correctly): each purchase fact attaches the
+    dimension version whose [valid_from, valid_to) interval covers
+    the fact timestamp — the time-correct enrichment that prevents
+    feature leakage in training-data builds (joining today's
+    attributes onto last year's facts). Because SCD2 versions TILE
+    each user's timeline, interval containment == as-of-backward on
+    valid_from, so the plan is the single-shuffle union-tag as-of
+    operator (one user_id sort), NOT an O(n·versions) range join —
+    the oracle states the containment predicate declaratively and
+    DuckDB's IEJoin evaluates it; row-identical results prove the
+    rewrite. Facts before a user's first version keep a 'no_state'
+    bucket (left semantics). Output: per-state purchase counts and
+    exact cent sums."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    dim = runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    enriched = asof_join(
+        facts,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload={"state": "state_at_purchase"},
+    )
+    return enriched.groupBy(
+        F.coalesce("state_at_purchase", F.lit("no_state")).alias(
+            "state_at_purchase"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(cents("value")).alias("value_cents"),
+    )

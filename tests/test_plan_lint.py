@@ -127,6 +127,13 @@ ALLOWED = {
     # point: constant-size associative state reduced to one value) —
     # the same class as agg_global.
     "agg_approx_topk_exact": {"single-partition-exchange"},
+    # whole-table profile / experiment readout: the entire result IS
+    # one global aggregate row (agg_global class).
+    "dq_completeness_profile": {"single-partition-exchange"},
+    "stats_ab_ttest": {"single-partition-exchange"},
+    # 1-row contingency total broadcast-crossed into the 15-cell grid
+    # — scalar-subquery shape over a grid-sized input.
+    "stats_chi_square": {"cartesian", "single-partition-exchange"},
 }
 
 
