@@ -998,3 +998,57 @@ def fn_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_the"
         ),
     )
+
+
+@register(
+    "fn_uuid_name_based",
+    oracle="""
+WITH h AS (
+  SELECT o_orderkey, md5('dags:order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderkey,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+         || substr(hx, 14, 3) || '-'
+         || CASE substr(hx, 17, 1)
+              WHEN '0' THEN '8' WHEN '1' THEN '9' WHEN '2' THEN 'a'
+              WHEN '3' THEN 'b' WHEN '4' THEN '8' WHEN '5' THEN '9'
+              WHEN '6' THEN 'a' WHEN '7' THEN 'b' WHEN '8' THEN '8'
+              WHEN '9' THEN '9' WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
+              WHEN 'c' THEN '8' WHEN 'd' THEN '9' WHEN 'e' THEN 'a'
+              ELSE 'b' END
+         || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS row_uuid
+FROM h
+""",
+)
+def fn_uuid_name_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAME-BASED deterministic row UUIDs (RFC 4122 version-3 shape:
+    md5 of a namespaced natural key, version nibble pinned to 3,
+    variant nibble folded into 8/9/a/b) — the stable-identity
+    primitive a pipeline needs where `uuid()` would be poison:
+    random ids differ per retry/backfill, breaking idempotent
+    upserts and cross-run joins; a name-based id is a pure function
+    of (namespace, natural key), so every engine, retry, and backfill
+    mints the identical id (this is how the reference's block/record
+    identities stay stable across runs [K]). The variant fold is
+    hex-nibble CASE arithmetic shared with the oracle; everything is
+    scan-local string work at IO speed."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    hx = F.md5(F.concat(F.lit("dags:order:"), F.col("o_orderkey").cast("string")))
+    variant = (
+        F.when(F.substring(hx, 17, 1).isin("0", "4", "8", "c"), "8")
+        .when(F.substring(hx, 17, 1).isin("1", "5", "9", "d"), "9")
+        .when(F.substring(hx, 17, 1).isin("2", "6", "a", "e"), "a")
+        .otherwise("b")
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring(hx, 1, 8), F.lit("-"),
+            F.substring(hx, 9, 4), F.lit("-3"),
+            F.substring(hx, 14, 3), F.lit("-"),
+            variant,
+            F.substring(hx, 18, 3), F.lit("-"),
+            F.substring(hx, 21, 12),
+        ).alias("row_uuid"),
+    )

@@ -1715,3 +1715,70 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(cents("value")).alias("value_cents"),
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_c ASC, o_custkey ASC)
+              AS BIGINT) AS rnk
+  FROM rev
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev_c) AS BIGINT) AS sx,
+         CAST(SUM(rnk * rev_c) AS BIGINT) AS sixi
+  FROM ranked
+)
+SELECT n AS n_customers, sx AS total_cents,
+       ROUND(CAST(2 * sixi - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx), 6)
+         AS gini
+FROM agg
+""",
+    tags=("stats", "agg"),
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality scalar behind the whale curve (agg_pareto_customers
+    draws the curve; this is its summary statistic, the one a
+    mixture-design or revenue-risk dashboard tracks over time). The
+    rank-sum identity G = (2*Σ i*x_i − (n+1)*Σx) / (n*Σx) over
+    ascending-sorted values needs ONE global total order — supplied
+    by the two-phase global_rank operator (range-partition + local
+    rank + tiny offset table), never a single-partition window. Both
+    Σ terms are exact BIGINTs (i ≤ |customers|, x = cents; products
+    ≤ ~2e16, int64-safe), so the only double is the final pinned
+    division, rounded 6dp. The oracle's ROW_NUMBER states the same
+    order declaratively."""
+    from ..operators.scale import global_rank
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    ranked = global_rank(
+        rev, [F.col("rev_c").asc(), F.col("o_custkey").asc()], rank_col="rnk"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("sx"),
+        F.sum(F.col("rnk") * F.col("rev_c")).alias("sixi"),
+    )
+    n, sx, sixi = F.col("n"), F.col("sx"), F.col("sixi")
+    return agg.select(
+        n.alias("n_customers"),
+        sx.alias("total_cents"),
+        F.round(
+            (2 * sixi - (n + 1) * sx).cast("double")
+            / (n.cast("double") * sx),
+            6,
+        ).alias("gini"),
+    )

@@ -676,3 +676,70 @@ def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "ts_anomaly_exact",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id, ts, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS q
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, c AS value_cents, n AS n_baseline,
+       ((n * c - s) * (n * c - s)) * (n - 1) > 9 * n * (n * q - s * s)
+         AS is_anomaly
+FROM win WHERE n >= 5
+""",
+    tags=("timeseries", "dq", "window"),
+)
+def ts_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag with the BOUNDARY DECIDED IN
+    EXACT INTEGER ARITHMETIC — the trap in every naive z-score
+    monitor is that |x-mean| > 3*stddev computes mean/stddev in
+    doubles, and a boundary row can flip across engines, retries, or
+    agg orders. Clearing denominators turns the cut into a pure
+    int64 comparison:  (n*x - S)^2 * (n-1) > 9 * n * (n*Q - S^2)
+    (S, Q = sum, sum-of-squares of the trailing-10 baseline frame,
+    self-excluded via ROWS 9 PRECEDING..1 PRECEDING so the tested
+    point can't inflate its own baseline). No sqrt, no division, no
+    guard digits — the flag itself is hash-exact. One window over
+    one (user_id) exchange; rows with under 5 baseline points are
+    withheld (cold-start rule). Overflow envelope: cents <= 1e5, so
+    the worst term (n*x-S)^2*(n-1) <= ~9e12 — int64-safe by six
+    orders."""
+    ev = table(spark, sf_dir, "events")
+    c = cents("value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    win = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        c.alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("q"),
+    )
+    n, s, q, x = F.col("n"), F.col("s"), F.col("q"), F.col("c")
+    return win.filter(n >= 5).select(
+        "user_id",
+        "event_id",
+        x.alias("value_cents"),
+        n.alias("n_baseline"),
+        (
+            ((n * x - s) * (n * x - s)) * (n - 1) > 9 * n * (n * q - s * s)
+        ).alias("is_anomaly"),
+    )

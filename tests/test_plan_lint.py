@@ -134,6 +134,9 @@ ALLOWED = {
     # 1-row contingency total broadcast-crossed into the 15-cell grid
     # — scalar-subquery shape over a grid-sized input.
     "stats_chi_square": {"cartesian", "single-partition-exchange"},
+    # composes global_rank (range sort + tiny offset table — the
+    # agg_pareto_customers constructs) into a final 1-row aggregate.
+    "agg_gini_revenue": {"single-partition-exchange", "global-sort"},
 }
 
 
