@@ -731,3 +731,149 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p")[1].alias("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "stream_quarantine_routing",
+    oracle="""
+WITH raw AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('purchase', CAST(NULL AS DOUBLE)),
+    ('bogus_kind', 10.0),
+    ('view', -5.0),
+    ('purchase', 2000000.0)
+  ) AS bad(event_type, value)
+),
+validated AS (
+  SELECT event_type, value,
+         CASE
+           WHEN value IS NULL THEN 'null_value'
+           WHEN value < 0 OR value > 1000000 THEN 'value_range'
+           WHEN event_type NOT IN ('view', 'purchase', 'error', 'click',
+                                   'signup')
+             THEN 'unknown_type'
+         END AS reject_reason
+  FROM raw
+)
+SELECT 'clean' AS route, event_type AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM validated WHERE reject_reason IS NULL GROUP BY event_type
+UNION ALL
+SELECT 'quarantine' AS route, reject_reason AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM validated WHERE reject_reason IS NOT NULL GROUP BY reject_reason
+""",
+)
+def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING error routing — the micro-batch sibling of the batch
+    graph_quarantine_split topology: inside ONE foreachBatch, each
+    micro-batch is validated once (cached), clean rows append to the
+    main parquet sink and rejects to a quarantine sink with their
+    reason — split-stream routing a single writeStream sink can't
+    express, and the production answer to 'bad records in a stream
+    must neither kill the query nor vanish'. Both sinks write their
+    batch under a batch_id partition with dynamic overwrite, so a
+    redelivered batch replaces rather than duplicates (idempotent
+    per batch). Deterministic bad rows are staged as an extra source
+    file in a PRIVATE staging dir (the shared staged copy is
+    memoized across keys and must not be mutated); read-back uses
+    explicit schemas so an empty route still reads. The report
+    unions both sinks' aggregates; the oracle replays the CASE
+    routing in batch SQL."""
+    import tempfile as _tf
+
+    from ..streaming.runner import stage_events
+
+    work = _tf.mkdtemp(prefix="dags_spark_squar_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    staged = os.path.join(stage_events(spark, sf_dir), "in")
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(staged, f), os.path.join(in_dir, f))
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    bad = spark.createDataFrame(
+        [
+            (9000001, None, 77, "purchase", None, None),
+            (9000002, None, 78, "bogus_kind", 10.0, None),
+            (9000003, None, 79, "view", -5.0, None),
+            (9000004, None, 80, "purchase", 2000000.0, None),
+        ],
+        schema,
+    )
+    bad.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "badstage")
+    )
+    for f in os.listdir(os.path.join(work, "badstage")):
+        if f.endswith(".parquet"):
+            os.link(
+                os.path.join(work, "badstage", f),
+                os.path.join(in_dir, f"bad_{f}"),
+            )
+
+    sdf = spark.readStream.schema(schema).parquet(in_dir).select(
+        "event_id", "event_type", "value"
+    )
+    clean_dir = os.path.join(work, "clean")
+    quar_dir = os.path.join(work, "quarantine")
+    ok_types = ["view", "purchase", "error", "click", "signup"]
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        validated = batch_df.withColumn(
+            "reject_reason",
+            F.when(F.col("value").isNull(), "null_value")
+            .when(
+                (F.col("value") < 0) | (F.col("value") > 1000000),
+                "value_range",
+            )
+            .when(~F.col("event_type").isin(ok_types), "unknown_type"),
+        ).cache()
+        try:
+            (
+                validated.filter(F.col("reject_reason").isNull())
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(clean_dir)
+            )
+            (
+                validated.filter(F.col("reject_reason").isNotNull())
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(quar_dir)
+            )
+        finally:
+            validated.unpersist()
+
+    (
+        sdf.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink_schema = (
+        "event_id BIGINT, event_type STRING, value DOUBLE, "
+        "reject_reason STRING, batch_id BIGINT"
+    )
+    clean = (
+        spark.read.schema(sink_schema).parquet(clean_dir)
+        .groupBy(F.col("event_type").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("clean").alias("route"), "bucket", "n")
+    )
+    quar = (
+        spark.read.schema(sink_schema).parquet(quar_dir)
+        .groupBy(F.col("reject_reason").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("quarantine").alias("route"), "bucket", "n")
+    )
+    return clean.unionByName(quar)
