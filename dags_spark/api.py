@@ -22,7 +22,11 @@ from .graph.core import Graph, NodeSpec, schema_implements
 from .graph.schemas import SchemaDoc, load_schema_file, load_schemas
 from .io import load_tables, register_views, table
 from .operators.asof import asof_join
-from .operators.iterative import bounded_bfs, resample_interp_daily
+from .operators.iterative import (
+    bounded_bfs,
+    pagerank_fixed,
+    resample_interp_daily,
+)
 from .operators.dedup import (
     connected_components,
     exact_dedup,
@@ -40,7 +44,12 @@ from .operators.scale import (
     salted_join,
     write_bucketed,
 )
-from .operators.similarity import ann_ivf_topk, ann_lsh_topk, blocked_pairs
+from .operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_pq_topk,
+    blocked_pairs,
+)
 from .operators.simhash import simhash, simhash_band_pairs
 from .operators.textops import (
     langid_predict,
@@ -71,6 +80,7 @@ __all__ = [
     "register_views",
     "asof_join",
     "bounded_bfs",
+    "pagerank_fixed",
     "resample_interp_daily",
     "exact_dedup",
     "latest_by_key",
@@ -81,6 +91,7 @@ __all__ = [
     "blocked_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "simhash",
     "simhash_band_pairs",
     "binned_band_join",
