@@ -688,3 +688,184 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_micro"),
         )
     )
+
+
+# Fixed demonstration merge table (priority-ordered, highest first) —
+# the shape a learned BPE vocabulary has; rules chosen to chain (th+e,
+# in+g) so the priority order is observable in the output.
+_BPE_MERGES = [
+    ("t", "h"),   # t h   -> th
+    ("th", "e"),  # th e  -> the
+    ("i", "n"),   # i n   -> in
+    ("in", "g"),  # in g  -> ing
+    ("e", "r"),   # e r   -> er
+    ("o", "n"),   # o n   -> on
+    ("a", "n"),   # a n   -> an
+    ("r", "e"),   # r e   -> re
+]
+
+
+@register(
+    "text_bpe_apply",
+    oracle="""
+WITH spaced AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(substr(text, 1, 120)),
+                             '(.)', '\\1 ', 'g')) AS s
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    s,
+    '(^| )t h( |$)', '\\1th\\2', 'g'), '(^| )t h( |$)', '\\1th\\2', 'g'),
+    '(^| )th e( |$)', '\\1the\\2', 'g'), '(^| )th e( |$)', '\\1the\\2', 'g'),
+    '(^| )i n( |$)', '\\1in\\2', 'g'), '(^| )i n( |$)', '\\1in\\2', 'g'),
+    '(^| )in g( |$)', '\\1ing\\2', 'g'), '(^| )in g( |$)', '\\1ing\\2', 'g')
+    AS s
+  FROM spaced
+),
+m2 AS (
+  SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    s,
+    '(^| )e r( |$)', '\\1er\\2', 'g'), '(^| )e r( |$)', '\\1er\\2', 'g'),
+    '(^| )o n( |$)', '\\1on\\2', 'g'), '(^| )o n( |$)', '\\1on\\2', 'g'),
+    '(^| )a n( |$)', '\\1an\\2', 'g'), '(^| )a n( |$)', '\\1an\\2', 'g'),
+    '(^| )r e( |$)', '\\1re\\2', 'g'), '(^| )r e( |$)', '\\1re\\2', 'g')
+    AS s
+  FROM m
+)
+SELECT doc_id,
+       CAST(len(string_split(s, ' ')) AS BIGINT) AS n_symbols,
+       substr(s, 1, 40) AS head_symbols
+FROM m2
+""",
+    tags=("text", "tokenize", "trainprep"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the real mechanics of subword
+    tokenization, not the whitespace proxy (text_token_count counts;
+    this SEGMENTS): text explodes to space-separated characters, then
+    a fixed priority-ordered merge table rewrites adjacent symbol
+    pairs ('t h'->'th', then 'th e'->'the', ...) exactly as a learned
+    BPE vocabulary applies — higher-priority merges run first, and
+    each rule runs TWICE because replace-all on '(^| )t h( |$)'
+    consumes its trailing separator, so adjacent matches ('t h t h')
+    need a second sweep to reach the fixpoint. Output: per-doc symbol
+    count after merging (the real token count a BPE tokenizer would
+    bill) plus the head of the segmentation as direct evidence. The
+    whole pipeline is scan-local regex work (IO-speed, no shuffle,
+    no Python); both engines run the byte-identical pattern chain.
+    Production vocabularies just extend the merge table; the
+    per-rule-fixpoint structure is what matters at any vocab size."""
+    d = table(spark, sf_dir, "documents")
+    s = F.trim(
+        F.regexp_replace(
+            F.lower(F.substring("text", 1, 120)), "(.)", r"$1 "
+        )
+    )
+    for a, b in _BPE_MERGES:
+        pat, rep = f"(^| ){a} {b}( |$)", f"$1{a}{b}$2"
+        # twice per rule: replace-all consumes the shared separator
+        # between adjacent matches; the second sweep reaches fixpoint
+        s = F.regexp_replace(F.regexp_replace(s, pat, rep), pat, rep)
+    return d.select(
+        "doc_id",
+        F.size(F.split(s, " ")).cast("bigint").alias("n_symbols"),
+        F.substring(s, 1, 40).alias("head_symbols"),
+    )
+
+
+@register(
+    "dq_corpus_drift_jsd",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+stf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY source, w
+),
+st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ts FROM tok GROUP BY source),
+ctf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+terms AS (
+  SELECT stf.source,
+         CAST(FLOOR(ROUND(
+           -((CAST(c1 AS DOUBLE) / ts + CAST(c AS DOUBLE) / t) / 2)
+             * LN((CAST(c1 AS DOUBLE) / ts + CAST(c AS DOUBLE) / t) / 2)
+           + ((CAST(c1 AS DOUBLE) / ts) * LN(CAST(c1 AS DOUBLE) / ts)
+              + (CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)) / 2
+         , 12) * 1000000000) AS BIGINT) AS term_nano,
+         c
+  FROM stf
+  JOIN st ON st.source = stf.source
+  JOIN ctf ON ctf.w = stf.w
+  CROSS JOIN ct
+)
+SELECT terms.source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_overlap,
+       CAST(SUM(term_nano)
+            + FLOOR(ROUND(LN(2) / 2
+                          * (1 - CAST(SUM(c) AS DOUBLE) / MAX(ct.t)), 12)
+                    * 1000000000) AS BIGINT) AS jsd_nano
+FROM terms CROSS JOIN ct
+GROUP BY terms.source
+""",
+    tags=("dq", "text", "drift"),
+)
+def dq_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT gate by Jensen–Shannon divergence: each source's
+    token distribution vs the whole-corpus reference — the
+    statistical monitor behind 'did this crawl slice change under
+    us' (entropy, text_entropy_per_source, sees collapse; JSD sees
+    MOVEMENT even at equal entropy). Sparse-aware identity keeps the
+    sum source-sized: for tokens ABSENT from a source, the JSD
+    contribution collapses algebraically to (ln2/2)*q, so the union
+    over the corpus vocabulary folds into one closing term
+    (ln2/2)*(1 - Σ_present q) and the join never builds the
+    source×vocab grid — the property that matters when the vocab is
+    billions of n-grams. Per-token terms are guard-rounded (12
+    digits) and quantized to nano-nats BEFORE the BIGINT sum (exact
+    under shuffle order, house pattern); the corpus tf table
+    broadcasts. JSD is bounded [0, ln 2]; equal distributions give
+    ~0."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    stf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c1"))
+    st = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ts"))
+    ctf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ct = tok.agg(F.count(F.lit(1)).alias("t"))
+    terms = (
+        stf.join(st, "source")
+        .join(F.broadcast(ctf), "w")
+        .crossJoin(F.broadcast(ct))
+        .selectExpr(
+            "source",
+            "c",
+            "t",
+            """CAST(FLOOR(ROUND(
+                 -((CAST(c1 AS DOUBLE) / ts + CAST(c AS DOUBLE) / t) / 2)
+                   * LN((CAST(c1 AS DOUBLE) / ts + CAST(c AS DOUBLE) / t) / 2)
+                 + ((CAST(c1 AS DOUBLE) / ts) * LN(CAST(c1 AS DOUBLE) / ts)
+                    + (CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)) / 2
+               , 12) * 1000000000) AS BIGINT) AS term_nano""",
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_overlap"),
+        (
+            F.sum("term_nano")
+            + F.floor(
+                F.round(
+                    F.log(F.lit(2.0))
+                    / 2
+                    * (1 - F.sum("c").cast("double") / F.max("t")),
+                    12,
+                )
+                * 1_000_000_000
+            ).cast("bigint")
+        ).alias("jsd_nano"),
+    )

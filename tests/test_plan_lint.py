@@ -137,6 +137,9 @@ ALLOWED = {
     # composes global_rank (range sort + tiny offset table — the
     # agg_pareto_customers constructs) into a final 1-row aggregate.
     "agg_gini_revenue": {"single-partition-exchange", "global-sort"},
+    # 1-row corpus token total broadcast-crossed into the per-source
+    # term table — the text_tfidf scalar-subquery shape.
+    "dq_corpus_drift_jsd": {"cartesian", "single-partition-exchange"},
 }
 
 
