@@ -1052,3 +1052,56 @@ def fn_uuid_name_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(hx, 21, 12),
         ).alias("row_uuid"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS a,
+         list_distinct(string_split(upper(text), ' ')) AS dummy,
+         list_distinct(string_split(substr(text, 1, 60), ' ')) AS b
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_intersect(a, b)), '|'), '')
+         AS common,
+       COALESCE(array_to_string(
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))), '|'), '')
+         AS only_a,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), '|')
+         AS unioned,
+       list_has_any(a, b) AS overlaps
+FROM t
+""",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET operations (`array_intersect`, except-via-filter,
+    union via concat+distinct, `arrays_overlap`) between each doc's
+    full token set and its 60-char-prefix token set — the set algebra
+    behind tag matching, allow/deny-list checks, and shingle overlap
+    scoring when the sets ride inside one row. All outputs sorted
+    before serialization (intersect/union ORDER is engine-specific —
+    the values are the contract, not the traversal). `array_except`
+    itself is mirrored as a filter because the engines disagree on
+    its null/empty edge; the filter spelling is portable — and the
+    oracle COALESCEs its serializations because DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is ''.
+    Scan-local, codegen lambdas, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    a = F.array_distinct(F.split("text", " "))
+    b = F.array_distinct(F.split(F.substring("text", 1, 60), " "))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(a, b)), "|").alias(
+            "common"
+        ),
+        F.array_join(
+            F.array_sort(F.filter(a, lambda x: ~F.array_contains(b, x))), "|"
+        ).alias("only_a"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat(a, b))), "|"
+        ).alias("unioned"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+    )

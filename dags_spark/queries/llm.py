@@ -2201,3 +2201,78 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("pos"),
         F.col("v").cast("bigint").alias("pc1_scaled"),
     )
+
+
+def _spec_oracle(name: str) -> str:
+    """Lift an earlier registration's oracle text verbatim so a
+    composite evaluation key scores EXACTLY the pipelines the
+    individual keys check (one source of truth; a drift in either
+    pipeline's oracle changes this key too — by design)."""
+    from ..registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "dedup_eval_banding_pr",
+    oracle=f"""
+WITH cand AS ({{banded}}),
+truth AS ({{jaccard}}),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tp
+  FROM cand JOIN truth USING (id_a, id_b)
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+SELECT n_cand, n_truth, n_tp,
+       ROUND(CAST(n_tp AS DOUBLE) / n_cand, 6) AS precision_at,
+       ROUND(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall_at
+FROM tp CROSS JOIN nc CROSS JOIN nt
+""".format(
+        banded=_spec_oracle("dedup_minhash_banded"),
+        jaccard=_spec_oracle("dedup_ngram_jaccard"),
+    ),
+    tags=("dedup", "eval"),
+)
+def dedup_eval_banding_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation QUALITY EVALUATION built into the engine:
+    precision/recall of the deterministic banded-MinHash candidate
+    pass (dedup_minhash_banded) against the exact token-3-gram
+    Jaccard >= 0.5 truth set (dedup_ngram_jaccard) — the measurement
+    a pipeline owner runs before trusting a blocking config at 100 TB
+    (bands/rows trade recall against candidate volume; this key puts
+    the tradeoff under the hash check instead of in a notebook). Both
+    pipelines run EXACTLY as their individual keys define them — the
+    oracle lifts those keys' SQL verbatim as CTEs, so truth here can
+    never drift from what the components check. Join cost: candidate
+    and truth sets are near-dup-sized (hundreds of pairs), trivially
+    joinable; the heavy work is the two underlying passes, each
+    already bounded (banding buckets / posting-list df ceiling)."""
+    from ..operators.dedup import (
+        minhash_banded_pairs,
+        token_ngram_jaccard_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_banded_pairs(d).select("id_a", "id_b")
+    truth = token_ngram_jaccard_pairs(d).select("id_a", "id_b")
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        tp.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_cand",
+            "n_truth",
+            "n_tp",
+            F.round(F.col("n_tp").cast("double") / F.col("n_cand"), 6).alias(
+                "precision_at"
+            ),
+            F.round(F.col("n_tp").cast("double") / F.col("n_truth"), 6).alias(
+                "recall_at"
+            ),
+        )
+    )

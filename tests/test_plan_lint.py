@@ -140,6 +140,9 @@ ALLOWED = {
     # 1-row corpus token total broadcast-crossed into the per-source
     # term table — the text_tfidf scalar-subquery shape.
     "dq_corpus_drift_jsd": {"cartesian", "single-partition-exchange"},
+    # three 1-row count aggregates (candidates / truth / overlap)
+    # crossed into the single report row — scalar-subquery shape.
+    "dedup_eval_banding_pr": {"cartesian", "single-partition-exchange"},
 }
 
 
