@@ -1782,3 +1782,96 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+""",
+    tags=("sql",),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 `|>` operators, the GoogleSQL-style
+    linear composition): scan |> WHERE |> AGGREGATE..GROUP BY |>
+    WHERE-as-HAVING — each stage reads top-to-bottom in dataflow
+    order, the SQL-text twin of DataFrame chaining and the form
+    generated query builders emit. Catalyst compiles pipes to the
+    identical logical plan as the nested-SELECT equivalent (same
+    pushdown, same hash-agg), which the oracle states classically —
+    the hash proves the two notations are the same query. Post-agg
+    filtering in pipe form is just another `|> WHERE` (no special
+    HAVING keyword needed)."""
+    cents_sql = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_src")
+    return spark.sql(
+        f"""
+FROM orders_pipe_src
+|> WHERE o_orderstatus = 'O'
+|> AGGREGATE COUNT(*) AS n_orders, SUM({cents_sql}) AS value_cents
+   GROUP BY o_orderpriority
+|> WHERE n_orders > 10
+|> SELECT o_orderpriority, n_orders, value_cents
+"""
+    )
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT 'n_orders' AS key,
+       (SELECT n_orders FROM agg WHERE pri = '1-URGENT') AS "1-URGENT",
+       (SELECT n_orders FROM agg WHERE pri = '2-HIGH') AS "2-HIGH",
+       (SELECT n_orders FROM agg WHERE pri = '3-MEDIUM') AS "3-MEDIUM",
+       (SELECT n_orders FROM agg WHERE pri = '4-NOT SPECIFIED')
+         AS "4-NOT SPECIFIED",
+       (SELECT n_orders FROM agg WHERE pri = '5-LOW') AS "5-LOW"
+UNION ALL
+SELECT 'value_cents',
+       (SELECT value_cents FROM agg WHERE pri = '1-URGENT'),
+       (SELECT value_cents FROM agg WHERE pri = '2-HIGH'),
+       (SELECT value_cents FROM agg WHERE pri = '3-MEDIUM'),
+       (SELECT value_cents FROM agg WHERE pri = '4-NOT SPECIFIED'),
+       (SELECT value_cents FROM agg WHERE pri = '5-LOW')
+""",
+    tags=("reshape",),
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame TRANSPOSE (Spark 4 `df.transpose()`) — the full
+    matrix flip that completes the reshape family (pivot_wide turns
+    values into columns, unpivot_long melts columns into rows;
+    transpose swaps the axes entirely): a 5-priority × 2-measure
+    aggregate becomes a 2-row report whose COLUMNS are the priority
+    values — the orientation dashboards want for small summary
+    grids. Spark derives the output columns from the first column's
+    values at ANALYSIS time (requires a driver-side peek of the
+    grid — fine for summary-sized inputs, never for corpus-scale;
+    that asymmetry is why transpose stays a reporting op while
+    pivot/unpivot remain the scalable reshapes). Measures are cast
+    to one BIGINT type first — transpose requires a least common
+    type across transposed cells. The oracle builds the flipped grid
+    with scalar subqueries."""
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("value_cents"),
+        )
+        .orderBy("pri")
+    )
+    return agg.transpose()
