@@ -73,8 +73,28 @@ def main() -> None:
     ]
     for key in tpch:
         out += [f"## {key}", "", "```", fmt(key).rstrip(), "```", ""]
+
+    iterative = [
+        "iter_reachability_bfs",
+        "iter_pagerank",
+        "sql_recursive_cte",
+        "embedding_pca_power",
+    ]
+    out += [
+        "# Iterative / linear-algebra plans",
+        "",
+        "The unrolled-iteration family: every round is join+agg on the",
+        "node key (ReusedExchange where rounds share partitioning);",
+        "scalar renorm/teleport terms are 1-row broadcasts, never",
+        "corpus-scale exchanges; the recursive CTE shows Spark 4's",
+        "native UnionLoop execution.",
+        "",
+    ]
+    for key in iterative:
+        out += [f"## {key}", "", "```", fmt(key).rstrip(), "```", ""]
+    n = len(BENCH) + len(tpch) + len(iterative)
     (REPO / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote {REPO / 'PLANS.md'} ({len(BENCH) + len(tpch)} plans)")
+    print(f"wrote {REPO / 'PLANS.md'} ({n} plans)")
 
 
 if __name__ == "__main__":
