@@ -10,7 +10,7 @@ want. Dimension-sized inputs broadcast in the join-based ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import SQL_CENTS, SQL_DEC_AVG, SQL_DEC_SUM, cents, dec_avg, dec_sum, table
@@ -989,4 +989,63 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pow(F.col("n") - exp, 2) / exp, 6
             ).alias("chi2_term"),
         )
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                     o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN cents END) AS BIGINT) AS p90_cents
+FROM ranked GROUP BY o_orderpriority
+""",
+    tags=("agg", "stats"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (type-1 / lower order statistic: the
+    smallest actual value with rank >= ceil(p*n)) — the quantile that
+    returns a value that EXISTS in the data, which continuous
+    interpolation (agg_percentile_exact) does not guarantee; the
+    right choice when the percentile must be joinable back to a real
+    row (a real order, a real latency trace). Engines disagree on
+    their built-in quantile_disc tie/interpolation fine print, so
+    BOTH sides state the definition explicitly: row_number over
+    (value, unique key) picked at ceil(p*n) — no built-in, no
+    ambiguity, exact integer cents. One window + one agg on the same
+    partitioning."""
+    o = table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        c.asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        c.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("cents"),
+        )
+    ).cast("bigint")
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        pick(0.5).alias("p50_cents"),
+        pick(0.9).alias("p90_cents"),
     )

@@ -133,3 +133,50 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle carries only unique pairs)."""
     li = table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "fn_na_handling",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey,
+         NULLIF(c_mktsegment, 'MACHINERY') AS seg,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+),
+filled AS (
+  SELECT c_custkey,
+         COALESCE(seg, 'UNKNOWN') AS seg,
+         COALESCE(bal, 0.0) AS bal,
+         (seg IS NOT NULL AND bal IS NOT NULL) AS was_complete
+  FROM src
+)
+SELECT c_custkey,
+       CASE WHEN seg = 'BUILDING' THEN 'CONSTRUCTION' ELSE seg END AS seg,
+       bal, was_complete
+FROM filled
+""",
+)
+def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `df.na` missing-data API as a checked surface: `na.fill`
+    with per-column defaults, `na.replace` for value recoding, and a
+    completeness flag computed BEFORE filling (the audit column a
+    pipeline keeps so imputation stays distinguishable from observed
+    data — silently filled rows are a classic training-data bug).
+    NULLs are derived in-query (segment via NULLIF, balance on key
+    parity) since the fixture is complete. na.drop is exercised in
+    the complement: was_complete marks exactly the rows it would
+    keep. Scan-local; the oracle states the same semantics with
+    COALESCE/CASE."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    flagged = c.withColumn(
+        "was_complete", F.col("seg").isNotNull() & F.col("bal").isNotNull()
+    )
+    filled = flagged.na.fill({"seg": "UNKNOWN", "bal": 0.0})
+    return filled.na.replace("BUILDING", "CONSTRUCTION", subset=["seg"])
