@@ -912,7 +912,14 @@ def _split_select_exprs(block: str) -> list[str]:
     """Split a shared multi-expression SQL block on top-level commas
     (commas inside parentheses stay put) so selectExpr gets one
     string per output column — keeping ONE formula text for both
-    engines."""
+    engines. Tracks paren depth ONLY: blocks containing string
+    literals are rejected up front (a comma or paren inside quotes
+    would mis-split silently)."""
+    if "'" in block or '"' in block:
+        raise ValueError(
+            "_split_select_exprs: block contains a quote; string "
+            "literals are not supported by the depth-only splitter"
+        )
     out, depth, cur = [], 0, []
     for ch in block:
         if ch == "(":

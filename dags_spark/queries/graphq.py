@@ -479,16 +479,11 @@ def graph_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @g.node(name="validated", upstream=["raw_events"])
     def validated(spark: SparkSession, deps) -> DataFrame:
-        ok_types = ["view", "purchase", "error", "click", "signup"]
+        from ..operators.dq import event_reject_reason
+
         return deps["raw_events"].withColumn(
             "reject_reason",
-            F.when(F.col("user_id").isNull(), "null_user")
-            .when(F.col("value").isNull(), "null_value")
-            .when(
-                (F.col("value") < -1000) | (F.col("value") > 1000000),
-                "value_range",
-            )
-            .when(~F.col("event_type").isin(ok_types), "unknown_type"),
+            event_reject_reason(value_lo=-1000.0, check_user=True),
         )
 
     g.sql_node(

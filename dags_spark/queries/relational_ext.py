@@ -1695,10 +1695,16 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
+        "event_id",
     )
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "value"
     )
+    # tiebreak: two versions sharing one valid_from mean the earlier
+    # (by event_id) has an EMPTY [t, t) interval in the oracle's LEAD
+    # construction — containment picks the later event_id, so the
+    # as-of must too (determinism rule 3: ties always break on a
+    # unique key).
     enriched = asof_join(
         facts,
         dim,
@@ -1706,6 +1712,7 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="valid_from",
         right_payload={"state": "state_at_purchase"},
+        tiebreak="event_id",
     )
     return enriched.groupBy(
         F.coalesce("state_at_purchase", F.lit("no_state")).alias(

@@ -701,7 +701,8 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid and hash-fail. This is the scan-reduction contract that
     makes bespoke feeds viable at 100 TB: the source transfers only
     the requested key range, exactly like parquet row-group pruning.
-    Requires spark.sql.python.filterPushdown.enabled (set here)."""
+    Requires spark.sql.python.filterPushdown.enabled (a session
+    default in session.tune())."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
@@ -759,7 +760,9 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(self.options.get("partitions", 4)),
             )
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # spark.sql.python.filterPushdown.enabled is a session default
+    # set by tune() — configured there, not here, so other keys'
+    # plans never depend on whether this key ran first.
     register_python_datasource(spark, PushdownSource)
     return (
         spark.read.format("dags_gen_pd")
@@ -803,7 +806,8 @@ def sink_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_pointer(root, "v1")
     o.filter(F.col("o_orderstatus") != "F").write.mode("overwrite").parquet(v2)
     _publish_pointer(root, "v2")  # atomic flip: rename over CURRENT
-    current = os.path.join(root, open(os.path.join(root, "CURRENT")).read().strip())
+    with open(os.path.join(root, "CURRENT")) as fh:
+        current = os.path.join(root, fh.read().strip())
     return (
         spark.read.parquet(current)
         .groupBy("o_orderpriority")

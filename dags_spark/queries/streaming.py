@@ -782,11 +782,9 @@ def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schemas so an empty route still reads. The report
     unions both sinks' aggregates; the oracle replays the CASE
     routing in batch SQL."""
-    import tempfile as _tf
-
     from ..streaming.runner import stage_events
 
-    work = _tf.mkdtemp(prefix="dags_spark_squar_")
+    work = tempfile.mkdtemp(prefix="dags_spark_squar_")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     staged = os.path.join(stage_events(spark, sf_dir), "in")
@@ -821,17 +819,11 @@ def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean_dir = os.path.join(work, "clean")
     quar_dir = os.path.join(work, "quarantine")
-    ok_types = ["view", "purchase", "error", "click", "signup"]
+    from ..operators.dq import event_reject_reason
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         validated = batch_df.withColumn(
-            "reject_reason",
-            F.when(F.col("value").isNull(), "null_value")
-            .when(
-                (F.col("value") < 0) | (F.col("value") > 1000000),
-                "value_range",
-            )
-            .when(~F.col("event_type").isin(ok_types), "unknown_type"),
+            "reject_reason", event_reject_reason(value_lo=0.0)
         ).cache()
         try:
             (

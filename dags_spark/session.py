@@ -57,6 +57,14 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.excludedRules": (
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
         ),
+        # Python DataSource filter pushdown (Spark 4 pushFilters API):
+        # off by default upstream; enabling it session-wide is
+        # semantics-preserving (filters a reader declines still run
+        # above) and lets pushdown-capable sources (e.g. the
+        # source_python_pushdown key) prune at the feed. Set HERE, not
+        # inside individual keys, so plans never depend on key run
+        # order.
+        "spark.sql.python.filterPushdown.enabled": "true",
         _TUNED_KEY: "1",
     }
     for k, v in conf.items():
