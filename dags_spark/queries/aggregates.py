@@ -1056,3 +1056,174 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50_cents"),
         pick(0.9).alias("p90_cents"),
     )
+
+
+# Shared hash->Poisson(1) weight fragment (identical SQL text in both
+# engines). First md5 byte of (event_id, replica) -> inverse-CDF
+# lookup with fixed integer cutoffs (e^-1*256=94.18 -> 94, etc.): a
+# byte-resolution Poisson approximation, deterministic by
+# construction — the scalable bootstrap has NO RNG state.
+_BOOT_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING) || ':' "
+    "|| CAST(b AS STRING)), 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(event_id AS STRING) || ':' "
+    "|| CAST(b AS STRING)), 2, 1)) - 1)"
+)
+_BOOT_W = (
+    f"CASE WHEN ({_BOOT_BYTE}) < 94 THEN 0 "
+    f"WHEN ({_BOOT_BYTE}) < 188 THEN 1 "
+    f"WHEN ({_BOOT_BYTE}) < 235 THEN 2 "
+    f"WHEN ({_BOOT_BYTE}) < 251 THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+WITH f AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+reps AS (
+  SELECT f.event_id, f.cents, b.b, {_BOOT_W} AS w
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+),
+means AS (
+  SELECT b, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS m
+  FROM reps GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+),
+pt AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS est,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM f
+)
+SELECT n_rows, CAST(32 AS BIGINT) AS n_replicas,
+       ROUND(est, 6) AS point_est,
+       ROUND((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo,
+       ROUND((SELECT m FROM ranked WHERE rn = 31), 6) AS ci_hi
+FROM pt
+""",
+    tags=("stats", "agg"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-SEEDED Poisson bootstrap confidence interval for the mean
+    purchase value — the scalable bootstrap: classical resampling
+    needs n draws per replica with shared RNG state; the Poisson(1)
+    approximation gives every (row, replica) an independent weight
+    from a PURE HASH of (key, replica-id), so all 32 replicas
+    compute in ONE pass over an exploded fan-out with zero
+    coordination, and every engine/retry/backfill reproduces the
+    identical interval. Weights come from the first md5 byte through
+    fixed integer inverse-CDF cutoffs (shared SQL fragment text —
+    byte-resolution Poisson, documented approximation). Replica
+    means are exact-integer ratios; the 2nd/31st order statistics of
+    32 means give the ~90% interval (rank ties broken by replica
+    id). Cost: B× the scan — the known bootstrap price; B rides a
+    broadcast literal, not a shuffle."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", cents("value").alias("cents"))
+    )
+    reps = (
+        ev.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+        .selectExpr("event_id", "cents", "b", f"{_BOOT_W} AS w")
+    )
+    means = reps.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w") / 100.0).alias("m")
+    )
+    ranked = means.select(
+        "m",
+        F.row_number()
+        .over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
+        .alias("rn"),
+    )
+    pt = ev.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias("est"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.round("m", 6).alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == 31).select(F.round("m", 6).alias("ci_hi"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(32).cast("bigint").alias("n_replicas"),
+            F.round("est", 6).alias("point_est"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS r, o_orderpriority AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+margins AS (SELECT r, CAST(SUM(n) AS BIGINT) AS rn FROM obs GROUP BY r),
+colm AS (SELECT c, CAST(SUM(n) AS BIGINT) AS cn FROM obs GROUP BY c),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+terms AS (
+  SELECT CAST(FLOOR(ROUND(
+           (CAST(n AS DOUBLE) / t)
+           * LN((CAST(n AS DOUBLE) * t) / (CAST(rn AS DOUBLE) * cn))
+         , 12) * 1000000000) AS BIGINT) AS term_nano
+  FROM obs
+  JOIN margins ON margins.r = obs.r
+  JOIN colm ON colm.c = obs.c
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(term_nano) AS BIGINT) AS mi_nano
+FROM terms
+""",
+    tags=("stats", "agg"),
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(status; priority) — the information-
+    theoretic companion of stats_chi_square on the same contingency
+    grid (chi-square answers 'is there dependence', MI answers 'how
+    many nats does one column tell you about the other' — the
+    feature-selection ranking metric). Each cell contributes
+    p·ln(p/(px·py)), computed as ONE ln of exact-integer products
+    (n·t / rn·cn — the PMI trick from text_collocations_pmi applied
+    to categorical columns), guard-rounded and quantized to
+    nano-nats before the BIGINT sum. Grid-sized work after one
+    hash-agg pass; margins re-aggregate the grid, never the table."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    margins = obs.groupBy("r").agg(F.sum("n").alias("rn"))
+    colm = obs.groupBy("c").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    term = F.floor(
+        F.round(
+            (F.col("n").cast("double") / F.col("t"))
+            * F.log(
+                (F.col("n").cast("double") * F.col("t"))
+                / (F.col("rn").cast("double") * F.col("cn"))
+            ),
+            12,
+        )
+        * 1_000_000_000
+    ).cast("bigint")
+    return (
+        obs.join(F.broadcast(margins), "r")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term_nano"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("term_nano").alias("mi_nano"),
+        )
+    )

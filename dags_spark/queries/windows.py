@@ -743,3 +743,87 @@ def ts_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n * x - s) * (n * x - s)) * (n - 1) > 9 * n * (n * q - s * s)
         ).alias("is_anomaly"),
     )
+
+
+# EWMA weights alpha=1/4 over the last 8 points, cleared to integers:
+# alpha*(1-alpha)^k = 3^k / 4^(k+1); over common denominator 4^8 the
+# k-th coefficient is 3^k * 4^(7-k) — exact int64 arithmetic.
+_EWMA_COEF = [3**k * 4 ** (7 - k) for k in range(8)]
+
+
+@register(
+    "win_ewma_bounded",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, c,
+         {", ".join(
+             f"LAG(c, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+             f" AS l{k}" for k in range(8)
+         )}
+  FROM v
+)
+SELECT user_id, event_id,
+       CAST({" + ".join(
+           f"COALESCE(l{k} * {c}, 0)" for k, c in enumerate(_EWMA_COEF)
+       )} AS BIGINT) AS ewma_num,
+       CAST({" + ".join(
+           f"CASE WHEN l{k} IS NULL THEN 0 ELSE {c} END"
+           for k, c in enumerate(_EWMA_COEF)
+       )} AS BIGINT) AS weight_sum
+FROM lagged
+""",
+    tags=("timeseries", "window"),
+)
+def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average (alpha=1/4, last
+    8 points) per user — the recency-weighted smoother behind
+    engagement scores and monitoring baselines. True EWMA is a
+    recurrence no window function expresses; the bounded form is a
+    fixed dot product with geometric weights, and clearing
+    denominators (coefficient_k = 3^k * 4^(7-k) over 4^8) turns the
+    whole thing into EXACT int64 arithmetic: the emitted numerator
+    and present-weight sum are integers, hash-exact, and the
+    consumer's ewma = num/(weight_sum*100) is one division away.
+    Truncation at 8 lags bounds the tail at (3/4)^8 ~ 10% of mass
+    (normalizing by the present-weight sum removes even that bias at
+    sequence starts). Plan: 8 LAGs share ONE (user_id) window sort —
+    a single exchange, no self-joins."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = cents("value")
+    # two-step select: F.lag("c") must reference an existing column,
+    # not a lateral alias from the same projection
+    lagged = (
+        ev.select("user_id", "event_id", "ts", c.alias("c"))
+        .select(
+            "user_id",
+            "event_id",
+            "c",
+            *[F.lag("c", k).over(w).alias(f"l{k}") for k in range(8)],
+        )
+    )
+    num = sum(
+        (
+            F.coalesce(F.col(f"l{k}") * coef, F.lit(0))
+            for k, coef in enumerate(_EWMA_COEF)
+        ),
+        F.lit(0),
+    )
+    wsum = sum(
+        (
+            F.when(F.col(f"l{k}").isNull(), 0).otherwise(coef)
+            for k, coef in enumerate(_EWMA_COEF)
+        ),
+        F.lit(0),
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        num.cast("bigint").alias("ewma_num"),
+        wsum.cast("bigint").alias("weight_sum"),
+    )

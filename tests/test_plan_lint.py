@@ -143,6 +143,13 @@ ALLOWED = {
     # three 1-row count aggregates (candidates / truth / overlap)
     # crossed into the single report row — scalar-subquery shape.
     "dedup_eval_banding_pr": {"cartesian", "single-partition-exchange"},
+    # the 32-replica literal broadcasts into the fan-out (bounded
+    # by-design cross), and the 32-row replica-mean ranking + 1-row
+    # CI scalars are constant-size — agg_global class.
+    "stats_bootstrap_ci": {"cartesian", "single-partition-exchange"},
+    # 1-row contingency total crossed into the grid, MI reduced to
+    # one report row — same class as stats_chi_square.
+    "stats_mutual_information": {"cartesian", "single-partition-exchange"},
 }
 
 
