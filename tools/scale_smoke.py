@@ -81,6 +81,15 @@ HEAVY = {
     "text_collocations_pmi": 30,
     "sql_recursive_cte": 30,
     "embedding_pca_power": 45,
+    # round-4 session-3, second wave (healthy 1-10 s at sf0.1)
+    "stats_bootstrap_ci": 45,
+    "win_ewma_bounded": 30,
+    "dq_corpus_drift_jsd": 45,
+    "dedup_eval_banding_pr": 90,
+    "text_bpe_apply": 45,
+    "join_scd2_pointintime": 30,
+    "ts_anomaly_exact": 30,
+    "dq_completeness_profile": 30,
 }
 
 
