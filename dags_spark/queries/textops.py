@@ -5,7 +5,7 @@ fingerprints. All hash-checked against DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import table
@@ -868,4 +868,86 @@ def dq_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 1_000_000_000
             ).cast("bigint")
         ).alias("jsd_nano"),
+    )
+
+
+@register(
+    "stats_auc_exact",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({SQL_STOPWORDS}, t)))
+         AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+grp AS (
+  SELECT s,
+         CAST(SUM(y) AS BIGINT) AS pos_s,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_s
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT s, pos_s, neg_s,
+         CAST(COALESCE(SUM(neg_s) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_neg_before
+  FROM grp
+)
+SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * pos_s * cum_neg_before + pos_s * neg_s) AS BIGINT)
+         AS numerator2,
+       ROUND(CAST(SUM(2 * pos_s * cum_neg_before + pos_s * neg_s) AS DOUBLE)
+             / (2.0 * SUM(pos_s) * SUM(neg_s)), 6) AS auc
+FROM cum
+""",
+    tags=("stats", "ml", "eval"),
+)
+def stats_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (Mann–Whitney U form, ties handled by the
+    standard half-credit rule) for a concrete classifier: 'is this
+    doc English' scored by its stopword count — the classifier-eval
+    primitive a quality-gate pipeline needs next to the classifier
+    APPLY key (quality_classifier_logistic scores; this MEASURES a
+    scorer against labels). Naive AUC sorts every row globally and
+    breaks score ties arbitrarily — order-dependent and wrong under
+    ties; the grouped identity  2·U = Σ_s (2·pos_s·negs_below +
+    pos_s·neg_s)  works on the SCORE-GROUP table (domain-sized, here
+    ≤ ~40 distinct counts), is exact integer arithmetic, and gives
+    ties exactly half credit with no ordering ambiguity. One
+    scan-local score projection → one grid hash-agg → one tiny
+    window over score groups; the only double is the final pinned
+    division. At 100 TB the grid stays domain-sized however large
+    the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("bigint")
+    scored = d.select(
+        s.alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.sum("y").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "pos_s",
+        "neg_s",
+        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cum_neg_before"),
+    )
+    num2 = F.sum(
+        2 * F.col("pos_s") * F.col("cum_neg_before")
+        + F.col("pos_s") * F.col("neg_s")
+    )
+    return cum.agg(
+        F.sum("pos_s").alias("n_pos"),
+        F.sum("neg_s").alias("n_neg"),
+        num2.alias("numerator2"),
+        F.round(
+            num2.cast("double") / (2.0 * F.sum("pos_s") * F.sum("neg_s")), 6
+        ).alias("auc"),
     )

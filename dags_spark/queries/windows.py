@@ -827,3 +827,119 @@ def win_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("bigint").alias("ewma_num"),
         wsum.cast("bigint").alias("weight_sum"),
     )
+
+
+@register(
+    "stats_survival_km",
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS t0,
+         CAST(MAX(ts) AS DATE) AS tlast,
+         CAST(MIN(CASE WHEN event_type = 'error' THEN ts END) AS DATE)
+           AS terr
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT date_diff('day', t0, COALESCE(terr, tlast)) AS dur,
+         CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM u
+),
+bydur AS (
+  SELECT dur,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(observed) AS BIGINT) AS d
+  FROM subj GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         CAST((SELECT COUNT(*) FROM subj)
+              - COALESCE(SUM(n_total) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM bydur
+),
+terms AS (
+  SELECT dur, d, n_risk,
+         CAST(FLOOR(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 12)
+                    * 1000000000) AS BIGINT) AS ln_nano
+  FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT dur, d AS n_events, n_risk,
+       CAST(SUM(ln_nano) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS surv_lnsum_nano
+FROM terms
+""",
+    tags=("stats", "timeseries"),
+)
+def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimator for TIME-TO-FIRST-ERROR per
+    user — the censoring-correct reliability/churn curve
+    (agg_retention_cohort counts activity grids; KM handles subjects
+    whose event hasn't happened yet: users with no error are
+    censored at their last activity day, contributing risk-time
+    without an event — the construction is live even though this
+    fixture happens to observe every subject). S(t) = prod(1 - d/n)
+    is a product of rationals — engine-exact via the house ln-sum
+    rewrite: each factor's ln guard-rounded and nano-quantized to
+    BIGINT, the running SUM over event times exact under any order;
+    consumers exp() the final column. The terminal time where d ==
+    n_risk (S hits exactly 0, ln undefined) is excluded by
+    definition. Risk sets come from one duration-grid cumsum (grid
+    <= max-duration rows — the global window is grid-sized); the
+    only corpus-scale work is the per-user span aggregate, one
+    shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("t0"),
+        F.max("ts").cast("date").alias("tlast"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        )
+        .cast("date")
+        .alias("terr"),
+    )
+    subj = u.select(
+        F.datediff(F.coalesce("terr", "tlast"), F.col("t0")).alias("dur"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    bydur = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("observed").alias("d"),
+    )
+    total = subj.agg(F.count(F.lit(1)).alias("n_all"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        bydur.crossJoin(F.broadcast(total))
+        .select(
+            "dur",
+            "d",
+            (
+                F.col("n_all")
+                - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.floor(
+            F.round(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")), 12
+            )
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("ln_nano"),
+    )
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        "dur",
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.sum("ln_nano").over(w_run).cast("bigint").alias("surv_lnsum_nano"),
+    )

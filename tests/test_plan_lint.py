@@ -150,6 +150,12 @@ ALLOWED = {
     # 1-row contingency total crossed into the grid, MI reduced to
     # one report row — same class as stats_chi_square.
     "stats_mutual_information": {"cartesian", "single-partition-exchange"},
+    # score-group grid (domain-sized) cumsum + 1-row final readout —
+    # the grid window is bounded by the score domain, not the corpus.
+    "stats_auc_exact": {"single-partition-exchange"},
+    # 1-row subject total crossed into the duration grid; the KM
+    # running product runs on the grid (<= max-duration rows).
+    "stats_survival_km": {"cartesian", "single-partition-exchange"},
 }
 
 
