@@ -1105,3 +1105,48 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unioned"),
         F.arrays_overlap(a, b).alias("overlaps"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity - 25 = 0 THEN NULL
+            ELSE CAST(ROUND(l_extendedprice / (l_quantity - 25), 6) AS DOUBLE)
+       END AS price_per_dev,
+       CASE WHEN l_quantity - 25 = 0 THEN NULL
+            ELSE CAST(l_orderkey % CAST(l_quantity - 25 AS BIGINT) AS BIGINT)
+       END AS key_mod_dev,
+       CAST(l_orderkey * 0 AS BIGINT) AS zeroed
+FROM lineitem
+WHERE l_orderkey % 13 = 0
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY arithmetic (`try_divide`, `try_mod`,
+    `try_multiply`): under ANSI mode a divide/mod by zero kills the
+    TASK (fn_math avoids zero denominators by construction; real
+    derived denominators can't) — the try_* family returns NULL for
+    the poison rows and lets the other billion rows finish, the
+    row-level sibling of source_csv_permissive's file-level
+    tolerance. The derived denominator (quantity - 25) IS zero for
+    some rows, so the NULL path is genuinely exercised; the oracle
+    states the same semantics with explicit zero guards. Division
+    results round 6dp (one double op); everything scan-local."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    )
+    dev = F.col("l_quantity") - 25
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), dev), 6
+        ).alias("price_per_dev"),
+        F.try_mod(F.col("l_orderkey"), dev.cast("bigint")).alias(
+            "key_mod_dev"
+        ),
+        F.try_multiply(F.col("l_orderkey"), F.lit(0).cast("bigint")).alias(
+            "zeroed"
+        ),
+    )

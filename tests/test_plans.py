@@ -423,3 +423,33 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE statistics must reach the optimizer: after
+    COMPUTE STATISTICS, the optimized plan's cost model sees the
+    exact row count (not a size-based guess) — the wiring CBO join
+    reordering and broadcast decisions depend on at 100 TB (a silent
+    stats regression reverts every join to size heuristics)."""
+    from dags_spark.io import table
+
+    # warehouse dir is a static conf — the session fixture already
+    # points it at a temp dir (session.get_spark), so just write.
+    table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_probe"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE nation_stats_probe COMPUTE STATISTICS"
+        )
+        prev = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table("nation_stats_probe")
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            assert stats.rowCount().isDefined(), "ANALYZE row count not visible to CBO"
+            assert stats.rowCount().get() == df.count()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_probe")

@@ -491,3 +491,103 @@ def test_pca_power_matches_replay_and_converges(spark, sf_dir):
     vf = v.astype(np.float64)
     cos = abs(vf @ pc1) / np.linalg.norm(vf)
     assert cos >= 0.999, f"power iteration did not converge: cos={cos:.4f}"
+
+
+# --- statistics keys vs direct python references ---------------------
+
+
+def test_auc_exact_matches_pairwise_reference(spark, sf_dir):
+    """Grouped Mann-Whitney AUC == the O(n^2) definitional pairwise
+    count (1 per correctly-ordered pair, 0.5 per tie) on the real
+    fixture scores."""
+    import duckdb
+
+    from dags_spark.operators.textops import STOPWORDS
+    from dags_spark.registry import all_specs
+
+    got = (
+        all_specs()["stats_auc_exact"].fn(spark, sf_dir).toPandas().iloc[0]
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select text, lang from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    sw = set(STOPWORDS)
+    pos, neg = [], []
+    for text, lang in rows:
+        s = sum(1 for t in text.split(" ") if t in sw)
+        (pos if lang == "en" else neg).append(s)
+    num2 = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                num2 += 2
+            elif p == n:
+                num2 += 1
+    assert int(got["numerator2"]) == num2
+    assert int(got["n_pos"]) == len(pos) and int(got["n_neg"]) == len(neg)
+    want_auc = round(num2 / (2.0 * len(pos) * len(neg)), 6)
+    assert abs(float(got["auc"]) - want_auc) < 1e-9
+
+
+def test_survival_km_matches_lifelines_style_reference(spark, sf_dir):
+    """KM key == a direct python Kaplan-Meier replay (risk sets by
+    duration, exp of the ln-sum ~= the product estimator)."""
+    import math
+
+    import duckdb
+
+    from dags_spark.registry import all_specs
+
+    got = (
+        all_specs()["stats_survival_km"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("dur")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH u AS (
+          SELECT user_id, CAST(MIN(ts) AS DATE) t0, CAST(MAX(ts) AS DATE) tlast,
+                 CAST(MIN(CASE WHEN event_type='error' THEN ts END) AS DATE) terr
+          FROM read_parquet('{sf_dir}/events.parquet') GROUP BY user_id
+        )
+        SELECT date_diff('day', t0, COALESCE(terr, tlast)),
+               terr IS NOT NULL FROM u
+        """
+    ).fetchall()
+    subj = sorted(rows)
+    n_all = len(subj)
+    from collections import Counter
+
+    by_dur_total = Counter(d for d, _ in subj)
+    by_dur_events = Counter(d for d, obs in subj if obs)
+    surv = 1.0
+    seen = 0
+    for dur in sorted(by_dur_total):
+        n_risk = n_all - seen
+        d = by_dur_events.get(dur, 0)
+        seen += by_dur_total[dur]
+        if d == 0 or d == n_risk:
+            continue
+        surv *= 1.0 - d / n_risk
+        assert int(got.loc[dur, "n_risk"]) == n_risk
+        assert int(got.loc[dur, "n_events"]) == d
+        # exp(ln-sum) tracks the float product to quantization error
+        approx = math.exp(got.loc[dur, "surv_lnsum_nano"] / 1e9)
+        assert abs(approx - surv) < 1e-6
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """The hash-seeded bootstrap interval must bracket the point
+    estimate, be deterministic across runs, and be non-degenerate."""
+    from dags_spark.registry import all_specs
+
+    spec = all_specs()["stats_bootstrap_ci"]
+    a = spec.fn(spark, sf_dir).toPandas().iloc[0]
+    b = spec.fn(spark, sf_dir).toPandas().iloc[0]
+    assert a.equals(b), "bootstrap not deterministic"
+    assert a["ci_lo"] < a["point_est"] < a["ci_hi"]
+    assert a["ci_hi"] - a["ci_lo"] < a["point_est"]  # sane width
