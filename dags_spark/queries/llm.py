@@ -2276,3 +2276,107 @@ def dedup_eval_banding_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_exact_sharded",
+    oracle="""
+WITH keep AS (
+  SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text
+)
+SELECT CAST(keep_id AS BIGINT) AS keep_id, n_copies,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM keep
+""",
+    tags=("dedup", "scale"),
+)
+def dedup_exact_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-THEN-MERGE exact dedup == global dedup, as a checked
+    key: the corpus splits into two hash-shards, each shard dedups
+    independently (keep min doc_id + copy count), survivors union
+    and dedup AGAIN with counts SUMMED — and the result must equal
+    one global pass, because (min, sum-of-counts) is an associative
+    commutative monoid over the fingerprint key. This is the
+    algebra that makes 100 TB dedup schedulable at all (per-day /
+    per-crawl shards dedup near their data, only survivors travel
+    to the merge); keeping it under the hash check means a refactor
+    that breaks associativity (e.g. keeping first-seen instead of
+    min) fails loudly. Shards are md5-derived (not doc_id ranges) so
+    duplicates deliberately STRADDLE shards and the merge pass has
+    real work. Shuffle: fingerprints + ids only, never text bodies
+    twice."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    )
+    shard = F.when(
+        F.substring("fp", 1, 1).isin(*"01234567"), 0
+    ).otherwise(1)
+    parts = []
+    for s_id in (0, 1):
+        parts.append(
+            d.filter(shard == s_id)
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min(F.length("text")).alias("n_chars"),
+            )
+        )
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("fp")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.sum("n_copies").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    return merged.select(
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        "n_copies",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+WITH fp AS (
+  SELECT DISTINCT source, md5(text) AS fp FROM documents
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_texts
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, shared_texts FROM pairs
+""",
+    tags=("dedup", "dq"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix — which crawls/feeds overlap:
+    for every source pair, how many distinct texts they share
+    (dedup_exact removes duplicates; this key tells you WHERE they
+    come from, the input to dropping or down-weighting a redundant
+    source entirely). Per-source distinct fingerprints first (text
+    bodies never shuffle — md5 only), then a self-equi-join on the
+    fingerprint: cost is sum over fingerprint-buckets of
+    sources-sharing², bounded by duplicate volume, never
+    |sources|²·|corpus|. The upper triangle (source_a < source_b)
+    keeps the matrix half and the key deterministic."""
+    fp = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )

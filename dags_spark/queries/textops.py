@@ -951,3 +951,70 @@ def stats_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             num2.cast("double") / (2.0 * F.sum("pos_s") * F.sum("neg_s")), 6
         ).alias("auc"),
     )
+
+
+@register(
+    "dq_filter_ablation",
+    oracle=f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                     t -> list_contains({SQL_STOPWORDS}, t)))
+                   * 100 >= len(string_split(text, ' ')) * 5
+              THEN 1 ELSE 0 END AS f_stop,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 100
+                   >= len(string_split(text, ' ')) * 60
+              THEN 1 ELSE 0 END AS f_uniq,
+         CAST(ROUND(CAST(n_chars AS BIGINT) * 100, 0) AS BIGINT) AS chars100
+  FROM documents
+)
+SELECT CAST(f_len AS INTEGER) AS f_len,
+       CAST(f_stop AS INTEGER) AS f_stop,
+       CAST(f_uniq AS INTEGER) AS f_uniq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars100) / 100 AS BIGINT) AS n_chars
+FROM flags
+GROUP BY GROUPING SETS (
+  (f_len, f_stop, f_uniq), (f_len), (f_stop), (f_uniq), ()
+)
+""",
+    tags=("dq", "trainprep"),
+)
+def dq_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION report — the before-you-commit
+    measurement of a filter stack: three candidate gates (length >=
+    200 chars, stopword ratio >= 5% — integer cross-multiplication,
+    no float ratios — and distinct-token ratio >= 60%) evaluated as
+    flags in ONE scan, then GROUPING SETS aggregates the full
+    3-flag cell grid plus each filter's marginal plus the grand
+    total — every 'how many docs/chars would combination X keep'
+    number from a single Expand pass, instead of re-scanning the
+    corpus once per candidate configuration (the 2^k scans a naive
+    ablation runs). NULL grouping columns mark the marginal rows
+    exactly as in agg_grouping_sets. At 100 TB this is the
+    difference between an afternoon of scans and one."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    flags = d.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("f_len"),
+        F.when(n_stop * 100 >= n_tok * 5, 1).otherwise(0).alias("f_stop"),
+        F.when(n_uniq * 100 >= n_tok * 60, 1).otherwise(0).alias("f_uniq"),
+        (F.col("n_chars").cast("bigint") * 100).alias("chars100"),
+    )
+    flags.createOrReplaceTempView("ablation_flags")
+    return spark.sql(
+        """
+SELECT CAST(f_len AS INT) AS f_len,
+       CAST(f_stop AS INT) AS f_stop,
+       CAST(f_uniq AS INT) AS f_uniq,
+       COUNT(*) AS n_docs,
+       CAST(SUM(chars100) / 100 AS BIGINT) AS n_chars
+FROM ablation_flags
+GROUP BY GROUPING SETS (
+  (f_len, f_stop, f_uniq), (f_len), (f_stop), (f_uniq), ()
+)
+"""
+    )
