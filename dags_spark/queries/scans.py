@@ -868,3 +868,52 @@ def source_csv_inferschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.lit(schema_str).alias("inferred_schema"),
     )
+
+
+@register(
+    "source_parquet_mergeschema",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CAST(NULL AS VARCHAR) AS region_name, 1 AS batch
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name, 2 AS batch
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE n.n_nationkey >= 10
+""",
+)
+def source_parquet_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION on read (`mergeSchema=true`): an old
+    batch written without a column and a new batch written with it
+    land in one directory; the merged read surfaces the union schema
+    with NULLs where the old files have no column — the
+    append-only-ingest reality (producers add fields mid-stream) that
+    a fixed-schema read would either drop or crash on. mergeSchema
+    costs a footer read per file at planning (why it is off by
+    default); at 100 TB you pay it once per new-schema rollout or
+    pin the superset schema explicitly — both paths surface the same
+    rows, which is what this key checks. The batch column proves
+    which file each row came from (partition-style evolution
+    evidence)."""
+    out = os.path.join(_tmpdir("evolve"), "nations")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    old = n.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey", "n_name", F.lit(1).alias("batch")
+    )
+    new = (
+        n.filter(F.col("n_nationkey") >= 10)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("r_name").alias("region_name"),
+            F.lit(2).alias("batch"),
+        )
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "b1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "b2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "b1"), os.path.join(out, "b2")
+    )
+    return merged.select("n_nationkey", "n_name", "region_name", "batch")
