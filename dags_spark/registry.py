@@ -198,12 +198,15 @@ def _order_key(spec: QuerySpec, idx: int, verified: dict[str, int]) -> tuple:
               0 = streaming (the only §2 surface with zero driver
                   evidence after 3 rounds — guaranteed inside a
                   50-key budget, VERDICT r03 defect #1),
-              1 = hash, non-streaming (module priority — LLM first),
-              2 = rows-only (weaker check, last among the unproven);
+              1 = rows-only (cheap, and the ONLY evidence these
+                  approximate/stateful keys can ever earn — r01
+                  logged them err:no_oracle, so a green rows entry
+                  closes the last non-green union slots; ~10 keys,
+                  still inside the budget after streaming),
+              2 = hash, non-streaming (module priority — LLM first;
+                  the unproven tail rolls to the next round, where
+                  this same ordering puts it in front);
     tier 2: keys the driver already verified in any past round.
-
-    With a 50-key budget the unproven tail past 50 simply rolls to the
-    next round, where this same ordering puts it in front.
     """
     green = verified.get(spec.name, 0)
     if green < _RECHECK_FIRST.get(spec.name, 0):
@@ -213,9 +216,9 @@ def _order_key(spec: QuerySpec, idx: int, verified: dict[str, int]) -> tuple:
     elif spec.module == "streaming":
         tier, sub = 1, 0
     elif spec.check != "hash":
-        tier, sub = 1, 2
-    else:
         tier, sub = 1, 1
+    else:
+        tier, sub = 1, 2
     try:
         mod_rank = _MODULE_PRIORITY.index(spec.module)
     except ValueError:

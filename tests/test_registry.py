@@ -22,14 +22,15 @@ def test_ordering_tiers():
 
     # round-4 policy: EVERY never-evidenced key precedes every
     # already-evidenced key (so a finite driver budget rotates
-    # coverage); within the unproven block, hash non-streaming keys
-    # come first, then streaming, then rows-only.
+    # coverage); within the unproven block: streaming first, then
+    # rows-only (the only evidence those keys can earn), then the
+    # hash tail (which rolls round-over-round).
     tiers = [
         (0, 0) if n in recheck
         else (2, 0) if verified.get(n, 0) > 0
         else (1, 0) if s.module == "streaming"
-        else (1, 2) if s.check != "hash"
-        else (1, 1)
+        else (1, 1) if s.check != "hash"
+        else (1, 2)
         for n, s in specs.items()
     ]
     assert tiers == sorted(tiers), "registry order does not follow tiers"
