@@ -2281,9 +2281,14 @@ def dedup_eval_banding_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_sharded",
     oracle="""
-WITH keep AS (
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+),
+keep AS (
   SELECT text, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
-  FROM documents GROUP BY text
+  FROM raw GROUP BY text
 )
 SELECT CAST(keep_id AS BIGINT) AS keep_id, n_copies,
        CAST(length(text) AS BIGINT) AS n_chars
@@ -2306,11 +2311,24 @@ def dedup_exact_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates deliberately STRADDLE shards and the merge pass has
     real work. Shuffle: fingerprints + ids only, never text bodies
     twice."""
-    d = table(spark, sf_dir, "documents").select(
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the fixture has no exact duplicates at small SFs — re-emit every
+    # 25th doc under a shifted id so duplicate fingerprints exist (and
+    # straddle shards) at every scale the driver checks.
+    dup = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(dup).select(
         "doc_id", "text", F.md5("text").alias("fp")
     )
+    # shard on the DOC ID hash, never the text fingerprint: identical
+    # texts must be able to land in different shards, or the merge
+    # pass is vacuous and the associativity claim untested.
     shard = F.when(
-        F.substring("fp", 1, 1).isin(*"01234567"), 0
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        0,
     ).otherwise(1)
     parts = []
     for s_id in (0, 1):
@@ -2343,8 +2361,13 @@ def dedup_exact_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cross_source_matrix",
     oracle="""
-WITH fp AS (
-  SELECT DISTINCT source, md5(text) AS fp FROM documents
+WITH raw AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror_' || source, text FROM documents WHERE doc_id % 25 = 0
+),
+fp AS (
+  SELECT DISTINCT source, md5(text) AS fp FROM raw
 ),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b,
@@ -2367,8 +2390,18 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources-sharing², bounded by duplicate volume, never
     |sources|²·|corpus|. The upper triangle (source_a < source_b)
     keeps the matrix half and the key deterministic."""
+    d = table(spark, sf_dir, "documents")
+    # the fixture has no cross-source duplicate texts at small SFs —
+    # mirror every 25th doc into a sibling source in-query so the
+    # join/triangle/count logic is exercised (and hash-checked) at
+    # every scale, not just ones with organic duplication.
+    mirrored = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat(F.lit("mirror_"), F.col("source")).alias("source"),
+        "text",
+    )
     fp = (
-        table(spark, sf_dir, "documents")
+        d.select("source", "text")
+        .unionByName(mirrored)
         .select("source", F.md5("text").alias("fp"))
         .distinct()
     )

@@ -965,14 +965,14 @@ WITH flags AS (
          CASE WHEN len(list_distinct(string_split(text, ' '))) * 100
                    >= len(string_split(text, ' ')) * 60
               THEN 1 ELSE 0 END AS f_uniq,
-         CAST(ROUND(CAST(n_chars AS BIGINT) * 100, 0) AS BIGINT) AS chars100
+         CAST(n_chars AS BIGINT) AS n_chars
   FROM documents
 )
 SELECT CAST(f_len AS INTEGER) AS f_len,
        CAST(f_stop AS INTEGER) AS f_stop,
        CAST(f_uniq AS INTEGER) AS f_uniq,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(chars100) / 100 AS BIGINT) AS n_chars
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM flags
 GROUP BY GROUPING SETS (
   (f_len, f_stop, f_uniq), (f_len), (f_stop), (f_uniq), ()
@@ -1002,7 +1002,7 @@ def dq_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("f_len"),
         F.when(n_stop * 100 >= n_tok * 5, 1).otherwise(0).alias("f_stop"),
         F.when(n_uniq * 100 >= n_tok * 60, 1).otherwise(0).alias("f_uniq"),
-        (F.col("n_chars").cast("bigint") * 100).alias("chars100"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
     )
     flags.createOrReplaceTempView("ablation_flags")
     return spark.sql(
@@ -1011,7 +1011,7 @@ SELECT CAST(f_len AS INT) AS f_len,
        CAST(f_stop AS INT) AS f_stop,
        CAST(f_uniq AS INT) AS f_uniq,
        COUNT(*) AS n_docs,
-       CAST(SUM(chars100) / 100 AS BIGINT) AS n_chars
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM ablation_flags
 GROUP BY GROUPING SETS (
   (f_len, f_stop, f_uniq), (f_len), (f_stop), (f_uniq), ()
