@@ -2413,3 +2413,111 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_texts"))
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, doc_id % 7 AS cls, (doc_id * 37) % 50 AS off
+  FROM documents WHERE doc_id % 3 = 0
+),
+grid AS (
+  SELECT doc_id, cls, off,
+         x.x AS x, y.y AS y,
+         (x.x * (9 + cls)) // 8 AS sx,
+         (y.y * (7 + cls)) // 8 AS sy
+  FROM docs
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+),
+gray AS (
+  SELECT doc_id, x, y,
+         ((sx * 7 + sy * 13) % 97 + (sx * 11 + sy * 3) % 97
+          + (sx * 5 + sy * 17) % 97) // 3 + off AS g
+  FROM grid
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(g) AS BIGINT) AS total FROM gray GROUP BY doc_id
+),
+bits AS (
+  SELECT gray.doc_id,
+         string_agg(CASE WHEN g * 64 > total THEN '1' ELSE '0' END, ''
+                    ORDER BY y, x) AS ahash
+  FROM gray JOIN tot ON tot.doc_id = gray.doc_id
+  GROUP BY gray.doc_id
+)
+SELECT ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM bits GROUP BY ahash
+""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH image dedup on the REAL pixel pipeline — the
+    image twin of text near-dup: every selected doc gets a 24-bit
+    BMP (one of 7 base patterns at class-specific dimensions, plus a
+    per-doc BRIGHTNESS offset), and the kernel does the honest work
+    end-to-end in one Arrow mapInPandas pass: encode -> decode ->
+    nearest-neighbor resize to 8x8 -> decode -> average-hash (gray
+    vs mean, strict >, 64 bits as a bitstring). aHash's defining
+    property is what the key proves: a uniform brightness shift
+    moves every gray AND the mean by the same amount, so
+    brightness-variants of one image collapse to IDENTICAL hashes
+    (the pattern keeps channels < 256 so the shift never saturates),
+    while different base patterns land in different groups — exact
+    dedup on the hash IS the blocking pass, with zero pairwise
+    work. The oracle recomputes every hash arithmetically from the
+    closed-form pattern through the same floor resize mapping.
+    Scale: payloads never leave the executor, the shuffle carries
+    64-bit hashes; production swaps the grouping for a Hamming
+    band-join (dedup_simhash_pairs machinery) when near-misses
+    matter."""
+    from ..operators.multimodal import (
+        _bmp_file,
+        decode_bmp_pixels,
+        resize_bmp_nearest,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                cls, off = int(i) % 7, (int(i) * 37) % 50
+                w, h = 9 + cls, 7 + cls
+                px_rows = [
+                    bytes(
+                        v
+                        for x in range(w)
+                        for v in (
+                            (x * 7 + y * 13) % 97 + off,
+                            (x * 11 + y * 3) % 97 + off,
+                            (x * 5 + y * 17) % 97 + off,
+                        )
+                    )
+                    for y in range(h)
+                ]
+                small = resize_bmp_nearest(_bmp_file(w, h, px_rows), 8, 8)
+                _, _, img = decode_bmp_pixels(small)
+                gray = [
+                    (b + g + r) // 3 for row in img for (b, g, r) in row
+                ]
+                total = sum(gray)
+                ahash = "".join(
+                    "1" if g * 64 > total else "0" for g in gray
+                )
+                rows.append((int(i), ahash))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    hashed = d.mapInPandas(batches, "doc_id BIGINT, ahash STRING")
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keep_id"),
+    )
