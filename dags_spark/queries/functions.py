@@ -1150,3 +1150,51 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zeroed"
         ),
     )
+
+
+@register(
+    "fn_ipv4_cidr",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+         (event_id * 2654435761) % 4294967296 AS ip
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT event_id,
+       CAST(ip // 16777216 AS BIGINT) || '.'
+         || CAST((ip // 65536) % 256 AS BIGINT) || '.'
+         || CAST((ip // 256) % 256 AS BIGINT) || '.'
+         || CAST(ip % 256 AS BIGINT) AS ip_str,
+       CAST(ip // 65536 AS BIGINT) AS net16,
+       ip // 16777216 = 10 AS in_10_slash8,
+       ip // 4194304 = 49 AS in_cidr10,
+       CAST(ip AS BIGINT) AS ip_u32
+FROM src
+""",
+)
+def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 / CIDR arithmetic — the network-log analytics staple
+    (allow/deny lists, per-subnet rollups, bot-range filters) done
+    engine-portably as PURE INTEGER math: a u32 address (derived
+    deterministically via Knuth multiplicative hash — the fixture
+    has no IPs) renders to dotted-quad by div/mod 256, the /16
+    network id is one integer division, and CIDR membership
+    `ip/2^(32-p) == prefix` is a single comparison — no inet type,
+    no string parsing in the hot path, works identically in any
+    engine with 64-bit integers. At 100 TB the per-subnet rollup
+    groups by the integer net id, never the dotted string."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    ip = (F.col("event_id") * 2654435761) % 4294967296
+    src = ev.select("event_id", ip.alias("ip"))
+    d = lambda n: (F.col("ip") / F.lit(n)).cast("long")  # noqa: E731
+    return src.selectExpr(
+        "event_id",
+        "CAST(ip div 16777216 AS STRING) || '.' || "
+        "CAST((ip div 65536) % 256 AS STRING) || '.' || "
+        "CAST((ip div 256) % 256 AS STRING) || '.' || "
+        "CAST(ip % 256 AS STRING) AS ip_str",
+        "ip div 65536 AS net16",
+        "ip div 16777216 = 10 AS in_10_slash8",
+        "ip div 4194304 = 49 AS in_cidr10",
+        "CAST(ip AS BIGINT) AS ip_u32",
+    )

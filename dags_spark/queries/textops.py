@@ -1018,3 +1018,65 @@ GROUP BY GROUPING SETS (
 )
 """
     )
+
+
+@register(
+    "text_readability_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(string_split(text, '.')) - 1, 1) AS BIGINT)
+           AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+FROM t
+""",
+    tags=("text", "quality"),
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability gate in
+    quality-filter stacks (too-low = legalese/boilerplate, suspect
+    high = fragment spam), computed from three exact integer counts:
+    words (whitespace tokens), sentences (period count, floored at
+    1), and a syllable PROXY (vowel-group runs — the standard
+    dictionary-free approximation; the formula's coefficients came
+    from human calibration, so a consistent proxy matters more than
+    phonetic truth). Both engines count with the same regex and run
+    the identical double formula on integer inputs, rounded 6dp.
+    Scan-local, IO-speed; composes with quality_classifier_logistic
+    as one more feature column."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.split("text", "\\.")) - 1, F.lit(1)
+    ).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
