@@ -917,3 +917,65 @@ def source_parquet_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out, "b1"), os.path.join(out, "b2")
     )
     return merged.select("n_nationkey", "n_name", "region_name", "batch")
+
+
+@register(
+    "sink_parquet_codecs",
+    oracle="""
+SELECT codec,
+       CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS n_rows,
+       (SELECT md5(string_agg(s_name, '|' ORDER BY s_suppkey))
+        FROM supplier) AS content_md5,
+       TRUE AS extension_matches
+FROM (VALUES ('gzip'), ('snappy'), ('zstd')) AS t(codec)
+""",
+)
+def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COMPRESSION CODECS round-trip (snappy / gzip / zstd):
+    the same table written under each codec must read back
+    value-identical (codec is a storage knob, never a semantic one —
+    this key pins that), and the data files must actually carry the
+    codec (extension check: .gz.parquet / .snappy.parquet /
+    .zstd.parquet), so a silently-ignored compression option fails
+    loudly rather than shipping 3x the bytes. At 100 TB the choice
+    is the classic CPU-vs-IO trade (zstd ~ gzip-ratio at
+    snappy-ish speed and is the modern default for cold data;
+    snappy for hot paths) — the content hash proves switching is
+    free, semantically. One row per codec: rows, ordered content
+    md5, extension flag."""
+    import glob as _glob
+
+    sup = table(spark, sf_dir, "supplier")
+    root = _tmpdir("codec")
+    out_rows = []
+    for codec in ["gzip", "snappy", "zstd"]:
+        out = os.path.join(root, codec)
+        sup.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        ext = {"gzip": ".gz.parquet", "snappy": ".snappy.parquet", "zstd": ".zstd.parquet"}[codec]
+        files = [
+            f
+            for f in _glob.glob(os.path.join(out, "part-*"))
+            if not f.endswith(".crc")
+        ]
+        ext_ok = bool(files) and all(f.endswith(ext) for f in files)
+        # content md5 from THIS codec's read-back, via a deterministic
+        # single-partition key-ordered fold matching the oracle's
+        # string_agg(... ORDER BY) — so the hash proves every codec's
+        # bytes decode to identical content (not just identical row
+        # counts).
+        m = (
+            back.select("s_suppkey", "s_name")
+            .coalesce(1)
+            .sortWithinPartitions("s_suppkey")
+            .agg(
+                F.md5(F.concat_ws("|", F.collect_list("s_name"))).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        out_rows.append((codec, m["n"], m["m"], ext_ok))
+    return spark.createDataFrame(
+        out_rows,
+        "codec STRING, n_rows BIGINT, content_md5 STRING, extension_matches BOOLEAN",
+    )
