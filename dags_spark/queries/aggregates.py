@@ -1227,3 +1227,99 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_nano").alias("mi_nano"),
         )
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+           AS post,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+grid AS (
+  SELECT treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM cells GROUP BY treated, post
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+      AS t_post,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+      AS t_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+      AS c_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+      AS c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM grid
+)
+SELECT n_rows,
+       ROUND(t_post / 100.0, 6) AS treat_post_mean,
+       ROUND(t_pre / 100.0, 6) AS treat_pre_mean,
+       ROUND(c_post / 100.0, 6) AS ctrl_post_mean,
+       ROUND(c_pre / 100.0, 6) AS ctrl_pre_mean,
+       ROUND(((t_post - t_pre) - (c_post - c_pre)) / 100.0, 6) AS did_estimate
+FROM wide
+""",
+    tags=("stats", "agg"),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator — the workhorse causal
+    readout when randomization isn't available (feature rollouts by
+    cohort, market-level launches): the treatment effect is the
+    treated group's pre→post change MINUS the control group's
+    (which absorbs seasonality and shared shocks). Four cell means
+    from ONE conditional hash-agg pass (exact integer cent sums;
+    treated = user parity, post = a pinned calendar cutoff mid-way
+    through the fixture window), the estimate a pinned double
+    expression rounded 6dp — same formula text both engines. Pair
+    with stats_ab_ttest's variance machinery for the standard error
+    at scale; the point estimate here is one scan + one 4-row grid."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = ev.select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        cents("value").alias("cents"),
+    )
+    grid = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mean_of = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    wide = grid.agg(
+        mean_of(1, 1).alias("t_post"),
+        mean_of(1, 0).alias("t_pre"),
+        mean_of(0, 1).alias("c_post"),
+        mean_of(0, 0).alias("c_pre"),
+        F.sum("n").alias("n_rows"),
+    )
+    return wide.select(
+        "n_rows",
+        F.round(F.col("t_post") / 100.0, 6).alias("treat_post_mean"),
+        F.round(F.col("t_pre") / 100.0, 6).alias("treat_pre_mean"),
+        F.round(F.col("c_post") / 100.0, 6).alias("ctrl_post_mean"),
+        F.round(F.col("c_pre") / 100.0, 6).alias("ctrl_pre_mean"),
+        F.round(
+            (
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre"))
+            )
+            / 100.0,
+            6,
+        ).alias("did_estimate"),
+    )

@@ -156,6 +156,9 @@ ALLOWED = {
     # 1-row subject total crossed into the duration grid; the KM
     # running product runs on the grid (<= max-duration rows).
     "stats_survival_km": {"cartesian", "single-partition-exchange"},
+    # 4-cell grid reduced to the single estimate row — agg_global
+    # class (the corpus-scale work is the conditional hash-agg).
+    "stats_diff_in_diff": {"single-partition-exchange"},
 }
 
 
