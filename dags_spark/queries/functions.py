@@ -1198,3 +1198,61 @@ def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ip div 4194304 = 49 AS in_cidr10",
         "CAST(ip AS BIGINT) AS ip_u32",
     )
+
+
+@register(
+    "fn_geo_haversine",
+    oracle="""
+WITH pts AS (
+  SELECT event_id,
+         (CAST(event_id * 2654435761 % 1600001 AS DOUBLE) / 10000.0) - 80.0
+           AS lat,
+         (CAST(event_id * 40503 % 3600001 AS DOUBLE) / 10000.0) - 180.0
+           AS lon
+  FROM events WHERE event_id % 29 = 0
+)
+SELECT event_id,
+       ROUND(lat, 4) AS lat, ROUND(lon, 4) AS lon,
+       ROUND(
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - 40.7128) / 2), 2)
+           + cos(radians(lat)) * cos(radians(40.7128))
+             * pow(sin(radians(lon - (-74.0060)) / 2), 2)
+         )), 3) AS km_to_nyc
+FROM pts
+""",
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance — the geo primitive behind
+    geofencing, nearest-POI features, and delivery-radius filters:
+    each synthesized point (deterministic lat/lon from the event
+    key; the fixture has no coordinates) gets its distance to a
+    fixed anchor via the numerically-stable haversine form
+    (asin-sqrt — well-conditioned for small angles where the plain
+    spherical law of cosines loses digits). Both engines run the
+    IDENTICAL expression tree over IEEE doubles and the same libm
+    family (sin/cos/asin agree to <=1 ulp), so rounding the final
+    kilometers to 3 decimals (~1 m) absorbs any ulp drift — the
+    fn_math contract applied to trig. Scan-local; at 100 TB the
+    same expression feeds a geohash-style integer bucketing
+    (fn_zorder_key) for spatial joins."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 29 == 0)
+    lat = (
+        (F.col("event_id") * 2654435761 % 1600001).cast("double") / 10000.0
+    ) - 80.0
+    lon = (
+        (F.col("event_id") * 40503 % 3600001).cast("double") / 10000.0
+    ) - 180.0
+    pts = ev.select("event_id", lat.alias("lat"), lon.alias("lon"))
+    a = (
+        F.pow(F.sin(F.radians(F.col("lat") - 40.7128) / 2), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians(F.lit(40.7128)))
+        * F.pow(F.sin(F.radians(F.col("lon") - (-74.0060)) / 2), 2)
+    )
+    return pts.select(
+        "event_id",
+        F.round("lat", 4).alias("lat"),
+        F.round("lon", 4).alias("lon"),
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(a)), 3).alias("km_to_nyc"),
+    )

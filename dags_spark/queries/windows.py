@@ -943,3 +943,139 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.sum("ln_nano").over(w_run).cast("bigint").alias("surv_lnsum_nano"),
     )
+
+
+@register(
+    "win_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY prev_type
+)
+SELECT trans.prev_type, next_type, n, row_total,
+       ROUND(CAST(n AS DOUBLE) / row_total, 6) AS p
+FROM trans JOIN tot ON tot.prev_type = trans.prev_type
+""",
+    tags=("window", "behavior"),
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over user event
+    sequences — the behavioral model behind next-action prediction,
+    funnel leak diagnosis ('where do users go after an error'), and
+    session simulation: one LAG over the (user_id) ordering pairs
+    each event with its predecessor, a hash-agg counts the
+    (prev -> next) grid (event-type-domain², tiny), and row
+    normalization turns counts into transition probabilities (exact
+    integer counts, one pinned division 6dp). Cross-user boundaries
+    never pair (the LAG partitions by user). One window + one
+    grid agg — the corpus-scale work is the single user_id
+    exchange the window already needs."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "row_total",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+    )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+           AS age_days,
+         CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_seen GROUP BY cohort_day
+)
+SELECT CAST(rev.cohort_day AS TIMESTAMP) AS cohort_day,
+       age_days, cohort_users,
+       CAST(SUM(day_cents) OVER (PARTITION BY rev.cohort_day ORDER BY age_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents,
+       ROUND(CAST(SUM(day_cents) OVER (PARTITION BY rev.cohort_day
+                ORDER BY age_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / cohort_users / 100.0, 6) AS ltv_per_user
+FROM rev JOIN sized ON sized.cohort_day = rev.cohort_day
+""",
+    tags=("agg", "behavior"),
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves — the revenue companion of the
+    retention triangle (agg_retention_cohort counts who comes back;
+    this accumulates what they SPEND): users cohort by first-seen
+    day, purchase revenue buckets into (cohort, age-in-days) cells
+    with exact integer cents, and a per-cohort running sum over age
+    yields the cumulative LTV curve, normalized per cohort user
+    (one pinned division, 6dp). Plan: first-seen agg + revenue agg
+    share the user_id partitioning (one exchange family), the
+    cumsum window runs per cohort over <=31 age rows — grid-sized.
+    The curve's final points answer 'what is a day-N user worth',
+    the number acquisition spend is budgeted against."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("cohort_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")
+            ).alias("age_days"),
+        )
+        .agg(F.sum(cents("value")).alias("day_cents"))
+    )
+    sized = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("day_cents").over(w)
+    return rev.join(F.broadcast(sized), "cohort_day").select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        "age_days",
+        "cohort_users",
+        cum.cast("bigint").alias("cum_cents"),
+        F.round(
+            cum.cast("double") / F.col("cohort_users") / 100.0, 6
+        ).alias("ltv_per_user"),
+    )
