@@ -1323,3 +1323,77 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# Delta-method SE for a ratio-of-sums metric, pinned as shared SQL
+# text (see _WELCH): var(X̄/Ȳ) ≈ (1/(n·ȳ²))·(s_x² − 2r·s_xy + r²·s_y²)
+# with r = x̄/ȳ, all moments from exact integer sums.
+_DELTA = """
+ROUND((sx / sy), 6) AS ratio,
+ROUND(
+  sqrt(GREATEST(
+    ((qx - sx * sx / n) / (n - 1)
+     - 2 * (sx / sy) * ((pxy - sx * sy / n) / (n - 1))
+     + (sx / sy) * (sx / sy) * ((qy - sy * sy / n) / (n - 1))
+    ) / (n * (sy / n) * (sy / n)), 0.0)),
+  6) AS ratio_se
+"""
+
+
+@register(
+    "stats_ratio_delta_method",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS qx,
+         CAST(SUM(y * y) AS DOUBLE) AS qy,
+         CAST(SUM(x * y) AS DOUBLE) AS pxy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       {_DELTA}
+FROM m
+""",
+    tags=("stats", "agg"),
+)
+def stats_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-METRIC standard error by the delta method — the
+    experimentation-platform workhorse for per-user ratio metrics
+    (purchase rate = Σx/Σy): user-level observations are the
+    independence unit (a per-event binomial SE would be wrong —
+    events within a user correlate), and the delta method expands
+    var(x̄/ȳ) from the five exact user-level moment sums (Σx, Σy,
+    Σx², Σy², Σxy) computed in ONE pass after the per-user rollup.
+    The variance expression is pinned as shared SQL text (the
+    _WELCH pattern) so both engines evaluate the identical double
+    tree, 6dp; GREATEST(...,0) guards the sqrt against negative
+    float dust. This is the SE that pairs with stats_ab_ttest for
+    ratio metrics at 100 TB: one user-keyed agg + one 1-row agg."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("qx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("qy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("pxy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        *[e.strip() for e in _split_select_exprs(_DELTA)],
+    )

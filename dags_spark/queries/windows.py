@@ -1079,3 +1079,96 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum.cast("double") / F.col("cohort_users") / 100.0, 6
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "win_rfm_segmentation",
+    oracle="""
+WITH horizon AS (SELECT CAST(MAX(ts) AS DATE) AS hmax FROM events),
+rfm AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE), (SELECT hmax FROM horizon))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+  FROM rfm
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_cell
+FROM scored
+""",
+    tags=("window", "behavior"),
+)
+def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value grid (recency /
+    frequency / monetary quintiles, '111' = best everything): one
+    purchase aggregate per user computes all three dimensions
+    (recency vs a 1-row horizon broadcast, exact cent sums), then
+    three NTILE(5) rankings with unique tie-breaks stamp the
+    quintile scores and the concatenated cell label. The three
+    windows each order a |users|-sized table — at 100 TB swap the
+    bare NTILEs for the two-phase global_rank pattern
+    (agg_pareto_customers) which this fixture-sized key keeps
+    readable; scores 1..5 are the marketing-facing contract, not
+    the raw ranks. Deterministic by rule 3 (user_id tie-breaks)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    horizon = ev.agg(F.max("ts").cast("date").alias("hmax"))
+    rfm = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents("value")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff("hmax", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    )
+    scored = rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_cell"),
+    ).select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "rfm_cell",
+    )

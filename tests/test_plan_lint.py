@@ -159,6 +159,12 @@ ALLOWED = {
     # 4-cell grid reduced to the single estimate row — agg_global
     # class (the corpus-scale work is the conditional hash-agg).
     "stats_diff_in_diff": {"single-partition-exchange"},
+    # 1-row horizon broadcast + bare NTILE windows over the per-user
+    # table (docstring: swap for global_rank at scale — the quintile
+    # contract is the key's point, the fixture size keeps it direct).
+    "win_rfm_segmentation": {"cartesian", "single-partition-exchange"},
+    # five moment sums reduced to one readout row — agg_global class.
+    "stats_ratio_delta_method": {"single-partition-exchange"},
 }
 
 
