@@ -1186,7 +1186,6 @@ def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
     ip = (F.col("event_id") * 2654435761) % 4294967296
     src = ev.select("event_id", ip.alias("ip"))
-    d = lambda n: (F.col("ip") / F.lit(n)).cast("long")  # noqa: E731
     return src.selectExpr(
         "event_id",
         "CAST(ip div 16777216 AS STRING) || '.' || "

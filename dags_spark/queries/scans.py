@@ -959,17 +959,26 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not f.endswith(".crc")
         ]
         ext_ok = bool(files) and all(f.endswith(ext) for f in files)
-        # content md5 from THIS codec's read-back, via a deterministic
-        # single-partition key-ordered fold matching the oracle's
-        # string_agg(... ORDER BY) — so the hash proves every codec's
-        # bytes decode to identical content (not just identical row
-        # counts).
+        # content md5 from THIS codec's read-back. Order is pinned IN
+        # THE PLAN (collect structs, sort_array on the key, join the
+        # names) — the house order-stable fold; relying on
+        # sortWithinPartitions surviving below an agg is not a
+        # documented Spark contract.
         m = (
-            back.select("s_suppkey", "s_name")
-            .coalesce(1)
-            .sortWithinPartitions("s_suppkey")
-            .agg(
-                F.md5(F.concat_ws("|", F.collect_list("s_name"))).alias("m"),
+            back.agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("s_suppkey", "s_name")
+                                )
+                            ),
+                            lambda e: e.s_name,
+                        ),
+                        "|",
+                    )
+                ).alias("m"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()[0]

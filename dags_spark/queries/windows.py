@@ -1124,10 +1124,12 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_pareto_customers) which this fixture-sized key keeps
     readable; scores 1..5 are the marketing-facing contract, not
     the raw ranks. Deterministic by rule 3 (user_id tie-breaks)."""
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    horizon = ev.agg(F.max("ts").cast("date").alias("hmax"))
+    all_ev = table(spark, sf_dir, "events")
+    ev = all_ev.filter(F.col("event_type") == "purchase")
+    # horizon = max over ALL events (matching the oracle): recency is
+    # measured against the observation end, not the last purchase —
+    # a horizon day with no purchases must not shift every score.
+    horizon = all_ev.agg(F.max("ts").cast("date").alias("hmax"))
     rfm = (
         ev.groupBy("user_id")
         .agg(
@@ -1168,7 +1170,4 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ).alias("rfm_cell"),
-    ).select(
-        "user_id", "recency_days", "frequency", "monetary_cents",
-        "r_score", "f_score", "m_score", "rfm_cell",
     )

@@ -2,7 +2,7 @@
 in dependency order, with a summary line per gate.
 
     python tools/verify_all.py            # full (~30 min)
-    python tools/verify_all.py --quick    # check + dtype only (~10 min)
+    python tools/verify_all.py --quick    # check + dtype + driver-sim (~10 min)
 
 Gates:
   1. tools/check.py       — every key vs its DuckDB oracle (sf0.01)
