@@ -2521,3 +2521,145 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("doc_id").alias("keep_id"),
     )
+
+
+@register(
+    "pipeline_trainprep_end2end",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source, n_chars,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+           ' +', ' ', 'g')) AS ntext
+  FROM documents
+),
+gated AS (
+  SELECT * FROM norm
+  WHERE n_chars >= 120 AND len(string_split(ntext, ' ')) >= 20
+),
+deduped AS (
+  SELECT doc_id, source, ntext FROM (
+    SELECT doc_id, source, ntext,
+           ROW_NUMBER() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+bench_grams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(string_split(ntext, ' ')) - 2),
+             i -> string_split(ntext, ' ')[i] || ' ' ||
+                  string_split(ntext, ' ')[i+1] || ' ' ||
+                  string_split(ntext, ' ')[i+2])) AS gram
+    FROM deduped WHERE doc_id % 97 = 0
+  )
+),
+contaminated AS (
+  SELECT DISTINCT d.doc_id FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(string_split(ntext, ' ')) - 2),
+             i -> string_split(ntext, ' ')[i] || ' ' ||
+                  string_split(ntext, ' ')[i+1] || ' ' ||
+                  string_split(ntext, ' ')[i+2]))) AS gram
+    FROM deduped WHERE doc_id % 97 <> 0
+  ) d JOIN bench_grams b ON b.gram = d.gram
+),
+clean AS (
+  SELECT deduped.* FROM deduped
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+split AS (
+  SELECT *,
+         CASE
+           WHEN instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+             THEN 'train'
+           WHEN instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15
+             THEN 'valid'
+           ELSE 'test'
+         END AS split
+  FROM clean
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(ntext, ' '))) AS BIGINT) AS n_tokens
+FROM split GROUP BY split, source
+""",
+    tags=("trainprep", "pipeline", "composite"),
+)
+def pipeline_trainprep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composite: the north-star training-data pipeline
+    end-to-end in ONE lazy plan — normalize (case-fold / strip
+    punctuation / collapse runs) -> quality gate (length + token
+    floor) -> normalized exact dedup (fingerprint window, keep min
+    id) -> benchmark decontamination (docs sharing any distinct
+    3-gram with the held-out eval slice drop; eval grams DISTINCT +
+    broadcast, never doc x doc) -> hash split assignment
+    (~81/12.5/6 by first md5 nibble) -> per-(split, source) corpus
+    accounting. Every stage is the same logic its standalone key
+    checks (text_normalize, dedup_normalized_exact,
+    decontaminate_ngram, split_assign_hash) — this key proves they
+    COMPOSE: one Catalyst plan, scan-local regex stages fused onto
+    the read, the dedup window and decontamination join as the only
+    wide operations, both keyed on fingerprints/grams (text bodies
+    shuffle at most once). The oracle replays the identical pipeline
+    as one CTE chain. This is the query a user of the engine
+    actually ships."""
+    d = table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select("doc_id", "source", "n_chars", ntext.alias("ntext"))
+    toks = F.split("ntext", " ")
+    gated = norm.filter(
+        (F.col("n_chars") >= 120) & (F.size(toks) >= 20)
+    )
+    w = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # distinct 3-grams via an index transform over the token array
+    tri = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(split(ntext, ' ')) - 2, 0)),"
+            " i -> concat_ws(' ', element_at(split(ntext, ' '), i),"
+            " element_at(split(ntext, ' '), i + 1),"
+            " element_at(split(ntext, ' '), i + 2)))"
+        )
+    )
+    eval_side = deduped.filter(F.col("doc_id") % 97 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 97 != 0)
+    bench_grams = (
+        eval_side.select(F.explode(tri).alias("gram")).distinct()
+    )
+    contaminated = (
+        corpus.select("doc_id", F.explode(tri).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = clean.withColumn(
+        "split",
+        F.when(nib < 13, "train").when(nib < 15, "valid").otherwise("test"),
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    )
