@@ -90,6 +90,7 @@ HEAVY = {
     "join_scd2_pointintime": 30,
     "ts_anomaly_exact": 30,
     "dq_completeness_profile": 30,
+    "pipeline_trainprep_end2end": 60,
 }
 
 
