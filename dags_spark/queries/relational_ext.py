@@ -1882,3 +1882,61 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pri")
     )
     return agg.transpose()
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+WITH rowhash AS (
+  SELECT (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS hv
+  FROM (
+    SELECT md5(CAST(o_orderkey AS VARCHAR) || '\x01' || o_orderstatus
+               || '\x01' || CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                 AS VARCHAR)) AS h
+    FROM orders
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv) AS BIGINT) AS checksum_sum,
+       CAST(SUM(hv * hv) AS BIGINT) AS checksum_sq
+FROM rowhash
+""",
+    tags=("dq", "reconcile"),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE table checksum — the cheap cross-environment
+    reconciliation primitive (did the replica/backfill/migration
+    produce the same table?) that table_diff_reconcile's full outer
+    join is overkill for: each row serializes its key columns
+    canonically (exact cents for money), hashes to a 16-bit integer
+    via md5, and the table's signature is (count, Σh, Σh²) — three
+    BIGINTs, associative and commutative, so any engine, partition
+    order, or shard-merge computes the identical triple (the same
+    monoid trick as dedup_exact_sharded, applied to verification).
+    Σh alone misses swapped corruption (a+b = (a+1)+(b-1)); the Σh²
+    second moment catches it. 16 bits keeps Σh² inside int64 to
+    ~2e9 rows under ANSI mode; beyond that, widen the hash and take
+    both sums mod a shared prime (identical % both engines). One
+    scan, one 3-value agg — at 100 TB this runs per partition and
+    the triples just add."""
+    o = table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "\x01",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+        )
+    )
+    nib = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    ).cast("bigint")
+    hv = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    return o.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hv").alias("checksum_sum"),
+        F.sum(F.col("hv") * F.col("hv")).alias("checksum_sq"),
+    )

@@ -1171,3 +1171,94 @@ def win_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm_cell"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT user_id, event_id, c,
+         CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS prefix,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS t,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM v
+),
+cusum AS (
+  SELECT user_id, event_id, t, n,
+         n * prefix - t * total AS c_scaled
+  FROM stats WHERE n >= 20
+),
+peak AS (
+  SELECT user_id, event_id, t, n, c_scaled,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ABS(c_scaled) DESC, t ASC) AS rk
+  FROM cusum
+)
+SELECT user_id, CAST(t AS BIGINT) AS change_at, n AS n_points,
+       CAST(c_scaled AS BIGINT) AS cusum_scaled
+FROM peak WHERE rk = 1
+""",
+    tags=("timeseries", "dq", "window"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user — the LEVEL-SHIFT screen
+    that complements the point-outlier flag (ts_anomaly_exact
+    catches spikes; CUSUM catches a series whose mean moved): the
+    classic statistic max_t |Σ_{i<=t}(x_i − x̄)| peaks at the shift
+    location. Clearing the mean's denominator keeps it EXACT int64:
+    C_t·n = n·prefix_t − t·total (prefix/total/count from windows
+    sharing ONE user_id sort), so both the argmax position and the
+    peak magnitude are hash-exact — no float mean, no tie ambiguity
+    (equal |C| resolves to the earliest t). Users under 20 points
+    are withheld (cold-start). Overflow: n ≤ 1e4·cents 1e5 → n·prefix
+    ≤ 1e13 at fixture scales, int64-safe by five orders. Emitted
+    per user: the most likely change location and its scaled CUSUM
+    peak — the triage list a monitoring pipeline pages on."""
+    ev = table(spark, sf_dir, "events")
+    c = cents("value")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wa = Window.partitionBy("user_id")
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        c.alias("c"),
+        F.sum(c)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.sum(c).over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    ).filter(F.col("n") >= 20)
+    cusum = stats.select(
+        "user_id",
+        "event_id",
+        "t",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "c_scaled"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.abs("c_scaled").desc(), F.col("t").asc()
+        )
+    )
+    return (
+        cusum.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("t").alias("change_at"),
+            F.col("n").alias("n_points"),
+            F.col("c_scaled").cast("bigint").alias("cusum_scaled"),
+        )
+    )

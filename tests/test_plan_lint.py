@@ -165,6 +165,9 @@ ALLOWED = {
     "win_rfm_segmentation": {"cartesian", "single-partition-exchange"},
     # five moment sums reduced to one readout row — agg_global class.
     "stats_ratio_delta_method": {"single-partition-exchange"},
+    # the table signature IS one associative 3-value reduction —
+    # agg_global class.
+    "dq_table_checksum": {"single-partition-exchange"},
 }
 
 
