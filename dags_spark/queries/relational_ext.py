@@ -1940,3 +1940,95 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hv").alias("checksum_sum"),
         F.sum(F.col("hv") * F.col("hv")).alias("checksum_sq"),
     )
+
+
+# Rule table for dq_rules_as_data — DATA, not code: each row is
+# (rule_id, column, op, bound). Adding a rule is an INSERT, not a
+# deploy. Shared between the Spark key and its oracle.
+_DQ_RULES = [
+    ("r1", "o_totalprice", "min", 0.0),
+    ("r2", "o_totalprice", "max", 600000.0),
+    ("r3", "o_custkey", "min", 1.0),
+    ("r4", "o_orderkey", "min", 1.0),
+    ("r5", "o_totalprice", "min", 100000.0),  # deliberately strict
+]
+_DQ_RULES_SQL = ", ".join(
+    f"('{r}', '{c}', '{o}', {b})" for r, c, o, b in _DQ_RULES
+)
+
+
+@register(
+    "dq_rules_as_data",
+    oracle=f"""
+WITH rules(rule_id, col, op, bound) AS (
+  SELECT * FROM (VALUES {_DQ_RULES_SQL})
+),
+vals AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         CAST(o_custkey AS DOUBLE) AS o_custkey_d,
+         CAST(o_orderkey AS DOUBLE) AS o_orderkey_d
+  FROM orders
+),
+checked AS (
+  SELECT r.rule_id, r.col, r.op, r.bound,
+         CASE r.col
+           WHEN 'o_totalprice' THEN v.o_totalprice
+           WHEN 'o_custkey' THEN v.o_custkey_d
+           ELSE v.o_orderkey_d
+         END AS val
+  FROM vals v CROSS JOIN rules r
+)
+SELECT rule_id, col, op, bound,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN (op = 'min' AND val < bound)
+                       OR (op = 'max' AND val > bound)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM checked
+GROUP BY rule_id, col, op, bound
+""",
+    tags=("dq", "rules"),
+)
+def dq_rules_as_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ rules as DATA, not code — the property that makes a quality
+    gate operable at fleet scale: the rule set is a TABLE
+    (rule_id, column, op, bound) that analysts extend with an
+    INSERT, while the engine applies whatever rules exist via one
+    generic melt-join-CASE plan (dq_rules_summary hardcodes its
+    checks into the query; this key makes the check surface
+    declarative, the reference's config-over-code identity). Plan:
+    values melt scan-locally to (col, val) pairs only for columns
+    rules mention, the tiny rule table broadcasts into the
+    cross-apply, and one hash-agg counts violations per rule — rule
+    count scales the broadcast, never the scan count. A
+    deliberately-strict rule (r5) proves violations are actually
+    counted, not vacuously zero."""
+    o = table(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(
+        _DQ_RULES, "rule_id STRING, col STRING, op STRING, bound DOUBLE"
+    )
+    vals = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+        F.col("o_orderkey").cast("double").alias("o_orderkey_d"),
+    )
+    checked = vals.crossJoin(F.broadcast(rules)).select(
+        "rule_id",
+        "col",
+        "op",
+        "bound",
+        F.when(F.col("col") == "o_totalprice", F.col("o_totalprice"))
+        .when(F.col("col") == "o_custkey", F.col("o_custkey_d"))
+        .otherwise(F.col("o_orderkey_d"))
+        .alias("val"),
+    )
+    viol = F.when(
+        ((F.col("op") == "min") & (F.col("val") < F.col("bound")))
+        | ((F.col("op") == "max") & (F.col("val") > F.col("bound"))),
+        1,
+    ).otherwise(0)
+    return checked.groupBy("rule_id", "col", "op", "bound").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(viol).alias("n_violations"),
+    )

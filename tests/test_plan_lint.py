@@ -168,6 +168,9 @@ ALLOWED = {
     # the table signature IS one associative 3-value reduction —
     # agg_global class.
     "dq_table_checksum": {"single-partition-exchange"},
+    # the 5-row rule table broadcast-crosses the scan BY DESIGN —
+    # rules-as-data cross-apply; cost scales with |rules|, not rows².
+    "dq_rules_as_data": {"cartesian"},
 }
 
 
