@@ -1262,3 +1262,98 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_scaled").cast("bigint").alias("cusum_scaled"),
         )
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+seq AS (
+  SELECT c,
+         LAG(c, 1) OVER (ORDER BY day) AS l1,
+         LAG(c, 2) OVER (ORDER BY day) AS l2,
+         LAG(c, 3) OVER (ORDER BY day) AS l3
+  FROM daily
+)
+SELECT k, n_pairs, ROUND(
+  (n_pairs * sxy - sx * sy)
+  / sqrt((n_pairs * qx - sx * sx) * (n_pairs * qy - sy * sy)), 6) AS acf
+FROM (
+  SELECT 1 AS k, CAST(COUNT(l1) AS DOUBLE) AS n_pairs,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c END) AS DOUBLE) AS sx,
+         CAST(SUM(l1) AS DOUBLE) AS sy,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL THEN c * c END) AS DOUBLE) AS qx,
+         CAST(SUM(l1 * l1) AS DOUBLE) AS qy,
+         CAST(SUM(c * l1) AS DOUBLE) AS sxy
+  FROM seq
+  UNION ALL
+  SELECT 2, CAST(COUNT(l2) AS DOUBLE),
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c END) AS DOUBLE),
+         CAST(SUM(l2) AS DOUBLE),
+         CAST(SUM(CASE WHEN l2 IS NOT NULL THEN c * c END) AS DOUBLE),
+         CAST(SUM(l2 * l2) AS DOUBLE),
+         CAST(SUM(c * l2) AS DOUBLE)
+  FROM seq
+  UNION ALL
+  SELECT 3, CAST(COUNT(l3) AS DOUBLE),
+         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c END) AS DOUBLE),
+         CAST(SUM(l3) AS DOUBLE),
+         CAST(SUM(CASE WHEN l3 IS NOT NULL THEN c * c END) AS DOUBLE),
+         CAST(SUM(l3 * l3) AS DOUBLE),
+         CAST(SUM(c * l3) AS DOUBLE)
+  FROM seq
+) m
+""",
+    tags=("timeseries", "stats"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample AUTOCORRELATION of the daily revenue series at lags
+    1–3 — the first diagnostic of any forecasting effort (is
+    tomorrow like today? is there structure to model at all?):
+    daily totals are exact BIGINT cents, each lag pairs via LAG over
+    ONE day-ordered window (the day grid is calendar-sized — the
+    global sort is ~31 rows), and each lag's Pearson correlation
+    comes from exact integer moment sums with the single pinned
+    double expression both engines share (the agg_corr pattern
+    applied to lagged pairs). Pairwise-complete convention: lag-k
+    loses its first k pairs, and the x-moments are restricted to
+    rows where the lag EXISTS (proper pairwise sums, not padded).
+    One scan + calendar-grid windows; the lags share one sort."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(cents("value")).alias("c"))
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 2).over(w).alias("l2"),
+        F.lag("c", 3).over(w).alias("l3"),
+    )
+    parts = []
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        x = F.when(lk.isNotNull(), F.col("c"))
+        parts.append(
+            seq.agg(
+                F.lit(k).alias("k"),
+                F.count(lk).cast("double").alias("n_pairs"),
+                F.sum(x).cast("double").alias("sx"),
+                F.sum(lk).cast("double").alias("sy"),
+                F.sum(x * x).cast("double").alias("qx"),
+                F.sum(lk * lk).cast("double").alias("qy"),
+                F.sum(F.col("c") * lk).cast("double").alias("sxy"),
+            )
+        )
+    m = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    acf = (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n_pairs") * F.col("qx") - F.col("sx") * F.col("sx"))
+        * (F.col("n_pairs") * F.col("qy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("k", "n_pairs", F.round(acf, 6).alias("acf"))

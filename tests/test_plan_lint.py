@@ -171,6 +171,9 @@ ALLOWED = {
     # the 5-row rule table broadcast-crosses the scan BY DESIGN —
     # rules-as-data cross-apply; cost scales with |rules|, not rows².
     "dq_rules_as_data": {"cartesian"},
+    # the day grid is calendar-sized (~31 rows): its global sort and
+    # per-lag 1-row moment reductions are grid work, not corpus work.
+    "ts_autocorrelation": {"single-partition-exchange", "global-sort"},
 }
 
 
