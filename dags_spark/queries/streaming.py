@@ -869,3 +869,71 @@ def stream_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("quarantine").alias("route"), "bucket", "n")
     )
     return clean.unionByName(quar)
+
+
+@register(
+    "stream_foreach_row_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL ForeachWriter sink (the third streaming-sink API
+    after foreachBatch and the DataSource writers): each executor
+    partition opens a connection-scoped writer (open/process/close
+    — the lifecycle a per-row push to a KV store or webhook
+    follows), appends its rows to a file keyed by (epoch, partition)
+    — open() truncates that file, so a REDELIVERED partition
+    overwrites rather than duplicates (the idempotence contract
+    open()'s epoch_id exists for) — and close() finalizes. The
+    read-back aggregate over all partition files must equal the
+    batch GROUP BY. foreachBatch remains the right default (it
+    keeps DataFrame writers and their committers); per-row is for
+    sinks that only speak single records — and its at-least-once
+    semantics NEED the epoch-keyed idempotence this key
+    demonstrates."""
+    work = tempfile.mkdtemp(prefix="dags_spark_ferow_")
+    out_dir = os.path.join(work, "rows")
+    os.makedirs(out_dir)
+    sdf = events_stream(
+        spark, os.path.join(stage_events(spark, sf_dir), "in")
+    ).select("event_type", "value")
+
+    class RowWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            # truncate-on-open keys idempotence to (epoch, partition):
+            # redelivery rewrites the same file
+            self._fh = open(
+                os.path.join(out_dir, f"e{epoch_id}_p{partition_id}.tsv"),
+                "w",
+            )
+            return True
+
+        def process(self, row) -> None:
+            cents = int(round(row.value * 100))
+            self._fh.write(f"{row.event_type}\t{cents}\n")
+
+        def close(self, error) -> None:
+            self._fh.close()
+            if error is not None:
+                raise error
+
+    (
+        sdf.writeStream.foreach(RowWriter())
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = spark.read.schema("event_type STRING, value_cents BIGINT").csv(
+        out_dir, sep="\t"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )

@@ -1357,3 +1357,64 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n_pairs") * F.col("qy") - F.col("sy") * F.col("sy"))
     )
     return m.select("k", "n_pairs", F.round(acf, 6).alias("acf"))
+
+
+@register(
+    "agg_weekday_seasonal_index",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_part('isodow', ts) AS INTEGER) AS dow,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS dow_cents
+  FROM daily GROUP BY dow
+),
+overall AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS tot_cents,
+         CAST(COUNT(*) AS BIGINT) AS tot_days
+  FROM daily
+)
+SELECT dow, n_days, dow_cents,
+       ROUND((CAST(dow_cents AS DOUBLE) / n_days)
+             / (CAST(tot_cents AS DOUBLE) / tot_days), 6) AS seasonal_index
+FROM per_dow CROSS JOIN overall
+""",
+    tags=("timeseries", "agg"),
+)
+def agg_weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday SEASONAL INDEX — mean daily revenue per ISO weekday
+    over the overall daily mean (1.0 = typical day): the
+    seasonality profile that pairs with ts_autocorrelation (ACF
+    says structure exists; the index says WHICH days carry it) and
+    the divisor a seasonal-naive forecast or anomaly baseline
+    normalizes by. Daily totals are exact cents; both means reduce
+    to one double ratio each, pinned and rounded 6dp; the ISO dow
+    convention matches fn_datetime's pin (Spark weekday()+1 ==
+    DuckDB isodow). One calendar-grid agg cascade — the only
+    corpus-scale pass is the daily rollup."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.weekday("ts") + 1).alias("dow"),
+    ).agg(F.sum(cents("value")).alias("c"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("dow_cents")
+    )
+    overall = daily.agg(
+        F.sum("c").alias("tot_cents"), F.count(F.lit(1)).alias("tot_days")
+    )
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        "dow_cents",
+        F.round(
+            (F.col("dow_cents").cast("double") / F.col("n_days"))
+            / (F.col("tot_cents").cast("double") / F.col("tot_days")),
+            6,
+        ).alias("seasonal_index"),
+    )

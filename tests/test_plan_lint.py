@@ -174,6 +174,9 @@ ALLOWED = {
     # the day grid is calendar-sized (~31 rows): its global sort and
     # per-lag 1-row moment reductions are grid work, not corpus work.
     "ts_autocorrelation": {"single-partition-exchange", "global-sort"},
+    # 1-row overall-mean broadcast crossed into the 7-row dow grid —
+    # scalar-subquery shape.
+    "agg_weekday_seasonal_index": {"cartesian", "single-partition-exchange"},
 }
 
 
