@@ -1397,3 +1397,80 @@ def stats_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_users",
         *[e.strip() for e in _split_select_exprs(_DELTA)],
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_c, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                ORDER BY price_c, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM v
+),
+hit AS (
+  SELECT l_returnflag, price_c, tw,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cw, price_c) AS rk
+  FROM cum WHERE 2 * cw >= tw
+)
+SELECT l_returnflag, CAST(tw AS BIGINT) AS total_weight,
+       CAST(price_c AS BIGINT) AS weighted_median_cents
+FROM hit WHERE rk = 1
+""",
+    tags=("agg", "stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the quantity-weighted 'typical price' where
+    the plain median (agg_percentile_exact) treats a 1-unit and a
+    50-unit line identically: the smallest price whose cumulative
+    quantity reaches half the total, decided by the EXACT integer
+    inequality 2·cum >= total (no per-group weight division, no
+    float boundary — the ts_anomaly_exact trick applied to order
+    statistics). The cumsum orders by (price, unique keys) so equal
+    prices accumulate deterministically; the first qualifying row
+    per group is the answer. One window + one rank over the same
+    (returnflag) partitioning — at 100 TB this is the two-exchange
+    sibling of the weighted average (agg_weighted_avg), and the
+    partition-local window replaces a full sort of raw prices."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    wa = Window.partitionBy("l_returnflag")
+    cum = v.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw"),
+        F.sum("w").over(wa).alias("tw"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cw", "price_c")
+        ),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "l_returnflag",
+        F.col("tw").alias("total_weight"),
+        F.col("price_c").alias("weighted_median_cents"),
+    )
