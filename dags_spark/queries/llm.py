@@ -2602,12 +2602,15 @@ def pipeline_trainprep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting. Every stage is the same logic its standalone key
     checks (text_normalize, dedup_normalized_exact,
     decontaminate_ngram, split_assign_hash) — this key proves they
-    COMPOSE: one Catalyst plan, scan-local regex stages fused onto
-    the read, the dedup window and decontamination join as the only
-    wide operations, both keyed on fingerprints/grams (text bodies
-    shuffle at most once). The oracle replays the identical pipeline
-    as one CTE chain. This is the query a user of the engine
-    actually ships."""
+    COMPOSE: the normalize/gate stages fuse onto the scan, the dedup
+    window is the one text-body shuffle, and the deduped snapshot
+    is materialized ONCE (localCheckpoint — the in-session stand-in
+    for the between-stage parquet write a production pipeline does)
+    so the three downstream consumers read it instead of recomputing
+    the chain; the decontamination join is gram-keyed with the eval
+    side broadcast. The oracle replays the identical pipeline as one
+    CTE chain. This is the query a user of the engine actually
+    ships."""
     d = table(spark, sf_dir, "documents")
     ntext = F.trim(
         F.regexp_replace(
@@ -2626,16 +2629,30 @@ def pipeline_trainprep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        # materialize the cleaned snapshot ONCE: three consumers
+        # (eval grams, corpus grams, final accounting) would each
+        # recompute the scan+normalize+dedup chain — Catalyst does
+        # not share subplans across DataFrame branches. This is the
+        # between-stages snapshot a real pipeline writes anyway
+        # (graph layer: materialize=True); localCheckpoint is its
+        # in-session equivalent (precedent:
+        # dedup_connected_components).
+        .localCheckpoint()
     )
-    # distinct 3-grams via an index transform over the token array
-    tri = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(size(split(ntext, ' ')) - 2, 0)),"
-            " i -> concat_ws(' ', element_at(split(ntext, ' '), i),"
-            " element_at(split(ntext, ' '), i + 1),"
-            " element_at(split(ntext, ' '), i + 2)))"
-        )
-    )
+    # distinct 3-grams via an index transform; Spark's sequence(1, 0)
+    # counts DOWN (operators/trainprep.py documents the trap), so
+    # short docs need the explicit empty-array guard
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(ntext, ' ')) - 2),"
+                " i -> concat_ws(' ', element_at(split(ntext, ' '), i),"
+                " element_at(split(ntext, ' '), i + 1),"
+                " element_at(split(ntext, ' '), i + 2)))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     eval_side = deduped.filter(F.col("doc_id") % 97 == 0)
     corpus = deduped.filter(F.col("doc_id") % 97 != 0)
     bench_grams = (
@@ -2648,16 +2665,12 @@ def pipeline_trainprep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti")
-    nib = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    split = clean.withColumn(
-        "split",
-        F.when(nib < 13, "train").when(nib < 15, "valid").otherwise("test"),
+    from ..operators.trainprep import assign_split
+
+    # same helper (and hash) split_assign_hash checks: nibble<13 ==
+    # byte<208, nibble<15 == byte<240
+    split = assign_split(
+        clean, "doc_id", [("train", 208), ("valid", 240), ("test", 256)]
     )
     return split.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

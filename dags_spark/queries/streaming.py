@@ -915,7 +915,16 @@ def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             return True
 
         def process(self, row) -> None:
-            cents = int(round(row.value * 100))
+            # half-AWAY-from-zero like the shared cents() helper and
+            # the oracle's ROUND — python's round() is half-even and
+            # would diverge on exact .5 cents
+            from decimal import ROUND_HALF_UP, Decimal
+
+            cents = int(
+                Decimal(str(row.value)).scaleb(2).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
             self._fh.write(f"{row.event_type}\t{cents}\n")
 
         def close(self, error) -> None:

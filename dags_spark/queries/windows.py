@@ -1322,7 +1322,9 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to lagged pairs). Pairwise-complete convention: lag-k
     loses its first k pairs, and the x-moments are restricted to
     rows where the lag EXISTS (proper pairwise sums, not padded).
-    One scan + calendar-grid windows; the lags share one sort."""
+    ONE wide agg carries all three lags' moments (18 columns) and a
+    struct-array explode emits the report rows — one scan, one
+    day-grid sort, no per-lag recompute."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
@@ -1334,22 +1336,37 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c", 2).over(w).alias("l2"),
         F.lag("c", 3).over(w).alias("l3"),
     )
-    parts = []
+    # ONE wide agg computes all 18 moment columns (three lag-k
+    # moment sets share the single scan + single day-grid sort), then
+    # a literal struct array explodes to the 3 report rows — the
+    # dq_completeness_profile pattern; a per-lag agg-union would
+    # recompute the corpus rollup three times.
+    aggs = []
     for k in (1, 2, 3):
         lk = F.col(f"l{k}")
         x = F.when(lk.isNotNull(), F.col("c"))
-        parts.append(
-            seq.agg(
-                F.lit(k).alias("k"),
-                F.count(lk).cast("double").alias("n_pairs"),
-                F.sum(x).cast("double").alias("sx"),
-                F.sum(lk).cast("double").alias("sy"),
-                F.sum(x * x).cast("double").alias("qx"),
-                F.sum(lk * lk).cast("double").alias("qy"),
-                F.sum(F.col("c") * lk).cast("double").alias("sxy"),
-            )
+        aggs += [
+            F.count(lk).cast("double").alias(f"n{k}"),
+            F.sum(x).cast("double").alias(f"sx{k}"),
+            F.sum(lk).cast("double").alias(f"sy{k}"),
+            F.sum(x * x).cast("double").alias(f"qx{k}"),
+            F.sum(lk * lk).cast("double").alias(f"qy{k}"),
+            F.sum(F.col("c") * lk).cast("double").alias(f"sxy{k}"),
+        ]
+    wide = seq.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(k).alias("k"),
+            F.col(f"n{k}").alias("n_pairs"),
+            F.col(f"sx{k}").alias("sx"),
+            F.col(f"sy{k}").alias("sy"),
+            F.col(f"qx{k}").alias("qx"),
+            F.col(f"qy{k}").alias("qy"),
+            F.col(f"sxy{k}").alias("sxy"),
         )
-    m = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        for k in (1, 2, 3)
+    ]
+    m = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
     acf = (
         F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
     ) / F.sqrt(
@@ -1405,8 +1422,11 @@ def agg_weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dow = daily.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("dow_cents")
     )
-    overall = daily.agg(
-        F.sum("c").alias("tot_cents"), F.count(F.lit(1)).alias("tot_days")
+    # overall totals re-aggregate the 7-row grid, never the table
+    # (the stats_chi_square margins convention)
+    overall = per_dow.agg(
+        F.sum("dow_cents").alias("tot_cents"),
+        F.sum("n_days").alias("tot_days"),
     )
     return per_dow.crossJoin(F.broadcast(overall)).select(
         "dow",
