@@ -2032,3 +2032,71 @@ def dq_rules_as_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(viol).alias("n_violations"),
     )
+
+
+@register(
+    "agg_equidepth_bins",
+    oracle="""
+WITH ranked AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                          AS BIGINT), o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(b.i AS INTEGER) AS bin_no,
+       CAST(r.cents AS BIGINT) AS upper_edge_cents,
+       CAST(r.rn AS BIGINT) AS edge_rank,
+       CAST(r.n AS BIGINT) AS n_rows
+FROM (SELECT unnest(generate_series(1, 8)) AS i) b
+JOIN ranked r ON r.rn = CAST(ceil(b.i * r.n / 8.0) AS BIGINT)
+""",
+    tags=("stats", "histogram"),
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram boundaries — the third histogram family
+    (agg_histogram is equi-width, agg_log2_histogram is logarithmic;
+    equi-depth puts equal ROW COUNTS per bin), and the statistic
+    cost-based optimizers actually keep (selectivity of a range
+    predicate reads straight off equi-depth edges regardless of
+    skew). Each of the 8 edges is the exact order statistic at rank
+    ceil(i*n/8) — the agg_percentile_disc formula vectorized over
+    the bin grid, tie-broken on the unique key so the edge set is
+    deterministic. The Spark side runs the two-phase global_rank
+    (range-partition + local rank + tiny offset table — never a
+    single-partition window over the corpus); the oracle states the
+    same order statistic with a plain ROW_NUMBER. Joining the 8-row
+    bin grid against the ranked relation keeps the output exactly 8
+    rows."""
+    from ..operators.scale import global_rank
+
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        cents("o_totalprice").alias("cents"), "o_orderkey"
+    )
+    ranked = global_rank(
+        v, [F.col("cents").asc(), F.col("o_orderkey").asc()], rank_col="rn"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    bins = spark.range(1, 9).select(F.col("id").cast("int").alias("bin_no"))
+    edges = (
+        bins.crossJoin(F.broadcast(n))
+        .select(
+            "bin_no",
+            "n",
+            F.ceil(F.col("bin_no") * F.col("n") / 8.0)
+            .cast("bigint")
+            .alias("edge_rank"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(edges), ranked.rn == edges.edge_rank
+        )
+        .select(
+            "bin_no",
+            F.col("cents").alias("upper_edge_cents"),
+            "edge_rank",
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -177,6 +177,14 @@ ALLOWED = {
     # 1-row overall-mean broadcast crossed into the 7-row dow grid —
     # scalar-subquery shape.
     "agg_weekday_seasonal_index": {"cartesian", "single-partition-exchange"},
+    # global_rank's range sort + tiny offset table (the
+    # agg_pareto_customers constructs) + a 1-row count crossed into
+    # the 8-row bin grid.
+    "agg_equidepth_bins": {
+        "cartesian",
+        "single-partition-exchange",
+        "global-sort",
+    },
 }
 
 
