@@ -1080,3 +1080,88 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@register(
+    "text_zipf_exponent",
+    oracle="""
+WITH tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rnk
+  FROM tf
+),
+top AS (SELECT * FROM ranked WHERE rnk <= 200),
+q AS (
+  SELECT CAST(FLOOR(ROUND(LN(CAST(rnk AS DOUBLE)), 9) * 1000000) AS BIGINT)
+           AS lx,
+         CAST(FLOOR(ROUND(LN(CAST(f AS DOUBLE)), 9) * 1000000) AS BIGINT)
+           AS ly
+  FROM top
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * lx) AS BIGINT) AS qx,
+         CAST(SUM(lx * ly) AS BIGINT) AS pxy
+  FROM q
+)
+SELECT n AS n_ranks,
+       ROUND((CAST(n AS DOUBLE) * pxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx) / 1.0, 6)
+         AS zipf_slope
+FROM m
+""",
+    tags=("text", "stats"),
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF exponent of the token frequency distribution — the
+    corpus-naturalness diagnostic (natural language sits near slope
+    −1 on the log-log rank/frequency line; generated spam, template
+    boilerplate, and over-deduplicated corpora bend away from it):
+    token frequencies rank deterministically (freq desc, token asc),
+    the top-200 log-log points quantize ln(rank)/ln(freq) to
+    micro-units (9 guard digits — the house pattern, because DOUBLE
+    sums are shuffle-order-dependent but BIGINT sums are exact), and
+    the least-squares slope comes from the integer moment sums with
+    one pinned double expression (the agg_regr_linear machinery
+    pointed at the corpus itself). The slope's units cancel the
+    quantization scale, so no rescaling term appears. Vocab-sized
+    ranking window; the corpus-scale work is the one token
+    hash-agg."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    )
+    top = tf.select("f", rnk.alias("rnk")).filter(F.col("rnk") <= 200)
+    micro = lambda c: F.floor(  # noqa: E731
+        F.round(F.log(c.cast("double")), 9) * 1_000_000
+    ).cast("bigint")
+    q = top.select(
+        micro(F.col("rnk")).alias("lx"), micro(F.col("f")).alias("ly")
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("qx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("pxy"),
+    )
+    n, sx, sy, qx, pxy = (F.col(c) for c in ["n", "sx", "sy", "qx", "pxy"])
+    return m.select(
+        n.alias("n_ranks"),
+        F.round(
+            (n.cast("double") * pxy - sx.cast("double") * sy)
+            / (n.cast("double") * qx - sx.cast("double") * sx)
+            / 1.0,
+            6,
+        ).alias("zipf_slope"),
+    )
