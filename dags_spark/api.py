@@ -35,6 +35,7 @@ from .operators.dedup import (
     minhash_near_dup_pairs,
     token_ngram_jaccard_pairs,
 )
+from .operators.dq import OK_EVENT_TYPES, event_reject_reason
 from .operators.hypertable import hierarchical_rollup
 from .operators.multimodal import attach_binary, decode_features
 from .operators.rangejoin import binned_band_join
@@ -60,8 +61,10 @@ from .operators.textops import (
     token_counts,
 )
 from .operators.trainprep import (
+    assign_split,
     contaminated_docs,
     global_cumsum,
+    hash_byte,
     pack_sequences,
 )
 from .session import get_spark, tune
@@ -95,6 +98,8 @@ __all__ = [
     "simhash",
     "simhash_band_pairs",
     "binned_band_join",
+    "event_reject_reason",
+    "OK_EVENT_TYPES",
     "hierarchical_rollup",
     "salted_join",
     "bucketed_join",
@@ -103,6 +108,8 @@ __all__ = [
     "global_cumsum",
     "pack_sequences",
     "contaminated_docs",
+    "assign_split",
+    "hash_byte",
     "attach_binary",
     "decode_features",
     "token_counts",
