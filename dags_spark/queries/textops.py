@@ -1165,3 +1165,44 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+def _langid_oracle() -> str:
+    """Lift text_langid's oracle verbatim (the dedup_eval_banding_pr
+    composition pattern): the confusion matrix scores EXACTLY the
+    classifier its standalone key checks."""
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["text_langid"].oracle
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH preds AS ({{langid}})
+SELECT lang AS actual_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds
+GROUP BY lang, pred_lang
+""".format(langid=_langid_oracle()),
+    tags=("text", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the language-ID classifier — the
+    evaluation artifact that turns 'we have a langid model'
+    (text_langid) into 'here is where it fails' (which language
+    pairs confuse it — the table that decides whether a per-language
+    threshold or more profile n-grams are needed). The predictions
+    are EXACTLY the standalone key's: its oracle SQL is lifted
+    verbatim as a CTE (truth can never drift from what the component
+    key checks — the dedup_eval_banding_pr pattern), and the Spark
+    side calls the same registered implementation, then both sides
+    aggregate (actual, predicted) counts over the
+    language-domain-sized grid. Diagonal mass = accuracy;
+    off-diagonal cells are the work list."""
+    from ..registry import _REGISTRY
+
+    preds = _REGISTRY["text_langid"].fn(spark, sf_dir)
+    return preds.groupBy(
+        F.col("lang").alias("actual_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
