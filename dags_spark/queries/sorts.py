@@ -101,3 +101,48 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(40).limit(20)
     )
+
+
+@register(
+    "sort_keyset_pagination",
+    oracle="""
+WITH page AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM orders
+  WHERE o_orderkey > (
+    SELECT MAX(o_orderkey) FROM (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 40
+    )
+  )
+  ORDER BY o_orderkey LIMIT 20
+)
+SELECT o_orderkey, o_totalprice, o_orderdate FROM page
+""",
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the scalable replacement for OFFSET
+    (limit_offset shows the API; this shows why production cursors
+    don't use it): page N via OFFSET scans and discards N·20 rows
+    every request, while the keyset form `WHERE key > last_seen
+    ORDER BY key LIMIT 20` is a pushed-down range predicate — the
+    scan SKIPS to the cursor via parquet min/max stats and reads one
+    page's worth, the same work for page 3 or page 3 million. The
+    key computes page 3 both ways implicitly: the cursor (max key of
+    the first 40 rows) is derived in-query, and the result must
+    equal rows 41–60 of the key order — proving cursor pagination
+    returns exactly the page OFFSET would, without OFFSET's
+    O(pages-scanned) cost."""
+    o = table(spark, sf_dir, "orders")
+    cursor = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(40)
+        .agg(F.max("o_orderkey").alias("last_seen"))
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(F.col("o_orderkey") > F.col("last_seen"))
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

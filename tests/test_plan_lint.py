@@ -185,6 +185,9 @@ ALLOWED = {
         "single-partition-exchange",
         "global-sort",
     },
+    # the 1-row cursor (last key of the previous page) broadcast
+    # into the scan filter — scalar-subquery shape.
+    "sort_keyset_pagination": {"cartesian"},
 }
 
 
