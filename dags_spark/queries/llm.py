@@ -2676,3 +2676,80 @@ def pipeline_trainprep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "multimodal_wav_features",
+    oracle="""
+WITH specs AS (
+  SELECT doc_id,
+         200 + (doc_id % 7) * 50 AS n_samples
+  FROM documents WHERE doc_id % 4 = 2
+),
+samples AS (
+  SELECT doc_id, i.i AS i,
+         ((i.i * 2654435761) % 65536) - 32768 AS s
+  FROM specs
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, n_samples - 1)) AS i
+  ) i
+),
+lagged AS (
+  SELECT doc_id, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+  FROM samples
+)
+SELECT doc_id,
+       CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                      AND (s >= 0) <> (prev_s >= 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM lagged GROUP BY doc_id
+""",
+    tags=("multimodal", "audio"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SIGNAL FEATURES from real PCM decode — the feature-
+    extraction stage after multimodal_audio_wav's container parse
+    (that key proves the RIFF walk; this computes what an audio
+    quality filter actually consumes): per clip, energy Σs², peak
+    amplitude, and the zero-crossing rate numerator — ZCR separates
+    voiced/tonal content from noise and silence, energy gates
+    clipping and dead air; all three are EXACT integers over the
+    decoded 16-bit samples, so the hash certifies genuine sample
+    arithmetic (the oracle recomputes from the generator's closed
+    form through the same sign convention, s >= 0). One Arrow
+    mapInPandas pass; payloads never leave the executor, one row of
+    scalars out per clip."""
+    from ..operators.multimodal import encode_wav_pattern, parse_wav
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    ).select("doc_id")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = 200 + int(i) % 7 * 50
+                payload = encode_wav_pattern(n, 8000 + int(i) % 3 * 4000)
+                _, _, _, samples = parse_wav(payload)
+                energy = sum(s * s for s in samples)
+                peak = max(abs(s) for s in samples)
+                zc = sum(
+                    1
+                    for a, b in zip(samples, samples[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                rows.append((int(i), energy, peak, zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "energy", "peak", "zero_crossings"]
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id BIGINT, energy BIGINT, peak BIGINT, zero_crossings BIGINT",
+    )
