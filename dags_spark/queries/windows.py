@@ -1438,3 +1438,110 @@ def agg_weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "win_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sess_no,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS full_path,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, sess_no
+),
+prefixed AS (
+  SELECT CASE WHEN n_events > 5
+              THEN array_to_string(string_split(full_path, '>')[1:5], '>')
+                   || '>...'
+              ELSE full_path END AS path,
+         n_events
+  FROM paths
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM prefixed GROUP BY path
+""",
+    tags=("window", "behavior"),
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH analysis — the Sankey/user-flow input (which
+    journeys actually happen, at what volume): sessions form by the
+    classic 30-minute-gap island construction (one user_id window —
+    the same machinery win_session_batch checks), each session
+    serializes its ordered event-type path (long sessions truncate
+    to a 5-step prefix + '...', keeping path cardinality bounded —
+    the practical fix for path explosion), and the corpus aggregates
+    (path, sessions, events). Within-session ORDER is pinned in the
+    plan: events collect as (ts, event_id, type) structs and
+    sort_array orders them before the join — never relying on
+    collect_list's undocumented ordering. Two windows share one
+    user_id exchange; the path agg shuffles path strings (bounded at
+    5 steps), not events."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "sess_no",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessions.groupBy("user_id", "sess_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda e: e.event_type,
+            ),
+            ">",
+        ).alias("full_path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    prefixed = paths.select(
+        F.when(
+            F.col("n_events") > 5,
+            F.concat(
+                F.array_join(
+                    F.slice(F.split("full_path", ">"), 1, 5), ">"
+                ),
+                F.lit(">..."),
+            ),
+        )
+        .otherwise(F.col("full_path"))
+        .alias("path"),
+        "n_events",
+    )
+    return prefixed.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
