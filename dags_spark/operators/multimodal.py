@@ -454,3 +454,52 @@ def sample_y4m_frames(buf: bytes, every_n: int) -> list[tuple[int, int, int, int
         pos += frame_len
         idx += 1
     return kept
+
+
+def y4m_luma_planes(buf: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Decode EVERY frame's raw luma plane from a Y4M stream:
+    (frame_idx, width, height, y_plane bytes). The plane-level sibling
+    of sample_y4m_frames (which reduces to checksums) — consumers
+    that compare frames (scene cuts, motion estimates) need the
+    actual pixels."""
+    header_end = buf.index(b"\n")
+    header = buf[:header_end].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    params = dict(
+        (p[0], p[1:]) for p in header.split()[1:] if p and p[0] in "WHFIAC"
+    )
+    width, height = int(params["W"]), int(params["H"])
+    y_len = width * height
+    uv_len = (width // 2) * (height // 2)
+    frame_len = y_len + 2 * uv_len
+    pos, idx, out = header_end + 1, 0, []
+    while pos < len(buf):
+        if buf[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos += 6
+        out.append((idx, width, height, buf[pos : pos + y_len]))
+        pos += frame_len
+        idx += 1
+    return out
+
+
+def encode_y4m_scenes(
+    width: int, height: int, n_frames: int, cut_every: int
+) -> bytes:
+    """Y4M stream with SCENE structure: luma is constant within a
+    scene (static shot) and jumps at scene boundaries — Y(f, x, y) =
+    (x*3 + y*5 + (f // cut_every) * 91) % 256. The shot-cut content
+    model scene-cut detection needs (encode_y4m_pattern's smooth
+    per-frame drift never produces a cut)."""
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    uv = bytes([128]) * ((width // 2) * (height // 2))
+    for f in range(n_frames):
+        scene = f // cut_every
+        y_plane = bytes(
+            (x * 3 + y * 5 + scene * 91) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        out.append(b"FRAME\n" + y_plane + uv + uv)
+    return b"".join(out)

@@ -2753,3 +2753,93 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id BIGINT, energy BIGINT, peak BIGINT, zero_crossings BIGINT",
     )
+
+
+@register(
+    "multimodal_video_scene_cut",
+    oracle="""
+WITH specs AS (
+  SELECT doc_id,
+         2 * (1 + doc_id % 5) AS w,
+         2 * (1 + doc_id % 4) AS h,
+         4 + doc_id % 5 AS n_frames,
+         2 + doc_id % 2 AS cut_every
+  FROM documents WHERE doc_id % 4 = 3
+),
+pairs AS (
+  SELECT doc_id, w, h, cut_every, f.f AS from_frame,
+         f.f // cut_every AS scene_a,
+         (f.f + 1) // cut_every AS scene_b
+  FROM specs
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, n_frames - 2)) AS f
+  ) f
+),
+px AS (
+  SELECT doc_id, w, h, from_frame, scene_a <> scene_b AS crosses,
+         (x.x * 3 + y.y * 5 + scene_a * 91) % 256 AS base
+  FROM pairs
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+)
+SELECT doc_id, CAST(from_frame AS BIGINT) AS from_frame,
+       CAST(SUM(CASE WHEN NOT crosses THEN 0
+                     WHEN base < 165 THEN 91 ELSE 165 END) AS BIGINT)
+         AS diff_sum,
+       SUM(CASE WHEN NOT crosses THEN 0
+                WHEN base < 165 THEN 91 ELSE 165 END) > 10 * w * h
+         AS is_cut
+FROM px GROUP BY doc_id, from_frame, w, h
+""",
+    tags=("multimodal", "video"),
+)
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SCENE-CUT detection over real decoded frames — the
+    shot-boundary pass a video curation pipeline runs before
+    sampling keyframes (multimodal_video_y4m samples every n-th
+    frame blindly; cut detection samples where content CHANGES):
+    every consecutive frame pair's summed absolute luma difference,
+    flagged as a cut when the mean per-pixel change exceeds 10
+    (integer cross-multiplication — no division). The clips have
+    real SCENE structure (encode_y4m_scenes: static shots with a
+    hard luma jump every 2-3 frames — the content model where cut
+    detection is meaningful; the smooth-drift generator never
+    produces one), so within-scene pairs flag False and boundary
+    pairs True — both outcomes carry real mass. The kernel decodes
+    EVERY frame's actual luma plane (y4m_luma_planes) and
+    differences real bytes; the oracle recomputes each |Δ| from the
+    scene closed form (the +91 scene step wraps mod 256: |Δ| = 165
+    exactly when base ≥ 165). One Arrow pass, frame pairs out."""
+    from ..operators.multimodal import encode_y4m_scenes, y4m_luma_planes
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    ).select("doc_id")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w = 2 * (1 + int(i) % 5)
+                h = 2 * (1 + int(i) % 4)
+                nf = 4 + int(i) % 5
+                ce = 2 + int(i) % 2
+                planes = y4m_luma_planes(encode_y4m_scenes(w, h, nf, ce))
+                for (fa, _, _, ya), (fb, _, _, yb) in zip(
+                    planes, planes[1:]
+                ):
+                    diff = sum(abs(a - b) for a, b in zip(ya, yb))
+                    rows.append(
+                        (int(i), fa, diff, diff > 10 * w * h)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "from_frame", "diff_sum", "is_cut"],
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id BIGINT, from_frame BIGINT, diff_sum BIGINT, is_cut BOOLEAN",
+    )
