@@ -1545,3 +1545,63 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "ts_week_over_week",
+    oracle="""
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS week_start,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+lagged AS (
+  SELECT week_start, c, n,
+         LAG(c) OVER (ORDER BY week_start) AS prev_c
+  FROM weekly
+)
+SELECT CAST(week_start AS TIMESTAMP) AS week_start, c AS revenue_cents, n,
+       CAST(prev_c AS BIGINT) AS prev_cents,
+       CASE WHEN prev_c IS NULL THEN NULL
+            ELSE ROUND((CAST(c AS DOUBLE) - prev_c) / prev_c, 6)
+       END AS wow_growth
+FROM lagged
+""",
+    tags=("timeseries", "agg"),
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week GROWTH — the first line of every revenue
+    dashboard, done hash-exactly: ISO-week purchase revenue in exact
+    cents, one LAG over the week grid (calendar-sized), growth as
+    one pinned division rounded 6dp with the first week NULL (no
+    prior — NULL, not zero: a 0% first week would read as 'flat').
+    Both engines' date_trunc('week') is ISO-Monday-aligned. The
+    corpus-scale work is the weekly rollup; everything after runs on
+    a handful of rows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week_start")
+    ).agg(
+        F.sum(cents("value")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("week_start")
+    lagged = weekly.withColumn("prev_c", F.lag("c").over(w))
+    return lagged.select(
+        F.col("week_start").cast("timestamp").alias("week_start"),
+        F.col("c").alias("revenue_cents"),
+        "n",
+        F.col("prev_c").cast("bigint").alias("prev_cents"),
+        F.when(
+            F.col("prev_c").isNotNull(),
+            F.round(
+                (F.col("c").cast("double") - F.col("prev_c"))
+                / F.col("prev_c"),
+                6,
+            ),
+        ).alias("wow_growth"),
+    )

@@ -188,6 +188,9 @@ ALLOWED = {
     # the 1-row cursor (last key of the previous page) broadcast
     # into the scan filter — scalar-subquery shape.
     "sort_keyset_pagination": {"cartesian"},
+    # the week grid is calendar-sized (a handful of rows): its LAG
+    # window is grid work, not corpus work.
+    "ts_week_over_week": {"single-partition-exchange"},
 }
 
 
