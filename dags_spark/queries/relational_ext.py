@@ -2100,3 +2100,56 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@register(
+    "agg_revenue_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM orders GROUP BY o_custkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * c) AS sq,
+         SUM(CAST(c AS HUGEINT)) AS s
+  FROM rev
+)
+SELECT n AS n_customers,
+       ROUND(CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+         AS hhi,
+       ROUND((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(sq AS DOUBLE), 3)
+         AS effective_n
+FROM m
+""",
+    tags=("stats", "agg"),
+)
+def agg_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of customer revenue —
+    the marketplace/antitrust concentration scalar pairing with
+    agg_gini_revenue (Gini measures inequality of the distribution;
+    HHI = Σ share² measures how few actors dominate, and its inverse
+    is the 'effective number of customers'). Squared cent sums
+    overflow int64 at scale (c² ~ 1e17 per whale), so the squares
+    accumulate in WIDE EXACT integers — Spark DECIMAL(38,0), DuckDB
+    HUGEINT — which stay order-free like any integer sum; the only
+    doubles are the two final pinned divisions (6dp / 3dp). One
+    customer-keyed agg + one 1-row reduction."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("c")
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    m = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cdec * F.col("c")).alias("sq"),
+        F.sum(cdec).alias("s"),
+    )
+    s_d, sq_d = F.col("s").cast("double"), F.col("sq").cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(sq_d / (s_d * s_d), 6).alias("hhi"),
+        F.round((s_d * s_d) / sq_d, 3).alias("effective_n"),
+    )

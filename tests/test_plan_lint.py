@@ -191,6 +191,9 @@ ALLOWED = {
     # the week grid is calendar-sized (a handful of rows): its LAG
     # window is grid work, not corpus work.
     "ts_week_over_week": {"single-partition-exchange"},
+    # the concentration index IS one global reduction (agg_global
+    # class); the corpus work is the customer-keyed rollup.
+    "agg_revenue_hhi": {"single-partition-exchange"},
 }
 
 
