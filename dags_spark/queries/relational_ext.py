@@ -2153,3 +2153,73 @@ def agg_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq_d / (s_d * s_d), 6).alias("hhi"),
         F.round((s_d * s_d) / sq_d, 3).alias("effective_n"),
     )
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, c,
+         CAST(SUM(c) OVER (ORDER BY c DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, c,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents
+FROM classed GROUP BY abc
+""",
+    tags=("agg", "behavior"),
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASSIFICATION of parts by revenue (the inventory-ops
+    staple: A = the head carrying ~80% of revenue, B = the next 15%,
+    C = the long tail) — the discretized sibling of
+    agg_pareto_customers (which finds a threshold prefix; this
+    stamps every item's class and reports class sizes, the picking
+    list a warehouse actually operates on). Class cuts are EXACT
+    integer cross-multiplications (cum·100 ≤ tot·80 — no share
+    doubles, no boundary flips); the descending running sum runs
+    through the two-phase global_cumsum machinery at scale (the
+    fixture-sized key states it as a window, the same contract
+    agg_pareto_customers pins two-phase). Ties break on the part
+    key so the class boundary is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("c")
+    )
+    wo = Window.orderBy(F.col("c").desc(), F.col("l_partkey").asc())
+    ranked = rev.select(
+        "l_partkey",
+        "c",
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    classed = ranked.select(
+        "c",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("c").alias("revenue_cents"),
+    )

@@ -194,6 +194,10 @@ ALLOWED = {
     # the concentration index IS one global reduction (agg_global
     # class); the corpus work is the customer-keyed rollup.
     "agg_revenue_hhi": {"single-partition-exchange"},
+    # the per-part cumsum states the two-phase global_cumsum
+    # contract as a window at fixture scale (agg_pareto_customers
+    # pins the two-phase machinery itself).
+    "agg_abc_classification": {"single-partition-exchange", "global-sort"},
 }
 
 
