@@ -309,6 +309,55 @@ _WIDEN = {
 }
 
 
+def _widens(got, want, path: str, problems: list[str]) -> None:
+    """Recursive value-preserving satisfy check: does a value of type
+    ``got`` satisfy an interface slot of type ``want`` without any
+    rewrite? Appends a violation description per mismatch (with a
+    dotted path into nested types) rather than short-circuiting, so
+    one call reports every defect."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    if isinstance(want, StructType) and isinstance(got, StructType):
+        have = {f.name: f for f in got.fields}
+        for f in want.fields:
+            g = have.get(f.name)
+            if g is None:
+                problems.append(f"missing field {path}{f.name}")
+                continue
+            _widens(g.dataType, f.dataType, f"{path}{f.name}.", problems)
+            if not f.nullable and g.nullable:
+                problems.append(f"{path}{f.name}: interface requires NOT NULL")
+        return
+    if isinstance(want, ArrayType) and isinstance(got, ArrayType):
+        _widens(got.elementType, want.elementType, path + "element.", problems)
+        if not want.containsNull and got.containsNull:
+            problems.append(f"{path}element: interface requires NOT NULL elements")
+        return
+    if isinstance(want, MapType) and isinstance(got, MapType):
+        _widens(got.keyType, want.keyType, path + "key.", problems)
+        _widens(got.valueType, want.valueType, path + "value.", problems)
+        if not want.valueContainsNull and got.valueContainsNull:
+            problems.append(f"{path}value: interface requires NOT NULL values")
+        return
+    if isinstance(want, DecimalType) and isinstance(got, DecimalType):
+        # decimal(p1,s1) fits decimal(p2,s2) iff the scale does not
+        # shrink and the integral digits do not shrink.
+        if want.scale >= got.scale and (want.precision - want.scale) >= (
+            got.precision - got.scale
+        ):
+            return
+        problems.append(
+            f"{path.rstrip('.') or 'value'}: {got.simpleString()} does not"
+            f" widen to {want.simpleString()}"
+        )
+        return
+    want_s, got_s = want.simpleString(), got.simpleString()
+    if want_s != got_s and (got_s, want_s) not in _WIDEN:
+        problems.append(
+            f"{path.rstrip('.') or 'value'}: {got_s} does not widen to {want_s}"
+        )
+
+
 def schema_implements(impl, iface_ddl) -> list[str]:
     """The reference's schema implements/inherits relation: does
     ``impl`` (a StructType or DDL string) satisfy the interface
@@ -324,11 +373,14 @@ def schema_implements(impl, iface_ddl) -> list[str]:
     casts — unlike ``schema=`` conformance, implements never rewrites
     data. Returns a list of violation descriptions (empty == ok).
 
-    Widening applies to TOP-LEVEL PRIMITIVE fields only: complex
-    types (struct/array/map, decimal precision) are compared for
-    exact equality, so e.g. an ``array<int>`` implementation of an
-    ``array<bigint>`` interface field is reported as a violation even
-    though it would be value-preserving. Conservative, never unsafe.
+    Widening RECURSES into nested types: ``array<int>`` implements
+    ``array<bigint>``, struct fields widen field-by-field (extra
+    nested fields allowed, nullability honored per-field), map keys
+    and values widen independently, and decimals widen when neither
+    the scale nor the integral-digit count shrinks. Violations carry
+    a dotted path into the nested slot. A non-nullable interface
+    slot (field / array element / map value) must be non-nullable in
+    the implementation.
     """
     from pyspark.sql.types import StructType
 
@@ -339,19 +391,8 @@ def schema_implements(impl, iface_ddl) -> list[str]:
         if isinstance(iface_ddl, StructType)
         else StructType.fromDDL(iface_ddl)
     )
-    have = {f.name: f for f in impl.fields}
     problems: list[str] = []
-    for f in iface.fields:
-        g = have.get(f.name)
-        if g is None:
-            problems.append(f"missing field {f.name}")
-            continue
-        want, got = f.dataType.simpleString(), g.dataType.simpleString()
-        widened = want == got or (got, want) in _WIDEN
-        if not widened:
-            problems.append(f"{f.name}: {got} does not widen to {want}")
-        if not f.nullable and g.nullable:
-            problems.append(f"{f.name}: interface requires NOT NULL")
+    _widens(impl, iface, "", problems)
     return problems
 
 

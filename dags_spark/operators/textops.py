@@ -65,9 +65,12 @@ def quality_expr(text_col: str = "text") -> F.Column:
     short_ratio = (
         F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tok
     )
+    # greatest(len, 1): an empty document has 0 chars; without the
+    # clamp the 0/0 punct ratio raises DIVIDE_BY_ZERO under ANSI
+    # (pinned by tests/test_edge_fixtures.py). 0 punct / 1 == 0.0.
     punct_ratio = (
         F.size(F.regexp_extract_all(text_col, F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
-        / F.length(text_col).cast("double")
+        / F.greatest(F.length(text_col), F.lit(1)).cast("double")
     )
     return F.round(
         F.lit(1.0)
@@ -96,9 +99,12 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     short_ratio = (
         F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("double") / n_tok
     )
+    # greatest(len, 1): an empty document has 0 chars; without the
+    # clamp the 0/0 punct ratio raises DIVIDE_BY_ZERO under ANSI
+    # (pinned by tests/test_edge_fixtures.py). 0 punct / 1 == 0.0.
     punct_ratio = (
         F.size(F.regexp_extract_all(text_col, F.lit("[^A-Za-z0-9 ]"), 0)).cast("double")
-        / F.length(text_col).cast("double")
+        / F.greatest(F.length(text_col), F.lit(1)).cast("double")
     )
     return docs.select(
         F.col(id_col),

@@ -1089,8 +1089,11 @@ reps AS (
   FROM f CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
 ),
 means AS (
+  -- HAVING guards the degenerate all-zero-weight replica (its mean
+  -- would otherwise go NULL and silently shift the rank-2/rank-31
+  -- order statistics); both engines drop such a replica identically.
   SELECT b, CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS m
-  FROM reps GROUP BY b
+  FROM reps GROUP BY b HAVING SUM(w) > 0
 ),
 ranked AS (
   SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
@@ -1132,8 +1135,19 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
         .selectExpr("event_id", "cents", "b", f"{_BOOT_W} AS w")
     )
-    means = reps.groupBy("b").agg(
-        (F.sum(F.col("w") * F.col("cents")).cast("double") / F.sum("w") / 100.0).alias("m")
+    # filter sum(w) > 0 mirrors the oracle's HAVING: a replica whose
+    # hash-derived weights were all zero would otherwise yield a NULL
+    # mean and silently shift the rank-2/31 order statistics (engines
+    # also disagree on NULL sort order, so the guard is a correctness
+    # fence, not just hygiene).
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("b", (F.col("wc").cast("double") / F.col("sw") / 100.0).alias("m"))
     )
     ranked = means.select(
         "m",

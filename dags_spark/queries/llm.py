@@ -2097,24 +2097,30 @@ s2 AS (
   GROUP BY a.pos, b.pos
 ),
 m AS (
-  SELECT i, j, (SELECT n FROM nn) * s2.s2 - si.s * sj.s AS m
+  -- HUGEINT: |M| grows as n^2 (n = corpus vector count) so BIGINT
+  -- products here have only ~2x headroom at 10x fixture scale; the
+  -- 128-bit lane keeps the scatter matrix and every matvec term
+  -- exact to n ~ 1e16 vectors.
+  SELECT i, j,
+         CAST((SELECT n FROM nn) AS HUGEINT) * s2.s2
+           - CAST(si.s AS HUGEINT) * sj.s AS m
   FROM s2 JOIN sums si ON si.pos = s2.i JOIN sums sj ON sj.pos = s2.j
 ),
 v0 AS (SELECT DISTINCT pos AS j, CAST(1000 AS BIGINT) AS v FROM q),
-w1 AS (SELECT m.i, CAST(SUM(m.m * v0.v) AS BIGINT) AS w
+w1 AS (SELECT m.i, SUM(m.m * v0.v) AS w
        FROM m JOIN v0 ON v0.j = m.j GROUP BY m.i),
 x1 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w1),
-v1 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x1) AS v
+v1 AS (SELECT i AS j, CAST(((w // 65536) * 1000) // (SELECT vmax FROM x1) AS BIGINT) AS v
           FROM w1),
-w2 AS (SELECT m.i, CAST(SUM(m.m * v1.v) AS BIGINT) AS w
+w2 AS (SELECT m.i, SUM(m.m * v1.v) AS w
        FROM m JOIN v1 ON v1.j = m.j GROUP BY m.i),
 x2 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w2),
-v2 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x2) AS v
+v2 AS (SELECT i AS j, CAST(((w // 65536) * 1000) // (SELECT vmax FROM x2) AS BIGINT) AS v
           FROM w2),
-w3 AS (SELECT m.i, CAST(SUM(m.m * v2.v) AS BIGINT) AS w
+w3 AS (SELECT m.i, SUM(m.m * v2.v) AS w
        FROM m JOIN v2 ON v2.j = m.j GROUP BY m.i),
 x3 AS (SELECT GREATEST(MAX(ABS(w // 65536)), 1) AS vmax FROM w3),
-v3 AS (SELECT i AS j, ((w // 65536) * 1000) // (SELECT vmax FROM x3) AS v
+v3 AS (SELECT i AS j, CAST(((w // 65536) * 1000) // (SELECT vmax FROM x3) AS BIGINT) AS v
           FROM w3)
 SELECT CAST(j AS INTEGER) AS pos, CAST(v AS BIGINT) AS pc1_scaled
 FROM v3
@@ -2130,8 +2136,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-units (FLOOR, BIGINT), the second-moment table S[i,j] comes
     from a vec_id-partitioned self-join (|V| x d^2 rows, shuffle on
     vec_id only), and the centered scatter M = n*S - s_i*s_j is pure
-    integer algebra (bounds: |q|<=578, so |M| <= n^2*578^2 ~ 1.3e12
-    at sf0.1 — int64-safe; matvec terms peak ~9e16 < 2^63). Phase 2
+    integer algebra in a 128-bit lane (Spark DECIMAL(38,0) / DuckDB
+    HUGEINT): |M| grows as n^2 (|q|<=578 so |M| <= n^2*578^2), which
+    outgrows int64 around 10x fixture scale — the wide lane keeps
+    scatter + matvec exact to n ~ 1e16 vectors, erroring loudly
+    under ANSI beyond that instead of wrapping. Phase 2
     iterates v' = M.v twice on CONSTANT-SIZE tables (M is d^2 = 4096
     rows, v is d rows, broadcast): after each matvec the vector
     renormalizes to scale 1000 by truncating integer division
@@ -2170,11 +2179,22 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     si = sums.select(F.col("pos").alias("i"), F.col("s").alias("si"))
     sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    # DECIMAL(38,0) lane for the scatter matrix + matvec (oracle:
+    # HUGEINT): |M| grows as n^2, so the BIGINT version had only ~2x
+    # headroom at 10x fixture scale — 128-bit accumulation keeps the
+    # recurrence exact (and loudly checked under ANSI) to n ~ 1e16.
     m = (
         s2.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
         .crossJoin(F.broadcast(nn))
-        .select("i", "j", (F.col("n") * F.col("s2") - F.col("si") * F.col("sj")).alias("m"))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("s2")
+                - F.col("si").cast("decimal(38,0)") * F.col("sj")
+            ).alias("m"),
+        )
     )
     v = q.select("pos").distinct().select(
         F.col("pos").alias("j"), F.lit(1000).cast("bigint").alias("v")
@@ -2185,12 +2205,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("i"))
             .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
         )
-        # pre-shrink before the x1000 renorm: |w| peaks ~2e16, and
-        # w*1000 would transiently overflow int64; a truncating div
+        # pre-shrink before the x1000 renorm with a truncating div
         # (identical in Spark `div` and DuckDB `//`, both toward
-        # zero) keeps every intermediate in range without touching
-        # cross-engine exactness.
-        ws = w.selectExpr("i", "w div 65536 AS ws")
+        # zero); the post-shrink value is back in comfortable int64
+        # range, so the renormalized vector stays BIGINT.
+        ws = w.selectExpr("i", "CAST(w div 65536 AS BIGINT) AS ws")
         vmax = ws.agg(
             F.greatest(F.max(F.abs("ws")), F.lit(1).cast("bigint")).alias("vmax")
         )
@@ -2228,10 +2247,13 @@ SELECT n_cand, n_truth, n_tp,
        ROUND(CAST(n_tp AS DOUBLE) / n_cand, 6) AS precision_at,
        ROUND(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall_at
 FROM tp CROSS JOIN nc CROSS JOIN nt
-""".format(
-        banded=_spec_oracle("dedup_minhash_banded"),
-        jaccard=_spec_oracle("dedup_ngram_jaccard"),
-    ),
+""".replace(
+        # plain .replace, NOT str.format: a lifted component oracle
+        # may legally contain literal braces (regex quantifiers like
+        # {2,}, struct literals) which would make .format raise at
+        # import time for the whole package.
+        "{banded}", _spec_oracle("dedup_minhash_banded")
+    ).replace("{jaccard}", _spec_oracle("dedup_ngram_jaccard")),
     tags=("dedup", "eval"),
 )
 def dedup_eval_banding_pr(spark: SparkSession, sf_dir: str) -> DataFrame:

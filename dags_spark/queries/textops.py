@@ -53,7 +53,7 @@ WITH q AS (
          CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
            / len(string_split(text, ' ')) AS short_ratio_raw,
          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS punct_ratio_raw
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio_raw
   FROM documents
 )
 SELECT doc_id,
@@ -133,7 +133,7 @@ WITH q AS (
            - 0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
                     / len(string_split(text, ' ')))
            - 0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE)), 6) AS quality
+                    / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
   FROM documents
 ),
 kept AS (
@@ -1184,7 +1184,12 @@ SELECT lang AS actual_lang, pred_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM preds
 GROUP BY lang, pred_lang
-""".format(langid=_langid_oracle()),
+""".replace(
+        # plain .replace, NOT str.format: the lifted langid oracle may
+        # legally gain literal braces (regex quantifiers like {2,})
+        # which would make .format raise at import time.
+        "{langid}", _langid_oracle()
+    ),
     tags=("text", "eval"),
 )
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

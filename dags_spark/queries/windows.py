@@ -1193,8 +1193,12 @@ stats AS (
   FROM v
 ),
 cusum AS (
+  -- HUGEINT lane: n*prefix grows as n^2 per user series (prefix is
+  -- itself O(n*cents)), which outgrows int64 for ~1e7-event users;
+  -- 128-bit keeps the statistic exact, final CAST stays BIGINT and
+  -- errors loudly if a peak ever exceeds it.
   SELECT user_id, event_id, t, n,
-         n * prefix - t * total AS c_scaled
+         CAST(n AS HUGEINT) * prefix - CAST(t AS HUGEINT) * total AS c_scaled
   FROM stats WHERE n >= 20
 ),
 peak AS (
@@ -1219,8 +1223,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing ONE user_id sort), so both the argmax position and the
     peak magnitude are hash-exact — no float mean, no tie ambiguity
     (equal |C| resolves to the earliest t). Users under 20 points
-    are withheld (cold-start). Overflow: n ≤ 1e4·cents 1e5 → n·prefix
-    ≤ 1e13 at fixture scales, int64-safe by five orders. Emitted
+    are withheld (cold-start). Overflow: n·prefix is O(n²·cents) per
+    user series, so the statistic runs in a 128-bit lane
+    (DECIMAL(38,0) / HUGEINT — exact to ~1e7-event users even at
+    cents 1e5) and only the final peak casts back to BIGINT,
+    failing loudly under ANSI rather than wrapping. Emitted
     per user: the most likely change location and its scaled CUSUM
     peak — the triage list a monitoring pipeline pages on."""
     ev = table(spark, sf_dir, "events")
@@ -1243,9 +1250,14 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "t",
         "n",
-        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias(
-            "c_scaled"
-        ),
+        # DECIMAL(38,0) lane mirrors the oracle's HUGEINT: n*prefix is
+        # O(n^2 * cents) per user series and outgrows int64 around
+        # ~1e7 events/user; the final output cast back to BIGINT
+        # errors loudly under ANSI rather than wrapping.
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("t").cast("decimal(38,0)") * F.col("total")
+        ).alias("c_scaled"),
     )
     rk = F.row_number().over(
         Window.partitionBy("user_id").orderBy(

@@ -251,6 +251,52 @@ def test_schema_implements_relation(spark):
     assert schema_implements("a STRING", "a INT")    # string never widens
 
 
+def test_schema_implements_nested_widening(spark):
+    from dags_spark.graph.core import schema_implements
+
+    # array element widening satisfies; narrowing fails with a path
+    assert schema_implements("a ARRAY<INT>", "a ARRAY<BIGINT>") == []
+    probs = schema_implements("a ARRAY<BIGINT>", "a ARRAY<INT>")
+    assert probs and "a.element" in probs[0] and "does not widen" in probs[0]
+
+    # struct fields widen field-by-field; extra nested fields allowed
+    assert schema_implements(
+        "s STRUCT<x: INT, y: FLOAT, extra: STRING>",
+        "s STRUCT<x: BIGINT, y: DOUBLE>",
+    ) == []
+    probs = schema_implements("s STRUCT<x: STRING>", "s STRUCT<x: INT>")
+    assert probs and "s.x" in probs[0]
+    assert "missing field s.y" in schema_implements(
+        "s STRUCT<x: INT>", "s STRUCT<x: INT, y: INT>"
+    )[0]
+
+    # map keys and values widen independently
+    assert schema_implements(
+        "m MAP<INT, FLOAT>", "m MAP<BIGINT, DOUBLE>"
+    ) == []
+    probs = schema_implements("m MAP<BIGINT, INT>", "m MAP<INT, BIGINT>")
+    assert probs and "m.key" in probs[0]
+
+    # decimal: scale and integral digits must not shrink
+    assert schema_implements("d DECIMAL(10,2)", "d DECIMAL(20,2)") == []
+    assert schema_implements("d DECIMAL(10,2)", "d DECIMAL(20,4)") == []
+    assert schema_implements("d DECIMAL(20,2)", "d DECIMAL(10,2)")
+    assert schema_implements("d DECIMAL(10,4)", "d DECIMAL(10,2)")
+
+    # deep nesting: array<struct<...>> recurses all the way down
+    assert schema_implements(
+        "a ARRAY<STRUCT<v: INT, tag: STRING>>",
+        "a ARRAY<STRUCT<v: BIGINT>>",
+    ) == []
+    probs = schema_implements(
+        "a ARRAY<STRUCT<v: DOUBLE>>", "a ARRAY<STRUCT<v: FLOAT>>"
+    )
+    assert probs and "a.element.v" in probs[0]
+
+    # a non-struct where a struct is required is a plain type mismatch
+    assert schema_implements("s INT", "s STRUCT<x: INT>")
+
+
 def test_graph_node_implements_enforced(spark):
     import pytest as _pytest
 

@@ -91,6 +91,16 @@ HEAVY = {
     "ts_anomaly_exact": 30,
     "dq_completeness_profile": 30,
     "pipeline_trainprep_end2end": 60,
+    # round-5 additions (healthy 0.4-6 s at sf0.1, measured)
+    "win_session_paths": 45,
+    "multimodal_video_scene_cut": 20,
+    "multimodal_wav_features": 15,
+    "multimodal_phash_dedup": 15,
+    "dedup_cross_source_matrix": 15,
+    "dedup_exact_sharded": 15,
+    "ts_cusum_changepoint": 15,
+    "ts_autocorrelation": 15,
+    "win_rfm_segmentation": 15,
 }
 
 
@@ -127,6 +137,15 @@ STRESS = {
     # round-4 session-3: PMI rides the 20x documents (bigram agg is
     # corpus-sized; an unbroadcast unigram join would blow this).
     "text_collocations_pmi": 240,
+    # round-5: session paths ride 2M events on 20x-hot user keys (an
+    # unguarded per-user path explosion would go quadratic); sharded
+    # dedup + cross-source matrix ride 20x near-dup documents; PCA
+    # rides 20x embeddings (the d^2 self-join must stay linear in
+    # |V|, and the DECIMAL matvec lane absorbs the n^2 growth).
+    "win_session_paths": 180,
+    "dedup_exact_sharded": 120,
+    "dedup_cross_source_matrix": 180,
+    "embedding_pca_power": 240,
 }
 
 
