@@ -53,6 +53,18 @@ class NodeSpec:
     unique_on: tuple[str, ...] = ()
     order_by: tuple[str, ...] = ()  # recency columns (desc) for unique_on dedupe
     materialize: bool = False
+    # run observability: aliased aggregate Columns computed ON THE TASK
+    # STREAM via df.observe() while the node's normal actions run —
+    # zero extra scans (the obs_pipeline_metrics mechanism lifted into
+    # the orchestration layer).
+    observe: tuple = ()
+    # quality gate on the observed row count; requires materialize=True
+    # (a lazy node runs no action inside run(), so there is nothing to
+    # gate on yet).
+    min_rows: int | None = None
+    # transient-failure policy: re-invoke the pipe up to `retries`
+    # extra times before the run fails.
+    retries: int = 0
 
 
 class GraphError(Exception):
@@ -76,8 +88,17 @@ class Graph:
         order_by: tuple[str, ...] | list[str] = (),
         materialize: bool = False,
         implements: str | None = None,
+        observe: tuple | list = (),
+        min_rows: int | None = None,
+        retries: int = 0,
     ):
         """Decorator: register a Python pipe ``fn(spark, deps)``."""
+        if min_rows is not None and not materialize:
+            raise GraphError(
+                "min_rows requires materialize=True: a lazy node runs no"
+                " action inside run(), so its observed metrics (and the"
+                " gate) would only resolve at some later caller action"
+            )
 
         def deco(fn):
             node_name = name or fn.__name__
@@ -91,6 +112,9 @@ class Graph:
                     order_by=tuple(order_by),
                     materialize=materialize,
                     implements=implements,
+                    observe=tuple(observe),
+                    min_rows=min_rows,
+                    retries=retries,
                 )
             )
             return fn
@@ -169,22 +193,96 @@ class Graph:
             raise GraphError("output_dir required for materialize/incremental runs")
         results: dict[str, DataFrame] = {}
         pending_ledger: list[tuple[str, set[str]]] = []
+        self._observations: dict[str, object] = {}
         for name in self._topo_order():
             spec = self._nodes[name]
-            df = self._produce(
-                spark, spec, results, output_dir, incremental, pending_ledger,
-                run_params,
-            )
-            if spec.unique_on:
-                order = [F.col(c).desc() for c in spec.order_by] or [
-                    F.col(c).desc() for c in spec.unique_on
-                ]
-                df = latest_by_key(df, list(spec.unique_on), order)
-            if spec.schema is not None:
-                df = _conform(df, spec.schema)
-            if spec.implements is not None:
-                _check_implements(df, spec.implements, spec.name)
-            if spec.materialize:
+            if spec.retries == 0:
+                # no policy declared: the pipe's own exception propagates
+                # untouched (and nothing was committed — reruns are safe).
+                df = self._run_node(
+                    spark, spec, results, output_dir, incremental,
+                    pending_ledger, run_params,
+                )
+            else:
+                last_err: Exception | None = None
+                for attempt in range(spec.retries + 1):
+                    try:
+                        df = self._run_node(
+                            spark, spec, results, output_dir, incremental,
+                            pending_ledger, run_params,
+                        )
+                        break
+                    except GraphError:
+                        raise  # schema/contract violations never heal on retry
+                    except Exception as e:  # noqa: BLE001 — transient faults
+                        last_err = e
+                else:
+                    raise GraphError(
+                        f"node {name} failed after {spec.retries + 1} attempts"
+                    ) from last_err
+            results[name] = df
+        # Ledger commits are deferred to HERE — after every node's action
+        # completed. If any node raised above, nothing was committed, so a
+        # rerun reprocesses the same source files instead of silently
+        # skipping them (no at-most-once data loss in the incremental
+        # path). Note the unit of progress is the whole run: downstream
+        # consumption of non-materialized (lazy) nodes must happen inside
+        # the run (materialize=True on the consuming node) for the ledger
+        # to guarantee the files were actually processed.
+        for ledger_path, files in pending_ledger:
+            os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
+            with open(ledger_path, "w") as fh:
+                json.dump({"files": sorted(files)}, fh)
+        return results
+
+    def metrics(self, node: str) -> dict:
+        """Observed metrics for a node from the LAST run. Resolved
+        already for materialized nodes (their action ran inside
+        run()); for lazy nodes this blocks until the caller's first
+        action over the node's plan executes."""
+        obs = self._observations.get(node)
+        if obs is None:
+            raise GraphError(f"node {node} declared no observe metrics")
+        return dict(obs.get)
+
+    def _run_node(
+        self,
+        spark: SparkSession,
+        spec: NodeSpec,
+        results: dict[str, DataFrame],
+        output_dir: str | None,
+        incremental: bool,
+        pending_ledger: list[tuple[str, set[str]]],
+        run_params: dict,
+    ) -> DataFrame:
+        name = spec.name
+        df = self._produce(
+            spark, spec, results, output_dir, incremental, pending_ledger,
+            run_params,
+        )
+        if spec.unique_on:
+            order = [F.col(c).desc() for c in spec.order_by] or [
+                F.col(c).desc() for c in spec.unique_on
+            ]
+            df = latest_by_key(df, list(spec.unique_on), order)
+        if spec.schema is not None:
+            df = _conform(df, spec.schema)
+        if spec.implements is not None:
+            _check_implements(df, spec.implements, spec.name)
+        if spec.observe or spec.min_rows is not None:
+            from pyspark.sql import Observation
+
+            # metrics ride the node's own actions (df.observe = an
+            # AggregatingAccumulator over the task stream, zero extra
+            # scans). A fresh Observation per attempt: one instance
+            # can only ever attach to one plan.
+            metrics = list(spec.observe)
+            if spec.min_rows is not None:
+                metrics.append(F.count(F.lit(1)).alias("_graph_rows"))
+            obs = Observation()
+            df = df.observe(obs, *metrics)
+            self._observations[name] = obs
+        if spec.materialize:
                 out_path = os.path.join(output_dir, name)
                 # Crash recovery for the snapshot swap below: a failure
                 # between its two renames leaves the previous snapshot at
@@ -224,21 +322,20 @@ class Graph:
                 else:
                     mode = "append" if incremental else "overwrite"
                     df.write.mode(mode).parquet(out_path)
+                if spec.min_rows is not None:
+                    # the write above was the action; the gate reads the
+                    # observed count, not a second scan. A failed gate
+                    # fails the run BEFORE the ledger commits, so an
+                    # incremental rerun reprocesses the same files.
+                    got = dict(self._observations[name].get)
+                    n = got.get("_graph_rows", 0)
+                    if n < spec.min_rows:
+                        raise GraphError(
+                            f"node {name}: quality gate failed —"
+                            f" {n} rows < min_rows={spec.min_rows}"
+                        )
                 df = spark.read.parquet(out_path)
-            results[name] = df
-        # Ledger commits are deferred to HERE — after every node's action
-        # completed. If any node raised above, nothing was committed, so a
-        # rerun reprocesses the same source files instead of silently
-        # skipping them (no at-most-once data loss in the incremental
-        # path). Note the unit of progress is the whole run: downstream
-        # consumption of non-materialized (lazy) nodes must happen inside
-        # the run (materialize=True on the consuming node) for the ledger
-        # to guarantee the files were actually processed.
-        for ledger_path, files in pending_ledger:
-            os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
-            with open(ledger_path, "w") as fh:
-                json.dump({"files": sorted(files)}, fh)
-        return results
+        return df
 
     def _produce(
         self,

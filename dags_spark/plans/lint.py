@@ -21,6 +21,24 @@ constructs that are fine at sf0.01 and fatal at scale:
                   by a limit (TakeOrderedAndProject is fine). Often
                   intentional (sorted output); flagged so the intent
                   is explicit.
+  dim-shuffle-join
+                  A scan of an ALWAYS-small dimension table (region /
+                  nation — bounded by world geography at any SF)
+                  whose nearest join ancestor is a SortMergeJoin or
+                  ShuffledHashJoin: the broadcast was lost, and the
+                  big side now shuffles to meet a 25-row table. The
+                  linter walks the tree's parent chain, so a dim scan
+                  under a BroadcastExchange (or as the streamed side
+                  of a BroadcastHashJoin) stays clean.
+  unpruned-partition-scan
+                  A scan of a PARTITIONED parquet layout with no
+                  partition filter at all. Partition columns are
+                  detectable purely from the plan text: they appear
+                  in the scan's Output but never in its ReadSchema
+                  (they live in directory names, not files) — when
+                  such a scan carries no PartitionFilters line, every
+                  partition is read. Legitimate for whole-table
+                  aggregates; allowlisted per key where intended.
 
 Usage:
     from dags_spark.plans import lint_plan
@@ -91,4 +109,88 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     ):
         hit("global-sort", tree[sort_idxs[0]])
 
+    findings.extend(_scan_findings(tree, lines))
+    return findings
+
+
+_ALWAYS_DIM = ("region.parquet", "nation.parquet")
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a formatted-explain tree line: the prefix is 3-char
+    groups of ':  ', ':- ', '+- ' or spaces before the node name."""
+    i = 0
+    while line[i : i + 3] in (":  ", ":- ", "+- ", "   "):
+        i += 3
+    return i // 3
+
+
+def _scan_findings(tree: list[str], lines: list[str]) -> list[Finding]:
+    """Per-scan structural checks that need the detail section:
+    dim-shuffle-join and unpruned-partition-scan."""
+    findings: list[Finding] = []
+
+    # detail section: "(N) Scan parquet" header followed by Output /
+    # Location / PartitionFilters / ReadSchema lines until blank.
+    details: dict[str, dict[str, str]] = {}
+    cur = None
+    for line in lines:
+        s = line.strip()
+        if s.startswith("(") and ")" in s:
+            nid = s[1 : s.index(")")]
+            cur = details.setdefault(nid, {"header": s})
+        elif cur is not None and ":" in s:
+            # "Output [2]: [...]" -> key "Output"; "Location: ..." etc.
+            k = s.split(":", 1)[0].split("[")[0].strip()
+            cur[k] = s
+        elif not s:
+            cur = None
+
+    for idx, line in enumerate(tree):
+        if "Scan parquet" not in line:
+            continue
+        # node id is the trailing "(N)" on the tree line
+        nid = line.rstrip().rsplit("(", 1)[-1].rstrip(")")
+        d = details.get(nid, {})
+        loc = d.get("Location", "")
+
+        # --- dim-shuffle-join: walk the parent chain up the tree ---
+        if any(t in loc for t in _ALWAYS_DIM):
+            depth = _tree_depth(tree[idx])
+            want = depth - 1
+            for j in range(idx - 1, -1, -1):
+                if want < 0:
+                    break
+                if _tree_depth(tree[j]) != want:
+                    continue
+                node = tree[j]
+                want -= 1
+                if "BroadcastExchange" in node or "BroadcastHashJoin" in node:
+                    break  # broadcast reached this dim side first: fine
+                if "SortMergeJoin" in node or "ShuffledHashJoin" in node:
+                    findings.append(
+                        Finding("dim-shuffle-join", node.strip().lstrip("+-:* "))
+                    )
+                    break
+
+        # --- unpruned-partition-scan ---
+        out = d.get("Output", "")
+        schema = d.get("ReadSchema", "")
+        if out and schema:
+            # "Output [5]: [c_custkey#1L, ...]" -> the bracket AFTER
+            # the colon holds the column list.
+            body = out.split(":", 1)[1]
+            cols = [
+                c.split("#", 1)[0].strip()
+                for c in body[body.find("[") + 1 : body.rfind("]")].split(",")
+                if "#" in c
+            ]
+            part_cols = [c for c in cols if c and f"{c}:" not in schema]
+            if part_cols and "PartitionFilters" not in d:
+                findings.append(
+                    Finding(
+                        "unpruned-partition-scan",
+                        f"Scan parquet ({nid}) partition cols {part_cols}",
+                    )
+                )
     return findings

@@ -511,3 +511,81 @@ def graph_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return deps["clean_counts"].unionByName(deps["quarantine_counts"])
 
     return g.run(spark)["report"]
+
+
+@register(
+    "graph_observed_run",
+    oracle="""
+SELECT node, metric, value FROM (
+  SELECT 'purchases' AS node, 'n_rows' AS metric,
+         CAST(COUNT(*) AS BIGINT) AS value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'purchases', 'sum_cents',
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'daily', 'n_rows', CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+  FROM events WHERE event_type = 'purchase'
+)
+""",
+    tags=("graph", "observability"),
+)
+def graph_observed_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN OBSERVABILITY lifted into the orchestration layer: each
+    node declares `observe=` aggregate metrics and Graph.run computes
+    them via df.observe() ON THE TASK STREAM of the node's own
+    materialize action — per-node row counts and quality sums with
+    ZERO extra scans (an AggregatingAccumulator rides the write job;
+    obs_pipeline_metrics generalized from one query to the DAG). The
+    returned table IS the run's metric ledger — (node, metric, value)
+    — and hash-checking it against first-principles SQL proves the
+    observed numbers equal what a full re-aggregation would compute.
+    `min_rows=1` on each node also exercises the built-in quality
+    gate (a failing gate aborts the run before any ledger commit);
+    tests/test_graph.py covers the gate-failure and retry paths."""
+    import tempfile
+
+    from . import cents
+
+    work = tempfile.mkdtemp(prefix="dags_graph_observed_q_")
+    g = Graph("observed")
+
+    @g.node(
+        name="purchases",
+        materialize=True,
+        min_rows=1,
+        observe=(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("value")).alias("sum_cents"),
+        ),
+    )
+    def purchases(spark: SparkSession, deps) -> DataFrame:
+        return (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "ts", "user_id", "value")
+        )
+
+    @g.node(
+        name="daily",
+        upstream=["purchases"],
+        materialize=True,
+        min_rows=1,
+        observe=(F.count(F.lit(1)).alias("n_rows"),),
+    )
+    def daily(spark: SparkSession, deps) -> DataFrame:
+        return (
+            deps["purchases"]
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"))
+        )
+
+    g.run(spark, output_dir=work)
+    rows = []
+    for node in ("purchases", "daily"):
+        for metric, value in sorted(g.metrics(node).items()):
+            if metric == "_graph_rows":
+                continue  # internal gate metric, not part of the ledger
+            rows.append((node, metric, int(value)))
+    return spark.createDataFrame(rows, "node STRING, metric STRING, value BIGINT")

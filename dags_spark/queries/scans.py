@@ -95,19 +95,26 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        COUNT(*) AS n_orders,
        {SQL_DEC_SUM('o_totalprice')} AS year_value
 FROM orders
+WHERE year(o_orderdate) >= 1995
 GROUP BY 1
 """,
 )
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write orders partitioned by year (hive layout), read back, and
-    aggregate per partition — the read-back scan prunes partitions by
-    directory, the standard 100 TB sink layout."""
+    """Write orders partitioned by year (hive layout), read back with
+    a partition-column predicate, and aggregate per partition. The
+    predicate PROVES directory pruning — the read-back plan carries
+    `PartitionFilters: [(o_year >= 1995)]` and never opens the
+    earlier years' files (asserted by the plan linter's
+    unpruned-partition-scan code and tests/test_plans.py); an
+    unfiltered read-back of a partitioned layout is exactly the
+    100 TB accident the standard hive sink layout exists to
+    prevent."""
     out = os.path.join(_tmpdir("sink"), "orders_by_year")
     o = table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") >= 1995)
     return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("year_value"),

@@ -475,3 +475,84 @@ def test_sql_node_params_bind_and_rebind(spark, sf_dir):
 
     g2.sql_node("n", "SELECT COUNT(*) AS n FROM src", upstream=["src"])
     assert g2.run(spark)["n"].collect()[0]["n"] > 0
+
+
+def test_graph_observe_metrics_ride_materialize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dags_spark.graph.core import Graph
+
+    g = Graph("obs")
+
+    @g.node(
+        name="nums",
+        materialize=True,
+        observe=(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").alias("sum_id"),
+        ),
+    )
+    def nums(spark_, deps):
+        return spark_.range(10)
+
+    out = g.run(spark, output_dir=str(tmp_path))["nums"]
+    m = g.metrics("nums")
+    assert m["n_rows"] == 10 and m["sum_id"] == 45
+    assert out.count() == 10
+
+
+def test_graph_min_rows_gate_fails_before_ledger(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dags_spark.graph.core import Graph, GraphError
+
+    g = Graph("gated")
+
+    @g.node(name="empty", materialize=True, min_rows=5)
+    def empty(spark_, deps):
+        return spark_.range(10).filter(F.col("id") < 0)
+
+    with _pytest.raises(GraphError, match="quality gate"):
+        g.run(spark, output_dir=str(tmp_path))
+
+    # min_rows without materialize is a declaration error, not a
+    # silent never-evaluated gate
+    g2 = Graph("lazy_gate")
+    with _pytest.raises(GraphError, match="min_rows requires materialize"):
+
+        @g2.node(name="x", min_rows=1)
+        def x(spark_, deps):
+            return spark_.range(1)
+
+
+def test_graph_retries_heal_transient_failures(spark):
+    import pytest as _pytest
+
+    from dags_spark.graph.core import Graph, GraphError
+
+    calls = {"n": 0}
+    g = Graph("flaky")
+
+    @g.node(name="flaky", retries=2)
+    def flaky(spark_, deps):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return spark_.range(3)
+
+    out = g.run(spark)["flaky"]
+    assert out.count() == 3 and calls["n"] == 3
+
+    # exhausted retries surface as GraphError chaining the last fault
+    calls2 = {"n": 0}
+    g2 = Graph("doomed")
+
+    @g2.node(name="doomed", retries=1)
+    def doomed(spark_, deps):
+        calls2["n"] += 1
+        raise RuntimeError("always")
+
+    with _pytest.raises(GraphError, match="after 2 attempts"):
+        g2.run(spark)
+    assert calls2["n"] == 2

@@ -198,6 +198,14 @@ ALLOWED = {
     # contract as a window at fixture scale (agg_pareto_customers
     # pins the two-phase machinery itself).
     "agg_abc_classification": {"single-partition-exchange", "global-sort"},
+    # _metadata.file_name is a HIDDEN metadata column: it appears in
+    # the scan Output but never in ReadSchema, which is also the
+    # linter's partition-column signature — and reading per-file
+    # metadata for EVERY file is this key's purpose.
+    "scan_file_metadata": {"unpruned-partition-scan"},
+    # the stream read-back aggregates across every __batch_id
+    # partition BY DESIGN (the sink wrote them; the check sums them).
+    "source_python_datasource_stream": {"unpruned-partition-scan"},
 }
 
 
@@ -251,6 +259,37 @@ def test_lint_catches_cartesian_and_single_partition(spark):
     ranked = a.withColumn("rn", F.row_number().over(w))
     codes = {f.code for f in lint_plan(ranked)}
     assert "single-partition-exchange" in codes
+
+
+def test_lint_catches_dim_shuffle_join_and_unpruned_scan(spark, sf_dir, tmp_path):
+    """Self-test for the round-5 codes: a nation scan feeding a
+    SortMergeJoin trips dim-shuffle-join (and stays clean when
+    broadcast); a partitioned read without a partition predicate
+    trips unpruned-partition-scan (and stays clean when pruned)."""
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj = cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        assert "dim-shuffle-join" in {f.code for f in lint_plan(smj)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bhj = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    assert "dim-shuffle-join" not in {f.code for f in lint_plan(bhj)}
+
+    d = str(tmp_path / "t")
+    spark.range(100).select("id", (F.col("id") % 5).alias("p")).write.partitionBy(
+        "p"
+    ).parquet(d)
+    unpruned = spark.read.parquet(d).filter(F.col("id") > 50)
+    assert "unpruned-partition-scan" in {f.code for f in lint_plan(unpruned)}
+    pruned = spark.read.parquet(d).filter(F.col("p") == 3)
+    assert "unpruned-partition-scan" not in {f.code for f in lint_plan(pruned)}
 
 
 def test_global_rank_matches_single_window(spark):

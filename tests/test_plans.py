@@ -453,3 +453,43 @@ def test_analyze_table_stats_feed_cbo(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats_probe")
+
+
+def test_jdbc_read_is_partitioned_pruned_and_pushes_filters(spark, sf_dir):
+    """The Derby JDBC read path (source_jdbc): the extract must be
+    issued as numPartitions range-bounded queries, column pruning
+    must reach the generated SQL (nation never ships n_name), and a
+    predicate added above the whole join+agg must push down into the
+    remote query on BOTH sides (transitively inferred onto nation
+    via the join key) — the three properties that make a warehouse
+    extract parallel and minimal at scale."""
+    from pyspark.sql import functions as F
+
+    df = all_specs()["source_jdbc"].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    plan = df._jdf.queryExecution().explainString(mode("formatted"))
+    assert "JDBCRelation(region) [numPartitions=2]" in plan
+    assert "JDBCRelation(nation) [numPartitions=2]" in plan
+    # pruning is visible in the exact SQL sent to the remote engine
+    assert '"n_nationkey","n_regionkey" FROM nation' in plan
+    assert "n_name" not in plan, "nation scan ships an unused column"
+
+    plan2 = (
+        df.filter(F.col("r_regionkey") < 3)
+        ._jdf.queryExecution()
+        .explainString(mode("formatted"))
+    )
+    assert "LessThan(r_regionkey,3)" in plan2, "filter not pushed to region"
+    assert "LessThan(n_regionkey,3)" in plan2, (
+        "filter not transitively pushed through the join to nation"
+    )
+
+
+def test_partitioned_sink_readback_prunes_directories(spark, sf_dir):
+    """sink_parquet_partitioned: the hive-layout read-back carries a
+    PartitionFilters entry on o_year, so pre-1995 directories are
+    never opened — the property the unpruned-partition-scan lint
+    code enforces across the registry."""
+    plan = _formatted_plan(spark, "sink_parquet_partitioned", sf_dir)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf and "1995" in pf, pf
