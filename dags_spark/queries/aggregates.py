@@ -1488,3 +1488,216 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tw").alias("total_weight"),
         F.col("price_c").alias("weighted_median_cents"),
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+WITH pairs AS (
+  SELECT 0 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms0'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms0'), 2, 1)) - 1) AS bucket FROM events
+  UNION ALL
+  SELECT 1 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms1'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms1'), 2, 1)) - 1) AS bucket FROM events
+  UNION ALL
+  SELECT 2 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms2'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms2'), 2, 1)) - 1) AS bucket FROM events
+  UNION ALL
+  SELECT 3 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms3'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms3'), 2, 1)) - 1) AS bucket FROM events
+),
+counters AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY d, bucket
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+),
+qb AS (
+  SELECT user_id, exact_n, 0 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms0'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms0'), 2, 1)) - 1) AS bucket FROM exact
+  UNION ALL
+  SELECT user_id, exact_n, 1 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms1'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms1'), 2, 1)) - 1) AS bucket FROM exact
+  UNION ALL
+  SELECT user_id, exact_n, 2 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms2'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms2'), 2, 1)) - 1) AS bucket FROM exact
+  UNION ALL
+  SELECT user_id, exact_n, 3 AS d, (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms3'), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(CAST(user_id AS STRING) || ':cms3'), 2, 1)) - 1) AS bucket FROM exact
+),
+est AS (
+  SELECT user_id, exact_n, MIN(c) AS cms_est
+  FROM qb JOIN counters USING (d, bucket)
+  GROUP BY user_id, exact_n
+)
+SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overcount
+FROM est ORDER BY exact_n DESC, user_id LIMIT 20
+""",
+    tags=("agg", "sketch"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH built and queried entirely in SQL — the
+    mergeable frequency sketch for streams whose key space outgrows
+    a hash-agg: depth 4 x width 256 integer counters, each row
+    incrementing one bucket per depth (bucket = a deterministic md5
+    byte of (key, depth) — no RNG, identical SQL text both engines),
+    estimate = MIN over depths of the hit counters. The sketch is a
+    CRDT: counters add across shards/windows (same (min, +) algebra
+    dedup_exact_sharded pins for dedup), its size is CONSTANT (1024
+    cells) regardless of stream length, and the one-sided error
+    guarantee (estimate >= truth, overcount <= eN with prob 1-1/2^d)
+    is visible in the checked output as `overcount >= 0`. Emitted:
+    the top-20 hottest keys with exact vs sketch counts — the
+    heavy-hitter readout a 100 TB event firehose can afford when the
+    exact per-key table cannot fit anywhere. One explode pass +
+    constant-size broadcast join; tests/test_property.py pins the
+    error bound on every key, not just the top-20."""
+    from ..operators.trainprep import MD5_BYTE
+
+    ev = table(spark, sf_dir, "events")
+
+    def bucket(d: int):
+        return F.expr(
+            MD5_BYTE(f"CAST(user_id AS STRING) || ':cms{d}'".format(d=d))
+        )
+
+    depth_cols = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+            for d in range(4)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(depth_cols).alias("p"))
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    qb = exact.select(
+        "user_id", "exact_n", F.explode(depth_cols).alias("p")
+    ).select("user_id", "exact_n", "p.d", "p.bucket")
+    est = (
+        qb.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle="""
+WITH counts AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purch
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users_all,
+         CAST(SUM(n_purch) AS BIGINT) AS n_purch_all
+  FROM counts
+),
+assign AS (
+  -- converted = strictly above-MEAN purchaser (exact integer
+  -- comparison c*U > T, no float mean) so the proportion is interior
+  -- at every SF; all-converted fixtures made p_pool=1 and the pooled
+  -- variance zero
+  SELECT c.user_id, c.user_id % 2 AS variant,
+         CASE WHEN c.n_purch * t.n_users_all > t.n_purch_all
+              THEN 1 END AS converted
+  FROM counts c CROSS JOIN tot t
+),
+cells AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(converted) AS BIGINT) AS n_converted
+  FROM assign GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM cells
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+       ROUND(
+         (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+         / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1)), 0.0), 6) AS z_score
+FROM w
+""",
+    tags=("stats", "agg"),
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST on conversion — the A/B readout for
+    binary outcomes (stats_ab_ttest's sibling for rates rather than
+    means): variant = user_id parity (the deterministic assignment
+    split_assign_hash generalizes), conversion = the user purchased
+    at least once, z = (p0-p1)/sqrt(p_pool(1-p_pool)(1/n0+1/n1)).
+    Every input to the float expression is an EXACT integer count
+    (distinct-user cells via one user-keyed agg + left join), the
+    pooled-variance formula is evaluated in one pinned expression
+    tree on both engines, and ROUND 6 absorbs ulp drift — the
+    fn_math contract applied to inference. Corpus-scale work is two
+    user-keyed aggregates sharing their shuffle; the final pivot is
+    a 2-row reduction (agg_global class)."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purch")
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_users_all"),
+        F.sum("n_purch").alias("n_purch_all"),
+    )
+    # converted = strictly above-MEAN purchaser, compared in exact
+    # integers (c*U > T) — interior proportions at every SF (an
+    # everyone-converts definition makes the pooled variance zero)
+    assign = counts.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(
+            F.col("n_purch") * F.col("n_users_all") > F.col("n_purch_all"), 1
+        ).alias("converted"),
+    )
+    cells = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("converted").alias("n_converted"),
+    )
+    w = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(
+            (p0 - p1)
+            / F.nullif(
+                F.sqrt(
+                    pp * (F.lit(1.0) - pp)
+                    * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -2223,3 +2223,70 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("c").alias("revenue_cents"),
     )
+
+
+@register(
+    "dq_schema_drift",
+    oracle="""
+WITH v1 AS (
+  SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM orders)
+),
+v2 AS (
+  SELECT column_name, column_type FROM (DESCRIBE
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+           o_orderdate, 'web' AS o_channel
+    FROM orders)
+)
+SELECT COALESCE(v1.column_name, v2.column_name) AS column_name,
+       CASE
+         WHEN v2.column_name IS NULL THEN 'removed'
+         WHEN v1.column_name IS NULL THEN 'added'
+         WHEN v1.column_type <> v2.column_type THEN 'type_changed'
+         ELSE 'unchanged'
+       END AS status
+FROM v1 FULL OUTER JOIN v2 USING (column_name)
+""",
+    tags=("dq", "schema"),
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA DRIFT detection between two snapshot versions of a
+    table — the contract check a pipeline runs before a backfill or
+    a downstream migration: every column classified as unchanged /
+    added / removed / type_changed by a FULL OUTER JOIN of the two
+    schemas' metadata. The comparison is pure metadata (df.schema on
+    the Spark side, DESCRIBE on the oracle side — neither scans a
+    row; type names never cross engines, only the within-engine
+    drift classification does, which is why the statuses hash-match
+    exactly). The drift fixture: v2 drops o_orderpriority, adds
+    o_channel, and retypes o_totalprice to string. At 100 TB this
+    runs in milliseconds — it reads footers, not data — and is the
+    gate that stops a silently-widened column from poisoning ten
+    thousand downstream partitions."""
+    v1 = table(spark, sf_dir, "orders")
+    v2 = v1.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("web").alias("o_channel"),
+    )
+
+    def describe(df) -> DataFrame:
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+            "column_name STRING, column_type STRING",
+        )
+
+    d1 = describe(v1).withColumnRenamed("column_type", "t1")
+    d2 = describe(v2).withColumnRenamed("column_type", "t2")
+    j = d1.join(d2, "column_name", "full_outer")
+    return j.select(
+        "column_name",
+        F.when(F.col("t2").isNull(), "removed")
+        .when(F.col("t1").isNull(), "added")
+        .when(F.col("t1") != F.col("t2"), "type_changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -995,3 +995,52 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "codec STRING, n_rows BIGINT, content_md5 STRING, extension_matches BOOLEAN",
     )
+
+
+@register(
+    "source_manifest_snapshot",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {SQL_DEC_SUM('o_totalprice')} AS total_value
+FROM orders WHERE o_orderkey % 10 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def source_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-PINNED snapshot read — the poor-man's table-format
+    time travel (the mechanism under Iceberg/Delta snapshots): a
+    writer lands snapshot v1, records its exact file list in a
+    manifest, then appends more files to the SAME directory; a
+    reader that loads the manifest's files sees v1 exactly, immune
+    to concurrent appends. The key proves isolation end-to-end: the
+    directory contains BOTH generations when the read runs, and the
+    aggregate still equals v1 alone (oracle: the v1 predicate).
+    Listing comes from one manifest read (no directory race), and
+    at 100 TB this is why readers scale: a snapshot is a constant
+    metadata file, not an eventually-consistent listing."""
+    import json as _json
+
+    work = _tmpdir("manifest_snap")
+    out = os.path.join(work, "orders_tbl")
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 10 != 0)
+    v1.repartition(4).write.mode("overwrite").parquet(out)
+    v1_files = sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    manifest = os.path.join(work, "manifest.json")
+    with open(manifest, "w") as fh:
+        _json.dump({"snapshot": 1, "files": v1_files}, fh)
+    # concurrent append lands AFTER the manifest was committed
+    o.filter(F.col("o_orderkey") % 10 == 0).write.mode("append").parquet(out)
+
+    with open(manifest) as fh:
+        pinned = _json.load(fh)["files"]
+    back = spark.read.parquet(*pinned)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_value"),
+    )

@@ -146,3 +146,40 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@register(
+    "sample_reservoir_hash",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         md5(CAST(o_orderkey AS VARCHAR) || ':resv1') AS hk
+  FROM orders
+)
+ORDER BY hk LIMIT 50
+""",
+    tags=("sample", "sort"),
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC exactly-k uniform sample — the distributed
+    replacement for reservoir sampling: rank every row by a salted
+    key hash and keep the global k smallest. Same statistical
+    guarantee as a reservoir (md5 is uniform over keys, the salt
+    picks the draw), but with properties a sequential reservoir
+    cannot give at scale: embarrassingly parallel (per-partition
+    top-k then merge — Spark plans it as TakeOrderedAndProject, no
+    global sort, no state), identical across engines/retries/
+    backfills, and EXPANDABLE (k'>k keeps the first k — the sample
+    is a prefix of a fixed permutation, so growing the sample never
+    resamples). Changing the salt string is a fresh independent
+    draw. The classic hash-reservoir trick every training-data
+    pipeline needs for eval splits and debugging subsets."""
+    o = table(spark, sf_dir, "orders")
+    hk = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":resv1")))
+    return (
+        o.select("o_orderkey", "o_totalprice", hk.alias("hk"))
+        .orderBy("hk")
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -946,3 +946,69 @@ def stream_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("value_cents"),
     )
+
+
+@register(
+    "stream_available_now_backfill",
+    oracle="""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+       CAST(3 AS BIGINT) AS n_batches,
+       CAST(2 AS BIGINT) AS max_files_per_batch
+""",
+)
+def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED BACKFILL through the streaming engine:
+    Trigger.AvailableNow + maxFilesPerTrigger drains an existing
+    6-file directory as exactly ceil(6/2)=3 rate-limited
+    micro-batches and then STOPS — the production pattern for
+    reprocessing a large historical prefix with streaming code
+    (same query, same checkpoint, same sink as the live stream)
+    without either an unbounded run or one giant memory-blowing
+    batch. The checked output pins all three contract points: every
+    row processed exactly once (n_rows == source count), the batch
+    count the rate limit implies (a regression to Trigger.Once's
+    single mega-batch or to per-file batches changes it), and the
+    per-batch file ceiling actually observed via the foreachBatch
+    ledger. At 100 TB maxFilesPerTrigger IS the backfill memory
+    bound: state per micro-batch stays constant while the checkpoint
+    carries progress."""
+    import json as _json
+
+    work = tempfile.mkdtemp(prefix="dags_spark_avnow_")
+    in_dir = os.path.join(work, "in")
+    ev = table(spark, sf_dir, "events")
+    # exactly 6 input files -> ceil(6/2) = 3 micro-batches
+    ev.repartition(6).write.mode("overwrite").parquet(in_dir)
+    n_files = len(
+        [f for f in os.listdir(in_dir) if f.endswith(".parquet")]
+    )
+    assert n_files == 6, f"staging wrote {n_files} files"
+
+    sdf = events_stream(spark, in_dir, max_files_per_trigger=2)
+    ledger = os.path.join(work, "ledger")
+    os.makedirs(ledger)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        with open(os.path.join(ledger, f"{batch_id}.json"), "w") as fh:
+            _json.dump({"rows": n}, fh)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    batches = sorted(os.listdir(ledger))
+    rows = [
+        _json.load(open(os.path.join(ledger, b)))["rows"] for b in batches
+    ]
+    # files are equal-sized sixths, so rounding each batch's rows
+    # against the per-file row count measures files-per-batch
+    max_files = max(round(r / (sum(rows) / 6)) for r in rows)
+    return spark.createDataFrame(
+        [(sum(rows), len(batches), max_files)],
+        "n_rows BIGINT, n_batches BIGINT, max_files_per_batch BIGINT",
+    )

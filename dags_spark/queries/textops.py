@@ -1211,3 +1211,60 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.groupBy(
         F.col("lang").alias("actual_lang"), "pred_lang"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % 50 = 0
+),
+hashed AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+           AS bucket,
+         CASE WHEN (instr('0123456789abcdef', substr(md5(token), 3, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM tok
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sign) AS BIGINT) AS feat_value,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, bucket
+HAVING SUM(sign) <> 0
+""",
+    tags=("text", "ml"),
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the 'hashing trick'): tokens map to a FIXED
+    256-bucket feature space via md5 (bucket = first hash byte, sign
+    = third-nibble parity — the signed variant that makes collisions
+    cancel in expectation instead of biasing upward), per-doc feature
+    value = signed token count. This is how text becomes fixed-width
+    model input at 100 TB with NO vocabulary pass, no dictionary
+    broadcast, no OOV handling — the feature dimension is a constant
+    chosen up front, and the map is a pure scan-local function (the
+    same no-state property as split_assign_hash). Zero-sum buckets
+    are dropped on both engines (HAVING) so the emitted sparse
+    vector matches what a CSR assembler would keep. One explode +
+    one (doc, bucket) hash-agg — map-side combinable."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.md5("token")
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    hashed = tok.select(
+        "doc_id",
+        (nib(1) * 16 + nib(2)).cast("bigint").alias("bucket"),
+        F.when(nib(3) % 2 == 0, 1).otherwise(-1).alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").alias("feat_value"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .filter(F.col("feat_value") != 0)
+        .select("doc_id", "bucket", "feat_value", "n_tokens")
+    )

@@ -1617,3 +1617,208 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("wow_growth"),
     )
+
+
+@register(
+    "funnel_ordered_3step",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_step1_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_step2_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_step3_purchase
+""",
+    tags=("funnel", "events"),
+)
+def funnel_ordered_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED three-step funnel (view -> click -> purchase, each step
+    STRICTLY after the previous step's first completion): the k-step
+    generalization of funnel_two_step, built as a chain of per-user
+    min-aggregates — each step is one hash-agg + one user_id-keyed
+    join, so all shuffles share the user_id partitioning and the
+    funnel costs k passes over an already-partitioned stream, never
+    a per-user sort or a cross of step events. Strict `>` ordering
+    means a click at the exact first-view instant does not count
+    (documented contract; `>=` is funnel_two_step's). At 100 TB each
+    step's aggregate is map-side combinable and the user spine only
+    shrinks — the classic funnel shape that stays linear."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev, prev_col: str, out: str):
+        base = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return base.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            base.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    n1 = v.agg(F.count(F.lit(1)).alias("n_step1_view"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_step2_click"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_step3_purchase"))
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+iv AS (
+  SELECT user_id, cents, epoch_us(nxt) - epoch_us(ts) AS gap_us
+  FROM s WHERE nxt IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT) * gap_us) AS DOUBLE)
+             / CAST(SUM(gap_us) AS DOUBLE) / 100.0, 6) AS twa_value
+FROM iv GROUP BY user_id HAVING SUM(gap_us) > 0
+""",
+    tags=("timeseries", "window"),
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average value per user (TWAP): each event's value
+    holds until the user's next event, weighted by the exact
+    microsecond duration — the correct average for irregularly
+    sampled series (a plain AVG over-weights bursts; TWAP is what
+    pricing, billing, and sensor pipelines mean by 'average level').
+    Arithmetic is exact to the end: integer cents x integer
+    microseconds accumulate in a 128-bit lane (DECIMAL(38,0) /
+    HUGEINT — cents*gap_us peaks ~1e18 per interval, sums beyond
+    int64 for long-lived users), one double division at the very
+    end, rounded 6dp. Users whose gaps are all zero-width are
+    withheld (HAVING, both engines). ONE user_id window + one
+    user_id hash-agg — shuffle shared, no driver work."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        cents("value").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    iv = s.select(
+        "user_id",
+        "cents",
+        (F.col("nxt_us") - F.col("us")).alias("gap_us"),
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("gap_us")).alias("wsum"),
+            F.sum("gap_us").alias("gsum"),
+        )
+        .filter(F.col("gsum") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(
+                F.col("wsum").cast("double") / F.col("gsum").cast("double") / 100.0, 6
+            ).alias("twa_value"),
+        )
+    )
+
+
+@register(
+    "win_drawdown_max",
+    oracle="""
+WITH eq AS (
+  SELECT user_id, event_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS equity,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS t
+  FROM events
+),
+dd AS (
+  SELECT user_id, event_id, t, equity,
+         CAST(MAX(equity) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - equity AS drawdown
+  FROM eq
+),
+pk AS (
+  SELECT user_id, t, drawdown,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY drawdown DESC, t ASC) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM dd
+)
+SELECT user_id, CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+       t AS trough_at, n AS n_points
+FROM pk WHERE rk = 1 AND n >= 20
+""",
+    tags=("timeseries", "window"),
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user series — the risk metric for any
+    cumulative curve (P&L, token budget burn-down, error budget):
+    equity = running cents sum, drawdown_t = running-max(equity) -
+    equity_t, answer = the peak drawdown and WHERE it troughed
+    (earliest t on ties). All three windows share ONE user_id sort —
+    Catalyst plans a single exchange + sort and evaluates the
+    running sum, running max, and row number in the same window
+    stage, which is the whole trick: a metric that reads like three
+    passes costs one. Exact integer cents end-to-end (running sums
+    are order-pinned by (ts, event_id)); short series (<20 points)
+    withheld as cold-start, same contract as ts_cusum_changepoint."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eq = ev.select(
+        "user_id",
+        F.sum(cents("value")).over(run).alias("equity"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+    )
+    wt = Window.partitionBy("user_id").orderBy("t")
+    dd = eq.select(
+        "user_id",
+        "t",
+        (
+            F.max("equity").over(
+                wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("equity")
+        ).alias("drawdown"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("drawdown").desc(), F.col("t").asc()
+        )
+    )
+    return (
+        dd.withColumn("rk", rk)
+        .filter((F.col("rk") == 1) & (F.col("n") >= 20))
+        .select(
+            "user_id",
+            F.col("drawdown").cast("bigint").alias("max_drawdown_cents"),
+            F.col("t").alias("trough_at"),
+            F.col("n").alias("n_points"),
+        )
+    )

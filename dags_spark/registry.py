@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "streaming",
     "udfs",
     "llm",
+    "geo",
     "textops",
     "relational_ext",
     "composites",

@@ -206,6 +206,14 @@ ALLOWED = {
     # the stream read-back aggregates across every __batch_id
     # partition BY DESIGN (the sink wrote them; the check sums them).
     "source_python_datasource_stream": {"unpruned-partition-scan"},
+    # three 1-row step-count aggregates crossed into the single
+    # funnel report row — the scalar-subquery shape (agg_global
+    # class), once per funnel step.
+    "funnel_ordered_3step": {"cartesian", "single-partition-exchange"},
+    # 1-row corpus totals broadcast into the per-user conversion
+    # flag, then a 2-row variant pivot reduced to the single report
+    # row — scalar-subquery + agg_global shapes.
+    "stats_proportion_ztest": {"cartesian", "single-partition-exchange"},
 }
 
 

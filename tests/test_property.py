@@ -591,3 +591,82 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
     assert a.equals(b), "bootstrap not deterministic"
     assert a["ci_lo"] < a["point_est"] < a["ci_hi"]
     assert a["ci_hi"] - a["ci_lo"] < a["point_est"]  # sane width
+
+
+def test_count_min_sketch_one_sided_error(spark, sf_dir):
+    """CMS guarantee on EVERY key (the registered query emits only the
+    top-20): estimate >= exact always, and the average overcount stays
+    within the eps*N envelope for width 256 / depth 4."""
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table
+    from dags_spark.operators.trainprep import MD5_BYTE
+
+    ev = table(spark, sf_dir, "events")
+    depth_cols = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(MD5_BYTE(f"CAST(user_id AS STRING) || ':cms{d}'")).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(4)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(depth_cols).alias("p"))
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = (
+        exact.select("user_id", "exact_n", F.explode(depth_cols).alias("p"))
+        .select("user_id", "exact_n", "p.d", "p.bucket")
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .collect()
+    )
+    n_stream = ev.count()
+    assert est, "no keys estimated"
+    overcounts = []
+    for r in est:
+        assert r.cms_est >= r.exact_n, f"undercount for {r.user_id}"
+        overcounts.append(r.cms_est - r.exact_n)
+    # eps = e/width ~ 0.0106; the MEAN overcount should sit well
+    # inside eps*N (the per-key bound holds w.p. 1 - 1/2^depth)
+    assert sum(overcounts) / len(overcounts) <= (2.718 / 256) * n_stream
+
+
+def test_geohash_prefix_means_proximity(spark):
+    """Geohash contract: a shared 5-char prefix bounds the distance
+    between two points (cell diagonal ~5-7 km at that precision)."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.geo import geohash_col, haversine_km
+
+    pts = [
+        (48.8566, 2.3522), (48.8570, 2.3530), (48.8600, 2.3400),
+        (40.7128, -74.0060), (40.7130, -74.0055),
+    ]
+    df = spark.createDataFrame(pts, "lat DOUBLE, lon DOUBLE").select(
+        "lat", "lon", geohash_col(F.col("lat"), F.col("lon"), 5).alias("g5")
+    )
+    rows = df.collect()
+    for a, b in itertools.combinations(rows, 2):
+        # exact haversine on the driver for the reference distance
+        lat1, lon1, lat2, lon2 = map(
+            math.radians, (a.lat, a.lon, b.lat, b.lon)
+        )
+        h = (
+            math.sin((lat2 - lat1) / 2) ** 2
+            + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+        )
+        km = 2 * 6371.0088 * math.asin(math.sqrt(h))
+        if a.g5 == b.g5:
+            assert km < 7.0, f"same gh5 cell but {km:.1f} km apart"
