@@ -2865,3 +2865,57 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         "doc_id BIGINT, from_frame BIGINT, diff_sum BIGINT, is_cut BOOLEAN",
     )
+
+
+@register(
+    "sample_class_balanced",
+    oracle="""
+WITH sized AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+cap AS (SELECT MIN(n) AS k FROM sized),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bal1'),
+                                     doc_id) AS rk
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM ranked CROSS JOIN cap
+WHERE rk <= cap.k
+GROUP BY lang
+""",
+    tags=("trainprep", "sample"),
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED downsampling: every language keeps exactly
+    min-class-count documents, chosen by salted-hash rank WITHIN the
+    class — the deterministic fix for skewed training mixes (a 90/10
+    corpus becomes 50/50 by downsampling the majority, never by
+    duplicating the minority). The per-class rank is a window over
+    the class key (shuffle = one partition-by-lang exchange; no
+    global sort), the cap is a 1-row broadcast, and the draw is the
+    same fixed-permutation property as sample_reservoir_hash: stable
+    under appends WITHIN the kept prefix, identical across engines/
+    retries, re-salt for an independent draw. Checked output pins
+    both the exact per-class count AND which ids were kept (id sum)
+    — a biased tie-break or a wrong rank frame fails the hash."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = sized.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal1"))),
+        F.col("doc_id"),
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )

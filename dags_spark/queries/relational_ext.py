@@ -2290,3 +2290,221 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+@register(
+    "iter_sssp_bellman_ford",
+    oracle="""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * 37 + 11) % (SELECT n FROM nn) AS dst,
+         CAST(1 + c_custkey % 7 AS BIGINT) AS w
+  FROM customer
+),
+d0 AS (
+  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_custkey % 100 = 0
+),
+r1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d0 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM r1
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r1 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM r2
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r2 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+r4 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM r3
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM r3 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM r4
+""",
+    tags=("iterative", "graph"),
+)
+def iter_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths, 4 Bellman-Ford
+    relaxation rounds over the same in-plan functional graph the BFS
+    and PageRank keys derive (dst = (37k+11) mod N, weight = 1+k%7 —
+    integer weights, no float accumulation, so every relaxation is
+    exact under any shuffle order). Multi-source seeds (key%100=0)
+    make the frontier realistic; each round is UNION ALL + one
+    hash-agg MIN keyed on the node — the textbook distributed
+    Bellman-Ford step, where the per-round shuffle carries (node,
+    dist) pairs only, never the edge list twice (edges re-join from
+    the same scan each round; Catalyst reuses the exchange). Fixed
+    depth unrolls into ONE plan (the sql_recursive_cte key covers
+    the unknown-depth variant); at real diameter, rounds bound by
+    graph diameter with localCheckpoint lineage truncation every few
+    rounds — the iter_pagerank operating procedure."""
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        c.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 37 + 11) % F.col("n")).alias("dst"),
+            (1 + F.col("c_custkey") % 7).cast("bigint").alias("w"),
+        )
+    )
+    dist = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+@register(
+    "agg_histogram_percentile",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+),
+b AS (
+  SELECT CAST(FLOOR(LN(CAST(cents AS DOUBLE)) / LN(2.0)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c WHERE cents > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b),
+cum AS (
+  SELECT bucket, n,
+         CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n
+  FROM b
+),
+pick AS (
+  SELECT 'p50' AS pct, 50 AS q UNION ALL
+  SELECT 'p90', 90 UNION ALL SELECT 'p99', 99
+),
+hit AS (
+  SELECT p.pct, MIN(c.bucket) AS bucket
+  FROM pick p CROSS JOIN tot t JOIN cum c
+    ON c.cum_n * 100 >= p.q * t.total
+  GROUP BY p.pct
+)
+SELECT h.pct,
+       h.bucket,
+       CAST(POW(2.0, h.bucket) AS BIGINT) AS lo_cents,
+       CAST(POW(2.0, h.bucket + 1) AS BIGINT) AS hi_cents,
+       c.n AS bucket_n
+FROM hit h JOIN b c ON c.bucket = h.bucket
+""",
+    tags=("agg", "sketch"),
+)
+def agg_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILES FROM A MERGEABLE HISTOGRAM — how p99 is actually
+    computed over a 100 TB stream: exact percentiles need a global
+    sort; a log2-bucketed histogram needs one hash-agg (CRDT —
+    buckets add across shards/windows like the CMS counters), and
+    the quantile is read off the cumulative curve with bounded
+    relative error (factor-2 brackets here; HDR histograms refine
+    with sub-buckets, same algebra). Emitted per percentile: the hit
+    bucket, its [lo, hi) cent bracket (integer powers of two —
+    exact), and its population. The per-bucket table is tiny (~40
+    rows for any money-like domain), so the cumulative window and
+    the percentile probe are grid work, not corpus work — only the
+    ONE bucket hash-agg ever sees the data. A wrong boundary rule
+    (>= vs >) moves the bucket and fails the hash."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(cents("o_totalprice").alias("cents")).filter(F.col("cents") > 0)
+    b = c.select(
+        F.floor(F.log(F.col("cents").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.sum("n").alias("total"))
+    cum = b.select(
+        "bucket",
+        "n",
+        F.sum("n").over(Window.orderBy("bucket")).cast("bigint").alias("cum_n"),
+    )
+    pick = spark.createDataFrame(
+        [("p50", 50), ("p90", 90), ("p99", 99)], "pct STRING, q INT"
+    )
+    hit = (
+        pick.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum_n") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("pct")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.join(b, "bucket").select(
+        "pct",
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("lo_cents"),
+        F.pow(F.lit(2.0), F.col("bucket") + 1).cast("bigint").alias("hi_cents"),
+        F.col("n").alias("bucket_n"),
+    )
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+WITH wm AS (SELECT MAX(o_orderdate) AS global_max FROM orders),
+per AS (
+  SELECT o_orderpriority,
+         MAX(o_orderdate) AS src_max,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT p.o_orderpriority,
+       CAST(date_diff('day', p.src_max, w.global_max) AS BIGINT)
+         AS days_behind,
+       CASE WHEN date_diff('day', p.src_max, w.global_max) <= 7
+            THEN 'ok' ELSE 'stale' END AS sla_status,
+       p.n_rows
+FROM per p CROSS JOIN wm w
+""",
+    tags=("dq",),
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRESHNESS SLA per source partition — the landing-zone monitor
+    every multi-feed warehouse runs: each feed's high-water mark
+    (MAX event time) compared to the global watermark, flagged
+    against a 7-day SLA. Two aggregates over one scan (per-feed and
+    global max share the read; the global is a 1-row broadcast), day
+    arithmetic in exact integer days. At 100 TB this is the query
+    that pages before a silent upstream stall poisons every
+    downstream join with stale dimensions — and it costs one
+    map-side-combinable MAX, the cheapest aggregate there is."""
+    o = table(spark, sf_dir, "orders")
+    wm = o.agg(F.max("o_orderdate").alias("global_max"))
+    per = o.groupBy("o_orderpriority").agg(
+        F.max("o_orderdate").alias("src_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    j = per.crossJoin(F.broadcast(wm))
+    behind = F.datediff(F.col("global_max"), F.col("src_max")).cast("bigint")
+    return j.select(
+        "o_orderpriority",
+        behind.alias("days_behind"),
+        F.when(behind <= 7, "ok").otherwise("stale").alias("sla_status"),
+        "n_rows",
+    )

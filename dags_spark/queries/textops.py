@@ -1268,3 +1268,178 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("feat_value") != 0)
         .select("doc_id", "bucket", "feat_value", "n_tokens")
     )
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle="""
+WITH stamped AS (
+  -- the fixture corpus has no repeated fragments; stamp a footer on
+  -- every 4th doc (two variants) so real boilerplate exists to find
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+                text || '. all rights reserved by the example corpus'
+              WHEN doc_id % 4 = 2 THEN
+                text || '. cookie consent is required to continue'
+              ELSE text END AS text
+  FROM documents
+),
+sent AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS fragment
+  FROM stamped
+),
+norm AS (
+  SELECT doc_id, trim(fragment) AS fragment FROM sent
+  WHERE length(trim(fragment)) >= 20
+),
+df AS (
+  SELECT fragment,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM norm GROUP BY fragment
+)
+SELECT fragment, n_docs, n_occurrences
+FROM df WHERE n_docs >= 5
+""",
+    tags=("text", "dq"),
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE detection — the web-corpus cleaning pass that
+    catches what document-level dedup cannot: sentence fragments
+    repeated across MANY DISTINCT documents (navigation chrome,
+    cookie banners, license footers) while each containing document
+    is unique. Fragments = '. '-split spans >= 20 chars; boilerplate
+    = document frequency >= 5. The output is the removal LIST a
+    paragraph-level scrub consumes (text_dedup_paragraphs applies
+    it) — at 100 TB this list is small enough to broadcast, which is
+    the entire point: one explode + one (fragment) hash-agg builds
+    it, and applying it costs a broadcast semi-join, not a shuffle
+    of the corpus text. Distinct-doc counting rides the same agg
+    (count distinct over the grouped key, map-side combinable)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # stamp deterministic boilerplate footers (the fixture has no
+        # natural repeats; two variants on doc_id % 4 parity)
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                "text", F.lit(". all rights reserved by the example corpus")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat("text", F.lit(". cookie consent is required to continue")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    frags = d.select(
+        "doc_id",
+        F.explode(F.split("text", "\\. ")).alias("raw"),
+    ).select("doc_id", F.trim("raw").alias("fragment"))
+    norm = frags.filter(F.length("fragment") >= 20)
+    return (
+        norm.groupBy("fragment")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+@register(
+    "text_dedup_paragraphs",
+    oracle="""
+WITH stamped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+                text || '. all rights reserved by the example corpus'
+              WHEN doc_id % 4 = 2 THEN
+                text || '. cookie consent is required to continue'
+              ELSE text END AS text
+  FROM documents
+),
+sent AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, '. '), 1) AS pos,
+         unnest(string_split(text, '. ')) AS fragment
+  FROM stamped
+),
+df AS (
+  SELECT trim(fragment) AS nfrag,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sent WHERE length(trim(fragment)) >= 20
+  GROUP BY trim(fragment)
+),
+boiler AS (SELECT nfrag FROM df WHERE n_docs >= 5),
+kept AS (
+  SELECT s.doc_id, s.pos, s.fragment
+  FROM sent s LEFT JOIN boiler b ON trim(s.fragment) = b.nfrag
+  WHERE b.nfrag IS NULL
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frags_kept,
+       md5(string_agg(fragment, '. ' ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-LEVEL scrub — APPLYING the text_boilerplate_lines
+    list: fragments whose document frequency >= 5 are removed from
+    every document, the survivors reassemble IN ORIGINAL ORDER, and
+    the checked output pins the reassembled text bit-for-bit (md5)
+    plus the kept count. This is the surgical variant of document
+    dedup (the document survives, the chrome dies) and the plan is
+    the 100 TB shape the boilerplate key promises: the df list is
+    corpus-derived but SMALL, so the scrub is posexplode -> [left
+    anti] broadcast join -> ordered array_join — text shuffles once
+    on doc_id for reassembly, the boilerplate side rides a
+    broadcast. Order preservation under the hash is the point: a
+    reassembly that loses fragment order (the classic collect_list
+    nondeterminism) fails immediately."""
+    stamped = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                "text", F.lit(". all rights reserved by the example corpus")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat("text", F.lit(". cookie consent is required to continue")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sent = stamped.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("pos0", "fragment"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "fragment")
+    df_ = (
+        sent.filter(F.length(F.trim("fragment")) >= 20)
+        .groupBy(F.trim("fragment").alias("nfrag"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    boiler = df_.filter(F.col("n_docs") >= 5).select("nfrag")
+    kept = sent.join(
+        F.broadcast(boiler),
+        F.trim(sent.fragment) == boiler.nfrag,
+        "left_anti",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frags_kept"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "fragment"))
+                    ).getField("fragment"),
+                    ". ",
+                )
+            ).alias("clean_md5"),
+        )
+    )

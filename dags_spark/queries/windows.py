@@ -1822,3 +1822,80 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_points"),
         )
     )
+
+
+@register(
+    "agg_bounce_rate_daily",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000 OR LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_no
+  FROM s
+),
+per AS (
+  SELECT user_id, session_no,
+         MIN(date_trunc('day', ts)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM per GROUP BY day
+""",
+    tags=("events", "window"),
+)
+def agg_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY BOUNCE RATE — the product-analytics KPI built on the
+    session machinery (win_session_batch's 30-min-gap sessionize):
+    a bounce is a single-event session; the rate rolls up per the
+    session's START day (MIN ts date — a session spanning midnight
+    counts once, where it began). The lag/cumsum sessionization and
+    the per-session rollup share ONE user_id exchange; the daily
+    rollup is a second small shuffle on the day key. Ratio computed
+    from exact integer counts, rounded 6dp. The KPI every
+    engagement dashboard refreshes hourly at any scale — and the
+    shape (window -> two hash-aggs) is exactly what survives it."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(wo))
+    is_start = F.when(
+        lag_us.isNull() | (F.unix_micros("ts") - lag_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_start)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_no"),
+    )
+    per = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

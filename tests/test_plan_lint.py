@@ -214,6 +214,19 @@ ALLOWED = {
     # flag, then a 2-row variant pivot reduced to the single report
     # row — scalar-subquery + agg_global shapes.
     "stats_proportion_ztest": {"cartesian", "single-partition-exchange"},
+    # 1-row min-class-count cap broadcast into the per-class rank —
+    # scalar-subquery shape.
+    "sample_class_balanced": {"cartesian", "single-partition-exchange"},
+    # 1-row node-count broadcast into the derived edge set, once per
+    # unrolled relaxation round — the iter_reachability_bfs shape.
+    "iter_sssp_bellman_ford": {"cartesian", "single-partition-exchange"},
+    # the ~40-row log2-bucket grid: its cumulative window and the
+    # 3-row percentile probe (theta join on the cumulative curve)
+    # are grid work; the corpus only flows through one hash-agg.
+    "agg_histogram_percentile": {"cartesian", "single-partition-exchange"},
+    # 1-row global watermark broadcast-crossed into the per-feed
+    # maxima — scalar-subquery shape.
+    "dq_freshness_sla": {"cartesian", "single-partition-exchange"},
 }
 
 
