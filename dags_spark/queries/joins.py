@@ -608,3 +608,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, lag).alias("lag_us"),
         F.coalesce(ok, F.lit(False)).alias("within_tolerance"),
     )
+
+
+@register(
+    "join_ip_range_lookup",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+  FROM events
+),
+ranges AS (
+  SELECT CAST(i AS BIGINT) AS range_id,
+         CAST(i * i * 1048576 AS BIGINT) AS start_ip,
+         CAST((i + 1) * (i + 1) * 1048576 - 1 AS BIGINT) AS end_ip
+  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+)
+SELECT r.range_id, r.start_ip,
+       CAST(COUNT(*) AS BIGINT) AS n_ips,
+       CAST(MIN(ip) AS BIGINT) AS min_ip,
+       CAST(MAX(ip) AS BIGINT) AS max_ip
+FROM ips JOIN ranges r ON ip BETWEEN r.start_ip AND r.end_ip
+GROUP BY r.range_id, r.start_ip
+""",
+    tags=("join", "range"),
+)
+def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-WIDTH interval lookup at scale — the geo-IP / CIDR
+    enrichment shape: each IP (synthesized 32-bit uniform from the
+    event key) must find the ONE range containing it, where ranges
+    have wildly different widths (quadratic spacing here — narrow
+    blocks early, huge blocks late — covering the full 2^32
+    contiguously). The naive plan is a nested-loop theta join; the
+    scalable rewrite is BIN EXPLOSION: every range explodes into the
+    fixed 2^24-wide bins it overlaps (wide ranges -> more bins; the
+    exploded table stays range-count-sized and BROADCASTS), probes
+    join on ip div 2^24 as a pure equi-join, and the residual
+    BETWEEN filters exact containment. The probe side never
+    shuffles at all — enrichment rides the scan. The oracle runs
+    the honest interval join; matching it proves the bin algebra
+    drops and duplicates nothing (each ip hits exactly one range)."""
+    ev = table(spark, sf_dir, "events")
+    B = 16_777_216  # 2^24 bin width
+    ips = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("ip"),
+    )
+    i = F.col("id")
+    ranges = spark.range(64).select(
+        i.alias("range_id"),
+        (i * i * 1048576).cast("bigint").alias("start_ip"),
+        ((i + 1) * (i + 1) * 1048576 - 1).cast("bigint").alias("end_ip"),
+    )
+    exploded = ranges.select(
+        "range_id",
+        "start_ip",
+        "end_ip",
+        F.explode(
+            F.sequence(
+                F.expr("start_ip div CAST(%d AS BIGINT)" % B),
+                F.expr("end_ip div CAST(%d AS BIGINT)" % B),
+            )
+        ).alias("bin"),
+    )
+    probes = ips.withColumn("bin", F.expr("ip div CAST(%d AS BIGINT)" % B))
+    hit = probes.join(F.broadcast(exploded), "bin").filter(
+        (F.col("ip") >= F.col("start_ip")) & (F.col("ip") <= F.col("end_ip"))
+    )
+    return hit.groupBy("range_id", "start_ip").agg(
+        F.count(F.lit(1)).alias("n_ips"),
+        F.min("ip").alias("min_ip"),
+        F.max("ip").alias("max_ip"),
+    )

@@ -2919,3 +2919,67 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("kept_id_sum"),
         )
     )
+
+
+@register(
+    "multimodal_bmp_histogram",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 23 AS h
+  FROM documents WHERE doc_id % 4 = 1
+),
+xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+ys AS (SELECT unnest(generate_series(0, 22)) AS y),
+px AS (
+  SELECT d.doc_id,
+         ((x * 5 + y * 17) % 256) * 299
+           + ((x * 11 + y * 3) % 256) * 587
+           + ((x * 7 + y * 13) % 256) * 114 AS luma_k
+  FROM docs d, xs, ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id,
+       CAST((luma_k // 1000) // 32 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, bucket
+""",
+    tags=("multimodal",),
+)
+def multimodal_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUMINANCE HISTOGRAM from REAL pixel decode — the image-quality
+    feature extractor (exposure/contrast screens, near-black frame
+    filters) run the way a 100 TB image corpus must: the binary
+    payload is decoded INSIDE an Arrow mapInPandas kernel (pure-
+    Python 24-bit BMP walk — no codec library), integer BT.601 luma
+    (299R+587G+114B, truncating /1000) buckets into 8 bins of 32,
+    and only the (doc_id, bucket, count) rows leave the executor —
+    payload bytes never shuffle. The oracle recomputes every bucket
+    count ARITHMETICALLY from the closed-form pixel pattern (the
+    multimodal_resize_bmp contract), so the hash certifies genuine
+    decode + per-pixel arithmetic, not just plumbing. One kernel
+    pass, one hash-agg."""
+    from ..operators.multimodal import decode_bmp_pixels, encode_bmp_pattern
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[tuple[int, int], int] = {}
+            for i in pdf["doc_id"].astype("int64"):
+                payload = encode_bmp_pattern(1 + i % 31, 1 + i % 23)
+                _, _, img = decode_bmp_pixels(payload)
+                for row in img:
+                    for (b, g, r) in row:
+                        luma = (r * 299 + g * 587 + b * 114) // 1000
+                        key = (int(i), luma // 32)
+                        out[key] = out.get(key, 0) + 1
+            yield pd.DataFrame(
+                [(k[0], k[1], n) for k, n in out.items()],
+                columns=["doc_id", "bucket", "n_px"],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel, "doc_id BIGINT, bucket BIGINT, n_px BIGINT"
+    )

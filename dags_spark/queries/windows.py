@@ -1899,3 +1899,63 @@ def agg_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "win_calendar_mtd_ytd",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS day_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT day, n_orders, day_cents,
+       CAST(SUM(day_cents) OVER (PARTITION BY yr, mo ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS mtd_cents,
+       CAST(SUM(day_cents) OVER (PARTITION BY yr ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS ytd_cents
+FROM daily
+""",
+    tags=("timeseries", "window"),
+)
+def win_calendar_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-TO-DATE / YEAR-TO-DATE running revenue — the BI staple
+    that turns a daily rollup into dashboard lines: one corpus-scale
+    hash-agg to the DAY grain (map-side combinable — the only pass
+    that sees the data), then two running windows OVER THE CALENDAR
+    GRID (~hundreds of rows at any SF: grid work, not corpus work —
+    the ts_week_over_week argument). Exact integer cents; the MTD
+    and YTD windows differ only in partition key so they share the
+    grid's single exchange. At 100 TB the day-grain pre-aggregate is
+    the load-bearing move: running windows directly over raw orders
+    would sort the corpus; over the grid they sort a year of days."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.sum(cents("o_totalprice")).alias("day_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return daily.select(
+        "day",
+        "n_orders",
+        "day_cents",
+        F.sum("day_cents")
+        .over(Window.partitionBy("yr", "mo").orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("mtd_cents"),
+        F.sum("day_cents")
+        .over(Window.partitionBy("yr").orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("ytd_cents"),
+    )

@@ -63,7 +63,30 @@ def main() -> int:
     if not quick:
         ok &= run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], 2)
         ok &= run("scale_smoke", [sys.executable, "tools/scale_smoke.py"], 1)
-        ok &= run("bench", [sys.executable, "bench.py"], 1)
+        # bench + regression tripwire in one invocation: capture the
+        # JSON line bench.py prints, then gate it against the last
+        # recorded BENCH_r*.json (±20% per query, 0.1 s floor).
+        import subprocess as _sp
+
+        t0 = time.time()
+        bench_out = _sp.run(
+            [sys.executable, "bench.py"], cwd=REPO, stdout=_sp.PIPE,
+            stderr=_sp.DEVNULL, text=True,
+        ).stdout.strip().splitlines()
+        if bench_out and bench_out[-1].startswith("{"):
+            print(f"[PASS] bench ({time.time() - t0:.0f}s)")
+            print("       " + bench_out[-1])
+            tmp = REPO / ".bench_now.json"
+            tmp.write_text(bench_out[-1])
+            ok &= run(
+                "bench_gate (±20% vs last round)",
+                [sys.executable, "tools/bench_gate.py", str(tmp)],
+                3,
+            )
+            tmp.unlink(missing_ok=True)
+        else:
+            print(f"[FAIL] bench ({time.time() - t0:.0f}s) — no JSON line")
+            ok = False
     print("ALL GREEN" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
