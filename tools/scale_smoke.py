@@ -101,6 +101,15 @@ HEAVY = {
     "ts_cusum_changepoint": 15,
     "ts_autocorrelation": 15,
     "win_rfm_segmentation": 15,
+    # round-5 session-2 additions (healthy 0.3-6 s at sf0.1, measured)
+    "text_dedup_paragraphs": 45,
+    "join_geo_bucket": 20,
+    "join_geo_neighbor_probe": 20,
+    "multimodal_bmp_histogram": 20,
+    "iter_sssp_bellman_ford": 20,
+    "agg_count_min_sketch": 15,
+    "agg_bounce_rate_daily": 15,
+    "win_drawdown_max": 15,
 }
 
 
@@ -146,6 +155,14 @@ STRESS = {
     "dedup_exact_sharded": 120,
     "dedup_cross_source_matrix": 180,
     "embedding_pca_power": 240,
+    # round-5 session-2: paragraph scrub + boilerplate ride the 20x
+    # near-dup documents (fragment df counts grow 20x — the broadcast
+    # list must stay small); bounce rate and drawdown ride 2M events
+    # on 20x-hot user keys (one window partition each).
+    "text_dedup_paragraphs": 240,
+    "text_boilerplate_lines": 120,
+    "agg_bounce_rate_daily": 120,
+    "win_drawdown_max": 120,
 }
 
 
@@ -261,7 +278,7 @@ def main() -> int:
         print(f"{status} {key}: {dt:.1f}s (ceiling {ceiling}s)", flush=True)
         if not ok:
             failed.append(key)
-    print(f"\n{len(HEAVY) - len(failed)} ok, {len(failed)} over ceiling")
+    print(f"\n{len(plan) - len(failed)} ok, {len(failed)} over ceiling")
     return 1 if failed else 0
 
 
