@@ -1701,3 +1701,51 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 1
+            THEN 3
+            WHEN GROUPING(o_orderpriority) = 1 THEN 1
+            WHEN GROUPING(o_orderstatus) = 1 THEN 2
+            ELSE 0 END AS gid,
+       COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / grouping_id() disambiguation for CUBE rollups —
+    the metadata that makes multi-level aggregates machine-readable:
+    a NULL group key is ambiguous (real NULL vs 'all values'
+    subtotal); grouping bits say which. Emitted gid = grouping_id(
+    status, priority) (bit per key, status = high bit), with the
+    COALESCE'd display keys and counts. The oracle derives the same
+    id from per-column GROUPING() flags (DuckDB's GROUPING_ID arg
+    order differs — deriving from the bits pins the SEMANTIC, not
+    the engine's encoding). One CUBE hash-agg, 4 grouping sets in
+    one pass — the agg_cube key's row expansion with its metadata
+    made explicit."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        # grouping_id() must be computed IN the aggregate (it reads
+        # the grouping-set bitmask, which no longer exists after)
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias(
+                "o_orderpriority"
+            ),
+            "n_orders",
+        )
+    )

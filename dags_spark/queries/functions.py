@@ -1255,3 +1255,41 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lon", 4).alias("lon"),
         F.round(2 * 6371.0088 * F.asin(F.sqrt(a)), 3).alias("km_to_nyc"),
     )
+
+
+@register(
+    "fn_try_collection",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN len(string_split(n_name, ' ')) >= 2
+            THEN string_split(n_name, ' ')[2] END AS second_token,
+       string_split(n_name, ' ')[-1] AS last_token,
+       CAST(NULL AS VARCHAR) AS beyond_end,
+       CASE WHEN n_regionkey <> 0
+            THEN CAST(n_nationkey // n_regionkey AS BIGINT) END AS try_div_key
+FROM nation
+""",
+)
+def fn_try_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY-variant collection access — the out-of-bounds semantics
+    that differ between `element_at` (ANSI: ERROR on a bad index)
+    and `try_element_at` (NULL): second token when present, negative
+    indexing for the last token, a deliberately out-of-range index
+    that must come back NULL instead of killing the job, and
+    try_divide for the division twin. On an ANSI-mode 100 TB
+    pipeline this family is the difference between one malformed
+    row quarantining itself as NULL and one malformed row failing a
+    six-hour job. The oracle states the same semantics with guards
+    (DuckDB list indexing is NULL-safe natively; the CASE guards
+    document the contract being tested)."""
+    n = table(spark, sf_dir, "nation")
+    toks = F.split("n_name", " ")
+    return n.select(
+        "n_nationkey",
+        F.try_element_at(toks, F.lit(2)).alias("second_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.try_element_at(toks, F.lit(99)).alias("beyond_end"),
+        F.try_divide(F.col("n_nationkey"), F.col("n_regionkey"))
+        .cast("bigint")
+        .alias("try_div_key"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cents, table
+from . import SQL_DEC_SUM, cents, dec_sum, table
 from ..operators.asof import asof_join
 from ..registry import register
 
@@ -681,4 +681,54 @@ def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ips"),
         F.min("ip").alias("min_ip"),
         F.max("ip").alias("max_ip"),
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {SQL_DEC_SUM('o.o_totalprice')} AS total_value
+FROM orders o
+JOIN (
+  SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+  WHERE year(o_orderdate) >= 1997
+) d ON year(o.o_orderdate) = d.yr
+GROUP BY o.o_orderpriority
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the join-driven pruning static
+    filters cannot do: the fact table is laid out hive-partitioned
+    by year, the dimension side carries the selective predicate, and
+    Spark inserts a runtime subquery that evaluates the dim FIRST
+    and prunes fact DIRECTORIES before the scan (plan shows
+    `dynamicpruning#N` on the partition column —
+    tests/test_plans.py pins it). At 100 TB this is THE mechanism
+    that makes star joins against a partitioned lakehouse read 3
+    years instead of 30 — no hand-written predicate on the fact
+    side. The checked aggregate proves the pruned read loses no
+    rows vs the oracle's logical join."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="dags_spark_dpp_"), "orders_by_year"
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("int").alias("yr"))
+        .filter(F.col("yr") >= 1997)
+        .distinct()
+    )
+    j = fact.join(dim, fact.o_year == dim.yr)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_value"),
     )

@@ -2508,3 +2508,43 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(behind <= 7, "ok").otherwise("stale").alias("sla_status"),
         "n_rows",
     )
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "sql"),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level PIVOT clause (the DataFrame .pivot() key's SQL twin,
+    pivot_wide): explicit IN-list pivot of order counts by status —
+    the declared-columns form that keeps the output schema STATIC,
+    which is the only pivot shape that scales (a discovered-values
+    pivot needs a driver-side distinct pass first and breaks schema
+    stability between runs). Catalyst compiles the clause to the
+    same single conditional hash-agg as the CASE-WHEN oracle — one
+    pass, map-side combinable, no row explosion."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_pivot_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(status_f, 0) AS status_f,
+               COALESCE(status_o, 0) AS status_o,
+               COALESCE(status_p, 0) AS status_p
+        FROM (SELECT o_orderpriority, o_orderstatus FROM _pivot_orders)
+        PIVOT (
+          COUNT(*) FOR o_orderstatus IN ('F' AS status_f, 'O' AS status_o,
+                                         'P' AS status_p)
+        )
+        """
+    )

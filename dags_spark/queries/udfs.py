@@ -234,3 +234,101 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = table(spark, sf_dir, "customer")
     return c.select("c_custkey", adjust("c_acctbal").alias("adjusted_bal"))
+
+
+@register(
+    "udtf_partition_by",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+)
+SELECT user_id, CAST(seq AS BIGINT) AS seq, event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY seq) AS BIGINT)
+         AS running_cents
+FROM ranked WHERE seq <= 5
+""",
+)
+def udtf_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over TABLE(...) PARTITION BY ... ORDER BY ... —
+    the Spark 4 API that hands a UDTF one WHOLE ordered partition as
+    a row stream (terminate() sees the group end), the extension
+    point for custom stateful per-key logic in SQL. The kernel
+    replays a running cents sum over each user's first-5 ordered
+    events — checked against the plain window twin, so the
+    partition/order contract (every user's rows arrive together, in
+    (ts, event_id) order) is what the hash pins. The engine plans
+    one exchange on the partition key, exactly like a window — the
+    API generalizes windows to arbitrary Python state machines; at
+    scale partition width bounds the state like any keyed window."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, seq bigint, event_id bigint, running_cents bigint")
+    class RunningSum:
+        def __init__(self):
+            self._sum = 0
+            self._seq = 0
+
+        def eval(self, row):
+            self._seq += 1
+            if self._seq <= 5:
+                self._sum += int(round(row["value"] * 100))
+                yield row["user_id"], self._seq, row["event_id"], self._sum
+
+    spark.udtf.register("dags_running_sum", RunningSum)
+    table(spark, sf_dir, "events").createOrReplaceTempView("_udtf_part_events")
+    return spark.sql(
+        """
+        SELECT * FROM dags_running_sum(
+          TABLE(SELECT user_id, event_id, ts, value FROM _udtf_part_events)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
+@register(
+    "group_apply_in_arrow",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY user_id
+""",
+)
+def group_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow — the zero-copy sibling of
+    applyInPandas: each group arrives as a pyarrow.Table (no pandas
+    conversion, no object boxing — the fastest Python group kernel
+    surface Spark has), per-user aggregates computed with pyarrow
+    compute kernels and returned as one Arrow record batch. Checked
+    against the plain hash-agg twin. Use this API when the kernel is
+    array-oriented (numpy/arrow) — the pandas detour costs a full
+    copy per group at 100 TB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(tbl.column("value"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [tbl.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([tbl.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        per_user,
+        schema="user_id bigint, n_events bigint, sum_cents bigint, max_cents bigint",
+    )

@@ -1959,3 +1959,56 @@ def win_calendar_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ytd_cents"),
     )
+
+
+@register(
+    "win_range_interval_frame",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM orders GROUP BY 1
+)
+SELECT day, day_cents,
+       CAST(SUM(day_cents) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trailing_7d_cents,
+       CAST(COUNT(*) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS days_present_7d
+FROM daily
+""",
+    tags=("timeseries", "window"),
+)
+def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-INTERVAL window frame (RANGE BETWEEN INTERVAL ... DAYS
+    PRECEDING): the trailing-7-calendar-day revenue sum over the day
+    grid — the frame that a ROWS window gets WRONG whenever days are
+    missing (ROWS 6 PRECEDING spans 7 rows; RANGE INTERVAL spans 7
+    calendar days regardless of gaps, and days_present_7d exposes
+    exactly where they differ). Spark's rangeBetween over a
+    timestamp ordering requires the interval literal path (window
+    frame bounds as a calendar interval) — API surface the numeric
+    win_range_frame key cannot cover. Corpus work is the one
+    day-grain hash-agg; the interval window runs on the calendar
+    grid (ts_week_over_week argument). Exact integer cents."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("day_cents")
+    )
+    daily.createOrReplaceTempView("dags_daily_rev")
+    # the INTERVAL frame bound is SQL-only surface (DataFrame
+    # rangeBetween takes numeric offsets); same text both engines.
+    return spark.sql(
+        """
+        SELECT day, day_cents,
+               CAST(SUM(day_cents) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS trailing_7d_cents,
+               COUNT(*) OVER (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                 AS days_present_7d
+        FROM dags_daily_rev
+        """
+    )

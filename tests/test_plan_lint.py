@@ -227,6 +227,12 @@ ALLOWED = {
     # 1-row global watermark broadcast-crossed into the per-feed
     # maxima — scalar-subquery shape.
     "dq_freshness_sla": {"cartesian", "single-partition-exchange"},
+    # the trailing-interval window runs over the calendar day grid
+    # (~2.4k rows at any SF — grid work, ts_week_over_week class).
+    "win_range_interval_frame": {"single-partition-exchange"},
+    # the key's PURPOSE is the PARTITION BY table-argument UDTF API
+    # (same allowlist class as udtf_python).
+    "udtf_partition_by": {"rowwise-python-udf"},
 }
 
 

@@ -493,3 +493,14 @@ def test_partitioned_sink_readback_prunes_directories(spark, sf_dir):
     plan = _formatted_plan(spark, "sink_parquet_partitioned", sf_dir)
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_year" in pf and "1995" in pf, pf
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """join_dynamic_partition_pruning: the fact scan must carry a
+    dynamicpruning expression on the partition column (runtime
+    directory pruning driven by the dim side) — plus the statically
+    inferred bound that Catalyst derives through the join."""
+    plan = _formatted_plan(spark, "join_dynamic_partition_pruning", sf_dir)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruning" in pf, pf
+    assert "o_year" in pf
