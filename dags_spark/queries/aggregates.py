@@ -1749,3 +1749,38 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS names_asc,
+       string_agg(CASE WHEN n_nationkey % 2 = 0 THEN n_name END, '|'
+                  ORDER BY n_name) AS even_names
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("agg",),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI `LISTAGG ... WITHIN GROUP (ORDER BY ...)` (new in Spark
+    4): ordered string aggregation as a FIRST-CLASS aggregate — the
+    standard spelling of what agg_string_agg builds from
+    collect_list + array_sort + array_join. The WITHIN GROUP order
+    is part of the aggregate itself (deterministic under any
+    shuffle order — exactly the property raw collect_list lacks),
+    and NULLs are skipped per the standard (the even_names column
+    pins that: odd-key names vanish, no empty separators). DuckDB's
+    ordered string_agg is the oracle twin. One hash-agg; dictionary
+    data (region->nations) so output is dim-sized."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_listagg_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS names_asc,
+               listagg(CASE WHEN n_nationkey % 2 = 0 THEN n_name END, '|')
+                 WITHIN GROUP (ORDER BY n_name) AS even_names
+        FROM _listagg_nation GROUP BY n_regionkey
+        """
+    )

@@ -732,3 +732,63 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("total_value"),
     )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+WITH probe AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+),
+keys AS (
+  -- a key set that deliberately CONTAINS a NULL row
+  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+keys_clean AS (
+  SELECT o_custkey AS k FROM orders
+  WHERE o_orderkey % 10 = 0 AND o_orderkey % 1000 <> 0
+)
+SELECT 'with_null_keys' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM probe WHERE c_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'clean_keys', CAST(COUNT(*) AS BIGINT)
+FROM probe WHERE c_custkey NOT IN (SELECT k FROM keys_clean)
+""",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti join — the `NOT IN (subquery)` trap pinned as
+    a checked key: per three-valued logic, if the subquery produces
+    even ONE NULL, `x NOT IN (...)` is never TRUE and the result is
+    EMPTY — semantics a plain LEFT ANTI join (NOT EXISTS) silently
+    gets wrong. Spark plans this as BroadcastHashJoin LeftAnti with
+    isNullAwareAntiJoin=true (the dedicated operator that exists
+    solely for this trap). The key runs BOTH variants — a key set
+    with a planted NULL (must count 0) and the cleaned set (normal
+    anti-join counts) — so the hash pins the cliff itself, which is
+    exactly what a migration from a NULL-naive engine must preserve.
+    At scale: null-aware anti only supports broadcast; the
+    always-correct rewrite for big key sets is NOT EXISTS (plain
+    anti, shuffleable) after an explicit IS NOT NULL guard — the
+    operational note every SQL style guide carries."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_naa_probe")
+    o.createOrReplaceTempView("_naa_orders")
+    return spark.sql(
+        """
+        SELECT 'with_null_keys' AS variant, COUNT(*) AS n_rows
+        FROM _naa_probe
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                      ELSE o_custkey END
+          FROM _naa_orders WHERE o_orderkey % 10 = 0)
+        UNION ALL
+        SELECT 'clean_keys', COUNT(*)
+        FROM _naa_probe
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM _naa_orders
+          WHERE o_orderkey % 10 = 0 AND o_orderkey % 1000 <> 0)
+        """
+    )

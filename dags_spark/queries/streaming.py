@@ -1012,3 +1012,37 @@ def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
         [(sum(rows), len(batches), max_files)],
         "n_rows BIGINT, n_batches BIGINT, max_files_per_batch BIGINT",
     )
+
+
+@register(
+    "stream_complete_mode_agg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+""",
+)
+def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode: an unwindowed streaming aggregation
+    (illegal in append mode — an unbounded group never finalizes)
+    re-emits the ENTIRE result table every micro-batch, so the sink
+    always holds the full current aggregate — the live-dashboard
+    contract. State = one row per group key (bounded by the group
+    domain, NOT the stream length — why complete mode scales for
+    low-cardinality keys and must never be used on unbounded ones).
+    The final memory-sink table must equal the batch GROUP BY
+    exactly, replays and all. Multi-batch arrival (maxFilesPerTrigger
+    in the 2-file staged variant of this pipeline is covered by
+    stream_state_restart) changes per-batch emissions but never the
+    final table — that invariance IS complete mode."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    per_type = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).alias("sum_cents"),
+        F.max("user_id").alias("max_user"),
+    )
+    return run_to_memory(per_type, "complete")

@@ -2012,3 +2012,51 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dags_daily_rev
         """
     )
+
+
+@register(
+    "win_ignore_nulls_fill",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) END AS purch_cents
+  FROM events
+)
+SELECT user_id, event_id,
+       purch_cents,
+       LAST_VALUE(purch_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_cents
+FROM base
+""",
+    tags=("window",),
+)
+def win_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics — forward-fill as ONE window
+    expression: every event carries the user's most recent purchase
+    amount (NULL until their first purchase). This is the idiomatic
+    Spark spelling of LOCF (`last_value(x) IGNORE NULLS` over a
+    running frame) — ts_gapfill_locf builds the same semantic for a
+    resampled grid with a two-step max_by construction; this key
+    pins the native modifier itself, which DataFrame code reaches
+    via `F.last(col, ignorenulls=True)`. One user-keyed window sort;
+    the fill never leaves the partition, so at 100 TB the cost is
+    the sessionize exchange, nothing more."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purch = F.when(
+        F.col("event_type") == "purchase", cents("value")
+    ).alias("purch_cents")
+    return (
+        ev.select("user_id", "event_id", "ts", purch)
+        .withColumn(
+            "last_purchase_cents",
+            F.last("purch_cents", ignorenulls=True).over(w),
+        )
+        .drop("ts")
+    )

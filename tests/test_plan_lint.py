@@ -233,6 +233,9 @@ ALLOWED = {
     # the key's PURPOSE is the PARTITION BY table-argument UDTF API
     # (same allowlist class as udtf_python).
     "udtf_partition_by": {"rowwise-python-udf"},
+    # two 1-row COUNT(*) variants unioned into the 2-row report —
+    # agg_global class.
+    "join_null_aware_anti": {"single-partition-exchange"},
 }
 
 
