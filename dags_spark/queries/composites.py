@@ -777,3 +777,385 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --- derived partsupp -------------------------------------------------
+# The driver fixtures ship no partsupp table; these six shapes derive
+# one DETERMINISTICALLY from the distinct (l_partkey, l_suppkey) pairs
+# actually present in lineitem (so the TPC-H referential guarantee —
+# every lineitem pair exists in partsupp — holds by construction) with
+# closed-form integer cost/qty attributes. Identical algebra on both
+# engines; the shapes below are then the real Q2/Q9/Q11/Q15/Q16/Q20
+# plans over it.
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 99001 + 100 AS BIGINT)
+           AS ps_supplycost_cents,
+         CAST((l_partkey * 13 + l_suppkey * 7) % 9999 + 1 AS BIGINT)
+           AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 99001 + 100)
+        .cast("bigint")
+        .alias("ps_supplycost_cents"),
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+costs AS (
+  SELECT ps.ps_partkey, MIN(ps.ps_supplycost_cents) AS min_cost
+  FROM partsupp ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+  GROUP BY ps.ps_partkey
+)
+SELECT ROUND(eu.s_acctbal, 2) AS s_acctbal, eu.s_name, eu.n_name,
+       p.p_partkey, ps.ps_supplycost_cents
+FROM part p
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN costs c ON c.ps_partkey = ps.ps_partkey
+            AND ps.ps_supplycost_cents = c.min_cost
+JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("tpch",),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: for every qualifying
+    part (size 15, PROMO), the EUROPEAN supplier(s) offering the
+    minimum supply cost — the correlated-min pattern (per-part min
+    as its own aggregate, equi-joined back; never a per-row
+    subquery). All dims broadcast; partsupp carries only integer
+    attributes; top-100 is TakeOrderedAndProject with a fully
+    deterministic tie chain. Cost ties keep BOTH suppliers — the
+    standard's semantics — and the tie chain orders them."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    psx = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+    costs = psx.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    hit = psx.join(
+        costs,
+        (psx.ps_partkey == costs.ps_partkey)
+        & (psx.ps_supplycost_cents == costs.min_cost),
+    ).drop(costs.ps_partkey)
+    out = hit.join(
+        F.broadcast(
+            p.filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        ),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    )
+    return (
+        out.select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                     AS BIGINT)
+                - ps.ps_supplycost_cents * 100 * CAST(l.l_quantity AS BIGINT))
+            AS BIGINT) AS profit_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                AND ps.ps_suppkey = l.l_suppkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    tags=("tpch",),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) over
+    the derived partsupp: profit = revenue minus supply cost *
+    quantity, in exact scale-4 cents (revenue quantized at 1e4,
+    integer cost cents scaled to match — no float accumulation
+    anywhere). The join graph is the benchmark's widest (lineitem ⋈
+    orders ⋈ part ⋈ partsupp ⋈ supplier ⋈ nation): part/supplier/
+    nation broadcast; partsupp rides the SAME (l_partkey, l_suppkey)
+    shuffle key family as lineitem; orders joins on the orderkey.
+    One partial+final hash-agg on (nation, year)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    amount = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("bigint")
+        - F.col("ps_supplycost_cents") * 100 * F.col("l_quantity").cast("bigint")
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(F.sum(amount).cast("bigint").alias("profit_c4"))
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+de AS (
+  SELECT ps.ps_partkey,
+         CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY ps.ps_partkey
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total FROM de)
+SELECT d.ps_partkey, d.value_cents
+FROM de d CROSS JOIN tot
+WHERE d.value_cents * 1000 > tot.total
+""",
+    tags=("tpch",),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    inventory value held by one nation's suppliers, keeping parts
+    whose value exceeds 1/1000 of the nation's total — the
+    scalar-subquery threshold pattern in exact integer cents (the
+    fraction comparison is cleared of division: value*1000 > total).
+    The corpus-scale work is ONE partsupp aggregate; the total is a
+    1-row broadcast. Q11's trap at scale is recomputing the inner
+    aggregate per row — this plan computes it once."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    de = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).cast("bigint").alias("value_cents")
+        )
+    )
+    tot = de.agg(F.sum("value_cents").cast("bigint").alias("total"))
+    return (
+        de.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS total_rev_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(total_rev_c4) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+CROSS JOIN mx WHERE r.total_rev_c4 = mx.m
+""",
+    tags=("tpch",),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the
+    max-equality pattern — revenue per supplier for 1997-Q1, keep
+    every supplier TIED at the maximum (the standard's semantics;
+    a LIMIT 1 would silently drop ties). Exact scale-4 cents makes
+    the tie comparison well-defined cross-engine. One pushed-down
+    quarter scan, one supplier hash-agg, a 1-row max broadcast —
+    the 'create view revenue0' of the spec collapsed into a plan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("bigint")
+        ).cast("bigint").alias("total_rev_c4")
+    )
+    mx = rev.agg(F.max("total_rev_c4").alias("m"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_c4") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_rev_c4")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#15'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM bad)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("tpch",),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier counts per (brand, type, size) bucket, excluding one
+    brand, one type family, and blacklisted suppliers (negative
+    balance stands in for the spec's complaint filter — the fixture
+    has no comments). The anti-filter is a broadcast NOT IN over a
+    guaranteed-null-free key set; the distinct count shuffles
+    (bucket, suppkey) pairs once. Every filter evaluates at the
+    scan; part broadcasts into partsupp."""
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = ps.join(
+        F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1997
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+surplus AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = 'MEDIUM'
+  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                 AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty * 2 > sh.qty_1997
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN surplus ON s.s_suppkey = surplus.ps_suppkey
+WHERE n.n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+""",
+    tags=("tpch",),
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in a
+    nation set holding MORE than half a year's shipped quantity of
+    some MEDIUM part — the stock-vs-demand comparison. The halving
+    is cleared of division (availqty*2 > qty, exact integers), the
+    shipped aggregate and partsupp share the (partkey, suppkey)
+    shuffle family, and the supplier-set semi join collapses to
+    DISTINCT before touching the dims. Every existential in the
+    spec's nested NOT EXISTS chain becomes one equi-join here."""
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_1997")
+    )
+    surplus = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty_1997"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_11", "NATION_19")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(surplus, s.s_suppkey == surplus.ps_suppkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -236,6 +236,11 @@ ALLOWED = {
     # two 1-row COUNT(*) variants unioned into the 2-row report —
     # agg_global class.
     "join_null_aware_anti": {"single-partition-exchange"},
+    # 1-row nation-total / quarter-max broadcast scalars crossed into
+    # the per-part / per-supplier tables — the spec's own scalar
+    # subqueries, computed once (the whole point of the rewrite).
+    "tpch_q11_important_stock": {"cartesian", "single-partition-exchange"},
+    "tpch_q15_top_supplier": {"cartesian", "single-partition-exchange"},
 }
 
 
