@@ -2548,3 +2548,153 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "merge_schema_evolution_upsert",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+source AS (
+  -- late-arriving feed carries a NEW column the target never had
+  SELECT o_orderkey, o_custkey, 'X-EVOLVED' AS o_orderstatus,
+         'feed-v2' AS ingest_tag
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(NULL AS VARCHAR) AS ingest_tag, 1 AS pri FROM target
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, ingest_tag, 0 FROM source
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       COALESCE(ingest_tag, '<pre-evolution>') AS ingest_tag
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+  FROM merged
+) WHERE rn = 1
+""",
+    tags=("merge", "schema"),
+)
+def merge_schema_evolution_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT UNDER SCHEMA EVOLUTION — the lakehouse MERGE reality:
+    the incoming feed grew a column (`ingest_tag`) the target table
+    never had. The merge must (a) widen the result to the union
+    schema, (b) NULL-backfill existing rows (surfaced here as an
+    explicit '<pre-evolution>' marker so the provenance boundary is
+    part of the checked output), and (c) still keep exactly one row
+    per key with source-wins precedence — unionByName(
+    allowMissingColumns=True) + the same keyed window as
+    merge_upsert. Silent alternatives all lose: dropping the column
+    loses data, failing blocks the feed, positional union corrupts
+    rows. Shuffle: one window exchange on the merge key, same as
+    the evolution-free upsert."""
+    o = table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    source = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X-EVOLVED").alias("o_orderstatus"),
+        F.lit("feed-v2").alias("ingest_tag"),
+    )
+    merged = target.withColumn("pri", F.lit(1)).unionByName(
+        source.withColumn("pri", F.lit(0)), allowMissingColumns=True
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("pri")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.coalesce("ingest_tag", F.lit("<pre-evolution>")).alias(
+                "ingest_tag"
+            ),
+        )
+    )
+
+
+@register(
+    "dq_distribution_psi",
+    oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'base' ELSE 'cur' END AS era,
+         CAST(FLOOR(LN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    / LN(2.0)) AS BIGINT) AS bucket
+  FROM orders WHERE o_totalprice > 0
+),
+cells AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN era = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+  FROM tagged GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS tb, CAST(SUM(n_c) AS BIGINT) AS tc
+  FROM cells
+),
+terms AS (
+  -- +1 smoothing keeps every log finite under engine-identical
+  -- arithmetic; the term is rounded 9dp BEFORE the sum so the
+  -- total is shuffle-order-free (the JSD key's quantization rule)
+  SELECT ROUND(
+           (CAST(n_b + 1 AS DOUBLE) / (tb + COUNT(*) OVER ())
+            - CAST(n_c + 1 AS DOUBLE) / (tc + COUNT(*) OVER ()))
+           * LN((CAST(n_b + 1 AS DOUBLE) / (tb + COUNT(*) OVER ()))
+                / (CAST(n_c + 1 AS DOUBLE) / (tc + COUNT(*) OVER ()))),
+           9) AS term
+  FROM cells CROSS JOIN tot
+)
+SELECT ROUND(SUM(term), 6) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM terms
+""",
+    tags=("dq", "stats"),
+)
+def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between two eras of the order-value
+    distribution — the model-monitoring standard (PSI < 0.1 stable,
+    > 0.25 investigate) complementing dq_corpus_drift_jsd's
+    JS-divergence: log2 value buckets (the mergeable histogram
+    again), +1 Laplace smoothing so empty cells stay finite, and
+    per-bucket terms ROUNDED 9dp BEFORE summation so the float total
+    is shuffle-order-free (this repo's standard quantization fence).
+    One scan, one bucket hash-agg, grid-sized everything after. The
+    era split is the time-slice comparison every daily monitor runs
+    against its training-period baseline."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    tagged = o.select(
+        F.when(F.year("o_orderdate") <= 1997, "base")
+        .otherwise("cur")
+        .alias("era"),
+        F.floor(
+            F.log(cents("o_totalprice").cast("double")) / F.log(F.lit(2.0))
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    cells = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("era") == "base", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("era") == "cur", 1).otherwise(0)).alias("n_c"),
+    )
+    tot = cells.agg(
+        F.sum("n_b").alias("tb"), F.sum("n_c").alias("tc")
+    )
+    k = Window.partitionBy()
+    j = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "nb_tot", F.count(F.lit(1)).over(k)
+    )
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + F.col("nb_tot"))
+    pc = (F.col("n_c") + 1).cast("double") / (F.col("tc") + F.col("nb_tot"))
+    terms = j.select(
+        F.round((pb - pc) * F.log(pb / pc), 9).alias("term")
+    )
+    return terms.agg(
+        F.round(F.sum("term"), 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

@@ -13,7 +13,7 @@ surface-wide).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import table
@@ -182,4 +182,61 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hk")
         .limit(50)
         .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "win_topn_ties_dense",
+    oracle="""
+WITH spend AS (
+  -- rank on spend QUANTIZED to 100k-dollar bands so boundary ties
+  -- genuinely exist at fixture scale (the semantics under test)
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) // 100000 AS BIGINT)
+           AS spend_band
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spend_band,
+         DENSE_RANK() OVER (ORDER BY spend_band DESC) AS dr,
+         ROW_NUMBER() OVER (ORDER BY spend_band DESC, o_custkey) AS rn
+  FROM spend
+)
+SELECT o_custkey, spend_band,
+       CAST(dr AS BIGINT) AS dense_rank_pos,
+       CAST(rn AS BIGINT) AS row_number_pos
+FROM ranked WHERE dr <= 3
+""",
+    tags=("sort", "window"),
+)
+def win_topn_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N WITH TIES (dense-rank cut): keep every customer in the
+    top 3 spend BANDS (100k-dollar quantization so boundary ties
+    genuinely exist at fixture scale) — the 'WITH TIES' semantics a
+    row_number cut silently violates (it drops arbitrary members of
+    the boundary tie group; leaderboards and quota cutoffs are wrong
+    exactly there).
+    Emitting BOTH ranks makes the divergence part of the checked
+    output: row_number_pos can exceed 3 while dense_rank_pos <= 3 —
+    the rows a naive top-k loses. Spend agg is corpus work (one
+    hash-agg); the global ranking runs on the customer aggregate —
+    at larger scale the two-phase global_rank machinery applies
+    (agg_pareto_customers pins it)."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) div 100000"
+            " AS BIGINT)"
+        ).alias("spend_band")
+    )
+    wd = Window.orderBy(F.col("spend_band").desc())
+    wr = Window.orderBy(F.col("spend_band").desc(), F.col("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            "spend_band",
+            F.dense_rank().over(wd).cast("bigint").alias("dense_rank_pos"),
+            F.row_number().over(wr).cast("bigint").alias("row_number_pos"),
+        )
+        .filter(F.col("dense_rank_pos") <= 3)
     )

@@ -241,6 +241,13 @@ ALLOWED = {
     # subqueries, computed once (the whole point of the rewrite).
     "tpch_q11_important_stock": {"cartesian", "single-partition-exchange"},
     "tpch_q15_top_supplier": {"cartesian", "single-partition-exchange"},
+    # 1-row era totals crossed into the ~40-row bucket grid, PSI
+    # reduced to one report row — stats_chi_square class.
+    "dq_distribution_psi": {"cartesian", "single-partition-exchange"},
+    # global dense/row ranking over the per-customer AGGREGATE (not
+    # the corpus); two-phase global_rank applies at larger scale
+    # (the win_rfm_segmentation note).
+    "win_topn_ties_dense": {"single-partition-exchange"},
 }
 
 
