@@ -1046,3 +1046,37 @@ def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("max_user"),
     )
     return run_to_memory(per_type, "complete")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_key_rows
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id, event_type
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+) — the dedup whose
+    STATE IS BOUNDED: plain streaming dropDuplicates keeps every key
+    forever (state grows with the key universe — the slow-motion OOM
+    of long-running dedup streams); the WithinWatermark variant
+    evicts a key's state once the watermark passes its event time,
+    guaranteeing only that duplicates arriving within the lateness
+    bound collapse. For this bounded replay (all events inside one
+    watermark era) the emitted key set equals batch DISTINCT — and
+    each key exactly once, which the n_key_rows=1 column makes part
+    of the hash. At 100 TB this API is the difference between state
+    proportional to keys-per-day and state proportional to
+    keys-ever."""
+    sdf = events_stream(spark, os.path.join(stage_events(spark, sf_dir), "in"))
+    deduped = (
+        sdf.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_key_rows")
+    )

@@ -2060,3 +2060,51 @@ def win_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ts")
     )
+
+
+@register(
+    "win_percent_of_total",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 50 = 0
+)
+SELECT o_orderkey, o_custkey, cents,
+       ROUND(CAST(cents AS DOUBLE)
+             / SUM(cents) OVER (PARTITION BY o_custkey), 6)
+         AS pct_of_customer,
+       ROUND(CAST(cents AS DOUBLE) / SUM(cents) OVER (), 6)
+         AS pct_of_cohort
+FROM c
+""",
+    tags=("window",),
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-TOTAL at two grains in one pass: each order's share
+    of its customer's spend (partitioned window total) AND of the
+    whole cohort (unpartitioned window total) — the contribution
+    ratio every revenue breakdown and mix-shift report needs.
+    Numerators and denominators are exact integer cents; one double
+    division per ratio, 6dp. The per-customer window shuffles once
+    on the key; the cohort total is a 1-row aggregate the window
+    engine broadcasts (at corpus scale, compute it as a scalar agg
+    cross — subquery_scalar_agg's shape — rather than an
+    unpartitioned window; the cohort here is a 1-in-50 customer
+    slice, dim-sized by construction, which is why the direct window
+    is acceptable and allowlisted)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    c = o.select("o_orderkey", "o_custkey", cents("o_totalprice").alias("cents"))
+    wc = Window.partitionBy("o_custkey")
+    wall = Window.partitionBy()
+    return c.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wc), 6
+        ).alias("pct_of_customer"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wall), 6
+        ).alias("pct_of_cohort"),
+    )

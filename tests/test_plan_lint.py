@@ -248,6 +248,10 @@ ALLOWED = {
     # the corpus); two-phase global_rank applies at larger scale
     # (the win_rfm_segmentation note).
     "win_topn_ties_dense": {"single-partition-exchange"},
+    # the cohort-total window runs over a dim-sized 1-in-50 customer
+    # slice by construction; docstring prescribes the scalar-agg
+    # cross for corpus-scale cohorts.
+    "win_percent_of_total": {"single-partition-exchange"},
 }
 
 
