@@ -1293,3 +1293,73 @@ def fn_try_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("try_div_key"),
     )
+
+
+@register(
+    "fn_levenshtein_threshold",
+    oracle="""
+WITH pairs AS (
+  SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+         a.n_name AS na, b.n_name AS nb
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+)
+SELECT id_a, id_b,
+       CAST(CASE WHEN levenshtein(na, nb) <= 3
+                 THEN levenshtein(na, nb) ELSE -1 END AS BIGINT)
+         AS bounded_dist,
+       CAST(levenshtein(na, nb) AS BIGINT) AS full_dist
+FROM pairs
+""",
+)
+def fn_levenshtein_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED edit distance — `levenshtein(l, r, threshold)` (Spark
+    3.5+) returns -1 the moment the distance provably exceeds the
+    bound, turning the O(|l|*|r|) matrix into an O(k*min(|l|,|r|))
+    band. That asymptotic is why every fuzzy-verify pass at scale
+    (dedup_levenshtein_verify's adjudicator) should carry its
+    acceptance threshold INTO the kernel rather than filter after:
+    at k=3 over 200-char fields the banded form does ~1.5% of the
+    work. The oracle states the contract definitionally (full
+    distance, CASE'd at the bound — DuckDB has no threshold arg),
+    and emitting both columns pins the -1 sentinel semantics
+    exactly. Nation-pair cross is dim-sized by construction."""
+    n = table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("id_a"), F.col("n_name").alias("na"))
+    b = n.select(F.col("n_nationkey").alias("id_b"), F.col("n_name").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("na", "nb", 3).cast("bigint").alias("bounded_dist"),
+        F.levenshtein("na", "nb").cast("bigint").alias("full_dist"),
+    )
+
+
+@register(
+    "fn_split_part",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', -1) AS last_word,
+       CASE WHEN len(string_split(p_name, ' ')) >= 3
+            THEN string_split(p_name, ' ')[3] ELSE '' END AS third_word
+FROM part
+""",
+)
+def fn_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`split_part` — field extraction from delimited strings as ONE
+    scan-local expression (the everyday parse for paths, SKUs,
+    hierarchical names): first field, NEGATIVE indexing from the
+    end, and the out-of-range contract (empty string, NOT an error
+    and NOT NULL — all three engines' split_part agree on '' and the
+    key pins it; contrast fn_try_collection where array indexing
+    returns NULL). The out-of-range third_word is spelled
+    definitionally in the oracle (CASE to ''), pinning the rule
+    rather than trusting engine agreement."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("last_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(3)).alias("third_word"),
+    )

@@ -252,6 +252,10 @@ ALLOWED = {
     # slice by construction; docstring prescribes the scalar-agg
     # cross for corpus-scale cohorts.
     "win_percent_of_total": {"single-partition-exchange"},
+    # nation x nation theta pairs (25x25, dim-sized by construction)
+    # — the bounded-levenshtein API demo; real fuzzy verify at scale
+    # runs on BLOCKED candidates (dedup_levenshtein_verify).
+    "fn_levenshtein_threshold": {"cartesian"},
 }
 
 
