@@ -2698,3 +2698,104 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term"), 6).alias("psi"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+@register(
+    "iter_kcore_peel",
+    oracle="""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+edges AS (
+  -- QUADRATIC map (not the bijective 37x+11 the other graph keys
+  -- use): collisions create hubs and leaves, so the 2-core peel has
+  -- genuine work — a permutation graph is 2-regular and peels
+  -- nothing.
+  SELECT c_custkey AS s,
+         (c_custkey * c_custkey * 13 + 7) % (SELECT n FROM nn) AS d
+  FROM customer
+  WHERE c_custkey <> (c_custkey * c_custkey * 13 + 7) % (SELECT n FROM nn)
+),
+n0 AS (SELECT c_custkey AS node FROM customer),
+d1 AS (
+  SELECT g.node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.s AS node, e.d AS other FROM edges e
+    UNION ALL
+    SELECT e.d, e.s FROM edges e
+  ) g
+  JOIN n0 a ON g.node = a.node
+  JOIN n0 b ON g.other = b.node
+  GROUP BY g.node
+),
+n1 AS (SELECT node FROM d1 WHERE deg >= 2),
+d2 AS (
+  SELECT g.node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.s AS node, e.d AS other FROM edges e
+    UNION ALL
+    SELECT e.d, e.s FROM edges e
+  ) g
+  JOIN n1 a ON g.node = a.node
+  JOIN n1 b ON g.other = b.node
+  GROUP BY g.node
+),
+n2 AS (SELECT node FROM d2 WHERE deg >= 2),
+d3 AS (
+  SELECT g.node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.s AS node, e.d AS other FROM edges e
+    UNION ALL
+    SELECT e.d, e.s FROM edges e
+  ) g
+  JOIN n2 a ON g.node = a.node
+  JOIN n2 b ON g.other = b.node
+  GROUP BY g.node
+),
+n3 AS (SELECT node FROM d3 WHERE deg >= 2)
+SELECT d.node, d.deg
+FROM d3 d JOIN n3 nz ON d.node = nz.node
+""",
+    tags=("iterative", "graph"),
+)
+def iter_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-CORE decomposition by iterative PEELING — the graph-cleanup
+    primitive behind spam-ring detection and dense-community seeds:
+    repeatedly delete nodes of degree < k (an edge only counts while
+    BOTH endpoints survive), until the survivor set is stable. Three
+    unrolled rounds over a derived QUADRATIC-map graph (collisions
+    make hubs and leaves — a bijective map like the BFS/SSSP keys'
+    37x+11 is 2-regular undirected and would peel nothing; undirected
+    via the union of both edge directions, self-loops dropped); each
+    round is one
+    edge-endpoint semi-join pair + one degree hash-agg — the
+    shuffles all key on the node id, and the edge list re-derives
+    from the same scan (ReusedExchange). Emitted: the 2-core members
+    with their within-core degree. At real diameter the peel loops
+    with a convergence check + localCheckpoint (iter_pagerank's
+    operating procedure); the fixed unroll keeps the key
+    hash-checkable."""
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    e = (
+        c.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("s"),
+            (
+                (F.col("c_custkey") * F.col("c_custkey") * 13 + 7)
+                % F.col("n")
+            ).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+    )
+    und = e.select("s", "d").unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).select(F.col("s").alias("node"), F.col("d").alias("other"))
+    alive = c.select(F.col("c_custkey").alias("node"))
+    deg = None
+    for _ in range(3):
+        a = alive.select(F.col("node").alias("__a"))
+        b = alive.select(F.col("node").alias("__b"))
+        deg = (
+            und.join(a, und.node == F.col("__a"))
+            .join(b, und.other == F.col("__b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= 2).select("node")
+    return deg.join(alive, "node").select("node", "deg")

@@ -256,6 +256,9 @@ ALLOWED = {
     # — the bounded-levenshtein API demo; real fuzzy verify at scale
     # runs on BLOCKED candidates (dedup_levenshtein_verify).
     "fn_levenshtein_threshold": {"cartesian"},
+    # 1-row node-count broadcast into the derived edge set — the
+    # iter_reachability_bfs shape, once per unrolled peel round.
+    "iter_kcore_peel": {"cartesian", "single-partition-exchange"},
 }
 
 

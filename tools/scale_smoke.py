@@ -101,6 +101,9 @@ HEAVY = {
     "ts_cusum_changepoint": 15,
     "ts_autocorrelation": 15,
     "win_rfm_segmentation": 15,
+    # round-5 session-3 additions (healthy 1-8 s at sf0.1, measured)
+    "iter_kcore_peel": 45,
+    "stream_dedup_within_watermark": 30,
     # round-5 session-2 additions (healthy 0.3-6 s at sf0.1, measured)
     "text_dedup_paragraphs": 45,
     "join_geo_bucket": 20,
