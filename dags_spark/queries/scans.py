@@ -1044,3 +1044,65 @@ def source_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("total_value"),
     )
+
+
+@register(
+    "table_format_time_travel",
+    oracle=f"""
+WITH v1 AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+),
+v2_add AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 = 1
+),
+v3 AS (
+  SELECT * FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT 1 AS version, 'overwrite' AS mode,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {SQL_DEC_SUM('o_totalprice')} AS total_value
+FROM v1
+UNION ALL
+SELECT 2, 'append', CAST(COUNT(*) AS BIGINT), {SQL_DEC_SUM('o_totalprice')}
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2_add)
+UNION ALL
+SELECT 3, 'overwrite', CAST(COUNT(*) AS BIGINT), {SQL_DEC_SUM('o_totalprice')}
+FROM v3
+""",
+)
+def table_format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the log-structured table format
+    (dags_spark/tablelog.py — the transactional lakehouse skeleton
+    on parquet + atomic renames): three commits land (overwrite,
+    append, overwrite), then every HISTORICAL version is read back
+    through its committed file list and aggregated — v1 must still
+    show exactly the pre-append rows AFTER two further commits, and
+    v2 must show the union, because committed data files are
+    immutable and a snapshot is a metadata file, not a directory
+    listing. The oracle recomputes each version's aggregate from the
+    defining predicates. Commit atomicity + optimistic concurrency
+    (two writers racing one version — one CommitConflict) are pinned
+    by tests/test_tablelog.py; this key pins the read contract."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders")
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="overwrite")
+
+    outs = []
+    for v, mode in ((1, "overwrite"), (2, "append"), (3, "overwrite")):
+        df = t.read(spark, version=v)
+        outs.append(
+            df.agg(
+                F.lit(v).alias("version"),
+                F.lit(mode).alias("mode"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dec_sum("o_totalprice").alias("total_value"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

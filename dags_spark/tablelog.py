@@ -1,0 +1,144 @@
+"""A minimal log-structured table format — the transactional core of
+a lakehouse table (Delta/Iceberg's skeleton) on nothing but parquet
+files and atomic renames. No jars, no network: what the sandbox
+allows, built for real.
+
+Layout:
+
+    <table>/
+      _log/v000001.json     {"version":1,"mode":"overwrite","files":[...]}
+      _log/v000002.json     {"version":2,"mode":"append","files":[...]}
+      part-....parquet      (immutable data files, never rewritten)
+
+Invariants (each carried by a specific mechanism):
+- **Atomic commit**: a version file is staged under a temp name and
+  published with ``os.rename`` — readers see a whole commit or none.
+- **Optimistic concurrency**: the publish uses ``O_CREAT|O_EXCL``
+  link semantics (rename onto an existing path is forbidden by an
+  existence check inside a retry loop) — two writers racing for
+  version N: one wins, the other gets ``CommitConflict`` and must
+  rebase. This is exactly Delta's protocol shape.
+- **Snapshot isolation / time travel**: a reader resolves a version
+  to its file LIST and reads only those files — concurrent appends
+  land new files plus new log entries, never touching committed ones
+  (source_manifest_snapshot's guarantee, generalized to a version
+  chain).
+- **Append vs overwrite**: ``append`` commits reference the previous
+  snapshot's files plus the new ones; ``overwrite`` starts fresh.
+  The log entry stores the RESOLVED file list, so reads are one
+  metadata file, never a chain walk.
+
+At 100 TB the log is object-store metadata (a few KB per commit) and
+the data files shard across the cluster — the reason this design
+scales is that NOTHING here ever lists directories on the read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — rebase and retry."""
+
+
+class TableLog:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log protocol --------------------------------------------------
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"v{v:06d}.json")
+
+    def latest_version(self) -> int:
+        vs = [
+            int(f[1:7])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "mode": "empty", "files": []}
+        with open(self._version_file(v)) as fh:
+            return json.load(fh)
+
+    def _publish(self, version: int, entry: dict) -> None:
+        """Atomically publish a log entry for `version`; raise
+        CommitConflict if that version already exists. O_EXCL makes
+        the existence check and the claim one atomic operation —
+        there is no window where two writers both pass a test."""
+        target = self._version_file(version)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        try:
+            # atomic claim: hard-link the staged file to the version
+            # name; EEXIST == another writer won the race.
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed; rebase on the new"
+                " snapshot and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # -- write path ----------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Write df's rows as new immutable files + one log commit.
+        Returns the committed version. Raises CommitConflict when a
+        concurrent writer claimed the version first (caller rebases
+        by simply calling write again — the data files are already
+        safely on disk and unreferenced)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown mode: {mode}")
+        staging = os.path.join(
+            self.path, f"stage-{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst_name = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(staging, f), os.path.join(self.path, dst_name)
+            )
+            new_files.append(dst_name)
+        # best-effort cleanup of the now-empty staging dir
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+        base = self.snapshot()
+        version = base["version"] + 1
+        files = new_files if mode == "overwrite" else base["files"] + new_files
+        self._publish(
+            version, {"version": version, "mode": mode, "files": files}
+        )
+        return version
+
+    # -- read path -----------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the committed file list of the
+        requested version (latest by default). Zero directory
+        listing; uncommitted/orphaned data files are invisible."""
+        snap = self.snapshot(version)
+        if not snap["files"]:
+            raise ValueError(f"version {snap['version']} is empty")
+        paths = [os.path.join(self.path, f) for f in snap["files"]]
+        return spark.read.parquet(*paths)
+
+
+def tmp_table(prefix: str = "dags_tablelog_") -> TableLog:
+    return TableLog(tempfile.mkdtemp(prefix=prefix))

@@ -259,6 +259,9 @@ ALLOWED = {
     # 1-row node-count broadcast into the derived edge set — the
     # iter_reachability_bfs shape, once per unrolled peel round.
     "iter_kcore_peel": {"cartesian", "single-partition-exchange"},
+    # three 1-row per-version aggregates unioned into the 3-row
+    # history report — agg_global class.
+    "table_format_time_travel": {"single-partition-exchange"},
 }
 
 

@@ -1,0 +1,77 @@
+"""Transactional contract tests for the log-structured table format
+(dags_spark/tablelog.py): optimistic-concurrency conflicts, commit
+atomicity, snapshot immutability, and orphan-file invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dags_spark.tablelog import CommitConflict, TableLog, tmp_table
+
+
+def test_version_chain_and_time_travel(spark):
+    t = tmp_table()
+    v1 = t.write(spark.range(10), mode="overwrite")
+    v2 = t.write(spark.range(10, 15), mode="append")
+    v3 = t.write(spark.range(100, 103), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert t.read(spark, 1).count() == 10
+    assert t.read(spark, 2).count() == 15
+    assert t.read(spark, 3).count() == 3
+    assert t.read(spark).count() == 3  # latest
+    # v1's snapshot is untouched by later commits
+    assert sorted(r.id for r in t.read(spark, 1).collect()) == list(range(10))
+
+
+def test_commit_conflict_on_version_race(spark):
+    t = tmp_table()
+    t.write(spark.range(5), mode="overwrite")
+    # simulate a concurrent writer claiming version 2 between our
+    # snapshot resolution and publish: pre-create the version file.
+    t._publish(2, {"version": 2, "mode": "append", "files": t.snapshot()["files"]})
+    with pytest.raises(CommitConflict, match="version 2"):
+        t._publish(2, {"version": 2, "mode": "append", "files": []})
+    # the losing writer rebases: a fresh write() sees version 2 as
+    # the base and lands as version 3
+    assert t.write(spark.range(5, 8), mode="append") == 3
+    assert t.read(spark).count() == 8
+
+
+def test_orphan_files_are_invisible(spark):
+    t = tmp_table()
+    t.write(spark.range(7), mode="overwrite")
+    # a crashed writer's data file: present in the directory, never
+    # committed to the log -> readers must not see it
+    spark.range(1000, 2000).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(t.path, "orphan_stage")
+    )
+    part = [
+        f
+        for f in os.listdir(os.path.join(t.path, "orphan_stage"))
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(
+        os.path.join(t.path, "orphan_stage", part),
+        os.path.join(t.path, "part-orphan.parquet"),
+    )
+    assert t.read(spark).count() == 7  # snapshot ignores the orphan
+
+
+def test_no_partial_commit_visible(spark):
+    t = tmp_table()
+    t.write(spark.range(4), mode="overwrite")
+    # a staged-but-unpublished log entry (writer died before rename)
+    # must not advance the version
+    tmp = os.path.join(t.log_dir, ".tmp-crashed.json")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 2, "mode": "append", "files": []}')
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 4
+
+
+def test_empty_table_read_raises(spark):
+    t = tmp_table()
+    with pytest.raises(ValueError, match="empty"):
+        t.read(spark)
