@@ -128,6 +128,38 @@ class TableLog:
         )
         return version
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the current snapshot's many small files
+        as `target_files` larger ones and commit the swap as a new
+        version. Content is bit-identical (a pure file-layout
+        transaction); previous versions keep referencing the old
+        files, which stay on disk — time travel across a compaction
+        works because data files are immutable and only the LIST
+        changed. (A VACUUM that ages out unreferenced files is the
+        companion operation; not needed in the sandbox.)"""
+        snap = self.snapshot()
+        if not snap["files"]:
+            raise ValueError("nothing to compact")
+        df = self.read(spark).coalesce(target_files)
+        staging = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.path, dst))
+            new_files.append(dst)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        version = snap["version"] + 1
+        self._publish(
+            version,
+            {"version": version, "mode": "compact", "files": new_files},
+        )
+        return version
+
     # -- read path -----------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the committed file list of the

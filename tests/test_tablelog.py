@@ -75,3 +75,18 @@ def test_empty_table_read_raises(spark):
     t = tmp_table()
     with pytest.raises(ValueError, match="empty"):
         t.read(spark)
+
+
+def test_compaction_preserves_content_and_history(spark):
+    t = tmp_table()
+    for lo in range(0, 40, 10):  # 4 append commits -> many files
+        t.write(spark.range(lo, lo + 10), mode="append")
+    before = sorted(r.id for r in t.read(spark).collect())
+    n_files_before = len(t.snapshot()["files"])
+    v = t.compact(spark, target_files=1)
+    assert v == 5
+    assert len(t.snapshot()["files"]) == 1 < n_files_before
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    # pre-compaction versions still read their original layout
+    assert t.read(spark, 4).count() == 40
+    assert t.read(spark, 1).count() == 10
