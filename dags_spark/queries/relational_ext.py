@@ -2799,3 +2799,84 @@ def iter_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         alive = deg.filter(F.col("deg") >= 2).select("node")
     return deg.join(alive, "node").select("node", "deg")
+
+
+@register(
+    "iter_triangle_count",
+    oracle="""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+spine AS (
+  SELECT c_custkey AS i, r FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+),
+raw AS (
+  SELECT (((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 1, 1)) - 1))*1048576 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 2, 1)) - 1))*65536 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 3, 1)) - 1))*4096 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 4, 1)) - 1))*256 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 5, 1)) - 1))*16 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':a'), 6, 1)) - 1))) % (SELECT n FROM nn) AS s,
+         (((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 1, 1)) - 1))*1048576 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 2, 1)) - 1))*65536 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 3, 1)) - 1))*4096 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 4, 1)) - 1))*256 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 5, 1)) - 1))*16 + ((instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':b'), 6, 1)) - 1))) % (SELECT n FROM nn) AS d
+  FROM spine
+),
+f AS (SELECT s, d FROM raw WHERE s <> d),
+edges AS (
+  SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+FROM edges e1
+JOIN edges e2 ON e1.hi = e2.lo AND e1.lo < e2.lo
+JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    tags=("iterative", "graph"),
+)
+def iter_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING via the ordered two-path join — the
+    clustering-coefficient numerator and the canonical test of
+    whether a graph engine joins smartly: edges canonicalize to
+    (lo < hi) so each triangle {a<b<c} is found EXACTLY once as the
+    path a-b, b-c closed by a-c — no division by 6, no symmetric
+    blowup. Two equi-joins on node keys; the ordering predicate
+    halves the wedge fan-out (the standard degree-ordering
+    optimization's simplest form — at scale, orient edges by DEGREE
+    instead of id so hubs never anchor wedges, same plan shape).
+    Graph: ~3 edges/node with md5-HASH endpoints (the algebraic
+    functional maps the other graph keys derive are too structured
+    to close 3-cycles — hash endpoints behave Erdos-Renyi and the
+    fixture closes ~37 real triangles, so the join is tested on
+    genuine work, not a vacuous zero)."""
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    spine = c.select(F.col("c_custkey").alias("i")).crossJoin(
+        F.broadcast(
+            spark.range(3).select(F.col("id").cast("int").alias("r"))
+        )
+    )
+
+    def h3(salt: str):
+        key = "CAST(i AS STRING) || ':' || CAST(r AS STRING) || '%s'" % salt
+        nib = (
+            lambda j: f"(instr('0123456789abcdef', substr(md5({key}), {j}, 1)) - 1)"
+        )
+        return F.expr(
+            f"(({nib(1)})*1048576 + ({nib(2)})*65536 + ({nib(3)})*4096"
+            f" + ({nib(4)})*256 + ({nib(5)})*16 + ({nib(6)}))"
+        )
+
+    raw = spine.crossJoin(F.broadcast(nn)).select(
+        (h3(":a") % F.col("n")).alias("s"),
+        (h3(":b") % F.col("n")).alias("d"),
+    )
+    edges = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("lo"), F.greatest("s", "d").alias("hi"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c2"))
+    wedges = e1.join(
+        e2, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("b2"))
+    )
+    closing = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c2"))
+    tri = wedges.join(closing, ["a", "c2"])
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+    )

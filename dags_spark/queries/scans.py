@@ -1106,3 +1106,62 @@ def table_format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "source_csv_multiline_quoted",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 + length(note) - length(replace(note, chr(10), ''))
+            AS BIGINT) AS n_lines,
+       md5(note) AS note_md5
+FROM (
+  SELECT 1 AS doc_id,
+         'first line' || chr(10) || 'second line' AS note
+  UNION ALL
+  SELECT 2, 'no newline here'
+  UNION ALL
+  SELECT 3, 'a,comma and a' || chr(10) || 'break, "quoted" too'
+)
+""",
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE CSV ingestion — fields containing embedded NEWLINES
+    (and commas, and quotes): the classic silent corrupter, because
+    default line-splitting CSV readers shear a quoted record at the
+    embedded newline and produce plausible-looking garbage rows.
+    The fixture is written BY the CSV writer (quoting applied per
+    RFC 4180) and read back with multiLine=true + escaped quotes;
+    the hash pins the reconstructed field bytes (md5) and the
+    embedded line count per record. Scale note: multiLine forces
+    whole-file parsing (a file is no longer splittable at newlines)
+    — the reason pipelines convert such feeds to parquet at the
+    edge; this key documents the cost with the correctness."""
+    rows = [
+        (1, "first line\nsecond line"),
+        (2, "no newline here"),
+        (3, 'a,comma and a\nbreak, "quoted" too'),
+    ]
+    src = spark.createDataFrame(rows, "doc_id INT, note STRING")
+    out = os.path.join(_tmpdir("csv_ml"), "notes_csv")
+    # escape='"' on BOTH sides = RFC 4180 quote doubling; Spark's
+    # default backslash escaping would round-trip with itself but
+    # not with standard CSV consumers.
+    src.coalesce(1).write.mode("overwrite").option("quoteAll", True).option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.schema("doc_id INT, note STRING")
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.select(
+        F.col("doc_id").cast("bigint"),
+        (
+            1
+            + F.length("note")
+            - F.length(F.regexp_replace("note", "\n", ""))
+        ).cast("bigint").alias("n_lines"),
+        F.md5("note").alias("note_md5"),
+    )

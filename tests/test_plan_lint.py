@@ -262,6 +262,10 @@ ALLOWED = {
     # three 1-row per-version aggregates unioned into the 3-row
     # history report — agg_global class.
     "table_format_time_travel": {"single-partition-exchange"},
+    # 1-row node-count + 3-row salt spine broadcasts into the edge
+    # derivation, and the 1-row triangle/edge totals cross — the
+    # derived-graph scalar shapes (iter_reachability_bfs class).
+    "iter_triangle_count": {"cartesian", "single-partition-exchange"},
 }
 
 
