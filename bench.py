@@ -74,13 +74,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         run_once(fn)  # warm-up: codegen + shuffle file caches
+        run_once(fn)  # second warm-up: JIT tiering settles on run 2
         # min-of-N: GC pauses / page-cache noise / co-tenant load
-        # inflate single runs by up to 50% on this box; the minimum is
-        # the reproducible floor the plan actually costs
+        # inflate single runs by up to 50% on this box (measured
+        # same-code spread 0.47-0.75 s on q1 within one afternoon);
+        # the minimum is the reproducible floor the plan costs
         timings[name] = round(min(run_once(fn) for _ in range(reps)), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

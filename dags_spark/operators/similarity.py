@@ -51,6 +51,7 @@ def blocked_pairs(
     block_col: str = "label",
     symmetric: bool = False,
     max_block_rows: int = 8192,
+    per_block_topk: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -73,6 +74,16 @@ def blocked_pairs(
     task (fine for label/IVF-bucket blocking — cap block sizes
     upstream by splitting hot buckets, e.g. sub-bucket on an LSH
     band as in ann_lsh_topk).
+
+    per_block_topk=k: keep only each block's k best pairs (by
+    sim desc, id_a, id_b — the same total order downstream top-k
+    uses, so a global top-k over the pruned stream is EXACTLY the
+    global top-k over all pairs: a globally-ranked pair is also
+    top-k within its own block under any total order). For pure
+    top-k consumers this cuts the Arrow transfer from O(block^2)
+    rows to k per block — at sf1 (20k vectors) that is 20M pair
+    rows down to 1k. Leave None for threshold/dedup consumers that
+    need every pair.
 
     Hot-block guard: the kernel is O(block^2) BY DESIGN, so a skewed
     block key (one label holding 10^6 rows at 100 TB) would silently
@@ -122,6 +133,15 @@ def blocked_pairs(
         if symmetric:
             rev = out.rename(columns={"id_a": "id_b", "id_b": "id_a"})
             out = pd.concat([out, rev[out.columns]], ignore_index=True)
+        if per_block_topk is not None and len(out) > per_block_topk:
+            # prune INSIDE the kernel with the identical total order
+            # the consumer's global top-k applies; sims are the
+            # already-computed doubles, untouched.
+            out = out.sort_values(
+                ["sim", "id_a", "id_b"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            ).head(per_block_topk)
         return out
 
     pairs = emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(

@@ -94,8 +94,13 @@ FROM v a JOIN v b ON a.label = b.label AND a.vec_id {{op}} b.vec_id
 )
 def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 most-similar same-label embedding pairs by exact cosine
-    (label-blocked join -> TakeOrderedAndProject; no all-pairs)."""
-    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"))
+    (label-blocked join -> TakeOrderedAndProject; no all-pairs).
+    per_block_topk prunes to each label's 100 best INSIDE the Arrow
+    kernel — provably lossless for a global top-100 (a globally
+    ranked pair is top-100 in its own block under the same total
+    order), and it cuts the kernel's Arrow output from O(block^2)
+    pair rows to 100 per label (20M -> 1k rows at sf1)."""
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"), per_block_topk=100)
     return pairs.orderBy(
         F.col("sim").desc(), F.col("id_a"), F.col("id_b")
     ).limit(100)
