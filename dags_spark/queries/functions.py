@@ -1363,3 +1363,39 @@ def fn_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("last_word"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(3)).alias("third_word"),
     )
+
+
+@register(
+    "fn_stack_wide_to_long",
+    oracle="""
+SELECT n_nationkey, metric, value FROM (
+  SELECT n_nationkey, 'name_len' AS metric,
+         CAST(length(n_name) AS BIGINT) AS value
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'region', CAST(n_regionkey AS BIGINT) FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'key_mod7', CAST(n_nationkey % 7 AS BIGINT) FROM nation
+)
+""",
+)
+def fn_stack_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stack(n, k1, v1, k2, v2, ...)` — wide-to-long reshaping as a
+    single GENERATOR expression (the third spelling of melt in this
+    registry: unpivot_long is the DataFrame API, udtf_analyze_
+    polymorphic the UDTF; stack is the expression form that inlines
+    into any SELECT with no join and no Python). Catalyst plans one
+    Generate node over the scan — the row expansion happens inside
+    codegen, which is why stack is the cheapest melt at scale. The
+    oracle is the definitional UNION ALL."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.expr(
+            "stack(3,"
+            " 'name_len', CAST(length(n_name) AS BIGINT),"
+            " 'region', CAST(n_regionkey AS BIGINT),"
+            " 'key_mod7', CAST(n_nationkey % 7 AS BIGINT)"
+            ") AS (metric, value)"
+        ),
+    )

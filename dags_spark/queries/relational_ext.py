@@ -2880,3 +2880,68 @@ def iter_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(n_edges))
     )
+
+
+@register(
+    "dq_value_set_drift",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT o_orderpriority AS val FROM orders
+  WHERE year(o_orderdate) <= 1997 AND o_orderkey % 7 <> 0
+),
+cur AS (
+  SELECT DISTINCT
+         CASE WHEN o_orderkey % 11 = 0 THEN o_orderpriority || '-V2'
+              ELSE o_orderpriority END AS val
+  FROM orders WHERE year(o_orderdate) > 1997
+)
+SELECT COALESCE(b.val, c.val) AS value,
+       CASE WHEN c.val IS NULL THEN 'disappeared'
+            WHEN b.val IS NULL THEN 'new'
+            ELSE 'stable' END AS status
+FROM base b FULL OUTER JOIN cur c ON b.val = c.val
+""",
+    tags=("dq",),
+)
+def dq_value_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL VALUE-SET drift — the values-level companion of
+    dq_schema_drift (columns) and dq_distribution_psi (shapes): the
+    distinct domain of a code column in the current era FULL OUTER
+    joined against the training-era baseline, each value classified
+    new / disappeared / stable. 'New' is the enum nobody told the
+    pipeline about (the classic silent CASE-WHEN fall-through);
+    'disappeared' is the upstream rename that starves a filter. The
+    drift fixture plants both (a '-V2' suffix on some current rows,
+    a baseline-only slice). Two distinct-aggregates over era-pruned
+    scans + a domain-sized join — at 100 TB each side is a partial-
+    agg'd DISTINCT over its time slice and the join is broadcast."""
+    o = table(spark, sf_dir, "orders")
+    base = (
+        o.filter(
+            (F.year("o_orderdate") <= 1997) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(F.col("o_orderpriority").alias("val"))
+        .distinct()
+    )
+    cur = (
+        o.filter(F.year("o_orderdate") > 1997)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.concat("o_orderpriority", F.lit("-V2")),
+            )
+            .otherwise(F.col("o_orderpriority"))
+            .alias("val")
+        )
+        .distinct()
+    )
+    b = base.withColumnRenamed("val", "bval")
+    c = cur.withColumnRenamed("val", "cval")
+    j = b.join(c, b.bval == c.cval, "full_outer")
+    return j.select(
+        F.coalesce("bval", "cval").alias("value"),
+        F.when(F.col("cval").isNull(), "disappeared")
+        .when(F.col("bval").isNull(), "new")
+        .otherwise("stable")
+        .alias("status"),
+    )
