@@ -292,6 +292,7 @@ class Graph:
                     out_path + ".__old__"
                 ):
                     os.rename(out_path + ".__old__", out_path)
+                stage_path = None
                 if incremental and spec.unique_on and os.path.exists(out_path):
                     # Accumulate + dedupe across RUNS, not just within the
                     # batch: union the new rows with the existing snapshot,
@@ -319,6 +320,22 @@ class Graph:
                     os.rename(out_path, old_path)
                     os.rename(tmp_path, out_path)
                     shutil.rmtree(old_path, ignore_errors=True)
+                elif incremental and not spec.unique_on:
+                    # STAGE the incremental append. The min_rows gate
+                    # below (and any transient failure replayed via
+                    # retries>0) fires after this write but before the
+                    # deferred ledger commit; appending directly would
+                    # leave this batch's rows in the snapshot on a
+                    # failed run, and the rerun (ledger uncommitted)
+                    # would re-read the same source files and append
+                    # them AGAIN — duplicates. Writing to a temp dir
+                    # and moving files in only after the gate passes
+                    # keeps the failed-run snapshot untouched, so the
+                    # rerun is exactly-once. (The unique_on branches
+                    # don't need this: their upsert is idempotent.)
+                    stage_path = out_path + ".__stage__"
+                    shutil.rmtree(stage_path, ignore_errors=True)
+                    df.write.mode("overwrite").parquet(stage_path)
                 else:
                     mode = "append" if incremental else "overwrite"
                     df.write.mode(mode).parquet(out_path)
@@ -334,6 +351,19 @@ class Graph:
                             f"node {name}: quality gate failed —"
                             f" {n} rows < min_rows={spec.min_rows}"
                         )
+                if stage_path is not None:
+                    # gate passed: publish the staged batch. Spark part
+                    # filenames embed a per-job UUID, so moves cannot
+                    # collide with prior batches; _SUCCESS stays behind
+                    # and dies with the stage dir.
+                    os.makedirs(out_path, exist_ok=True)
+                    for fname in os.listdir(stage_path):
+                        if fname.startswith("part-"):
+                            os.rename(
+                                os.path.join(stage_path, fname),
+                                os.path.join(out_path, fname),
+                            )
+                    shutil.rmtree(stage_path, ignore_errors=True)
                 df = spark.read.parquet(out_path)
         return df
 

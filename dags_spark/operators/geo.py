@@ -48,8 +48,16 @@ def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
     """Geohash of (lat, lon) as a Column — quantize each axis to 20
     bits, interleave (lon takes the MSB, per the geohash spec), emit
     `precision` base32 chars (<= 8 with 40 interleaved bits)."""
-    latb = F.floor((lat + 90.0) / 180.0 * 1048576.0).cast("bigint")
-    lonb = F.floor((lon + 180.0) / 360.0 * 1048576.0).cast("bigint")
+    # Clamp to 2^20-1: exactly lat=90 / lon=180 would quantize to
+    # 2^20 (a 21st bit the spread masks silently drop, wrapping the
+    # pole to -90/-180). Standard geohash pins the boundary to the
+    # top cell instead.
+    latb = F.least(
+        F.floor((lat + 90.0) / 180.0 * 1048576.0).cast("bigint"), F.lit(1048575)
+    )
+    lonb = F.least(
+        F.floor((lon + 180.0) / 360.0 * 1048576.0).cast("bigint"), F.lit(1048575)
+    )
     v = F.shiftleft(_spread_col(lonb), 1).bitwiseOR(_spread_col(latb))
     alpha = F.array(*[F.lit(c) for c in BASE32])
     chars = [
@@ -67,8 +75,8 @@ def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
 def geohash_sql(lat: str, lon: str, precision: int = 8) -> str:
     """The identical encode as DuckDB SQL text (same quantization,
     same masks, same char extraction)."""
-    latb = f"CAST(FLOOR((({lat}) + 90.0) / 180.0 * 1048576.0) AS BIGINT)"
-    lonb = f"CAST(FLOOR((({lon}) + 180.0) / 360.0 * 1048576.0) AS BIGINT)"
+    latb = f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * 1048576.0) AS BIGINT), 1048575)"
+    lonb = f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * 1048576.0) AS BIGINT), 1048575)"
     v = f"(({_spread_sql(lonb)} << 1) | {_spread_sql(latb)})"
     chars = [
         f"substr('{BASE32}', CAST((({v} >> {35 - 5 * i}) & 31) + 1 AS INTEGER), 1)"

@@ -185,7 +185,26 @@ def _scan_findings(tree: list[str], lines: list[str]) -> list[Finding]:
                 for c in body[body.find("[") + 1 : body.rfind("]")].split(",")
                 if "#" in c
             ]
-            part_cols = [c for c in cols if c and f"{c}:" not in schema]
+            # Parse ReadSchema "struct<a:bigint,b:string>" into whole
+            # field names — a substring test ("year:" in schema) would
+            # misclassify a partition col whose name+':' suffixes
+            # another column (data col 'o_year' vs partition 'year').
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            fields, depth, tok = set(), 0, []
+            for ch in inner:
+                if ch == "," and depth == 0:
+                    name = "".join(tok).split(":", 1)[0].strip()
+                    if name:
+                        fields.add(name)
+                    tok = []
+                else:
+                    depth += ch in "<("
+                    depth -= ch in ">)"
+                    tok.append(ch)
+            name = "".join(tok).split(":", 1)[0].strip()
+            if name:
+                fields.add(name)
+            part_cols = [c for c in cols if c and c not in fields]
             if part_cols and "PartitionFilters" not in d:
                 findings.append(
                     Finding(

@@ -274,7 +274,12 @@ def udtf_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             self._seq += 1
             if self._seq <= 5:
-                self._sum += int(round(row["value"] * 100))
+                # floor(v*100+0.5): half-away rounding, matching
+                # F.round/DuckDB ROUND (Python round() is banker's
+                # and would diverge on exact .5 cents).
+                import math
+
+                self._sum += int(math.floor(row["value"] * 100 + 0.5))
                 yield row["user_id"], self._seq, row["event_id"], self._sum
 
     spark.udtf.register("dags_running_sum", RunningSum)
@@ -313,7 +318,13 @@ def group_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_user(tbl: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(tbl.column("value"), pa.scalar(100.0))),
+            # half_towards_infinity = half-away-from-zero, matching
+            # F.round/DuckDB ROUND; the pyarrow default
+            # (half_to_even) diverges on exact .5.
+            pc.round(
+                pc.multiply(tbl.column("value"), pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
             pa.int64(),
         )
         return pa.table(

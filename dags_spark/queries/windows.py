@@ -1828,7 +1828,7 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bounce_rate_daily",
     oracle="""
 WITH s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id))
               > 1800000000 OR LAG(ts) OVER
@@ -1837,8 +1837,10 @@ WITH s AS (
   FROM events
 ),
 sess AS (
+  -- event_id in the cumsum ORDER BY: with tied ts within a user the
+  -- session numbering must pin the same total order both engines use.
   SELECT user_id, ts,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS BIGINT) AS session_no
   FROM s

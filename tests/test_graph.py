@@ -556,3 +556,49 @@ def test_graph_retries_heal_transient_failures(spark):
     with _pytest.raises(GraphError, match="after 2 attempts"):
         g2.run(spark)
     assert calls2["n"] == 2
+
+
+def test_graph_incremental_append_gate_is_exactly_once(spark, tmp_path):
+    """Round-6 ADVICE regression: for a materialized incremental node
+    WITHOUT unique_on, a failed min_rows gate must leave the snapshot
+    untouched (the append is staged), so the rerun — which re-reads
+    the same uncommitted source files — does not duplicate rows."""
+    import pytest as _pytest
+
+    from dags_spark.graph.core import Graph, GraphError
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "out")
+
+    def build(min_rows):
+        g = Graph("inc_gate")
+        g.source(name="raw", path=src, schema="id bigint")
+
+        @g.node(name="rows", upstream=["raw"], materialize=True,
+                min_rows=min_rows)
+        def rows(spark_, deps):
+            return deps["raw"]
+
+        return g
+
+    # gate fails: 10 rows < 99. Snapshot must not exist (staged write
+    # never published) and the ledger must not have committed.
+    with _pytest.raises(GraphError, match="quality gate"):
+        build(99).run(spark, output_dir=out_dir, incremental=True)
+    import os
+
+    out_path = os.path.join(out_dir, "rows")
+    assert not os.path.exists(out_path) or not [
+        f for f in os.listdir(out_path) if f.startswith("part-")
+    ]
+
+    # rerun with a passable gate: the SAME files reprocess exactly once
+    out = build(5).run(spark, output_dir=out_dir, incremental=True)["rows"]
+    assert out.count() == 10
+
+    # steady-state rerun: ledger committed, nothing new -> still 10
+    # (min_rows=0 here: the gate counts the BATCH, and an empty
+    # incremental batch legitimately fails any positive floor)
+    out2 = build(0).run(spark, output_dir=out_dir, incremental=True)["rows"]
+    assert out2.count() == 10

@@ -375,3 +375,27 @@ def test_global_rank_matches_single_window(spark):
             for r in global_rank(df, order, n_partitions=nparts).collect()
         }
         assert got == naive, f"n_partitions={nparts}"
+
+
+def test_lint_readschema_whole_name_match(spark, tmp_path):
+    """Round-6 ADVICE regression: a partition column ('year') whose
+    name+':' appears as a suffix of a data column ('o_year') in
+    ReadSchema must still be detected as a partition column — the
+    matcher parses whole struct field names, not substrings."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "suffix")
+    (
+        spark.range(100)
+        .select(
+            "id",
+            (F.col("id") % 4 + 2020).alias("o_year"),
+            (F.col("id") % 3 + 1994).alias("year"),
+        )
+        .write.partitionBy("year")
+        .parquet(d)
+    )
+    unpruned = spark.read.parquet(d).filter(F.col("id") > 50)
+    assert "unpruned-partition-scan" in {f.code for f in lint_plan(unpruned)}
+    pruned = spark.read.parquet(d).filter(F.col("year") == 1994)
+    assert "unpruned-partition-scan" not in {f.code for f in lint_plan(pruned)}
