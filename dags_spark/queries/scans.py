@@ -1165,3 +1165,67 @@ def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_lines"),
         F.md5("note").alias("note_md5"),
     )
+
+
+@register(
+    "table_format_merge",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {SQL_DEC_SUM('o_totalprice')} AS total_value
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def table_format_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) through the log-structured table format
+    (tablelog.py): base snapshot = every 3rd order; the merge batch
+    UPDATES every 6th order (price doubled — the matched half of the
+    base) and INSERTS the %3==1 orders (unmatched). TableLog.merge
+    unions base+batch with a provenance flag, keeps one row per key
+    preferring the batch via a keyed row_number, and commits the
+    rewritten snapshot as mode="merge" under optimistic concurrency
+    — a racing writer gets CommitConflict and recomputes (pinned by
+    tests/test_tablelog.py's deterministic race). The oracle is the
+    plain SQL MERGE result (batch ∪ base-minus-matched). Version 1
+    still time-travels to the pre-merge rows. At scale the rewrite
+    would prune to key-overlapping files via file stats; the commit
+    protocol (file-list transactions) is what makes that safe."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    batch = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    v = t.merge(spark, batch, keys=["o_orderkey"])
+    assert v == 2
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("o_totalprice").alias("total_value"),
+        )
+    )

@@ -128,6 +128,75 @@ class TableLog:
         )
         return version
 
+    def merge(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        base_version: int | None = None,
+    ) -> int:
+        """MERGE (upsert) through the commit log: rows in `df` whose
+        key matches an existing row REPLACE it; unmatched rows
+        INSERT. Equivalent to SQL `MERGE ... WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT` with the whole batch as source.
+
+        Mechanics: snapshot the base, union base + batch with a
+        provenance flag, keep one row per key preferring the batch
+        (row_number over the flag), write the merged result as fresh
+        immutable files, and commit mode="merge" referencing ONLY the
+        new files (a merge rewrites the snapshot list, like
+        overwrite; prior versions still time-travel to the old
+        files). The commit is optimistic: if another writer claimed
+        base_version+1 first, _publish raises CommitConflict and the
+        caller rebases by calling merge() again — the recompute is
+        REQUIRED (not just a version bump) because the merge result
+        depends on the base snapshot's contents. `base_version` pins
+        the read snapshot (tests use it to force a stale base).
+
+        At 100 TB a full-snapshot rewrite per merge is the naive
+        plan; real engines prune to touched files via min/max key
+        stats. The log protocol here is what makes that optimization
+        safe to add: the commit unit is a file LIST, so a pruned
+        merge is the same transaction with a smaller rewrite set.
+        """
+        from pyspark.sql import Window, functions as F
+
+        snap = self.snapshot(base_version)
+        if snap["files"]:
+            base_df = self.read(spark, version=snap["version"])
+            merged = (
+                base_df.withColumn("__pri", F.lit(0))
+                .unionByName(df.withColumn("__pri", F.lit(1)))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(*keys).orderBy(F.col("__pri").desc())
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__pri", "__rn")
+            )
+        else:
+            merged = df.dropDuplicates(keys)
+        staging = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.path, dst))
+            new_files.append(dst)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        version = snap["version"] + 1
+        self._publish(
+            version,
+            {"version": version, "mode": "merge", "files": new_files},
+        )
+        return version
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot's many small files
         as `target_files` larger ones and commit the swap as a new

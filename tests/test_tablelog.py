@@ -90,3 +90,54 @@ def test_compaction_preserves_content_and_history(spark):
     # pre-compaction versions still read their original layout
     assert t.read(spark, 4).count() == 40
     assert t.read(spark, 1).count() == 10
+
+
+def test_merge_upsert_and_time_travel(spark):
+    """merge() updates matched keys, inserts unmatched, bumps one
+    version, and prior versions still read the pre-merge rows."""
+    t = tmp_table()
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    assert t.write(base, mode="overwrite") == 1
+    batch = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+    )
+    assert t.merge(spark, batch, keys=["k"]) == 2
+    got = {r["k"]: (r["s"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # time travel: v1 is untouched
+    v1 = {r["k"]: r["v"] for r in t.read(spark, version=1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0, 3: 30.0}
+    # merge into an empty table is a plain keyed insert
+    t2 = tmp_table()
+    assert t2.merge(spark, batch, keys=["k"]) == 1
+    assert t2.read(spark).count() == 2
+
+
+def test_merge_race_conflicts_then_rebases(spark):
+    """Deterministic two-writer race: both compute against base v1;
+    the loser's commit raises exactly one CommitConflict, and the
+    rebase (recompute against the winner's snapshot) produces the
+    same rows as the two merges applied serially."""
+    t = tmp_table()
+    base = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "k INT, v DOUBLE"
+    )
+    t.write(base, mode="overwrite")  # v1
+    batch_a = spark.createDataFrame([(1, 111.0), (3, 300.0)], "k INT, v DOUBLE")
+    batch_b = spark.createDataFrame([(2, 222.0), (4, 400.0)], "k INT, v DOUBLE")
+
+    # writer B lands first (against v1) -> v2
+    assert t.merge(spark, batch_b, keys=["k"], base_version=1) == 2
+    # writer A pinned to the now-stale v1: must conflict, not corrupt
+    with pytest.raises(CommitConflict):
+        t.merge(spark, batch_a, keys=["k"], base_version=1)
+    # the failed commit left no visible change
+    assert t.latest_version() == 2
+    got_v2 = {r["k"]: r["v"] for r in t.read(spark, version=2).collect()}
+    assert got_v2 == {1: 100.0, 2: 222.0, 4: 400.0}
+    # rebase: recompute against the current snapshot -> v3, serial result
+    assert t.merge(spark, batch_a, keys=["k"]) == 3
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: 111.0, 2: 222.0, 3: 300.0, 4: 400.0}
