@@ -309,6 +309,57 @@ class Graph:
                         F.col(c).desc() for c in spec.unique_on
                     ]
                     prev = spark.read.parquet(out_path)
+                    if prev.schema != df.schema:
+                        # SCHEMA EVOLUTION on the upsert path: the new
+                        # batch may ADD columns and WIDEN types but
+                        # never drop or narrow — the batch schema must
+                        # implement the snapshot schema as an
+                        # interface (the declared-schema identity
+                        # meeting the incremental identity). Existing
+                        # rows conform UP to the evolved schema: new
+                        # columns NULL-backfill, widened columns cast
+                        # (value-preserving by the implements check).
+                        from pyspark.sql.types import StructField, StructType
+
+                        new_names = {f.name for f in df.schema.fields}
+                        dropped = [
+                            f.name
+                            for f in prev.schema.fields
+                            if f.name not in new_names
+                        ]
+                        # direction: every OLD field must still exist
+                        # and widen TO its new type — so the interface
+                        # is the NEW schema restricted to old fields
+                        # (nullability relaxed: the snapshot is
+                        # parquet, physically nullable either way).
+                        iface = StructType(
+                            [
+                                StructField(f.name, f.dataType, True)
+                                for f in df.schema.fields
+                                if f.name in {g.name for g in prev.schema.fields}
+                            ]
+                        )
+                        problems = (
+                            [f"dropped field {c}" for c in dropped]
+                            + schema_implements(prev.schema, iface)
+                        )
+                        if problems:
+                            raise GraphError(
+                                f"node {name}: incremental batch schema"
+                                " is not an evolution of the snapshot:"
+                                f" {problems}"
+                            )
+                        have = set(prev.columns)
+                        prev = prev.select(
+                            *[
+                                (
+                                    F.col(f.name).cast(f.dataType)
+                                    if f.name in have
+                                    else F.lit(None).cast(f.dataType)
+                                ).alias(f.name)
+                                for f in df.schema.fields
+                            ]
+                        )
                     df = latest_by_key(
                         prev.unionByName(df), list(spec.unique_on), order
                     ).localCheckpoint()

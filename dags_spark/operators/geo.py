@@ -103,3 +103,113 @@ HAVERSINE_SQL = (
     " + cos(radians({lat1})) * cos(radians({lat2}))"
     " * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
 )
+
+
+# inverse of _SPREAD: gather the even bit positions of a 40-bit int
+# back into a dense 20-bit int (Morton decode)
+_COMPACT = [
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000FFFFFFFF),
+]
+
+
+def _compact_col(x: Column) -> Column:
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    for sh, mask in _COMPACT:
+        x = (x.bitwiseOR(F.shiftright(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _compact_sql(x: str) -> str:
+    x = f"(({x}) & {0x5555555555555555})"
+    for sh, mask in _COMPACT:
+        x = f"((({x}) | (({x}) >> {sh})) & {mask})"
+    return x
+
+
+LAT_ERR = 90.0 / 1048576.0  # half-cell height of a 20-bit lat axis
+LON_ERR = 180.0 / 1048576.0  # half-cell width of a 20-bit lon axis
+
+
+def with_geohash_decoded(df, gh: str, precision: int = 8):
+    """Decode the geohash column `gh` back to its cell CENTER
+    (lat/lon) plus half-cell error bounds — the exact inverse of
+    geohash_col: base32 chars -> 40-bit Morton value (array_position
+    against the literal alphabet, shifted into place), de-interleave
+    via the compact masks (even bits = lat, odd = lon, since lon took
+    the MSB), un-quantize to the cell midpoint. Built as STAGED
+    withColumns so the expression tree stays linear (a nested
+    single-expression form duplicates the subtree 2^5 times).
+    Adds columns: lat, lon, lat_err, lon_err."""
+    alpha = F.array(*[F.lit(c) for c in BASE32])
+    v = F.lit(0).cast("bigint")
+    for i in range(precision):
+        d = (F.array_position(alpha, F.substring(F.col(gh), i + 1, 1)) - 1).cast(
+            "bigint"
+        )
+        v = v + d * F.lit(1 << (35 - 5 * i))
+    df = df.withColumn("_ghv", v)
+    la = F.col("_ghv").bitwiseAND(F.lit(0x5555555555555555))
+    lo = F.shiftright("_ghv", 1).bitwiseAND(F.lit(0x5555555555555555))
+    df = df.withColumn("_la", la).withColumn("_lo", lo)
+    for sh, mask in _COMPACT:
+        df = df.withColumn(
+            "_la",
+            (F.col("_la").bitwiseOR(F.shiftright("_la", sh))).bitwiseAND(
+                F.lit(mask)
+            ),
+        ).withColumn(
+            "_lo",
+            (F.col("_lo").bitwiseOR(F.shiftright("_lo", sh))).bitwiseAND(
+                F.lit(mask)
+            ),
+        )
+    return (
+        df.withColumn(
+            "lat", (F.col("_la").cast("double") + 0.5) / 1048576.0 * 180.0 - 90.0
+        )
+        .withColumn(
+            "lon", (F.col("_lo").cast("double") + 0.5) / 1048576.0 * 360.0 - 180.0
+        )
+        .withColumn("lat_err", F.lit(LAT_ERR))
+        .withColumn("lon_err", F.lit(LON_ERR))
+        .drop("_ghv", "_la", "_lo")
+    )
+
+
+def geohash_decode_ctes_sql(src: str, gh: str, precision: int = 8) -> str:
+    """DuckDB CTE chain mirroring with_geohash_decoded op-for-op
+    (same alphabet lookup, same shifts, same compact masks, same
+    un-quantization arithmetic order). `src` is the name of an
+    existing CTE/table holding column `gh`; returns text of the form
+    `d0 AS (...), ..., dec AS (SELECT *, lat, lon, lat_err, lon_err
+    FROM d5)` for splicing after a WITH. Linear size, like the
+    staged Spark plan."""
+    terms = " + ".join(
+        f"(CAST(strpos('{BASE32}', substr({gh}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {1 << (35 - 5 * i)}"
+        for i in range(precision)
+    )
+    m55 = 0x5555555555555555
+    parts = [
+        f"gd0 AS (SELECT *, ({terms}) AS _ghv FROM {src})",
+        f"gd1 AS (SELECT *, (_ghv & {m55}) AS la0,"
+        f" ((_ghv >> 1) & {m55}) AS lo0 FROM gd0)",
+    ]
+    for j, (sh, mask) in enumerate(_COMPACT):
+        parts.append(
+            f"gd{j + 2} AS (SELECT *,"
+            f" ((la{j} | (la{j} >> {sh})) & {mask}) AS la{j + 1},"
+            f" ((lo{j} | (lo{j} >> {sh})) & {mask}) AS lo{j + 1} FROM gd{j + 1})"
+        )
+    n = len(_COMPACT)
+    parts.append(
+        f"gdec AS (SELECT *,"
+        f" (CAST(la{n} AS DOUBLE) + 0.5) / 1048576.0 * 180.0 - 90.0 AS lat_c,"
+        f" (CAST(lo{n} AS DOUBLE) + 0.5) / 1048576.0 * 360.0 - 180.0 AS lon_c,"
+        f" {LAT_ERR!r} AS lat_err, {LON_ERR!r} AS lon_err FROM gd{n + 1})"
+    )
+    return ", ".join(parts)

@@ -224,3 +224,179 @@ def join_geo_neighbor_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(km < 100.0).select(
         "id_a", "id_b", F.round(km, 3).alias("km")
     )
+
+
+from ..operators.geo import (  # noqa: E402  (grouped with the geo family)
+    geohash_decode_ctes_sql,
+    with_geohash_decoded,
+)
+
+
+@register(
+    "fn_geohash_decode",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LAT_SQL} AS lat_orig, {_LON_SQL} AS lon_orig
+  FROM events WHERE event_id % 31 = 0
+),
+ghx AS (
+  SELECT event_id, lat_orig, lon_orig,
+         {geohash_sql("lat_orig", "lon_orig", 8)} AS gh8
+  FROM pts
+),
+{geohash_decode_ctes_sql("ghx", "gh8", 8)}
+SELECT event_id, gh8,
+       ROUND(lat_c, 6) AS lat_center, ROUND(lon_c, 6) AS lon_center,
+       (ABS(lat_orig - lat_c) <= lat_err AND ABS(lon_orig - lon_c) <= lon_err)
+         AS within_bounds
+FROM gdec
+""",
+    tags=("geo", "function"),
+)
+def fn_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH DECODE — the inverse twin of fn_geohash_encode: base32
+    -> 40-bit Morton value -> de-interleaved 20-bit axes (the compact
+    masks run the bit-spread backwards) -> cell CENTER plus half-cell
+    error bounds. The key round-trips every sampled point through
+    encode THEN decode and pins (a) the decoded center to 6dp and
+    (b) the contract |original - center| <= error bound, per axis,
+    for every row — the property that makes a geohash prefix usable
+    as a bounding box at any precision. Both engines run the same
+    staged mask algebra (operators/geo.py emits the Spark plan and
+    the DuckDB CTE chain from ONE table — linear expression size;
+    the naive nested form duplicates the subtree 2^5 times). Decode
+    is scan-local integer work in whole-stage codegen: at 100 TB it
+    runs where the data sits, no shuffle."""
+    pts = _points(spark, sf_dir, 31).select(
+        "event_id",
+        F.col("lat").alias("lat_orig"),
+        F.col("lon").alias("lon_orig"),
+    )
+    ghx = pts.withColumn(
+        "gh8", geohash_col(F.col("lat_orig"), F.col("lon_orig"), 8)
+    )
+    dec = with_geohash_decoded(ghx, "gh8", 8)
+    return dec.select(
+        "event_id",
+        "gh8",
+        F.round("lat", 6).alias("lat_center"),
+        F.round("lon", 6).alias("lon_center"),
+        (
+            (F.abs(F.col("lat_orig") - F.col("lat")) <= F.col("lat_err"))
+            & (F.abs(F.col("lon_orig") - F.col("lon")) <= F.col("lon_err"))
+        ).alias("within_bounds"),
+    )
+
+
+def _poly_edges() -> tuple[list, list]:
+    """12 deterministic simple quads spread across the globe, as
+    (edges, bboxes) literal rows shared by BOTH engines. Vertex
+    coordinates carry 5th-decimal offsets so no synthesized point
+    (1e-4 grid) ever lies exactly on a vertex y or an edge — the
+    ray-cast comparisons never tie, so IEEE-identical expressions
+    give identical booleans in Spark and DuckDB."""
+    edges, bboxes = [], []
+    for pid in range(12):
+        cx = float(pid * 53 % 345) - 172.0 + 0.40003
+        cy = float(pid * 37 % 130) - 65.0 + 0.30007
+        verts = [
+            (cx - 3.10003, cy - 2.20007),
+            (cx + 4.20009, cy - 1.60001),
+            (cx + 3.50007, cy + 2.70009),
+            (cx - 2.40001, cy + 3.10003),
+        ]
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        bboxes.append((pid, min(xs), max(xs), min(ys), max(ys)))
+        for i in range(4):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % 4]
+            edges.append((pid, x1, y1, x2, y2))
+    return edges, bboxes
+
+
+_EDGES, _BBOXES = _poly_edges()
+_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS poly_id, {x1!r} AS x1, {y1!r} AS y1,"
+    f" {x2!r} AS x2, {y2!r} AS y2"
+    for p, x1, y1, x2, y2 in _EDGES
+)
+_BBOX_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS poly_id, {mnx!r} AS minx, {mxx!r} AS maxx,"
+    f" {mny!r} AS miny, {mxy!r} AS maxy"
+    for p, mnx, mxx, mny, mxy in _BBOXES
+)
+
+
+@register(
+    "join_geo_point_in_polygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM events WHERE event_id % 2 = 0
+),
+edges AS ({_EDGES_SQL}),
+bbox AS ({_BBOX_SQL}),
+cand AS (
+  SELECT p.event_id, p.lat, p.lon, b.poly_id
+  FROM pts p JOIN bbox b
+    ON p.lon >= b.minx AND p.lon <= b.maxx
+   AND p.lat >= b.miny AND p.lat <= b.maxy
+),
+crossings AS (
+  SELECT c.event_id, c.poly_id, CAST(COUNT(*) AS BIGINT) AS n_crossings
+  FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+  WHERE (e.y1 > c.lat) <> (e.y2 > c.lat)
+    AND c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY c.event_id, c.poly_id
+)
+SELECT event_id, poly_id, n_crossings
+FROM crossings WHERE n_crossings % 2 = 1
+""",
+    tags=("geo", "join"),
+)
+def join_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON join by ray casting against a BROADCAST
+    polygon table: a point is inside iff a horizontal ray to +x
+    crosses the polygon's edges an ODD number of times — computed
+    relationally as points x bbox (broadcast range prefilter: the
+    cheap rectangle test kills ~99% of pairs before any division)
+    then points x edges (broadcast, 4 rows per surviving polygon)
+    with the crossing predicate, a (point, polygon) count, and a
+    parity filter. No UDF, no geometry library: the whole test is
+    comparisons + one division in whole-stage codegen, and the
+    polygon side is a handful of KB broadcast to every executor — at
+    100 TB the points table streams through scan-local, shuffle-free
+    until the tiny crossing-count agg. Vertex coordinates are offset
+    to the 5th decimal so no 1e-4-grid point ties a vertex or edge
+    (both engines' IEEE doubles then agree exactly). Concave and
+    convex polygons work — parity is shape-agnostic."""
+    pts = _points(spark, sf_dir, 2)
+    edges = spark.createDataFrame(
+        _EDGES, "poly_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE"
+    )
+    bbox = spark.createDataFrame(
+        _BBOXES, "poly_id INT, minx DOUBLE, maxx DOUBLE, miny DOUBLE, maxy DOUBLE"
+    )
+    cand = pts.join(
+        F.broadcast(bbox),
+        (pts.lon >= bbox.minx)
+        & (pts.lon <= bbox.maxx)
+        & (pts.lat >= bbox.miny)
+        & (pts.lat <= bbox.maxy),
+    ).select("event_id", "lat", "lon", "poly_id")
+    crossed = cand.join(F.broadcast(edges), "poly_id").filter(
+        ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
+        & (
+            F.col("lon")
+            < (F.col("x2") - F.col("x1"))
+            * (F.col("lat") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    return (
+        crossed.groupBy("event_id", "poly_id")
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+        .filter(F.col("n_crossings") % 2 == 1)
+    )

@@ -589,3 +589,105 @@ def graph_observed_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue  # internal gate metric, not part of the ledger
             rows.append((node, metric, int(value)))
     return spark.createDataFrame(rows, "node STRING, metric STRING, value BIGINT")
+
+
+@register(
+    "graph_schema_evolution",
+    oracle=f"""
+WITH b1 AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CAST(1 AS BIGINT) AS feed_ver, CAST(NULL AS VARCHAR) AS channel
+  FROM events WHERE event_id % 2 = 0
+),
+b2 AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CAST(2 AS BIGINT) AS feed_ver, 'feed-v2' AS channel
+  FROM events WHERE event_id % 2 = 1
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM u
+)
+SELECT user_id, event_type, event_id,
+       {SQL_CENTS('value')} AS value_cents, feed_ver,
+       COALESCE(channel, '<pre-evolution>') AS channel
+FROM r WHERE rn = 1
+""",
+)
+def graph_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION inside Graph.run's incremental upsert — the
+    declared-schema identity meeting the incremental identity: run 1
+    materializes an upsert node (unique_on user/event_type) whose
+    pipe emits feed_ver INT; run 2's pipe EVOLVED — feed_ver widened
+    to BIGINT and a new `channel` column added. The upsert path
+    verifies the batch schema IMPLEMENTS the snapshot schema
+    (graph/core.py schema_implements: add/widen ok, drop/narrow is a
+    GraphError — pinned by test_graph), conforms existing rows UP
+    (NULL-backfill + value-preserving casts), and keeps one row per
+    key by (ts, event_id) recency across both schema generations —
+    so a v1 winner legitimately survives with a '<pre-evolution>'
+    channel. The oracle replays both batches through one global
+    latest-per-key window (two-run upsert == global latest, because
+    latest() is associative). Same one-exchange shuffle as the
+    evolution-free upsert."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dags_graph_evo_q_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    def build(evolved: bool) -> Graph:
+        g = Graph("schema_evo")
+        g.source(
+            "ev",
+            src,
+            schema="event_id BIGINT, user_id BIGINT, event_type STRING,"
+            " ts TIMESTAMP, value DOUBLE",
+        )
+        sql = (
+            "SELECT event_id, user_id, event_type, ts, value,"
+            " CAST(2 AS BIGINT) AS feed_ver, 'feed-v2' AS channel FROM ev"
+            if evolved
+            else "SELECT event_id, user_id, event_type, ts, value,"
+            " CAST(1 AS INT) AS feed_ver FROM ev"
+        )
+        g.sql_node(
+            "acc",
+            sql,
+            upstream=["ev"],
+            materialize=True,
+            unique_on=("user_id", "event_type"),
+            order_by=("ts", "event_id"),
+        )
+        return g
+
+    for stage, pred, evolved in (
+        ("even", "event_id % 2 = 0", False),
+        ("odd", "event_id % 2 = 1", True),
+    ):
+        staged = os.path.join(work, stage)
+        ev.filter(pred).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(staged, f), os.path.join(src, f"{stage}_{f}"))
+        build(evolved).run(spark, output_dir=out, incremental=True)
+
+    snap = spark.read.parquet(os.path.join(out, "acc"))
+    from . import cents
+
+    return snap.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        cents("value").alias("value_cents"),
+        F.col("feed_ver").cast("bigint").alias("feed_ver"),
+        F.coalesce("channel", F.lit("<pre-evolution>")).alias("channel"),
+    )

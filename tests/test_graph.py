@@ -602,3 +602,58 @@ def test_graph_incremental_append_gate_is_exactly_once(spark, tmp_path):
     # incremental batch legitimately fails any positive floor)
     out2 = build(0).run(spark, output_dir=out_dir, incremental=True)["rows"]
     assert out2.count() == 10
+
+
+def test_graph_upsert_schema_evolution(spark, tmp_path):
+    """Round-6: the incremental upsert tolerates a WIDENED batch
+    schema (new column + int->bigint), NULL-backfills existing rows,
+    and rejects drops and narrowings as GraphError."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dags_spark.graph.core import Graph, GraphError
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def build(sql):
+        g = Graph("evo")
+        g.source("ev", src, schema="k BIGINT, ts BIGINT")
+        g.sql_node(
+            "acc", sql, upstream=["ev"], materialize=True,
+            unique_on=("k",), order_by=("ts",),
+        )
+        return g
+
+    batch1 = spark.createDataFrame([(1, 10), (2, 10)], "k LONG, ts LONG")
+    batch1.write.parquet(os.path.join(src, "b1"))
+    build("SELECT k, ts, CAST(1 AS INT) AS ver FROM ev").run(
+        spark, output_dir=out, incremental=True
+    )
+
+    batch2 = spark.createDataFrame([(2, 20), (3, 20)], "k LONG, ts LONG")
+    batch2.write.parquet(os.path.join(src, "b2"))
+    res = build(
+        "SELECT k, ts, CAST(2 AS BIGINT) AS ver, 'new' AS tag FROM ev"
+    ).run(spark, output_dir=out, incremental=True)["acc"]
+    got = {r["k"]: (r["ver"], r["tag"]) for r in res.collect()}
+    # k=1 survives from gen-1 (NULL-backfilled tag, widened ver);
+    # k=2 upserted by gen-2; k=3 inserted by gen-2
+    assert got == {1: (1, None), 2: (2, "new"), 3: (2, "new")}
+    assert dict(res.dtypes)["ver"] == "bigint"
+
+    # narrowing (bigint ver -> int) must be rejected
+    batch3 = spark.createDataFrame([(4, 30)], "k LONG, ts LONG")
+    batch3.write.parquet(os.path.join(src, "b3"))
+    with _pytest.raises(GraphError, match="not an evolution"):
+        build("SELECT k, ts, CAST(3 AS INT) AS ver, 'x' AS tag FROM ev").run(
+            spark, output_dir=out, incremental=True
+        )
+    # dropping a column must be rejected (same pending batch)
+    with _pytest.raises(GraphError, match="not an evolution"):
+        build("SELECT k, ts, CAST(3 AS BIGINT) AS ver FROM ev").run(
+            spark, output_dir=out, incremental=True
+        )

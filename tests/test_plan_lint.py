@@ -188,6 +188,12 @@ ALLOWED = {
     # the 1-row cursor (last key of the previous page) broadcast
     # into the scan filter — scalar-subquery shape.
     "sort_keyset_pagination": {"cartesian"},
+    # the bbox prefilter is a RANGE join against a 12-row broadcast
+    # polygon table -> BroadcastNestedLoopJoin by design: the "scan
+    # side" streams once, the loop side is a handful of KB. The
+    # linter's cartesian code keys on the operator name, but this IS
+    # the scalable point-in-polygon plan.
+    "join_geo_point_in_polygon": {"cartesian"},
     # the week grid is calendar-sized (a handful of rows): its LAG
     # window is grid work, not corpus work.
     "ts_week_over_week": {"single-partition-exchange"},

@@ -670,3 +670,67 @@ def test_geohash_prefix_means_proximity(spark):
         km = 2 * 6371.0088 * math.asin(math.sqrt(h))
         if a.g5 == b.g5:
             assert km < 7.0, f"same gh5 cell but {km:.1f} km apart"
+
+
+def test_geohash_boundary_clamp_and_known_values(spark):
+    """Round-6 ADVICE regression + spec pin: lat=90/lon=180 clamps to
+    the TOP cell ('zzzzzzzz', not wrapping to '00000000'), and the
+    encode matches the published geohash of a known landmark."""
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.geo import geohash_col
+
+    pts = spark.createDataFrame(
+        [
+            (1, 90.0, 180.0),
+            (2, -90.0, -180.0),
+            (3, 48.8584, 2.2945),  # Eiffel Tower -> u09tunqu
+        ],
+        "id INT, lat DOUBLE, lon DOUBLE",
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in pts.select(
+            "id", geohash_col(F.col("lat"), F.col("lon"), 8).alias("g")
+        ).collect()
+    }
+    assert got[1] == "zzzzzzzz"
+    assert got[2] == "00000000"
+    assert got[3] == "u09tunqu"
+
+
+def test_geohash_decode_roundtrip_bounds(spark):
+    """decode(encode(p)) center is within the half-cell error bound
+    of p on both axes, for boundary and interior points."""
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.geo import geohash_col, with_geohash_decoded
+
+    pts = spark.createDataFrame(
+        [
+            (1, 90.0, 180.0),
+            (2, -90.0, -180.0),
+            (3, 48.8584, 2.2945),
+            (4, -33.8568, 151.2153),
+            (5, 0.0001, -0.0001),
+        ],
+        "id INT, la DOUBLE, lo DOUBLE",
+    )
+    enc = pts.withColumn("gh", geohash_col(F.col("la"), F.col("lo"), 8))
+    dec = with_geohash_decoded(enc, "gh", 8)
+    bad = dec.filter(
+        # boundary coords clamp INTO the top cell, so the decoded
+        # center sits within one full cell (2*err) of the original;
+        # interior points are within the half-cell bound.
+        (F.abs(F.col("la") - F.col("lat")) > 2 * F.col("lat_err"))
+        | (F.abs(F.col("lo") - F.col("lon")) > 2 * F.col("lon_err"))
+    ).count()
+    assert bad == 0
+    interior_bad = dec.filter(
+        (F.abs(F.col("la")) < 89.0)
+        & (
+            (F.abs(F.col("la") - F.col("lat")) > F.col("lat_err"))
+            | (F.abs(F.col("lo") - F.col("lon")) > F.col("lon_err"))
+        )
+    ).count()
+    assert interior_bad == 0
