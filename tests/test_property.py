@@ -701,7 +701,11 @@ def test_geohash_boundary_clamp_and_known_values(spark):
 
 def test_geohash_decode_roundtrip_bounds(spark):
     """decode(encode(p)) center is within the half-cell error bound
-    of p on both axes, for boundary and interior points."""
+    of p on both axes, for boundary and interior points. Asserted on
+    COLLECTED rows: spark-side filters over decode-on-encode would
+    inline the full mask algebra into each predicate (the expression
+    is exponential in nesting depth), which is exactly the shape the
+    production key avoids by selecting once."""
     from pyspark.sql import functions as F
 
     from dags_spark.operators.geo import geohash_col, with_geohash_decoded
@@ -717,20 +721,14 @@ def test_geohash_decode_roundtrip_bounds(spark):
         "id INT, la DOUBLE, lo DOUBLE",
     )
     enc = pts.withColumn("gh", geohash_col(F.col("la"), F.col("lo"), 8))
-    dec = with_geohash_decoded(enc, "gh", 8)
-    bad = dec.filter(
-        # boundary coords clamp INTO the top cell, so the decoded
-        # center sits within one full cell (2*err) of the original;
-        # interior points are within the half-cell bound.
-        (F.abs(F.col("la") - F.col("lat")) > 2 * F.col("lat_err"))
-        | (F.abs(F.col("lo") - F.col("lon")) > 2 * F.col("lon_err"))
-    ).count()
-    assert bad == 0
-    interior_bad = dec.filter(
-        (F.abs(F.col("la")) < 89.0)
-        & (
-            (F.abs(F.col("la") - F.col("lat")) > F.col("lat_err"))
-            | (F.abs(F.col("lo") - F.col("lon")) > F.col("lon_err"))
-        )
-    ).count()
-    assert interior_bad == 0
+    rows = with_geohash_decoded(enc, "gh", 8).select(
+        "la", "lo", "lat", "lon", "lat_err", "lon_err"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # boundary coords clamp INTO the top cell -> within one full
+        # cell (2*err); interior points within the half-cell bound
+        lat_tol = 2 * r["lat_err"] if abs(r["la"]) >= 89.0 else r["lat_err"]
+        lon_tol = 2 * r["lon_err"] if abs(r["la"]) >= 89.0 else r["lon_err"]
+        assert abs(r["la"] - r["lat"]) <= lat_tol, r
+        assert abs(r["lo"] - r["lon"]) <= lon_tol, r
