@@ -71,3 +71,20 @@ def test_api_facade_exports_resolve():
 
     missing = [n for n in api.__all__ if not hasattr(api, n)]
     assert not missing
+
+
+def test_survey_inventory_block_in_sync():
+    """SURVEY.md's §2 totals are GENERATED from the registry
+    (tools/inventory_sync.py — VERDICT r5 directive 10); any key
+    added without regenerating the block fails here."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [sys.executable, str(repo / "tools" / "inventory_sync.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
