@@ -35,6 +35,49 @@ def _canon_cell(v):
     return v
 
 
+def _family_sig(v) -> str | None:
+    """Structural dtype-family signature of one VALUE, recursing into
+    lists/structs/maps — the nested extension of the scalar family
+    guard below (VERDICT r5 directive 8): a DuckDB list whose
+    elements came back HUGEINT->float inside an object cell passes an
+    element-wise == against Spark's ints (123 == 123.0), but the
+    driver's value-hash serializes them differently. None = null
+    (excluded from signatures)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, dict):
+        return (
+            "struct{"
+            + ",".join(f"{k}:{_family_sig(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _family_sig(v.asDict())
+    if isinstance(v, (pd.Timestamp, np.datetime64, datetime.datetime)):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        inner = sorted({s for x in v if (s := _family_sig(x)) is not None})
+        return "list<" + "|".join(inner) + ">"
+    return "other"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sorted column order, µs timestamps, tuples for lists/dicts."""
     df = df.reindex(sorted(df.columns), axis=1)
@@ -83,6 +126,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
                 f"column {c}: dtype family differs (spark={a[c].dtype} "
                 f"duck={b[c].dtype}) — CAST the oracle (HUGEINT->BIGINT?)"
             )
+    # nested extension of the same guard: object columns (lists,
+    # structs, maps) compare their STRUCTURAL family signatures.
+    for c in a.columns:
+        if spark_pdf[c].dtype == object and duck_pdf[c].dtype == object:
+            sa = {s for v in spark_pdf[c] if (s := _family_sig(v)) is not None}
+            sb = {s for v in duck_pdf[c] if (s := _family_sig(v)) is not None}
+            if sa != sb:
+                problems.append(
+                    f"column {c}: nested dtype family differs"
+                    f" (spark={sorted(sa)} duck={sorted(sb)})"
+                )
     if problems:
         return problems
     if len(a) != len(b):
