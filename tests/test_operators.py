@@ -400,3 +400,38 @@ def test_session_window_exact_gap_merges(spark):
     )
     assert len(native) == 2, f"expected 2 sessions, got {native}"
     assert sorted(r["n"] for r in native) == [1, 2]
+
+
+def test_blocked_pairs_per_block_topk_prunes_and_is_lossless(spark):
+    """Round-6 directive 2: the per_block_topk prune provably
+    ENGAGES (kernel emits exactly k pair rows per saturated block —
+    the bench-path shape) and a global top-k over the pruned stream
+    equals the global top-k over all pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.similarity import blocked_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (b * 100 + i, [rng.uniform(-1, 1) for _ in range(8)], f"blk{b}")
+        for b in range(3)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    k = 25
+    pruned = blocked_pairs(emb, per_block_topk=k)
+    # 30 rows/block -> 435 pairs/block >> k: every block saturates
+    assert pruned.count() == 3 * k
+    full = blocked_pairs(emb)
+    assert full.count() == 3 * (30 * 29 // 2)
+    top_pruned = pruned.orderBy(
+        F.col("sim").desc(), "id_a", "id_b"
+    ).limit(k).collect()
+    top_full = full.orderBy(
+        F.col("sim").desc(), "id_a", "id_b"
+    ).limit(k).collect()
+    assert top_pruned == top_full
