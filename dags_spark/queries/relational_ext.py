@@ -2945,3 +2945,126 @@ def dq_value_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("status"),
     )
+
+
+def _lpa_oracle() -> str:
+    nib = lambda salt, j: (
+        f"(instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' ||"
+        f" CAST(r AS VARCHAR) || '{salt}'), {j}, 1)) - 1)"
+    )
+    h = lambda salt: (
+        f"({nib(salt,1)}*1048576 + {nib(salt,2)}*65536 + {nib(salt,3)}*4096"
+        f" + {nib(salt,4)}*256 + {nib(salt,5)}*16 + {nib(salt,6)})"
+    )
+    rounds = []
+    for r in range(3):
+        rounds.append(f"""
+cand{r} AS (
+  SELECT a.v, l.lab, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM adj a JOIN lab{r} l ON a.u = l.v GROUP BY a.v, l.lab
+),
+lab{r + 1} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+spine AS (
+  SELECT c_custkey AS i, r FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+),
+raw AS (
+  SELECT {h(':a')} % (SELECT n FROM nn) AS s,
+         {h(':b')} % (SELECT n FROM nn) AS d
+  FROM spine
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+  FROM raw WHERE s <> d
+),
+adj AS (
+  SELECT lo AS v, hi AS u FROM edges
+  UNION ALL
+  SELECT hi AS v, lo AS u FROM edges
+),
+lab0 AS (SELECT DISTINCT v, v AS lab FROM adj),
+{','.join(rounds)}
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lab3 GROUP BY lab
+"""
+
+
+@register(
+    "iter_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("iterative", "graph"),
+)
+def iter_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (real LPA, not min-flood:
+    each node adopts the MOST FREQUENT label among its neighbors,
+    ties broken by smallest label — the frequency vote is what finds
+    dense communities instead of just connected components, which
+    iter_reachability_bfs/dedup_connected_components already pin).
+    Three SYNCHRONOUS rounds unrolled: per round one join of the
+    adjacency against the label table, a (node, label) count, and a
+    per-node argmax window — the exact shape a Pregel superstep
+    compiles to relationally. Deterministic at every step (fixed
+    round count + total-order tie-break), so the hash pins the whole
+    trajectory, oscillations included. Same md5-hash graph as
+    iter_triangle_count (~3 edges/node, Erdos-Renyi-ish, so the
+    vote sees real contention). Scale: each round shuffles on the
+    node key only — label tables are node-sized, never edge-sized;
+    at 100 TB you'd co-partition adj and labels once and every
+    round's join is exchange-free on the bucketed key."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    spine = c.select(F.col("c_custkey").alias("i")).crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("r")))
+    )
+
+    def h3(salt: str):
+        key = f"CAST(i AS STRING) || ':' || CAST(r AS STRING) || '{salt}'"
+        nib = (
+            lambda j: f"(instr('0123456789abcdef', substr(md5({key}), {j}, 1)) - 1)"
+        )
+        return F.expr(
+            f"(({nib(1)})*1048576 + ({nib(2)})*65536 + ({nib(3)})*4096"
+            f" + ({nib(4)})*256 + ({nib(5)})*16 + ({nib(6)}))"
+        )
+
+    raw = spine.crossJoin(F.broadcast(nn)).select(
+        (h3(":a") % F.col("n")).alias("s"),
+        (h3(":b") % F.col("n")).alias("d"),
+    )
+    edges = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("lo"), F.greatest("s", "d").alias("hi"))
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("lo").alias("v"), F.col("hi").alias("u")
+    ).unionAll(edges.select(F.col("hi").alias("v"), F.col("lo").alias("u")))
+    labels = adj.select("v").distinct().withColumn("lab", F.col("v"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lab").asc())
+    for _ in range(3):
+        cand = (
+            adj.join(
+                labels.select(F.col("v").alias("u"), "lab"), "u"
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import SQL_DEC_SUM, dec_sum, table
+from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_sum, table
 from ..io import register_python_datasource
 from ..registry import register
 
@@ -1228,4 +1228,86 @@ def table_format_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             dec_sum("o_totalprice").alias("total_value"),
         )
+    )
+
+
+@register(
+    "table_format_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+),
+diff AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN {SQL_CENTS('a.o_totalprice')} <> {SQL_CENTS('b.o_totalprice')}
+                OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM diff GROUP BY status
+""",
+)
+def table_format_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF across table-format versions — the data-diff /
+    audit operator every lakehouse needs ('what did yesterday's merge
+    actually do?'): time-travel reads of version 1 (pre-merge) and
+    version 2 (post-merge) from the SAME tablelog, full-outer-joined
+    on the key, each row classified added / removed / changed /
+    unchanged (change = any non-key column differs, compared in
+    exact cents), rolled up to a per-status report with key ranges.
+    Runs on the MERGE fixture of table_format_merge, so the diff's
+    'added' set is exactly the merge's inserts and 'changed' is its
+    updates — cross-checking two operators against one oracle
+    algebra. One co-partitioned shuffle on the key; at 100 TB both
+    snapshot reads prune to their committed file lists (no directory
+    listing), and file-level min/max key stats would skip unchanged
+    files entirely — the protocol (file-list commits) is what makes
+    that pruning sound."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    batch = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    t.merge(spark, batch, keys=["o_orderkey"])
+    a = t.read(spark, version=1).alias("a")
+    b = t.read(spark, version=2).alias("b")
+    diff = a.join(b, on="o_orderkey", how="full_outer").select(
+        "o_orderkey",
+        F.when(F.col("a.o_orderstatus").isNull(), "added")
+        .when(F.col("b.o_orderstatus").isNull(), "removed")
+        .when(
+            (cents(F.col("a.o_totalprice")) != cents(F.col("b.o_totalprice")))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
     )

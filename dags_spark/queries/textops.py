@@ -52,7 +52,7 @@ WITH q AS (
            / len(string_split(text, ' ')) AS stop_ratio_raw,
          CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
            / len(string_split(text, ' ')) AS short_ratio_raw,
-         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         CAST(length(translate(text, '0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz ', '')) AS DOUBLE)
            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio_raw
   FROM documents
 )
@@ -132,7 +132,7 @@ WITH q AS (
                     / len(string_split(text, ' ')))
            - 0.3 * (CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE)
                     / len(string_split(text, ' ')))
-           - 0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+           - 0.2 * (CAST(length(translate(text, '0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz ', '')) AS DOUBLE)
                     / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
   FROM documents
 ),
@@ -1442,4 +1442,128 @@ def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_md5"),
         )
+    )
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS tks FROM documents
+),
+tok AS (
+  SELECT doc_id, tks[i] AS tok, i AS pos,
+         list_contains({SQL_STOPWORDS}, tks[i]) AS brk
+  FROM tk, unnest(generate_series(1, len(tks))) AS g(i)
+),
+pid AS (
+  SELECT doc_id, tok, pos, brk,
+         CAST(SUM(CASE WHEN brk THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS phrase_id
+  FROM tok
+),
+words AS (SELECT doc_id, phrase_id, tok, pos FROM pid WHERE NOT brk),
+phr AS (
+  SELECT doc_id, phrase_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, phrase_id
+),
+wstat AS (
+  SELECT w.doc_id, w.tok,
+         CAST(SUM(p.plen) AS BIGINT) AS deg,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words w JOIN phr p USING (doc_id, phrase_id)
+  GROUP BY w.doc_id, w.tok
+),
+wscore AS (
+  SELECT doc_id, tok,
+         CAST(ROUND(CAST(deg AS DOUBLE) * 1000000 / freq, 0) AS BIGINT)
+           AS score_u
+  FROM wstat
+),
+pscore AS (
+  SELECT w.doc_id, w.phrase_id,
+         CAST(SUM(s.score_u) AS BIGINT) AS phrase_score_u
+  FROM words w JOIN wscore s ON w.doc_id = s.doc_id AND w.tok = s.tok
+  GROUP BY w.doc_id, w.phrase_id
+)
+SELECT doc_id, phrase, plen AS n_words, phrase_score_u
+FROM (
+  SELECT p.doc_id, p.phrase, p.plen, ps.phrase_score_u,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id
+           ORDER BY ps.phrase_score_u DESC, p.phrase ASC) AS rn
+  FROM phr p JOIN pscore ps USING (doc_id, phrase_id)
+) WHERE rn = 1
+""",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction — the classic unsupervised
+    keyword/topic tagger for corpus curation: candidate phrases =
+    maximal token runs between stopword breakers; word score =
+    degree/frequency (degree = summed length of the phrases each
+    occurrence sits in — co-occurring words inherit their phrases'
+    weight); phrase score = sum of member word scores; emit each
+    document's TOP phrase (ties broken by phrase text). Scores are
+    quantized to integer micro-units per WORD before the phrase sum
+    (deg·1e6/freq rounded once — deg and freq are small exact ints,
+    so the double divide is identical in both engines and the phrase
+    total is an order-free BIGINT sum: the PSI/JSD quantization
+    rule). All work is doc-keyed: one token explode, a per-doc
+    cumsum window for phrase segmentation, two doc-keyed hash-aggs,
+    one top-1 window — shuffles only on doc_id, embarrassingly
+    parallel at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn("brk", F.array_contains(arr, F.col("tok")))
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pid = tok.withColumn(
+        "phrase_id", F.sum(F.col("brk").cast("bigint")).over(wcum)
+    )
+    words = pid.filter(~F.col("brk")).select("doc_id", "phrase_id", "tok", "pos")
+    phr = words.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        words.join(phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+    )
+    wscore = wstat.select(
+        "doc_id",
+        "tok",
+        F.round(F.col("deg").cast("double") * 1000000 / F.col("freq"), 0)
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    pscore = (
+        words.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("score_u").alias("phrase_score_u"))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("phrase_score_u").desc(), F.col("phrase").asc()
+    )
+    return (
+        phr.join(pscore, ["doc_id", "phrase_id"])
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "phrase", F.col("plen").alias("n_words"), "phrase_score_u")
     )

@@ -2110,3 +2110,93 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(wall), 6
         ).alias("pct_of_cohort"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT day, day_cents,
+         CAST(date_part('isodow', day) AS INTEGER) AS dow,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(day_cents) OVER w AS BIGINT) END AS trend_cents7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT *, 7 * day_cents - trend_cents7 AS det_x7 FROM tr
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(det_x7) AS BIGINT) AS sum_det_x7,
+         CAST(COUNT(det_x7) AS BIGINT) AS n_det
+  FROM det WHERE det_x7 IS NOT NULL GROUP BY dow
+)
+SELECT d.day, d.day_cents, d.dow,
+       ROUND(CAST(d.trend_cents7 AS DOUBLE) / 700.0, 6) AS trend,
+       ROUND(CAST(s.sum_det_x7 AS DOUBLE) / (700.0 * s.n_det), 6) AS seasonal,
+       ROUND(CAST(d.det_x7 AS DOUBLE) / 700.0
+             - CAST(s.sum_det_x7 AS DOUBLE) / (700.0 * s.n_det), 6)
+         AS residual
+FROM det d JOIN seas s USING (dow)
+""",
+    tags=("timeseries", "window"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SEASONAL DECOMPOSITION (STL-lite) of the daily
+    revenue series: trend = centered 7-day moving average (NULL
+    unless the window is FULL — a half window at the series edges
+    would fabricate trend), seasonal = per-ISO-dow mean of the
+    detrended series, residual = value - trend - seasonal. The
+    forecasting / anomaly-baseline decomposition, built entirely
+    from exact integers: the detrended series is kept as
+    7*cents - sum7_cents (exact BIGINT — no float accumulates
+    across rows, the order-free quantization rule), and every
+    /700.0 division happens once per OUTPUT cell, so both engines
+    emit bit-identical doubles. Corpus work is one day-grain
+    hash-agg; the decomposition runs on the tiny calendar grid
+    (one window sort + one 7-row dow agg + a broadcast-sized join)
+    — at 100 TB this is the ts_week_over_week grid argument:
+    day-grain first, then calendar math on the grid, in dollars
+    units (cents/100: the /700.0 = /7 days /100 cents)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("day_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "day_cents",
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("day_cents").over(w)
+        ).alias("trend_cents7"),
+    )
+    det = tr.withColumn(
+        "det_x7", 7 * F.col("day_cents") - F.col("trend_cents7")
+    )
+    seas = (
+        det.filter(F.col("det_x7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("det_x7").alias("sum_det_x7"),
+            F.count("det_x7").alias("n_det"),
+        )
+    )
+    seasonal = F.col("sum_det_x7").cast("double") / (700.0 * F.col("n_det"))
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "day_cents",
+        "dow",
+        F.round(F.col("trend_cents7").cast("double") / 700.0, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(
+            F.col("det_x7").cast("double") / 700.0 - seasonal, 6
+        ).alias("residual"),
+    )

@@ -272,6 +272,14 @@ ALLOWED = {
     # derivation, and the 1-row triangle/edge totals cross — the
     # derived-graph scalar shapes (iter_reachability_bfs class).
     "iter_triangle_count": {"cartesian", "single-partition-exchange"},
+    # same derived-graph scalar shapes: 1-row node count + salt spine
+    # broadcast into the md5 edge derivation (the per-round label
+    # joins themselves are node-keyed equi-joins, never cartesian).
+    "iter_label_propagation": {"cartesian", "single-partition-exchange"},
+    # the decomposition runs on the calendar DAY GRID (a few thousand
+    # rows): its centered 7-day window is grid work, not corpus work
+    # (ts_week_over_week class); the corpus agg before it is keyed.
+    "ts_seasonal_decompose": {"single-partition-exchange"},
 }
 
 

@@ -113,6 +113,19 @@ HEAVY = {
     "agg_count_min_sketch": 15,
     "agg_bounce_rate_daily": 15,
     "win_drawdown_max": 15,
+    # round-6 additions (healthy 0.7-4.6 s at sf0.1, measured on a
+    # vmstat-quiet host; multiLine CSV is single-task BY DESIGN —
+    # the ceiling guards the documented cost, not a regression-free
+    # fantasy)
+    "iter_triangle_count": 30,
+    "source_csv_multiline_quoted": 30,
+    "iter_label_propagation": 30,
+    "graph_schema_evolution": 15,
+    "fn_geohash_decode": 15,
+    "table_format_snapshot_diff": 15,
+    "table_format_merge": 15,
+    "text_keyword_rake": 15,
+    "join_geo_point_in_polygon": 15,
 }
 
 
