@@ -1159,3 +1159,161 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(surplus, s.s_suppkey == surplus.ps_suppkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "composite"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one
+    quarter having AT LEAST ONE late line — a correlated EXISTS that
+    must plan as a LEFT SEMI join (one match suffices; an inner join
+    would double-count multi-line orders), counted per priority
+    class. Fixture note: the derived-column policy of §2.14 — this
+    lineitem carries no commit/receipt dates, so 'late' is derived
+    as shipped >=60 days after the order date, preserving exactly
+    the shape under test (correlated-predicate semi join with a
+    non-key conjunct + quarterly scan pruning). The date filter
+    prunes the orders scan; the semi join shuffles on orderkey with
+    the line side filtered by the correlated date predicate INSIDE
+    the join — at 100 TB both scans prune to the quarter before any
+    shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q12_shipmode",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         CASE CAST(l_suppkey % 3 AS INTEGER)
+              WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'RAIL' END
+           AS l_shipmode,
+         l_shipdate
+  FROM lineitem
+)
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN l ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_shipmode
+""",
+    tags=("tpch", "composite"),
+)
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): line items of
+    two ship modes in one year, each order's priority folded into a
+    HIGH/LOW conditional two-way count per mode — the
+    CASE-inside-SUM pivot TPC-H uses to read a 2x2 report off one
+    join pass. Fixture note (§2.14 derived-column policy): no
+    l_shipmode column exists, so the mode derives deterministically
+    from l_suppkey % 3 — the shape under test (mode IN-filter
+    pushed to the line scan, orderkey equi-join, conditional agg)
+    is unchanged. With the year+mode filters pushed down, the join
+    input is the pruned line side only; the aggregate is two
+    counters per mode — map-side combinable, 2-row output. This
+    closes the last §2.14 gap: all 22 TPC-H query shapes are now
+    registered (Q1 as agg_pricing_summary's superset)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_suppkey") % 3 == 0, "MAIL")
+        .when(F.col("l_suppkey") % 3 == 1, "SHIP")
+        .otherwise("RAIL")
+        .alias("l_shipmode"),
+        "l_shipdate",
+    )
+    li = li.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "agg_before_join_rewrite",
+    oracle=f"""
+SELECT n_name,
+       CAST(SUM({SQL_CENTS('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+         AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("composite", "optimizer"),
+)
+def agg_before_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER AGGREGATION (aggregate-pushdown-below-join) stated as a
+    checked equality: revenue per nation computed by PRE-AGGREGATING
+    lineitem to one row per suppkey BEFORE joining the
+    supplier->nation dims, then re-aggregating to nation — vs the
+    oracle's naive join-then-aggregate. The rewrite is sound because
+    cents-sum/count are decomposable and suppkey functionally
+    determines the dim columns; it's THE manual rewrite for 100 TB
+    fact-dim rollups Catalyst doesn't yet do itself (partial
+    hash-agg helps the same way but still shuffles fact-row-count
+    rows into the join when the join key isn't the grouping key —
+    here the join input drops from |lineitem| to |supplier| rows).
+    Both dims broadcast; the only corpus shuffle is the suppkey
+    hash-agg."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "line_cents"
+        ),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("line_cents").alias("supp_cents"),
+        F.count(F.lit(1)).alias("supp_lines"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("supp_cents").cast("bigint").alias("rev_cents"),
+            F.sum("supp_lines").alias("n_lines"),
+        )
+    )

@@ -1311,3 +1311,79 @@ def table_format_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "table_format_delete",
+    oracle=f"""
+WITH v2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 9 <> 0),
+diff AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              ELSE 'unchanged' END AS status
+  FROM v2 a FULL OUTER JOIN v3 b USING (o_orderkey)
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS rows_after,
+       (SELECT {SQL_DEC_SUM('o_totalprice')} FROM v3) AS value_after
+FROM diff GROUP BY status
+""",
+)
+def table_format_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE through the table-format commit log — the
+    copy-on-write half of deletion vectors: an anti-join rewrite
+    removes every key in the delete set, committed as one
+    mode="delete" version under the same optimistic concurrency as
+    merge. Runs on the MERGE fixture (v1 base, v2 merged), deletes
+    the %9==0 keys -> v3, and the checked output is the v2-vs-v3
+    snapshot diff (exercising snapshot-diff's 'removed' branch,
+    which the merge-only fixture never produces) next to v3's
+    row count and exact-cents total — while v2 still time-travels
+    to the deleted rows (deletion is a metadata event; VACUUM is
+    the erasure). At 100 TB the rewrite would prune to files whose
+    key-range stats overlap the delete set — or stamp DV sidecars
+    and rewrite nothing; the file-list commit makes either safe."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    batch = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    t.merge(spark, batch, keys=["o_orderkey"])  # v2
+    doomed = t.read(spark, version=2).filter(
+        F.col("o_orderkey") % 9 == 0
+    ).select("o_orderkey")
+    v = t.delete(spark, doomed, keys=["o_orderkey"])
+    assert v == 3
+    v2 = t.read(spark, version=2).alias("a")
+    v3 = t.read(spark, version=3).alias("b")
+    after = v3.agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        dec_sum("o_totalprice").alias("value_after"),
+    )
+    diff = v2.join(v3, on="o_orderkey", how="full_outer").select(
+        F.when(F.col("b.o_orderstatus").isNull(), "removed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(after))
+    )

@@ -197,6 +197,50 @@ class TableLog:
         )
         return version
 
+    def delete(
+        self,
+        spark: SparkSession,
+        df_keys: DataFrame,
+        keys: list[str],
+        base_version: int | None = None,
+    ) -> int:
+        """DELETE by key set through the commit log: rows whose key
+        appears in `df_keys` vanish from the new snapshot (an
+        anti-join rewrite — the copy-on-write half of deletion
+        vectors: real engines would instead stamp a DV sidecar per
+        touched file and leave data files in place; the commit unit
+        is identical). Same optimistic concurrency as merge():
+        compute against a base snapshot, commit base+1, raise
+        CommitConflict to force a recompute-rebase if another writer
+        got there first. Prior versions still time-travel to the
+        deleted rows — deletion is a metadata event, not an erasure
+        (VACUUM would be the erasure)."""
+        snap = self.snapshot(base_version)
+        if not snap["files"]:
+            raise ValueError("nothing to delete from")
+        base_df = self.read(spark, version=snap["version"])
+        remaining = base_df.join(
+            df_keys.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        )
+        staging = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
+        remaining.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.path, dst))
+            new_files.append(dst)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        version = snap["version"] + 1
+        self._publish(
+            version,
+            {"version": version, "mode": "delete", "files": new_files},
+        )
+        return version
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot's many small files
         as `target_files` larger ones and commit the swap as a new

@@ -280,6 +280,9 @@ ALLOWED = {
     # rows): its centered 7-day window is grid work, not corpus work
     # (ts_week_over_week class); the corpus agg before it is keyed.
     "ts_seasonal_decompose": {"single-partition-exchange"},
+    # 1-row rows_after/value_after aggregate broadcast-crossed into
+    # the 2-row status rollup — the scalar-subquery shape.
+    "table_format_delete": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -141,3 +141,18 @@ def test_merge_race_conflicts_then_rebases(spark):
     assert t.merge(spark, batch_a, keys=["k"]) == 3
     got = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got == {1: 111.0, 2: 222.0, 3: 300.0, 4: 400.0}
+
+
+def test_delete_removes_keys_and_preserves_history(spark):
+    t = tmp_table()
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k INT, v DOUBLE"
+    )
+    t.write(base, mode="overwrite")
+    doomed = spark.createDataFrame([(2,), (4,), (99,)], "k INT")
+    assert t.delete(spark, doomed, keys=["k"]) == 2
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 3}
+    # history intact; conflicting delete against the stale base fails
+    assert {r["k"] for r in t.read(spark, version=1).collect()} == {1, 2, 3, 4}
+    with pytest.raises(CommitConflict):
+        t.delete(spark, doomed, keys=["k"], base_version=1)
