@@ -1387,3 +1387,61 @@ def table_format_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .crossJoin(F.broadcast(after))
     )
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle=f"""
+WITH full_load AS (
+  SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+),
+restated AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_year
+  FROM full_load WHERE o_year = 1997 AND o_orderkey % 2 = 0
+),
+final AS (
+  SELECT * FROM full_load WHERE o_year <> 1997
+  UNION ALL
+  SELECT * FROM restated
+)
+SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {SQL_DEC_SUM('o_totalprice')} AS total_value
+FROM final GROUP BY o_year
+""",
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (partitionOverwriteMode=dynamic) —
+    the idempotent-backfill write mode: a restatement batch touching
+    ONLY year=1997 replaces exactly that partition directory and
+    leaves every other year's files untouched (static mode would
+    truncate the whole table first — the classic way a backfill
+    silently deletes five years of data). The restated 1997 keeps
+    only even keys at doubled value, so the checked read-back proves
+    both the replacement (1997 shrank and repriced) and the
+    preservation (all other years bit-identical). At 100 TB this is
+    THE partition-grain idempotent write: reruns converge, and the
+    blast radius of a bad batch is one partition, bounded by the
+    write's own output set."""
+    out = os.path.join(_tmpdir("dynpart"), "orders_by_year")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    restated = (
+        o.filter((F.col("o_year") == 1997) & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice").alias("total_value"),
+    )

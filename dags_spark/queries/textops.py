@@ -1567,3 +1567,93 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "phrase", F.col("plen").alias("n_words"), "phrase_score_u")
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+WITH bench AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE doc_id % 11 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 3), ' ') AS shingle
+  FROM bench, unnest(generate_series(1, len(tk) - 3)) AS g(i)
+  WHERE len(tk) >= 4
+),
+corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE doc_id % 11 <> 0
+),
+corpus_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 3), ' ') AS shingle
+  FROM corpus, unnest(generate_series(1, len(tk) - 3)) AS g(i)
+  WHERE len(tk) >= 4
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM corpus_sh GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM corpus_sh c JOIN bench_sh b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, h.n_contaminated, t.n_shingles,
+       ROUND(CAST(h.n_contaminated AS DOUBLE) / t.n_shingles, 6)
+         AS contamination_ratio
+FROM hits h JOIN tot t USING (doc_id)
+""",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN-TEST CONTAMINATION detection — the screen every
+    benchmark-respecting training pipeline runs before a corpus
+    ships: a held-out 'benchmark' slice (doc_id % 11) is shredded to
+    DISTINCT 4-token shingles, the remaining corpus likewise
+    per-document, and one equi-join on the shingle string surfaces
+    every corpus document sharing verbatim 4-grams with the
+    benchmark, with its contamination ratio. Distinct-per-side
+    BEFORE the join keeps the shuffle at set-cardinality (repeated
+    phrases inside a doc count once — the standard n-gram-overlap
+    definition). At 100 TB the benchmark shingle set is small and
+    BROADCASTS, so contamination is a scan-local map-side semi-join
+    over the corpus — no corpus shuffle at all; here both sides
+    flow through the plain equi-join Catalyst picks at fixture
+    scale. Shingle width 4 balances specificity vs the fixtures'
+    short documents (>=13-gram is the published convention for
+    web-scale corpora; same plan, wider slice)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+
+    def shingles(df):
+        tk = df.withColumn("tk", toks).filter(F.size("tk") >= 4)
+        return tk.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 3),
+                    lambda i: F.array_join(F.slice("tk", i, 4), " "),
+                )
+            ).alias("shingle"),
+        )
+
+    bench_sh = (
+        shingles(docs.filter(F.col("doc_id") % 11 == 0))
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(docs.filter(F.col("doc_id") % 11 != 0)).distinct()
+    tot = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = corpus_sh.join(bench_sh, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_contaminated",
+        "n_shingles",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination_ratio"),
+    )
