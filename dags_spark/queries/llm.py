@@ -2988,3 +2988,76 @@ def multimodal_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(
         kernel, "doc_id BIGINT, bucket BIGINT, n_px BIGINT"
     )
+
+
+@register(
+    "split_leakage_safe",
+    oracle="""
+WITH clustered AS (
+  SELECT doc_id, lang, md5(text) AS cluster_key FROM documents
+),
+assigned AS (
+  SELECT doc_id, lang, cluster_key,
+         CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(cluster_key || ':split'), 1, 1)) - 1) < 13
+                THEN 'train'
+              WHEN (instr('0123456789abcdef',
+                          substr(md5(cluster_key || ':split'), 1, 1)) - 1) < 14
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM clustered
+),
+leak AS (
+  SELECT cluster_key FROM assigned
+  GROUP BY cluster_key HAVING COUNT(DISTINCT split) > 1
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_key) AS BIGINT) AS n_clusters,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM leak) AS n_leaky_clusters
+FROM assigned GROUP BY split
+""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test SPLIT — the assignment unit is the
+    DUPLICATE CLUSTER, not the document: every doc's cluster key is
+    its content fingerprint (md5(text) — exact-dup cluster id;
+    near-dup pipelines substitute the connected-component id, same
+    algebra), and the split decision hashes the CLUSTER key into
+    13/1/2-of-16 buckets (~81/6/13%). Two copies of one text can
+    therefore NEVER straddle train and test — the leakage the naive
+    per-doc random split commits constantly and the checked
+    n_leaky_clusters column proves impossible BY CONSTRUCTION
+    (0 leaky clusters, verified in-query, not assumed). Assignment
+    is a deterministic salted-hash bucket — reproducible across
+    runs, engines, and cluster sizes, no RNG state to ship. One
+    scan + channel-sized aggs; at 100 TB the split column computes
+    scan-local and writes as a partition key."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("cluster_key")
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.col("cluster_key"), F.lit(":split"))), 1, 1),
+        )
+        - 1
+    )
+    assigned = docs.withColumn(
+        "split",
+        F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test"),
+    )
+    leak = (
+        assigned.groupBy("cluster_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

@@ -2200,3 +2200,65 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("det_x7").cast("double") / 700.0 - seasonal, 6
         ).alias("residual"),
     )
+
+
+@register(
+    "win_attribution_last_touch",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+tagged AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM ev
+)
+SELECT COALESCE(touch_type, '<organic>') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch_type, '<organic>')
+""",
+    tags=("events", "window"),
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics
+    staple: each purchase credits the user's most recent PRECEDING
+    non-purchase event type (the 'touch'); purchases with no prior
+    touch fall to '<organic>'. One expression does it: LAST_VALUE
+    IGNORE NULLS over a frame ending at 1 PRECEDING — the frame
+    bound is the attribution rule (CURRENT ROW would let a purchase
+    attribute to itself), and the CASE-to-NULL turns other
+    purchases transparent so back-to-back purchases attribute
+    through to the real touch. Revenue stays exact integer cents.
+    One user-keyed window sort, then a channel-sized hash-agg — at
+    100 TB the cost is the sessionize exchange, nothing more."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", cents("value").alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_type", F.lit("<organic>")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )

@@ -283,6 +283,13 @@ ALLOWED = {
     # 1-row rows_after/value_after aggregate broadcast-crossed into
     # the 2-row status rollup — the scalar-subquery shape.
     "table_format_delete": {"cartesian", "single-partition-exchange"},
+    # 1-row leakage-count aggregate broadcast-crossed into the 3-row
+    # split report — the scalar-subquery shape.
+    "split_leakage_safe": {"cartesian", "single-partition-exchange"},
+    # the read-back aggregates EVERY partition on purpose: proving
+    # dynamic overwrite preserved the untouched years requires
+    # scanning them (the write mode under test, not a query smell).
+    "sink_partition_overwrite_dynamic": {"unpruned-partition-scan"},
 }
 
 
