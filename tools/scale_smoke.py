@@ -126,6 +126,10 @@ HEAVY = {
     "table_format_merge": 15,
     "text_keyword_rake": 15,
     "join_geo_point_in_polygon": 15,
+    # round-6 second wave (healthy 1-2.4 s at sf0.1, measured)
+    "table_format_delete": 15,
+    "text_contamination_check": 15,
+    "tpch_q4_order_priority": 15,
 }
 
 
