@@ -1445,3 +1445,59 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_rows"),
         dec_sum("o_totalprice").alias("total_value"),
     )
+
+
+@register(
+    "source_json_mixed_schema",
+    oracle="""
+WITH j AS (
+  SELECT 1 AS id, 'alpha' AS name, CAST(NULL AS BIGINT) AS score,
+         CAST(NULL AS VARCHAR) AS tag
+  UNION ALL SELECT 2, 'beta', NULL, NULL
+  UNION ALL SELECT 3, NULL, 77, 'x'
+  UNION ALL SELECT 4, NULL, 88, 'y'
+  UNION ALL SELECT 5, 'gamma', 99, NULL
+)
+SELECT CAST(id AS BIGINT) AS id, name,
+       CAST(score AS BIGINT) AS score, tag,
+       (name IS NOT NULL) AS has_name, (score IS NOT NULL) AS has_score
+FROM j
+""",
+)
+def source_json_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFTED JSON ingestion — the real shape of a landing
+    zone: three JSONL files written by three producer generations
+    (v1: id+name, v2: id+score+tag, v3: id+name+score), read in ONE
+    pass with spark.read.json inferring the UNION schema and
+    NULL-backfilling every absent field — no producer coordination,
+    no failed batch, no silent column drop (the three bad outcomes
+    of rigid-schema ingestion). The checked output pins the union
+    schema, the per-row backfill pattern, and presence flags. At
+    100 TB inference runs on a SAMPLE (samplingRatio) or is replaced
+    by an explicit evolving schema registry — the union semantics
+    under test are identical; Graph.run's upsert consumes exactly
+    this drift via schema_implements (graph_schema_evolution)."""
+    d = _tmpdir("json_mixed")
+    import json as _json
+
+    files = {
+        "v1.json": [{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}],
+        "v2.json": [
+            {"id": 3, "score": 77, "tag": "x"},
+            {"id": 4, "score": 88, "tag": "y"},
+        ],
+        "v3.json": [{"id": 5, "name": "gamma", "score": 99}],
+    }
+    for fname, rows in files.items():
+        with open(os.path.join(d, fname), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+    back = spark.read.json(d)
+    return back.select(
+        F.col("id").cast("bigint"),
+        "name",
+        F.col("score").cast("bigint"),
+        "tag",
+        F.col("name").isNotNull().alias("has_name"),
+        F.col("score").isNotNull().alias("has_score"),
+    )

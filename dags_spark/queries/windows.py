@@ -2262,3 +2262,124 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, first_purchase - first_view AS latency_us
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+),
+bucketed AS (
+  SELECT LEAST(CAST(latency_us // 86400000000 AS BIGINT), 13) AS day_bucket,
+         latency_us
+  FROM conv
+),
+ranked AS (
+  SELECT latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+),
+pct AS (
+  SELECT CAST(MIN(CASE WHEN rn >= CAST(CEIL(0.5 * n) AS BIGINT)
+                       THEN latency_us END) AS BIGINT) AS p50_us_global,
+         CAST(MIN(CASE WHEN rn >= CAST(CEIL(0.9 * n) AS BIGINT)
+                       THEN latency_us END) AS BIGINT) AS p90_us_global
+  FROM ranked
+)
+SELECT day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(latency_us) AS BIGINT) AS min_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_us,
+       (SELECT p50_us_global FROM pct) AS p50_us_global,
+       (SELECT p90_us_global FROM pct) AS p90_us_global
+FROM bucketed GROUP BY day_bucket
+""",
+    tags=("events", "funnel"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution — the funnel's latency half:
+    per user, first view -> first purchase latency (converters only,
+    purchase at-or-after view), reported as a capped per-day
+    histogram with exact-microsecond min/max per bucket plus global
+    DISCRETE p50/p90 stated as the explicit type-1 order statistic
+    (smallest value with rank >= ceil(p*n) — actual data values,
+    exact integers, no approx function, no interpolated float; the
+    ns fixture timestamps are compared at us on both engines). Two conditional
+    MIN's in ONE hash-agg pass per user — no window, no self-join
+    (the two-pass 'first event of each type' anti-pattern); the
+    histogram and the 1-row percentiles are grid-sized follow-ups.
+    At 100 TB: one user-keyed exchange, everything after is
+    broadcast-scale."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
+    # explicit type-1 discrete percentile (the agg_percentile_disc
+    # definition: smallest value with rank >= ceil(p*n)) — engines'
+    # built-in disc quantiles disagree on fine print, and approx
+    # functions are banned from hash keys. conv is converter-count
+    # rows (grid-sized), so the single-partition rank is fine.
+    ranked = conv.select(
+        "latency_us",
+        F.row_number().over(Window.orderBy("latency_us")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    pct = ranked.agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("latency_us"),
+            )
+        ).cast("bigint").alias("p50_us_global"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.9 * F.col("n")).cast("bigint"),
+                F.col("latency_us"),
+            )
+        ).cast("bigint").alias("p90_us_global"),
+    )
+    bucketed = conv.select(
+        F.least(
+            (F.col("latency_us") / F.lit(86400000000)).cast("bigint"), F.lit(13)
+        ).alias("day_bucket"),
+        "latency_us",
+    )
+    return (
+        bucketed.groupBy("day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("latency_us").alias("min_us"),
+            F.max("latency_us").alias("max_us"),
+        )
+        .crossJoin(F.broadcast(pct))
+    )

@@ -290,6 +290,10 @@ ALLOWED = {
     # dynamic overwrite preserved the untouched years requires
     # scanning them (the write mode under test, not a query smell).
     "sink_partition_overwrite_dynamic": {"unpruned-partition-scan"},
+    # converter-count percentile rank (grid-sized by construction)
+    # plus the 1-row p50/p90 broadcast-crossed into the histogram —
+    # the funnel_ordered_3step scalar shapes.
+    "funnel_time_to_convert": {"cartesian", "single-partition-exchange"},
 }
 
 
