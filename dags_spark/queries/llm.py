@@ -3061,3 +3061,86 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, {SQL_VEC_D.format(v='embedding')} AS e
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+scaled AS (
+  SELECT vec_id, label, e,
+         GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) AS amax
+  FROM v
+),
+q AS (
+  SELECT vec_id, label, e, amax,
+         list_transform(e, x -> CAST(ROUND(127.0 * x / amax, 0) AS BIGINT))
+           AS q8
+  FROM scaled
+),
+err AS (
+  SELECT vec_id, label, amax, q8,
+         list_max(list_transform(generate_series(1, len(e)),
+           i -> abs(e[i] - CAST(q8[i] AS DOUBLE) * amax / 127.0))) AS max_err
+  FROM q
+)
+SELECT vec_id, label, q8,
+       ROUND(amax, 6) AS amax,
+       ROUND(max_err, 6) AS max_abs_err,
+       (max_err <= amax / 127.0 * 0.5000001) AS within_bound
+FROM err
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 EMBEDDING QUANTIZATION — the 4x storage/bandwidth cut
+    every vector store at 100 TB takes: per-vector symmetric absmax
+    scaling (q = round(127*x/amax)), with the reconstruction error
+    certified IN-QUERY — max|x - q*amax/127| must sit within the
+    half-step bound amax/254 for every vector (within_bound, checked
+    true row-for-row, with an epsilon factor absorbing the one-ulp
+    slack of the divide). The hash pins every quantized code (an
+    array<bigint> column — exercising the nested dtype-parity guard)
+    plus the rounded scale and error. Pure array lambdas in
+    whole-stage codegen, scan-local, no shuffle: the quantizer is a
+    map over the corpus; downstream ANN kernels dot int8 codes and
+    rescale by amax_a*amax_b/16129 — same algebra, 4x less I/O."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        "label",
+        e.alias("e"),
+        F.greatest(
+            F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
+        ).alias("amax"),
+    )
+    q = scaled.withColumn(
+        "q8",
+        F.transform(
+            "e",
+            lambda x: F.round(127.0 * x / F.col("amax"), 0).cast("bigint"),
+        ),
+    )
+    err = q.withColumn(
+        "max_err",
+        F.array_max(
+            F.zip_with(
+                "e",
+                "q8",
+                lambda x, c: F.abs(x - c.cast("double") * F.col("amax") / 127.0),
+            )
+        ),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        "q8",
+        F.round("amax", 6).alias("amax"),
+        F.round("max_err", 6).alias("max_abs_err"),
+        (F.col("max_err") <= F.col("amax") / 127.0 * 0.5000001).alias(
+            "within_bound"
+        ),
+    )
