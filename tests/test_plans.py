@@ -504,3 +504,38 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "dynamicpruning" in pf, pf
     assert "o_year" in pf
+
+
+def test_tpch_q4_plans_left_semi(spark, sf_dir):
+    """Q4's correlated EXISTS must plan as a LEFT SEMI join (one
+    match suffices), with the quarterly filter pushed to the orders
+    scan — an inner join here would double-count multi-line orders."""
+    plan = _formatted_plan(spark, "tpch_q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(o_orderdate" in flat
+    assert "CartesianProduct" not in plan
+
+
+def test_eager_agg_joins_supplier_rows_not_fact_rows(spark, sf_dir):
+    """agg_before_join_rewrite's dims must broadcast and the join
+    input must be the PRE-AGGREGATED per-suppkey table — the plan
+    shows a HashAggregate BELOW the broadcast joins and no
+    SortMergeJoin anywhere."""
+    plan = _formatted_plan(spark, "agg_before_join_rewrite", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial agg must appear before (deeper than) the first join
+    first_join = plan.index("BroadcastHashJoin")
+    assert "HashAggregate" in plan[first_join:], "final agg missing"
+    assert "HashAggregate" in plan[:first_join] or plan.count("HashAggregate") >= 3, (
+        "per-suppkey pre-aggregate not below the join"
+    )
+
+
+def test_contamination_shingle_join_no_cartesian(spark, sf_dir):
+    """text_contamination_check must join benchmark and corpus
+    shingles by equality (hash/broadcast join), never all-pairs."""
+    plan = _formatted_plan(spark, "text_contamination_check", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
