@@ -3144,3 +3144,87 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+@register(
+    "sim_rank_fusion_rrf",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(text) AS fp
+  FROM documents
+),
+rank_a AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r
+  FROM base
+),
+rank_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY fp ASC, doc_id) AS r
+  FROM base
+),
+fused AS (
+  SELECT a.doc_id,
+         CAST(ROUND(1000000.0 / (60 + a.r), 0) AS BIGINT)
+           + CAST(ROUND(1000000.0 / (60 + b.r), 0) AS BIGINT) AS rrf_u,
+         a.r AS rank_a, b.r AS rank_b
+  FROM rank_a a JOIN rank_b b USING (doc_id)
+)
+SELECT doc_id, rank_a, rank_b, rrf_u,
+       ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 50
+""",
+)
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (RRF, k=60) — the standard
+    hybrid-retrieval combiner (BM25 ∪ dense): two independent
+    rankings fuse by sum of 1/(k + rank), needing NO score
+    calibration between systems because only RANKS enter. Here the
+    two rankers are deterministic corpus orderings (token count;
+    content fingerprint — standing in for lexical and dense scores,
+    which are themselves pinned by text_bm25_score/sim_search_topk);
+    each RRF term is quantized to integer micro-units BEFORE the sum
+    (the order-free rule), the fused top-50 re-ranked with a doc_id
+    tie-break. Plan: two window ranks over the doc table + one
+    doc-keyed join + a TakeOrdered — at 100 TB each source ranking
+    arrives pre-cut to its own top-N (RRF only needs ranks, so
+    fusing top-1000s bounds everything) and the fusion join is
+    top-N-sized, broadcastable."""
+    from pyspark.sql import Window
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    ra = base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_tokens").desc(), "doc_id"))
+        .alias("rank_a"),
+    )
+    rb = base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("fp").asc(), "doc_id"))
+        .alias("rank_b"),
+    )
+    term = lambda r: F.round(1000000.0 / (60 + F.col(r)), 0).cast("bigint")
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (term("rank_a") + term("rank_b")).alias("rrf_u"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_u").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("fused_rank") <= 50)
+    )

@@ -2383,3 +2383,105 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(pct))
     )
+
+
+@register(
+    "agg_cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+cohorts AS (
+  SELECT user_id,
+         CAST(year(first_ts) * 12 + month(first_ts) AS BIGINT) AS cohort_m,
+         date_trunc('month', first_ts) AS cohort_month
+  FROM firsts
+),
+sizes AS (
+  SELECT cohort_m, cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM cohorts GROUP BY cohort_m, cohort_month
+),
+purch AS (
+  SELECT c.cohort_m,
+         CAST(year(e.ts) * 12 + month(e.ts) AS BIGINT) - c.cohort_m
+           AS month_index,
+         CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents
+  FROM events e JOIN cohorts c USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+cell AS (
+  SELECT cohort_m, month_index,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM purch GROUP BY cohort_m, month_index
+),
+curve AS (
+  SELECT cohort_m, month_index, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY month_index
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM cell
+)
+SELECT s.cohort_month, cv.month_index, cv.rev_cents, cv.cum_cents,
+       s.cohort_users,
+       ROUND(CAST(cv.cum_cents AS DOUBLE) / 100.0 / s.cohort_users, 6)
+         AS ltv_per_user
+FROM curve cv JOIN sizes s USING (cohort_m)
+""",
+    tags=("events", "window"),
+)
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE — the growth-analytics staple: users cohort
+    by FIRST-EVENT month, purchase revenue lands in integer
+    months-since-signup cells (month arithmetic as year*12+month —
+    exact integers, no date interval fine print), each cohort's
+    running cumulative revenue divides by its FIXED cohort size for
+    LTV-per-user at every age. Composition: one user-keyed first-
+    event agg, one broadcast-sized cohort join back to purchases,
+    a (cohort, age)-cell hash-agg, and a cumsum window over the
+    tiny cohort-age grid. The corpus shuffles twice (user agg, cell
+    agg) — both map-side combinable; the window runs on dozens of
+    rows. Exact cents everywhere; the single division is one
+    output-cell op."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id",
+        (F.year("first_ts") * 12 + F.month("first_ts"))
+        .cast("bigint")
+        .alias("cohort_m"),
+        F.date_trunc("month", "first_ts").alias("cohort_month"),
+    )
+    sizes = cohorts.groupBy("cohort_m", "cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts.select("user_id", "cohort_m"), "user_id")
+        .select(
+            "cohort_m",
+            (
+                (F.year("ts") * 12 + F.month("ts")).cast("bigint")
+                - F.col("cohort_m")
+            ).alias("month_index"),
+            cents("value").alias("cents"),
+        )
+    )
+    cell = purch.groupBy("cohort_m", "month_index").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = cell.withColumn("cum_cents", F.sum("rev_cents").over(wc))
+    return curve.join(F.broadcast(sizes), "cohort_m").select(
+        "cohort_month",
+        "month_index",
+        "rev_cents",
+        "cum_cents",
+        "cohort_users",
+        F.round(
+            F.col("cum_cents").cast("double") / 100.0 / F.col("cohort_users"), 6
+        ).alias("ltv_per_user"),
+    )

@@ -294,6 +294,11 @@ ALLOWED = {
     # plus the 1-row p50/p90 broadcast-crossed into the histogram —
     # the funnel_ordered_3step scalar shapes.
     "funnel_time_to_convert": {"cartesian", "single-partition-exchange"},
+    # each source ranking is ONE global window by definition (a rank
+    # over the whole candidate list); at scale the inputs are each
+    # system's pre-cut top-N, so the single partition holds N rows —
+    # the sort_multi class.
+    "sim_rank_fusion_rrf": {"single-partition-exchange"},
 }
 
 
