@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MD5_BYTE",
+    "MD5_WORD",
     "hash_byte",
+    "hash_word",
     "assign_split",
     "bucket_offsets",
     "global_cumsum",
@@ -54,6 +56,31 @@ def MD5_BYTE(key_expr: str) -> str:
 
 def hash_byte(key_expr: str) -> Column:
     return F.expr(MD5_BYTE(key_expr))
+
+
+def MD5_WORD(key_expr: str, nibbles: int = 8) -> str:
+    """Shared Spark/DuckDB SQL: first ``nibbles`` hex digits of
+    md5(key) as a non-negative BIGINT (4 bits per nibble, so 8
+    nibbles = a uniform 32-bit word). Same instr-nibble trick as
+    MD5_BYTE — both engines lack a portable hex->int cast, but both
+    agree on md5 hex text and instr. Horner-chained so the expression
+    stays linear in ``nibbles``. Used wherever an operator needs a
+    finer deterministic uniform than 1/256 (weighted sampling keys,
+    bloom bit positions)."""
+    if not 1 <= nibbles <= 15:
+        raise ValueError("nibbles must be in [1, 15] to fit a BIGINT")
+    h = f"md5(cast({key_expr} as string))"
+    nib = "(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    # promote to BIGINT up front: Spark's instr yields 32-bit INT and
+    # the Horner chain would overflow it (ANSI error) at 8 nibbles
+    expr = f"CAST({nib.format(h=h, i=1)} AS BIGINT)"
+    for i in range(2, nibbles + 1):
+        expr = f"(({expr}) * 16 + {nib.format(h=h, i=i)})"
+    return f"CAST({expr} AS BIGINT)"
+
+
+def hash_word(key_expr: str, nibbles: int = 8) -> Column:
+    return F.expr(MD5_WORD(key_expr, nibbles))
 
 
 def assign_split(

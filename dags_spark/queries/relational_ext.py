@@ -3068,3 +3068,294 @@ def iter_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").cast("bigint").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 4: weighted sampling, bloom membership, inequality index.
+
+
+def _MD5_WORD(expr: str, nibbles: int = 8) -> str:
+    from ..operators.trainprep import MD5_WORD
+
+    return MD5_WORD(expr, nibbles)
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice AS w,
+         ({_MD5_WORD("o_orderkey || ':wrs'")} + 1) / 4294967296.0 AS u
+  FROM orders
+),
+keyed AS (
+  SELECT o_orderkey, w, u / w AS score FROM scored
+)
+SELECT o_orderkey, w,
+       CAST(ROUND(score * 1e12, 0) AS BIGINT) AS score_e12,
+       CAST(ROW_NUMBER() OVER (ORDER BY score, o_orderkey) AS BIGINT) AS rnk
+FROM keyed
+ORDER BY score, o_orderkey
+LIMIT 200
+""",
+    tags=("sampling",),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement, k=200, by SEQUENTIAL
+    POISSON SAMPLING (Ohlsson 1998 — the order-sampling approximation
+    of probability-proportional-to-size used by statistics agencies):
+    each row gets a deterministic uniform u from md5(key) and the
+    sample is the k SMALLEST u/w ranking keys, so inclusion odds rise
+    with weight w = o_totalprice. Unlike the classic Efraimidis-
+    Spirakis u^(1/w) key this needs NO transcendental (pure IEEE
+    divide), so the ranking keys are bit-identical across engines —
+    which is what makes the sample itself hash-checkable rather than
+    rows-only. No RNG state, no seed plumbing: re-runs, retries, and
+    engine swaps reproduce the exact sample; appended rows never
+    shuffle existing selections (each key's u is intrinsic).
+
+    Scale: the score is computed at the scan (no shuffle) and the
+    global k-smallest is TakeOrderedAndProject — every executor keeps
+    a local k-heap and ships exactly k rows to one reducer; the final
+    rank window touches k=200 rows. At 100 TB this is the standard
+    'draw a weighted training subsample' primitive."""
+    from ..operators.trainprep import hash_word
+
+    scored = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("w"),
+        ((hash_word("o_orderkey || ':wrs'") + 1) / F.lit(4294967296.0)).alias(
+            "u"
+        ),
+    )
+    keyed = scored.select(
+        "o_orderkey", "w", (F.col("u") / F.col("w")).alias("score")
+    )
+    top = keyed.orderBy("score", "o_orderkey").limit(200)
+    return top.select(
+        "o_orderkey",
+        "w",
+        F.round(F.col("score") * 1e12, 0).cast("bigint").alias("score_e12"),
+        F.row_number()
+        .over(Window.orderBy("score", "o_orderkey"))
+        .cast("bigint")
+        .alias("rnk"),
+    ).drop("score")
+
+
+@register(
+    "dq_bloom_membership",
+    oracle=f"""
+WITH members AS (SELECT c_custkey AS k FROM customer),
+seeds AS (SELECT unnest([1, 2, 3]) AS s),
+bits AS (
+  SELECT DISTINCT
+    {_MD5_WORD("concat('bloom', CAST(s AS VARCHAR), ':', CAST(k AS VARCHAR))", 4)} % 16384 AS pos
+  FROM members, seeds
+),
+probes AS (SELECT unnest(generate_series(1, 3000)) AS p),
+probe_pos AS (
+  SELECT p,
+    {_MD5_WORD("concat('bloom', CAST(s AS VARCHAR), ':', CAST(p AS VARCHAR))", 4)} % 16384 AS pos
+  FROM probes, seeds
+),
+hits AS (
+  SELECT pp.p, COUNT(b.pos) AS nhit
+  FROM probe_pos pp LEFT JOIN bits b ON pp.pos = b.pos
+  GROUP BY pp.p
+),
+truth AS (
+  SELECT h.p, h.nhit, CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM hits h LEFT JOIN members m ON h.p = m.k
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+  CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+  CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+  CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+  CAST(SUM(CASE WHEN is_member = 1 AND nhit < 3 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_neg,
+  CAST(SUM(CASE WHEN nhit = 3 AND is_member = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_pos,
+  CAST(ROUND(
+    1e4 * SUM(CASE WHEN nhit = 3 AND is_member = 0 THEN 1 ELSE 0 END)
+        / SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END), 0)
+    AS BIGINT) AS fpr_bp
+FROM truth
+""",
+    tags=("dq",),
+)
+def dq_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BLOOM FILTER build + probe with the false-positive
+    rate MEASURED in-query — the semantics behind Spark's own runtime
+    bloom-filter join pruning (spark.sql.optimizer.runtime.bloomFilter),
+    reconstructed relationally so the filter itself is hash-checkable:
+    m = 16384 bits, k = 3 md5-derived positions per key; the built
+    filter IS the distinct set of set-bit positions (at most m rows —
+    broadcast-sized BY CONSTRUCTION, whatever the member count), and
+    a probe is positive iff all 3 of its positions are set. The
+    summary pins the bloom contract: n_false_neg MUST be 0 (no false
+    negatives, ever) while n_false_pos is small and nonzero (~1.4%
+    here: 4500 insertions into 16384 bits -> fill 0.24, FPR ~ 0.24^3).
+
+    Scale: members explode to 3 integer positions at the scan and
+    hash-agg down to <= m distinct bits (map-side combine does the
+    heavy dedup); the probe side joins that broadcast set and never
+    shuffles its payload. This is exactly how a 100 TB fact scan gets
+    pre-filtered against a large-but-compressible dimension key set."""
+    from ..operators.trainprep import hash_word
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        key_expr = (
+            f"concat('bloom', CAST(s AS STRING), ':', CAST({key} AS STRING))"
+        )
+        return df.select(
+            F.col(key),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("s"),
+        ).select(F.col(key), (hash_word(key_expr, 4) % 16384).alias("pos"))
+
+    members = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = positions(members, "k").select("pos").distinct()
+    probes = spark.range(1, 3001).select(F.col("id").alias("p"))
+    probe_pos = positions(probes, "p")
+    hits = (
+        probe_pos.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("p")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    truth = hits.join(
+        members.withColumn("is_m", F.lit(1)), hits.p == members.k, "left"
+    ).select("p", "nhit", F.coalesce("is_m", F.lit(0)).alias("is_member"))
+    # scalar-subquery shapes: 1-row aggregates crossJoin'd in (never a
+    # driver-side .count() — keeps the whole key one lazy plan)
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    bits_set = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    agg = truth.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum((F.col("nhit") == 3).cast("bigint")).alias("n_positive"),
+        F.sum("is_member").cast("bigint").alias("n_true_members"),
+        F.sum(
+            ((F.col("is_member") == 1) & (F.col("nhit") < 3)).cast("bigint")
+        ).alias("n_false_neg"),
+        F.sum(
+            ((F.col("nhit") == 3) & (F.col("is_member") == 0)).cast("bigint")
+        ).alias("n_false_pos"),
+    )
+    out = n_members.crossJoin(bits_set).crossJoin(agg)
+    return out.select(
+        "n_members",
+        "bits_set",
+        "n_probes",
+        "n_positive",
+        "n_true_members",
+        "n_false_neg",
+        "n_false_pos",
+        F.round(
+            1e4
+            * F.col("n_false_pos")
+            / (F.col("n_probes") - F.col("n_true_members")),
+            0,
+        )
+        .cast("bigint")
+        .alias("fpr_bp"),
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey, r.r_name,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY c.c_custkey, r.r_name
+),
+g AS (
+  SELECT r_name, COUNT(*) AS n_cust,
+         CAST(SUM(rev_cents) AS BIGINT) AS tot_cents
+  FROM rev GROUP BY r_name
+),
+terms AS (
+  SELECT rev.r_name,
+         CAST(ROUND(
+           (rev.rev_cents / (CAST(g.tot_cents AS DOUBLE) / g.n_cust))
+           * ln(rev.rev_cents / (CAST(g.tot_cents AS DOUBLE) / g.n_cust))
+           * 1e6, 0) AS BIGINT) AS term_u
+  FROM rev JOIN g ON rev.r_name = g.r_name
+)
+SELECT g.r_name, g.n_cust, g.tot_cents,
+       CAST(ROUND(CAST(SUM(t.term_u) AS DOUBLE) / g.n_cust, 0) AS BIGINT)
+         AS theil_micro
+FROM terms t JOIN g ON t.r_name = g.r_name
+GROUP BY g.r_name, g.n_cust, g.tot_cents
+""",
+    tags=("agg",),
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T INEQUALITY INDEX of customer revenue per region —
+    T = (1/n) * sum_i (x_i/mu) * ln(x_i/mu) — the entropy-based
+    inequality measure that (unlike agg_gini_revenue's rank approach)
+    decomposes additively across subgroups, which is why revenue-
+    concentration dashboards pair it with Gini and HHI
+    (agg_revenue_hhi). Determinism recipe: x_i is an exact cents
+    BIGINT, mu is the exact integer total divided once (IEEE divide,
+    bit-identical both engines), each customer's term is quantized to
+    integer MICRO-nats before the sum (order-free), and the final
+    per-region index is micro-nat-scaled BIGINT — no double ever
+    enters an aggregate.
+
+    Scale: one shuffle to per-customer revenue (partial aggs map-
+    side), region totals are a 5-row broadcast back, and the term sum
+    re-uses the customer-level partitioning. At 100 TB the only big
+    exchange is the per-key revenue agg every downstream metric
+    already shares."""
+    rev = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("c_custkey", "r_name")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    g = rev.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev_cents").alias("tot_cents"),
+    )
+    ratio = F.col("rev_cents") / (
+        F.col("tot_cents").cast("double") / F.col("n_cust")
+    )
+    terms = rev.join(F.broadcast(g), "r_name").select(
+        "r_name",
+        F.round(ratio * F.log(ratio) * 1e6, 0).cast("bigint").alias("term_u"),
+    )
+    return (
+        terms.groupBy("r_name")
+        .agg(F.sum("term_u").alias("sum_u"))
+        .join(F.broadcast(g), "r_name")
+        .select(
+            "r_name",
+            "n_cust",
+            "tot_cents",
+            F.round(F.col("sum_u").cast("double") / F.col("n_cust"), 0)
+            .cast("bigint")
+            .alias("theil_micro"),
+        )
+    )

@@ -2485,3 +2485,166 @@ def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / 100.0 / F.col("cohort_users"), 6
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave 4: CEP-style sequence patterns + spectral period detection.
+
+
+@register(
+    "cep_pattern_match",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS eu,
+         substr(event_type, 1, 1) AS sym,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pe
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pe IS NULL OR eu - pe >= 21600000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY eu, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+  FROM f
+),
+s AS (
+  SELECT user_id, make_timestamp(MIN(eu)) AS session_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(sym, '' ORDER BY eu, event_id) AS seq
+  FROM g GROUP BY user_id, sid
+)
+SELECT user_id, session_start, n_events, seq,
+       regexp_matches(seq, 'v.*c.*p') AS matched,
+       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+         AS n_purchases
+FROM s
+WHERE regexp_matches(seq, 'v.*c.*p') OR n_events >= 8
+""",
+)
+def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX EVENT PROCESSING pattern match — the MATCH_RECOGNIZE /
+    Flink-CEP shape (SQL:2016 row-pattern recognition, which Spark
+    lacks as syntax) rebuilt Spark-first: sessionize with the NATIVE
+    session_window aggregate, lay each session's events out as an
+    ordered symbol string via LISTAGG ... WITHIN GROUP (one character
+    per event — deterministic under any shuffle order), then run the
+    pattern as a regex over the string ('v.*c.*p' = view, later a
+    click, later a purchase, anything between). This is the classic
+    scalable CEP rewrite: the automaton runs per-session on a bounded
+    string instead of per-event with cross-row state, so the whole
+    operator is ONE shuffle (the session agg) plus scan-local regex —
+    at 100 TB the pattern matcher costs the same as the
+    sessionization everyone already pays for. The oracle re-derives
+    sessions with the gaps-and-islands rewrite and DuckDB's ordered
+    string_agg + regexp_matches. Output keeps matched sessions plus
+    all long sessions (>= 8 events) so the hash pins negatives too."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_cep_events")
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT user_id, MIN(ts) AS session_start,
+                 COUNT(*) AS n_events,
+                 listagg(substr(event_type, 1, 1), '')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS seq
+          FROM _cep_events
+          GROUP BY session_window(ts, '6 hours'), user_id
+        )
+        SELECT user_id, session_start, n_events, seq,
+               seq RLIKE 'v.*c.*p' AS matched,
+               CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+                 AS n_purchases
+        FROM s
+        WHERE seq RLIKE 'v.*c.*p' OR n_events >= 8
+        """
+    )
+
+
+@register(
+    "ts_periodogram_dominant",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01',
+                   CAST(date_trunc('day', o_orderdate) AS DATE)) AS t,
+         CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    / 1000.0, 0) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+periods AS (SELECT unnest(generate_series(2, 14)) AS p),
+terms AS (
+  SELECT p.p,
+         CAST(ROUND(d.x * cos(2 * pi() * d.t / p.p), 0) AS BIGINT) AS tc,
+         CAST(ROUND(d.x * sin(2 * pi() * d.t / p.p), 0) AS BIGINT) AS ts
+  FROM daily d, periods p
+),
+spec AS (
+  SELECT p, CAST(SUM(tc) AS BIGINT) AS c_u, CAST(SUM(ts) AS BIGINT) AS s_u
+  FROM terms GROUP BY p
+)
+SELECT p, c_u, s_u,
+       CAST(c_u * c_u + s_u * s_u AS BIGINT) AS power_u,
+       CAST(ROW_NUMBER() OVER (ORDER BY c_u * c_u + s_u * s_u DESC, p)
+            AS BIGINT) AS power_rank
+FROM spec
+""",
+)
+def ts_periodogram_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM over the daily-revenue series — the DFT power
+    |sum_t x_t e^(-2pi*i*t/p)|^2 evaluated at candidate periods
+    p = 2..14 days, the spectral way to FIND seasonality rather than
+    assume it (ts_seasonal_decompose takes the period as given; this
+    key is how you'd discover the weekly cycle in the first place —
+    power_rank 1 at p=7 on retail-shaped data). Determinism recipe:
+    the series is exact daily cents scaled to integer thousandths,
+    each cos/sin term is quantized to an integer BEFORE the sum
+    (order-free; the <=2-ulp libm spread on cos cannot move a round
+    boundary at this magnitude), and power is integer c^2+s^2 with
+    headroom proved: |c_u| <= 2400 days * 1e6 -> power < 2^63.
+
+    Scale: the day-grain agg is the only real shuffle (map-side
+    partials); the 13-period fan-out multiplies a series that is
+    already days-sized (~10^4 rows for 30 years), so the spectral
+    stage is broadcast-scale regardless of corpus size. Computing K
+    candidate periods in ONE pass over the aggregated series is the
+    point — never K scans of the fact table."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("t")
+        )
+        .agg(
+            F.round(F.sum(cents("o_totalprice")) / 1000.0, 0)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    periods = spark.range(2, 15).select(F.col("id").alias("p"))
+    two_pi = 2.0 * 3.141592653589793
+    ang = F.lit(two_pi) * F.col("t") / F.col("p")
+    terms = daily.crossJoin(F.broadcast(periods)).select(
+        "p",
+        F.round(F.col("x") * F.cos(ang), 0).cast("bigint").alias("tc"),
+        F.round(F.col("x") * F.sin(ang), 0).cast("bigint").alias("ts"),
+    )
+    spec = terms.groupBy("p").agg(
+        F.sum("tc").alias("c_u"), F.sum("ts").alias("s_u")
+    )
+    power = F.col("c_u") * F.col("c_u") + F.col("s_u") * F.col("s_u")
+    return spec.select(
+        "p",
+        "c_u",
+        "s_u",
+        power.cast("bigint").alias("power_u"),
+        F.row_number()
+        .over(Window.orderBy(power.desc(), "p"))
+        .cast("bigint")
+        .alias("power_rank"),
+    )
