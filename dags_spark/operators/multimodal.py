@@ -503,3 +503,59 @@ def encode_y4m_scenes(
         )
         out.append(b"FRAME\n" + y_plane + uv + uv)
     return b"".join(out)
+
+
+def encode_ppm_pattern(width: int, height: int) -> bytes:
+    """Binary PPM (netpbm P6) with a deterministic per-pixel pattern:
+    R=(x*3+y*7)%256, G=(x*13+y)%256, B=(x+y*11)%256. The header
+    includes a comment line on purpose — a PPM reader that skips only
+    the magic line mis-reads half the corpus (netpbm comments may
+    appear anywhere in the header), so the fixture forces a real
+    tokenizer."""
+    header = f"P6\n# synthetic fixture {width}x{height}\n{width} {height}\n255\n"
+    body = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in ((x * 3 + y * 7) % 256, (x * 13 + y) % 256, (x + y * 11) % 256)
+    )
+    return header.encode("ascii") + body
+
+
+def decode_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python P6 PPM decode -> (width, height, maxval, raw RGB
+    bytes). Implements the real netpbm header grammar: whitespace-
+    separated tokens, '#' comments running to end-of-line allowed
+    between any tokens, single whitespace byte after maxval, then
+    raw samples."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while buf[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+        else:
+            raise ValueError(f"bad header byte {c!r} at {pos}")
+    if not buf[pos : pos + 1].isspace():
+        raise ValueError("missing single whitespace after maxval")
+    pos += 1
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = width * height * 3
+    body = buf[pos : pos + need]
+    if len(body) != need:
+        raise ValueError(f"pixel payload {len(body)} != {need}")
+    return width, height, maxval, body

@@ -3087,7 +3087,8 @@ err AS (
            i -> abs(e[i] - CAST(q8[i] AS DOUBLE) * amax / 127.0))) AS max_err
   FROM q
 )
-SELECT vec_id, label, q8,
+SELECT vec_id, label,
+       array_to_string(q8, ',') AS q8_csv,
        ROUND(amax, 6) AS amax,
        ROUND(max_err, 6) AS max_abs_err,
        (max_err <= amax / 127.0 * 0.5000001) AS within_bound
@@ -3101,9 +3102,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified IN-QUERY — max|x - q*amax/127| must sit within the
     half-step bound amax/254 for every vector (within_bound, checked
     true row-for-row, with an epsilon factor absorbing the one-ulp
-    slack of the divide). The hash pins every quantized code (an
-    array<bigint> column — exercising the nested dtype-parity guard)
-    plus the rounded scale and error. Pure array lambdas in
+    slack of the divide). The hash pins every quantized code —
+    serialized to a CSV string (q8_csv) because the external driver's
+    canonicalizer hashes only atomic cells (plan-lint rule) — plus
+    the rounded scale and error. Pure array lambdas in
     whole-stage codegen, scan-local, no shuffle: the quantizer is a
     map over the corpus; downstream ANN kernels dot int8 codes and
     rescale by amax_a*amax_b/16129 — same algebra, 4x less I/O."""
@@ -3137,7 +3139,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.select(
         "vec_id",
         "label",
-        "q8",
+        F.array_join("q8", ",").alias("q8_csv"),
         F.round("amax", 6).alias("amax"),
         F.round("max_err", 6).alias("max_abs_err"),
         (F.col("max_err") <= F.col("amax") / 127.0 * 0.5000001).alias(
@@ -3227,4 +3229,75 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("fused_rank") <= 50)
+    )
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 17 AS w, 1 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 4 = 2
+),
+xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+ys AS (SELECT unnest(generate_series(0, 12)) AS y),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (x * 3 + y * 7) % 256 AS r,
+         (x * 13 + y) % 256 AS g,
+         (x + y * 11) % 256 AS b
+  FROM docs d, xs, ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
+    tags=("multimodal",),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETPBM P6 (PPM) DECODE — the third real uncompressed raster
+    container after BMP and Y4M, and the one with a genuinely
+    textual header: magic, then whitespace-separated width/height/
+    maxval tokens with '#' comments legal BETWEEN ANY TOKENS, then a
+    single whitespace byte, then raw RGB. The kernel runs the full
+    header grammar (the fixture plants a comment line precisely so a
+    lazy magic-line split mis-parses), validates maxval and payload
+    length, and reduces each image to exact integer channel sums
+    inside one Arrow mapInPandas pass — per-pixel work on every
+    byte, with only (doc_id, dims, sums) ever leaving the executor.
+    The oracle recomputes the sums arithmetically from the closed-
+    form pixel pattern, so the hash certifies the parser + decode
+    loop end-to-end. Same 100 TB shape as every multimodal kernel
+    here: payloads stay put, stats shuffle."""
+    from ..operators.multimodal import decode_ppm, encode_ppm_pattern
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                payload = encode_ppm_pattern(1 + i % 17, 1 + i % 13)
+                w, h, _, body = decode_ppm(payload)
+                sr = sg = sb = 0
+                for p in range(0, len(body), 3):
+                    sr += body[p]
+                    sg += body[p + 1]
+                    sb += body[p + 2]
+                rows.append((int(i), w, h, w * h, sr, sg, sb))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "w", "h", "n_px", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, w BIGINT, h BIGINT, n_px BIGINT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
     )

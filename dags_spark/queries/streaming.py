@@ -1080,3 +1080,77 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_key_rows")
     )
+
+
+@register(
+    "stream_outer_join_watermark",
+    oracle="""
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM events
+      WHERE event_type = 'view'
+        AND ts < TIMESTAMP '2024-01-27 00:00:00') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+""",
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics inner joins
+    can't give a streaming pipeline: a view with NO purchase within
+    the hour must still be EMITTED (with nulls), and the only sound
+    moment to emit it is when the purchase-side WATERMARK has passed
+    view.ts + 1h (before that, a matching purchase could still
+    arrive). Spark buffers the view in state and either matches it
+    or flushes it null-extended on watermark advance — so the
+    unmatched rows in the output are exactly the 'conversion window
+    expired' facts an attribution pipeline feeds to the no-convert
+    path. Rows whose expiry the bounded fixture's final watermark
+    (max ts - 2h) never crosses would sit in state forever; both
+    engines therefore scope the RESULT to views < 2024-01-27 (3 days
+    before stream end — strictly inside the flush horizon). The scope
+    is applied to the join OUTPUT, never to the stream input: view
+    rows after the cutoff must still flow so the view-side watermark
+    (min-of-watermarks policy) advances past the horizon. State at 100 TB: sharded by user_id, bounded by the 1h
+    range + 2h watermark exactly as stream_stream_join."""
+    base = stage_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-27 00:00:00").cast("timestamp")
+    views = (
+        events_stream(spark, os.path.join(base, "in"))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, os.path.join(base, "in"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "append")
+    # scope AFTER the run, not in the stream: a pre-watermark filter
+    # would pin the view-side watermark at the cutoff and (min-of-
+    # watermarks policy) leave the last 3 h of views unflushed in
+    # state — the exact off-by-a-horizon this key exists to pin
+    return out.filter(F.col("v_ts") < cutoff).groupBy(
+        F.col("v_user").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.col("p_ts").isNull().cast("bigint")).alias("n_unmatched"),
+        F.count(F.col("p_ts")).alias("n_pairs"),
+    )

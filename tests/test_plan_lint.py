@@ -299,6 +299,15 @@ ALLOWED = {
     # system's pre-cut top-N, so the single partition holds N rows —
     # the sort_multi class.
     "sim_rank_fusion_rrf": {"single-partition-exchange"},
+    # three 1-row aggregates (member count, bits-set count, probe
+    # summary) crossJoin'd into one summary row — the scalar-subquery
+    # shape; each single-partition exchange reduces <= a handful of
+    # partial rows.
+    "dq_bloom_membership": {"cartesian", "single-partition-exchange"},
+    # the days-sized aggregated series fans out against a broadcast
+    # 13-row period table (bounded by-design cross), and the final
+    # rank window orders 13 spectral rows in one task.
+    "ts_periodogram_dominant": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -732,3 +732,64 @@ def test_geohash_decode_roundtrip_bounds(spark):
         lon_tol = 2 * r["lon_err"] if abs(r["la"]) >= 89.0 else r["lon_err"]
         assert abs(r["la"] - r["lat"]) <= lat_tol, r
         assert abs(r["lo"] - r["lon"]) <= lon_tol, r
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_ppm_decode_matches_closed_form(w, h):
+    """P6 PPM encode -> full-grammar decode round-trips dims/maxval
+    and every RGB sample equals the closed-form pattern — including
+    the in-header comment line the encoder always plants."""
+    from dags_spark.operators.multimodal import decode_ppm, encode_ppm_pattern
+
+    gw, gh, maxval, body = decode_ppm(encode_ppm_pattern(w, h))
+    assert (gw, gh, maxval) == (w, h, 255)
+    assert len(body) == w * h * 3
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            assert body[i : i + 3] == bytes(
+                ((x * 3 + y * 7) % 256, (x * 13 + y) % 256, (x + y * 11) % 256)
+            )
+
+
+def test_ppm_decode_rejects_malformed():
+    """The netpbm parser fails loudly on the malformed headers a lazy
+    split-on-newline reader silently accepts."""
+    import pytest as _pytest
+
+    from dags_spark.operators.multimodal import decode_ppm, encode_ppm_pattern
+
+    good = encode_ppm_pattern(4, 3)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5" + good[2:])  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_ppm(good[:-1])  # truncated payload
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 3\n65535\n" + b"\x00" * 72)  # 16-bit maxval
+    # comments between ANY header tokens parse (the grammar, not a
+    # happy path): magic, then comment, then w, comment, h, maxval
+    hdr = b"P6\n#a\n4\n#b\n3\n255\n"
+    w, hgt, mv, body = decode_ppm(hdr + bytes(range(36)))
+    assert (w, hgt, mv) == (4, 3, 255) and len(body) == 36
+
+
+@given(key=st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100, deadline=None)
+def test_md5_word_spark_duckdb_agree(key):
+    """MD5_WORD's portable SQL yields the identical BIGINT in DuckDB
+    as hashlib computes — the cross-engine uniform every weighted-
+    sampling / bloom key leans on (the Spark side is pinned by those
+    keys' oracle hashes)."""
+    import hashlib
+
+    import duckdb
+
+    from dags_spark.operators.trainprep import MD5_WORD
+
+    expect = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+    got = duckdb.sql(f"SELECT {MD5_WORD(str(key))} AS w").fetchone()[0]
+    assert got == expect
