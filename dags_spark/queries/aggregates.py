@@ -1784,3 +1784,189 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _listagg_nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "stats_spearman_rank",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS spend
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey, c.c_acctbal, s.spend
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+),
+rk AS (
+  SELECT seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY c_acctbal, c_custkey)
+           AS rx,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY spend, c_custkey)
+           AS ry
+  FROM j
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       ROUND(1.0 - 6.0 * SUM((rx - ry) * (rx - ry))
+                   / (CAST(COUNT(*) AS DOUBLE) *
+                      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)),
+             6) AS spearman_rho
+FROM rk GROUP BY seg
+""",
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per market segment between a
+    customer's account balance and their lifetime spend — the robust
+    (monotone-invariant) alternative to Pearson `corr` that survives
+    the heavy-tailed distributions real revenue data has. Ranks are
+    ROW_NUMBER with the customer key as tie-break (a pinned total
+    order, so both engines assign identical ranks even on equal
+    values), spend is an exact DECIMAL-cents sum, and rho comes from
+    the classic 1 - 6*sum(d^2)/(n(n^2-1)) identity — sum(d^2) is a
+    pure BIGINT aggregate (order-free), so the only float math is
+    the one final expression, mirrored verbatim in the oracle.
+    Scale: one agg shuffle by customer + two windows sharing one
+    partition-by-segment exchange; no collect, no corr-state."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("spend"))
+    j = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "c_custkey", "c_acctbal", "spend"
+    )
+    w_x = Window.partitionBy("seg").orderBy("c_acctbal", "c_custkey")
+    w_y = Window.partitionBy("seg").orderBy("spend", "c_custkey")
+    rk = j.select(
+        "seg",
+        F.row_number().over(w_x).alias("rx"),
+        F.row_number().over(w_y).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = rk.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).cast("bigint").alias("sum_d2")
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        "seg",
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0) - 6.0 * F.col("sum_d2") / (n_d * (n_d * n_d - 1.0)), 6
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "agg_trimmed_winsorized",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS price,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rn_d,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+kd AS (SELECT *, n // 10 AS k FROM ranked),
+bounds AS (
+  SELECT rf,
+         MAX(n) AS n, MAX(k) AS k,
+         MAX(CASE WHEN rn_a = k + 1 THEN price_c END) AS lo_c,
+         MAX(CASE WHEN rn_d = k + 1 THEN price_c END) AS hi_c,
+         SUM(CASE WHEN rn_a > k AND rn_d > k THEN price_c ELSE 0 END)
+           AS trim_sum_c
+  FROM kd GROUP BY rf
+),
+wins AS (
+  SELECT kd.rf,
+         SUM(LEAST(GREATEST(kd.price_c, b.lo_c), b.hi_c)) AS win_sum_c
+  FROM kd JOIN bounds b ON kd.rf = b.rf
+  GROUP BY kd.rf
+)
+SELECT b.rf, CAST(b.n AS BIGINT) AS n, CAST(b.k AS BIGINT) AS k,
+       CAST(b.lo_c AS DOUBLE) / 100.0 AS p_lo,
+       CAST(b.hi_c AS DOUBLE) / 100.0 AS p_hi,
+       ROUND(CAST(b.trim_sum_c AS DOUBLE) / 100.0 / (b.n - 2 * b.k), 4)
+         AS trimmed_mean,
+       ROUND(CAST(w.win_sum_c AS DOUBLE) / 100.0 / b.n, 4) AS winsorized_mean
+FROM bounds b JOIN wins w ON b.rf = w.rf
+""",
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means by ORDER STATISTICS: the 10%-trimmed mean (drop
+    the k = floor(n/10) smallest and largest rows) and the
+    winsorized mean (clamp them to the surviving extremes) of
+    extended price per return flag. Rank-based trimming — never
+    float quantile bounds — so membership of every row is pure
+    integer logic on a pinned total order (price, orderkey,
+    linenumber) and the whole computation is exact: prices live as
+    DECIMAL cents, both means divide an exact BIGINT sum once at the
+    end. Scale note: per-key sort windows over 3 giant groups is the
+    exactness path; at 100 TB the documented swap is approx-quantile
+    bounds + a filter (agg_approx_quantile), trading the sort for a
+    sketch. The winsorize pass re-joins the 3-row bounds table
+    broadcast-style, so the fact table streams through twice at
+    most."""
+    li = table(spark, sf_dir, "lineitem")
+    w_a = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_d = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+    )
+    w_n = Window.partitionBy("l_returnflag")
+    kd = li.select(
+        F.col("l_returnflag").alias("rf"),
+        cents("l_extendedprice").alias("price_c"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).withColumn("k", F.expr("n DIV 10"))
+    bounds = kd.groupBy("rf").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.max(F.when(F.col("rn_a") == F.col("k") + 1, F.col("price_c"))).alias(
+            "lo_c"
+        ),
+        F.max(F.when(F.col("rn_d") == F.col("k") + 1, F.col("price_c"))).alias(
+            "hi_c"
+        ),
+        F.sum(
+            F.when(
+                (F.col("rn_a") > F.col("k")) & (F.col("rn_d") > F.col("k")),
+                F.col("price_c"),
+            ).otherwise(F.lit(0))
+        ).alias("trim_sum_c"),
+    )
+    wins = (
+        kd.join(F.broadcast(bounds.select("rf", "lo_c", "hi_c")), "rf")
+        .groupBy("rf")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("price_c"), F.col("lo_c")), F.col("hi_c"))
+            ).alias("win_sum_c")
+        )
+    )
+    return bounds.join(wins, "rf").select(
+        "rf",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.col("lo_c").cast("double") / 100.0).alias("p_lo"),
+        (F.col("hi_c").cast("double") / 100.0).alias("p_hi"),
+        F.round(
+            F.col("trim_sum_c").cast("double")
+            / 100.0
+            / (F.col("n") - 2 * F.col("k")),
+            4,
+        ).alias("trimmed_mean"),
+        F.round(F.col("win_sum_c").cast("double") / 100.0 / F.col("n"), 4).alias(
+            "winsorized_mean"
+        ),
+    )

@@ -2648,3 +2648,192 @@ def ts_periodogram_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("power_rank"),
     )
+
+
+# NDCG@10 discount table, pinned as integers: round(1e6 / log2(pos+1))
+# for pos 1..10. Integer weights keep every DCG term in exact BIGINT
+# arithmetic — no engine ever evaluates a log, so the sum is
+# order-free and bit-identical cross-engine by construction.
+_NDCG_DISC_Q = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_NDCG_DISC_SQL = (
+    "CASE pos "
+    + " ".join(f"WHEN {p + 1} THEN {d}" for p, d in enumerate(_NDCG_DISC_Q))
+    + " END"
+)
+
+
+@register(
+    "rank_ndcg_at_k",
+    oracle=f"""
+WITH rel AS (
+  SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_custkey, r.rel,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY r.rel DESC, o.o_orderkey) AS ideal_pos
+  FROM orders o JOIN rel r ON o.o_orderkey = r.okey
+),
+dcg AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN pos <= 10
+                  THEN ((1::BIGINT << rel) - 1) * ({_NDCG_DISC_SQL})
+                  ELSE 0 END) AS dcg_q,
+         SUM(CASE WHEN ideal_pos <= 10
+                  THEN ((1::BIGINT << rel) - 1) *
+                       (CASE ideal_pos {" ".join(f"WHEN {p + 1} THEN {d}" for p, d in enumerate(_NDCG_DISC_Q))} END)
+                  ELSE 0 END) AS idcg_q
+  FROM ranked GROUP BY o_custkey
+)
+SELECT o_custkey AS user_key, CAST(dcg_q AS BIGINT) AS dcg_q,
+       CAST(idcg_q AS BIGINT) AS idcg_q,
+       ROUND(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg10
+FROM dcg
+""",
+)
+def rank_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 — THE graded ranking-quality metric for search /
+    retrieval / recsys eval, over a deterministic surrogate task:
+    the 'system ranking' of each customer's orders is by totalprice
+    (tie: orderkey), the graded relevance is the order's lineitem
+    count, and the ideal ranking re-sorts by relevance. Gain is the
+    standard (2^rel - 1); the position discount 1/log2(pos+1) is
+    pinned as a 6-digit integer weight table so every DCG term is
+    exact BIGINT arithmetic (gain is a bit-shift, the weight a
+    literal): the per-user sum is order-free, and NDCG = dcg/idcg is
+    the only float op, rounded at 6dp. Scale: two row_number windows
+    sharing one hash partition by user, then one partial+final agg —
+    the per-user state is top-10-sized, so 100 TB of rankings shard
+    cleanly by user key."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rel = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("rel")
+    )
+    j = o.join(rel, o.o_orderkey == rel.okey)
+    w_sys = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_ideal = Window.partitionBy("o_custkey").orderBy(
+        F.col("rel").desc(), F.col("o_orderkey")
+    )
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1
+
+    def disc(pos_col):
+        c = F.lit(0).cast("bigint")
+        for p, d in enumerate(_NDCG_DISC_Q):
+            c = F.when(pos_col == p + 1, F.lit(d).cast("bigint")).otherwise(c)
+        return c
+
+    ranked = j.select(
+        "o_custkey",
+        F.row_number().over(w_sys).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+        gain.alias("gain"),
+    )
+    agg = ranked.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("pos") <= 10, F.col("gain") * disc(F.col("pos"))).otherwise(
+                F.lit(0)
+            )
+        ).alias("dcg_q"),
+        F.sum(
+            F.when(
+                F.col("ideal_pos") <= 10, F.col("gain") * disc(F.col("ideal_pos"))
+            ).otherwise(F.lit(0))
+        ).alias("idcg_q"),
+    )
+    return agg.select(
+        F.col("o_custkey").alias("user_key"),
+        F.col("dcg_q").cast("bigint").alias("dcg_q"),
+        F.col("idcg_q").cast("bigint").alias("idcg_q"),
+        F.round(F.col("dcg_q").cast("double") / F.col("idcg_q"), 6).alias("ndcg10"),
+    )
+
+
+@register(
+    "rank_map_mrr",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS pos
+  FROM orders
+),
+scored AS (
+  SELECT o_custkey, rel, pos,
+         SUM(rel) OVER (PARTITION BY o_custkey ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rel
+  FROM ranked
+)
+SELECT o_custkey AS user_key,
+       CAST(SUM(rel) AS BIGINT) AS n_rel,
+       ROUND(CAST(SUM(CASE WHEN rel = 1
+                           THEN (cum_rel * 1000000000) // pos
+                           ELSE 0 END) AS DOUBLE)
+             / (1000000000.0 * SUM(rel)), 6) AS ap,
+       ROUND(CAST(1000000000 // MIN(CASE WHEN rel = 1 THEN pos END)
+                  AS DOUBLE) / 1000000000.0, 6) AS rr
+FROM scored
+GROUP BY o_custkey
+HAVING SUM(rel) > 0
+""",
+)
+def rank_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision + Reciprocal Rank per user — the binary-
+    relevance twins of NDCG (their corpus means are MAP and MRR).
+    Surrogate task: ranking by totalprice, an order is 'relevant'
+    iff finalized (status F). Every precision@pos term is quantized
+    to an exact BIGINT via integer floor-division (cum_rel*1e9 DIV
+    pos) before summing, so the aggregate is order-free and the only
+    float ops are the two final divisions, rounded 6dp identically
+    on both engines. Users with zero relevant rows are excluded (AP
+    is undefined there) by the same HAVING on both sides. Scale: one
+    window + one agg sharded by user key, constant state per row."""
+    o = table(spark, sf_dir, "orders")
+    w_pos = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w_pos).alias("pos"),
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.withColumn("cum_rel", F.sum("rel").over(w_cum))
+    agg = (
+        scored.groupBy("o_custkey")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.expr("CAST(cum_rel AS BIGINT) * 1000000000 DIV pos"),
+                ).otherwise(F.lit(0))
+            ).alias("ap_q"),
+            F.min(F.when(F.col("rel") == 1, F.col("pos"))).alias("first_pos"),
+        )
+        .filter(F.col("n_rel") > 0)
+    )
+    return agg.select(
+        F.col("o_custkey").alias("user_key"),
+        "n_rel",
+        F.round(
+            F.col("ap_q").cast("double") / (1000000000.0 * F.col("n_rel")), 6
+        ).alias("ap"),
+        F.round(
+            F.expr("CAST(1000000000 DIV first_pos AS DOUBLE)") / 1000000000.0, 6
+        ).alias("rr"),
+    )

@@ -130,6 +130,8 @@ HEAVY = {
     "table_format_delete": 15,
     "text_contamination_check": 15,
     "tpch_q4_order_priority": 15,
+    # round-6 wave 5 (1.1-2.0 s warm at sf0.1, measured)
+    "rank_ndcg_at_k": 15,
 }
 
 
