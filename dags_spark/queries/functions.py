@@ -1399,3 +1399,74 @@ def fn_stack_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (metric, value)"
         ),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+WITH ship AS (
+  SELECT l_orderkey AS okey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+d AS (
+  SELECT o.o_orderkey,
+         date_trunc('day', o.o_orderdate) AS d1,
+         date_trunc('day', s.first_ship) AS d2,
+         CAST(date_diff('day', date_trunc('day', o.o_orderdate),
+                        date_trunc('day', s.first_ship)) AS BIGINT) AS cal_days,
+         CAST(date_part('isodow', o.o_orderdate) AS BIGINT) AS w1
+  FROM orders o JOIN ship s ON o.o_orderkey = s.okey
+)
+SELECT o_orderkey, d1, d2, cal_days, w1,
+       (cal_days // 7) * 5
+       + (CASE WHEN 1 <= cal_days % 7 AND (w1 - 1 + 1) % 7 < 5 THEN 1 ELSE 0 END)
+       + (CASE WHEN 2 <= cal_days % 7 AND (w1 - 1 + 2) % 7 < 5 THEN 1 ELSE 0 END)
+       + (CASE WHEN 3 <= cal_days % 7 AND (w1 - 1 + 3) % 7 < 5 THEN 1 ELSE 0 END)
+       + (CASE WHEN 4 <= cal_days % 7 AND (w1 - 1 + 4) % 7 < 5 THEN 1 ELSE 0 END)
+       + (CASE WHEN 5 <= cal_days % 7 AND (w1 - 1 + 5) % 7 < 5 THEN 1 ELSE 0 END)
+       + (CASE WHEN 6 <= cal_days % 7 AND (w1 - 1 + 6) % 7 < 5 THEN 1 ELSE 0 END)
+         AS bus_days
+FROM d
+""",
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY difference (order date -> first ship date) in
+    closed form — no calendar table, no per-day explode: full weeks
+    contribute 5 each (integer division), and the <=6 remainder days
+    are tested individually against the ISO weekday of the start
+    ((w1-1+i) mod 7 < 5 means day i of the tail is Mon-Fri). The
+    count is exclusive of the start day, inclusive of the end —
+    pinned by the same 6-term expression on both engines, pure
+    integer arithmetic, scan-local after one agg+broadcast join.
+    Spark weekday()+1 == DuckDB isodow (module convention)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ship = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    d = o.join(ship, o.o_orderkey == F.col("okey")).select(
+        "o_orderkey",
+        F.date_trunc("day", "o_orderdate").alias("d1"),
+        F.date_trunc("day", "first_ship").alias("d2"),
+        F.datediff(
+            F.date_trunc("day", "first_ship"), F.date_trunc("day", "o_orderdate")
+        )
+        .cast("bigint")
+        .alias("cal_days"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("w1"),
+    )
+    rem = F.col("cal_days") % 7
+    extra = sum(
+        F.when(
+            (F.lit(i) <= rem) & (((F.col("w1") - 1 + i) % 7) < 5), 1
+        ).otherwise(0)
+        for i in range(1, 7)
+    )
+    return d.select(
+        "o_orderkey",
+        "d1",
+        "d2",
+        "cal_days",
+        "w1",
+        (F.expr("cal_days DIV 7") * 5 + extra).alias("bus_days"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import cents, table
+from . import cents, dec_sum, table
 from ..registry import register
 
 
@@ -2836,4 +2836,246 @@ def rank_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("CAST(1000000000 DIV first_pos AS DOUBLE)") / 1000000000.0, 6
         ).alias("rr"),
+    )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS rev
+  FROM orders GROUP BY 1
+),
+-- MATERIALIZED: without it the recursive step re-evaluates the
+-- windowed series every iteration (O(n^2) scans, ~27 s at sf0.1)
+y AS MATERIALIZED (
+  SELECT day, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS t
+  FROM daily
+),
+h AS (
+  SELECT CAST(2 AS INTEGER) AS t, y2.rev AS level, y2.rev - y1.rev AS trend
+  FROM y y1 JOIN y y2 ON y1.t = 1 AND y2.t = 2
+  UNION ALL
+  SELECT CAST(h.t + 1 AS INTEGER),
+         0.5 * y.rev + 0.5 * (h.level + h.trend),
+         0.5 * ((0.5 * y.rev + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.5 * h.trend
+  FROM h JOIN y ON y.t = h.t + 1
+)
+SELECT y.day, h.t,
+       ROUND(h.level, 6) AS level,
+       ROUND(h.trend, 6) AS trend,
+       ROUND(h.level + h.trend, 6) AS forecast_next
+FROM h JOIN y ON y.t = h.t
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND exponential smoothing over the daily
+    revenue series — the classic two-state forecaster (level +
+    trend) that EWMA alone can't express. The recurrence is
+    inherently sequential, so each engine runs it as the sequential
+    primitive it actually has: the oracle as a RECURSIVE CTE, Spark
+    as one `aggregate` (fold) higher-order function over the sorted
+    day array — both evaluate the identical IEEE expression chain
+    (alpha = beta = 0.5, dyadic so every smoothing step is an exact
+    halving) in the identical pinned order, making the states
+    bit-identical without any quantization. Scale: the distributed
+    part (daily aggregation of the fact table) shuffles once; the
+    fold runs over the model-sized aggregated series (bounded by
+    the calendar, ~2.4k days, independent of fact-table size) in one
+    task — the 'reduce to a model, iterate on the model' shape."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dec_sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    y = daily.select(
+        F.row_number().over(w).cast("int").alias("t"), "day", "rev"
+    )
+    arr = y.agg(
+        F.sort_array(F.collect_list(F.struct("t", "day", "rev"))).alias("ys")
+    )
+    out_t = (
+        "array<struct<t:int,day:timestamp,level:double,trend:double>>"
+    )
+    acc_t = f"struct<n:int,y1:double,level:double,trend:double,out:{out_t}>"
+    init = F.expr(
+        f"CAST(struct(0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE), array()) AS {acc_t})"
+    )
+
+    def step(acc, e):
+        new_l = 0.5 * e.rev + 0.5 * (acc.level + acc.trend)
+        new_b = 0.5 * (new_l - acc.level) + 0.5 * acc.trend
+        lvl2 = e.rev
+        trd2 = e.rev - acc.y1
+        return (
+            F.when(
+                acc.n == 0,
+                F.struct(
+                    F.lit(1).alias("n"),
+                    e.rev.alias("y1"),
+                    F.lit(0.0).alias("level"),
+                    F.lit(0.0).alias("trend"),
+                    acc.out.alias("out"),
+                ),
+            )
+            .when(
+                acc.n == 1,
+                F.struct(
+                    F.lit(2).alias("n"),
+                    acc.y1.alias("y1"),
+                    lvl2.alias("level"),
+                    trd2.alias("trend"),
+                    F.concat(
+                        acc.out,
+                        F.array(
+                            F.struct(
+                                e.t.alias("t"),
+                                e.day.alias("day"),
+                                lvl2.alias("level"),
+                                trd2.alias("trend"),
+                            )
+                        ),
+                    ).alias("out"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (acc.n + 1).alias("n"),
+                    acc.y1.alias("y1"),
+                    new_l.alias("level"),
+                    new_b.alias("trend"),
+                    F.concat(
+                        acc.out,
+                        F.array(
+                            F.struct(
+                                e.t.alias("t"),
+                                e.day.alias("day"),
+                                new_l.alias("level"),
+                                new_b.alias("trend"),
+                            )
+                        ),
+                    ).alias("out"),
+                )
+            )
+        )
+
+    folded = arr.select(
+        F.aggregate(F.col("ys"), init, step, lambda a: a.out).alias("out")
+    )
+    ex = folded.select(F.explode("out").alias("e"))
+    return ex.select(
+        F.col("e.day").alias("day"),
+        F.col("e.t").alias("t"),
+        F.round("e.level", 6).alias("level"),
+        F.round("e.trend", 6).alias("trend"),
+        F.round(F.col("e.level") + F.col("e.trend"), 6).alias("forecast_next"),
+    )
+
+
+@register(
+    "agg_churn_monthly",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+  FROM orders
+),
+act AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_active FROM pairs GROUP BY m),
+firsts AS (SELECT o_custkey, MIN(m) AS fm FROM pairs GROUP BY o_custkey),
+news AS (SELECT fm AS m, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY fm),
+ret AS (
+  SELECT p.m,
+         CAST(SUM(CASE WHEN q.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained
+  FROM pairs p
+  LEFT JOIN pairs q
+    ON q.o_custkey = p.o_custkey AND q.m = p.m - INTERVAL 1 MONTH
+  GROUP BY p.m
+),
+chn AS (
+  SELECT p.m + INTERVAL 1 MONTH AS m,
+         CAST(SUM(CASE WHEN q.o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_churned
+  FROM pairs p
+  LEFT JOIN pairs q
+    ON q.o_custkey = p.o_custkey AND q.m = p.m + INTERVAL 1 MONTH
+  GROUP BY p.m + INTERVAL 1 MONTH
+)
+SELECT a.m AS month_start, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       r.n_retained,
+       COALESCE(c.n_churned, 0) AS n_churned
+FROM act a
+LEFT JOIN news n ON a.m = n.m
+LEFT JOIN ret r ON a.m = r.m
+LEFT JOIN chn c ON a.m = c.m
+""",
+)
+def agg_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTHLY CHURN ACCOUNTING — the four ledger numbers every
+    subscription/engagement dashboard runs on: actives, new (first
+    month ever), retained (also active the prior month), churned
+    (active the prior month, gone this month — attributed to the
+    month they left). Presence is a distinct (customer, month) pair;
+    retention/churn are month-shifted self-equi-joins on that pair
+    set (customer + month key, so co-partitioned — one shuffle
+    each), never a window over the whole history. Calendar months
+    with orders only; all counts exact BIGINTs."""
+    o = table(spark, sf_dir, "orders")
+    pairs = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    act = pairs.groupBy("m").agg(F.count(F.lit(1)).alias("n_active"))
+    news = (
+        pairs.groupBy("o_custkey")
+        .agg(F.min("m").alias("fm"))
+        .groupBy(F.col("fm").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    q = pairs.select(
+        F.col("o_custkey").alias("q_cust"), F.col("m").alias("q_m")
+    )
+    ret = (
+        pairs.join(
+            q,
+            (F.col("q_cust") == F.col("o_custkey"))
+            & (F.col("q_m") == F.col("m") - F.expr("INTERVAL 1 MONTH")),
+            "left",
+        )
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("q_cust").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained")
+        )
+    )
+    chn = (
+        pairs.join(
+            q,
+            (F.col("q_cust") == F.col("o_custkey"))
+            & (F.col("q_m") == F.col("m") + F.expr("INTERVAL 1 MONTH")),
+            "left",
+        )
+        .groupBy((F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("m"))
+        .agg(
+            F.sum(F.when(F.col("q_cust").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned")
+        )
+    )
+    return (
+        act.join(news, "m", "left")
+        .join(ret, "m", "left")
+        .join(chn, "m", "left")
+        .select(
+            F.col("m").alias("month_start"),
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "n_retained",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
     )

@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "streaming",
     "udfs",
     "llm",
+    "featureeng",
     "geo",
     "textops",
     "relational_ext",

@@ -308,6 +308,21 @@ ALLOWED = {
     # 13-row period table (bounded by-design cross), and the final
     # rank window orders 13 spectral rows in one task.
     "ts_periodogram_dominant": {"cartesian", "single-partition-exchange"},
+    # the global-mean fallback is a broadcast 1-row scalar subquery
+    # (cartesian by shape); its single-partition exchange reduces
+    # 32 partial rows to the 1-row global.
+    "feat_target_encode_loo": {"cartesian", "single-partition-exchange"},
+    # totals are a broadcast 1-row scalar subquery, and the decile
+    # NTILE runs over the already-aggregated per-customer table
+    # (|customers| rows, not the fact table) in one task — the fit
+    # side of fit/apply; at larger corpora the swap is equidepth
+    # bins from approx quantiles (agg_equidepth_bins).
+    "feat_woe_iv": {"cartesian", "single-partition-exchange"},
+    # the Holt fold is inherently sequential and runs over the
+    # model-sized daily series (~2.4k rows, calendar-bounded and
+    # independent of fact-table size) collected into one task; the
+    # distributed work (daily revenue agg) shuffles normally first.
+    "ts_holt_linear": {"single-partition-exchange"},
 }
 
 

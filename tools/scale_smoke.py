@@ -132,6 +132,10 @@ HEAVY = {
     "tpch_q4_order_priority": 15,
     # round-6 wave 5 (1.1-2.0 s warm at sf0.1, measured)
     "rank_ndcg_at_k": 15,
+    # round-6 wave 7 (0.8-1.8 s at sf0.1; the Holt fold is
+    # calendar-bounded so its cost is flat across SF)
+    "ts_holt_linear": 15,
+    "fn_business_days": 15,
 }
 
 
