@@ -792,3 +792,37 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE o_orderkey % 10 = 0 AND o_orderkey % 1000 <> 0)
         """
     )
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE join-strategy hint — the explicit sort-merge-join
+    request for when BOTH sides are too big to broadcast or hash:
+    sort-merge spills gracefully (sorted runs) where a shuffled hash
+    join OOMs on a hot build side, so it is the strategy of record
+    for TB x TB joins. Results are identical to the plain equi-join
+    (the oracle); what the key pins is the API surface + plan: the
+    hint must survive Catalyst and AQE (tests/test_plans.py asserts
+    SortMergeJoin appears and no Broadcast/ShuffledHash does). Same
+    single-exchange-per-side shape at any scale; only the join
+    algorithm is forced."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").hint("MERGE")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+    )

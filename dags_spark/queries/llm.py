@@ -3301,3 +3301,83 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, w BIGINT, h BIGINT, n_px BIGINT, "
         "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
     )
+
+
+@register(
+    "multimodal_mulaw_decode",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 50 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 4 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 149)) AS i),
+samples AS (
+  SELECT d.doc_id, d.n,
+         (d.doc_id * 7 + idx.i * 13) % 256 AS u
+  FROM docs d JOIN idx ON idx.i < d.n
+),
+dec AS (
+  SELECT doc_id, n,
+         CASE WHEN ((255 - u) & 128) <> 0
+              THEN 132 - ((((255 - u) & 15) << 3) + 132
+                          << (((255 - u) & 112) >> 4))
+              ELSE ((((255 - u) & 15) << 3) + 132
+                    << (((255 - u) & 112) >> 4)) - 132
+         END AS lin
+  FROM samples
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(lin) AS BIGINT) AS sum_lin,
+       CAST(SUM(ABS(lin)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(lin)) AS BIGINT) AS max_abs
+FROM dec GROUP BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-LAW DECODE — a REAL audio codec (the 8-bit companded
+    telephony format), decoded with the exact CCITT reference
+    algebra: invert the code byte, rebuild magnitude as
+    ((mantissa<<3)+132)<<exponent, subtract the 132 bias, negate on
+    the sign bit. The kernel materializes each doc's deterministic
+    byte payload and decodes it vectorized in numpy inside one Arrow
+    mapInPandas pass; only (doc_id, n, exact integer stats) leave
+    the executor. The oracle replays the identical bit-level algebra
+    in SQL over the closed-form byte pattern, so the hash certifies
+    the decoder sample-for-sample. Unlike the WAV keys (PCM16
+    containers) this pins a genuine COMPANDED codec — nonlinear
+    8-bit -> 14-bit expansion — entirely in integer ops."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = 50 + int(i) % 100
+                payload = bytes((int(i) * 7 + j * 13) % 256 for j in range(n))
+                u = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                u2 = 255 - u
+                t = (((u2 & 15) << 3) + 132) << ((u2 & 112) >> 4)
+                lin = np.where((u2 & 128) != 0, 132 - t, t - 132)
+                rows.append(
+                    (
+                        int(i),
+                        n,
+                        int(lin.sum()),
+                        int(np.abs(lin).sum()),
+                        int(np.abs(lin).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sum_lin", "sum_abs", "max_abs"],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, n_samples BIGINT, sum_lin BIGINT, "
+        "sum_abs BIGINT, max_abs BIGINT",
+    )

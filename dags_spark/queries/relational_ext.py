@@ -3359,3 +3359,162 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("theil_micro"),
         )
     )
+
+
+@register(
+    "stats_assortativity_degree",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * c_custkey + 7 * c_custkey + 11) % (SELECT n FROM nn) AS dst
+  FROM customer
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT src AS node FROM edges
+    UNION ALL
+    SELECT dst AS node FROM edges
+  ) GROUP BY node
+),
+pairs AS (
+  SELECT ds.d AS dx, dd.d AS dy
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT m, sx, sy, sxy, sxx, syy,
+       ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             SQRT((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                  (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM s
+""",
+)
+def stats_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the synthetic customer graph (a
+    deterministic QUADRATIC edge map — the BFS keys' affine map is a
+    bijection, so every total degree would be 2 and the correlation
+    undefined; the quadratic map gives a real in-degree distribution): the Pearson
+    correlation between source-degree and target-degree across
+    directed edges — positive means hubs link to hubs (the
+    social-network signature), negative means hub-and-spoke (the
+    infrastructure signature). Degrees are total (in+out). All five
+    correlation moments are exact BIGINT sums (degrees are small
+    integers), so the aggregation is order-free and the one float
+    expression — the textbook (m*Sxy - SxSy)/sqrt(...) — runs once
+    on the final 1-row table, mirrored verbatim. Scale: degree
+    table = one union+agg shuffle; the two degree joins are
+    broadcast (degree table is node-sized but the fixture's is
+    model-scale; at web scale both sides shuffle on node id)."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            (
+                (F.col("c_custkey") * F.col("c_custkey") + 7 * F.col("c_custkey") + 11)
+                % F.col("n")
+            ).alias("dst"),
+        )
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    pairs = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("sn"), F.col("d").alias("dx"))),
+            F.col("sn") == F.col("src"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dn"), F.col("d").alias("dy"))),
+            F.col("dn") == F.col("dst"),
+        )
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    m_d = F.col("m").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    return s.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.round(
+            (m_d * F.col("sxy") - sx_d * F.col("sy"))
+            / F.sqrt(
+                (m_d * F.col("sxx") - sx_d * F.col("sx"))
+                * (m_d * F.col("syy") - sy_d * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0 AS f_sum,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0 AS o_sum,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0 AS p_sum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell — the API surface
+    pivot_wide leaves uncovered: one .pivot() producing both a count
+    and an exact DECIMAL-cents sum per (priority x status) cell.
+    Spark names multi-agg pivot columns `<value>_<alias>`; they are
+    re-aliased to the oracle's `<status>_<agg>` layout. Pivot with a
+    pinned value list skips the extra distinct-scan Spark otherwise
+    needs and keeps one partial+final hash agg — same 100 TB shape
+    as a plain groupBy."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dec_sum("o_totalprice").alias("sum"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_sum").alias("f_sum"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_sum").alias("o_sum"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_sum").alias("p_sum"),
+    )

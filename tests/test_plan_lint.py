@@ -323,6 +323,9 @@ ALLOWED = {
     # independent of fact-table size) collected into one task; the
     # distributed work (daily revenue agg) shuffles normally first.
     "ts_holt_linear": {"single-partition-exchange"},
+    # node-count scalar subquery broadcast into the edge map (the
+    # iter_reachability_bfs shape) plus the 1-row moments reduce.
+    "stats_assortativity_degree": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -539,3 +539,16 @@ def test_contamination_shingle_join_no_cartesian(spark, sf_dir):
     plan = _formatted_plan(spark, "text_contamination_check", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_merge_hint_forces_sort_merge(spark, sf_dir):
+    """The MERGE hint must survive analysis + AQE: the physical plan
+    joins by SortMergeJoin and never falls back to broadcast or
+    shuffled-hash (the point of the hint on TBxTB joins)."""
+    from dags_spark.registry import all_specs
+
+    df = all_specs()["join_merge_hint"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

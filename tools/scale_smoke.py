@@ -136,6 +136,8 @@ HEAVY = {
     # calendar-bounded so its cost is flat across SF)
     "ts_holt_linear": 15,
     "fn_business_days": 15,
+    # round-6 wave 8 (~3 s cold at sf0.1, Arrow kernel)
+    "multimodal_mulaw_decode": 15,
 }
 
 
