@@ -1970,3 +1970,105 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c, s.spend_c
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+),
+rk AS (
+  SELECT seg, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY bal_c, c_custkey) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY spend_c, c_custkey) AS ry
+  FROM j
+),
+pairs AS (
+  SELECT a.seg,
+         CASE WHEN (a.rx - b.rx) * (a.ry - b.ry) > 0 THEN 1 ELSE 0 END AS conc
+  FROM rk a JOIN rk b
+    ON a.seg = b.seg AND a.c_custkey < b.c_custkey
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+       ROUND((CAST(SUM(conc) AS DOUBLE) - (COUNT(*) - SUM(conc)))
+             / COUNT(*), 6) AS kendall_tau
+FROM pairs GROUP BY seg
+""",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU per market segment over the same (balance,
+    spend) pairs as stats_spearman_rank — the pair-concordance rank
+    correlation (more robust to outlier ranks than Spearman, the
+    standard for small-n agreement). Ranks come from a pinned total
+    order (no ties by construction), so concordance is pure integer
+    sign logic; tau = (C - D) / n_pairs is the single float op,
+    mirrored verbatim. Scale: the O(n^2) pair join is BLOCKED per
+    segment key (a self-equi-join on seg — one co-partitioned
+    shuffle, never a global cross); the documented big-n swap is the
+    O(n log n) merge-sort inversion count over the rank permutation,
+    sharded by segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("spend_c")
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        cents("c_acctbal").alias("bal_c"),
+        "spend_c",
+    )
+    w_x = Window.partitionBy("seg").orderBy("bal_c", "c_custkey")
+    w_y = Window.partitionBy("seg").orderBy("spend_c", "c_custkey")
+    rk = j.select(
+        "seg",
+        "c_custkey",
+        F.row_number().over(w_x).alias("rx"),
+        F.row_number().over(w_y).alias("ry"),
+    )
+    b = rk.select(
+        F.col("seg").alias("b_seg"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("rx").alias("b_rx"),
+        F.col("ry").alias("b_ry"),
+    )
+    pairs = rk.join(
+        b,
+        (F.col("seg") == F.col("b_seg")) & (F.col("c_custkey") < F.col("b_key")),
+    ).select(
+        "seg",
+        F.when(
+            (F.col("rx") - F.col("b_rx")) * (F.col("ry") - F.col("b_ry")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc"),
+    )
+    agg = pairs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+    )
+    return agg.select(
+        "seg",
+        "n_pairs",
+        "concordant",
+        (F.col("n_pairs") - F.col("concordant")).cast("bigint").alias("discordant"),
+        F.round(
+            (
+                F.col("concordant").cast("double")
+                - (F.col("n_pairs") - F.col("concordant"))
+            )
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+    )

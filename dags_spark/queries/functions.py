@@ -1470,3 +1470,56 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w1",
         (F.expr("cal_days DIV 7") * 5 + extra).alias("bus_days"),
     )
+
+
+@register(
+    "fn_luhn_checksum",
+    oracle="""
+WITH digits AS (
+  SELECT o_orderkey,
+         """ + " + ".join(
+        # position i from the right of the payload; odd positions
+        # (0-based even index) are doubled per Luhn
+        (
+            f"(CASE WHEN ((o_orderkey // {10 ** i}) % 10) * 2 > 9 "
+            f"THEN ((o_orderkey // {10 ** i}) % 10) * 2 - 9 "
+            f"ELSE ((o_orderkey // {10 ** i}) % 10) * 2 END)"
+            if i % 2 == 0
+            else f"((o_orderkey // {10 ** i}) % 10)"
+        )
+        for i in range(12)
+    ) + """ AS luhn_sum
+  FROM orders
+)
+SELECT o_orderkey, CAST(luhn_sum AS BIGINT) AS luhn_sum,
+       CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit
+FROM digits
+""",
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN (mod-10) CHECK DIGIT — the checksum behind card numbers,
+    IMEIs, and most human-keyed numeric IDs, and therefore a staple
+    DQ validation: compute the check digit an id-issuing system
+    would append to each order key. Classic algorithm, fully
+    unrolled over 12 decimal positions as pure integer div/mod
+    arithmetic (rightmost payload digit doubles, digit-sums fold as
+    x-9): no string ops, no UDF, scan-local in one codegen span —
+    the same 12-term expression on both engines."""
+    o = table(spark, sf_dir, "orders")
+    terms = []
+    for i in range(12):
+        # integer DIV, not float division: stays exact past 2^53 ids
+        digit = F.expr(f"o_orderkey DIV {10 ** i}") % 10
+        if i % 2 == 0:
+            doubled = digit * 2
+            terms.append(F.when(doubled > 9, doubled - 9).otherwise(doubled))
+        else:
+            terms.append(digit)
+    luhn_sum = terms[0]
+    for t in terms[1:]:
+        luhn_sum = luhn_sum + t
+    return o.select(
+        "o_orderkey",
+        luhn_sum.cast("bigint").alias("luhn_sum"),
+        ((10 - luhn_sum % 10) % 10).cast("bigint").alias("check_digit"),
+    )

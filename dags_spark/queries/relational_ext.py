@@ -3518,3 +3518,160 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("p_n"),
         F.col("P_sum").alias("p_sum"),
     )
+
+
+# Hilbert-curve step: the 8 subdivision scales for a 256x256 grid.
+# Both engines apply the identical 8 unrolled steps of the standard
+# xy -> d walk (quadrant digit + reflect/rotate), so the key is pure
+# integer arithmetic end-to-end — no loop primitive needed anywhere.
+_HILBERT_S = [128, 64, 32, 16, 8, 4, 2, 1]
+
+
+def _hilbert_step_sql(s: int) -> str:
+    """One unrolled Hilbert step as a SQL projection over (k,x,y,d)."""
+    rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+    quad = (
+        f"CASE WHEN ({rx}) = 0 AND ({ry}) = 0 THEN 0 "
+        f"WHEN ({rx}) = 0 THEN 1 WHEN ({ry}) = 0 THEN 3 ELSE 2 END"
+    )
+    new_x = (
+        f"CASE WHEN ({ry}) = 0 THEN "
+        f"(CASE WHEN ({rx}) = 1 THEN {s} - 1 - y ELSE y END) ELSE x END"
+    )
+    new_y = (
+        f"CASE WHEN ({ry}) = 0 THEN "
+        f"(CASE WHEN ({rx}) = 1 THEN {s} - 1 - x ELSE x END) ELSE y END"
+    )
+    return (
+        f"SELECT k, {new_x} AS x, {new_y} AS y, "
+        f"d + {s * s} * ({quad}) AS d"
+    )
+
+
+_HILBERT_ORACLE = (
+    "WITH st0 AS (SELECT c_custkey AS k, c_custkey % 256 AS x, "
+    "(c_custkey * 7 + 3) % 256 AS y, CAST(0 AS BIGINT) AS d FROM customer)"
+    + "".join(
+        f", st{i + 1} AS ({_hilbert_step_sql(s)} FROM st{i})"
+        for i, s in enumerate(_HILBERT_S)
+    )
+    + """
+SELECT s0.k AS c_custkey,
+       CAST(s0.x AS BIGINT) AS px, CAST(s0.y AS BIGINT) AS py,
+       CAST(s8.d AS BIGINT) AS hilbert_key
+FROM st0 s0 JOIN st8 s8 ON s0.k = s8.k
+"""
+)
+
+
+@register("fn_hilbert_key", oracle=_HILBERT_ORACLE)
+def fn_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE clustering key over a 256x256 grid — the
+    locality curve lakehouses reach for when Z-ORDER (fn_zorder_key)
+    isn't enough: Hilbert has no Z-shaped jumps, so range scans over
+    the sorted key touch strictly fewer multidimensional tiles. The
+    standard xy->d walk (per-scale quadrant digit, then
+    reflect/rotate the frame) is UNROLLED into 8 pure-integer
+    projection steps generated from one shared table — Spark gets 8
+    chained column rewrites inside a single whole-stage-codegen
+    span, the oracle gets the same 8 chained CTEs — so both engines
+    compute the identical key with zero loops, zero UDFs, and zero
+    floats. Scan-local: sorting/partitioning by the key is how it
+    would drive file layout at 100 TB. Property-tested against a
+    reference Python implementation (tests/test_property.py)."""
+    c = table(spark, sf_dir, "customer")
+    df = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 256).alias("x"),
+        ((F.col("c_custkey") * 7 + 3) % 256).alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    px = df.select(F.col("k"), F.col("x").alias("px"), F.col("y").alias("py"))
+    for s in _HILBERT_S:
+        rx = F.when((F.col("x").bitwiseAND(s)) > 0, 1).otherwise(0)
+        ry = F.when((F.col("y").bitwiseAND(s)) > 0, 1).otherwise(0)
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 0, 3)
+            .otherwise(2)
+        )
+        new_x = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - F.col("y")).otherwise(F.col("y"))
+        ).otherwise(F.col("x"))
+        new_y = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - F.col("x")).otherwise(F.col("x"))
+        ).otherwise(F.col("y"))
+        df = df.select(
+            "k",
+            new_x.alias("x"),
+            new_y.alias("y"),
+            (F.col("d") + F.lit(s * s) * quad).alias("d"),
+        )
+    return df.join(px, "k").select(
+        F.col("k").alias("c_custkey"),
+        F.col("px").cast("bigint").alias("px"),
+        F.col("py").cast("bigint").alias("py"),
+        F.col("d").cast("bigint").alias("hilbert_key"),
+    )
+
+
+@register(
+    "dq_join_key_skew",
+    oracle="""
+WITH sizes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT sz,
+         ROW_NUMBER() OVER (ORDER BY sz, o_custkey) AS r,
+         COUNT(*) OVER () AS n
+  FROM sizes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+       CAST(MAX(sz) AS BIGINT) AS max_sz,
+       CAST(MAX(CASE WHEN r = GREATEST((n * 50) // 100, 1) THEN sz END)
+            AS BIGINT) AS p50_sz,
+       CAST(MAX(CASE WHEN r = GREATEST((n * 90) // 100, 1) THEN sz END)
+            AS BIGINT) AS p90_sz,
+       CAST(MAX(CASE WHEN r = GREATEST((n * 99) // 100, 1) THEN sz END)
+            AS BIGINT) AS p99_sz,
+       ROUND(CAST(MAX(sz) AS DOUBLE) /
+             MAX(CASE WHEN r = GREATEST((n * 50) // 100, 1) THEN sz END), 4)
+         AS skew_ratio
+FROM ranked
+""",
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILE — the pre-flight check that decides the
+    join strategy BEFORE the expensive job runs: group sizes of the
+    candidate key, their rank-based p50/p90/p99 (exact, pinned total
+    order — no float quantiles), and the max/median skew ratio. A
+    ratio >> 1 is the signal to salt the key or lean on AQE skew
+    handling; this is the measurement that justifies
+    join_salted_checked. One agg (sizes) + one sort over KEY-COUNT
+    rows (already reduced — not the fact table), 1-row output."""
+    o = table(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("sz"))
+    w_r = Window.orderBy("sz", "o_custkey")
+    w_n = Window.partitionBy()
+    ranked = sizes.select(
+        "sz",
+        F.row_number().over(w_r).alias("r"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+
+    def at_pct(k: int):
+        rank = F.greatest(F.expr(f"(n * {k}) DIV 100"), F.lit(1))
+        return F.max(F.when(F.col("r") == rank, F.col("sz")))
+
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.max("sz").cast("bigint").alias("max_sz"),
+        at_pct(50).cast("bigint").alias("p50_sz"),
+        at_pct(90).cast("bigint").alias("p90_sz"),
+        at_pct(99).cast("bigint").alias("p99_sz"),
+        F.round(F.max("sz").cast("double") / at_pct(50), 4).alias("skew_ratio"),
+    )

@@ -326,6 +326,10 @@ ALLOWED = {
     # node-count scalar subquery broadcast into the edge map (the
     # iter_reachability_bfs shape) plus the 1-row moments reduce.
     "stats_assortativity_degree": {"cartesian", "single-partition-exchange"},
+    # the global rank window runs over KEY-COUNT rows (the already-
+    # aggregated per-key sizes, not the fact table) — the profiler
+    # reduces to one summary row by design.
+    "dq_join_key_skew": {"single-partition-exchange"},
 }
 
 

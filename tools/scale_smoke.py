@@ -138,6 +138,10 @@ HEAVY = {
     "fn_business_days": 15,
     # round-6 wave 8 (~3 s cold at sf0.1, Arrow kernel)
     "multimodal_mulaw_decode": 15,
+    # round-6 wave 9 (1.6-3.4 s at sf0.1; kendall's per-segment pair
+    # join is quadratic-within-block — grows ~100x per SF decade)
+    "fn_hilbert_key": 15,
+    "stats_kendall_tau": 60,
 }
 
 
