@@ -2072,3 +2072,150 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+@register(
+    "agg_geo_harmonic_mean",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag AS rf,
+         CAST(ROUND(LN(l_extendedprice) * 1000000000, 0) AS BIGINT) AS ln_q,
+         CAST(ROUND(1000000000000.0 / l_extendedprice, 0) AS BIGINT) AS inv_q
+  FROM lineitem
+)
+SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(CAST(SUM(ln_q) AS DOUBLE) / 1000000000.0 / COUNT(*)), 4)
+         AS geo_mean,
+       ROUND(CAST(COUNT(*) AS DOUBLE) * 1000000000000.0 / SUM(inv_q), 4)
+         AS harmonic_mean
+FROM t GROUP BY rf
+""",
+)
+def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC and HARMONIC means per return flag — the two
+    Pythagorean means the suite lacked (geometric: the right average
+    for ratios/growth factors; harmonic: for rates). Both are
+    sums of transforms, so both get the repo's quantized-BIGINT
+    treatment: ln(x) and 1/x are computed per row (identical IEEE
+    inputs on both engines), quantized to integer lanes (1e9 / 1e12
+    scales), and summed order-free; EXP and the final divisions run
+    once per 3-row output. Scan-local transform + one partial+final
+    hash agg — the agg_pricing_summary shape."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.log("l_extendedprice") * 1000000000, 0)
+        .cast("bigint")
+        .alias("ln_q"),
+        F.round(F.lit(1000000000000.0) / F.col("l_extendedprice"), 0)
+        .cast("bigint")
+        .alias("inv_q"),
+    )
+    return t.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.exp(
+                F.sum("ln_q").cast("double") / 1000000000.0 / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("geo_mean"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            * 1000000000000.0
+            / F.sum("inv_q"),
+            4,
+        ).alias("harmonic_mean"),
+    )
+
+
+@register(
+    "ts_yoy_cagr",
+    oracle="""
+WITH yearly AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, yr
+),
+g AS (
+  SELECT seg, yr, rev,
+         LAG(rev) OVER (PARTITION BY seg ORDER BY yr) AS prev_rev
+  FROM yearly
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_years,
+       CAST(MIN(yr) AS BIGINT) AS first_yr,
+       CAST(MAX(yr) AS BIGINT) AS last_yr,
+       ROUND(CAST(SUM(CASE WHEN prev_rev IS NOT NULL THEN
+               CAST(ROUND((rev / prev_rev - 1.0) * 1000000000, 0) AS BIGINT)
+             ELSE 0 END) AS DOUBLE)
+             / 1000000000.0 / (COUNT(*) - 1), 6) AS avg_yoy_growth,
+       ROUND(POW(MAX(CASE WHEN yr_rank = 'last' THEN rev END) /
+                 MAX(CASE WHEN yr_rank = 'first' THEN rev END),
+                 1.0 / (MAX(yr) - MIN(yr))) - 1.0, 6) AS cagr
+FROM (
+  SELECT *, CASE WHEN yr = MIN(yr) OVER (PARTITION BY seg) THEN 'first'
+                 WHEN yr = MAX(yr) OVER (PARTITION BY seg) THEN 'last'
+            END AS yr_rank
+  FROM g
+)
+GROUP BY seg
+""",
+)
+def ts_yoy_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING per segment: average year-over-year growth
+    (each ratio quantized to a BIGINT lane before the order-free
+    sum) and CAGR — the compound rate (last/first)^(1/years) - 1
+    every revenue review quotes. Yearly revenue is an exact
+    DECIMAL-cents sum; first/last years come from min/max windows
+    (pinned, no sort ambiguity); POW runs once per 5-row output.
+    One fact-table agg + one tiny window over segment-year rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(dec_sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("seg").orderBy("yr")
+    w_seg = Window.partitionBy("seg")
+    g = yearly.select(
+        "seg",
+        "yr",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.when(F.col("yr") == F.min("yr").over(w_seg), "first")
+        .when(F.col("yr") == F.max("yr").over(w_seg), "last")
+        .alias("yr_rank"),
+    )
+    growth_q = F.when(
+        F.col("prev_rev").isNotNull(),
+        F.round((F.col("rev") / F.col("prev_rev") - 1.0) * 1000000000, 0).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0))
+    return g.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+        F.min("yr").alias("first_yr"),
+        F.max("yr").alias("last_yr"),
+        F.round(
+            F.sum(growth_q).cast("double")
+            / 1000000000.0
+            / (F.count(F.lit(1)) - 1),
+            6,
+        ).alias("avg_yoy_growth"),
+        F.round(
+            F.pow(
+                F.max(F.when(F.col("yr_rank") == "last", F.col("rev")))
+                / F.max(F.when(F.col("yr_rank") == "first", F.col("rev"))),
+                1.0 / (F.max("yr") - F.min("yr")),
+            )
+            - 1.0,
+            6,
+        ).alias("cagr"),
+    )

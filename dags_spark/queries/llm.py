@@ -3381,3 +3381,235 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, n_samples BIGINT, sum_lin BIGINT, "
         "sum_abs BIGINT, max_abs BIGINT",
     )
+
+
+# ---- MMR diversified retrieval -------------------------------------
+# Both engines compute cosine as the SAME left-to-right sequential
+# fold over the 64 components (Spark `aggregate`, DuckDB list_reduce
+# over a prepended 0.0) with every element cast to DOUBLE first, so
+# the accumulated double is bit-identical; quantizing it to a BIGINT
+# (1e12 scale) then makes the greedy argmax pure integer logic — the
+# selection cascade cannot diverge on a float ulp.
+
+_MMR_K = 5
+_MMR_POOL = 20
+
+_MMR_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _mmr_cos_q_sql(a: str, b: str, na: str, nb: str) -> str:
+    """Quantized cosine given PRECOMPUTED per-vector norms — each
+    norm is the sqrt of the same sequential self-fold, computed once
+    per vector instead of once per pair (3x less fold work; the
+    divide sees the identical doubles either way)."""
+    dot = _MMR_DOT_SQL.format(a=a, b=b)
+    return (
+        f"CAST(ROUND(({dot}) / ({na} * {nb}) "
+        f"* 1000000000000.0, 0) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    _mmr_dot_self = _MMR_DOT_SQL.format(a="embedding", b="embedding")
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+scored{i} AS (
+  SELECT t.qid, t.cid, t.rel_q, t.rel_q - MAX(p.sim_q) AS score_q
+  FROM top_pool t
+  JOIN pairs p ON p.qid = t.qid AND p.a = t.cid
+  JOIN selected{i - 1} s ON s.qid = p.qid AND s.cid = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM selected{i - 1} x
+                    WHERE x.qid = t.qid AND x.cid = t.cid)
+  GROUP BY t.qid, t.cid, t.rel_q
+),
+sel{i} AS (
+  SELECT qid, cid, rel_q, score_q, {i} AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score_q DESC, cid) AS rn
+    FROM scored{i}
+  ) WHERE rn = 1
+),
+selected{i} AS (SELECT qid, cid FROM selected{i - 1}
+                UNION ALL SELECT qid, cid FROM sel{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT qid, cid, step, rel_q, score_q FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         SQRT({_mmr_dot_self}) AS nrm
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM normed
+  WHERE vec_id % 100 = 0
+),
+rel AS MATERIALIZED (
+  SELECT q.qid, e.vec_id AS cid, e.embedding AS ce, e.nrm AS cn,
+         {_mmr_cos_q_sql("q.qe", "e.embedding", "q.qn", "e.nrm")} AS rel_q
+  FROM q JOIN normed e ON e.vec_id <> q.qid
+),
+top_pool AS MATERIALIZED (
+  SELECT qid, cid, ce, cn, rel_q FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel_q DESC, cid) AS rn
+    FROM rel
+  ) WHERE rn <= {_MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.qid, a.cid AS a, b.cid AS b,
+         {_mmr_cos_q_sql("a.ce", "b.ce", "a.cn", "b.cn")} AS sim_q
+  FROM top_pool a JOIN top_pool b
+    ON a.qid = b.qid AND a.cid <> b.cid
+),
+sel1 AS (
+  SELECT qid, cid, rel_q, rel_q AS score_q, 1 AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel_q DESC, cid) AS rn
+    FROM top_pool
+  ) WHERE rn = 1
+),
+selected1 AS (SELECT qid, cid FROM sel1),
+{",".join(steps)}
+SELECT qid, cid, CAST(step AS INTEGER) AS step, rel_q, score_q
+FROM ({unions})
+"""
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE — the diversified-retrieval
+    selector RAG pipelines run after ANN: greedily pick k=5 results
+    where each pick maximizes relevance MINUS its worst redundancy
+    against what's already picked (lambda = 0.5, so the argmax of
+    rel - max_sim — the /2 is rank-invariant and dropped). The
+    greedy cascade is exact and cross-engine stable because every
+    cosine is quantized to a BIGINT before any comparison (see the
+    module comment on the shared sequential fold); selection is then
+    pure integer argmax with vec_id tie-breaks, unrolled into k
+    joined steps on both engines. Scale: relevance is one
+    broadcast-queries x corpus pass; the candidate POOL (top-20 per
+    query) bounds the pairwise redundancy matrix at 20x20 per query
+    — the standard re-rank-the-shortlist shape, so corpus size only
+    touches the first (embarrassingly parallel) stage."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def dot_fold(a: str, b: str):
+        return F.expr(
+            f"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE) "
+            f"* CAST(element_at({b}, i) AS DOUBLE))"
+        )
+
+    def cos_q(a: str, b: str, na: str, nb: str):
+        return F.round(
+            dot_fold(a, b) / (F.col(na) * F.col(nb)) * 1000000000000.0, 0
+        ).cast("bigint")
+
+    normed = e.select(
+        "vec_id", "embedding", F.sqrt(dot_fold("embedding", "embedding")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rel = (
+        F.broadcast(q)
+        .join(normed, normed.vec_id != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cn"),
+            cos_q("qe", "embedding", "qn", "nrm").alias("rel_q"),
+        )
+    )
+    w_rel = Window.partitionBy("qid").orderBy(F.col("rel_q").desc(), "cid")
+    pool = (
+        rel.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+    )
+    # fully re-aliased sides: pairs is a pool self-join, and the later
+    # cogroup-by-qid trips Spark's ambiguous-self-join check otherwise
+    a_side = pool.select(
+        F.col("qid").alias("a_qid"),
+        F.col("cid").alias("a"),
+        F.col("ce").alias("ae"),
+        F.col("cn").alias("an"),
+    )
+    b_side = pool.select(
+        F.col("qid").alias("b_qid"),
+        F.col("cid").alias("b"),
+        F.col("ce").alias("be"),
+        F.col("cn").alias("bn"),
+    )
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("b_qid") == F.col("a_qid")) & (F.col("b") != F.col("a")),
+        )
+        .select(
+            F.col("a_qid").alias("qid"),
+            "a",
+            "b",
+            cos_q("ae", "be", "an", "bn").alias("sim_q"),
+        )
+    )
+
+    # Greedy selection: one Arrow cogroup kernel per query over its
+    # 20-row pool + 400-row redundancy matrix — all-integer argmax,
+    # so it is exactly the oracle's unrolled-CTE cascade. One shuffle
+    # by qid; k Catalyst stages would cost ~20 scheduling rounds for
+    # the same model-sized work.
+    def greedy(pool_pdf, pairs_pdf):
+        import pandas as pd
+
+        rows = []
+        if len(pool_pdf) == 0:
+            return pd.DataFrame(
+                rows, columns=["qid", "cid", "step", "rel_q", "score_q"]
+            )
+        qid = int(pool_pdf["qid"].iloc[0])
+        cand = {
+            int(r.cid): int(r.rel_q) for r in pool_pdf.itertuples(index=False)
+        }
+        sim = {
+            (int(r.a), int(r.b)): int(r.sim_q)
+            for r in pairs_pdf.itertuples(index=False)
+        }
+        # step 1: max rel, tie -> min cid
+        first = min(cand, key=lambda c: (-cand[c], c))
+        sel = [first]
+        rows.append((qid, first, 1, cand[first], cand[first]))
+        for step in range(2, _MMR_K + 1):
+            best = None
+            for c, rel_q in cand.items():
+                if c in sel:
+                    continue
+                score = rel_q - max(sim[(c, x)] for x in sel)
+                if best is None or (-score, c) < (-best[1], best[0]):
+                    best = (c, score)
+            sel.append(best[0])
+            rows.append((qid, best[0], step, cand[best[0]], best[1]))
+        return pd.DataFrame(
+            rows, columns=["qid", "cid", "step", "rel_q", "score_q"]
+        )
+
+    return (
+        pool.select("qid", "cid", "rel_q")
+        .groupBy("qid")
+        .cogroup(pairs.groupBy("qid"))
+        .applyInPandas(
+            greedy,
+            "qid BIGINT, cid BIGINT, step INT, rel_q BIGINT, score_q BIGINT",
+        )
+    )

@@ -3675,3 +3675,88 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_pct(99).cast("bigint").alias("p99_sz"),
         F.round(F.max("sz").cast("double") / at_pct(50), 4).alias("skew_ratio"),
     )
+
+
+@register(
+    "agg_market_basket_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items),
+brand_n AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM items GROUP BY brand
+),
+pair_n AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / o.n, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / ba.n_b, 6) AS confidence,
+       ROUND(CAST(p.n_ab AS DOUBLE) * o.n /
+             (CAST(ba.n_b AS DOUBLE) * bb.n_b), 6) AS lift
+FROM pair_n p
+JOIN brand_n ba ON ba.brand = p.brand_a
+JOIN brand_n bb ON bb.brand = p.brand_b
+CROSS JOIN n_orders o
+WHERE p.n_ab >= 5
+""",
+)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES — support / confidence / lift
+    for brand pairs co-occurring in an order, the frequent-itemset
+    layer every recommender and assortment analysis starts from.
+    The pair join is BLOCKED BY BASKET (self-equi-join on the order
+    key with brand_a < brand_b — one co-partitioned shuffle whose
+    cost is sum(basket_size^2), never |items|^2), brand marginals
+    broadcast back, and a min-support floor (n_ab >= 5) prunes the
+    long tail exactly like a production Apriori first pass. All
+    counts exact BIGINTs; the three ratios are the only float ops,
+    rounded 6dp with division order mirrored."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
+    b = items.select(F.col("okey").alias("b_okey"), F.col("brand").alias("brand_b"))
+    pair_n = (
+        items.join(
+            b,
+            (F.col("b_okey") == F.col("okey"))
+            & (F.col("brand") < F.col("brand_b")),
+        )
+        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ba = brand_n.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))
+    bb = brand_n.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pair_n.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

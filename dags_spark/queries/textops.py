@@ -1657,3 +1657,61 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
         ).alias("contamination_ratio"),
     )
+
+
+@register("text_compression_ratio", check="rows")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZLIB COMPRESSION-RATIO quality signal — the Gopher/C4-family
+    heuristic the scan-local stats (text_repetition, entropy) can't
+    replace: a document that deflates far below the corpus norm is
+    boilerplate/templated; one that won't deflate is noise. Each doc
+    is compressed (zlib level 6) inside an Arrow mapInPandas kernel
+    — bytes never leave the executor, only (doc_id, lengths, ratio,
+    flags) — and flagged against the standard thresholds. Rows-
+    checked by design: DEFLATE output length is not SQL-expressible;
+    the kernel's behavior is pinned by property tests (monotone on
+    repetition, exact for known strings) in tests/test_property.py."""
+    d = table(spark, sf_dir, "documents")
+
+    def kernel(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                ratio = len(comp) / len(raw) if raw else 1.0
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(raw),
+                        len(comp),
+                        round(ratio, 6),
+                        bool(ratio < 0.25),
+                        # printable text caps near log2(90)/8 ~ 0.81;
+                        # above 0.8 the doc is effectively noise
+                        bool(ratio > 0.8),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "raw_len",
+                    "comp_len",
+                    "ratio",
+                    "too_repetitive",
+                    "incompressible",
+                ],
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id BIGINT, raw_len BIGINT, comp_len BIGINT, ratio DOUBLE, "
+        "too_repetitive BOOLEAN, incompressible BOOLEAN",
+    )

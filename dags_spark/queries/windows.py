@@ -3079,3 +3079,160 @@ def agg_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+@register(
+    "win_fifo_allocation",
+    oracle="""
+WITH pool AS (
+  SELECT o_custkey,
+         (SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 8) // 10
+           AS pool_c
+  FROM orders GROUP BY o_custkey
+),
+inv AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS amt_c,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cum_before_c
+  FROM orders
+)
+SELECT i.o_orderkey, i.o_custkey, i.o_orderdate,
+       CAST(i.amt_c AS DOUBLE) / 100.0 AS invoice_amt,
+       CAST(LEAST(GREATEST(p.pool_c - i.cum_before_c, 0), i.amt_c) AS BIGINT)
+         AS alloc_c,
+       CASE
+         WHEN p.pool_c - i.cum_before_c >= i.amt_c THEN 'paid'
+         WHEN p.pool_c - i.cum_before_c > 0 THEN 'partial'
+         ELSE 'unpaid'
+       END AS status
+FROM inv i JOIN pool p ON i.o_custkey = p.o_custkey
+""",
+)
+def win_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO PAYMENT ALLOCATION — the receivables-ledger operator:
+    apply each customer's payment pool (here 80% of lifetime
+    invoiced, floor-divided in cents) against their invoices in
+    strict date order, marking each invoice paid / partial / unpaid
+    with the exact allocated amount. The classic formulation is a
+    sequential scan; the closed form used here —
+    alloc = clamp(pool - cumsum_before, 0, amount) — turns it into
+    ONE window cumsum + a broadcast of the per-customer pool, fully
+    parallel across customers and exact in BIGINT cents (no
+    iteration, no state). Ordering pinned by (date, orderkey)."""
+    o = table(spark, sf_dir, "orders")
+    pool = o.groupBy("o_custkey").agg(
+        F.expr(
+            "(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 8) DIV 10"
+        ).alias("pool_c")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        cents("o_totalprice").alias("amt_c"),
+    ).withColumn(
+        "cum_before_c", F.sum("amt_c").over(w) - F.col("amt_c")
+    )
+    remaining = F.col("pool_c") - F.col("cum_before_c")
+    return inv.join(pool, "o_custkey").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("amt_c").cast("double") / 100.0).alias("invoice_amt"),
+        F.least(F.greatest(remaining, F.lit(0)), F.col("amt_c"))
+        .cast("bigint")
+        .alias("alloc_c"),
+        F.when(remaining >= F.col("amt_c"), "paid")
+        .when(remaining > 0, "partial")
+        .otherwise("unpaid")
+        .alias("status"),
+    )
+
+
+@register(
+    "win_interval_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS k,
+         date_trunc('day', l_shipdate) AS s,
+         date_trunc('day', l_shipdate)
+           + CAST(l_quantity AS INTEGER) * INTERVAL 1 DAY AS e,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+marked AS (
+  SELECT k, s, e,
+         CASE WHEN s > MAX(e) OVER (
+                PARTITION BY k ORDER BY s, e, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT k, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT k, CAST(island AS BIGINT) AS island,
+       MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM islands GROUP BY k, island
+""",
+)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL COALESCING — merge overlapping/touching time spans
+    per key into maximal covered spans (the continuous-time sibling
+    of win_streak_islands' integer gaps-and-islands): each lineitem
+    occupies [shipdate, shipdate + quantity days), and a supplier's
+    overlapping occupations merge. The classic single-pass sweep is
+    a running MAX(end) window — an interval starts a new island iff
+    its start exceeds every previous end — then a cumsum of starts
+    numbers the islands; both engines run the identical
+    timestamp-ordered windows (order pinned by (s, e, orderkey,
+    linenumber)). One shuffle by key + per-key sort; no self-join,
+    no explode-per-day."""
+    li = table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.date_trunc("day", "l_shipdate").alias("s"),
+        (
+            F.date_trunc("day", "l_shipdate")
+            + F.col("l_quantity").cast("int") * F.expr("INTERVAL 1 DAY")
+        ).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "k",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_cum))
+    return islands.groupBy("k", F.col("island").cast("bigint").alias("island")).agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )

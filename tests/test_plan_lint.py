@@ -330,6 +330,14 @@ ALLOWED = {
     # aggregated per-key sizes, not the fact table) — the profiler
     # reduces to one summary row by design.
     "dq_join_key_skew": {"single-partition-exchange"},
+    # the relevance stage broadcasts the (tiny) query set against the
+    # corpus on a non-equi predicate (vec_id <>) — the deliberate
+    # brute-force scan of the sim_knn family; the greedy re-rank then
+    # runs on the pooled shortlist only.
+    "sim_mmr_diversify": {"cartesian"},
+    # the basket-count denominator is a broadcast 1-row scalar
+    # subquery (cartesian by shape; its exchange reduces 32 partials)
+    "agg_market_basket_lift": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -844,3 +844,32 @@ def test_hilbert_locality_beats_zorder_jumps():
     for d in range(0, 64 * 64 - 1):
         (x1, y1), (x2, y2) = d2xy[d], d2xy[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_compression_ratio_kernel_semantics():
+    """The zlib quality signal orders texts correctly: highly
+    repetitive text deflates far below prose-like text, which
+    deflates below high-entropy noise — and the kernel's arithmetic
+    equals a direct zlib call."""
+    import zlib
+
+    import hashlib
+
+    # hash-chain noise: ~log2(90) = 6.5 bits/char, the ceiling for
+    # printable text — zlib can't get much under ~0.82 on it
+    chain, chunks = b"seed", []
+    for _ in range(200):
+        chain = hashlib.md5(chain).digest()
+        chunks.append("".join(chr(33 + b % 90) for b in chain))
+    texts = {
+        "rep": "spam " * 400,
+        "prose": ("the quick brown fox jumps over the lazy dog and then "
+                  "discusses query planning with a catalyst optimizer ") * 20,
+        "noise": "".join(chunks),
+    }
+    ratios = {
+        k: len(zlib.compress(v.encode(), 6)) / len(v.encode())
+        for k, v in texts.items()
+    }
+    assert ratios["rep"] < ratios["prose"] < ratios["noise"]
+    assert ratios["rep"] < 0.25 and ratios["noise"] > 0.8

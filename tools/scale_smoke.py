@@ -142,6 +142,14 @@ HEAVY = {
     # join is quadratic-within-block — grows ~100x per SF decade)
     "fn_hilbert_key": 15,
     "stats_kendall_tau": 60,
+    # round-6 wave 10 (1.4 s warm at sf0.1; queries x corpus scan)
+    "sim_mmr_diversify": 45,
+    # basket-blocked pair join, sum(basket^2) work (4.5 s at sf0.1)
+    "agg_market_basket_lift": 45,
+    # round-6 wave 11 (2-2.4 s at sf0.1)
+    "agg_geo_harmonic_mean": 15,
+    "win_interval_coalesce": 20,
+    "text_compression_ratio": 20,
 }
 
 
