@@ -1501,3 +1501,134 @@ def source_json_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name").isNotNull().alias("has_name"),
         F.col("score").isNotNull().alias("has_score"),
     )
+
+
+@register(
+    "table_format_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT o_orderstatus,
+       COALESCE(o_orderpriority, '<pre-evolution>') AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value
+FROM unioned
+GROUP BY o_orderstatus, pri
+""",
+)
+def table_format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION through the log-structured table
+    format: commit 1 writes 3 columns, commit 2 appends a batch
+    carrying a NEW column, and a merged-schema snapshot read returns
+    the widened table with nulls backfilled on pre-evolution rows —
+    no rewrite of old files, the lakehouse contract. The log keeps
+    both commits' files in one snapshot; `read(merge_schema=True)`
+    (tablelog.py) unions the parquet schemas. The oracle is the
+    plain UNION with a typed NULL. Time travel to v1 still reads
+    the narrow schema — evolution is additive, never destructive."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders")
+    t = tmp_table()
+    t.write(
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        mode="overwrite",
+    )
+    t.write(
+        o.filter(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ),
+        mode="append",
+    )
+    evolved = t.read(spark, merge_schema=True)
+    assert "o_orderpriority" in evolved.columns
+    narrow = t.read(spark, version=1)
+    assert "o_orderpriority" not in narrow.columns
+    return evolved.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("pri"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice").alias("total_value"),
+    )
+
+
+@register(
+    "scan_file_skipping_stats",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       CAST(2 AS BIGINT) AS n_files_read,
+       CAST(7 AS BIGINT) AS n_files_total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY yr
+""",
+)
+def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE SKIPPING VIA A STATS MANIFEST — the Iceberg/Delta scan
+    path, distinct from Hive-style partition pruning: the table is
+    laid out as date-clustered files, a manifest records each file's
+    (min, max) orderdate FROM THE DATA (directory names are never
+    consulted), and the date-range query prunes the file list by
+    interval overlap against the manifest BEFORE any parquet footer
+    is opened. Here 1995-2001 cluster into 7 files; the 1996-1997
+    predicate keeps exactly 2, and the result provably equals the
+    full-scan filter (the oracle) with the pruned counts pinned as
+    columns. The manifest is model-sized (one row per file) — the
+    collect is the same 'fit a small model, drive the plan' pattern
+    as the ANN codebooks. At 100 TB this is the scan primitive that
+    makes every other operator start from 2% of the files."""
+    import os as _os
+    import tempfile as _tempfile
+
+    o = table(spark, sf_dir, "orders")
+    base = _tempfile.mkdtemp(prefix="dags_spark_fskip_")
+    data_dir = _os.path.join(base, "t")
+    (
+        o.withColumn("yr_bucket", F.year("o_orderdate"))
+        .repartition("yr_bucket")
+        .write.mode("overwrite")
+        .partitionBy("yr_bucket")
+        .parquet(data_dir)
+    )
+    full = spark.read.parquet(data_dir)
+    manifest = (
+        full.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("o_orderdate").alias("min_d"), F.max("o_orderdate").alias("max_d")
+        )
+        .collect()
+    )
+    lo, hi = "1996-01-01", "1998-01-01"
+    import datetime as _dt
+
+    lo_ts = _dt.datetime(1996, 1, 1)
+    hi_ts = _dt.datetime(1998, 1, 1)
+    keep = [r["file"] for r in manifest if r["max_d"] >= lo_ts and r["min_d"] < hi_ts]
+    pruned = spark.read.parquet(*keep)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+        .withColumn("n_files_read", F.lit(len(keep)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(len(manifest)).cast("bigint"))
+    )

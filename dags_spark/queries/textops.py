@@ -1715,3 +1715,144 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, raw_len BIGINT, comp_len BIGINT, ratio DOUBLE, "
         "too_repetitive BOOLEAN, incompressible BOOLEAN",
     )
+
+
+# ---- BPE merge training --------------------------------------------
+# 5 training iterations, each a pure-relational stage identical on
+# both engines: weighted adjacent-pair counts over the current
+# spellings -> argmax (count desc, pair asc — pinned) -> apply the
+# merge with a space-sentinel REPLACE (leftmost non-overlapping scan
+# on both engines). The corpus reduces to its WORD VOCABULARY first,
+# so every iteration runs on vocab-sized data no matter the corpus.
+
+_BPE_STEPS = 5
+
+
+def _bpe_oracle() -> str:
+    parts = ["""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+sp1 AS MATERIALIZED (
+  SELECT word, cnt,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> word[i]), ' ') || ' </w>'
+           AS spell
+  FROM words
+)"""]
+    for i in range(1, _BPE_STEPS + 1):
+        parts.append(f""",
+pc{i} AS (
+  SELECT pair, SUM(cnt) AS c FROM (
+    SELECT cnt,
+           unnest(list_transform(
+             generate_series(1, len(string_split(spell, ' ')) - 1),
+             j -> string_split(spell, ' ')[j] || ' ' ||
+                  string_split(spell, ' ')[j + 1])) AS pair
+    FROM sp{i}
+  ) GROUP BY pair
+),
+best{i} AS (
+  SELECT pair, c FROM pc{i} ORDER BY c DESC, pair LIMIT 1
+),
+sp{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         trim(REPLACE(' ' || spell || ' ',
+                      ' ' || (SELECT pair FROM best{i}) || ' ',
+                      ' ' || REPLACE((SELECT pair FROM best{i}), ' ', '')
+                          || ' ')) AS spell
+  FROM sp{i}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, REPLACE(pair, ' ', '') AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    parts.append(f"\nSELECT CAST(step AS INTEGER) AS step, pair, merged,"
+                 f" pair_count FROM ({unions})")
+    return "".join(parts)
+
+
+@register("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE TRAINING — the other half of the tokenizer story
+    (text_bpe_apply consumes a merge table; this key LEARNS one):
+    5 iterations of count-adjacent-pairs -> merge-the-most-frequent,
+    exactly the Sennrich et al. procedure. The distributed insight
+    is that training never touches the corpus after one pass: the
+    corpus reduces to its word VOCABULARY with counts (the shuffle),
+    spellings start as space-joined characters + '</w>', and every
+    iteration is vocab-sized relational algebra — weighted pair
+    explode + argmax (ties pinned by pair text) + one sentinel-
+    spaced REPLACE. Both engines run the identical 5 unrolled
+    stages; the 1-row argmax re-enters as a broadcast scalar. At
+    web scale only the vocab agg grows with data — the iterations
+    stay O(vocab)."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    sp = words.withColumn(
+        "spell",
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                ),
+            ),
+            F.lit(" </w>"),
+        ),
+    )
+    sp = sp.localCheckpoint()  # vocab-sized; truncates the lineage the
+    # 5 iterations would otherwise re-derive from the corpus each time
+    out = None
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = sp.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(spell, ' ')) - 1),"
+                    " j -> concat(element_at(split(spell, ' '), j), ' ',"
+                    " element_at(split(spell, ' '), j + 1)))"
+                )
+            ).alias("pair"),
+        )
+        pc = pairs.groupBy("pair").agg(F.sum("cnt").alias("c"))
+        best = pc.orderBy(F.col("c").desc(), "pair").limit(1)
+        row = best.select(
+            F.lit(step).cast("int").alias("step"),
+            "pair",
+            F.regexp_replace("pair", " ", "").alias("merged"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        sp = (
+            sp.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("pair").alias("b_pair"),
+                        F.regexp_replace("pair", " ", "").alias("b_merged"),
+                    )
+                )
+            )
+            .withColumn(
+                "spell",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("spell"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("b_pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("b_merged"), F.lit(" ")),
+                    )
+                ),
+            )
+            .drop("b_pair", "b_merged")
+        )
+        sp = sp.localCheckpoint()
+    return out

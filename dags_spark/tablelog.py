@@ -274,15 +274,28 @@ class TableLog:
         return version
 
     # -- read path -----------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Snapshot read: exactly the committed file list of the
         requested version (latest by default). Zero directory
-        listing; uncommitted/orphaned data files are invisible."""
+        listing; uncommitted/orphaned data files are invisible.
+        merge_schema=True unions the file schemas (parquet
+        mergeSchema), so a table whose later commits ADDED columns
+        reads as the widened schema with nulls backfilled — the
+        additive half of schema evolution; type changes still fail
+        loudly, as they should."""
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError(f"version {snap['version']} is empty")
         paths = [os.path.join(self.path, f) for f in snap["files"]]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
 
 def tmp_table(prefix: str = "dags_tablelog_") -> TableLog:

@@ -150,6 +150,10 @@ HEAVY = {
     "agg_geo_harmonic_mean": 15,
     "win_interval_coalesce": 20,
     "text_compression_ratio": 20,
+    # round-6 wave 12 (writes + vocab-sized iterations; 1-9 s)
+    "table_format_schema_evolution": 30,
+    "scan_file_skipping_stats": 30,
+    "text_bpe_train": 30,
 }
 
 
