@@ -3760,3 +3760,38 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 9) AS price_bin,
+       LEAST((CAST(FLOOR(l_quantity) AS BIGINT) - 1) // 5, 9) AS qty_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM lineitem
+GROUP BY price_bin, qty_bin
+""",
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D HISTOGRAM (heatmap binning) — joint distribution of price
+    x quantity on a fixed 10x10 grid, the density readout behind
+    every scatter-density plot and copula sanity check; the 1-D
+    histogram keys can't see the JOINT structure. Bin edges are
+    integer arithmetic (10k-wide price bins, 5-wide quantity bins,
+    top bins clamped), so assignment is exact; counts and exact-
+    cents revenue aggregate in one partial+final hash agg —
+    scan-local, one shuffle of at most 100 groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.least(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint"), F.lit(9)
+        ).alias("price_bin"),
+        F.least(
+            F.expr("(CAST(FLOOR(l_quantity) AS BIGINT) - 1) DIV 5"), F.lit(9)
+        ).alias("qty_bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )

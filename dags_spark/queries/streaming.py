@@ -1154,3 +1154,79 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_ts").isNull().cast("bigint")).alias("n_unmatched"),
         F.count(F.col("p_ts")).alias("n_pairs"),
     )
+
+
+@register(
+    "stream_cdc_to_table",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       ROUND(value, 6) AS last_value
+FROM latest
+WHERE rn = 1 AND event_type <> 'click'
+""",
+)
+def stream_cdc_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC INTO THE TABLE FORMAT — the end-to-end change-
+    data-capture sink: a multi-batch event stream (two staged
+    arrival files, maxFilesPerTrigger=1) lands through foreachBatch
+    into a tablelog table, each batch applying LATEST-WINS upserts
+    keyed by user with 'click' events acting as tombstones
+    (kept through the merge, filtered at read — so a later upsert
+    can resurrect the key). The final table equals the pure-batch
+    answer regardless of how arrivals were batched, because
+    precedence is (ts, event_id), never arrival order — the
+    idempotence that makes CDC replayable at scale. Integrates
+    three subsystems the suite otherwise pins separately: streaming
+    micro-batches, the OCC table format, and keyed merge
+    semantics."""
+    base = stage_events(spark, sf_dir, split="two")
+    from ..tablelog import tmp_table
+
+    t = tmp_table()
+    sdf = events_stream(
+        spark, os.path.join(base, "part*"), max_files_per_trigger=1
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df, batch_id):
+        try:
+            current = t.read(batch_df.sparkSession)
+        except ValueError:
+            current = None
+        unioned = (
+            current.unionByName(batch_df) if current is not None else batch_df
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            unioned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        t.write(latest, mode="overwrite")
+
+    ckpt = tempfile.mkdtemp(prefix="dags_spark_cdc_ckpt_")
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read(spark)
+        .filter(F.col("event_type") != "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

@@ -3236,3 +3236,92 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+@register(
+    "win_rolling_regression",
+    oracle="""
+WITH daily AS (
+  SELECT c.c_mktsegment AS seg,
+         date_trunc('day', o.o_orderdate) AS day,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                        date_trunc('day', o.o_orderdate)) AS BIGINT) AS x,
+         SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, day
+),
+w AS (
+  SELECT seg, day,
+         COUNT(*) OVER win AS n,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x * y) OVER win AS sxy, SUM(x * x) OVER win AS sxx,
+         SUM(y * y) OVER win AS syy,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day) AS rn
+  FROM daily
+  WINDOW win AS (PARTITION BY seg ORDER BY day
+                 ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT seg, day,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0, 6)
+         AS slope_per_day,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+              (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM w WHERE rn >= 28
+""",
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS — the trailing-28-day regression slope (revenue
+    trend in currency/day) and R^2 per segment, the quant-analytics
+    window EWMA can't replace (EWMA smooths level; this fits a
+    LINE). All five regression moments are BIGINT window sums over
+    exact cents and integer day indices — order-free and exact —
+    and the closed-form slope/R^2 expressions run per output row
+    with division order mirrored verbatim. One agg shuffle to
+    segment-days, one window sort per segment; emitted only from
+    row 28 on (full windows, so every engine sees the same n)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+        .withColumn(
+            "x",
+            F.datediff(
+                F.col("day"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("bigint"),
+        )
+    )
+    win = (
+        Window.partitionBy("seg").orderBy("day").rowsBetween(-27, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("seg").orderBy("day")
+    w = daily.select(
+        "seg",
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).filter(F.col("rn") >= 28)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    cov = n_d * F.col("sxy") - sx_d * F.col("sy")
+    varx = n_d * F.col("sxx") - sx_d * F.col("sx")
+    vary = n_d * F.col("syy") - sy_d * F.col("sy")
+    return w.select(
+        "seg",
+        "day",
+        F.round(cov / varx / 100.0, 6).alias("slope_per_day"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

@@ -154,6 +154,10 @@ HEAVY = {
     "table_format_schema_evolution": 30,
     "scan_file_skipping_stats": 30,
     "text_bpe_train": 30,
+    # round-6 wave 13 (0.2-2.6 s at sf0.1; CDC key runs a multi-batch
+    # stream + tablelog commits inside fn())
+    "win_rolling_regression": 20,
+    "stream_cdc_to_table": 30,
 }
 
 
