@@ -559,3 +559,85 @@ def decode_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
     if len(body) != need:
         raise ValueError(f"pixel payload {len(body)} != {need}")
     return width, height, maxval, body
+
+
+def encode_gif_frames(doc_id: int) -> bytes:
+    """GIF89a container with 1 + doc_id % 7 frames. Each frame is a
+    Graphic Control Extension + Image Descriptor + one LZW data
+    sub-block of ((doc_id + i*31) % 200 + 1) filler bytes. The
+    global color table flag is SET (2-entry table), so a walker that
+    skips only the 13 header bytes desyncs immediately — same
+    design rule as the PPM comment line: the fixture forces the real
+    grammar."""
+    out = [b"GIF89a"]
+    # logical screen: 8x8, GCT flag set, 2-entry table
+    out.append((8).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    out.append(bytes([0x80, 0x00, 0x00]))  # packed(GCT, size 0), bg, aspect
+    out.append(bytes(6))  # 2-entry global color table (2 * 3 bytes)
+    n_frames = 1 + doc_id % 7
+    for i in range(n_frames):
+        # graphic control extension: introducer, label, size, 4 data, term
+        out.append(bytes([0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00]))
+        # image descriptor: separator + 9 bytes (no local color table)
+        out.append(b"\x2c" + bytes(8) + bytes([0x00]))
+        out.append(bytes([0x02]))  # LZW minimum code size
+        payload = (doc_id + i * 31) % 200 + 1
+        out.append(bytes([payload]) + bytes(payload))  # one sub-block
+        out.append(b"\x00")  # block terminator
+    out.append(b"\x3b")  # trailer
+    return b"".join(out)
+
+
+def walk_gif(buf: bytes) -> tuple[int, int, int, int]:
+    """Structural GIF walk -> (width, height, n_frames, data_bytes).
+    Parses the real block grammar: header + logical screen
+    descriptor, global color table when flagged, extension blocks
+    (label + sub-block chain), image descriptors (+ optional local
+    color table) with their LZW sub-block chains, trailer. No LZW
+    decode — pixel decompression is the documented codec gate — but
+    every block boundary is honored, so a malformed container fails
+    loudly instead of producing garbage stats."""
+    if buf[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    data_bytes = 0
+
+    def skip_subblocks(p: int) -> tuple[int, int]:
+        total = 0
+        while True:
+            if p >= len(buf):
+                raise ValueError("truncated sub-block chain")
+            n = buf[p]
+            p += 1
+            if n == 0:
+                return p, total
+            total += n
+            p += n
+
+    while True:
+        if pos >= len(buf):
+            raise ValueError("missing trailer")
+        b = buf[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return w, h, frames, data_bytes
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            pos, _ = skip_subblocks(pos)
+        elif b == 0x2C:  # image descriptor
+            desc = buf[pos : pos + 9]
+            pos += 9
+            if desc[8] & 0x80:
+                pos += 3 * (2 << (desc[8] & 0x07))
+            pos += 1  # LZW minimum code size
+            pos, n = skip_subblocks(pos)
+            frames += 1
+            data_bytes += n
+        else:
+            raise ValueError(f"unknown block 0x{b:02x} at {pos - 1}")

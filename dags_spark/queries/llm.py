@@ -3613,3 +3613,58 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid BIGINT, cid BIGINT, step INT, rel_q BIGINT, score_q BIGINT",
         )
     )
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 7 AS n_frames
+  FROM documents WHERE doc_id % 4 = 1
+),
+idx AS (SELECT unnest(generate_series(0, 6)) AS i),
+frames AS (
+  SELECT d.doc_id, d.n_frames,
+         (d.doc_id + idx.i * 31) % 200 + 1 AS payload
+  FROM docs d JOIN idx ON idx.i < d.n_frames
+)
+SELECT doc_id, CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+       CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+       CAST(SUM(payload) AS BIGINT) AS data_bytes
+FROM frames GROUP BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF CONTAINER WALK — beyond the header peek the image-meta
+    key does: the kernel traverses the full GIF89a block grammar
+    (global color table sizing from the packed flag, extension
+    blocks, per-frame image descriptors + local-table flags, the
+    LZW sub-block CHAINS with their length-prefixed framing) and
+    reduces each animation to (dims, frame count, compressed
+    payload bytes). Frame counting through sub-block chains is
+    exactly how a real pipeline sizes animated assets WITHOUT
+    decoding them (LZW decode stays behind the codec gate). The
+    oracle replays the generator's closed form, so the hash pins
+    every block boundary. Arrow mapInPandas; payloads never leave
+    the executor."""
+    from ..operators.multimodal import encode_gif_frames, walk_gif
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h, frames, data_bytes = walk_gif(encode_gif_frames(int(i)))
+                rows.append((int(i), w, h, frames, data_bytes))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "n_frames", "data_bytes"]
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, w BIGINT, h BIGINT, n_frames BIGINT, data_bytes BIGINT",
+    )

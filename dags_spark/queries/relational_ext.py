@@ -3795,3 +3795,264 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "dq_uniqueness_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_distinct, CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT o_orderkey) = COUNT(*) AS is_unique_key
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(COUNT(o_custkey) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT o_custkey) = COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT o_orderstatus) = COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(COUNT(o_totalprice) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT o_totalprice) = COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(COUNT(o_orderdate) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT o_orderdate) = COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(COUNT(o_orderpriority) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT o_orderpriority) = COUNT(*)
+FROM orders
+""",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-KEY DISCOVERY — per-column uniqueness profile of a
+    table (distinct count, non-null count, is-unique-key verdict),
+    the DQ pass that finds primary-key candidates and near-keys
+    before anyone trusts a join. One row per column via a single
+    pass per column family; Spark folds all six profiles into ONE
+    scan with count_distinct aggregates (partial+final, no row
+    explosion) and unions the 6-row result. At 100 TB the swap is
+    approx_count_distinct per column first, exact confirmation only
+    on columns whose approx count is within epsilon of the row
+    count — both shapes share this key's plan skeleton."""
+    o = table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        *[F.count(c).alias(f"c_{c}") for c in cols],
+    )
+    profiles = None
+    for c in cols:
+        row = agg.select(
+            F.lit(c).alias("col"),
+            F.col(f"d_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"c_{c}").cast("bigint").alias("n_nonnull"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col(f"d_{c}") == F.col("n_rows")).alias("is_unique_key"),
+        )
+        profiles = row if profiles is None else profiles.unionAll(row)
+    return profiles
+
+
+@register(
+    "iter_critical_path",
+    oracle="""
+WITH RECURSIVE nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM customer),
+nodes AS MATERIALIZED (
+  SELECT c_custkey AS id, 1 + c_custkey % 10 AS dur FROM customer
+),
+edges AS MATERIALIZED (
+  SELECT id AS src, dst FROM (
+    SELECT id, id + 1 + (id * 7 + 11) % 40 AS dst FROM nodes
+    UNION ALL
+    SELECT id, id + 1 + (id * 13 + 5) % 37 AS dst FROM nodes
+  ) WHERE dst < (SELECT n FROM nn)
+),
+paths (node, plen, depth) AS (
+  SELECT id, dur, 0 FROM nodes
+  UNION ALL
+  SELECT e.dst, p.plen + n2.dur, p.depth + 1
+  FROM paths p
+  JOIN edges e ON e.src = p.node
+  JOIN nodes n2 ON n2.id = e.dst
+  WHERE p.depth < 8
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MAX(plen) AS BIGINT) AS critical_len
+FROM paths GROUP BY node
+""",
+)
+def iter_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRITICAL-PATH LENGTH through a DAG — the max-plus sibling of
+    iter_sssp_bellman_ford (longest weighted path ending at each
+    node, the quantity a scheduler uses to find what gates the
+    pipeline). The synthetic task graph is acyclic BY CONSTRUCTION
+    (both edge maps point strictly forward, dst > src), node weight
+    = task duration; relaxation is bounded at 8 edges on BOTH
+    engines (the pinned semantic — out-degree <= 2 keeps the path
+    set linear-ish, and deeper chains cut off identically). Spark
+    unrolls 8 max-plus relaxation joins (frontier JOIN edges JOIN
+    durations, union, max per node) — the bounded-BFS shape with
+    MAX(plen) instead of MIN(depth)."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        (1 + F.col("c_custkey") % 10).alias("dur"),
+    )
+    e1 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 7 + 11) % 40).alias("dst"),
+    )
+    e2 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 13 + 5) % 37).alias("dst"),
+    )
+    edges = (
+        e1.unionAll(e2)
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("dst") < F.col("n"))
+        .select("src", "dst")
+    )
+    dur = nodes.select(F.col("id").alias("d_id"), F.col("dur").alias("d_dur"))
+    frontier = nodes.select(F.col("id").alias("node"), F.col("dur").alias("plen"))
+    best = frontier
+    for _ in range(8):
+        stepped = (
+            frontier.join(edges, edges.src == F.col("node"))
+            .join(F.broadcast(dur), F.col("d_id") == F.col("dst"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("plen") + F.col("d_dur")).alias("plen"),
+            )
+        )
+        # per-round max-compaction keeps the frontier node-sized —
+        # without it the path set (not the answer) is what explodes
+        frontier = stepped.groupBy("node").agg(F.max("plen").alias("plen"))
+        frontier = frontier.localCheckpoint()
+        best = (
+            best.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.max("plen").alias("plen"))
+        )
+    return best.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("plen").cast("bigint").alias("critical_len"),
+    )
+
+
+def _neyman_md5_rank() -> str:
+    from ..operators.trainprep import MD5_WORD
+
+    return MD5_WORD("c_custkey", 8)
+
+
+@register(
+    "sample_neyman_stratified",
+    oracle=f"""
+WITH moments AS (
+  SELECT c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) *
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS syy
+  FROM customer GROUP BY c_mktsegment
+),
+sized AS (
+  SELECT seg, n_h,
+         n_h * SQRT((CAST(n_h AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) /
+                    (CAST(n_h AS DOUBLE) * (n_h - 1))) AS nh_sh
+  FROM moments
+),
+alloc AS (
+  SELECT seg, n_h,
+         CAST(FLOOR(100.0 * nh_sh / (SELECT SUM(nh_sh) FROM sized))
+              AS BIGINT) AS take_h
+  FROM sized
+),
+ranked AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY {{rank}}, c_custkey) AS r
+  FROM customer
+)
+SELECT r.c_custkey, r.seg, a.take_h,
+       CAST(a.n_h AS BIGINT) AS stratum_size
+FROM ranked r JOIN alloc a ON r.seg = a.seg
+WHERE r.r <= a.take_h
+""".replace("{rank}", _neyman_md5_rank()),
+)
+def sample_neyman_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION STRATIFIED SAMPLING — the statistically
+    optimal way to spend a fixed sample budget (100 rows): each
+    stratum gets budget proportional to N_h * S_h (size x exact
+    within-stratum standard deviation from BIGINT moment sums), so
+    volatile strata are oversampled exactly as survey theory says.
+    Selection within a stratum is the repo's deterministic-uniform:
+    rank by MD5_WORD(custkey) — reproducible across engines,
+    retries, and cluster sizes, unlike rand(). One moments agg (the
+    fit, 5 rows, broadcast back) + one hash-rank window per
+    stratum. The naive-vs-Neyman contrast with
+    sample_stratified_topk is the point: that key takes k per
+    stratum, this one PROVES where the budget should go."""
+    c = table(spark, sf_dir, "customer")
+    bal_c = cents("c_acctbal")
+    moments = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(bal_c).alias("sy"),
+        F.sum(bal_c * bal_c).alias("syy"),
+    )
+    n_d = F.col("n_h").cast("double")
+    sized = moments.select(
+        "seg",
+        "n_h",
+        (
+            F.col("n_h")
+            * F.sqrt(
+                (n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+                / (n_d * (F.col("n_h") - 1))
+            )
+        ).alias("nh_sh"),
+    )
+    tot = sized.agg(F.sum("nh_sh").alias("tot"))
+    alloc = sized.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_h",
+        F.floor(100.0 * F.col("nh_sh") / F.col("tot")).cast("bigint").alias(
+            "take_h"
+        ),
+    )
+    from ..operators.trainprep import MD5_WORD
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.expr(MD5_WORD("c_custkey", 8)), "c_custkey"
+    )
+    ranked = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.row_number().over(w).alias("r"),
+    )
+    return ranked.join(F.broadcast(alloc), "seg").filter(
+        F.col("r") <= F.col("take_h")
+    ).select(
+        "c_custkey",
+        "seg",
+        "take_h",
+        F.col("n_h").cast("bigint").alias("stratum_size"),
+    )

@@ -338,6 +338,12 @@ ALLOWED = {
     # the basket-count denominator is a broadcast 1-row scalar
     # subquery (cartesian by shape; its exchange reduces 32 partials)
     "agg_market_basket_lift": {"cartesian", "single-partition-exchange"},
+    # six 1-row table-profile aggregates unioned — each exchange
+    # reduces 32 partial rows to the single summary row per column.
+    "dq_uniqueness_profile": {"single-partition-exchange"},
+    # the allocation denominator is a broadcast 1-row scalar
+    # subquery over the 5-row fit table.
+    "sample_neyman_stratified": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -158,6 +158,9 @@ HEAVY = {
     # stream + tablelog commits inside fn())
     "win_rolling_regression": 20,
     "stream_cdc_to_table": 30,
+    # round-6 wave 14 (1.3-3.3 s at sf0.1; 8 unrolled max-plus joins)
+    "multimodal_gif_frames": 20,
+    "iter_critical_path": 30,
 }
 
 
