@@ -3668,3 +3668,100 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id BIGINT, w BIGINT, h BIGINT, n_frames BIGINT, data_bytes BIGINT",
     )
+
+
+@register(
+    "sim_knn_hubness",
+    oracle=f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id, label, embedding,
+         SQRT({_MMR_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {{cos}} AS cos_q
+  FROM normed a JOIN normed b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos_q DESC, dst) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+indeg AS (
+  SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM knn GROUP BY dst
+)
+SELECT n.vec_id, n.label,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       COALESCE(i.in_degree, 0) > 15 AS is_hub
+FROM normed n LEFT JOIN indeg i ON n.vec_id = i.vec_id
+""".replace("{cos}", _mmr_cos_q_sql("a.embedding", "b.embedding",
+                                    "a.nrm", "b.nrm")),
+)
+def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS DIAGNOSTIC of the embedding space — the reverse-kNN
+    in-degree: how often each vector appears in OTHER vectors'
+    top-5. High-dimensional spaces concentrate neighbors onto a few
+    'hub' points (in-degree >> k), which silently poisons both ANN
+    recall and dedup clustering — this is the standard health check
+    run before trusting either. kNN candidates are LABEL-BLOCKED
+    (the corpus's cell structure — one co-partitioned self-join,
+    never global all-pairs), cosines are the quantized-BIGINT
+    sequential fold shared with sim_mmr_diversify (bit-identical
+    cross-engine, so rank cuts cannot diverge), and the in-degree
+    is one count shuffle. Vectors nobody selects report 0 — the
+    anti-hubs, equally diagnostic."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def dot_fold(a: str, b: str):
+        return F.expr(
+            f"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE) "
+            f"* CAST(element_at({b}, i) AS DOUBLE))"
+        )
+
+    normed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("be"),
+        F.col("nrm").alias("bn"),
+    )
+    cos_q = F.round(
+        dot_fold("ae", "be") / (F.col("an") * F.col("bn")) * 1000000000000.0, 0
+    ).cast("bigint")
+    pairs = a.join(
+        b,
+        (F.col("a_label") == F.col("b_label")) & (F.col("src") != F.col("dst")),
+    ).select("src", "dst", cos_q.alias("cos_q"))
+    w = Window.partitionBy("src").orderBy(F.col("cos_q").desc(), "dst")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst")
+    )
+    indeg = knn.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    return normed.join(indeg, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        (F.coalesce("in_degree", F.lit(0)) > 15).alias("is_hub"),
+    )

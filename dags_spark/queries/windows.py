@@ -3325,3 +3325,63 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / varx / 100.0, 6).alias("slope_per_day"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+@register(
+    "dq_calendar_gaps",
+    oracle="""
+WITH daily AS (
+  SELECT c.c_mktsegment AS seg, date_trunc('day', o.o_orderdate) AS day
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY seg, day
+),
+bounds AS (
+  SELECT seg, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY seg
+),
+calendar AS (
+  SELECT b.seg, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+)
+SELECT c.seg, c.day AS missing_day,
+       CAST(date_part('isodow', c.day) AS BIGINT) AS iso_dow
+FROM calendar c
+LEFT JOIN daily d ON d.seg = c.seg AND d.day = c.day
+WHERE d.day IS NULL
+""",
+)
+def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-GAP DETECTION — which days inside a segment's active
+    range have NO orders at all (the freshness/completeness question
+    'did the feed skip a day?' that row counts can't answer). The
+    expected calendar is generated per segment from its own min/max
+    via `sequence` (never a hand-maintained dims table) and
+    anti-joined against observed days; the ISO weekday of each gap
+    ships with it (weekend gaps are expected, weekday gaps are
+    incidents). Observed days are one agg; the calendar explode is
+    bounds-sized (segments x days — calendar-bounded, independent
+    of fact rows); the anti-join shuffles on (seg, day)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(F.lit(1).alias("one"))
+        .select("seg", "day")
+    )
+    bounds = daily.groupBy("seg").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    calendar = bounds.select(
+        "seg",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return calendar.join(daily, ["seg", "day"], "left_anti").select(
+        "seg",
+        F.col("day").alias("missing_day"),
+        (F.weekday("missing_day") + 1).cast("bigint").alias("iso_dow"),
+    )

@@ -161,6 +161,9 @@ HEAVY = {
     # round-6 wave 14 (1.3-3.3 s at sf0.1; 8 unrolled max-plus joins)
     "multimodal_gif_frames": 20,
     "iter_critical_path": 30,
+    # round-6 wave 15 (1.2-1.8 s at sf0.1; label-blocked fold pairs)
+    "sim_knn_hubness": 45,
+    "dq_calendar_gaps": 20,
 }
 
 
