@@ -1523,3 +1523,71 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         luhn_sum.cast("bigint").alias("luhn_sum"),
         ((10 - luhn_sum % 10) % 10).cast("bigint").alias("check_digit"),
     )
+
+
+_ULID_ALPHABET = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def _ulid_sql(div_op: str) -> str:
+    """Shared ULID expression, parameterized only by the engine's
+    integer-division operator (Spark `DIV`, DuckDB `//`): 10
+    Crockford-base32 chars from the 48-bit millisecond timestamp
+    (top 2 bits zero-padded per spec) + 16 chars from two 40-bit
+    md5-derived words — 26 chars, lexicographically time-ordered."""
+    from ..operators.trainprep import MD5_WORD
+
+    alph = f"'{_ULID_ALPHABET}'"
+    hi = MD5_WORD("o_orderkey", 10)
+    lo = MD5_WORD("concat(cast(o_orderkey as string), 'x')", 10)
+    parts = []
+    for i in range(10):
+        p = 2 ** (45 - 5 * i)
+        parts.append(f"substr({alph}, CAST((t_ms {div_op} {p}) % 32 AS INT) + 1, 1)")
+    for word in (hi, lo):
+        for i in range(8):
+            p = 2 ** (35 - 5 * i)
+            parts.append(
+                f"substr({alph}, CAST((({word}) {div_op} {p}) % 32 AS INT) + 1, 1)"
+            )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "fn_ulid_encode",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                        date_trunc('day', o_orderdate)) AS BIGINT)
+           * 86400000 AS t_ms
+  FROM orders
+)
+SELECT o_orderkey, t_ms, {_ulid_sql("//")} AS ulid
+FROM t
+""",
+)
+def fn_ulid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULID GENERATION — the sortable unique identifier (48-bit
+    millisecond time + 80 bits of entropy, Crockford base32): ids
+    that sort lexicographically BY CREATION TIME, which is what
+    makes them the index-friendly replacement for UUIDv4 in
+    log-structured storage. The entropy lanes are deterministic
+    md5-derived words (the repo's no-RNG rule — reproducible across
+    engines and retries); the 26 characters are pure integer
+    div/mod arithmetic into the alphabet, generated from ONE shared
+    expression builder so Spark and the oracle cannot drift. Scan-
+    local, no shuffle, whole-stage codegen."""
+    o = table(spark, sf_dir, "orders")
+    # arithmetic epoch-ms (orderdate is midnight-precise): timezone-
+    # free on both engines, unlike unix_millis on a TIMESTAMP_NTZ
+    t = o.select(
+        "o_orderkey",
+        (
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"),
+                F.lit("1970-01-01").cast("timestamp"),
+            ).cast("bigint")
+            * 86400000
+        ).alias("t_ms"),
+    )
+    return t.select("o_orderkey", "t_ms", F.expr(_ulid_sql("DIV")).alias("ulid"))

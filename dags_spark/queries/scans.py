@@ -1632,3 +1632,45 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_read", F.lit(len(keep)).cast("bigint"))
         .withColumn("n_files_total", F.lit(len(manifest)).cast("bigint"))
     )
+
+
+@register(
+    "sink_csv_gzip_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED TEXT round-trip — CSV written with codec=gzip and
+    read back through the decompressing reader with an explicit
+    schema (inference on compressed text would double-scan). The
+    practical scan caveat this key documents is a real 100 TB
+    constraint: .csv.gz files are NOT SPLITTABLE — each file is one
+    task no matter its size — so the writer controls read
+    parallelism by the number of files it emits (here the upstream
+    partitioning; at scale, a repartition(N) before the sink IS the
+    reader's degree of parallelism). The aggregate oracle proves
+    the values survived compression byte-exactly."""
+    import tempfile as _tf
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = _tf.mkdtemp(prefix="dags_spark_csvgz_") + "/t"
+    o.write.mode("overwrite").option("compression", "gzip").option(
+        "header", "true"
+    ).csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("o_totalprice").alias("total"),
+    )

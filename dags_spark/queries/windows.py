@@ -3385,3 +3385,74 @@ def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("missing_day"),
         (F.weekday("missing_day") + 1).cast("bigint").alias("iso_dow"),
     )
+
+
+@register(
+    "win_skyline_pareto",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey, o_orderpriority AS pri,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         date_trunc('day', o_orderdate) AS day
+  FROM orders
+),
+scored AS (
+  SELECT *,
+         MIN(day) OVER (PARTITION BY pri ORDER BY price_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_day_cheaper,
+         MIN(day) OVER (PARTITION BY pri, price_c) AS best_day_same_price
+  FROM pts
+)
+SELECT o_orderkey, pri,
+       CAST(price_c AS DOUBLE) / 100.0 AS price, day
+FROM scored
+WHERE (best_day_cheaper IS NULL OR day < best_day_cheaper)
+  AND day = best_day_same_price
+""",
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (PARETO FRONTIER) — the multi-objective 'best
+    trade-offs' query: per priority class, the orders not DOMINATED
+    on (price, date) — no other order is both cheaper-or-equal and
+    earlier-or-equal with one strict. The classic O(n log n) sweep
+    becomes two windows: a RANGE frame keyed on price exposes the
+    best date among all STRICTLY cheaper points (value-range frames,
+    not row frames — ties on price must not see each other), and a
+    per-(pri, price) min settles equal-price ties. A point survives
+    iff it beats every cheaper point's date and is its own price
+    level's earliest. One shuffle per priority class; no self-join,
+    no quadratic dominance test."""
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        cents("o_totalprice").alias("price_c"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    )
+    w_cheaper = (
+        Window.partitionBy("pri")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("pri", "price_c")
+    scored = pts.select(
+        "o_orderkey",
+        "pri",
+        "price_c",
+        "day",
+        F.min("day").over(w_cheaper).alias("best_day_cheaper"),
+        F.min("day").over(w_same).alias("best_day_same_price"),
+    )
+    return scored.filter(
+        (
+            F.col("best_day_cheaper").isNull()
+            | (F.col("day") < F.col("best_day_cheaper"))
+        )
+        & (F.col("day") == F.col("best_day_same_price"))
+    ).select(
+        "o_orderkey",
+        "pri",
+        (F.col("price_c").cast("double") / 100.0).alias("price"),
+        "day",
+    )

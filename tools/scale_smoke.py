@@ -164,6 +164,9 @@ HEAVY = {
     # round-6 wave 15 (1.2-1.8 s at sf0.1; label-blocked fold pairs)
     "sim_knn_hubness": 45,
     "dq_calendar_gaps": 20,
+    # round-6 wave 16 (0.7-3.4 s at sf0.1; gz write inside fn())
+    "win_skyline_pareto": 20,
+    "sink_csv_gzip_roundtrip": 20,
 }
 
 
