@@ -4056,3 +4056,92 @@ def sample_neyman_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "take_h",
         F.col("n_h").cast("bigint").alias("stratum_size"),
     )
+
+
+@register(
+    "iter_hits_scores",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * c_custkey + 13 * c_custkey + 7) % (SELECT n FROM nn)
+           AS dst
+  FROM customer
+),
+-- iteration 1 (init all scores 1): a1 = in-degree, h1 = out-mass
+a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY dst),
+h1 AS (
+  SELECT e.src AS id, CAST(SUM(COALESCE(a1.a, 0)) AS BIGINT) AS h
+  FROM edges e LEFT JOIN a1 ON a1.id = e.dst
+  GROUP BY e.src
+),
+a2 AS (
+  SELECT e.dst AS id, CAST(SUM(COALESCE(h1.h, 0)) AS BIGINT) AS a
+  FROM edges e LEFT JOIN h1 ON h1.id = e.src
+  GROUP BY e.dst
+),
+h2 AS (
+  SELECT e.src AS id, CAST(SUM(COALESCE(a2.a, 0)) AS BIGINT) AS h
+  FROM edges e LEFT JOIN a2 ON a2.id = e.dst
+  GROUP BY e.src
+)
+SELECT COALESCE(a2.id, h2.id) AS node,
+       COALESCE(a2.a, 0) AS authority,
+       COALESCE(h2.h, 0) AS hub
+FROM a2 FULL OUTER JOIN h2 ON a2.id = h2.id
+WHERE COALESCE(a2.a, 0) > 0 OR COALESCE(h2.h, 0) > 0
+""",
+)
+def iter_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) — Kleinberg's companion to
+    PageRank: authorities are pointed AT by good hubs, hubs point
+    TO good authorities, mutually reinforcing. Two alternating
+    power-iteration rounds over the quadratic synthetic graph,
+    UN-normalized so every score stays an exact BIGINT (the usual
+    L2 normalization only rescales the ranking — dropping it is
+    what makes the result hash-checkable; scores after 2 rounds are
+    bounded by max_indegree^2 * n). Each half-step is one join +
+    sum-agg on the edge key — the iter_pagerank shape; nodes with
+    both scores zero are dropped identically on both sides."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            (
+                (F.col("c_custkey") * F.col("c_custkey") + 13 * F.col("c_custkey") + 7)
+                % F.col("n")
+            ).alias("dst"),
+        )
+    )
+    a1 = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    h1 = (
+        edges.join(a1, a1.id == edges.dst, "left")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.coalesce("a", F.lit(0))).cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, h1.id == edges.src, "left")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.coalesce("h", F.lit(0))).cast("bigint").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, a2.id == edges.dst, "left")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.coalesce("a", F.lit(0))).cast("bigint").alias("h"))
+    )
+    a2r = a2.select(F.col("id").alias("a_id"), "a")
+    h2r = h2.select(F.col("id").alias("h_id"), "h")
+    return (
+        a2r.join(h2r, a2r.a_id == h2r.h_id, "full_outer")
+        .select(
+            F.coalesce("a_id", "h_id").alias("node"),
+            F.coalesce("a", F.lit(0)).alias("authority"),
+            F.coalesce("h", F.lit(0)).alias("hub"),
+        )
+        .filter((F.col("authority") > 0) | (F.col("hub") > 0))
+    )

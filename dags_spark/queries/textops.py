@@ -1856,3 +1856,114 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sp = sp.localCheckpoint()
     return out
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) WHERE word <> ''
+),
+bigrams AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+big_n AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY w1, w2
+),
+uni_n AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS types_after
+  FROM big_n GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS types_before FROM big_n GROUP BY w2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big_n),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(
+           (GREATEST(CAST(g.c12 AS DOUBLE) - 0.75, 0.0) / u.c1)
+           + (0.75 * u.types_after / u.c1)
+             * (CAST(k.types_before AS DOUBLE) / t.n_types)
+         ) * 1000000000, 0) AS BIGINT) AS lp_q
+  FROM bigrams b
+  JOIN big_n g ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni_n u ON u.w1 = b.w1
+  JOIN cont k ON k.w2 = b.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(lp_q) AS DOUBLE) / 1000000000.0 / COUNT(*), 6)
+         AS kn_logprob_avg
+FROM scored GROUP BY doc_id
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY BIGRAM LM — the real smoothed language model the
+    unigram perplexity proxy approximates: absolute discounting
+    (D = 0.75) with the continuation-probability backoff that made
+    KN the standard n-gram smoother. Every model quantity (bigram
+    counts, left/right continuation type counts, type total) is an
+    exact integer aggregate; the per-bigram log-probability is one
+    closed-form float expression over identical integer inputs,
+    quantized to a BIGINT lane before the per-doc sum (order-free),
+    average restored at 6dp. Corpus stats are model-sized and join
+    back broadcast; the token self-join pairs adjacent positions
+    per doc (co-partitioned by doc_id). The per-doc average KN
+    log-prob is the fluency score a quality-filtering pipeline
+    thresholds on."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+        F.col("word").alias("w2"),
+    )
+    bigrams = toks.join(
+        b,
+        (F.col("b_doc") == F.col("doc_id")) & (F.col("b_pos") == F.col("pos") + 1),
+    ).select("doc_id", F.col("word").alias("w1"), "w2")
+    big_n = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    uni_n = big_n.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("types_after"),
+    )
+    cont = big_n.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("types_before")
+    )
+    tot = big_n.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    prob = (
+        F.greatest(F.col("c12").cast("double") - 0.75, F.lit(0.0)) / F.col("c1")
+    ) + (0.75 * F.col("types_after") / F.col("c1")) * (
+        F.col("types_before").cast("double") / F.col("n_types")
+    )
+    scored = (
+        bigrams.join(F.broadcast(big_n), ["w1", "w2"])
+        .join(F.broadcast(uni_n), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(prob) * 1000000000, 0).cast("bigint").alias("lp_q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("lp_q").cast("double") / 1000000000.0 / F.count(F.lit(1)), 6
+        ).alias("kn_logprob_avg"),
+    )

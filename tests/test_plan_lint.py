@@ -344,6 +344,12 @@ ALLOWED = {
     # the allocation denominator is a broadcast 1-row scalar
     # subquery over the 5-row fit table.
     "sample_neyman_stratified": {"cartesian", "single-partition-exchange"},
+    # the bigram-type total is a broadcast 1-row scalar subquery over
+    # the model-sized LM stats.
+    "text_kneser_ney_bigram": {"cartesian", "single-partition-exchange"},
+    # node-count scalar subquery broadcast into the edge map, once
+    # per unrolled HITS half-step — the iter_pagerank shape.
+    "iter_hits_scores": {"cartesian", "single-partition-exchange"},
 }
 
 

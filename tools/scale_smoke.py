@@ -167,6 +167,9 @@ HEAVY = {
     # round-6 wave 16 (0.7-3.4 s at sf0.1; gz write inside fn())
     "win_skyline_pareto": 20,
     "sink_csv_gzip_roundtrip": 20,
+    # round-6 wave 17 (2-4.3 s at sf0.1)
+    "text_kneser_ney_bigram": 30,
+    "iter_hits_scores": 20,
 }
 
 
