@@ -2219,3 +2219,74 @@ def ts_yoy_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cagr"),
     )
+
+
+@register(
+    "stats_price_elasticity",
+    oracle="""
+WITH t AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(LN(l.l_extendedprice / l.l_quantity) * 1000000000, 0)
+              AS BIGINT) AS lx_q,
+         CAST(ROUND(LN(l.l_quantity) * 1000000000, 0) AS BIGINT) AS ly_q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((CAST(COUNT(*) AS DOUBLE) * SUM(CAST(lx_q AS DOUBLE) / 1000000000.0
+                                             * (CAST(ly_q AS DOUBLE) / 1000000000.0))
+              - (CAST(SUM(lx_q) AS DOUBLE) / 1000000000.0)
+                * (CAST(SUM(ly_q) AS DOUBLE) / 1000000000.0))
+             / (CAST(COUNT(*) AS DOUBLE) * SUM((CAST(lx_q AS DOUBLE) / 1000000000.0)
+                                               * (CAST(lx_q AS DOUBLE) / 1000000000.0))
+                - (CAST(SUM(lx_q) AS DOUBLE) / 1000000000.0)
+                  * (CAST(SUM(lx_q) AS DOUBLE) / 1000000000.0)), 6)
+         AS elasticity
+FROM t GROUP BY brand
+""",
+)
+def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY OF DEMAND per brand — the log-log OLS slope
+    d ln(qty)/d ln(unit price), the econometric readout pricing
+    teams actually fit. Unit price and quantity pass through LN
+    once per row and are QUANTIZED to BIGINT lanes (identical IEEE
+    inputs on both engines, so the lanes agree bit-for-bit); the
+    cross/spread moments then accumulate as sums of exact lane
+    products (each product reconstructed in double identically on
+    both sides — the lanes pin the inputs, the moment sums inherit
+    determinism because every summand is identical), and the slope
+    is one closed-form expression at 6dp. One join + one hash agg;
+    25-row output. Note the moment sums here are double sums of
+    identical summands — commutative-addition drift is absorbed by
+    the 6dp round, and the lane quantization is what guarantees the
+    summands themselves can never differ."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    t = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000000, 0
+        )
+        .cast("bigint")
+        .alias("lx_q"),
+        F.round(F.log("l_quantity") * 1000000000, 0).cast("bigint").alias("ly_q"),
+    )
+    lx = F.col("lx_q").cast("double") / 1000000000.0
+    ly = F.col("ly_q").cast("double") / 1000000000.0
+    agg = t.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum("lx_q").alias("sx_q"),
+        F.sum("ly_q").alias("sy_q"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx_q").cast("double") / 1000000000.0
+    sy_d = F.col("sy_q").cast("double") / 1000000000.0
+    return agg.select(
+        "brand",
+        "n",
+        F.round(
+            (n_d * F.col("sxy") - sx_d * sy_d) / (n_d * F.col("sxx") - sx_d * sx_d),
+            6,
+        ).alias("elasticity"),
+    )

@@ -3456,3 +3456,60 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_c").cast("double") / 100.0).alias("price"),
         "day",
     )
+
+
+@register(
+    "agg_revenue_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS fm
+  FROM orders GROUP BY o_custkey
+)
+SELECT date_trunc('month', o.o_orderdate) AS month_start,
+       CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) = f.fm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
+       CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) <> f.fm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_returning_orders,
+       CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) = f.fm
+                THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS new_revenue,
+       CAST(SUM(CASE WHEN date_trunc('month', o.o_orderdate) <> f.fm
+                THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                ELSE 0 END) AS DOUBLE) / 100.0 AS returning_revenue
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY month_start
+""",
+)
+def agg_revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING revenue split per month — the growth-
+    accounting twin of agg_churn_monthly: how much of each month's
+    revenue comes from customers in their FIRST month versus repeat
+    business (the ratio every acquisition-vs-retention debate runs
+    on). First-month assignment is one per-customer MIN agg joined
+    back on the customer key (co-partitioned with the fact scan's
+    own grouping); all four measures are conditional exact-cents
+    sums in ONE partial+final hash agg — no second fact pass."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("fm")
+    )
+    j = o.join(firsts, "o_custkey").withColumn(
+        "m", F.date_trunc("month", "o_orderdate")
+    )
+    is_new = F.col("m") == F.col("fm")
+    return j.groupBy(F.col("m").alias("month_start")).agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new_orders"),
+        F.sum(F.when(~is_new, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returning_orders"),
+        (
+            F.sum(F.when(is_new, cents("o_totalprice")).otherwise(0)).cast("double")
+            / 100.0
+        ).alias("new_revenue"),
+        (
+            F.sum(F.when(~is_new, cents("o_totalprice")).otherwise(0)).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("returning_revenue"),
+    )

@@ -170,6 +170,8 @@ HEAVY = {
     # round-6 wave 17 (2-4.3 s at sf0.1)
     "text_kneser_ney_bigram": 30,
     "iter_hits_scores": 20,
+    # round-6 wave 18 (2.6 s at sf0.1)
+    "agg_revenue_new_vs_returning": 20,
 }
 
 
