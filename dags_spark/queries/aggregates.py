@@ -2290,3 +2290,440 @@ def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("elasticity"),
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+WITH f AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS fl
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+hist AS (
+  SELECT q,
+         SUM(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS n1_v,
+         SUM(CASE WHEN fl = 'A' THEN 1 ELSE 0 END) AS n2_v
+  FROM f GROUP BY q
+),
+cum AS (
+  SELECT n1_v, n2_v, n1_v + n2_v AS t_v,
+         COALESCE(SUM(n1_v + n2_v) OVER (
+           ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_t
+  FROM hist
+),
+lanes AS (
+  SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+         CAST(SUM(n2_v) AS BIGINT) AS n2,
+         CAST(SUM(n1_v * (2 * cum_t + t_v + 1)) AS BIGINT) AS r1_2,
+         CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_sum
+  FROM cum
+)
+SELECT n1, n2,
+       CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       ROUND(
+         CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+         / (2.0 * SQRT(
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+             * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(tie_sum AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+           )),
+         6
+       ) AS z_stat
+FROM lanes
+""",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test (tie-corrected normal
+    approximation) — the nonparametric two-sample location test an
+    experimentation platform reaches for when distributions are
+    skewed and a t-test's normality assumption fails: here, do
+    returned ('R') and accepted ('A') line items differ in quantity?
+    The naive formulation ranks every row globally (a full sort and
+    an order-dependent tie mess); the scalable identity works on the
+    VALUE HISTOGRAM instead: with t_v rows tied at value v and
+    cum_t rows below it, every group-1 row at v has average rank
+    cum_t + (t_v+1)/2, so 2*R1 = sum n1_v*(2*cum_t + t_v + 1) stays
+    exact integer arithmetic on a domain-sized grid (50 quantity
+    levels regardless of row count). The tie-corrected variance
+    sigma^2 = n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))) comes from the
+    same grid. One fact-scan hash-agg -> 50-row window -> 1-row
+    reduce; at 100 TB only the histogram shuffles."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    hist = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n1_v"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("n2_v"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    t_v = F.col("n1_v") + F.col("n2_v")
+    cum = hist.select(
+        "n1_v",
+        "n2_v",
+        t_v.alias("t_v"),
+        F.coalesce(F.sum(t_v).over(w), F.lit(0)).alias("cum_t"),
+    )
+    lanes = cum.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("n1_v") * (2 * F.col("cum_t") + F.col("t_v") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n_d = (n1 + n2).cast("double")
+    var = (
+        n1.cast("double") * n2.cast("double") / 12.0
+        * ((n_d + 1.0) - F.col("tie_sum").cast("double") / (n_d * (n_d - 1.0)))
+    )
+    return lanes.select(
+        "n1",
+        "n2",
+        ((F.col("r1_2") - n1 * (n1 + 1)).cast("double") / 2.0).alias("u1"),
+        F.round(
+            (F.col("r1_2") - n1 * (n1 + 1) - n1 * n2).cast("double")
+            / (2.0 * F.sqrt(var)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "stats_ks_2sample",
+    oracle="""
+WITH f AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('purchase', 'click')
+),
+hist AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1_v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2_v
+  FROM f GROUP BY value
+),
+cum AS (
+  SELECT SUM(n1_v) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c1,
+         SUM(n2_v) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c2
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(n1_v) AS BIGINT) AS n1, CAST(SUM(n2_v) AS BIGINT) AS n2
+  FROM hist
+)
+SELECT n1, n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+       ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+""",
+)
+def stats_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV D statistic — the standard
+    "did the distribution shift?" test between purchase and click
+    event values, computed EXACTLY as a rational number: at each
+    pooled distinct value the ECDF gap |F1 - F2| equals
+    |c1*n2 - c2*n1| / (n1*n2), so the max runs entirely in BIGINT
+    integer arithmetic (no float ECDFs to drift) with one double
+    division at the end. Distinct-value histogram -> cumulative
+    window over the domain-sized grid -> 1-row broadcast of totals
+    crossed in -> exact max. The same grid pattern as the AUC and
+    Mann-Whitney keys: at 100 TB only distinct values shuffle, and a
+    production variant would pre-bin values to a bounded grid (the
+    statistic is then exact on the binned distribution)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    hist = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n1_v"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n2_v"
+        ),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("n1_v").over(w).alias("c1"),
+        F.sum("n2_v").over(w).alias("c2"),
+    )
+    tot = hist.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return j.groupBy("n1", "n2").agg(
+        F.max(gap).cast("bigint").alias("d_num"),
+        F.round(
+            F.max(gap).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+@register(
+    "stats_cohens_d",
+    oracle="""
+WITH seg AS (
+  SELECT r.r_name AS region,
+         c.c_mktsegment AS seg,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+),
+lanes AS (
+  SELECT region,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN bal_c ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN bal_c * bal_c ELSE 0 END) AS BIGINT) AS ss1,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN bal_c ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN bal_c * bal_c ELSE 0 END) AS BIGINT) AS ss2
+  FROM seg GROUP BY region
+)
+SELECT region, n1, n2,
+       ROUND(
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+         / SQRT(
+             ((CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              + (CAST(ss2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / CAST(n1 + n2 - 2 AS DOUBLE)
+           ),
+         6
+       ) AS cohens_d
+FROM lanes
+WHERE n1 >= 2 AND n2 >= 2
+""",
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S d EFFECT SIZE per region — the standardized mean
+    difference (pooled-SD form) that turns an A/B readout from
+    "p < 0.05" into "how big is the effect": here, AUTOMOBILE vs
+    BUILDING segment account balances. All moments accumulate as
+    EXACT integer cents lanes (sum, sum-of-squares as BIGINT in one
+    conditional hash-agg pass), so the double reconstruction
+    (mean1 - mean2) / sqrt(pooled within-group variance) is the same
+    closed-form expression on identical inputs on both engines.
+    Dimension joins broadcast; one partial+final hash agg on region;
+    the only caveat at extreme scale is the BIGINT cents^2 lane
+    (~9e18 overflow at ~10^6 x current per-group mass — swap to the
+    DECIMAL(38,0) lane pattern from embedding_pca_power then)."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    seg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            cents("c_acctbal").alias("bal_c"),
+        )
+    )
+    is1 = F.col("seg") == "AUTOMOBILE"
+    bal = F.col("bal_c")
+    lanes = seg.groupBy("region").agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, bal).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, bal * bal).otherwise(0)).cast("bigint").alias("ss1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(~is1, bal).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(~is1, bal * bal).otherwise(0)).cast("bigint").alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    ss_within = (F.col("ss1").cast("double") - s1d * s1d / n1d) + (
+        F.col("ss2").cast("double") - s2d * s2d / n2d
+    )
+    pooled_var = ss_within / (F.col("n1") + F.col("n2") - 2).cast("double")
+    return lanes.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
+        "region",
+        "n1",
+        "n2",
+        F.round((s1d / n1d - s2d / n2d) / F.sqrt(pooled_var), 6).alias(
+            "cohens_d"
+        ),
+    )
+
+
+# Shared Abramowitz-Stegun 7.1.26 rational tail for the standard
+# normal CDF: both engines evaluate the IDENTICAL polynomial-in-t
+# times exp(-z^2/2)/sqrt(2*pi), so the only transcendental is EXP;
+# the resulting two-sided p is quantized to a 1e-12 lane before any
+# ordering/compare (same discipline as the LN-based keys).
+_SQL_NORM_P2 = (
+    "2.0 * (EXP(-(ABS({z}) * ABS({z})) / 2.0) * 0.3989422804014327)"
+    " * ((1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    " * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    " * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    " * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    " * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    " * 1.330274429)))))"
+)
+
+
+def _norm_p2(z: F.Column) -> F.Column:
+    """Two-sided normal p-value, A&S 7.1.26 — mirrors _SQL_NORM_P2
+    term-for-term (same association order) so both engines produce
+    bit-identical doubles from the same z."""
+    x = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * x)
+    pdf = F.exp(-(x * x) / 2.0) * 0.3989422804014327
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    return 2.0 * pdf * poly
+
+
+@register(
+    "stats_bh_fdr",
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+per AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(is_ret) AS BIGINT) AS x_b
+  FROM j GROUP BY brand
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n_tot, CAST(SUM(x_b) AS BIGINT) AS x_tot
+  FROM per
+),
+z AS (
+  SELECT brand, n_b, x_b,
+         (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         / SQRT((CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                * (1.0 - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                / CAST(n_b AS DOUBLE)) AS zv
+  FROM per CROSS JOIN tot
+),
+pq AS (
+  SELECT brand, n_b, x_b, zv,
+         CAST(ROUND((__P2__) * 1000000000000.0, 0) AS BIGINT) AS p_q
+  FROM z
+),
+ranked AS (
+  SELECT brand, n_b, x_b, zv, p_q,
+         (CAST(p_q AS DOUBLE) / 1000000000000.0)
+         * CAST(COUNT(*) OVER () AS DOUBLE)
+         / CAST(ROW_NUMBER() OVER (ORDER BY p_q, brand) AS DOUBLE) AS raw
+  FROM pq
+),
+adj AS (
+  SELECT brand, n_b, x_b, zv, p_q,
+         MIN(raw) OVER (ORDER BY p_q, brand
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_adj_raw
+  FROM ranked
+)
+SELECT brand, n_b, x_b, ROUND(zv, 6) AS z_stat, p_q,
+       ROUND(LEAST(p_adj_raw, 1.0), 9) AS p_adj,
+       LEAST(p_adj_raw, 1.0) <= 0.05 AS reject
+FROM adj
+""".replace("__P2__", _SQL_NORM_P2.format(z="zv")),
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR correction over a family of per-brand
+    two-proportion z-tests (brand return rate vs the pooled rate) —
+    the multiple-testing control every metrics platform needs the
+    moment it tests 25 brands at once (at alpha=.05, ~1.25 false
+    positives are expected uncorrected). Counts are exact integers;
+    z is one closed-form double; the two-sided p-value uses the
+    shared Abramowitz-Stegun normal-CDF polynomial (identical
+    term order on both engines) and is QUANTIZED to a 1e-12 BIGINT
+    lane before any ordering, so the BH sort key (p_q, brand) is
+    deterministic. The step-up adjusted p is the reverse running
+    min of p*(m/rank) over the brand-count-sized table — a 25-row
+    window however big the fact scan. Rejections at q=.05."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_ret"),
+    )
+    per = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("is_ret").cast("bigint").alias("x_b"),
+    )
+    tot = per.agg(
+        F.sum("n_b").cast("bigint").alias("n_tot"),
+        F.sum("x_b").cast("bigint").alias("x_tot"),
+    )
+    z = per.crossJoin(F.broadcast(tot))
+    p0 = F.col("x_tot").cast("double") / F.col("n_tot").cast("double")
+    zv = (
+        F.col("x_b").cast("double") / F.col("n_b").cast("double") - p0
+    ) / F.sqrt(p0 * (1.0 - p0) / F.col("n_b").cast("double"))
+    pq = z.select(
+        "brand",
+        "n_b",
+        "x_b",
+        zv.alias("zv"),
+        F.round(_norm_p2(zv) * 1000000000000.0, 0).cast("bigint").alias("p_q"),
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("p_q", "brand")
+    w_tail = Window.orderBy("p_q", "brand").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ranked = pq.select(
+        "brand",
+        "n_b",
+        "x_b",
+        "zv",
+        "p_q",
+        (
+            (F.col("p_q").cast("double") / 1000000000000.0)
+            * F.count(F.lit(1)).over(w_all).cast("double")
+            / F.row_number().over(w_ord).cast("double")
+        ).alias("raw"),
+    )
+    adj = ranked.select(
+        "brand",
+        "n_b",
+        "x_b",
+        "zv",
+        "p_q",
+        F.min("raw").over(w_tail).alias("p_adj_raw"),
+    )
+    return adj.select(
+        "brand",
+        "n_b",
+        "x_b",
+        F.round("zv", 6).alias("z_stat"),
+        "p_q",
+        F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
+        (F.least(F.col("p_adj_raw"), F.lit(1.0)) <= 0.05).alias("reject"),
+    )

@@ -1967,3 +1967,73 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp_q").cast("double") / 1000000000.0 / F.count(F.lit(1)), 6
         ).alias("kn_logprob_avg"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH tri AS (
+  SELECT DISTINCT doc_id, trigram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' '
+                  || string_split(text, ' ')[i + 1] || ' '
+                  || string_split(text, ' ')[i + 2])) AS trigram
+    FROM documents
+  )
+),
+first_seen AS (
+  SELECT trigram, MIN(doc_id) AS first_doc FROM tri GROUP BY trigram
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_share
+FROM tri t JOIN first_seen f ON t.trigram = f.trigram
+GROUP BY t.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document — the share of a doc's distinct
+    word trigrams whose FIRST corpus occurrence (min doc_id) is this
+    doc. The freshness/diversity signal a training-data curator uses
+    to rank sources: boilerplate-heavy docs score near 0 (their
+    trigrams all appeared earlier), genuinely new material near 1 —
+    the corpus-level twin of the per-doc repetition key. Pure
+    explode -> distinct -> MIN hash-agg -> equi-join back on the
+    trigram (the join key is the blocking key, so the shuffle is on
+    trigram fingerprints, never text bodies); at 100 TB you'd hash
+    trigrams to 64-bit before the shuffle (xxhash64) and the plan is
+    unchanged. Deterministic: ties broken by the min doc_id rule."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    tri_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        d.select("doc_id", F.explode(tri_arr).alias("trigram"))
+        .distinct()
+    )
+    first_seen = tri.groupBy("trigram").agg(F.min("doc_id").alias("first_doc"))
+    j = tri.join(first_seen, "trigram")
+    is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+        F.sum(is_novel).cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum(is_novel).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("novelty_share"),
+    )

@@ -350,6 +350,16 @@ ALLOWED = {
     # node-count scalar subquery broadcast into the edge map, once
     # per unrolled HITS half-step — the iter_pagerank shape.
     "iter_hits_scores": {"cartesian", "single-partition-exchange"},
+    # rank cumsum over the DOMAIN-SIZED value histogram (50 quantity
+    # levels at any SF) — the stats_auc_exact grid shape; the fact
+    # scan itself reduces map-side into the grid first.
+    "stats_mann_whitney_u": {"single-partition-exchange"},
+    # ECDF cumsum over the distinct-value grid plus a broadcast
+    # 1-row (n1, n2) totals cross — grid window + scalar subquery.
+    "stats_ks_2sample": {"cartesian", "single-partition-exchange"},
+    # BH step-up runs on the 25-row per-brand p-value table (brand
+    # domain-sized); pooled-rate totals are a 1-row broadcast cross.
+    "stats_bh_fdr": {"cartesian", "single-partition-exchange"},
 }
 
 

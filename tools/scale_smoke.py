@@ -172,6 +172,10 @@ HEAVY = {
     "iter_hits_scores": 20,
     # round-6 wave 18 (2.6 s at sf0.1)
     "agg_revenue_new_vs_returning": 20,
+    # round-6 wave 19 (cold 5.6 / 2.7 / 6.6 s at sf0.1)
+    "stats_mann_whitney_u": 25,
+    "stats_ks_2sample": 15,
+    "text_ngram_novelty": 35,
 }
 
 
