@@ -641,3 +641,70 @@ def walk_gif(buf: bytes) -> tuple[int, int, int, int]:
             data_bytes += n
         else:
             raise ValueError(f"unknown block 0x{b:02x} at {pos - 1}")
+
+
+def encode_tga_pattern(width: int, height: int) -> bytes:
+    """24-bit uncompressed true-color TGA (image type 2) with a
+    deterministic per-pixel pattern distinct from the BMP one:
+    B=(x*3+y*19)%256, G=(x*13+y*5)%256, R=(x*9+y*11)%256. Written
+    TOP-DOWN (descriptor bit 5 set) with no row padding — the two
+    container details that differ from BMP (bottom-up, 4-byte row
+    stride), so a decoder that silently assumes BMP conventions
+    produces wrong rows and fails the arithmetic oracle."""
+    import struct
+
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,  # id length
+        0,  # no color map
+        2,  # uncompressed true-color
+        0,  # color map first entry
+        0,  # color map length
+        0,  # color map entry size
+        0,  # x-origin
+        0,  # y-origin
+        width,
+        height,
+        24,  # bits per pixel
+        0x20,  # descriptor: top-to-bottom row order
+    )
+    body = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in (
+            (x * 3 + y * 19) % 256,
+            (x * 13 + y * 5) % 256,
+            (x * 9 + y * 11) % 256,
+        )
+    )
+    return header + body
+
+
+def decode_tga_pixels(
+    buf: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-Python 24-bit TGA decode -> (width, height, rows of
+    (B, G, R) in image coordinates, y=0 top). Honors descriptor
+    bit 5 (top-down vs bottom-up) and the id-field length; rejects
+    color-mapped/RLE types loudly rather than misreading them."""
+    import struct
+
+    id_len, cmap_type, img_type = buf[0], buf[1], buf[2]
+    if cmap_type != 0 or img_type != 2:
+        raise ValueError(f"unsupported TGA (cmap={cmap_type}, type={img_type})")
+    width, height = struct.unpack_from("<HH", buf, 12)
+    bpp = buf[16]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    top_down = bool(buf[17] & 0x20)
+    off = 18 + id_len
+    row_len = width * 3
+    img = []
+    for y in range(height):
+        r = y if top_down else height - 1 - y
+        base = off + r * row_len
+        img.append(
+            [tuple(buf[base + 3 * x : base + 3 * x + 3]) for x in range(width)]
+        )
+    return width, height, img

@@ -3765,3 +3765,179 @@ def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         (F.coalesce("in_degree", F.lit(0)) > 15).alias("is_hub"),
     )
+
+
+@register(
+    "multimodal_tga_decode",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 29 AS w, 1 + doc_id % 19 AS h
+  FROM documents WHERE doc_id % 4 = 2
+),
+xs AS (SELECT unnest(generate_series(0, 28)) AS x),
+ys AS (SELECT unnest(generate_series(0, 18)) AS y),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (x * 9 + y * 11) % 256 AS r,
+         (x * 13 + y * 5) % 256 AS g,
+         (x * 3 + y * 19) % 256 AS b
+  FROM docs d, xs, ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TGA (Targa) CONTAINER DECODE — a third real uncompressed
+    image walk next to BMP and PPM, and deliberately a DIFFERENT
+    container contract: TGA is top-down when descriptor bit 5 is
+    set and has NO row padding, where BMP is bottom-up with 4-byte
+    row stride — a decoder that pattern-matches BMP conventions
+    reads rows upside down or sheared, and the arithmetic oracle
+    catches it per channel. Payloads are synthesized and decoded
+    entirely INSIDE the Arrow mapInPandas kernel
+    (operators/multimodal.py encode_tga_pattern/decode_tga_pixels —
+    pure byte walks, no codec library); only (doc_id, dims, channel
+    sums) leave the executor. The oracle recomputes every channel
+    sum in closed form from the pixel pattern, so the hash certifies
+    genuine per-pixel decode, not plumbing."""
+    from ..operators.multimodal import decode_tga_pixels, encode_tga_pattern
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                payload = encode_tga_pattern(1 + int(i) % 29, 1 + int(i) % 19)
+                w, h, img = decode_tga_pixels(payload)
+                sr = sg = sb = 0
+                for row in img:
+                    for (b, g, r) in row:
+                        sr += r
+                        sg += g
+                        sb += b
+                rows.append((int(i), w, h, w * h, sr, sg, sb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
+        " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+
+
+@register(
+    "train_contrastive_pairs",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang,
+         instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR) || ':batch'), 1, 1)) - 1
+           AS batch
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, batch,
+         LEAD(doc_id) OVER (PARTITION BY batch, lang ORDER BY doc_id)
+           AS positive_id
+  FROM docs
+),
+reps AS (
+  SELECT batch, lang, MIN(doc_id) AS rep FROM docs GROUP BY batch, lang
+),
+negs AS (
+  SELECT p.doc_id, r.rep,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY r.rep) AS rn
+  FROM pos p JOIN reps r ON p.batch = r.batch AND p.lang <> r.lang
+),
+neg2 AS (
+  SELECT doc_id,
+         MIN(CASE WHEN rn = 1 THEN rep END) AS neg1_id,
+         MIN(CASE WHEN rn = 2 THEN rep END) AS neg2_id
+  FROM negs GROUP BY doc_id
+)
+SELECT p.doc_id AS anchor_id, p.lang, p.batch,
+       p.positive_id, n.neg1_id, n.neg2_id
+FROM pos p JOIN neg2 n ON p.doc_id = n.doc_id
+WHERE p.positive_id IS NOT NULL
+  AND n.neg1_id IS NOT NULL AND n.neg2_id IS NOT NULL
+""",
+)
+def train_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE TRAINING PAIR MINING — the (anchor, positive,
+    negatives) triplet builder behind embedding-model training data:
+    docs are sharded into deterministic hash BATCHES (the in-batch-
+    negatives regime — at scale a batch is what fits one training
+    step, and pairing stays batch-local so NOTHING all-pairs ever
+    materializes); the positive is the next same-lang doc in batch
+    order (a stand-in for the near-dup/same-cluster positive of a
+    production miner — swap in the minhash component id unchanged);
+    the two hard negatives are the smallest representatives of
+    OTHER langs in the same batch. Every choice is a hash or a MIN —
+    no RNG, reproducible across engines and runs. Plan: one batch
+    hash-agg for representatives + a batch-keyed equi-join + one
+    window per (batch, lang); shuffles scale with batches, not
+    pairs^2."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substr(md5(CAST(doc_id AS STRING) || ':batch'), 1, 1)) - 1"
+            )
+        ).alias("batch"),
+    )
+    w_pos = Window.partitionBy("batch", "lang").orderBy("doc_id")
+    pos = d.select(
+        "doc_id", "lang", "batch", F.lead("doc_id").over(w_pos).alias("positive_id")
+    )
+    reps = d.groupBy("batch", "lang").agg(F.min("doc_id").alias("rep"))
+    j = pos.join(
+        reps.withColumnRenamed("lang", "r_lang"),
+        on="batch",
+    ).filter(F.col("lang") != F.col("r_lang"))
+    w_rn = Window.partitionBy("doc_id").orderBy("rep")
+    ranked = j.select("doc_id", "rep", F.row_number().over(w_rn).alias("rn"))
+    neg2 = ranked.groupBy("doc_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("rep"))).alias("neg1_id"),
+        F.min(F.when(F.col("rn") == 2, F.col("rep"))).alias("neg2_id"),
+    )
+    return (
+        pos.join(neg2, "doc_id")
+        .filter(
+            F.col("positive_id").isNotNull()
+            & F.col("neg1_id").isNotNull()
+            & F.col("neg2_id").isNotNull()
+        )
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "lang",
+            "batch",
+            "positive_id",
+            "neg1_id",
+            "neg2_id",
+        )
+    )

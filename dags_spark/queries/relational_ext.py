@@ -4145,3 +4145,64 @@ def iter_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("authority") > 0) | (F.col("hub") > 0))
     )
+
+
+@register(
+    "dq_row_count_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY day
+),
+med AS (
+  SELECT day, n_rows,
+         MEDIAN(n_rows) OVER (
+           ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS trailing_med,
+         COUNT(*) OVER (
+           ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS n_trailing
+  FROM daily
+)
+SELECT day, n_rows,
+       ROUND(trailing_med, 6) AS trailing_median,
+       CAST(n_rows AS DOUBLE) < 0.5 * trailing_med
+         OR CAST(n_rows AS DOUBLE) > 1.5 * trailing_med AS is_anomaly
+FROM med
+WHERE n_trailing >= 3
+""",
+)
+def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE VOLUME MONITOR — the "did yesterday's load arrive?"
+    check every ingestion DAG needs: each day's row count vs the
+    MEDIAN of the 7 prior days (median, not mean, so one bad day
+    can't poison its own baseline — the same robustness argument as
+    dq_mad_outliers), flagged when outside [0.5x, 1.5x]. Days with
+    fewer than 3 trailing observations are withheld rather than
+    judged on noise. The fact scan reduces map-side into the daily
+    grid first; the rolling median runs on the CALENDAR-sized grid
+    (~2.2k days here, bounded at any fact scale), which is the whole
+    reason exact medians are affordable in this shape. Both engines
+    interpolate the even-count median identically (linear midpoint
+    of exact integers)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    med = daily.select(
+        "day",
+        "n_rows",
+        F.expr("percentile(n_rows, 0.5)").over(w).alias("trailing_med"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+    return med.filter(F.col("n_trailing") >= 3).select(
+        "day",
+        "n_rows",
+        F.round("trailing_med", 6).alias("trailing_median"),
+        (
+            (F.col("n_rows").cast("double") < 0.5 * F.col("trailing_med"))
+            | (F.col("n_rows").cast("double") > 1.5 * F.col("trailing_med"))
+        ).alias("is_anomaly"),
+    )

@@ -1674,3 +1674,63 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "table_format_vacuum",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {{SQL_DEC_SUM}} AS total_value,
+       TRUE AS orphans_removed,
+       TRUE AS expired_read_fails,
+       TRUE AS retained_logs_only
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus
+""".replace("{SQL_DEC_SUM}", SQL_DEC_SUM("o_totalprice")),
+)
+def table_format_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the log-structured table format — the storage-
+    reclaim companion to compact(): v1 overwrite (keys %3=0),
+    v2 overwrite (%3=1, orphaning v1's files), v3 append (%3=2),
+    then OPTIMIZE to v4 (rewriting v2+v3's files), then
+    vacuum(retain_last=1). The invariants pinned here are the ones
+    a lakehouse must not get wrong: (a) the retained snapshot is
+    BYTE-INTACT after physical deletion (the aggregate below is the
+    proof), (b) every unreferenced data file is actually gone from
+    the directory (storage is reclaimed, not leaked), (c) reads of
+    expired versions fail LOUDLY on the missing log entry — never a
+    silent partial read, because resolution goes through the version
+    file before any data path. The oracle recomputes the retained
+    content (%3 in {{1,2}}) straight from the defining predicates.
+    At 100 TB vacuum is a metadata diff (retained file lists vs a
+    listing) + bulk deletes — no data is read at all."""
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders")
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 3 == 0), mode="overwrite")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 1), mode="overwrite")
+    t.write(o.filter(F.col("o_orderkey") % 3 == 2), mode="append")
+    t.compact(spark, target_files=2)
+    stats = t.vacuum(retain_last=1)
+
+    kept = set(t.snapshot()["files"])
+    on_disk = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    orphans_removed = on_disk == kept and stats["removed_data_files"] > 0
+    try:
+        t.read(spark, version=1)
+        expired_fails = False
+    except FileNotFoundError:
+        expired_fails = True
+    retained_logs_only = (
+        t.latest_version() == 4 and stats["removed_log_entries"] == 3
+    )
+    back = t.read(spark)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dec_sum("o_totalprice").alias("total_value"),
+        F.lit(bool(orphans_removed)).alias("orphans_removed"),
+        F.lit(bool(expired_fails)).alias("expired_read_fails"),
+        F.lit(bool(retained_logs_only)).alias("retained_logs_only"),
+    )

@@ -3513,3 +3513,83 @@ def agg_revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("returning_revenue"),
     )
+
+
+@register(
+    "win_bollinger_breakout",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY day
+),
+lanes AS (
+  SELECT day, rev_c,
+         CAST(SUM(rev_c) OVER w AS BIGINT) AS s_c,
+         CAST(SUM(rev_c * rev_c) OVER w AS BIGINT) AS ss_c,
+         COUNT(*) OVER w AS n_w
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+bands AS (
+  SELECT day, rev_c, n_w,
+         CAST(s_c AS DOUBLE) / CAST(n_w AS DOUBLE) AS mean_c,
+         SQRT((CAST(ss_c AS DOUBLE)
+               - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_w AS DOUBLE))
+              / CAST(n_w - 1 AS DOUBLE)) AS sd_c
+  FROM lanes WHERE n_w = 7
+)
+SELECT day,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       ROUND((mean_c - 2.0 * sd_c) / 100.0, 4) AS lower_band,
+       ROUND((mean_c + 2.0 * sd_c) / 100.0, 4) AS upper_band,
+       CAST(rev_c AS DOUBLE) > mean_c + 2.0 * sd_c
+         OR CAST(rev_c AS DOUBLE) < mean_c - 2.0 * sd_c AS is_breakout
+FROM bands
+""",
+)
+def win_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BAND BREAKOUTS on daily revenue — the rolling
+    mean +/- 2-sigma envelope that flags days whose revenue moved
+    beyond recent volatility (the time-series twin of the static
+    MAD outlier key: the threshold ADAPTS to the local regime). The
+    trap in every distributed rolling-sigma is STDDEV over a frame
+    of doubles — a shuffle-order-dependent sum. Here the daily
+    revenue is an exact cents BIGINT, the frame keeps exact SUM and
+    SUM-OF-SQUARES integer lanes, and sigma is reconstructed in one
+    closed-form double per row — bit-identical on both engines, no
+    accumulation order anywhere. Frame = 7 days including today
+    (emitted only when full, so every band has identical support).
+    Fact scan reduces map-side into the calendar grid; the window
+    runs on ~2.2k grid rows however large the scan."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    lanes = daily.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("s_c"),
+        F.sum(F.col("rev_c") * F.col("rev_c")).over(w).cast("bigint").alias("ss_c"),
+        F.count(F.lit(1)).over(w).alias("n_w"),
+    )
+    n_d = F.col("n_w").cast("double")
+    s_d = F.col("s_c").cast("double")
+    mean_c = s_d / n_d
+    sd_c = F.sqrt(
+        (F.col("ss_c").cast("double") - s_d * s_d / n_d)
+        / (F.col("n_w") - 1).cast("double")
+    )
+    bands = lanes.filter(F.col("n_w") == 7).select(
+        "day",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        F.round((mean_c - 2.0 * sd_c) / 100.0, 4).alias("lower_band"),
+        F.round((mean_c + 2.0 * sd_c) / 100.0, 4).alias("upper_band"),
+        (
+            (F.col("rev_c").cast("double") > mean_c + 2.0 * sd_c)
+            | (F.col("rev_c").cast("double") < mean_c - 2.0 * sd_c)
+        ).alias("is_breakout"),
+    )
+    return bands

@@ -273,6 +273,45 @@ class TableLog:
         )
         return version
 
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """VACUUM: physically delete data files that no snapshot in
+        the retained window (the last `retain_last` versions)
+        references, and expire the log entries of the aged-out
+        versions. The erasure companion to compact()/delete() — both
+        of those are metadata events that leave old files in place
+        for time travel; vacuum is the operation that actually
+        reclaims storage, and the one that BREAKS time travel beyond
+        the retention window (reads of expired versions fail loudly
+        on the missing log entry, never silently return partial
+        data). Safe under the log protocol because the retained
+        window is resolved from committed metadata only: a file is
+        deleted iff no retained version's file LIST names it, so
+        concurrent readers of retained versions are unaffected.
+        Returns counts for audit."""
+        latest = self.latest_version()
+        if latest == 0:
+            raise ValueError("nothing to vacuum")
+        keep_from = max(1, latest - retain_last + 1)
+        referenced: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            referenced.update(self.snapshot(v)["files"])
+        removed_data = 0
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in referenced:
+                os.unlink(os.path.join(self.path, f))
+                removed_data += 1
+        removed_logs = 0
+        for v in range(1, keep_from):
+            p = self._version_file(v)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed_logs += 1
+        return {
+            "removed_data_files": removed_data,
+            "removed_log_entries": removed_logs,
+            "retained_from": keep_from,
+        }
+
     # -- read path -----------------------------------------------------
     def read(
         self,

@@ -360,6 +360,11 @@ ALLOWED = {
     # BH step-up runs on the 25-row per-brand p-value table (brand
     # domain-sized); pooled-rate totals are a 1-row broadcast cross.
     "stats_bh_fdr": {"cartesian", "single-partition-exchange"},
+    # rolling median / sigma bands run on the CALENDAR-sized daily
+    # grid (~2.2k rows at any fact scale) after a map-side reduce —
+    # the agg_bounce_rate_daily grid-window shape.
+    "dq_row_count_anomaly": {"single-partition-exchange"},
+    "win_bollinger_breakout": {"single-partition-exchange"},
 }
 
 

@@ -156,3 +156,30 @@ def test_delete_removes_keys_and_preserves_history(spark):
     assert {r["k"] for r in t.read(spark, version=1).collect()} == {1, 2, 3, 4}
     with pytest.raises(CommitConflict):
         t.delete(spark, doomed, keys=["k"], base_version=1)
+
+
+def test_vacuum_reclaims_orphans_and_expires_history(spark):
+    t = tmp_table()
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k INT, v DOUBLE")
+    b = spark.createDataFrame([(3, 30.0), (4, 40.0)], "k INT, v DOUBLE")
+    t.write(a, mode="overwrite")  # v1
+    t.write(b, mode="overwrite")  # v2 — v1's files now unreferenced
+    t.write(a, mode="append")  # v3 = b + a
+    stats = t.vacuum(retain_last=2)  # keep v2, v3
+    # v1's files are physically gone, its log entry expired
+    assert stats["removed_data_files"] >= 1
+    assert stats["removed_log_entries"] == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    # the whole retained window still reads intact (v2 shares files
+    # with v3, so deletion must respect the UNION of retained lists)
+    assert {r["k"] for r in t.read(spark, version=2).collect()} == {3, 4}
+    assert {r["k"] for r in t.read(spark, version=3).collect()} == {1, 2, 3, 4}
+    # directory holds exactly the retained files — nothing leaked
+    on_disk = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    retained = set(t.snapshot(2)["files"]) | set(t.snapshot(3)["files"])
+    assert on_disk == retained
+    # idempotent: a second vacuum finds nothing to do
+    again = t.vacuum(retain_last=2)
+    assert again["removed_data_files"] == 0
+    assert again["removed_log_entries"] == 0

@@ -176,6 +176,10 @@ HEAVY = {
     "stats_mann_whitney_u": 25,
     "stats_ks_2sample": 15,
     "text_ngram_novelty": 35,
+    # round-6 wave 20 (1.5-2.3 s warm at sf0.1)
+    "table_format_vacuum": 20,
+    "multimodal_tga_decode": 15,
+    "train_contrastive_pairs": 15,
 }
 
 
