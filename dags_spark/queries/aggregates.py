@@ -2727,3 +2727,252 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
         (F.least(F.col("p_adj_raw"), F.lit(1.0)) <= 0.05).alias("reject"),
     )
+
+
+# One-sided upper-tail survival P(Z >= z) for a possibly-negative z,
+# built from the same A&S 7.1.26 tail: for z >= 0 the tail formula
+# applies directly; for z < 0 it is 1 - tail(|z|). Shared by the
+# TOST key; same quantize-after-EXP discipline as _SQL_NORM_P2.
+_SQL_NORM_TAIL = (
+    "CASE WHEN ({z}) >= 0.0 THEN " + _SQL_NORM_P2 + " / 2.0"
+    " ELSE 1.0 - (" + _SQL_NORM_P2 + " / 2.0) END"
+)
+
+
+def _norm_tail(z: F.Column) -> F.Column:
+    """P(Z >= z), mirroring _SQL_NORM_TAIL term-for-term."""
+    half = _norm_p2(z) / 2.0
+    return F.when(z >= 0.0, half).otherwise(1.0 - half)
+
+
+@register(
+    "stats_tost_equivalence",
+    oracle="""
+WITH seg AS (
+  SELECT r.r_name AS region,
+         c.c_mktsegment AS seg,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+),
+lanes AS (
+  SELECT region,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN bal_c ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN bal_c * bal_c ELSE 0 END) AS BIGINT) AS ss1,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN bal_c ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN seg = 'BUILDING' THEN bal_c * bal_c ELSE 0 END) AS BIGINT) AS ss2
+  FROM seg GROUP BY region
+),
+z AS (
+  SELECT region, n1, n2,
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS diff_c,
+         SQRT(((CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               + (CAST(ss2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+              / CAST(n1 + n2 - 2 AS DOUBLE)
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS se_c
+  FROM lanes WHERE n1 >= 2 AND n2 >= 2
+),
+pq AS (
+  SELECT region, n1, n2, diff_c,
+         CAST(ROUND((__TAIL_LOW__) * 1000000000000.0, 0) AS BIGINT) AS p_low_q,
+         CAST(ROUND((__TAIL_UP__) * 1000000000000.0, 0) AS BIGINT) AS p_up_q
+  FROM z
+)
+SELECT region, n1, n2,
+       ROUND(diff_c / 100.0, 4) AS mean_diff,
+       GREATEST(p_low_q, p_up_q) AS p_tost_q,
+       GREATEST(p_low_q, p_up_q) <= 50000000000 AS equivalent
+FROM pq
+""".replace(
+        "__TAIL_LOW__",
+        _SQL_NORM_TAIL.replace("{z}", "((diff_c + 20000.0) / se_c)").format(
+            z="((diff_c + 20000.0) / se_c)"
+        ),
+    ).replace(
+        "__TAIL_UP__",
+        _SQL_NORM_TAIL.replace("{z}", "((20000.0 - diff_c) / se_c)").format(
+            z="((20000.0 - diff_c) / se_c)"
+        ),
+    ),
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE TEST (two one-sided tests) per region — the
+    test a migration/neutral-change review actually needs: not "is
+    there a difference?" but "can we CONFIRM the difference is
+    inside +/-$200?" — absence of significance is NOT evidence of
+    equivalence, TOST is. Reuses the exact integer moment lanes of
+    the Cohen's-d key for the mean difference and pooled SE, pushes
+    both one-sided z's through the shared A&S normal tail (identical
+    polynomial on both engines), QUANTIZES each p to a 1e-12 lane,
+    and declares equivalence when max(p_lower, p_upper) <= .05 —
+    computed entirely on the lanes, so the verdict bit is engine-
+    exact. One conditional hash-agg on region; dims broadcast."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    seg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            cents("c_acctbal").alias("bal_c"),
+        )
+    )
+    is1 = F.col("seg") == "AUTOMOBILE"
+    bal = F.col("bal_c")
+    lanes = seg.groupBy("region").agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, bal).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, bal * bal).otherwise(0)).cast("bigint").alias("ss1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(~is1, bal).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(~is1, bal * bal).otherwise(0)).cast("bigint").alias("ss2"),
+    ).filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    diff_c = s1d / n1d - s2d / n2d
+    se_c = F.sqrt(
+        (
+            (F.col("ss1").cast("double") - s1d * s1d / n1d)
+            + (F.col("ss2").cast("double") - s2d * s2d / n2d)
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+        * (1.0 / n1d + 1.0 / n2d)
+    )
+    z = lanes.select(
+        "region", "n1", "n2", diff_c.alias("diff_c"), se_c.alias("se_c")
+    )
+    p_low_q = (
+        F.round(
+            _norm_tail((F.col("diff_c") + 20000.0) / F.col("se_c"))
+            * 1000000000000.0,
+            0,
+        )
+        .cast("bigint")
+    )
+    p_up_q = (
+        F.round(
+            _norm_tail((20000.0 - F.col("diff_c")) / F.col("se_c"))
+            * 1000000000000.0,
+            0,
+        )
+        .cast("bigint")
+    )
+    pq = z.select(
+        "region",
+        "n1",
+        "n2",
+        "diff_c",
+        p_low_q.alias("p_low_q"),
+        p_up_q.alias("p_up_q"),
+    )
+    p_tost = F.greatest(F.col("p_low_q"), F.col("p_up_q"))
+    return pq.select(
+        "region",
+        "n1",
+        "n2",
+        F.round(F.col("diff_c") / 100.0, 4).alias("mean_diff"),
+        p_tost.alias("p_tost_q"),
+        (p_tost <= 50000000000).alias("equivalent"),
+    )
+
+
+@register(
+    "stats_mann_kendall_trend",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY m
+),
+pairs AS (
+  SELECT CASE WHEN b.rev_c > a.rev_c THEN 1
+              WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn
+  FROM monthly a JOIN monthly b ON a.m < b.m
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY rev_c HAVING COUNT(*) > 1)
+),
+lanes AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n,
+         (SELECT CAST(SUM(sgn) AS BIGINT) FROM pairs) AS s_stat,
+         (SELECT tie_term FROM ties) AS tie_term
+)
+SELECT n, s_stat,
+       ROUND(
+         CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              ELSE 0.0 END
+         / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0),
+         6
+       ) AS z_stat
+FROM lanes
+""",
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on monthly revenue — the standard
+    nonparametric "is this series monotonically trending?" test for
+    metrics dashboards (no linearity or normality assumed; robust
+    to outliers because only SIGNS of pairwise differences count).
+    S = sum over month pairs i<j of sign(x_j - x_i) is integer-exact
+    from cents-lane monthly totals; the tie-corrected variance
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 and the continuity-
+    corrected z are one closed-form double at the end. The pairwise
+    self-join is over the MONTH grid (~80 rows -> ~3k pairs at any
+    fact scale — this is why Mann-Kendall is affordable distributed:
+    the fact scan reduces map-side to the calendar grid first, and
+    O(grid^2) is a constant). Output: n, S, z."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    a = monthly.select(F.col("m").alias("m_a"), F.col("rev_c").alias("x_a"))
+    b = monthly.select(F.col("m").alias("m_b"), F.col("rev_c").alias("x_b"))
+    pairs = a.join(b, F.col("m_a") < F.col("m_b"))
+    sgn = (
+        F.when(F.col("x_b") > F.col("x_a"), 1)
+        .when(F.col("x_b") < F.col("x_a"), -1)
+        .otherwise(0)
+    )
+    s_df = pairs.agg(F.sum(sgn).cast("bigint").alias("s_stat"))
+    n_df = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tie_df = (
+        monthly.groupBy("rev_c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    lanes = n_df.crossJoin(F.broadcast(s_df)).crossJoin(F.broadcast(tie_df))
+    n, s = F.col("n"), F.col("s_stat")
+    num = (
+        F.when(s > 0, (s - 1).cast("double"))
+        .when(s < 0, (s + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double") / 18.0
+    return lanes.select(
+        "n", "s_stat", F.round(num / F.sqrt(var18), 6).alias("z_stat")
+    )

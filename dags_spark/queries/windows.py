@@ -3593,3 +3593,73 @@ def win_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_breakout"),
     )
     return bands
+
+
+@register(
+    "rank_recall_hitrate",
+    oracle="""
+WITH rel AS (
+  SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_custkey, r.rel,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS pos
+  FROM orders o JOIN rel r ON o.o_orderkey = r.okey
+),
+agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN rel >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         CAST(SUM(CASE WHEN rel >= 4 AND pos <= 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_top10
+  FROM ranked GROUP BY o_custkey
+)
+SELECT o_custkey AS user_key, n_rel, n_rel_top10,
+       ROUND(CAST(n_rel_top10 AS DOUBLE) / CAST(n_rel AS DOUBLE), 6)
+         AS recall10,
+       n_rel_top10 > 0 AS hit10
+FROM agg WHERE n_rel > 0
+""",
+)
+def rank_recall_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@10 + HIT-RATE@10 — the binary-relevance ranking
+    metrics that complete the eval family next to NDCG@10 (graded)
+    and MAP/MRR (rank-position): recall answers "what share of the
+    relevant items did the top-10 surface?", hit-rate answers "did
+    the user see ANY relevant item?" — the recsys KPI pair. Same
+    deterministic surrogate task as rank_ndcg_at_k (system ranking
+    by totalprice, relevance = lineitem count, binarized at >= 4).
+    Everything is integer counting in one window + one hash-agg
+    partitioned by user; the single division is the final recall.
+    Users with no relevant item are withheld (recall undefined),
+    not zero-filled — the honest denominator."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rel = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("rel")
+    )
+    j = o.join(rel, o.o_orderkey == rel.okey)
+    w_sys = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = j.select(
+        "o_custkey", "rel", F.row_number().over(w_sys).alias("pos")
+    )
+    is_rel = F.col("rel") >= 4
+    agg = ranked.groupBy("o_custkey").agg(
+        F.sum(F.when(is_rel, 1).otherwise(0)).cast("bigint").alias("n_rel"),
+        F.sum(F.when(is_rel & (F.col("pos") <= 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_top10"),
+    )
+    return agg.filter(F.col("n_rel") > 0).select(
+        F.col("o_custkey").alias("user_key"),
+        "n_rel",
+        "n_rel_top10",
+        F.round(
+            F.col("n_rel_top10").cast("double") / F.col("n_rel").cast("double"),
+            6,
+        ).alias("recall10"),
+        (F.col("n_rel_top10") > 0).alias("hit10"),
+    )

@@ -365,6 +365,10 @@ ALLOWED = {
     # the agg_bounce_rate_daily grid-window shape.
     "dq_row_count_anomaly": {"single-partition-exchange"},
     "win_bollinger_breakout": {"single-partition-exchange"},
+    # S / tie-term / n are three 1-row global aggregates over the
+    # MONTH grid broadcast-crossed together; the month-grid pairwise
+    # join itself is an inequality join on ~80 grid rows.
+    "stats_mann_kendall_trend": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -180,6 +180,10 @@ HEAVY = {
     "table_format_vacuum": 20,
     "multimodal_tga_decode": 15,
     "train_contrastive_pairs": 15,
+    # round-6 wave 21 (1.4-2.5 s warm at sf0.1)
+    "stats_tost_equivalence": 15,
+    "stats_mann_kendall_trend": 15,
+    "rank_recall_hitrate": 15,
 }
 
 
