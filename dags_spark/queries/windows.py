@@ -3663,3 +3663,192 @@ def rank_recall_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall10"),
         (F.col("n_rel_top10") > 0).alias("hit10"),
     )
+
+
+@register(
+    "agg_cumulative_reach",
+    oracle="""
+WITH firsts AS (
+  SELECT event_type, user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY event_type, user_id
+),
+daily_new AS (
+  SELECT event_type, first_day AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, n_new_users,
+       CAST(SUM(n_new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_reach
+FROM daily_new
+""",
+)
+def agg_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE REACH per action type — distinct users who have
+    ever performed each action, up to each day (the adoption curve
+    of every feature at once),
+    the growth-team headline ("total accounts touched") that naive
+    SQL computes with a COUNT(DISTINCT) per day over an expanding
+    window (quadratic re-scans: day N re-reads N days of events).
+    The scalable identity: a user enters a type's cumulative count
+    exactly ONCE, at their first day doing it — so one MIN per
+    (type, user), one count per (type, day), and a running sum over
+    the per-type DAY grid give the same curves with a single fact
+    scan and shuffles on (type, user) then (type, day). The grid
+    window is calendar x type sized at any fact scale."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily_new = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("cumulative_reach"),
+    )
+
+
+@register(
+    "agg_stickiness_dau_wau",
+    oracle="""
+WITH dau AS (
+  SELECT date_trunc('week', ts) AS week_start,
+         date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY week_start, day
+),
+wau AS (
+  SELECT date_trunc('week', ts) AS week_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY week_start
+),
+davg AS (
+  SELECT week_start,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY week_start
+)
+SELECT d.week_start, d.dau_sum, d.n_days, w.wau,
+       ROUND(CAST(d.dau_sum AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+             / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM davg d JOIN wau w ON d.week_start = w.week_start
+""",
+)
+def agg_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS per week — the engagement ratio product
+    teams live by (average daily actives over weekly actives:
+    1.0 = everyone active every day, ~0.14 = weekly-only; the
+    fixture's event stream spans one month, so the weekly grain is
+    the informative one — at month grain swap 'week' for 'month'
+    unchanged).
+    Two distinct-count aggregations at different grains over ONE
+    fact scan — both shuffle on (time bucket, user) first (Spark
+    plans count-distinct as a two-phase expand + agg, so partial
+    dedup happens map-side), then a month-grid equi-join merges the
+    grains. Exact integer lanes until the final pinned division.
+    At 100 TB swap the exact distinct for the HLL-sketch key's
+    union algebra unchanged — the grain-merge identities hold."""
+    e = table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    wau = e.groupBy(
+        F.date_trunc("week", "ts").alias("week_start")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    davg = dau.groupBy("week_start").agg(
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    j = davg.join(wau, "week_start")
+    return j.select(
+        "week_start",
+        "dau_sum",
+        "n_days",
+        "wau",
+        F.round(
+            F.col("dau_sum").cast("double")
+            / F.col("n_days").cast("double")
+            / F.col("wau").cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+@register(
+    "fn_fiscal_445",
+    oracle="""
+WITH fis AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         date_diff('day', DATE '1992-02-03', CAST(o_orderdate AS DATE))
+           AS d
+  FROM orders
+),
+mapped AS (
+  SELECT price_c,
+         d // 364 AS fiscal_year,
+         (d % 364) // 91 + 1 AS fiscal_quarter,
+         CASE WHEN ((d % 364) % 91) // 7 < 4 THEN 1
+              WHEN ((d % 364) % 91) // 7 < 8 THEN 2
+              ELSE 3 END AS fiscal_period,
+         (d % 364) // 7 + 1 AS fiscal_week
+  FROM fis
+)
+SELECT fiscal_year, fiscal_quarter, fiscal_period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(fiscal_week) AS BIGINT) AS first_week,
+       CAST(MAX(fiscal_week) AS BIGINT) AS last_week,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS revenue
+FROM mapped
+GROUP BY fiscal_year, fiscal_quarter, fiscal_period
+""",
+)
+def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 FISCAL CALENDAR rollup — retail/finance reporting does
+    not close books on Gregorian months: a 52-week fiscal year
+    splits into four 13-week quarters of 4+4+5-week periods, so
+    every period has a whole number of weeks and same-weekday
+    comparability (the reason the calendar exists). The mapping is
+    pure integer arithmetic on days since the fiscal epoch (a
+    Monday, 1992-02-03): year = d/364, week-in-year = (d%364)/7,
+    quarter = 13-week blocks, period = the 4/4/5 split of the
+    13-week quarter — no calendar table to join, identical integer
+    ops on both engines (floor division; the 53rd-week leap
+    adjustment real calendars add is a documented simplification).
+    Revenue stays in exact cents; one map-side projection + one
+    hash agg."""
+    o = table(spark, sf_dir, "orders")
+    d = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-02-03").cast("date")
+    ).cast("bigint")
+    diy = d % 364
+    wiq = (diy % 91) / F.lit(7)
+    mapped = o.select(
+        cents("o_totalprice").alias("price_c"),
+        F.floor(d / 364).alias("fiscal_year"),
+        (F.floor(diy / 91) + 1).alias("fiscal_quarter"),
+        F.when(F.floor(wiq) < 4, 1)
+        .when(F.floor(wiq) < 8, 2)
+        .otherwise(3)
+        .alias("fiscal_period"),
+        (F.floor(diy / 7) + 1).alias("fiscal_week"),
+    )
+    return mapped.groupBy(
+        "fiscal_year", "fiscal_quarter", "fiscal_period"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("fiscal_week").cast("bigint").alias("first_week"),
+        F.max("fiscal_week").cast("bigint").alias("last_week"),
+        (F.sum("price_c").cast("double") / 100.0).alias("revenue"),
+    )

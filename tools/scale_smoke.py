@@ -184,6 +184,8 @@ HEAVY = {
     "stats_tost_equivalence": 15,
     "stats_mann_kendall_trend": 15,
     "rank_recall_hitrate": 15,
+    # round-6 wave 22 (2.1 s warm at sf0.1)
+    "agg_cumulative_reach": 15,
 }
 
 
