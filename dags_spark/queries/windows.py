@@ -3852,3 +3852,100 @@ def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fiscal_week").cast("bigint").alias("last_week"),
         (F.sum("price_c").cast("double") / 100.0).alias("revenue"),
     )
+
+
+@register(
+    "win_peak_concurrency",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM ev
+),
+intervals AS (
+  SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, sess_no
+),
+bounds AS (
+  SELECT s_start AS ts, 1 AS delta, user_id FROM intervals
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta, user_id FROM intervals
+),
+running AS (
+  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM bounds
+)
+SELECT date_trunc('day', ts) AS day,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM running GROUP BY day
+""",
+)
+def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per day — the capacity-planning number
+    ("how many sessions were live AT ONCE?") that no per-bucket
+    count can answer (a session spanning two buckets is live in
+    both): the classic SWEEP LINE. Sessions come from the 30-minute
+    gap rule (the win_session_batch construction), each emits a
+    (+1 at start, -1 at end) boundary row, and the running sum over
+    boundaries ordered by (ts, delta, user_id) — delta before user
+    so a session ENDING at an instant frees its slot before one
+    starting at the same instant takes it (end-exclusive
+    convention, pinned identically in both engines) — is the live
+    count; MAX per day reads the peaks. The boundary table is
+    2 rows/session (~fact/5 here); the global ordered cumsum is the
+    honest cost of exact concurrency — at 100 TB you'd range-
+    partition by day and carry each day's opening balance forward
+    (the two-phase cumsum rewrite pack_sequences_greedy already
+    demonstrates), which this docstring pins as the scale path."""
+    e = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w_u)
+    ev = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull()
+            | (
+                F.col("ts").cast("double") - prev.cast("double") > 1800.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_no"),
+    )
+    intervals = sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bounds = intervals.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        intervals.select(
+            F.col("s_end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w_sweep = Window.orderBy("ts", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = bounds.select(
+        "ts", F.sum("delta").over(w_sweep).alias("live")
+    )
+    return running.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max("live").cast("bigint").alias("peak_concurrency"))

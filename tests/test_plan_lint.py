@@ -369,6 +369,14 @@ ALLOWED = {
     # MONTH grid broadcast-crossed together; the month-grid pairwise
     # join itself is an inequality join on ~80 grid rows.
     "stats_mann_kendall_trend": {"cartesian", "single-partition-exchange"},
+    # the CUPED moments reduce to ONE global row by definition
+    # (agg_global class).
+    "stats_cuped_adjustment": {"single-partition-exchange"},
+    # the sweep-line running sum is a global ordered cumsum over the
+    # session-boundary table — the docstring pins the two-phase
+    # per-day rewrite as the 100 TB path (pack_sequences_greedy
+    # demonstrates the construction).
+    "win_peak_concurrency": {"single-partition-exchange"},
 }
 
 

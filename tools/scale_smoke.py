@@ -186,6 +186,9 @@ HEAVY = {
     "rank_recall_hitrate": 15,
     # round-6 wave 22 (2.1 s warm at sf0.1)
     "agg_cumulative_reach": 15,
+    # round-6 wave 23 (1.3-2.4 s warm at sf0.1)
+    "stats_cuped_adjustment": 15,
+    "win_peak_concurrency": 20,
 }
 
 
