@@ -708,3 +708,120 @@ def decode_tga_pixels(
             [tuple(buf[base + 3 * x : base + 3 * x + 3]) for x in range(width)]
         )
     return width, height, img
+
+
+def encode_qoi_pattern(width: int, height: int) -> bytes:
+    """QOI ("Quite OK Image", public-domain spec, qoiformat.org)
+    encoder for the deterministic block pattern
+    R=(x//3*5+y*17)%256, G=(x//3*11+y*3)%256, B=(x//3*7+y*13)%256
+    (3-wide blocks so RUN chunks actually occur). QOI is a REAL
+    compressed codec — run-length, a 64-slot seen-pixel index, and
+    2-/8-bit delta chunks — implementable exactly from the one-page
+    spec with no library, which is what makes a genuinely
+    compressed-format decode testable in this sandbox."""
+    import struct
+
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for y in range(height):
+        for x in range(width):
+            px = (
+                (x // 3 * 5 + y * 17) % 256,
+                (x // 3 * 11 + y * 3) % 256,
+                (x // 3 * 7 + y * 13) % 256,
+                255,
+            )
+            if px == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+            else:
+                if run:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                h = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+                if index[h] == px:
+                    out.append(h)
+                else:
+                    index[h] = px
+                    dr = (px[0] - prev[0]) % 256
+                    dg = (px[1] - prev[1]) % 256
+                    db = (px[2] - prev[2]) % 256
+                    # map to signed
+                    sr = dr - 256 if dr > 127 else dr
+                    sg = dg - 256 if dg > 127 else dg
+                    sb = db - 256 if db > 127 else db
+                    if -2 <= sr <= 1 and -2 <= sg <= 1 and -2 <= sb <= 1:
+                        out.append(0x40 | ((sr + 2) << 4) | ((sg + 2) << 2) | (sb + 2))
+                    elif (
+                        -32 <= sg <= 31
+                        and -8 <= (sr - sg) <= 7
+                        and -8 <= (sb - sg) <= 7
+                    ):
+                        out.append(0x80 | (sg + 32))
+                        out.append(((sr - sg + 8) << 4) | (sb - sg + 8))
+                    else:
+                        out += bytes((0xFE, px[0], px[1], px[2]))
+            prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi_pixels(
+    buf: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Pure-Python QOI decode -> (width, height, flat [(R, G, B)]).
+    Implements all five op chunks (RGB, RGBA, INDEX, DIFF, LUMA,
+    RUN) per the public spec; loud failure on a bad magic."""
+    import struct
+
+    if buf[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack_from(">IIBB", buf, 4)
+    pos = 14
+    index = [(0, 0, 0, 255)] * 64
+    px = (0, 0, 0, 255)
+    out: list[tuple[int, int, int]] = []
+    n = width * height
+    while len(out) < n:
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            px = (buf[pos], buf[pos + 1], buf[pos + 2], px[3])
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            px = (buf[pos], buf[pos + 1], buf[pos + 2], buf[pos + 3])
+            pos += 4
+        elif b0 >> 6 == 0:  # INDEX
+            px = index[b0 & 0x3F]
+        elif b0 >> 6 == 1:  # DIFF
+            px = (
+                (px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                (px[2] + (b0 & 3) - 2) % 256,
+                px[3],
+            )
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = buf[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b1 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b1 & 0xF) - 8) % 256,
+                px[3],
+            )
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            out.extend([px[:3]] * run)
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out.append(px[:3])
+    return width, height, out[:n]

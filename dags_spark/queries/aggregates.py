@@ -3063,3 +3063,107 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adjusted_variance_ratio"
         ),
     )
+
+
+@register(
+    "stats_sen_slope",
+    oracle="""
+WITH monthly AS (
+  SELECT (date_part('year', o_orderdate) - 1995) * 12
+           + date_part('month', o_orderdate) - 1 AS m_idx,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY m_idx
+),
+slopes AS (
+  SELECT CAST(ROUND(CAST(b.rev_c - a.rev_c AS DOUBLE) * 1000000.0
+                    / CAST(b.m_idx - a.m_idx AS DOUBLE), 0) AS BIGINT)
+           AS slope_q
+  FROM monthly a JOIN monthly b ON a.m_idx < b.m_idx
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MEDIAN(slope_q) / 1000000.0 / 100.0, 6) AS sen_slope
+FROM slopes
+""",
+)
+def stats_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEN'S SLOPE (Theil-Sen estimator) on monthly revenue — the
+    robust trend MAGNITUDE that pairs with the Mann-Kendall trend
+    TEST (same grid, same robustness argument: the median of all
+    pairwise slopes has a 29.3% breakdown point where OLS has 0%).
+    Each pairwise slope is quantized to a 1e-6 cents/month BIGINT
+    lane (one ROUND of an exact-integer ratio — identical on both
+    engines), and the estimator is the exact interpolated median
+    over the pair lanes. The pair join is over the MONTH grid
+    (~80 rows -> ~3.2k pairs at any fact scale) — the same
+    domain-sized O(grid^2) constant that makes Mann-Kendall
+    affordable distributed. Output in dollars/month at 6dp."""
+    o = table(spark, sf_dir, "orders")
+    m_idx = (
+        (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    )
+    monthly = o.groupBy(m_idx.alias("m_idx")).agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c")
+    )
+    a = monthly.select(F.col("m_idx").alias("i"), F.col("rev_c").alias("x_i"))
+    b = monthly.select(F.col("m_idx").alias("j"), F.col("rev_c").alias("x_j"))
+    slopes = a.join(b, F.col("i") < F.col("j")).select(
+        F.round(
+            (F.col("x_j") - F.col("x_i")).cast("double")
+            * 1000000.0
+            / (F.col("j") - F.col("i")).cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("slope_q")
+    )
+    n_months = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    agg = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.expr("percentile(slope_q, 0.5)") / 1000000.0 / 100.0, 6
+        ).alias("sen_slope"),
+    )
+    return n_months.crossJoin(F.broadcast(agg)).select(
+        "n_months", "n_pairs", "sen_slope"
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT date_part('year', o_orderdate) AS order_year,
+       o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the SQL-surface convenience (Spark 3.4+ and
+    DuckDB both parse it) where the grouping set is inferred as
+    every non-aggregate select item: the analyst shorthand that
+    removes the classic copy-the-select-list-into-GROUP-BY error
+    class. Registered through spark.sql() so the key pins the
+    PARSER behavior, not a DataFrame translation; the plan is the
+    ordinary partial+final hash aggregate (grouping inference is
+    purely syntactic). Exact-cents revenue, same as every money
+    aggregate in the repo."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS order_year,
+               o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )

@@ -3941,3 +3941,82 @@ def train_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg2_id",
         )
     )
+
+
+@register(
+    "multimodal_qoi_decode",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 27 AS w, 1 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+xs AS (SELECT unnest(generate_series(0, 26)) AS x),
+ys AS (SELECT unnest(generate_series(0, 16)) AS y),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         ((x // 3) * 5 + y * 17) % 256 AS r,
+         ((x // 3) * 11 + y * 3) % 256 AS g,
+         ((x // 3) * 7 + y * 13) % 256 AS b
+  FROM docs d, xs, ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI DECODE — a real COMPRESSED image codec walked in-kernel,
+    upgrading the multimodal family beyond uncompressed containers
+    (BMP/TGA/PPM/Y4M): QOI (public-domain one-page spec) compresses
+    with run-length chunks, a 64-slot seen-pixel index, and 2-/8-bit
+    delta chunks, and the pure-Python decoder
+    (operators/multimodal.py decode_qoi_pixels) must replay all five
+    op codes statefully to reconstruct pixels — the fixture pattern
+    encodes to ~0.35x raw, so most pixels flow through RUN/DIFF/LUMA
+    paths, not the trivial RGB one (tests/test_operators.py pins the
+    ratio and the exact roundtrip). Payloads are synthesized +
+    decoded inside the Arrow mapInPandas kernel; only channel sums
+    leave the executor, and the oracle recomputes them in closed
+    form — the hash certifies genuine entropy-decode state
+    machinery, not plumbing."""
+    from ..operators.multimodal import decode_qoi_pixels, encode_qoi_pattern
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                payload = encode_qoi_pattern(1 + int(i) % 27, 1 + int(i) % 17)
+                w, h, px = decode_qoi_pixels(payload)
+                sr = sum(p[0] for p in px)
+                sg = sum(p[1] for p in px)
+                sb = sum(p[2] for p in px)
+                rows.append((int(i), w, h, w * h, sr, sg, sb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
+        " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )

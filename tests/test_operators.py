@@ -435,3 +435,52 @@ def test_blocked_pairs_per_block_topk_prunes_and_is_lossless(spark):
         F.col("sim").desc(), "id_a", "id_b"
     ).limit(k).collect()
     assert top_pruned == top_full
+
+
+def test_qoi_roundtrip_and_compression():
+    """The QOI encoder/decoder must roundtrip bit-exactly AND the
+    fixture pattern must actually COMPRESS (i.e. the decoder is
+    exercised through RUN/DIFF/LUMA chunks, not a wall of literal
+    RGB ops) — otherwise the multimodal_qoi_decode key would only
+    certify the trivial path."""
+    from dags_spark.operators.multimodal import (
+        decode_qoi_pixels,
+        encode_qoi_pattern,
+    )
+
+    for (w, h) in [(1, 1), (5, 3), (27, 17), (26, 1), (64, 48)]:
+        buf = encode_qoi_pattern(w, h)
+        ww, hh, px = decode_qoi_pixels(buf)
+        assert (ww, hh) == (w, h)
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                exp = (
+                    (x // 3 * 5 + y * 17) % 256,
+                    (x // 3 * 11 + y * 3) % 256,
+                    (x // 3 * 7 + y * 13) % 256,
+                )
+                assert px[i] == exp, (w, h, x, y)
+                i += 1
+    big = encode_qoi_pattern(64, 48)
+    assert len(big) < 0.5 * 64 * 48 * 3, len(big)
+
+
+def test_tga_decoder_rejects_unsupported():
+    from dags_spark.operators.multimodal import (
+        decode_tga_pixels,
+        encode_tga_pattern,
+    )
+    import pytest as _pytest
+
+    buf = bytearray(encode_tga_pattern(4, 4))
+    buf[2] = 10  # RLE true-color — not supported, must fail loudly
+    with _pytest.raises(ValueError):
+        decode_tga_pixels(bytes(buf))
+    # bottom-up order (descriptor bit 5 clear) must flip rows
+    buf2 = bytearray(encode_tga_pattern(3, 2))
+    buf2[17] = 0x00
+    _, _, img = decode_tga_pixels(bytes(buf2))
+    # encoded top-down: file row 0 is image y=0; read bottom-up it
+    # must come back as the LAST image row.
+    assert img[1][0] == ((0 * 3 + 0 * 19) % 256, (0 * 13 + 0 * 5) % 256, (0 * 9 + 0 * 11) % 256)

@@ -377,6 +377,9 @@ ALLOWED = {
     # per-day rewrite as the 100 TB path (pack_sequences_greedy
     # demonstrates the construction).
     "win_peak_concurrency": {"single-partition-exchange"},
+    # month-count scalar + the pair-median 1-row reduce crossed
+    # together; the pair join is the Mann-Kendall month-grid shape.
+    "stats_sen_slope": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -189,6 +189,9 @@ HEAVY = {
     # round-6 wave 23 (1.3-2.4 s warm at sf0.1)
     "stats_cuped_adjustment": 15,
     "win_peak_concurrency": 20,
+    # round-6 wave 24 (1.2-3.2 s warm at sf0.1)
+    "multimodal_qoi_decode": 20,
+    "stats_sen_slope": 15,
 }
 
 
