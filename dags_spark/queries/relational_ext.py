@@ -4206,3 +4206,132 @@ def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_rows").cast("double") > 1.5 * F.col("trailing_med"))
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "merge_golden_record",
+    oracle="""
+WITH src AS (
+  -- source 1 (CRM, highest name priority): full names, segment
+  -- missing for every 3rd key, balances stale (day 0)
+  SELECT c_custkey AS k, 1 AS priority, c_name AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END AS bal_c,
+         0 AS updated_at
+  FROM customer
+  UNION ALL
+  -- source 2 (billing): no names, always has segment, fresher
+  -- balances for even keys
+  SELECT c_custkey, 2, NULL, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100,
+         CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 0 END
+  FROM customer
+  UNION ALL
+  -- source 3 (legacy, subset): uppercased names for every 7th key
+  SELECT c_custkey, 3, upper(c_name), NULL,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) - 50, 1
+  FROM customer WHERE c_custkey % 7 = 0
+),
+bal_pick AS (
+  SELECT k, bal_c, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY k
+           ORDER BY (bal_c IS NOT NULL) DESC, updated_at DESC, priority
+         ) AS rn
+  FROM src
+),
+fielded AS (
+  SELECT k,
+         COALESCE(MAX(CASE WHEN priority = 1 THEN name END),
+                  MAX(CASE WHEN priority = 2 THEN name END),
+                  MAX(CASE WHEN priority = 3 THEN name END)) AS name_golden,
+         COALESCE(MAX(CASE WHEN priority = 1 THEN segment END),
+                  MAX(CASE WHEN priority = 2 THEN segment END),
+                  MAX(CASE WHEN priority = 3 THEN segment END)) AS segment_golden,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM src GROUP BY k
+)
+SELECT f.k AS custkey, f.name_golden, f.segment_golden,
+       CAST(b.bal_c AS DOUBLE) / 100.0 AS bal_golden,
+       CAST(b.priority AS BIGINT) AS bal_source,
+       f.n_sources
+FROM fielded f JOIN bal_pick b ON f.k = b.k AND b.rn = 1
+""",
+)
+def merge_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN RECORD SURVIVORSHIP — the MDM merge step after entity
+    resolution: three derived "source systems" disagree about each
+    customer (CRM has names but stale balances and missing segments;
+    billing is fresh but nameless; a legacy subset shouts in
+    uppercase), and each FIELD survives by its own rule — names and
+    segments by source-priority COALESCE (first non-null across the
+    per-source conditional maxes: each source has <= 1 row per key,
+    so the rule is one hash-agg, no windows), balance by RECENCY
+    (latest non-null updated_at, priority tiebreak) via one
+    row_number window partitioned by the entity key. This is the
+    field-level complement of dedup_latest_by_key (which keeps whole
+    rows); real MDM merges COLUMNS from different rows, which is why
+    it needs its own operator. One union scan + one agg + one
+    entity-partitioned window: shards by key at any scale."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s1 = c.select(
+        k.alias("k"),
+        F.lit(1).alias("priority"),
+        F.col("c_name").alias("name"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when(k % 5 == 0, F.lit(None).cast("bigint"))
+        .otherwise(cents("c_acctbal"))
+        .alias("bal_c"),
+        F.lit(0).alias("updated_at"),
+    )
+    s2 = c.select(
+        k.alias("k"),
+        F.lit(2).alias("priority"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        (cents("c_acctbal") + 100).alias("bal_c"),
+        F.when(k % 2 == 0, 2).otherwise(0).alias("updated_at"),
+    )
+    s3 = c.filter(k % 7 == 0).select(
+        k.alias("k"),
+        F.lit(3).alias("priority"),
+        F.upper("c_name").alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        (cents("c_acctbal") - 50).alias("bal_c"),
+        F.lit(1).alias("updated_at"),
+    )
+    src = s1.unionByName(s2).unionByName(s3)
+    w_bal = Window.partitionBy("k").orderBy(
+        F.col("bal_c").isNotNull().desc(),
+        F.col("updated_at").desc(),
+        F.col("priority"),
+    )
+    bal_pick = src.select(
+        "k", "bal_c", "priority", F.row_number().over(w_bal).alias("rn")
+    ).filter(F.col("rn") == 1)
+
+    def by_priority(col):
+        return F.coalesce(
+            *[
+                F.max(F.when(F.col("priority") == p, F.col(col)))
+                for p in (1, 2, 3)
+            ]
+        )
+
+    fielded = src.groupBy("k").agg(
+        by_priority("name").alias("name_golden"),
+        by_priority("segment").alias("segment_golden"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return fielded.join(bal_pick, "k").select(
+        F.col("k").alias("custkey"),
+        "name_golden",
+        "segment_golden",
+        (F.col("bal_c").cast("double") / 100.0).alias("bal_golden"),
+        F.col("priority").cast("bigint").alias("bal_source"),
+        "n_sources",
+    )

@@ -192,6 +192,8 @@ HEAVY = {
     # round-6 wave 24 (1.2-3.2 s warm at sf0.1)
     "multimodal_qoi_decode": 20,
     "stats_sen_slope": 15,
+    # round-6 wave 25 (3.0 s warm at sf0.1)
+    "merge_golden_record": 20,
 }
 
 
