@@ -178,3 +178,81 @@ def test_bollinger_flags_match_bruteforce(spark, duck):
         d for d, e in expected.items() if bool(got.loc[d, "is_breakout"]) != e
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_sen_slope_matches_bruteforce(spark, duck):
+    got = _run(spark, "stats_sen_slope").iloc[0]
+    xs = duck.execute(
+        """SELECT (date_part('year', o_orderdate) - 1995) * 12
+                    + date_part('month', o_orderdate) - 1 AS m,
+                  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           FROM orders GROUP BY m ORDER BY m"""
+    ).fetchall()
+    import statistics
+
+    slopes = [
+        round((xj - xi) * 1e6 / (j - i))
+        for (i, xi) in xs
+        for (j, xj) in xs
+        if i < j
+    ]
+    assert int(got["n_months"]) == len(xs)
+    assert int(got["n_pairs"]) == len(slopes)
+    med = statistics.median(slopes)  # interpolated for even counts
+    assert abs(float(got["sen_slope"]) - round(med / 1e6 / 100.0, 6)) < 2e-6
+
+
+def test_cuped_matches_bruteforce(spark, duck):
+    got = _run(spark, "stats_cuped_adjustment").iloc[0]
+    rows = duck.execute(
+        """SELECT user_id,
+                  SUM(CASE WHEN date_part('day', ts) <= 15
+                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS x,
+                  SUM(CASE WHEN date_part('day', ts) > 15
+                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS y
+           FROM events GROUP BY user_id"""
+    ).df()
+    x = rows["x"].astype(float)
+    y = rows["y"].astype(float)
+    n = len(rows)
+    cov = (x * y).sum() - x.sum() * y.sum() / n
+    varx = (x * x).sum() - x.sum() ** 2 / n
+    vary = (y * y).sum() - y.sum() ** 2 / n
+    theta = cov / varx
+    ratio = 1.0 - cov * cov / (varx * vary)
+    assert int(got["n"]) == n
+    assert abs(float(got["theta"]) - theta) < 1e-4
+    assert abs(float(got["adjusted_variance_ratio"]) - ratio) < 1e-4
+    # CUPED must actually help on this fixture: rho^2 > 0
+    assert float(got["adjusted_variance_ratio"]) < 1.0
+
+
+def test_peak_concurrency_matches_bruteforce(spark, duck):
+    got = _run(spark, "win_peak_concurrency").set_index("day")[
+        "peak_concurrency"
+    ]
+    rows = duck.execute(
+        "SELECT user_id, ts FROM events ORDER BY user_id, ts"
+    ).df()
+    # brute-force sessionize (30-min gap), then sweep
+    sessions = []
+    for _, grp in rows.groupby("user_id"):
+        ts = list(grp["ts"])
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > 1800:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    bounds = [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions]
+    bounds.sort(key=lambda p: (p[0], p[1]))
+    live = 0
+    peaks: dict = {}
+    for t, d in bounds:
+        live += d
+        day = t.normalize() if hasattr(t, "normalize") else t
+        peaks[day] = max(peaks.get(day, 0), live)
+    assert len(got) == len(peaks)
+    for day, peak in peaks.items():
+        assert int(got.loc[day]) == peak, day
