@@ -1734,3 +1734,55 @@ def table_format_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(expired_fails)).alias("expired_read_fails"),
         F.lit(bool(retained_logs_only)).alias("retained_logs_only"),
     )
+
+
+@register(
+    "source_orc_pushdown",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY o_orderstatus
+""",
+)
+def source_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC PREDICATE PUSHDOWN — the ORC twin of
+    scan_parquet_pushdown: orders are landed as ORC (the other
+    columnar format a lake actually serves; sink_orc_roundtrip pins
+    the byte fidelity, THIS key pins the scan efficiency) and read
+    back with a date filter + 3-column projection. The filter must
+    reach the ORC reader as a search argument and the ReadSchema
+    must shrink to the projected columns — asserted IN-QUERY
+    against the formatted physical plan (PushedFilters on
+    o_orderdate, no full-schema read), so a Spark upgrade that
+    silently drops ORC SARGs fails the hash, not just a lint. At
+    100 TB stripe-level SARG skipping is the difference between
+    reading a year and reading a week."""
+    import tempfile as _tf
+
+    o = table(spark, sf_dir, "orders")
+    out = _tf.mkdtemp(prefix="dags_spark_orcpush_") + "/t"
+    o.write.mode("overwrite").orc(out)
+    back = (
+        spark.read.orc(out)
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    plan = back._jdf.queryExecution().explainString(
+        back._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    ok = (
+        "PushedFilters: [" in plan
+        and "o_orderdate" in plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    )
+    if not ok:
+        raise AssertionError("ORC scan lost the o_orderdate pushdown:\n" + plan)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
+    )

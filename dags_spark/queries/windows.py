@@ -3949,3 +3949,56 @@ def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(
         F.date_trunc("day", "ts").alias("day")
     ).agg(F.max("live").cast("bigint").alias("peak_concurrency"))
+
+
+@register(
+    "agg_interpurchase_time",
+    oracle="""
+WITH gaps AS (
+  SELECT c.c_mktsegment AS segment,
+         date_diff('day',
+           LAG(CAST(o.o_orderdate AS DATE)) OVER (
+             PARTITION BY o.o_custkey
+             ORDER BY o.o_orderdate, o.o_orderkey),
+           CAST(o.o_orderdate AS DATE)) AS gap_days
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(CAST(gap_days AS DOUBLE)), 6) AS mean_days,
+       ROUND(MEDIAN(gap_days), 6) AS median_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY segment
+""",
+)
+def agg_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPURCHASE TIME (IPT) distribution per segment — the
+    retention metric retail forecasting runs on ("how many days
+    between a customer's consecutive orders?"), the input to
+    replenishment reminders and churn-risk windows (a customer at
+    3x their median IPT is lapsing). One LAG per customer ordered
+    by (date, orderkey) — the tiebreak pins equal-date orders to a
+    total order so both engines pair the same consecutive rows —
+    then exact integer day gaps aggregate per segment: mean as an
+    exact integer-sum division, median as the interpolated exact
+    percentile BOTH engines compute identically on integer inputs.
+    Shuffles: one hash partition by customer for the window, one
+    partial+final agg on segment. Dimension join broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    gaps = j.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.avg(F.col("gap_days").cast("double")), 6).alias("mean_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )

@@ -194,6 +194,9 @@ HEAVY = {
     "stats_sen_slope": 15,
     # round-6 wave 25 (3.0 s warm at sf0.1)
     "merge_golden_record": 20,
+    # round-6 wave 26 (1.5-1.8 s warm at sf0.1; ORC write in fn())
+    "source_orc_pushdown": 15,
+    "agg_interpurchase_time": 15,
 }
 
 
