@@ -1591,3 +1591,88 @@ def fn_ulid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_ms"),
     )
     return t.select("o_orderkey", "t_ms", F.expr(_ulid_sql("DIV")).alias("ulid"))
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named parameter markers, Spark 3.4+) —
+    the injection-safe query API a serving layer needs: literals
+    arrive as TYPED bind parameters (:min_date, :min_total), never
+    string-spliced, so '1997-01-01; DROP TABLE' is a value, not
+    SQL. The key pins that the PARSER binds both markers and that
+    the bound literals still constant-fold into scan pushdown
+    (same plan as inlining). DuckDB's oracle runs the inlined
+    equivalent — identical semantics is exactly the claim."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders_param
+        WHERE o_orderdate >= :min_date AND o_totalprice > :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"min_date": "1997-01-01", "min_total": 50000.0},
+    )
+
+
+@register(
+    "fn_month_arith_clamp",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderkey,
+       CAST(od AS TIMESTAMP) AS order_date,
+       CAST(od + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1m,
+       CAST(od + INTERVAL 13 MONTH AS TIMESTAMP) AS plus_13m,
+       CAST(od - INTERVAL 2 MONTH AS TIMESTAMP) AS minus_2m,
+       CAST(last_day(od) AS TIMESTAMP) AS month_end,
+       CAST((od = last_day(od)) AS BOOLEAN) AS is_month_end,
+       CAST(date_trunc('month', od) + INTERVAL 1 MONTH - INTERVAL 1 DAY
+            AS TIMESTAMP) AS month_end_derived
+FROM d
+""",
+)
+def fn_month_arith_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH ARITHMETIC CLAMP semantics — the calendar edge every
+    billing system hits: Jan 31 + 1 month has no Feb 31, and the
+    industry convention (Spark add_months, DuckDB + INTERVAL MONTH)
+    CLAMPS to the month's last day rather than overflowing into
+    March. This key pins that both engines agree on the clamp for
+    +1/+13/-2 months across every month-end in a 7-year order
+    history, plus the two month-end idioms (last_day vs
+    trunc+1mo-1day) agreeing with each other — the identity a
+    report migration must not break. Pure projection; pushdown
+    keeps the sampled scan tiny."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        od.cast("timestamp").alias("order_date"),
+        F.add_months(od, 1).cast("timestamp").alias("plus_1m"),
+        F.add_months(od, 13).cast("timestamp").alias("plus_13m"),
+        F.add_months(od, -2).cast("timestamp").alias("minus_2m"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        (od == F.last_day(od)).alias("is_month_end"),
+        F.date_sub(F.add_months(F.date_trunc("month", od).cast("date"), 1), 1)
+        .cast("timestamp")
+        .alias("month_end_derived"),
+    )
