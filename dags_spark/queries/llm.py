@@ -4020,3 +4020,144 @@ def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
         " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
     )
+
+
+@register(
+    "sample_importance_weights",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         LEAST(1.0, 0.2 + CAST(n_chars AS DOUBLE) / 400.0) AS p_keep,
+         (instr('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR) || ':imp'), 1, 1)) - 1)
+           / 16.0
+         + (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR) || ':imp'), 2, 1)) - 1)
+           / 256.0 AS u
+  FROM documents
+),
+kept AS (
+  SELECT source,
+         CAST(ROUND(1000000000.0 / p_keep, 0) AS BIGINT) AS w_q
+  FROM scored WHERE u < p_keep
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents
+  GROUP BY source
+)
+SELECT t.source, t.n_total,
+       CAST(COUNT(k.w_q) AS BIGINT) AS n_kept,
+       ROUND(CAST(COALESCE(SUM(k.w_q), 0) AS DOUBLE) / 1000000000.0, 6)
+         AS ht_estimate
+FROM tot t LEFT JOIN kept k ON t.source = k.source
+GROUP BY t.source, t.n_total
+""",
+)
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE SAMPLING with correction weights — the quality-
+    weighted downsampler a training-data pipeline uses when it wants
+    MORE long/high-quality documents without biasing downstream
+    statistics: each doc keeps with probability p(doc) (here a
+    length ramp, 0.2..1.0), the accept decision is a DETERMINISTIC
+    hash-uniform (two md5 hex digits -> u in [0,1), no RNG state —
+    reproducible across engines, runs, and partitionings), and every
+    survivor carries weight 1/p QUANTIZED to a 1e-9 BIGINT lane so
+    the weight sum is exact integer arithmetic (shuffle-order-free),
+    not a float accumulation. The output validates the estimator
+    IN-QUERY: the Horvitz-Thompson sum of weights per source must
+    land near the true row count (the unbiasedness identity
+    E[sum 1/p] = N), so the key hash-pins both the sample AND the
+    statistical contract. Scan-local arithmetic, one hash-agg."""
+    d = table(spark, sf_dir, "documents")
+    p_keep = F.least(
+        F.lit(1.0), 0.2 + F.col("n_chars").cast("double") / 400.0
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":imp")))
+    u = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) / 16.0
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1)
+        / 256.0
+    )
+    scored = d.select(
+        "source", p_keep.alias("p_keep"), u.alias("u")
+    )
+    kept = scored.filter(F.col("u") < F.col("p_keep")).select(
+        "source",
+        F.round(1000000000.0 / F.col("p_keep"), 0).cast("bigint").alias("w_q"),
+    )
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    j = tot.join(kept, "source", "left")
+    return j.groupBy("source", "n_total").agg(
+        F.count("w_q").cast("bigint").alias("n_kept"),
+        F.round(
+            F.coalesce(F.sum("w_q"), F.lit(0)).cast("double") / 1000000000.0,
+            6,
+        ).alias("ht_estimate"),
+    )
+
+
+@register(
+    "pack_shards_balanced",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars, rk % 8 AS shard FROM ranked
+),
+shards AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY shard
+),
+grand AS (
+  SELECT CAST(SUM(total_chars) AS BIGINT) AS all_chars FROM shards
+)
+SELECT shard, n_docs, total_chars,
+       ROUND(CAST(total_chars AS DOUBLE)
+             / (CAST(all_chars AS DOUBLE) / 8.0), 6) AS balance_ratio
+FROM shards CROSS JOIN grand
+""",
+)
+def pack_shards_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED SHARD PACKING — the "write K equal training shards"
+    step after dedup/filtering: size-sorted round-robin (rank docs
+    by size desc, shard = rank mod K) is the classic LPT-style
+    heuristic that bounds shard skew to one document's size — and
+    unlike greedy bin packing (pack_sequences_greedy fills a TOKEN
+    BUDGET per sequence), this op targets a FIXED SHARD COUNT with
+    minimal spread, which is what a K-way training job wants. The
+    output reports each shard's balance ratio (total/ideal), the
+    skew certificate a dataloader audits before a run. The global
+    size rank is the honest cost (range-partitioned sort); the
+    grand-total is a 1-row broadcast cross. Deterministic: ties
+    break on doc_id."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 8).alias("shard"),
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    grand = shards.agg(
+        F.sum("total_chars").cast("bigint").alias("all_chars")
+    )
+    return shards.crossJoin(F.broadcast(grand)).select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double")
+            / (F.col("all_chars").cast("double") / 8.0),
+            6,
+        ).alias("balance_ratio"),
+    )

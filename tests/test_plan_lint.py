@@ -380,6 +380,10 @@ ALLOWED = {
     # month-count scalar + the pair-median 1-row reduce crossed
     # together; the pair join is the Mann-Kendall month-grid shape.
     "stats_sen_slope": {"cartesian", "single-partition-exchange"},
+    # global size-desc rank (the round-robin packing IS a global
+    # order) + a 1-row grand-total broadcast cross — the
+    # agg_pareto_customers constructs.
+    "pack_shards_balanced": {"cartesian", "single-partition-exchange"},
 }
 
 

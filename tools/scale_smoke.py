@@ -197,6 +197,9 @@ HEAVY = {
     # round-6 wave 26 (1.5-1.8 s warm at sf0.1; ORC write in fn())
     "source_orc_pushdown": 15,
     "agg_interpurchase_time": 15,
+    # round-6 wave 28 (1.1-2.6 s warm at sf0.1)
+    "sample_importance_weights": 15,
+    "pack_shards_balanced": 15,
 }
 
 
