@@ -825,3 +825,61 @@ def decode_qoi_pixels(
         index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
         out.append(px[:3])
     return width, height, out[:n]
+
+
+def encode_tiff_header(width: int, height: int, big_endian: bool) -> bytes:
+    """Minimal baseline-TIFF header: byte-order mark (II little /
+    MM big), magic 42, one IFD with ImageWidth(256),
+    ImageLength(257), BitsPerSample(258), SamplesPerPixel(277) —
+    every multi-byte field honoring the declared byte order. TIFF is
+    the container where ENDIANNESS is data, which is exactly the
+    parsing edge this fixture exists to pin."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    out = bytearray(b"MM" if big_endian else b"II")
+    out += struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", 8)  # IFD starts right after header
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (258, 3, 1, 8),
+        (277, 3, 1, 3),
+    ]
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        # SHORT values live left-justified in the 4-byte value slot
+        # IN FILE BYTE ORDER (first two bytes either way).
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        out += struct.pack(bo + "H", val) + b"\x00\x00"
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff_tags(buf: bytes) -> dict:
+    """Endianness-aware TIFF IFD walk -> {tag: value}. Rejects a bad
+    byte-order mark or magic loudly. Handles SHORT (3) and LONG (4)
+    inline values, honoring that a SHORT sits in the first two bytes
+    of the value slot IN FILE BYTE ORDER — the classic bug in naive
+    parsers that always read little-endian."""
+    import struct
+
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if struct.unpack_from(bo + "H", buf, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = struct.unpack_from(bo + "I", buf, 4)[0]
+    n = struct.unpack_from(bo + "H", buf, ifd)[0]
+    tags = {}
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tag, typ, _cnt = struct.unpack_from(bo + "HHI", buf, off)
+        if typ == 3:
+            tags[tag] = struct.unpack_from(bo + "H", buf, off + 8)[0]
+        elif typ == 4:
+            tags[tag] = struct.unpack_from(bo + "I", buf, off + 8)[0]
+    return tags

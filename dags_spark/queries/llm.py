@@ -4161,3 +4161,73 @@ def pack_shards_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balance_ratio"),
     )
+
+
+@register(
+    "multimodal_tiff_endian",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'big' ELSE 'little' END AS endian,
+       CAST(64 + doc_id % 512 AS BIGINT) AS width,
+       CAST(48 + doc_id % 384 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bits_per_sample,
+       CAST(3 AS BIGINT) AS samples_per_pixel
+FROM documents WHERE doc_id % 5 = 0
+""",
+    tags=("multimodal",),
+)
+def multimodal_tiff_endian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF IFD WALK honoring BYTE ORDER — TIFF is the container
+    where endianness is DATA (II little vs MM big in the first two
+    bytes), and the classic parser bug is reading the tag table
+    little-endian regardless (SHORT values sit in the FIRST two
+    bytes of the 4-byte value slot in FILE order, so a naive reader
+    returns width*256 on MM files — loudly wrong here, silently
+    wrong in production metadata pipelines). Half the fixture
+    payloads are written big-endian, half little
+    (operators/multimodal.py encode_tiff_header/decode_tiff_tags),
+    decoded inside the Arrow kernel; the oracle recomputes every
+    tag from the synthesis formula, so the hash certifies the
+    byte-order branch on both paths. Scan-local kernel, no shuffle
+    of payload bytes."""
+    from ..operators.multimodal import decode_tiff_tags, encode_tiff_header
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                big = i % 2 == 0
+                buf = encode_tiff_header(64 + i % 512, 48 + i % 384, big)
+                t = decode_tiff_tags(buf)
+                rows.append(
+                    (
+                        i,
+                        "big" if big else "little",
+                        t[256],
+                        t[257],
+                        t[258],
+                        t[277],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "endian",
+                    "width",
+                    "height",
+                    "bits_per_sample",
+                    "samples_per_pixel",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, endian STRING, width BIGINT, height BIGINT,"
+        " bits_per_sample BIGINT, samples_per_pixel BIGINT",
+    )

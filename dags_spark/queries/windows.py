@@ -4002,3 +4002,115 @@ def agg_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_days"),
         F.max("gap_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "agg_retention_half_life",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events
+  GROUP BY user_id
+),
+cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts),
+active AS (
+  SELECT date_diff('day', f.d0, date_trunc('day', e.ts)) AS k,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY k
+),
+curve AS (
+  SELECT k, n_active,
+         CAST(ROUND(LN(CAST(n_active AS DOUBLE) / CAST(n_users AS DOUBLE))
+                    * 1000000000, 0) AS BIGINT) AS lr_q
+  FROM active CROSS JOIN cohort WHERE k >= 1
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk,
+         CAST(SUM(lr_q) AS BIGINT) AS sl,
+         CAST(SUM(k * lr_q) AS BIGINT) AS skl
+  FROM curve
+),
+slope AS (
+  SELECT (CAST(m AS DOUBLE) * CAST(skl AS DOUBLE)
+          - CAST(sk AS DOUBLE) * CAST(sl AS DOUBLE))
+         / (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+            - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+         / 1000000000.0 AS b
+  FROM fit
+)
+SELECT c.k, c.n_active,
+       ROUND(CAST(c.lr_q AS DOUBLE) / 1000000000.0, 6) AS ln_rate,
+       ROUND(s.b, 9) AS decay_slope,
+       ROUND(-0.6931471805599453 / s.b, 4) AS half_life_days
+FROM curve c CROSS JOIN slope s
+""",
+)
+def agg_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION HALF-LIFE — fit ln(retention rate) ~ days-since-
+    first-seen and read off t(1/2) = -ln2/slope: the single number
+    growth teams quote ("engagement halves every N days") and the
+    exponential-decay summary that turns a 30-point retention curve
+    into a comparable scalar across products/cohorts. rate(k) =
+    distinct active users at offset k over the cohort size (exact
+    integer counts); each ln(rate) is quantized to a 1e-9 BIGINT
+    lane (identical IEEE input on both engines), and the OLS slope
+    is a closed form over five exact lane sums — the
+    stats_price_elasticity discipline applied to the time axis. One
+    user hash-agg + one offset hash-agg + a 30-row fit; the curve
+    grid is calendar-sized at any fact scale."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    cohort = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    j = e.join(firsts, "user_id")
+    active = j.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.col("d0")).alias("k")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    curve = (
+        active.crossJoin(F.broadcast(cohort))
+        .filter(F.col("k") >= 1)
+        .select(
+            "k",
+            "n_active",
+            F.round(
+                F.log(
+                    F.col("n_active").cast("double")
+                    / F.col("n_users").cast("double")
+                )
+                * 1000000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    fit = curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum("lr_q").cast("bigint").alias("sl"),
+        F.sum(F.col("k") * F.col("lr_q")).cast("bigint").alias("skl"),
+    )
+    m_d = F.col("m").cast("double")
+    b = (
+        (m_d * F.col("skl").cast("double")
+         - F.col("sk").cast("double") * F.col("sl").cast("double"))
+        / (m_d * F.col("skk").cast("double")
+           - F.col("sk").cast("double") * F.col("sk").cast("double"))
+        / 1000000000.0
+    )
+    slope = fit.select(b.alias("b"))
+    return curve.crossJoin(F.broadcast(slope)).select(
+        "k",
+        "n_active",
+        F.round(F.col("lr_q").cast("double") / 1000000000.0, 6).alias(
+            "ln_rate"
+        ),
+        F.round(F.col("b"), 9).alias("decay_slope"),
+        F.round(F.lit(-0.6931471805599453) / F.col("b"), 4).alias(
+            "half_life_days"
+        ),
+    )

@@ -384,6 +384,9 @@ ALLOWED = {
     # order) + a 1-row grand-total broadcast cross — the
     # agg_pareto_customers constructs.
     "pack_shards_balanced": {"cartesian", "single-partition-exchange"},
+    # 1-row cohort-size and 1-row fitted-slope scalars broadcast into
+    # the calendar-sized curve — the scalar-subquery shape, twice.
+    "agg_retention_half_life": {"cartesian", "single-partition-exchange"},
 }
 
 

@@ -200,6 +200,9 @@ HEAVY = {
     # round-6 wave 28 (1.1-2.6 s warm at sf0.1)
     "sample_importance_weights": 15,
     "pack_shards_balanced": 15,
+    # round-6 wave 29 (2.2-3.3 s warm at sf0.1)
+    "multimodal_tiff_endian": 20,
+    "agg_retention_half_life": 15,
 }
 
 
