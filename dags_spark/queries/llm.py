@@ -4231,3 +4231,52 @@ def multimodal_tiff_endian(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, endian STRING, width BIGINT, height BIGINT,"
         " bits_per_sample BIGINT, samples_per_pixel BIGINT",
     )
+
+
+@register(
+    "train_epoch_shuffle",
+    oracle="""
+WITH epochs AS (
+  SELECT unnest(generate_series(0, 2)) AS epoch
+),
+ordered AS (
+  SELECT e.epoch, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':epoch:'
+                        || CAST(e.epoch AS VARCHAR)), d.doc_id
+         ) - 1 AS position
+  FROM documents d CROSS JOIN epochs e
+)
+SELECT epoch, doc_id, position
+FROM ordered WHERE position < 20
+""",
+)
+def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH DETERMINISTIC SHUFFLE — training-data ordering
+    done the reproducible way: epoch E's permutation is the sort
+    order of md5(doc_id || epoch) (doc_id tiebreak), so every
+    re-run, every engine, and every worker sees the SAME order for
+    the same epoch and a DIFFERENT order across epochs — no RNG
+    state to checkpoint, no seed-plus-partition coupling (the
+    classic irreproducibility bug when Spark's rand() re-executes a
+    stage). The key certifies the first 20 positions of 3 epochs.
+    At scale the same hash IS the shard-then-shuffle key: sort by
+    (hash prefix -> shard, hash) and the permutation distributes
+    with no global sort — the range-partitioned sort here is the
+    single-machine rendering of that."""
+    d = table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    j = d.select("doc_id").crossJoin(F.broadcast(epochs))
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":epoch:"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(h, F.col("doc_id"))
+    ordered = j.select(
+        "epoch", "doc_id", (F.row_number().over(w) - 1).alias("position")
+    )
+    return ordered.filter(F.col("position") < 20)

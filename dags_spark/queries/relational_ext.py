@@ -4335,3 +4335,85 @@ def merge_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("bigint").alias("bal_source"),
         "n_sources",
     )
+
+
+@register(
+    "agg_abc_xyz_classification",
+    oracle="""
+WITH monthly AS (
+  SELECT l.l_partkey AS pk,
+         date_trunc('month', l.l_shipdate) AS m,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l GROUP BY pk, m
+),
+lanes AS (
+  SELECT pk,
+         CAST(COUNT(*) AS BIGINT) AS n_m,
+         CAST(SUM(qty) AS BIGINT) AS sq,
+         CAST(SUM(qty * qty) AS BIGINT) AS sqq
+  FROM monthly GROUP BY pk
+),
+xyz AS (
+  SELECT pk, n_m, sq,
+         SQRT((CAST(sqq AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n_m AS DOUBLE))
+              / CAST(n_m AS DOUBLE))
+           / (CAST(sq AS DOUBLE) / CAST(n_m AS DOUBLE)) AS cv
+  FROM lanes WHERE n_m >= 6
+),
+classed AS (
+  SELECT pk, sq, cv,
+         CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM xyz
+)
+SELECT xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(sq) AS BIGINT) AS total_qty,
+       ROUND(MIN(cv), 6) AS min_cv,
+       ROUND(MAX(cv), 6) AS max_cv
+FROM classed GROUP BY xyz_class
+""",
+)
+def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ DEMAND-VARIABILITY CLASSIFICATION — the inventory-
+    planning twin of the revenue ABC key (agg_pareto / agg_abc
+    slice by VALUE; XYZ slices by PREDICTABILITY): per part, the
+    coefficient of variation of monthly shipped quantity buckets
+    parts into X (steady, cv<=0.5 — forecast and automate), Y
+    (seasonal/variable), Z (erratic, cv>1 — safety stock or
+    make-to-order). The cv comes from exact integer month-quantity
+    lanes (sum, sum-of-squares — population SD over the part's
+    observed months), one double closed form per part, and parts
+    with under 6 observed months are withheld rather than classed
+    on noise. Two hash-aggs (part x month, then part), dim-sized
+    output; the classic planning report at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    lanes = monthly.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum("qty").cast("bigint").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sqq"),
+    ).filter(F.col("n_m") >= 6)
+    n_d = F.col("n_m").cast("double")
+    sq_d = F.col("sq").cast("double")
+    cv = F.sqrt(
+        (F.col("sqq").cast("double") - sq_d * sq_d / n_d) / n_d
+    ) / (sq_d / n_d)
+    classed = lanes.select(
+        "pk",
+        "sq",
+        cv.alias("cv"),
+        F.when(cv <= 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("sq").cast("bigint").alias("total_qty"),
+        F.round(F.min("cv"), 6).alias("min_cv"),
+        F.round(F.max("cv"), 6).alias("max_cv"),
+    )

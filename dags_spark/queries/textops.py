@@ -2037,3 +2037,90 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_novel).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("novelty_share"),
     )
+
+
+@register(
+    "text_homoglyph_scrub",
+    oracle="""
+WITH poisoned AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN replace(replace(replace(text, 'a', chr(1072)),
+                           'e', chr(1077)), 'o', chr(1086))
+              ELSE text END AS text,
+         md5(text) AS clean_md5
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, clean_md5,
+         replace(replace(replace(text, chr(1072), 'a'),
+                 chr(1077), 'e'), chr(1086), 'o') AS text_scrubbed,
+         length(text)
+           - length(replace(replace(replace(text, chr(1072), ''),
+                            chr(1077), ''), chr(1086), '')) AS n_homoglyphs
+  FROM poisoned
+)
+SELECT doc_id,
+       CAST(n_homoglyphs AS BIGINT) AS n_homoglyphs,
+       (md5(text_scrubbed) = clean_md5) AS recovered
+FROM scrubbed
+""",
+)
+def text_homoglyph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOMOGLYPH SCRUBBING — the data-poisoning defense an LLM
+    corpus pipeline runs before dedup: Cyrillic а/е/о (U+0430/0435/
+    043E) are pixel-identical to Latin a/e/o, so a poisoned document
+    evades exact AND near-dup matching while reading identically to
+    a human (and to the model). A third of the fixture docs are
+    poisoned IN-QUERY (deterministic substitution), scrubbed back
+    through the confusable map, and the key certifies byte-exact
+    recovery against the pre-poison md5 plus the per-doc homoglyph
+    count — so the hash pins both the detection (count) and the
+    normalization (recovery bit). Pure scan-local string kernels
+    (replace chains, JVM-side); at 100 TB this fuses into the
+    text_normalize pass with zero extra shuffles."""
+    d = table(spark, sf_dir, "documents")
+    a_cy, e_cy, o_cy = "а", "е", "о"
+    poisoned = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(
+                F.replace(
+                    F.replace(F.col("text"), F.lit("a"), F.lit(a_cy)),
+                    F.lit("e"),
+                    F.lit(e_cy),
+                ),
+                F.lit("o"),
+                F.lit(o_cy),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.md5("text").alias("clean_md5"),
+    )
+    scrub = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit(a_cy), F.lit("a")),
+            F.lit(e_cy),
+            F.lit("e"),
+        ),
+        F.lit(o_cy),
+        F.lit("o"),
+    )
+    strip_all = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit(a_cy), F.lit("")),
+            F.lit(e_cy),
+            F.lit(""),
+        ),
+        F.lit(o_cy),
+        F.lit(""),
+    )
+    return poisoned.select(
+        "doc_id",
+        (F.length("text") - F.length(strip_all))
+        .cast("bigint")
+        .alias("n_homoglyphs"),
+        (F.md5(scrub) == F.col("clean_md5")).alias("recovered"),
+    )

@@ -387,6 +387,10 @@ ALLOWED = {
     # 1-row cohort-size and 1-row fitted-slope scalars broadcast into
     # the calendar-sized curve — the scalar-subquery shape, twice.
     "agg_retention_half_life": {"cartesian", "single-partition-exchange"},
+    # the 3-row epoch table broadcast-crossed into the corpus IS the
+    # fan-out (one permutation per epoch) — a bounded by-design cross
+    # like join_salted_checked.
+    "train_epoch_shuffle": {"cartesian"},
 }
 
 

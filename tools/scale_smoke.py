@@ -203,6 +203,9 @@ HEAVY = {
     # round-6 wave 29 (2.2-3.3 s warm at sf0.1)
     "multimodal_tiff_endian": 20,
     "agg_retention_half_life": 15,
+    # round-6 wave 30 (1.4-2.6 s warm at sf0.1)
+    "text_homoglyph_scrub": 15,
+    "agg_abc_xyz_classification": 15,
 }
 
 
