@@ -4417,3 +4417,155 @@ def agg_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cv"), 6).alias("min_cv"),
         F.round(F.max("cv"), 6).alias("max_cv"),
     )
+
+
+# Shared hex-digit -> int SQL for the bloom positions (3 hex chars =
+# 12 bits, mod 1024): identical string algebra on both engines.
+def _bloom_pos_sql(key: str, seed: int, typ: str = "VARCHAR") -> str:
+    h = f"md5(CAST({key} AS {typ}) || ':b{seed}')"
+    d = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return (
+        "(("
+        + d.format(h=h, i=1)
+        + ") * 256 + ("
+        + d.format(h=h, i=2)
+        + ") * 16 + ("
+        + d.format(h=h, i=3)
+        + ")) % 1024"
+    )
+
+
+@register(
+    "join_bloom_prefilter_checked",
+    oracle=f"""
+WITH dim AS (
+  SELECT s_suppkey AS k FROM supplier WHERE s_nationkey % 5 = 0
+),
+dim_bits AS (
+  SELECT ({_bloom_pos_sql('k', 1)}) AS pos FROM dim
+  UNION ALL SELECT ({_bloom_pos_sql('k', 2)}) FROM dim
+  UNION ALL SELECT ({_bloom_pos_sql('k', 3)}) FROM dim
+),
+words AS (
+  SELECT pos // 32 AS word,
+         CAST(BIT_OR(CAST(1 AS BIGINT) << (pos % 32)) AS BIGINT) AS mask
+  FROM dim_bits GROUP BY word
+),
+probes AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey,
+         unnest([{_bloom_pos_sql('l_suppkey', 1)},
+                 {_bloom_pos_sql('l_suppkey', 2)},
+                 {_bloom_pos_sql('l_suppkey', 3)}]) AS pos
+  FROM lineitem
+),
+tested AS (
+  SELECT p.l_orderkey, p.l_linenumber, p.l_suppkey,
+         MIN(CASE WHEN ((COALESCE(w.mask, 0) >> (p.pos % 32)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS pass
+  FROM probes p LEFT JOIN words w ON p.pos // 32 = w.word
+  GROUP BY p.l_orderkey, p.l_linenumber, p.l_suppkey
+),
+truth AS (
+  SELECT t.*,
+         CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS is_match
+  FROM tested t LEFT JOIN dim d ON t.l_suppkey = d.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       CAST(SUM(pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(is_match) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN pass = 1 AND is_match = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN pass = 0 AND is_match = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative
+FROM truth
+""",
+)
+def join_bloom_prefilter_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SEMI-JOIN REDUCTION, certificate included — the
+    scale technique for "dim too big to ship raw, but its FINGERPRINT
+    fits anywhere": dim keys set 3 hash positions each in a 1024-bit
+    filter (32x 32-bit words via BIT_OR — an associative aggregate,
+    so the build is one map-side-combined pass however large dim
+    is); fact rows probe their 3 positions against the broadcast
+    word table and only bloom-survivors proceed to the real join.
+    The output IS the certificate: n_false_negative MUST be 0 (the
+    bloom guarantee — hash-pinned, not assumed) while
+    n_false_positive documents the honest cost of the 1024-bit
+    sizing. Spark's own runtime bloom (AQE) does this invisibly;
+    this key makes the mechanism a checkable operator with
+    engine-portable md5 positions. Probes are an explode(3) +
+    broadcast join on a 32-row table — no shuffle of fact rows at
+    all."""
+    sup = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    dim = sup.filter(F.col("s_nationkey") % 5 == 0).select(
+        F.col("s_suppkey").alias("k")
+    )
+
+    def pos_expr(key: str, seed: int) -> F.Column:
+        return F.expr(_bloom_pos_sql(key, seed, typ="STRING"))
+
+    dim_bits = (
+        dim.select(pos_expr("k", 1).alias("pos"))
+        .unionAll(dim.select(pos_expr("k", 2).alias("pos")))
+        .unionAll(dim.select(pos_expr("k", 3).alias("pos")))
+    )
+    words = dim_bits.groupBy(
+        (F.col("pos") / 32).cast("bigint").alias("word")
+    ).agg(
+        F.expr(
+            "CAST(bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(pos % 32 AS INT))) AS BIGINT)"
+        ).alias("mask")
+    )
+    probes = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.explode(
+            F.array(
+                pos_expr("l_suppkey", 1),
+                pos_expr("l_suppkey", 2),
+                pos_expr("l_suppkey", 3),
+            )
+        ).alias("pos"),
+    )
+    tested = (
+        probes.join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .groupBy("l_orderkey", "l_linenumber", "l_suppkey")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        "((COALESCE(mask, 0) >> CAST(pos % 32 AS INT)) & 1) = 1"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("pass")
+        )
+    )
+    truth = tested.join(
+        F.broadcast(dim), tested.l_suppkey == dim.k, "left"
+    ).select(
+        "pass",
+        F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("is_match"),
+    )
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact"),
+        F.sum("pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_match").cast("bigint").alias("n_true_match"),
+        F.sum(
+            F.when((F.col("pass") == 1) & (F.col("is_match") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when((F.col("pass") == 0) & (F.col("is_match") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negative"),
+    )

@@ -391,6 +391,9 @@ ALLOWED = {
     # fan-out (one permutation per epoch) — a bounded by-design cross
     # like join_salted_checked.
     "train_epoch_shuffle": {"cartesian"},
+    # the certificate (5 counters over the whole probe table) is one
+    # global aggregate row by definition — agg_global class.
+    "join_bloom_prefilter_checked": {"single-partition-exchange"},
 }
 
 

@@ -206,6 +206,8 @@ HEAVY = {
     # round-6 wave 30 (1.4-2.6 s warm at sf0.1)
     "text_homoglyph_scrub": 15,
     "agg_abc_xyz_classification": 15,
+    # round-6 wave 31 (6.9 s warm at sf0.1 — 6 md5s per fact row)
+    "join_bloom_prefilter_checked": 35,
 }
 
 
