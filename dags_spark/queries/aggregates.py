@@ -3167,3 +3167,141 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "stats_wilson_interval",
+    oracle="""
+WITH per AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand
+)
+SELECT brand, n, x,
+       ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS naive_rate,
+       ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              + 3.8415882352801855 / (2.0 * CAST(n AS DOUBLE))
+              - 1.959963984540054 * SQRT(
+                  (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + 3.8415882352801855
+                    / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8415882352801855 / CAST(n AS DOUBLE)), 6)
+         AS wilson_lower
+FROM per
+""",
+)
+def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE LOWER BOUND per brand — the proportion interval
+    that fixes the two classic ranking bugs of the naive rate: a
+    1/1 = 100% item outranking a 98/100, and normal-approximation
+    intervals escaping [0,1] at small n. Ranking by the Wilson
+    lower bound (the "how good is it at worst, given the evidence"
+    estimate — the Reddit/best-comment formula) is the standard
+    fix. Counts are exact integers; the bound is one closed-form
+    double per brand with the z=1.96 constants pinned as literals
+    (z and z^2) so both engines evaluate the IDENTICAL expression —
+    no transcendentals at all, just SQRT. One broadcast dim join +
+    one hash agg; brand-sized output."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    ph = F.col("x").cast("double") / n_d
+    z = 1.959963984540054
+    z2 = 3.8415882352801855
+    wilson = (
+        ph
+        + z2 / (2.0 * n_d)
+        - z * F.sqrt(ph * (1.0 - ph) / n_d + z2 / (4.0 * n_d * n_d))
+    ) / (1.0 + z2 / n_d)
+    return per.select(
+        "brand",
+        "n",
+        "x",
+        F.round(ph, 6).alias("naive_rate"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+
+
+@register(
+    "dq_join_fanout_profile",
+    oracle="""
+WITH fan AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM orders GROUP BY k
+),
+li_fan AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM lineitem GROUP BY k
+),
+profile AS (
+  SELECT 'customer->orders' AS relation,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(fanout) AS BIGINT) AS n_rows,
+         CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+         ROUND(CAST(SUM(fanout) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS mean_fanout,
+         CAST(SUM(CASE WHEN fanout > 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keys_over_10
+  FROM fan
+  UNION ALL
+  SELECT 'orders->lineitem',
+         CAST(COUNT(*) AS BIGINT), CAST(SUM(fanout) AS BIGINT),
+         CAST(MAX(fanout) AS BIGINT),
+         ROUND(CAST(SUM(fanout) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6),
+         CAST(SUM(CASE WHEN fanout > 10 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM li_fan
+)
+SELECT * FROM profile
+""",
+)
+def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN FAN-OUT PROFILER — the pre-join safety report that
+    answers "will this join AMPLIFY my rows?" before the cluster
+    finds out the hard way: for each FK relation, the distribution
+    of per-key match counts (mean = the row multiplication factor
+    the join will apply, max = the hottest key, keys-over-threshold
+    = how concentrated the amplification is). The skew profiler's
+    complement: skew kills a shuffle's balance, fan-out kills its
+    OUTPUT SIZE — a 1:N join with mean fan-out 4 quadruples the
+    downstream pipeline, and the profile says so from two cheap
+    map-side-combined hash-aggs over the FK columns alone (column-
+    pruned scans, no join executed at all)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def profile(df, key, name):
+        fan = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("fanout")
+        )
+        return fan.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("fanout").cast("bigint").alias("n_rows"),
+            F.max("fanout").cast("bigint").alias("max_fanout"),
+            F.round(
+                F.sum("fanout").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_fanout"),
+            F.sum(F.when(F.col("fanout") > 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keys_over_10"),
+        )
+
+    return profile(o, "o_custkey", "customer->orders").unionByName(
+        profile(li, "l_orderkey", "orders->lineitem")
+    )

@@ -394,6 +394,9 @@ ALLOWED = {
     # the certificate (5 counters over the whole probe table) is one
     # global aggregate row by definition — agg_global class.
     "join_bloom_prefilter_checked": {"single-partition-exchange"},
+    # each relation's profile is a 1-row global reduce of its per-key
+    # fan-out table — agg_global class, once per relation.
+    "dq_join_fanout_profile": {"single-partition-exchange"},
 }
 
 

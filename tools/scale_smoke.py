@@ -208,6 +208,8 @@ HEAVY = {
     "agg_abc_xyz_classification": 15,
     # round-6 wave 31 (6.9 s warm at sf0.1 — 6 md5s per fact row)
     "join_bloom_prefilter_checked": 35,
+    # round-6 wave 32 (2.4 s warm at sf0.1)
+    "stats_wilson_interval": 15,
 }
 
 
