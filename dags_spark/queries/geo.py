@@ -400,3 +400,71 @@ def join_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_crossings"))
         .filter(F.col("n_crossings") % 2 == 1)
     )
+
+
+@register(
+    "fn_web_mercator_tile",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+  FROM events WHERE event_id % 31 = 0
+),
+proj AS (
+  SELECT event_id, lat, lon,
+         FLOOR(ROUND((lon + 180.0) / 360.0 * 4096.0 * 1000000000.0, 0)
+               / 1000000000.0) AS tx,
+         FLOOR(ROUND((1.0 - LN(TAN(lat * 0.017453292519943295)
+                               + 1.0 / COS(lat * 0.017453292519943295))
+                          / 3.141592653589793) / 2.0 * 4096.0
+                     * 1000000000.0, 0) / 1000000000.0) AS ty
+  FROM pts
+)
+SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM proj GROUP BY tile_x, tile_y
+""",
+    tags=("geo", "function"),
+)
+def fn_web_mercator_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB-MERCATOR TILE ASSIGNMENT (slippy z/x/y at zoom 12) — the
+    map-industry standard cell id (what every tile server and
+    geo-analytics rollup keys on), completing the spatial-key trio
+    next to geohash (base32 Morton) and Hilbert: tile_x is linear in
+    longitude; tile_y runs through the Mercator stretch
+    ln(tan(lat) + sec(lat)). The stretch is transcendental, so the
+    projection is QUANTIZED to a 1e-9 lane BEFORE the floor — the
+    floor-at-a-boundary is the one place a last-ulp libm difference
+    could flip a tile id, and the lane pin removes it (the same
+    discipline every LN/EXP key in the repo follows). Half-degree
+    latitudes from the fixture keep tan() well-conditioned
+    (|lat| <= 80). Scan-local arithmetic -> one hash-agg per tile;
+    the tile id is the shuffle key at any scale."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    lat = (
+        (F.col("event_id") * 2654435761 % 1600001).cast("double") / 10000.0
+    ) - 80.0
+    lon = (
+        (F.col("event_id") * 40503 % 3600001).cast("double") / 10000.0
+    ) - 180.0
+    rad = 0.017453292519943295  # pi/180: the standard mercator
+    # stretch ln(tan(phi) + sec(phi)) takes phi in full radians.
+    tx = F.floor(
+        F.round((lon + 180.0) / 360.0 * 4096.0 * 1000000000.0, 0)
+        / 1000000000.0
+    )
+    merc = F.log(
+        F.tan(lat * rad) + 1.0 / F.cos(lat * rad)
+    )
+    ty = F.floor(
+        F.round(
+            (1.0 - merc / 3.141592653589793) / 2.0 * 4096.0 * 1000000000.0,
+            0,
+        )
+        / 1000000000.0
+    )
+    proj = ev.select(tx.cast("bigint").alias("tile_x"), ty.cast("bigint").alias("tile_y"), "event_id")
+    return proj.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("event_id").cast("bigint").alias("first_event"),
+    )

@@ -4114,3 +4114,67 @@ def agg_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             "half_life_days"
         ),
     )
+
+
+@register(
+    "agg_same_store_sales",
+    oracle="""
+WITH yearly AS (
+  SELECT o_custkey AS k,
+         date_part('year', o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY k, y
+),
+paired AS (
+  SELECT cur.y AS year,
+         CAST(COUNT(*) AS BIGINT) AS n_comparable_customers,
+         CAST(SUM(cur.rev_c) AS BIGINT) AS rev_cur_c,
+         CAST(SUM(prv.rev_c) AS BIGINT) AS rev_prev_c
+  FROM yearly cur JOIN yearly prv
+    ON cur.k = prv.k AND cur.y = prv.y + 1
+  GROUP BY cur.y
+)
+SELECT year, n_comparable_customers,
+       CAST(rev_cur_c AS DOUBLE) / 100.0 AS comparable_revenue,
+       CAST(rev_prev_c AS DOUBLE) / 100.0 AS prior_year_revenue,
+       ROUND(CAST(rev_cur_c AS DOUBLE) / CAST(rev_prev_c AS DOUBLE) - 1.0, 6)
+         AS same_store_growth
+FROM paired
+""",
+)
+def agg_same_store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME-STORE (COMPARABLE) SALES growth — the retail/finance
+    metric that separates ORGANIC growth from acquisition: total
+    YoY revenue growth conflates "existing customers spend more"
+    with "we added customers"; comparable growth restricts both
+    years to customers transacting in BOTH (the retail analyst's
+    'comp base'), which is the number earnings reports actually
+    quote. One (customer, year) cents hash-agg, then a self
+    equi-join on (customer, adjacent year) — co-partitioned on the
+    customer key, so the join reuses the aggregation's own
+    partitioning — and a year-grid reduce. Exact cents end to end;
+    the single division is the growth rate."""
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("k"),
+        F.year("o_orderdate").alias("y"),
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    cur = yearly.select("k", F.col("y").alias("year"), F.col("rev_c").alias("rc"))
+    prv = yearly.select("k", (F.col("y") + 1).alias("year"), F.col("rev_c").alias("rp"))
+    paired = cur.join(prv, ["k", "year"]).groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comparable_customers"),
+        F.sum("rc").cast("bigint").alias("rev_cur_c"),
+        F.sum("rp").cast("bigint").alias("rev_prev_c"),
+    )
+    return paired.select(
+        "year",
+        "n_comparable_customers",
+        (F.col("rev_cur_c").cast("double") / 100.0).alias("comparable_revenue"),
+        (F.col("rev_prev_c").cast("double") / 100.0).alias("prior_year_revenue"),
+        F.round(
+            F.col("rev_cur_c").cast("double") / F.col("rev_prev_c").cast("double")
+            - 1.0,
+            6,
+        ).alias("same_store_growth"),
+    )
