@@ -3305,3 +3305,142 @@ def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(o, "o_custkey", "customer->orders").unionByName(
         profile(li, "l_orderkey", "orders->lineitem")
     )
+
+
+@register(
+    "stats_aa_test_srm",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(CAST(user_id AS VARCHAR) || ':aa'), 1, 1))
+                    - 1) < 8 THEN 'A1' ELSE 'A2' END AS bucket,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+),
+per_user AS (
+  SELECT bucket, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(SUM(v_c) AS BIGINT) AS sv
+  FROM assigned GROUP BY bucket, user_id
+),
+lanes AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         CAST(SUM(sv) AS BIGINT) AS s,
+         CAST(SUM(sv * sv) AS BIGINT) AS ss
+  FROM per_user GROUP BY bucket
+),
+wide AS (
+  SELECT MAX(CASE WHEN bucket = 'A1' THEN n_users END) AS n1,
+         MAX(CASE WHEN bucket = 'A2' THEN n_users END) AS n2,
+         MAX(CASE WHEN bucket = 'A1' THEN n_events END) AS e1,
+         MAX(CASE WHEN bucket = 'A2' THEN n_events END) AS e2,
+         MAX(CASE WHEN bucket = 'A1' THEN s END) AS s1,
+         MAX(CASE WHEN bucket = 'A2' THEN s END) AS s2,
+         MAX(CASE WHEN bucket = 'A1' THEN ss END) AS ss1,
+         MAX(CASE WHEN bucket = 'A2' THEN ss END) AS ss2
+  FROM lanes
+)
+SELECT n1, n2, e1, e2,
+       ROUND((CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE) / 2.0)
+             * (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE) / 2.0)
+             / (CAST(n1 + n2 AS DOUBLE) / 2.0) * 2.0, 6) AS srm_chi2,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / SQRT(
+                 (CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)
+                 + (CAST(ss2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)), 6) AS metric_z,
+       (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE) / 2.0)
+         * (CAST(n1 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE) / 2.0)
+         / (CAST(n1 + n2 AS DOUBLE) / 2.0) * 2.0 <= 10.83 AS srm_pass,
+       ABS((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / SQRT(
+               (CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+                 / CAST(n1 AS DOUBLE)
+               + (CAST(ss2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / CAST(n2 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE))) <= 3.29 AS metric_pass
+FROM wide
+""",
+)
+def stats_aa_test_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A TEST + SAMPLE-RATIO-MISMATCH check — the experimentation
+    platform's SELF-test, run before anyone trusts an A/B readout:
+    hash users into two buckets that SHOULD be identical, then (1)
+    SRM: a chi-square on the 50/50 user split (the single most
+    common silent corrupter of experiments — a biased assignment
+    path shows up here first), and (2) metric balance: a Welch-style
+    z on per-user spend between buckets. Both gates use loose
+    p~0.001 thresholds (chi2 <= 10.83, |z| <= 3.29) pinned as
+    literals — an A/A platform alarm must be rare by design. All
+    moments are exact integer lanes (user counts, cents sums,
+    sums-of-squares of PER-USER totals — clustered at the
+    randomization unit, the subtlety naive A/B math gets wrong);
+    the closed forms are the only doubles. Assignment is the same
+    salted-md5 bucket hash every split key uses — reproducible, no
+    RNG."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.when(
+        F.expr(
+            "instr('0123456789abcdef',"
+            " substr(md5(CAST(user_id AS STRING) || ':aa'), 1, 1)) - 1"
+        )
+        < 8,
+        "A1",
+    ).otherwise("A2")
+    assigned = e.select(
+        "user_id", bucket.alias("bucket"), cents("value").alias("v_c")
+    )
+    per_user = assigned.groupBy("bucket", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum("v_c").cast("bigint").alias("sv"),
+    )
+    lanes = per_user.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum("sv").cast("bigint").alias("s"),
+        F.sum(F.col("sv") * F.col("sv")).cast("bigint").alias("ss"),
+    )
+
+    def pick(col, b):
+        return F.max(F.when(F.col("bucket") == b, F.col(col)))
+
+    wide = lanes.agg(
+        pick("n_users", "A1").alias("n1"),
+        pick("n_users", "A2").alias("n2"),
+        pick("n_events", "A1").alias("e1"),
+        pick("n_events", "A2").alias("e2"),
+        pick("s", "A1").alias("s1"),
+        pick("s", "A2").alias("s2"),
+        pick("ss", "A1").alias("ss1"),
+        pick("ss", "A2").alias("ss2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    half = (F.col("n1") + F.col("n2")).cast("double") / 2.0
+    chi2 = (n1d - half) * (n1d - half) / half * 2.0
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var1 = (F.col("ss1").cast("double") - s1d * s1d / n1d) / n1d / n1d
+    var2 = (F.col("ss2").cast("double") - s2d * s2d / n2d) / n2d / n2d
+    zv = (s1d / n1d - s2d / n2d) / F.sqrt(var1 + var2)
+    return wide.select(
+        "n1",
+        "n2",
+        "e1",
+        "e2",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.round(zv, 6).alias("metric_z"),
+        (chi2 <= 10.83).alias("srm_pass"),
+        (F.abs(zv) <= 3.29).alias("metric_pass"),
+    )

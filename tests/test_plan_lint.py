@@ -397,6 +397,9 @@ ALLOWED = {
     # each relation's profile is a 1-row global reduce of its per-key
     # fan-out table — agg_global class, once per relation.
     "dq_join_fanout_profile": {"single-partition-exchange"},
+    # the whole A/A readout is ONE global row by definition
+    # (agg_global class — the same shape as stats_ab_ttest).
+    "stats_aa_test_srm": {"single-partition-exchange"},
 }
 
 

@@ -210,6 +210,10 @@ HEAVY = {
     "join_bloom_prefilter_checked": 35,
     # round-6 wave 32 (2.4 s warm at sf0.1)
     "stats_wilson_interval": 15,
+    # round-6 wave 33-34 (1.5-3.0 s warm at sf0.1)
+    "fn_web_mercator_tile": 15,
+    "agg_same_store_sales": 15,
+    "stats_aa_test_srm": 15,
 }
 
 
