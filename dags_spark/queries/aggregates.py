@@ -3444,3 +3444,92 @@ def stats_aa_test_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chi2 <= 10.83).alias("srm_pass"),
         (F.abs(zv) <= 3.29).alias("metric_pass"),
     )
+
+
+@register(
+    "agg_price_index_laspeyres",
+    oracle="""
+WITH per AS (
+  SELECT l_partkey AS pk,
+         date_part('year', l_shipdate) AS y,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY pk, y
+),
+base AS (SELECT pk, spend_c, qty FROM per WHERE y = 1995),
+pairs AS (
+  SELECT p.y,
+         b.qty AS q0, b.spend_c AS s0_c,
+         p.qty AS qt, p.spend_c AS st_c
+  FROM per p JOIN base b ON p.pk = b.pk
+  WHERE p.y > 1995
+),
+idx AS (
+  SELECT y,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(st_c AS DOUBLE) / CAST(qt AS DOUBLE) * CAST(q0 AS DOUBLE))
+           AS lasp_num,
+         SUM(CAST(s0_c AS DOUBLE) / CAST(q0 AS DOUBLE) * CAST(q0 AS DOUBLE))
+           AS lasp_den,
+         SUM(CAST(st_c AS DOUBLE) / CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE))
+           AS paas_num,
+         SUM(CAST(s0_c AS DOUBLE) / CAST(q0 AS DOUBLE) * CAST(qt AS DOUBLE))
+           AS paas_den
+  FROM pairs GROUP BY y
+)
+SELECT y AS year, n_parts,
+       ROUND(CAST(ROUND(lasp_num, 0) AS DOUBLE)
+             / CAST(ROUND(lasp_den, 0) AS DOUBLE), 6) AS laspeyres,
+       ROUND(CAST(ROUND(paas_num, 0) AS DOUBLE)
+             / CAST(ROUND(paas_den, 0) AS DOUBLE), 6) AS paasche
+FROM idx
+""",
+)
+def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES + PAASCHE PRICE INDICES vs a 1995 base year — the
+    two canonical basket price indices (Laspeyres weights by BASE-
+    year quantities: "what does the old basket cost now?"; Paasche
+    by CURRENT quantities), the econ-statistics counterpart to the
+    per-brand elasticity key. Per (part, year) the average unit
+    price is an exact ratio of cents-spend over integer quantity;
+    each index is a weighted sum of those ratios over parts present
+    in both years. The summands are exact-lane ratios reconstructed
+    identically on both engines, and the sums are rounded to the
+    integer cent BEFORE the final division (quantize-then-divide),
+    absorbing any last-ulp accumulation-order drift. Two hash-aggs
+    + one part-keyed self-join (co-partitioned); year-grid output."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("y"),
+    ).agg(
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("spend_c"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    base = per.filter(F.col("y") == 1995).select(
+        "pk", F.col("spend_c").alias("s0_c"), F.col("qty").alias("q0")
+    )
+    cur = per.filter(F.col("y") > 1995)
+    pairs = cur.join(base, "pk")
+    p_t = F.col("spend_c").cast("double") / F.col("qty").cast("double")
+    p_0 = F.col("s0_c").cast("double") / F.col("q0").cast("double")
+    q0d = F.col("q0").cast("double")
+    qtd = F.col("qty").cast("double")
+    idx = pairs.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(p_t * q0d).alias("lasp_num"),
+        F.sum(p_0 * q0d).alias("lasp_den"),
+        F.sum(p_t * qtd).alias("paas_num"),
+        F.sum(p_0 * qtd).alias("paas_den"),
+    )
+    return idx.select(
+        F.col("y").alias("year"),
+        "n_parts",
+        F.round(
+            F.round(F.col("lasp_num"), 0) / F.round(F.col("lasp_den"), 0), 6
+        ).alias("laspeyres"),
+        F.round(
+            F.round(F.col("paas_num"), 0) / F.round(F.col("paas_den"), 0), 6
+        ).alias("paasche"),
+    )

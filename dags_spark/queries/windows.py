@@ -4178,3 +4178,76 @@ def agg_same_store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("same_store_growth"),
     )
+
+
+@register(
+    "ts_naive_forecast_error",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY m
+),
+lagged AS (
+  SELECT m, rev_c,
+         LAG(rev_c, 1) OVER (ORDER BY m) AS prev_1,
+         LAG(rev_c, 12) OVER (ORDER BY m) AS prev_12
+  FROM monthly
+),
+scored AS (
+  SELECT rev_c, prev_1, prev_12,
+         ABS(rev_c - prev_1) AS ae_naive,
+         ABS(rev_c - prev_12) AS ae_seasonal
+  FROM lagged WHERE prev_1 IS NOT NULL AND prev_12 IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(ae_naive) AS DOUBLE) / 100.0 / COUNT(*) AS mae_naive,
+       CAST(SUM(ae_seasonal) AS DOUBLE) / 100.0 / COUNT(*) AS mae_seasonal,
+       ROUND(CAST(SUM(ae_seasonal) AS DOUBLE)
+             / CAST(SUM(ae_naive) AS DOUBLE), 6) AS seasonal_vs_naive,
+       CAST(SUM(ae_seasonal) AS BIGINT) < CAST(SUM(ae_naive) AS BIGINT)
+         AS seasonality_helps
+FROM scored
+""",
+)
+def ts_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BASELINE BACKTEST — the sanity bar every demand
+    model must clear before shipping: on the monthly revenue
+    series, score the two no-model baselines — last-value naive
+    (forecast m = actual m-1) and seasonal naive (forecast m =
+    actual m-12) — by mean absolute error over the months where
+    both are defined (identical support, so the comparison is
+    fair). The ratio seasonal/naive < 1 answers "does this series
+    even HAVE usable yearly seasonality?" — the question to settle
+    before fitting anything. Errors are exact cents integers
+    (|a - b| of BIGINT lanes; MAE's division is the only double),
+    computed with two LAGs over the calendar-sized month grid after
+    a map-side fact reduce."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "rev_c",
+        F.lag("rev_c", 1).over(w).alias("prev_1"),
+        F.lag("rev_c", 12).over(w).alias("prev_12"),
+    ).filter(F.col("prev_1").isNotNull() & F.col("prev_12").isNotNull())
+    ae_n = F.abs(F.col("rev_c") - F.col("prev_1"))
+    ae_s = F.abs(F.col("rev_c") - F.col("prev_12"))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        (F.sum(ae_n).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+            "mae_naive"
+        ),
+        (F.sum(ae_s).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+            "mae_seasonal"
+        ),
+        F.round(
+            F.sum(ae_s).cast("double") / F.sum(ae_n).cast("double"), 6
+        ).alias("seasonal_vs_naive"),
+        (
+            F.sum(ae_s).cast("bigint") < F.sum(ae_n).cast("bigint")
+        ).alias("seasonality_helps"),
+    )

@@ -400,6 +400,9 @@ ALLOWED = {
     # the whole A/A readout is ONE global row by definition
     # (agg_global class — the same shape as stats_ab_ttest).
     "stats_aa_test_srm": {"single-partition-exchange"},
+    # two LAGs over the calendar-sized month grid + a 1-row backtest
+    # reduce — the grid-window shape.
+    "ts_naive_forecast_error": {"single-partition-exchange"},
 }
 
 

@@ -214,6 +214,9 @@ HEAVY = {
     "fn_web_mercator_tile": 15,
     "agg_same_store_sales": 15,
     "stats_aa_test_srm": 15,
+    # round-6 wave 35 (1.9-2.7 s warm at sf0.1)
+    "ts_naive_forecast_error": 15,
+    "agg_price_index_laspeyres": 15,
 }
 
 
