@@ -4251,3 +4251,94 @@ def ts_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ae_s).cast("bigint") < F.sum(ae_n).cast("bigint")
         ).alias("seasonality_helps"),
     )
+
+
+@register(
+    "agg_net_revenue_retention",
+    oracle="""
+WITH yearly AS (
+  SELECT o_custkey AS k,
+         date_part('year', o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY k, y
+),
+paired AS (
+  SELECT prv.y + 1 AS year,
+         prv.rev_c AS prev_c,
+         COALESCE(cur.rev_c, 0) AS cur_c
+  FROM yearly prv LEFT JOIN yearly cur
+    ON cur.k = prv.k AND cur.y = prv.y + 1
+  WHERE prv.y + 1 <= 2001
+),
+agg AS (
+  SELECT year,
+         CAST(COUNT(*) AS BIGINT) AS n_cohort,
+         CAST(SUM(CASE WHEN cur_c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned,
+         CAST(SUM(prev_c) AS BIGINT) AS prev_rev_c,
+         CAST(SUM(cur_c) AS BIGINT) AS cur_rev_c,
+         CAST(SUM(LEAST(cur_c, prev_c)) AS BIGINT) AS retained_rev_c
+  FROM paired GROUP BY year
+)
+SELECT year, n_cohort, n_churned,
+       ROUND(CAST(cur_rev_c AS DOUBLE) / CAST(prev_rev_c AS DOUBLE), 6)
+         AS nrr,
+       ROUND(CAST(retained_rev_c AS DOUBLE) / CAST(prev_rev_c AS DOUBLE), 6)
+         AS grr
+FROM agg
+""",
+)
+def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET + GROSS REVENUE RETENTION (NRR/GRR) — the SaaS-board
+    metric pair the same-store key does NOT give you: fix the
+    cohort at everyone who paid in year y, then NRR = their year
+    y+1 revenue over their year y revenue (expansion can push it
+    over 100%; churned customers stay in the DENOMINATOR at zero —
+    the subtlety that silently inflates naive retention queries
+    which inner-join the two years), and GRR caps each customer at
+    their prior spend (pure retention, expansion excluded, so GRR
+    <= NRR always). One (customer, year) cents agg + a LEFT
+    self-join on the customer key (co-partitioned) + a year-grid
+    reduce; exact cents everywhere, two pinned divisions."""
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("k"),
+        F.year("o_orderdate").alias("y"),
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    prv = yearly.select(
+        "k", (F.col("y") + 1).alias("year"), F.col("rev_c").alias("prev_c")
+    ).filter(F.col("year") <= 2001)
+    cur = yearly.select(
+        "k", F.col("y").alias("year"), F.col("rev_c").alias("cur_raw")
+    )
+    paired = prv.join(cur, ["k", "year"], "left").select(
+        "year",
+        "prev_c",
+        F.coalesce(F.col("cur_raw"), F.lit(0)).alias("cur_c"),
+    )
+    agg = paired.groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort"),
+        F.sum(F.when(F.col("cur_c") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.sum("prev_c").cast("bigint").alias("prev_rev_c"),
+        F.sum("cur_c").cast("bigint").alias("cur_rev_c"),
+        F.sum(F.least(F.col("cur_c"), F.col("prev_c")))
+        .cast("bigint")
+        .alias("retained_rev_c"),
+    )
+    return agg.select(
+        "year",
+        "n_cohort",
+        "n_churned",
+        F.round(
+            F.col("cur_rev_c").cast("double") / F.col("prev_rev_c").cast("double"),
+            6,
+        ).alias("nrr"),
+        F.round(
+            F.col("retained_rev_c").cast("double")
+            / F.col("prev_rev_c").cast("double"),
+            6,
+        ).alias("grr"),
+    )
