@@ -3533,3 +3533,632 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("paas_num"), 0) / F.round(F.col("paas_den"), 0), 6
         ).alias("paasche"),
     )
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle="""
+WITH per AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+         date_part('year', l.l_shipdate) AS y,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS spend_c,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE date_part('year', l.l_shipdate) IN (1998, 1999)
+  GROUP BY brand, pk, y
+),
+wide AS (
+  SELECT brand, pk,
+         CAST(MAX(CASE WHEN y = 1998 THEN spend_c END) AS BIGINT) AS s0,
+         CAST(MAX(CASE WHEN y = 1998 THEN qty END) AS BIGINT) AS q0,
+         CAST(MAX(CASE WHEN y = 1999 THEN spend_c END) AS BIGINT) AS s1,
+         CAST(MAX(CASE WHEN y = 1999 THEN qty END) AS BIGINT) AS q1
+  FROM per GROUP BY brand, pk
+),
+base AS (
+  SELECT brand,
+         CAST(ROUND(CAST(CAST(SUM(s0) AS BIGINT) * 1000000 AS DOUBLE)
+                    / CAST(SUM(q0) AS BIGINT), 0) AS BIGINT) AS p0avg_micro
+  FROM wide WHERE s0 IS NOT NULL AND s1 IS NOT NULL GROUP BY brand
+),
+eff AS (
+  SELECT w.brand,
+         CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL THEN 1 ELSE 0 END
+           AS is_common,
+         CASE WHEN s0 IS NULL THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN s1 IS NULL THEN 1 ELSE 0 END AS is_dropped,
+         COALESCE(s0, 0) AS s0z, COALESCE(s1, 0) AS s1z,
+         CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL
+              THEN s1 * 1000000
+                   - CAST(ROUND(CAST(s0 * 1000000 AS DOUBLE) * q1 / q0, 0)
+                          AS BIGINT)
+              ELSE 0 END AS price_micro,
+         CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL
+              THEN (q1 - q0) * b.p0avg_micro ELSE 0 END AS vol_micro,
+         CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL
+              THEN CAST(ROUND(CAST(s0 * 1000000 AS DOUBLE) * (q1 - q0) / q0,
+                              0) AS BIGINT)
+                   - (q1 - q0) * b.p0avg_micro
+              ELSE 0 END AS mix_micro
+  FROM wide w LEFT JOIN base b ON w.brand = b.brand
+)
+SELECT brand,
+       CAST(SUM(is_common) AS BIGINT) AS n_common,
+       CAST(SUM(is_new) AS BIGINT) AS n_new,
+       CAST(SUM(is_dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(s0z) AS BIGINT) AS rev0_c,
+       CAST(SUM(s1z) AS BIGINT) AS rev1_c,
+       CAST(SUM(s1z) - SUM(s0z) AS BIGINT) AS delta_c,
+       CAST(SUM(CASE WHEN is_new = 1 THEN s1z ELSE 0 END) AS BIGINT)
+         AS new_rev_c,
+       CAST(SUM(CASE WHEN is_dropped = 1 THEN s0z ELSE 0 END) AS BIGINT)
+         AS dropped_rev_c,
+       CAST(SUM(price_micro) AS BIGINT) AS price_eff_micro,
+       CAST(SUM(vol_micro) AS BIGINT) AS volume_eff_micro,
+       CAST(SUM(mix_micro) AS BIGINT) AS mix_eff_micro
+FROM eff GROUP BY brand
+""",
+    tags=("lineitem", "part", "finance"),
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME-MIX REVENUE BRIDGE — the FP&A standard for
+    explaining a revenue change between two periods (1998 -> 1999,
+    per brand): for parts sold in BOTH years, the delta decomposes
+    into a PRICE effect (unit-price change at current volume,
+    s1 - s0*q1/q0), a VOLUME effect (quantity change at the brand's
+    base-year average price), and a MIX effect (quantity shift
+    toward cheaper/dearer parts: the residual of repricing the
+    quantity change at the part's own base price vs the brand
+    average); parts new in 1999 / discontinued after 1998 report as
+    separate new/dropped revenue lanes, so the bridge ties out to
+    the total delta. All money stays in exact integer lanes: spend
+    and quantity aggregate as exact BIGINTs, the brand base price
+    quantizes once to integer micro-cents-per-unit, and every
+    per-part effect is a single deterministic double division
+    rounded to integer micro-cents BEFORE the brand sum — no
+    accumulation-order drift. Plan: one dim join (part broadcasts),
+    two hash-aggs, one brand-keyed broadcast join back."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1998, 1999)
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").alias("y"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("spend_c"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+    )
+    wide = per.groupBy("brand", "pk").agg(
+        F.max(F.when(F.col("y") == 1998, F.col("spend_c"))).alias("s0"),
+        F.max(F.when(F.col("y") == 1998, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("y") == 1999, F.col("spend_c"))).alias("s1"),
+        F.max(F.when(F.col("y") == 1999, F.col("qty"))).alias("q1"),
+    )
+    common = F.col("s0").isNotNull() & F.col("s1").isNotNull()
+    base = (
+        wide.filter(common)
+        .groupBy("brand")
+        .agg(
+            F.round(
+                (F.sum("s0").cast("bigint") * 1000000).cast("double")
+                / F.sum("q0").cast("bigint"),
+                0,
+            )
+            .cast("bigint")
+            .alias("p0avg_micro")
+        )
+    )
+    eff = wide.join(F.broadcast(base), "brand", "left").select(
+        "brand",
+        F.when(common, 1).otherwise(0).alias("is_common"),
+        F.when(F.col("s0").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("s1").isNull(), 1).otherwise(0).alias("is_dropped"),
+        F.coalesce("s0", F.lit(0)).alias("s0z"),
+        F.coalesce("s1", F.lit(0)).alias("s1z"),
+        F.when(
+            common,
+            F.col("s1") * 1000000
+            - F.round(
+                (F.col("s0") * 1000000).cast("double")
+                * F.col("q1")
+                / F.col("q0"),
+                0,
+            ).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("price_micro"),
+        F.when(common, (F.col("q1") - F.col("q0")) * F.col("p0avg_micro"))
+        .otherwise(0)
+        .alias("vol_micro"),
+        F.when(
+            common,
+            F.round(
+                (F.col("s0") * 1000000).cast("double")
+                * (F.col("q1") - F.col("q0"))
+                / F.col("q0"),
+                0,
+            ).cast("bigint")
+            - (F.col("q1") - F.col("q0")) * F.col("p0avg_micro"),
+        )
+        .otherwise(0)
+        .alias("mix_micro"),
+    )
+    return eff.groupBy("brand").agg(
+        F.sum("is_common").cast("bigint").alias("n_common"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_dropped").cast("bigint").alias("n_dropped"),
+        F.sum("s0z").cast("bigint").alias("rev0_c"),
+        F.sum("s1z").cast("bigint").alias("rev1_c"),
+        (F.sum("s1z") - F.sum("s0z")).cast("bigint").alias("delta_c"),
+        F.sum(F.when(F.col("is_new") == 1, F.col("s1z")).otherwise(0))
+        .cast("bigint")
+        .alias("new_rev_c"),
+        F.sum(F.when(F.col("is_dropped") == 1, F.col("s0z")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_rev_c"),
+        F.sum("price_micro").cast("bigint").alias("price_eff_micro"),
+        F.sum("vol_micro").cast("bigint").alias("volume_eff_micro"),
+        F.sum("mix_micro").cast("bigint").alias("mix_eff_micro"),
+    )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS seg, r.r_name AS reg,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer c
+  JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+  JOIN region r ON nt.n_regionkey = r.r_regionkey
+  GROUP BY seg, reg
+),
+m AS (
+  SELECT seg, CAST(SUM(n) AS BIGINT) AS rn FROM obs GROUP BY seg
+),
+cm AS (
+  SELECT reg, CAST(SUM(n) AS BIGINT) AS cn FROM obs GROUP BY reg
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+terms AS (
+  SELECT CAST(ROUND(pow(obs.n - CAST(rn AS DOUBLE) * cn / t, 2)
+                    / (CAST(rn AS DOUBLE) * cn / t) * 1000000000, 0)
+              AS BIGINT) AS term_nano
+  FROM obs
+  JOIN m ON m.seg = obs.seg
+  JOIN cm ON cm.reg = obs.reg
+  CROSS JOIN tot
+)
+SELECT (SELECT t FROM tot) AS n,
+       CAST(5 AS BIGINT) AS n_rows,
+       CAST(5 AS BIGINT) AS n_cols,
+       ROUND(CAST(SUM(term_nano) AS BIGINT) / 1000000000.0, 6) AS chi2,
+       ROUND(sqrt(CAST(SUM(term_nano) AS BIGINT) / 1000000000.0
+                  / ((SELECT t FROM tot) * 4.0)), 6) AS cramers_v
+FROM terms
+""",
+    tags=("stats", "agg"),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V — the [0,1]-normalized effect size for categorical
+    association (chi-square alone grows with n; V = sqrt(chi2 /
+    (n*(min(r,c)-1))) is comparable across table sizes), here over
+    the (market segment x region) contingency of customers. The
+    chi-square total is a SUM of per-cell doubles, so each cell's
+    term is quantized to integer nano-units BEFORE the sum (the
+    repo's standard exact-accumulation lane) — the 25-cell grid then
+    sums order-independently on both engines. Margins broadcast;
+    the dims (nation, region) broadcast into the fact scan."""
+    c = table(spark, sf_dir, "customer")
+    nt = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    obs = (
+        c.join(F.broadcast(nt), c["c_nationkey"] == nt["n_nationkey"])
+        .join(F.broadcast(r), nt["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("reg")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cm = obs.groupBy("reg").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    terms = (
+        obs.join(F.broadcast(m), "seg")
+        .join(F.broadcast(cm), "reg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.round(F.pow(F.col("n") - e, 2) / e * 1000000000, 0)
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    agg = terms.groupBy("t").agg(
+        F.sum("term_nano").cast("bigint").alias("nano")
+    )
+    chi2 = F.col("nano") / 1000000000.0
+    return agg.select(
+        F.col("t").alias("n"),
+        F.lit(5).cast("bigint").alias("n_rows"),
+        F.lit(5).cast("bigint").alias("n_cols"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("t") * 4.0)), 6).alias("cramers_v"),
+    )
+
+
+# Shared SQL fragments for the one-way ANOVA on 5 priority groups —
+# the SAME text parses in Spark (selectExpr) and DuckDB, so both
+# engines execute an identical double expression tree (the
+# agg_higher_moments pattern).  t1 = sum_g s_g^2/n_g in fixed
+# left-assoc order; group square sums stay exact (HUGEINT / DECIMAL38)
+# until one final cast.
+_ANOVA_T1 = (
+    "CAST(s1 AS DOUBLE)*s1/n1 + CAST(s2 AS DOUBLE)*s2/n2 "
+    "+ CAST(s3 AS DOUBLE)*s3/n3 + CAST(s4 AS DOUBLE)*s4/n4 "
+    "+ CAST(s5 AS DOUBLE)*s5/n5"
+)
+_ANOVA_F = (
+    "ROUND(((t1 - CAST(st AS DOUBLE)*st/nt) / 4.0)"
+    " / ((c2 - t1) / (nt - 5)), 6)"
+)
+_ANOVA_ETA = (
+    "ROUND((t1 - CAST(st AS DOUBLE)*st/nt)"
+    " / (c2 - CAST(st AS DOUBLE)*st/nt), 6)"
+)
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=f"""
+WITH g AS (
+  SELECT substr(o_orderpriority, 1, 1) AS gk,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s_g,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c2_g
+  FROM orders GROUP BY gk
+),
+w AS (
+  SELECT MAX(CASE WHEN gk = '1' THEN n_g END) AS n1,
+         MAX(CASE WHEN gk = '2' THEN n_g END) AS n2,
+         MAX(CASE WHEN gk = '3' THEN n_g END) AS n3,
+         MAX(CASE WHEN gk = '4' THEN n_g END) AS n4,
+         MAX(CASE WHEN gk = '5' THEN n_g END) AS n5,
+         MAX(CASE WHEN gk = '1' THEN s_g END) AS s1,
+         MAX(CASE WHEN gk = '2' THEN s_g END) AS s2,
+         MAX(CASE WHEN gk = '3' THEN s_g END) AS s3,
+         MAX(CASE WHEN gk = '4' THEN s_g END) AS s4,
+         MAX(CASE WHEN gk = '5' THEN s_g END) AS s5,
+         CAST(SUM(n_g) AS BIGINT) AS nt,
+         CAST(SUM(s_g) AS BIGINT) AS st,
+         CAST(SUM(c2_g) AS DOUBLE) AS c2
+  FROM g
+),
+t AS (SELECT *, {_ANOVA_T1} AS t1 FROM w)
+SELECT nt AS n, CAST(5 AS BIGINT) AS k,
+       {_ANOVA_F} AS f_stat,
+       {_ANOVA_ETA} AS eta_sq
+FROM t
+""",
+    tags=("stats", "agg"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F — does mean order value differ across the five
+    order priorities? SSB/SSW from the classic moment identities
+    (sum_g s_g^2/n_g - S^2/N and Sum(x^2) - sum_g s_g^2/n_g), with
+    every input an EXACT integer: per-group cent-sums are BIGINTs,
+    the global square-sum stays DECIMAL(38)/HUGEINT through both
+    aggregation levels and casts to double exactly once. The five
+    groups pivot to ONE wide row, so the 5-term t1 sum is a fixed
+    left-associated expression tree — shared as literal SQL text
+    between Spark selectExpr and the DuckDB oracle (the
+    agg_higher_moments determinism pattern), immune to accumulation
+    order. Two grid-sized hash-aggs; nothing shuffles twice."""
+    o = table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    g = o.groupBy(F.substring("o_orderpriority", 1, 1).alias("gk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(c).cast("bigint").alias("s_g"),
+        F.sum((c * c).cast("decimal(38,0)")).alias("c2_g"),
+    )
+
+    def pick(col, k):
+        return F.max(F.when(F.col("gk") == k, F.col(col)))
+
+    w = g.agg(
+        *[pick("n_g", str(i)).alias(f"n{i}") for i in range(1, 6)],
+        *[pick("s_g", str(i)).alias(f"s{i}") for i in range(1, 6)],
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("s_g").cast("bigint").alias("st"),
+        F.sum("c2_g").cast("double").alias("c2"),
+    )
+    t = w.selectExpr("*", f"{_ANOVA_T1} AS t1")
+    return t.selectExpr(
+        "nt AS n",
+        "CAST(5 AS BIGINT) AS k",
+        f"{_ANOVA_F} AS f_stat",
+        f"{_ANOVA_ETA} AS eta_sq",
+    )
+
+
+# Brown–Forsythe over the 3 returnflag groups — same shared-SQL-text
+# determinism as _ANOVA_*: fixed 3-term tree, exact integer inputs.
+_BF_T1 = (
+    "CAST(za AS DOUBLE)*za/na + CAST(zn AS DOUBLE)*zn/nn "
+    "+ CAST(zr AS DOUBLE)*zr/nr"
+)
+_BF_W = (
+    "ROUND(((t1 - CAST(zt AS DOUBLE)*zt/nt) / 2.0)"
+    " / ((z2 - t1) / (nt - 3)), 6)"
+)
+
+
+@register(
+    "stats_levene_bf",
+    oracle=f"""
+WITH x AS (
+  SELECT l_returnflag AS fl,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+                    l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+med AS (
+  SELECT fl, CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT)
+           AS med_c
+  FROM x GROUP BY fl
+),
+z AS (
+  SELECT x.fl, ABS(x.c - med.med_c) AS z
+  FROM x JOIN med ON x.fl = med.fl
+),
+g AS (
+  SELECT fl,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s_g,
+         SUM(z * z) AS z2_g
+  FROM z GROUP BY fl
+),
+w AS (
+  SELECT MAX(CASE WHEN g.fl = 'A' THEN n_g END) AS na,
+         MAX(CASE WHEN g.fl = 'N' THEN n_g END) AS nn,
+         MAX(CASE WHEN g.fl = 'R' THEN n_g END) AS nr,
+         MAX(CASE WHEN g.fl = 'A' THEN s_g END) AS za,
+         MAX(CASE WHEN g.fl = 'N' THEN s_g END) AS zn,
+         MAX(CASE WHEN g.fl = 'R' THEN s_g END) AS zr,
+         MAX(CASE WHEN g.fl = 'A' THEN med_c END) AS med_a,
+         MAX(CASE WHEN g.fl = 'N' THEN med_c END) AS med_n,
+         MAX(CASE WHEN g.fl = 'R' THEN med_c END) AS med_r,
+         CAST(SUM(n_g) AS BIGINT) AS nt,
+         CAST(SUM(s_g) AS BIGINT) AS zt,
+         CAST(SUM(z2_g) AS DOUBLE) AS z2
+  FROM g JOIN med ON g.fl = med.fl
+),
+t AS (SELECT *, {_BF_T1} AS t1 FROM w)
+SELECT nt AS n, CAST(3 AS BIGINT) AS k,
+       med_a, med_n, med_r,
+       {_BF_W} AS w_stat
+FROM t
+""",
+    tags=("stats", "agg", "window"),
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE'S TEST, BROWN–FORSYTHE VARIANT — homogeneity of
+    variance across the three returnflag populations of
+    l_extendedprice, the gate check before trusting a pooled-variance
+    t-test/ANOVA. BF replaces the group mean with the group MEDIAN
+    (robust to the heavy right tail prices have), pinned here as the
+    explicit LOWER median — the order statistic at rank (n+1)//2
+    under a total order with unique tie-breakers — so both engines
+    select the identical element. The absolute deviations z are then
+    exact integer cents, and the test statistic is literally one-way
+    ANOVA on z: same exact moment lanes (BIGINT z-sums, HUGEINT /
+    DECIMAL38 z^2-sums), same pivot-to-one-row fixed expression tree
+    shared as SQL text. Cost: one window sort per flag (3-way), one
+    broadcast join of the 3 medians back, two grid aggs."""
+    li = table(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice")
+    x = li.select(
+        F.col("l_returnflag").alias("fl"),
+        c.alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wnd = Window.partitionBy("fl").orderBy("c", "l_orderkey", "l_linenumber")
+    x = x.withColumn("rn", F.row_number().over(wnd)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("fl"))
+    )
+    med = x.groupBy("fl").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"), F.col("c")
+            )
+        )
+        .cast("bigint")
+        .alias("med_c")
+    )
+    z = x.join(F.broadcast(med), "fl").select(
+        "fl", F.abs(F.col("c") - F.col("med_c")).alias("z")
+    )
+    g = z.groupBy("fl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)")).alias("z2_g"),
+    )
+
+    def pick(col, k):
+        return F.max(F.when(F.col("fl") == k, F.col(col)))
+
+    w = g.join(F.broadcast(med), "fl").agg(
+        pick("n_g", "A").alias("na"),
+        pick("n_g", "N").alias("nn"),
+        pick("n_g", "R").alias("nr"),
+        pick("s_g", "A").alias("za"),
+        pick("s_g", "N").alias("zn"),
+        pick("s_g", "R").alias("zr"),
+        pick("med_c", "A").alias("med_a"),
+        pick("med_c", "N").alias("med_n"),
+        pick("med_c", "R").alias("med_r"),
+        F.sum("n_g").cast("bigint").alias("nt"),
+        F.sum("s_g").cast("bigint").alias("zt"),
+        F.sum("z2_g").cast("double").alias("z2"),
+    )
+    t = w.selectExpr("*", f"{_BF_T1} AS t1")
+    return t.selectExpr(
+        "nt AS n",
+        "CAST(3 AS BIGINT) AS k",
+        "med_a",
+        "med_n",
+        "med_r",
+        f"{_BF_W} AS w_stat",
+    )
+
+
+# 3x3 Cramer's-rule determinants for two-regressor OLS, shared as SQL
+# text so Spark and DuckDB execute the identical double tree.  Inputs
+# are the exact integer moment columns cast to double once each.
+_OLS_D = (
+    "nd*(x11*x22 - x12*x12) - sx1*(sx1*x22 - x12*sx2)"
+    " + sx2*(sx1*x12 - x11*sx2)"
+)
+_OLS_D0 = (
+    "syd*(x11*x22 - x12*x12) - sx1*(x1y*x22 - x12*x2y)"
+    " + sx2*(x1y*x12 - x11*x2y)"
+)
+_OLS_D1 = (
+    "nd*(x1y*x22 - x12*x2y) - syd*(sx1*x22 - x12*sx2)"
+    " + sx2*(sx1*x2y - x1y*sx2)"
+)
+_OLS_D2 = (
+    "nd*(x11*x2y - x1y*x12) - sx1*(sx1*x2y - x1y*sx2)"
+    " + syd*(sx1*x12 - x11*sx2)"
+)
+
+
+@register(
+    "stats_ols_multiple",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS isx1,
+         CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS isx2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+           AS BIGINT) AS ix11,
+         CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS ix22,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS ix12,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS isy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS ix1y,
+         CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS ix2y,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+           AS DOUBLE) AS syy
+  FROM lineitem
+),
+c AS (
+  SELECT n, syy,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(isx1 AS DOUBLE) AS sx1, CAST(isx2 AS DOUBLE) AS sx2,
+         CAST(ix11 AS DOUBLE) AS x11, CAST(ix22 AS DOUBLE) AS x22,
+         CAST(ix12 AS DOUBLE) AS x12,
+         CAST(isy AS DOUBLE) AS syd,
+         CAST(ix1y AS DOUBLE) AS x1y, CAST(ix2y AS DOUBLE) AS x2y
+  FROM m
+),
+d AS (
+  SELECT *, {_OLS_D} AS det, {_OLS_D0} AS det0, {_OLS_D1} AS det1,
+         {_OLS_D2} AS det2
+  FROM c
+),
+b AS (
+  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM d
+)
+SELECT n,
+       ROUND(b0, 6) AS b0_cents,
+       ROUND(b1, 6) AS b1_cents_per_qty,
+       ROUND(b2, 6) AS b2_cents_per_disc_c,
+       ROUND(1.0 - (syy - b0*syd - b1*x1y - b2*x2y)
+                   / (syy - syd*syd/nd), 6) AS r2
+FROM b
+""",
+    tags=("stats", "agg"),
+)
+def stats_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION (two regressors + intercept) by the
+    NORMAL EQUATIONS, solved in closed form with Cramer's rule —
+    price_cents ~ quantity + discount_cents over all of lineitem.
+    This is the distributed-OLS pattern that needs exactly ONE
+    map-side-combinable pass: nine sufficient moments (all exact
+    BIGINTs; the y^2 sum rides the DECIMAL38/HUGEINT lane), then the
+    3x3 determinants and coefficients are O(1) driver-side
+    arithmetic on one wide row — shared as literal SQL text so both
+    engines run the identical double tree (the agg_higher_moments
+    pattern). R^2 from the same moments; no second scan, no
+    gradient iterations, no collect of anything but one row."""
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = cents("l_discount")
+    y = cents("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x1).cast("bigint").alias("isx1"),
+        F.sum(x2).cast("bigint").alias("isx2"),
+        F.sum(x1 * x1).cast("bigint").alias("ix11"),
+        F.sum(x2 * x2).cast("bigint").alias("ix22"),
+        F.sum(x1 * x2).cast("bigint").alias("ix12"),
+        F.sum(y).cast("bigint").alias("isy"),
+        F.sum(x1 * y).cast("bigint").alias("ix1y"),
+        F.sum(x2 * y).cast("bigint").alias("ix2y"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    c = m.selectExpr(
+        "n",
+        "syy",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(isx1 AS DOUBLE) AS sx1",
+        "CAST(isx2 AS DOUBLE) AS sx2",
+        "CAST(ix11 AS DOUBLE) AS x11",
+        "CAST(ix22 AS DOUBLE) AS x22",
+        "CAST(ix12 AS DOUBLE) AS x12",
+        "CAST(isy AS DOUBLE) AS syd",
+        "CAST(ix1y AS DOUBLE) AS x1y",
+        "CAST(ix2y AS DOUBLE) AS x2y",
+    )
+    d = c.selectExpr(
+        "*",
+        f"{_OLS_D} AS det",
+        f"{_OLS_D0} AS det0",
+        f"{_OLS_D1} AS det1",
+        f"{_OLS_D2} AS det2",
+    )
+    b = d.selectExpr("*", "det0/det AS b0", "det1/det AS b1", "det2/det AS b2")
+    return b.selectExpr(
+        "n",
+        "ROUND(b0, 6) AS b0_cents",
+        "ROUND(b1, 6) AS b1_cents_per_qty",
+        "ROUND(b2, 6) AS b2_cents_per_disc_c",
+        "ROUND(1.0 - (syy - b0*syd - b1*x1y - b2*x2y)"
+        " / (syy - syd*syd/nd), 6) AS r2",
+    )

@@ -4342,3 +4342,272 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("grr"),
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM events
+),
+p AS (
+  SELECT user_id, conv AS conv_id, cents AS pcents
+  FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, conv + 1 AS grp, event_type, ts, event_id
+  FROM ev WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.conv_id, p.pcents,
+         t.event_type AS channel, t.ts AS tts, t.event_id AS tid
+  FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.conv_id = t.grp
+),
+ranked AS (
+  SELECT *,
+         CAST(COUNT(tid) OVER (PARTITION BY user_id, conv_id) AS BIGINT)
+           AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY tts, tid) AS rn
+  FROM j
+),
+weighted AS (
+  SELECT COALESCE(channel, '<organic>') AS channel,
+         pcents,
+         CASE WHEN cnt <= 1 THEN 1
+              WHEN cnt = 2 THEN 1
+              WHEN rn = 1 OR rn = cnt THEN 2
+              ELSE 1 END AS wnum,
+         CASE WHEN cnt <= 1 THEN 1
+              WHEN cnt = 2 THEN 2
+              WHEN rn = 1 OR rn = cnt THEN 5
+              ELSE 5 * (cnt - 2) END AS wden
+  FROM ranked
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(ROUND(CAST(pcents * 1000000 * wnum AS DOUBLE) / wden, 0)
+                     AS BIGINT)) AS BIGINT) AS attributed_microcents,
+       CAST(SUM(CAST(ROUND(1000000.0 * wnum / wden, 0) AS BIGINT))
+         AS BIGINT) AS weight_micro_sum
+FROM weighted GROUP BY channel
+""",
+    tags=("events", "window", "attribution"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-SHAPED 40/20/40) MULTI-TOUCH ATTRIBUTION —
+    the standard middle ground between last-touch and linear: each
+    purchase's credit splits 40% to the FIRST touch on its path, 40%
+    to the LAST, and 20% evenly across the middle. The path is the
+    run of non-purchase events since the user's previous purchase
+    (running purchase-count sessionization — one window), joined
+    touch-rows-to-purchase on the path id. Weights stay RATIONAL
+    (num/den integer columns; 1-touch paths get 1/1, 2-touch 1/2
+    each) and credit is quantized per touch to exact integer
+    micro-cents BEFORE the channel sum, so no double accumulation
+    order can drift. Touchless purchases credit '<organic>' in
+    full. At 100 TB: one user-keyed window sort, one co-partitioned
+    self-join on (user, path), one channel-sized hash-agg."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", cents("value").alias("cents")
+    )
+    wconv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn(
+        "conv",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            wconv
+        ),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("conv").alias("conv_id"), F.col("cents").alias("pcents")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        (F.col("conv") + 1).alias("grp"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    p, t = p.alias("p"), t.alias("t")
+    j = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("p.conv_id") == F.col("t.grp")),
+        "left",
+    ).select(F.col("p.user_id"), "conv_id", "pcents", "channel", "tts", "tid")
+    wpart = Window.partitionBy("user_id", "conv_id")
+    ranked = j.withColumn(
+        "cnt", F.count("tid").over(wpart).cast("bigint")
+    ).withColumn("rn", F.row_number().over(wpart.orderBy("tts", "tid")))
+    is_end = (F.col("rn") == 1) | (F.col("rn") == F.col("cnt"))
+    wnum = (
+        F.when(F.col("cnt") <= 1, 1)
+        .when(F.col("cnt") == 2, 1)
+        .when(is_end, 2)
+        .otherwise(1)
+    )
+    wden = (
+        F.when(F.col("cnt") <= 1, 1)
+        .when(F.col("cnt") == 2, 2)
+        .when(is_end, 5)
+        .otherwise(5 * (F.col("cnt") - 2))
+    )
+    weighted = ranked.select(
+        F.coalesce("channel", F.lit("<organic>")).alias("channel"),
+        F.round(
+            (F.col("pcents") * 1000000 * wnum).cast("double") / wden, 0
+        )
+        .cast("bigint")
+        .alias("micro"),
+        F.round(F.lit(1000000.0) * wnum / wden, 0)
+        .cast("bigint")
+        .alias("wmicro"),
+    )
+    return weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("micro").cast("bigint").alias("attributed_microcents"),
+        F.sum("wmicro").cast("bigint").alias("weight_micro_sum"),
+    )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM events
+),
+p AS (
+  SELECT user_id, conv AS conv_id, cents AS pcents, epoch_us(ts) AS pus
+  FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, conv + 1 AS grp, event_type, epoch_us(ts) AS tus, event_id
+  FROM ev WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.conv_id, p.pcents,
+         t.event_type AS channel,
+         CASE WHEN t.event_id IS NULL THEN NULL
+              ELSE CAST(FLOOR(ROUND(
+                     pow(2.0, -(CAST(p.pus - t.tus AS DOUBLE)
+                                / 604800000000.0)), 12)
+                     * 1000000000) AS BIGINT) END AS w_nano
+  FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.conv_id = t.grp
+),
+summed AS (
+  SELECT *,
+         SUM(w_nano) OVER (PARTITION BY user_id, conv_id) AS sum_nano
+  FROM j
+)
+SELECT COALESCE(channel, '<organic>') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN w_nano IS NULL THEN pcents * 1000000
+                     ELSE CAST(ROUND(CAST(pcents * w_nano AS DOUBLE)
+                                     * 1000000.0 / sum_nano, 0) AS BIGINT)
+                END) AS BIGINT) AS attributed_microcents
+FROM summed GROUP BY COALESCE(channel, '<organic>')
+""",
+    tags=("events", "window", "attribution"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY MULTI-TOUCH ATTRIBUTION — each touch on a
+    purchase's path earns weight 2^(-age/half_life) with a 7-day
+    half-life (a touch a week before the purchase counts half as
+    much as one at conversion), normalized within the path so every
+    purchase distributes exactly its own revenue. The libm pow()
+    term is quantized PER TOUCH to integer nano-weights (12 guard
+    digits, the agg_decayed_sum lane) before the path-sum, so the
+    normalizing denominator is an exact integer on both engines and
+    each touch's share is one deterministic double division. Same
+    join geometry as position-based: window sessionize, path join,
+    channel hash-agg."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", cents("value").alias("cents")
+    )
+    wconv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn(
+        "conv",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            wconv
+        ),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("conv").alias("conv_id"),
+        F.col("cents").alias("pcents"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        (F.col("conv") + 1).alias("grp"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").alias("tid"),
+    )
+    w_nano = F.when(
+        F.col("tid").isNotNull(),
+        F.floor(
+            F.round(
+                F.pow(
+                    F.lit(2.0),
+                    -(
+                        (F.col("pus") - F.col("tus")).cast("double")
+                        / F.lit(604800000000.0)
+                    ),
+                ),
+                12,
+            )
+            * 1000000000
+        ).cast("bigint"),
+    )
+    p, t = p.alias("p"), t.alias("t")
+    j = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("p.conv_id") == F.col("t.grp")),
+        "left",
+    ).select(
+        F.col("p.user_id"), "conv_id", "pcents", "channel", w_nano.alias("w_nano")
+    )
+    summed = j.withColumn(
+        "sum_nano", F.sum("w_nano").over(Window.partitionBy("user_id", "conv_id"))
+    )
+    share = F.when(
+        F.col("w_nano").isNull(), F.col("pcents") * 1000000
+    ).otherwise(
+        F.round(
+            (F.col("pcents") * F.col("w_nano")).cast("double")
+            * 1000000.0
+            / F.col("sum_nano"),
+            0,
+        ).cast("bigint")
+    )
+    return (
+        summed.select(
+            F.coalesce("channel", F.lit("<organic>")).alias("channel"),
+            share.alias("micro"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("micro").cast("bigint").alias("attributed_microcents"),
+        )
+    )

@@ -57,6 +57,12 @@ HEAVY = {
     "dedup_url_canonical": 15,
     "tpch_q5_local_supplier": 15,
     "tpch_q18_large_orders": 15,
+    # round-6 attribution/finance family (healthy 1.5-3 s at sf0.1)
+    "attribution_position_based": 20,
+    "attribution_time_decay": 20,
+    "agg_price_volume_mix": 20,
+    "stats_levene_bf": 25,
+    "stats_cramers_v": 15,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
     # round-4 additions (healthy 0.7-11 s at sf0.1)
