@@ -308,3 +308,164 @@ def feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scaled"),
     )
+
+
+@register(
+    "feat_kmeans_lloyd",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey AS pid,
+         CAST(p_size AS BIGINT) * 200 AS x,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) - 90000 AS y
+  FROM part
+),
+init AS (
+  SELECT * FROM (VALUES (0, 2000, 2000), (1, 5000, 5000), (2, 8000, 8000))
+    AS t(cid, cx, cy)
+),
+d1 AS (
+  SELECT pid, x, y, cid,
+         (x - cx) * (x - cx) + (y - cy) * (y - cy) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY (x - cx) * (x - cx)
+                                     + (y - cy) * (y - cy), cid) AS rn
+  FROM pts CROSS JOIN init
+),
+a1 AS (SELECT pid, x, y, cid FROM d1 WHERE rn = 1),
+m1 AS (
+  SELECT cid,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a1 GROUP BY cid
+),
+c1 AS (
+  SELECT i.cid,
+         COALESCE(CAST(m.sx AS DOUBLE) / m.n, i.cx) AS cx,
+         COALESCE(CAST(m.sy AS DOUBLE) / m.n, i.cy) AS cy
+  FROM init i LEFT JOIN m1 m ON i.cid = m.cid
+),
+d2 AS (
+  SELECT pid, x, y, cid, cx, cy,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY (x - cx) * (x - cx)
+                                     + (y - cy) * (y - cy), cid) AS rn
+  FROM pts CROSS JOIN c1
+),
+a2 AS (SELECT pid, x, y, cid FROM d2 WHERE rn = 1),
+m2 AS (
+  SELECT cid,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a2 GROUP BY cid
+),
+c2 AS (
+  SELECT c1.cid,
+         COALESCE(CAST(m.sx AS DOUBLE) / m.n, c1.cx) AS cx,
+         COALESCE(CAST(m.sy AS DOUBLE) / m.n, c1.cy) AS cy,
+         COALESCE(m.n, 0) AS n
+  FROM c1 LEFT JOIN m2 m ON c1.cid = m.cid
+)
+SELECT c2.cid AS cluster_id,
+       CAST(c2.n AS BIGINT) AS n_points,
+       ROUND(c2.cx, 6) AS centroid_x,
+       ROUND(c2.cy, 6) AS centroid_y,
+       CAST(COALESCE(SUM(CAST(ROUND((a.x - c2.cx) * (a.x - c2.cx)
+                                    + (a.y - c2.cy) * (a.y - c2.cy), 0)
+                              AS BIGINT)), 0) AS BIGINT) AS inertia
+FROM c2 LEFT JOIN a2 a ON a.cid = c2.cid
+GROUP BY c2.cid, c2.n, c2.cx, c2.cy
+""",
+    tags=("featureeng", "iterative"),
+)
+def feat_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS, TWO UNROLLED LLOYD ITERATIONS — the canonical
+    distributed clustering step as pure DataFrame algebra: assign
+    each point to its nearest of k=3 FIXED init centroids (exact
+    integer squared distances; ties break to the lowest cluster id),
+    recompute centroids as exact-integer-sum ratios, reassign, and
+    recompute once more. Points are (p_size*200, retail cents -
+    90000) so both axes share scale as exact ints. Every assignment
+    is a broadcast join of the 3-row centroid relation against the
+    point stream + one arg-min — NO collect, no driver loop over
+    points; at 100 TB each iteration costs one broadcast pass + one
+    k-row hash-agg (this is exactly how MLlib's k-means schedules).
+    Empty clusters keep their previous centroid (COALESCE lane).
+    Inertia quantizes each point's final squared distance to the
+    nearest integer BEFORE the cluster sum, so no double
+    accumulation-order drift. Deterministic end-to-end: fixed init,
+    exact first assignment, identical IEEE trees for the second."""
+    pt = table(spark, sf_dir, "part")
+    pts = pt.select(
+        F.col("p_partkey").alias("pid"),
+        (F.col("p_size").cast("bigint") * 200).alias("x"),
+        (cents("p_retailprice") - 90000).alias("y"),
+    )
+    init = spark.createDataFrame(
+        [(0, 2000.0, 2000.0), (1, 5000.0, 5000.0), (2, 8000.0, 8000.0)],
+        "cid int, cx double, cy double",
+    )
+
+    def assign(points: DataFrame, cents_df: DataFrame) -> DataFrame:
+        # Pivot the k=3 centroids to ONE wide row and broadcast it:
+        # assignment becomes a pure projection (3 inline distances +
+        # a when-chain argmin with ties to the lowest cid) — zero
+        # shuffle per Lloyd iteration, fully whole-stage-codegen.
+        def pick(col, k):
+            return F.max(F.when(F.col("cid") == k, F.col(col)))
+
+        wide = cents_df.agg(
+            *[pick("cx", k).alias(f"cx{k}") for k in range(3)],
+            *[pick("cy", k).alias(f"cy{k}") for k in range(3)],
+        )
+
+        def dist(k):
+            return (F.col("x") - F.col(f"cx{k}")) * (
+                F.col("x") - F.col(f"cx{k}")
+            ) + (F.col("y") - F.col(f"cy{k}")) * (F.col("y") - F.col(f"cy{k}"))
+
+        d0, d1, d2 = dist(0), dist(1), dist(2)
+        cid = (
+            F.when((d0 <= d1) & (d0 <= d2), 0)
+            .when(d1 <= d2, 1)
+            .otherwise(2)
+        )
+        return points.crossJoin(F.broadcast(wide)).select(
+            "pid", "x", "y", cid.cast("int").alias("cid")
+        )
+
+    def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+        m = assigned.groupBy("cid").agg(
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        return prev.select("cid", "cx", "cy").join(m, "cid", "left").select(
+            "cid",
+            F.coalesce(F.col("sx").cast("double") / F.col("n"), F.col("cx")).alias(
+                "cx"
+            ),
+            F.coalesce(F.col("sy").cast("double") / F.col("n"), F.col("cy")).alias(
+                "cy"
+            ),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+
+    a1 = assign(pts, init)
+    c1 = update(a1, init)
+    a2 = assign(pts, c1.select("cid", "cx", "cy"))
+    c2 = update(a2, c1)
+    d_final = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    joined = c2.join(a2, "cid", "left").withColumn(
+        "pt_inertia", F.round(d_final, 0).cast("bigint")
+    )
+    return joined.groupBy("cid", "n", "cx", "cy").agg(
+        F.coalesce(F.sum("pt_inertia"), F.lit(0)).cast("bigint").alias("inertia")
+    ).select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").alias("n_points"),
+        F.round("cx", 6).alias("centroid_x"),
+        F.round("cy", 6).alias("centroid_y"),
+        "inertia",
+    )

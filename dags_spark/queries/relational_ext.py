@@ -4569,3 +4569,146 @@ def join_bloom_prefilter_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_negative"),
     )
+
+
+def _lp_h24(cast_t: str, salt: str) -> str:
+    """24-bit md5 nibble hash of 'i:r:<salt>' — same synthesis as
+    iter_triangle_count, parameterized by the engine's string cast
+    type so Spark (STRING) and DuckDB (VARCHAR) parse identical
+    structure."""
+    key = (
+        f"CAST(i AS {cast_t}) || ':' || CAST(r AS {cast_t}) || '{salt}'"
+    )
+    nib = lambda j: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5({key}), {j}, 1)) - 1)"
+    )
+    return (
+        f"(({nib(1)})*1048576 + ({nib(2)})*65536 + ({nib(3)})*4096"
+        f" + ({nib(4)})*256 + ({nib(5)})*16 + ({nib(6)}))"
+    )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+spine AS (
+  SELECT c_custkey AS i, r FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+),
+raw AS (
+  SELECT {_lp_h24('VARCHAR', ':a')} % (SELECT n FROM nn) AS s,
+         {_lp_h24('VARCHAR', ':b')} % (SELECT n FROM nn) AS d
+  FROM spine
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+  FROM raw WHERE s <> d
+),
+adj AS (
+  SELECT lo AS u, hi AS v FROM edges
+  UNION ALL
+  SELECT hi AS u, lo AS v FROM edges
+),
+deg AS (SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS dz FROM adj GROUP BY u),
+wedge AS (
+  SELECT a1.v AS z, a1.u AS u, a2.v AS v
+  FROM adj a1 JOIN adj a2 ON a1.v = a2.u AND a1.u < a2.v
+),
+scored AS (
+  SELECT w.u, w.v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(FLOOR(ROUND(1.0 / ln(d.dz), 12) * 1000000000)
+                       AS BIGINT)) AS BIGINT) AS aa_nano
+  FROM wedge w JOIN deg d ON w.z = d.z
+  GROUP BY w.u, w.v
+),
+cand AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN edges e ON s.u = e.lo AND s.v = e.hi
+  WHERE e.lo IS NULL AND s.cn >= 2
+)
+SELECT c.u, c.v, c.cn,
+       ROUND(c.aa_nano / 1000000000.0, 6) AS adamic_adar,
+       ROUND(CAST(c.cn AS DOUBLE) / (du.dz + dv.dz - c.cn), 6) AS jaccard
+FROM cand c
+JOIN deg du ON c.u = du.z
+JOIN deg dv ON c.v = dv.z
+""",
+    tags=("iterative", "graph"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION SCORES — the classic neighborhood heuristics
+    (common neighbors, Adamic-Adar, Jaccard) for every NON-edge pair
+    at distance 2 with >= 2 shared neighbors, on the same md5-hash
+    Erdos-Renyi-ish graph as iter_triangle_count. One wedge join
+    (adjacency self-join through the middle node z, oriented u < v
+    so each pair scores once), one hash-agg on the pair key, an
+    anti-join against existing edges, and two degree lookups.
+    Adamic-Adar's 1/ln(deg_z) terms are libm values, so each wedge's
+    term is quantized to integer nano-units BEFORE the pair-sum (deg
+    >= 2 for any wedge middle, so ln never hits zero). At 100 TB the
+    wedge join is the Sum(deg^2) hot spot — the u < v predicate
+    halves it and a degree-ordered orientation caps hub fan-out,
+    same plan shape Spark AQE skew-handles."""
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    spine = c.select(F.col("c_custkey").alias("i")).crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("r")))
+    )
+    raw = spine.crossJoin(F.broadcast(nn)).select(
+        (F.expr(_lp_h24("STRING", ":a")) % F.col("n")).alias("s"),
+        (F.expr(_lp_h24("STRING", ":b")) % F.col("n")).alias("d"),
+    )
+    edges = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("lo"), F.greatest("s", "d").alias("hi"))
+        .distinct()
+    )
+    adj = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dz")
+    )
+    a1 = adj.select(F.col("u").alias("wu"), F.col("v").alias("z"))
+    a2 = adj.select(F.col("u").alias("z2"), F.col("v").alias("wv"))
+    wedge = a1.join(
+        a2, (F.col("z") == F.col("z2")) & (F.col("wu") < F.col("wv"))
+    ).select(F.col("wu").alias("u"), F.col("wv").alias("v"), "z")
+    aa_term = (
+        F.floor(F.round(1.0 / F.log(F.col("dz")), 12) * 1000000000)
+        .cast("bigint")
+    )
+    scored = (
+        wedge.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(aa_term).cast("bigint").alias("aa_nano"),
+        )
+    )
+    cand = (
+        scored.join(
+            edges,
+            (scored["u"] == edges["lo"]) & (scored["v"] == edges["hi"]),
+            "left_anti",
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("dz").alias("du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("dz").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(F.col("aa_nano") / 1000000000.0, 6).alias("adamic_adar"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

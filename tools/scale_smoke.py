@@ -63,6 +63,8 @@ HEAVY = {
     "agg_price_volume_mix": 20,
     "stats_levene_bf": 25,
     "stats_cramers_v": 15,
+    "graph_link_prediction": 45,
+    "feat_kmeans_lloyd": 25,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
     # round-4 additions (healthy 0.7-11 s at sf0.1)
