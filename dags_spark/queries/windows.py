@@ -14,6 +14,7 @@ Window sums over DECIMAL keep prefix sums exact cross-engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4610,4 +4611,85 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
             F.sum("micro").cast("bigint").alias("attributed_microcents"),
         )
+    )
+
+
+@register("ts_dtw_distance", oracle=None, check="rows")
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between every pair of the five
+    per-event-type daily-revenue series — the alignment-tolerant
+    series distance (shifted-but-similar series score close, unlike
+    pointwise L1/L2) behind time-series clustering and
+    nearest-pattern search. Genuinely non-SQL-expressible: the DP
+    recurrence dp[i][j] = |a_i-b_j| + min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1]) is inherently sequential in both dimensions, so
+    this is the repo's canonical applyInPandas shape — series
+    collect to SORTED arrays per key (30 points each, cents-exact
+    ints), the 5x5 upper triangle cross-joins to 10 pair rows, and a
+    vectorized numpy DP runs per row inside one Arrow batch. Exact
+    integer costs -> bit-stable distances; tests/test_stats_round6
+    re-derives the DP brute-force in pure Python. At 100 TB the
+    daily pre-aggregation is the only data-sized shuffle; the DP
+    runs on model-sized (n_keys^2) rows."""
+    from pyspark.sql.types import LongType
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.sum(cents("value")).cast("bigint").alias("v"))
+    series = daily.groupBy("et").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("pts")
+    ).select(
+        "et",
+        F.expr("transform(pts, p -> p.v)").alias("vals"),
+        F.size("pts").alias("n"),
+    )
+    a = series.select(
+        F.col("et").alias("t1"), F.col("vals").alias("va"), F.col("n").alias("n1")
+    )
+    b = series.select(
+        F.col("et").alias("t2"), F.col("vals").alias("vb"), F.col("n").alias("n2")
+    )
+    pairs = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+
+    @F.pandas_udf(LongType())
+    def dtw(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for xs, ys in zip(va, vb):
+            x = np.asarray(xs, dtype=np.int64)
+            y = np.asarray(ys, dtype=np.int64)
+            m, n = len(x), len(y)
+            # cost row-sweep: dp holds row i; exact int64 throughout.
+            inf = np.int64(2**62)
+            prev = np.full(n + 1, inf, dtype=np.int64)
+            prev[0] = 0
+            for i in range(1, m + 1):
+                cur = np.full(n + 1, inf, dtype=np.int64)
+                cost = np.abs(x[i - 1] - y)
+                for j in range(1, n + 1):
+                    cur[j] = cost[j - 1] + min(
+                        prev[j], cur[j - 1], prev[j - 1]
+                    )
+                prev = cur
+            out.append(int(prev[n]))
+        return pd.Series(out)
+
+    return pairs.select(
+        "t1",
+        "t2",
+        "n1",
+        "n2",
+        dtw("va", "vb").alias("dtw_cents"),
+    ).select(
+        "t1",
+        "t2",
+        "n1",
+        "n2",
+        "dtw_cents",
+        F.round(
+            F.col("dtw_cents").cast("double") / (F.col("n1") + F.col("n2")), 6
+        ).alias("dtw_per_step"),
     )

@@ -256,3 +256,171 @@ def test_peak_concurrency_matches_bruteforce(spark, duck):
     assert len(got) == len(peaks)
     for day, peak in peaks.items():
         assert int(got.loc[day]) == peak, day
+
+
+def test_dtw_matches_bruteforce(spark, duck):
+    got = _run(spark, "ts_dtw_distance")
+    daily = duck.execute(
+        "SELECT event_type, date_trunc('day', ts) AS day,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS v"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    series = {
+        et: list(g.sort_values("day")["v"].astype(int))
+        for et, g in daily.groupby("event_type")
+    }
+
+    def dtw_ref(x, y):
+        m, n = len(x), len(y)
+        INF = float("inf")
+        dp = [[INF] * (n + 1) for _ in range(m + 1)]
+        dp[0][0] = 0
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                dp[i][j] = abs(x[i - 1] - y[j - 1]) + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                )
+        return dp[m][n]
+
+    assert len(got) == 10  # C(5,2) event-type pairs
+    for _, r in got.iterrows():
+        expected = dtw_ref(series[r["t1"]], series[r["t2"]])
+        assert int(r["dtw_cents"]) == expected, (r["t1"], r["t2"])
+        assert int(r["n1"]) == len(series[r["t1"]])
+
+
+def test_kmeans_matches_bruteforce(spark, duck):
+    got = _run(spark, "feat_kmeans_lloyd").set_index("cluster_id")
+    pts = duck.execute(
+        "SELECT CAST(p_size AS BIGINT)*200 AS x,"
+        " CAST(ROUND(p_retailprice*100,0) AS BIGINT) - 90000 AS y FROM part"
+    ).df()
+    cents = [(2000.0, 2000.0), (5000.0, 5000.0), (8000.0, 8000.0)]
+    xs, ys = pts["x"].astype(float), pts["y"].astype(float)
+    assign = None
+    for _ in range(2):
+        d = [(xs - cx) ** 2 + (ys - cy) ** 2 for cx, cy in cents]
+        assign = pd.concat(d, axis=1).values.argmin(axis=1)
+        new = []
+        for k in range(3):
+            sel = assign == k
+            if sel.any():
+                new.append((xs[sel].mean(), ys[sel].mean()))
+            else:
+                new.append(cents[k])
+        cents = new
+    # key reports the SECOND assignment's clusters against the
+    # post-update (c2) centroids
+    for k in range(3):
+        sel = assign == k
+        assert int(got.loc[k, "n_points"]) == int(sel.sum())
+        # cents[k] is the post-update centroid (kept at its previous
+        # value for empty clusters, matching the key's COALESCE lane)
+        assert abs(got.loc[k, "centroid_x"] - cents[k][0]) < 1e-4
+        assert abs(got.loc[k, "centroid_y"] - cents[k][1]) < 1e-4
+        if not sel.any():
+            assert int(got.loc[k, "inertia"]) == 0
+            continue
+        inertia_ref = round(
+            float(((xs[sel] - cents[k][0]) ** 2 + (ys[sel] - cents[k][1]) ** 2).sum())
+        )
+        assert abs(int(got.loc[k, "inertia"]) - inertia_ref) <= int(sel.sum())
+
+
+def test_ols_multiple_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_ols_multiple").iloc[0]
+    df = duck.execute(
+        "SELECT CAST(l_quantity AS BIGINT) AS x1,"
+        " CAST(ROUND(l_discount*100,0) AS BIGINT) AS x2,"
+        " CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM lineitem"
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(df)), df["x1"].astype(float), df["x2"].astype(float)]
+    )
+    yv = df["y"].astype(float).values
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(got["b0_cents"] - beta[0]) < max(1e-3, abs(beta[0]) * 1e-6)
+    assert abs(got["b1_cents_per_qty"] - beta[1]) < max(1e-3, abs(beta[1]) * 1e-6)
+    assert abs(got["b2_cents_per_disc_c"] - beta[2]) < max(1e-3, abs(beta[2]) * 1e-6)
+    pred = X @ beta
+    ss_res = float(((yv - pred) ** 2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum())
+    assert abs(got["r2"] - (1 - ss_res / ss_tot)) < 1e-6
+
+
+def test_anova_matches_scipyless_bruteforce(spark, duck):
+    got = _run(spark, "stats_anova_oneway").iloc[0]
+    df = duck.execute(
+        "SELECT substr(o_orderpriority,1,1) AS g,"
+        " CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS c FROM orders"
+    ).df()
+    groups = [g["c"].astype(float) for _, g in df.groupby("g")]
+    n = len(df)
+    k = len(groups)
+    grand = df["c"].astype(float).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert int(got["n"]) == n and int(got["k"]) == k
+    assert abs(got["f_stat"] - f_ref) < max(1e-4, f_ref * 1e-9)
+    # moment-identity cancellation at ~1e17 magnitudes costs ~7 of
+    # the 16 double digits vs the two-pass reference - 1e-5 is tight
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-5
+
+
+def test_levene_bf_matches_bruteforce(spark, duck):
+    got = _run(spark, "stats_levene_bf").iloc[0]
+    df = duck.execute(
+        "SELECT l_returnflag AS g,"
+        " CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS c FROM lineitem"
+    ).df()
+    zs = []
+    for flag, g in df.groupby("g"):
+        v = g["c"].sort_values().reset_index(drop=True)
+        med = int(v.iloc[(len(v) + 1) // 2 - 1])  # lower median
+        assert int(got[f"med_{flag.lower()}"]) == med
+        zs.append((g["c"] - med).abs().astype(float))
+    n = len(df)
+    k = len(zs)
+    allz = pd.concat(zs)
+    grand = allz.mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(got["w_stat"] - w_ref) < max(1e-4, w_ref * 1e-9)
+
+
+def test_attribution_position_weights_conserve_revenue(spark, duck):
+    got = _run(spark, "attribution_position_based")
+    total_purchase_micro = duck.execute(
+        "SELECT CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT)"
+        " * 1000000 FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    # position weights sum to 1 per purchase -> channel sums conserve
+    # total purchase revenue up to one microcent of rounding per touch
+    assert abs(int(got["attributed_microcents"].sum()) - total_purchase_micro) <= int(
+        got["n_touches"].sum()
+    )
+
+
+def test_attribution_time_decay_conserves_revenue(spark, duck):
+    got = _run(spark, "attribution_time_decay")
+    total_purchase_micro = duck.execute(
+        "SELECT CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT)"
+        " * 1000000 FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert abs(int(got["attributed_microcents"].sum()) - total_purchase_micro) <= int(
+        got["n_touches"].sum()
+    )
+
+
+def test_price_volume_mix_bridge_ties_out(spark):
+    got = _run(spark, "agg_price_volume_mix")
+    for _, r in got.iterrows():
+        # price+volume+mix (micro) + new - dropped (cents) ~= delta
+        bridge = (
+            r["price_eff_micro"] + r["volume_eff_micro"] + r["mix_eff_micro"]
+        ) / 1e6 + r["new_rev_c"] - r["dropped_rev_c"]
+        assert abs(bridge - r["delta_c"]) < max(1.0, int(r["n_common"])), r["brand"]
