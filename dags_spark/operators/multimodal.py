@@ -883,3 +883,143 @@ def decode_tiff_tags(buf: bytes) -> dict:
         elif typ == 4:
             tags[tag] = struct.unpack_from(bo + "I", buf, off + 8)[0]
     return tags
+
+
+def encode_png_pattern(width: int, height: int, seed: int) -> bytes:
+    """Minimal-but-REAL PNG encoder (8-bit RGB, color type 2) for the
+    deterministic pattern R=(seed*7+x*3+y*11)%256,
+    G=(seed*13+x*5+y*2)%256, B=(seed*3+x*9+y*7)%256. Each scanline
+    is filtered with type y%5 — None/Sub/Up/Average/Paeth — so a
+    decoder must implement ALL FIVE filter reconstructions, then the
+    filtered stream is zlib-compressed into one IDAT chunk with real
+    CRC-32s. Pure stdlib (zlib, struct): this exercises an actual
+    DEFLATE-compressed container, the format 90% of web images ship
+    in."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (seed * 7 + x * 3 + y * 11) % 256,
+            (seed * 13 + x * 5 + y * 2) % 256,
+            (seed * 3 + x * 9 + y * 7) % 256,
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    raw = bytearray()
+    prev_row = bytes(3 * width)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(px(x, y))
+        ft = y % 5
+        raw.append(ft)
+        filt = bytearray()
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev_row[i]
+            c = prev_row[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = (row[i] - a) % 256
+            elif ft == 2:
+                v = (row[i] - b) % 256
+            elif ft == 3:
+                v = (row[i] - (a + b) // 2) % 256
+            else:
+                v = (row[i] - paeth(a, b, c)) % 256
+            filt.append(v)
+        raw += filt
+        prev_row = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Full PNG decode for 8-bit RGB: chunk walk with CRC-32
+    verification, zlib inflate of the concatenated IDAT stream, and
+    per-scanline reverse filtering (None/Sub/Up/Average/Paeth per
+    the PNG spec's reconstruction functions). Raises on any CRC or
+    structure violation — a decoder that silently accepts corrupt
+    containers is worse than none."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    pixels: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                line[i] = (line[i] + a) % 256
+            elif ft == 2:
+                line[i] = (line[i] + b) % 256
+            elif ft == 3:
+                line[i] = (line[i] + (a + b) // 2) % 256
+            elif ft == 4:
+                line[i] = (line[i] + paeth(a, b, c)) % 256
+        for x in range(width):
+            pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+        prev = line
+    return width, height, pixels

@@ -1676,3 +1676,71 @@ def fn_month_arith_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("month_end_derived"),
     )
+
+
+def _soundex_sql(word: str, g_flag: bool) -> str:
+    """Simplified-soundex key as a shared expression pipeline:
+    lowercase -> first letter + consonant digit classes (vowels and
+    h/w/y map to 0) -> collapse adjacent equal digits -> strip 0s ->
+    first letter upper + first 3 digits right-padded with 0.
+
+    DuckDB's regexp engine (RE2) has no backreferences and collapses
+    runs only with an explicit 'g' flag, while Spark's Java regex
+    replaces globally by default — so the run-collapse is ten chained
+    per-digit '<d>+' replaces, parameterized only by the g-flag.
+    Everything else (translate/substr/replace/upper/rpad) is
+    identical text on both engines."""
+    mapped = (
+        f"translate(lower({word}), 'abcdefghijklmnopqrstuvwxyz',"
+        f" '01230120022455012623010202')"
+    )
+    rest = f"substr({mapped}, 2)"
+    for d in range(10):
+        g = ", 'g'" if g_flag else ""
+        rest = f"regexp_replace({rest}, '{d}+', '{d}'{g})"
+    digits = f"replace({rest}, '0', '')"
+    return (
+        f"upper(substr(lower({word}), 1, 1)) || rpad(substr({digits}, 1, 3),"
+        f" 3, '0')"
+    )
+
+
+@register(
+    "fn_phonetic_soundex",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+),
+keys AS (
+  SELECT w, {_soundex_sql('w', True)} AS sdx FROM words
+)
+SELECT sdx,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       MIN(w) AS example_word
+FROM keys GROUP BY sdx
+""",
+    tags=("functions", "text"),
+)
+def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING KEY (simplified soundex) — the fuzzy-match
+    staple that buckets 'smith'/'smyth' together before an expensive
+    pairwise compare. Spark ships a soundex() builtin but DuckDB
+    does not, so the spec is pinned as an explicit shared pipeline
+    (translate to digit classes, collapse runs, strip separators,
+    letter + 3 digits) built from primitives BOTH engines implement
+    identically — the same cross-engine discipline as the repo's
+    other shared-SQL-text lanes, and the honest way to hash-check a
+    function one engine lacks. Runs over the distinct words of
+    p_name; output is blocking-key -> bucket size, i.e. exactly the
+    blocking histogram an entity-resolution pass plans with. One
+    explode + two grid hash-aggs; at 100 TB the distinct-words agg
+    is the only data-sized shuffle."""
+    pt = table(spark, sf_dir, "part")
+    words = (
+        pt.select(F.explode(F.split("p_name", " ")).alias("w")).distinct()
+    )
+    keys = words.selectExpr("w", f"{_soundex_sql('w', False)} AS sdx")
+    return keys.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.min("w").alias("example_word"),
+    )

@@ -4280,3 +4280,164 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch", "doc_id", (F.row_number().over(w) - 1).alias("position")
     )
     return ordered.filter(F.col("position") < 20)
+
+
+@register(
+    "train_curriculum_buckets",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS difficulty
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, toks, difficulty,
+         CAST(COALESCE(SUM(toks) OVER (
+           ORDER BY difficulty, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(SUM(toks) OVER () AS BIGINT) AS total
+  FROM scored
+)
+SELECT cum_before * 5 // total AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens,
+       ROUND(MIN(difficulty), 6) AS min_difficulty,
+       ROUND(MAX(difficulty), 6) AS max_difficulty
+FROM cum GROUP BY bucket
+""",
+    tags=("train", "documents"),
+)
+def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM STAGING — order the corpus easy-to-hard by a
+    difficulty score (mean word length — the cheap proxy curricula
+    actually start with) and cut it into 5 stages of EQUAL TOKEN
+    BUDGET, not equal document count: bucket = floor(5 *
+    tokens_before / total_tokens), all exact integer arithmetic on
+    a (difficulty, doc_id)-pinned total order, so stage boundaries
+    are deterministic and a long doc never straddles stages. The
+    per-doc score is one exact-ratio double; the global running sum
+    is the only total-order window (at 100 TB: two-pass partition
+    cumsum — per-partition totals broadcast back — same algebra,
+    no single-partition sort; here Spark's WindowExec handles the
+    5k-doc fixture directly)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        (
+            (F.length("text") - (toks - 1)).cast("double") / toks
+        ).alias("difficulty"),
+    )
+    w = Window.orderBy("difficulty", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = scored.select(
+        "doc_id",
+        "toks",
+        "difficulty",
+        F.coalesce(F.sum("toks").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        F.sum("toks").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    return (
+        cum.selectExpr("*", "cum_before * 5 div total AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+        )
+    )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 1 + doc_id % 23 AS w, 5 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 4 = 1
+),
+xs AS (SELECT unnest(generate_series(0, 22)) AS x),
+ys AS (SELECT unnest(generate_series(0, 17)) AS y),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 7 + x * 3 + y * 11) % 256 AS r,
+         (d.doc_id * 13 + x * 5 + y * 2) % 256 AS g,
+         (d.doc_id * 3 + x * 9 + y * 7) % 256 AS b
+  FROM docs d, xs, ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG DECODE — the DEFLATE-compressed container format itself,
+    completing the codec ladder (raw BMP/PPM/TGA -> entropy-coded
+    QOI -> zlib+filtered PNG): the in-kernel decoder
+    (operators/multimodal.py decode_png_pixels) walks chunks with
+    CRC-32 verification, inflates the IDAT stream with stdlib zlib,
+    and reverses ALL FIVE scanline filters (the fixture cycles
+    None/Sub/Up/Average/Paeth by row, and every image is >= 5 rows
+    tall so no filter path goes untested). Payloads synthesize and
+    decode inside one Arrow mapInPandas batch; only channel sums
+    leave the executor, and the oracle recomputes them in closed
+    form from the pattern — so a hash match certifies real inflate +
+    filter-reconstruction machinery. At 100 TB this is the canonical
+    binary-column shape: opaque bytes in, typed metadata out, no
+    driver involvement."""
+    from ..operators.multimodal import decode_png_pixels, encode_png_pattern
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                payload = encode_png_pattern(1 + i % 23, 5 + i % 13, i)
+                w, h, px = decode_png_pixels(payload)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        w * h,
+                        sum(p[0] for p in px),
+                        sum(p[1] for p in px),
+                        sum(p[2] for p in px),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
+        " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )

@@ -484,3 +484,39 @@ def test_tga_decoder_rejects_unsupported():
     # encoded top-down: file row 0 is image y=0; read bottom-up it
     # must come back as the LAST image row.
     assert img[1][0] == ((0 * 3 + 0 * 19) % 256, (0 * 13 + 0 * 5) % 256, (0 * 9 + 0 * 11) % 256)
+
+
+def test_png_roundtrip_filters_and_crc():
+    """PNG decode must reproduce the synthesis pattern exactly across
+    ALL five scanline filter types (the encoder cycles them by row
+    and every fixture image is >= 5 rows), and must REJECT corrupted
+    containers rather than decode garbage."""
+    import pytest
+
+    from dags_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pattern,
+    )
+
+    for seed in (0, 7, 123, 999, 4444):
+        w, h = 1 + seed % 23, 5 + seed % 13
+        buf = encode_png_pattern(w, h, seed)
+        gw, gh, px = decode_png_pixels(buf)
+        assert (gw, gh) == (w, h) and len(px) == w * h
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                assert px[i] == (
+                    (seed * 7 + x * 3 + y * 11) % 256,
+                    (seed * 13 + x * 5 + y * 2) % 256,
+                    (seed * 3 + x * 9 + y * 7) % 256,
+                ), (seed, x, y)
+                i += 1
+    # flip one IDAT byte -> CRC must trip
+    buf = bytearray(encode_png_pattern(9, 8, 42))
+    idat_at = buf.find(b"IDAT")
+    buf[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(buf))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_pixels(b"not a png at all")

@@ -66,6 +66,8 @@ HEAVY = {
     "graph_link_prediction": 45,
     "feat_kmeans_lloyd": 25,
     "ts_dtw_distance": 20,
+    "multimodal_png_decode": 25,
+    "train_curriculum_buckets": 15,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
     # round-4 additions (healthy 0.7-11 s at sf0.1)
