@@ -4162,3 +4162,262 @@ def stats_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(1.0 - (syy - b0*syd - b1*x1y - b2*x2y)"
         " / (syy - syd*syd/nd), 6) AS r2",
     )
+
+
+@register(
+    "stats_granger_lagged",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS buy_c,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS views
+  FROM events GROUP BY day
+),
+lagged AS (
+  SELECT cur.buy_c AS yv, prv.buy_c AS l1, prv.views AS l2
+  FROM daily cur
+  JOIN daily prv ON prv.day = cur.day - INTERVAL 1 DAY
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l1) AS BIGINT) AS isx1,
+         CAST(SUM(l2) AS BIGINT) AS isx2,
+         CAST(SUM(l1 * l1) AS BIGINT) AS ix11,
+         CAST(SUM(l2 * l2) AS BIGINT) AS ix22,
+         CAST(SUM(l1 * l2) AS BIGINT) AS ix12,
+         CAST(SUM(yv) AS BIGINT) AS isy,
+         CAST(SUM(l1 * yv) AS BIGINT) AS ix1y,
+         CAST(SUM(l2 * yv) AS BIGINT) AS ix2y,
+         CAST(SUM(yv * yv) AS DOUBLE) AS syy
+  FROM lagged
+),
+c AS (
+  SELECT n, syy,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(isx1 AS DOUBLE) AS sx1, CAST(isx2 AS DOUBLE) AS sx2,
+         CAST(ix11 AS DOUBLE) AS x11, CAST(ix22 AS DOUBLE) AS x22,
+         CAST(ix12 AS DOUBLE) AS x12,
+         CAST(isy AS DOUBLE) AS syd,
+         CAST(ix1y AS DOUBLE) AS x1y, CAST(ix2y AS DOUBLE) AS x2y
+  FROM m
+),
+d AS (
+  SELECT *, {_OLS_D} AS det, {_OLS_D0} AS det0, {_OLS_D1} AS det1,
+         {_OLS_D2} AS det2,
+         (nd*x1y - sx1*syd) / (nd*x11 - sx1*sx1) AS br
+  FROM c
+),
+b AS (
+  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2,
+         (syd - br*sx1) / nd AS ar
+  FROM d
+),
+sse AS (
+  SELECT *,
+         syy - b0*syd - b1*x1y - b2*x2y AS sse_f,
+         syy - ar*syd - br*x1y AS sse_r,
+         syy - syd*syd/nd AS sst
+  FROM b
+)
+SELECT n,
+       ROUND(1.0 - sse_r/sst, 6) AS r2_restricted,
+       ROUND(1.0 - sse_f/sst, 6) AS r2_full,
+       ROUND(b2, 6) AS lag_views_coef,
+       ROUND((sse_r - sse_f) / (sse_f / (nd - 3.0)), 6) AS f_granger
+FROM sse
+""",
+    tags=("stats", "events", "timeseries"),
+)
+def stats_granger_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER-STYLE LAGGED-REGRESSION SCREEN — does yesterday's VIEW
+    traffic predict today's PURCHASE revenue beyond revenue's own
+    lag? The bivariate Granger test in its nested-OLS form:
+    restricted model y_t ~ y_(t-1), full model y_t ~ y_(t-1) +
+    views_(t-1); the incremental F = ((SSE_r - SSE_f)/1) /
+    (SSE_f/(n-3)) is the causality statistic. Both fits are closed-
+    form on ONE moment pass over the lag-joined daily grid (the
+    stats_ols_multiple Cramer fragments are reused verbatim, so both
+    engines execute the identical double tree); the lag join is a
+    grid-sized self-join on day. Daily sums are exact cents/counts,
+    so every moment is an exact BIGINT."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("buy_c"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+    )
+    cur = daily.select(
+        F.col("day"), F.col("buy_c").alias("yv")
+    )
+    prv = daily.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("buy_c").alias("l1"),
+        F.col("views").alias("l2"),
+    )
+    lagged = cur.join(prv, "day").select("yv", "l1", "l2")
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l1").cast("bigint").alias("isx1"),
+        F.sum("l2").cast("bigint").alias("isx2"),
+        F.sum(F.col("l1") * F.col("l1")).cast("bigint").alias("ix11"),
+        F.sum(F.col("l2") * F.col("l2")).cast("bigint").alias("ix22"),
+        F.sum(F.col("l1") * F.col("l2")).cast("bigint").alias("ix12"),
+        F.sum("yv").cast("bigint").alias("isy"),
+        F.sum(F.col("l1") * F.col("yv")).cast("bigint").alias("ix1y"),
+        F.sum(F.col("l2") * F.col("yv")).cast("bigint").alias("ix2y"),
+        F.sum((F.col("yv") * F.col("yv")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    c = m.selectExpr(
+        "n",
+        "syy",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(isx1 AS DOUBLE) AS sx1",
+        "CAST(isx2 AS DOUBLE) AS sx2",
+        "CAST(ix11 AS DOUBLE) AS x11",
+        "CAST(ix22 AS DOUBLE) AS x22",
+        "CAST(ix12 AS DOUBLE) AS x12",
+        "CAST(isy AS DOUBLE) AS syd",
+        "CAST(ix1y AS DOUBLE) AS x1y",
+        "CAST(ix2y AS DOUBLE) AS x2y",
+    )
+    d = c.selectExpr(
+        "*",
+        f"{_OLS_D} AS det",
+        f"{_OLS_D0} AS det0",
+        f"{_OLS_D1} AS det1",
+        f"{_OLS_D2} AS det2",
+        "(nd*x1y - sx1*syd) / (nd*x11 - sx1*sx1) AS br",
+    )
+    b = d.selectExpr(
+        "*",
+        "det0/det AS b0",
+        "det1/det AS b1",
+        "det2/det AS b2",
+        "(syd - br*sx1) / nd AS ar",
+    )
+    sse = b.selectExpr(
+        "*",
+        "syy - b0*syd - b1*x1y - b2*x2y AS sse_f",
+        "syy - ar*syd - br*x1y AS sse_r",
+        "syy - syd*syd/nd AS sst",
+    )
+    return sse.selectExpr(
+        "n",
+        "ROUND(1.0 - sse_r/sst, 6) AS r2_restricted",
+        "ROUND(1.0 - sse_f/sst, 6) AS r2_full",
+        "ROUND(b2, 6) AS lag_views_coef",
+        "ROUND((sse_r - sse_f) / (sse_f / (nd - 3.0)), 6) AS f_granger",
+    )
+
+
+@register(
+    "stats_weibull_fit",
+    oracle="""
+WITH dur AS (
+  SELECT o_custkey,
+         date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) + 1 AS t
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT t,
+         ROW_NUMBER() OVER (ORDER BY t, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM dur
+),
+pts AS (
+  SELECT CAST(FLOOR(ROUND(ln(CAST(t AS DOUBLE)), 9) * 1000000) AS BIGINT)
+           AS xm,
+         CAST(FLOOR(ROUND(ln(-ln(1.0 - CAST(i AS DOUBLE) / (n + 1))), 9)
+                    * 1000000) AS BIGINT) AS ym
+  FROM ranked
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS DOUBLE) AS sx, CAST(SUM(ym) AS DOUBLE) AS sy,
+         CAST(SUM(xm * ym) AS DOUBLE) AS sxy,
+         CAST(SUM(xm * xm) AS DOUBLE) AS sxx,
+         CAST(SUM(ym * ym) AS DOUBLE) AS syy
+  FROM pts
+),
+fit AS (
+  SELECT n,
+         (n*sxy - sx*sy) / (n*sxx - sx*sx) AS k,
+         sx, sy, sxy, sxx, syy
+  FROM m
+)
+SELECT n,
+       ROUND(k, 6) AS shape_k,
+       ROUND(exp(-((sy - k*sx) / n / 1000000.0) / k), 6) AS scale_lambda,
+       ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM fit
+""",
+    tags=("stats", "agg", "window"),
+)
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIBULL SHAPE/SCALE FIT by the probability-plot method — the
+    reliability-engineering standard: customer engagement spans
+    (first-to-last order, days) ranked with median-rank plotting
+    positions S_i = 1 - i/(n+1), then ln(-ln S) regressed on ln t;
+    the slope IS the Weibull shape k (k<1 infant-mortality churn,
+    k>1 wear-out) and exp(-intercept/k) the scale lambda. The two
+    libm logs are quantized PER POINT to exact micro-units before
+    the moment sums (the agg_decayed_sum lane), so the regression
+    inputs are exact integers and the closed-form slope/intercept/r2
+    are single deterministic double trees. One duration hash-agg,
+    one pinned-order rank, one moment pass."""
+    o = table(spark, sf_dir, "orders")
+    dur = o.groupBy("o_custkey").agg(
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1).alias("t")
+    )
+    wnd = Window.orderBy("t", "o_custkey")
+    ranked = dur.select(
+        "t",
+        F.row_number().over(wnd).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pts = ranked.select(
+        F.floor(F.round(F.log(F.col("t").cast("double")), 9) * 1000000)
+        .cast("bigint")
+        .alias("xm"),
+        F.floor(
+            F.round(
+                F.log(-F.log(1.0 - F.col("i").cast("double") / (F.col("n") + 1))),
+                9,
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("ym"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xm").cast("double").alias("sx"),
+        F.sum("ym").cast("double").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("double").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("double").alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).cast("double").alias("syy"),
+    )
+    fit = m.selectExpr(
+        "n", "(n*sxy - sx*sy) / (n*sxx - sx*sx) AS k",
+        "sx", "sy", "sxy", "sxx", "syy",
+    )
+    return fit.selectExpr(
+        "n",
+        "ROUND(k, 6) AS shape_k",
+        "ROUND(exp(-((sy - k*sx) / n / 1000000.0) / k), 6) AS scale_lambda",
+        "ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)"
+        " / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2",
+    )

@@ -4693,3 +4693,72 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dtw_cents").cast("double") / (F.col("n1") + F.col("n2")), 6
         ).alias("dtw_per_step"),
     )
+
+
+@register("win_elo_rating", oracle=None, check="rows")
+def win_elo_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELO RATINGS over purchase 'matches' — the canonical
+    INHERENTLY-SEQUENTIAL stateful fold that no window frame can
+    express (each update depends on BOTH players' full histories):
+    within a league (user_id % 5), consecutive purchase events by
+    different users form a match won by the larger basket (ties to
+    the earlier event), and ratings evolve by the standard logistic
+    update r += K*(s - 1/(1+10^((r_opp-r)/400))), K=32, start 1000.
+    The fold runs per league inside applyInPandas — parallel ACROSS
+    leagues, sequential WITHIN, which is exactly how a 100 TB
+    engine schedules grouped state (same shape as
+    applyInPandasWithState, minus the streaming runtime). Ratings
+    round to 6dp; tests/test_stats_round6.py replays the fold in
+    pure Python and matches exactly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 5).alias("league"),
+        "user_id",
+        "ts",
+        "event_id",
+        cents("value").alias("cents"),
+    )
+    schema = StructType(
+        [
+            StructField("league", LongType()),
+            StructField("user_id", LongType()),
+            StructField("n_matches", LongType()),
+            StructField("rating", DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        league = int(pdf["league"].iloc[0])
+        ratings: dict[int, float] = {}
+        counts: dict[int, int] = {}
+        prev = None
+        for row in pdf.itertuples(index=False):
+            cur = (int(row.user_id), int(row.cents))
+            if prev is not None and prev[0] != cur[0]:
+                ra = ratings.setdefault(prev[0], 1000.0)
+                rb = ratings.setdefault(cur[0], 1000.0)
+                # winner: larger basket; tie -> the earlier (prev)
+                sa = 1.0 if prev[1] >= cur[1] else 0.0
+                ea = 1.0 / (1.0 + 10.0 ** ((rb - ra) / 400.0))
+                ratings[prev[0]] = ra + 32.0 * (sa - ea)
+                ratings[cur[0]] = rb + 32.0 * ((1.0 - sa) - (1.0 - ea))
+                counts[prev[0]] = counts.get(prev[0], 0) + 1
+                counts[cur[0]] = counts.get(cur[0], 0) + 1
+            prev = cur
+        rows = [
+            (league, u, counts.get(u, 0), round(r, 6))
+            for u, r in sorted(ratings.items())
+        ]
+        return pd.DataFrame(
+            rows, columns=["league", "user_id", "n_matches", "rating"]
+        )
+
+    return p.groupBy("league").applyInPandas(fold, schema)

@@ -424,3 +424,81 @@ def test_price_volume_mix_bridge_ties_out(spark):
             r["price_eff_micro"] + r["volume_eff_micro"] + r["mix_eff_micro"]
         ) / 1e6 + r["new_rev_c"] - r["dropped_rev_c"]
         assert abs(bridge - r["delta_c"]) < max(1.0, int(r["n_common"])), r["brand"]
+
+
+def test_elo_matches_pure_python_replay(spark, duck):
+    got = _run(spark, "win_elo_rating")
+    ev = duck.execute(
+        "SELECT user_id % 5 AS league, user_id, ts, event_id,"
+        " CAST(ROUND(value*100,0) AS BIGINT) AS cents FROM events"
+        " WHERE event_type = 'purchase' ORDER BY league, ts, event_id"
+    ).df()
+    for league, g in ev.groupby("league"):
+        ratings, counts, prev = {}, {}, None
+        for row in g.itertuples(index=False):
+            cur = (int(row.user_id), int(row.cents))
+            if prev is not None and prev[0] != cur[0]:
+                ra = ratings.setdefault(prev[0], 1000.0)
+                rb = ratings.setdefault(cur[0], 1000.0)
+                sa = 1.0 if prev[1] >= cur[1] else 0.0
+                ea = 1.0 / (1.0 + 10.0 ** ((rb - ra) / 400.0))
+                ratings[prev[0]] = ra + 32.0 * (sa - ea)
+                ratings[cur[0]] = rb + 32.0 * ((1.0 - sa) - (1.0 - ea))
+                counts[prev[0]] = counts.get(prev[0], 0) + 1
+                counts[cur[0]] = counts.get(cur[0], 0) + 1
+            prev = cur
+        sub = got[got["league"] == league].set_index("user_id")
+        assert len(sub) == len(ratings)
+        for u, r in ratings.items():
+            assert abs(sub.loc[u, "rating"] - round(r, 6)) < 1e-9, (league, u)
+            assert int(sub.loc[u, "n_matches"]) == counts.get(u, 0)
+
+
+def test_weibull_fit_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_weibull_fit").iloc[0]
+    df = duck.execute(
+        "SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) + 1 AS t"
+        " FROM orders GROUP BY o_custkey ORDER BY t"
+    ).df()
+    t = df["t"].astype(float).values
+    n = len(t)
+    i = np.arange(1, n + 1)
+    x = np.log(t)
+    y = np.log(-np.log(1.0 - i / (n + 1)))
+    k, c = np.polyfit(x, y, 1)
+    lam = float(np.exp(-c / k))
+    assert int(got["n"]) == n
+    # micro-quantized inputs vs full-precision numpy: ~1e-4 agreement
+    assert abs(got["shape_k"] - k) < 5e-4
+    assert abs(got["scale_lambda"] - lam) < max(5e-3, lam * 1e-3)
+
+
+def test_granger_matches_statsmodels_free_ols(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_granger_lagged").iloc[0]
+    daily = duck.execute(
+        "SELECT date_trunc('day', ts) AS day,"
+        " CAST(SUM(CASE WHEN event_type='purchase'"
+        "   THEN CAST(ROUND(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        "   AS buy_c,"
+        " CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS views"
+        " FROM events GROUP BY day ORDER BY day"
+    ).df()
+    yv = daily["buy_c"].astype(float).values
+    vw = daily["views"].astype(float).values
+    y, l1, l2 = yv[1:], yv[:-1], vw[:-1]
+    n = len(y)
+    Xf = np.column_stack([np.ones(n), l1, l2])
+    Xr = np.column_stack([np.ones(n), l1])
+    bf, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    sse_f = float(((y - Xf @ bf) ** 2).sum())
+    sse_r = float(((y - Xr @ br) ** 2).sum())
+    f_ref = (sse_r - sse_f) / (sse_f / (n - 3))
+    assert int(got["n"]) == n
+    assert abs(got["f_granger"] - f_ref) < max(1e-3, f_ref * 1e-4)
+    assert abs(got["lag_views_coef"] - bf[2]) < max(1e-3, abs(bf[2]) * 1e-4)

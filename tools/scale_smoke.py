@@ -68,6 +68,7 @@ HEAVY = {
     "ts_dtw_distance": 20,
     "multimodal_png_decode": 25,
     "train_curriculum_buckets": 15,
+    "win_elo_rating": 20,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
     # round-4 additions (healthy 0.7-11 s at sf0.1)
