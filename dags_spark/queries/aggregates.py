@@ -4421,3 +4421,182 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)"
         " / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2",
     )
+
+
+def _chain_ladder_ultimate_sql() -> str:
+    """Ultimate-loss CASE over the fixed 1995..2001 origin grid:
+    each origin's latest cumulative column times the product of its
+    remaining development factors — one literal expression tree,
+    shared by both engines."""
+    arms = []
+    for origin in range(1995, 2002):
+        latest = 2001 - origin
+        factors = "".join(f" * f{j}" for j in range(latest, 6))
+        arms.append(
+            f"WHEN {origin} THEN CAST(c{latest} AS DOUBLE){factors}"
+        )
+    return "CASE origin " + " ".join(arms) + " END"
+
+
+def _chain_ladder_latest_sql() -> str:
+    arms = [
+        f"WHEN {origin} THEN c{2001 - origin}" for origin in range(1995, 2002)
+    ]
+    return "CASE origin " + " ".join(arms) + " END"
+
+
+@register(
+    "agg_chain_ladder_reserve",
+    oracle=f"""
+WITH cells AS (
+  SELECT date_part('year', o.o_orderdate) AS origin,
+         date_part('year', l.l_shipdate) - date_part('year', o.o_orderdate)
+           AS dev,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+tri AS (
+  SELECT origin,
+         {', '.join(f"CAST(SUM(CASE WHEN dev <= {j} THEN c ELSE 0 END) AS BIGINT) AS c{j}" for j in range(7))}
+  FROM cells GROUP BY origin
+),
+fac AS (
+  SELECT
+    {', '.join(f"CAST(SUM(CASE WHEN origin <= {2000 - j} THEN c{j + 1} ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN origin <= {2000 - j} THEN c{j} ELSE 0 END) AS DOUBLE) AS f{j}" for j in range(6))}
+  FROM tri
+),
+u AS (
+  SELECT origin,
+         {_chain_ladder_latest_sql()} AS latest_c,
+         {_chain_ladder_ultimate_sql()} AS ultimate_d
+  FROM tri CROSS JOIN fac
+)
+SELECT origin,
+       CAST(latest_c AS BIGINT) AS latest_cum_c,
+       CAST(ROUND(ultimate_d, 0) AS BIGINT) AS ultimate_c,
+       CAST(ROUND(ultimate_d, 0) AS BIGINT) - latest_c AS reserve_c
+FROM u
+""",
+    tags=("lineitem", "orders", "finance"),
+)
+def agg_chain_ladder_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-LADDER RESERVING — the actuarial standard for
+    run-off/development triangles, structurally identical to any
+    delayed-completion pipeline (claims, returns, late-arriving
+    conversions): bookings by ORIGIN year develop across DEV years
+    (ship year - order year), the data edge right-censors recent
+    origins into a triangle, and volume-weighted development factors
+    f_j = sum C_(i,j+1) / sum C_(i,j) (over origins that observed
+    both columns) project each origin's latest cumulative to
+    ultimate; reserve = ultimate - latest. The triangle pivots to
+    one exact-BIGINT wide row per origin, factors reduce to ONE
+    broadcast row, and the ultimate is a literal CASE expression
+    tree over the fixed origin grid shared with the oracle — every
+    double op deterministic. One fact join (orders co-keyed), two
+    grid hash-aggs, a broadcast back: the 100 TB plan is the same
+    shape with the triangle still grid-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.year("o_orderdate").alias("origin"),
+            (F.year("l_shipdate") - F.year("o_orderdate")).alias("dev"),
+            cents("l_extendedprice").alias("c"),
+        )
+    )
+    tri = cells.groupBy("origin").agg(
+        *[
+            F.sum(F.when(F.col("dev") <= j, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{j}")
+            for j in range(7)
+        ]
+    )
+    fac = tri.agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.col("origin") <= 2000 - j, F.col(f"c{j + 1}")).otherwise(0)
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("origin") <= 2000 - j, F.col(f"c{j}")).otherwise(0)
+                ).cast("double")
+            ).alias(f"f{j}")
+            for j in range(6)
+        ]
+    )
+    u = tri.crossJoin(F.broadcast(fac)).selectExpr(
+        "origin",
+        f"{_chain_ladder_latest_sql()} AS latest_c",
+        f"{_chain_ladder_ultimate_sql()} AS ultimate_d",
+    )
+    return u.selectExpr(
+        "origin",
+        "CAST(latest_c AS BIGINT) AS latest_cum_c",
+        "CAST(ROUND(ultimate_d, 0) AS BIGINT) AS ultimate_c",
+        "CAST(ROUND(ultimate_d, 0) AS BIGINT) - latest_c AS reserve_c",
+    )
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle="""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT)
+           AS sn,
+         CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS INT)
+                  * CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT)
+           AS ssn,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(substr(o_orderpriority, 1, 1) AS INT)
+                       ELSE 0 END) AS BIGINT) AS sx
+  FROM orders
+)
+SELECT n, x,
+       ROUND((CAST(sx AS DOUBLE) - CAST(x AS DOUBLE)/n*sn)
+             / sqrt(CAST(x AS DOUBLE)/n * (1.0 - CAST(x AS DOUBLE)/n)
+                    * (ssn - CAST(sn AS DOUBLE)*sn/n)), 6) AS z_trend,
+       ROUND(pow((CAST(sx AS DOUBLE) - CAST(x AS DOUBLE)/n*sn), 2)
+             / (CAST(x AS DOUBLE)/n * (1.0 - CAST(x AS DOUBLE)/n)
+                * (ssn - CAST(sn AS DOUBLE)*sn/n)), 6) AS chi2_trend
+FROM t
+""",
+    tags=("stats", "agg"),
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN–ARMITAGE TREND TEST — is the fulfilled-rate
+    MONOTONICALLY ordered across the 1..5 priority ladder? The
+    ordinal upgrade of the chi-square independence screen: scores
+    s_i = priority digit, T = sum s*x - p*sum s, Var = p(1-p)
+    (sum s^2 - (sum s)^2/n), z = T/sqrt(Var) — sensitive to trend
+    where chi-square only sees 'different'. Every sufficient
+    statistic (n, successes, score sums, score-success cross sum)
+    is an exact BIGINT from ONE map-side-combinable pass — no
+    pivot, no second scan — and the z/chi2 are single shared double
+    trees."""
+    o = table(spark, sf_dir, "orders")
+    s = F.expr("CAST(substr(o_orderpriority, 1, 1) AS INT)")
+    fulfilled = F.col("o_orderstatus") == "F"
+    t = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(fulfilled, 1).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(s).cast("bigint").alias("sn"),
+        F.sum(s * s).cast("bigint").alias("ssn"),
+        F.sum(F.when(fulfilled, s).otherwise(0)).cast("bigint").alias("sx"),
+    )
+    return t.selectExpr(
+        "n",
+        "x",
+        "ROUND((CAST(sx AS DOUBLE) - CAST(x AS DOUBLE)/n*sn)"
+        " / sqrt(CAST(x AS DOUBLE)/n * (1.0 - CAST(x AS DOUBLE)/n)"
+        " * (ssn - CAST(sn AS DOUBLE)*sn/n)), 6) AS z_trend",
+        "ROUND(pow((CAST(sx AS DOUBLE) - CAST(x AS DOUBLE)/n*sn), 2)"
+        " / (CAST(x AS DOUBLE)/n * (1.0 - CAST(x AS DOUBLE)/n)"
+        " * (ssn - CAST(sn AS DOUBLE)*sn/n)), 6) AS chi2_trend",
+    )

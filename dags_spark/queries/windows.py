@@ -4762,3 +4762,58 @@ def win_elo_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return p.groupBy("league").applyInPandas(fold, schema)
+
+
+@register(
+    "win_groups_frame_emulated",
+    oracle="""
+WITH per_group AS (
+  SELECT l_returnflag AS fl,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS gsum_own
+  FROM lineitem GROUP BY fl, qty
+)
+SELECT fl, qty, n_rows,
+       CAST(SUM(gsum_own) OVER (
+         PARTITION BY fl ORDER BY qty
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS groups_sum
+FROM per_group
+""",
+    tags=("window", "lineitem"),
+)
+def win_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS WINDOW FRAME, EMULATED — the SQL:2011 frame unit that
+    NEITHER engine implements (Spark has no GROUPS mode; DuckDB
+    parses it but raises 'not implemented yet'): a rolling sum over
+    VALUE GROUPS (all peers of the previous, current, and next
+    distinct l_quantity) per returnflag. The emulation is the
+    standard rewrite, applied identically on both sides: collapse
+    rows to one row per (partition, value) with its group sum —
+    dense_rank's domain — then a plain ROWS frame over the collapsed
+    relation IS the GROUPS frame by construction (one collapsed row
+    per value group), and rows re-expand by joining back (here the
+    output stays at the collapsed grain, grid-sized). Teaches the
+    general lesson: a missing frame unit is a pre-aggregation away.
+    Exact integer cents; one partition window over a 150-row grid
+    after one hash-agg — the 600k-row fact never sorts."""
+    li = table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy(
+        F.col("l_returnflag").alias("fl"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("gsum_own"),
+    )
+    w = (
+        Window.partitionBy("fl")
+        .orderBy("qty")
+        .rowsBetween(-1, 1)
+    )
+    return per_group.select(
+        "fl",
+        "qty",
+        "n_rows",
+        F.sum("gsum_own").over(w).cast("bigint").alias("groups_sum"),
+    )
