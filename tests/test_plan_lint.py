@@ -14,6 +14,37 @@ from dags_spark.registry import all_specs
 
 # key -> allowed finding codes, with the reason the construct is fine.
 ALLOWED = {
+    # round-6 late additions — every entry below is either (a) a
+    # model/grid-sized relation (1-row moments, 3 centroids, 10
+    # series pairs, 7-origin triangle, 25-cell contingency) broadcast
+    # or reduced in one task BY CONSTRUCTION, or (b) Catalyst's
+    # scalar-subquery broadcast-cross shape over such a relation —
+    # the fact-table side never funnels through a single partition.
+    "stats_cramers_v": {"cartesian", "single-partition-exchange"},
+    "stats_anova_oneway": {"single-partition-exchange"},
+    "stats_levene_bf": {"single-partition-exchange"},
+    "stats_ols_multiple": {"single-partition-exchange"},
+    "stats_granger_lagged": {"single-partition-exchange"},
+    "stats_weibull_fit": {"single-partition-exchange"},
+    "stats_cochran_armitage": {"single-partition-exchange"},
+    # chain ladder: the 6-factor 1-row relation broadcast-crosses the
+    # 7-row triangle; the factor reduce is one task over 7 rows.
+    "agg_chain_ladder_reserve": {"cartesian", "single-partition-exchange"},
+    # k-means: the 1-row wide centroid pivot broadcast-crosses the
+    # point stream each iteration (the shuffle-free assignment is the
+    # point of the key); centroid updates reduce k=3 rows.
+    "feat_kmeans_lloyd": {"cartesian", "single-partition-exchange"},
+    # DTW: 5 per-type series rows cross to 10 pairs via a broadcast
+    # nested-loop on t1 < t2 — the pair grid is the product.
+    "ts_dtw_distance": {"cartesian"},
+    # curriculum: the equal-token-budget cut REQUIRES one global
+    # cumulative order; the windowed relation is 5k docs (collapsed
+    # grain), and the docstring gives the two-pass 100 TB rewrite.
+    "train_curriculum_buckets": {"single-partition-exchange"},
+    # link prediction: the md5 spine crosses a 3-row replica literal
+    # and 1-row count (same synthesis as iter_triangle_count's
+    # allowlisted shape); degree/deg-join reduces are grid-sized.
+    "graph_link_prediction": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
