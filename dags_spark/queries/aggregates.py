@@ -4600,3 +4600,279 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(x AS DOUBLE)/n * (1.0 - CAST(x AS DOUBLE)/n)"
         " * (ssn - CAST(sn AS DOUBLE)*sn/n)), 6) AS chi2_trend",
     )
+
+
+_JB_EXPR = (
+    f"ROUND(n / 6.0 * (POW({_M3} / POW({_M2}, 1.5), 2)"
+    f" + POW({_M4} / ({_M2}*{_M2}) - 3, 2) / 4.0), 6)"
+)
+
+
+@register(
+    "stats_jarque_bera",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s1,
+         SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s2,
+         SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s3,
+         SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s4
+  FROM orders
+)
+SELECT n,
+       {_SKEW_EXPR} AS skew_pop,
+       {_KURT_EXPR} AS kurt_excess,
+       {_JB_EXPR} AS jarque_bera
+FROM s
+""",
+    tags=("stats", "agg"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA NORMALITY TEST — the moment-based screen (JB =
+    n/6*(S^2 + K^2/4), asymptotically chi2_2 under normality) every
+    residual-diagnostics pass starts with, here on order values.
+    Reuses the pinned higher-moment SQL fragments verbatim (so skew,
+    excess kurtosis, and JB are one shared AST on both engines) with
+    the raw power sums upgraded to the exact wide-integer lane:
+    cents^4 reaches ~1e31, which BIGINT cannot hold but DECIMAL(38)
+    (Spark) / HUGEINT (DuckDB) carry exactly through both
+    aggregation levels — one final cast to double each. One
+    map-side-combinable pass, one output row."""
+    o = table(spark, sf_dir, "orders")
+    q = cents("o_totalprice")
+    qd = q.cast("decimal(38,0)")
+    s = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s1"),
+        F.sum(qd * q).alias("s2"),
+        F.sum(qd * q * q).alias("s3"),
+        F.sum(qd * q * q * q).alias("s4"),
+    )
+    return s.selectExpr(
+        "n",
+        f"{_SKEW_EXPR} AS skew_pop",
+        f"{_KURT_EXPR} AS kurt_excess",
+        f"{_JB_EXPR} AS jarque_bera",
+    )
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day
+),
+ranked AS (
+  SELECT day, c,
+         ROW_NUMBER() OVER (ORDER BY c, day) AS rn,
+         COUNT(*) OVER () AS nn
+  FROM daily
+),
+med AS (
+  SELECT CAST(MAX(CASE WHEN rn = (nn + 1) // 2 THEN c END) AS BIGINT)
+    AS med_c
+  FROM ranked
+),
+signs AS (
+  SELECT day, CASE WHEN c > med_c THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE c <> med_c
+),
+seq AS (
+  SELECT s, LAG(s) OVER (ORDER BY day) AS prev_s FROM signs
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM seq
+)
+SELECT n, n1, n2, r,
+       ROUND((r - (2.0*n1*n2/n + 1.0))
+             / sqrt(2.0*n1*n2*(2.0*n1*n2 - n) / (CAST(n AS DOUBLE)*n*(n-1))),
+             6) AS z_runs
+FROM agg
+""",
+    tags=("stats", "events", "timeseries"),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST — is the daily-revenue series random
+    around its median, or does it trend/oscillate? Signs above the
+    (lower, tie-pinned) median form a binary sequence; R = observed
+    runs vs E[R] = 2*n1*n2/n + 1 gives the z statistic (too FEW runs
+    = momentum/trend, too MANY = mean-reversion — the cheap
+    pre-check before fitting any AR model). Ties at the median drop,
+    per the classical prescription. Counts and the run total are
+    exact integers off one LAG over the 30-day grid; the z is one
+    shared double tree. Daily agg is the only data-sized shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("c")
+    )
+    ranked = daily.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("c", "day")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(nn + 1) div 2"), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("med_c")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("c") != F.col("med_c"))
+        .select("day", F.when(F.col("c") > F.col("med_c"), 1).otherwise(0).alias("s"))
+    )
+    seq = signs.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev_s"))
+    agg = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n1",
+        "n2",
+        "r",
+        "ROUND((r - (2.0*n1*n2/n + 1.0))"
+        " / sqrt(2.0*n1*n2*(2.0*n1*n2 - n) / (CAST(n AS DOUBLE)*n*(n-1))),"
+        " 6) AS z_runs",
+    )
+
+
+@register(
+    "stats_durbin_watson",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+idx AS (
+  SELECT y, date_diff('day', (SELECT MIN(day) FROM daily), day) AS t
+  FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM idx
+),
+fit AS (
+  SELECT (n*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+           / (n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b,
+         n, st, sy, stt, sty
+  FROM m
+),
+resid AS (
+  SELECT i.t,
+         CAST(FLOOR(ROUND(i.y - ((f.sy - f.b*f.st)/f.n) - f.b*i.t, 6)
+                    * 1000) AS BIGINT) AS e_m
+  FROM idx i CROSS JOIN fit f
+),
+seq AS (
+  SELECT e_m, LAG(e_m) OVER (ORDER BY t) AS prev_e FROM resid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CASE WHEN prev_e IS NULL THEN CAST(0 AS HUGEINT)
+                           ELSE CAST(e_m - prev_e AS HUGEINT)
+                                * (e_m - prev_e) END) AS DOUBLE)
+             / CAST(SUM(CAST(e_m AS HUGEINT) * e_m) AS DOUBLE), 6) AS dw
+FROM seq
+""",
+    tags=("stats", "events", "timeseries"),
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN–WATSON — first-order autocorrelation of the residuals
+    of the daily-revenue linear trend (DW ~ 2 means uncorrelated,
+    -> 0 positive momentum, -> 4 alternation): the canonical
+    post-regression diagnostic, and the reason the Granger key's
+    OLS standard errors can't be trusted blindly. The trend fits
+    closed-form from exact integer moments; residuals quantize PER
+    DAY to milli-cent integers (the standard lane) so the DW
+    numerator/denominator square-sums ride the HUGEINT/DECIMAL38
+    exact lane and the final ratio is ONE double division. One
+    daily hash-agg, one 30-row grid window."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("min_day"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        "y", F.datediff("day", "min_day").cast("bigint").alias("t")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    fit = m.selectExpr(
+        "(n*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)"
+        " / (n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b",
+        "n",
+        "st",
+        "sy",
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            F.round(
+                F.col("y")
+                - ((F.col("sy") - F.col("b") * F.col("st")) / F.col("n"))
+                - F.col("b") * F.col("t"),
+                6,
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("e_m"),
+    )
+    seq = resid.select(
+        "e_m", F.lag("e_m").over(Window.orderBy("t")).alias("prev_e")
+    )
+    diff2 = F.when(
+        F.col("prev_e").isNull(), F.lit(0).cast("decimal(38,0)")
+    ).otherwise(
+        ((F.col("e_m") - F.col("prev_e")).cast("decimal(38,0)"))
+        * (F.col("e_m") - F.col("prev_e"))
+    )
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(diff2).cast("double")
+            / F.sum(F.col("e_m").cast("decimal(38,0)") * F.col("e_m")).cast(
+                "double"
+            ),
+            6,
+        ).alias("dw"),
+    )

@@ -4817,3 +4817,61 @@ def win_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.sum("gsum_own").over(w).cast("bigint").alias("groups_sum"),
     )
+
+
+@register(
+    "cep_absence_detection",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+purchases AS (
+  SELECT user_id, event_id, ts, next_us,
+         CASE WHEN next_us IS NULL THEN 'silent_forever'
+              WHEN next_us - epoch_us(ts) > 259200000000
+                THEN 'silent_3d'
+              ELSE 'followed' END AS outcome
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM purchases GROUP BY outcome
+""",
+    tags=("events", "window", "cep"),
+)
+def cep_absence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSENCE DETECTION — the complex-event-processing pattern that
+    trips most engines because it matches on events that DON'T
+    happen: purchases followed by SILENCE (no activity from that
+    user within 3 days, or ever again). In batch the non-event
+    materializes as one LEAD over the user timeline — the gap to the
+    next event IS the absence — with the data edge (no next event)
+    kept as its own 'silent_forever' outcome rather than conflated
+    with a long gap. In streaming the same semantics need an event-
+    time timer (applyInPandasWithState registers a 3-day timeout per
+    purchase); this batch formulation is its replay-exact oracle.
+    One user-keyed window sort, one 3-row hash-agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = ev.withColumn("next_us", F.lead(F.unix_micros("ts")).over(w))
+    outcome = (
+        F.when(F.col("next_us").isNull(), "silent_forever")
+        .when(
+            F.col("next_us") - F.unix_micros("ts") > 259200000000,
+            "silent_3d",
+        )
+        .otherwise("followed")
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select("event_id", outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )

@@ -45,6 +45,12 @@ ALLOWED = {
     # and 1-row count (same synthesis as iter_triangle_count's
     # allowlisted shape); degree/deg-join reduces are grid-sized.
     "graph_link_prediction": {"cartesian", "single-partition-exchange"},
+    # JB is a 1-row global moment aggregate; runs/DW window a 30-day
+    # grid (collapsed daily grain) and broadcast-cross 1-row
+    # median/fit rows — scalar-subquery shape.
+    "stats_jarque_bera": {"single-partition-exchange"},
+    "stats_runs_test": {"cartesian", "single-partition-exchange"},
+    "stats_durbin_watson": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

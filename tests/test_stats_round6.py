@@ -502,3 +502,59 @@ def test_granger_matches_statsmodels_free_ols(spark, duck):
     assert int(got["n"]) == n
     assert abs(got["f_granger"] - f_ref) < max(1e-3, f_ref * 1e-4)
     assert abs(got["lag_views_coef"] - bf[2]) < max(1e-3, abs(bf[2]) * 1e-4)
+
+
+def test_jarque_bera_matches_bruteforce(spark, duck):
+    got = _run(spark, "stats_jarque_bera").iloc[0]
+    c = duck.execute(
+        "SELECT CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS c FROM orders"
+    ).df()["c"].astype(float)
+    n = len(c)
+    mu = c.mean()
+    m2 = ((c - mu) ** 2).mean()
+    m3 = ((c - mu) ** 3).mean()
+    m4 = ((c - mu) ** 4).mean()
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3
+    jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+    assert int(got["n"]) == n
+    assert abs(got["skew_pop"] - skew) < 1e-5
+    assert abs(got["kurt_excess"] - kurt) < 1e-5
+    assert abs(got["jarque_bera"] - jb) < max(1e-3, jb * 1e-5)
+
+
+def test_runs_test_matches_bruteforce(spark, duck):
+    got = _run(spark, "stats_runs_test").iloc[0]
+    daily = duck.execute(
+        "SELECT date_trunc('day', ts) AS day,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS c"
+        " FROM events GROUP BY day ORDER BY day"
+    ).df()
+    vals = list(daily["c"].astype(int))
+    med = sorted(vals)[(len(vals) + 1) // 2 - 1]
+    signs = [1 if v > med else 0 for v in vals if v != med]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    n = n1 + n2
+    assert int(got["r"]) == runs and int(got["n1"]) == n1
+    e_r = 2.0 * n1 * n2 / n + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    assert abs(got["z_runs"] - (runs - e_r) / var**0.5) < 1e-6
+
+
+def test_durbin_watson_matches_bruteforce(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_durbin_watson").iloc[0]
+    daily = duck.execute(
+        "SELECT date_trunc('day', ts) AS day,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS y"
+        " FROM events GROUP BY day ORDER BY day"
+    ).df()
+    y = daily["y"].astype(float).values
+    t = np.arange(len(y), dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    e = y - a - b * t
+    dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum())
+    # milli-cent residual quantization vs full precision: ~1e-6 rel
+    assert abs(got["dw"] - dw) < 1e-4
