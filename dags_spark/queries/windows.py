@@ -4875,3 +4875,181 @@ def cep_absence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("bigint").alias("first_event_id"),
         )
     )
+
+
+def _hw_sql_new_level() -> str:
+    # level' = 0.5*(y - s[idx]) + 0.5*(level + trend); idx 1-based
+    return "0.5 * (y.c - h.s[((y.t - 1) % 7) + 1]) + 0.5 * (h.level + h.trend)"
+
+
+def _hw_sql_seasonal_list() -> str:
+    lvl = _hw_sql_new_level()
+    elems = []
+    for j in range(1, 8):
+        elems.append(
+            f"CASE WHEN ((y.t - 1) % 7) + 1 = {j}"
+            f" THEN 0.5 * (y.c - ({lvl})) + 0.5 * h.s[{j}]"
+            f" ELSE h.s[{j}] END"
+        )
+    return "list_value(" + ", ".join(elems) + ")"
+
+
+@register(
+    "ts_holt_winters_seasonal",
+    oracle=f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS DOUBLE) AS c
+  FROM events GROUP BY day
+),
+y AS MATERIALIZED (
+  SELECT day, c, CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS t
+  FROM daily
+),
+init AS (
+  SELECT CAST(SUM(c) AS DOUBLE) / 7.0 AS level0,
+         (MAX(CASE WHEN t = 7 THEN c END)
+          - MAX(CASE WHEN t = 1 THEN c END)) / 6.0 AS trend0,
+         list_value(
+           {', '.join(f"MAX(CASE WHEN t = {j} THEN c END) - CAST(SUM(c) AS DOUBLE) / 7.0" for j in range(1, 8))}
+         ) AS s0
+  FROM y WHERE t <= 7
+),
+h AS (
+  SELECT CAST(7 AS INTEGER) AS t,
+         level0 AS level, trend0 AS trend, s0 AS s,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM init
+  UNION ALL
+  SELECT CAST(y.t AS INTEGER),
+         {_hw_sql_new_level()},
+         0.5 * (({_hw_sql_new_level()}) - h.level) + 0.5 * h.trend,
+         {_hw_sql_seasonal_list()},
+         h.level + h.trend + h.s[((y.t - 1) % 7) + 1]
+  FROM h JOIN y ON y.t = h.t + 1
+)
+SELECT y.day, h.t,
+       ROUND(h.fitted, 6) AS fitted_c,
+       ROUND(h.level, 6) AS level_c,
+       ROUND(h.trend, 6) AS trend_c
+FROM h JOIN y ON y.t = h.t
+WHERE h.t > 7
+""",
+    tags=("timeseries", "events", "iterative"),
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT–WINTERS TRIPLE EXPONENTIAL SMOOTHING (additive, weekly
+    period 7) over daily event revenue — level + trend + seasonal
+    state, THE classical seasonal forecaster. Like ts_holt_linear,
+    each engine runs the inherently-sequential recurrence as its
+    native sequential primitive — the oracle as a RECURSIVE CTE
+    carrying the 7-slot seasonal LIST through the recursion, Spark
+    as ONE `aggregate` fold over the sorted day array carrying the
+    same struct(level, trend, s[7]) — and all three smoothing
+    constants are 0.5 (dyadic), so every update is an exact IEEE
+    halving chain and the states match bit-for-bit with NO
+    quantization. Init is pinned and peek-free: level = week-1 mean,
+    trend = (y7-y1)/6, s_j = y_j - level. The fitted value
+    (level+trend+seasonal BEFORE seeing the day) is the one-step
+    forecast, so fitted-vs-actual is an honest backtest. Scale: one
+    daily hash-agg shuffles; the fold runs on the calendar-sized
+    model in one task."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").cast("double").alias("c")
+    )
+    y = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("int").alias("t"),
+        "day",
+        "c",
+    )
+    arr = y.agg(
+        F.sort_array(F.collect_list(F.struct("t", "day", "c"))).alias("ys")
+    )
+    out_t = (
+        "array<struct<t:int,day:timestamp,fitted:double,"
+        "level:double,trend:double>>"
+    )
+    acc_t = (
+        "struct<n:int,buf:array<double>,level:double,trend:double,"
+        f"s:array<double>,out:{out_t}>"
+    )
+    init = F.expr(
+        f"CAST(struct(0, CAST(array() AS array<double>), CAST(0.0 AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE), CAST(array() AS array<double>), array())"
+        f" AS {acc_t})"
+    )
+
+    def step(acc, e):
+        # phase 1: buffer the first week
+        buffered = F.struct(
+            (acc.n + 1).alias("n"),
+            F.concat(acc.buf, F.array(e.c)).alias("buf"),
+            acc.level.alias("level"),
+            acc.trend.alias("trend"),
+            acc.s.alias("s"),
+            acc.out.alias("out"),
+        )
+        # phase 2: 7th value arrives -> pinned init
+        full = F.concat(acc.buf, F.array(e.c))
+        lvl0 = F.aggregate(
+            full, F.lit(0.0), lambda a, x: a + x
+        ) / F.lit(7.0)
+        trd0 = (F.element_at(full, 7) - F.element_at(full, 1)) / F.lit(6.0)
+        s0 = F.transform(full, lambda v: v - lvl0)
+        initialized = F.struct(
+            (acc.n + 1).alias("n"),
+            full.alias("buf"),
+            lvl0.alias("level"),
+            trd0.alias("trend"),
+            s0.alias("s"),
+            acc.out.alias("out"),
+        )
+        # phase 3: smoothing update (t >= 8); idx is 0-based here
+        idx = (e.t - 1) % 7
+        s_at = F.element_at(acc.s, idx + 1)
+        fitted = acc.level + acc.trend + s_at
+        new_l = 0.5 * (e.c - s_at) + 0.5 * (acc.level + acc.trend)
+        new_b = 0.5 * (new_l - acc.level) + 0.5 * acc.trend
+        new_s = F.transform(
+            acc.s,
+            lambda v, i: F.when(i == idx, 0.5 * (e.c - new_l) + 0.5 * v).otherwise(
+                v
+            ),
+        )
+        stepped = F.struct(
+            (acc.n + 1).alias("n"),
+            acc.buf.alias("buf"),
+            new_l.alias("level"),
+            new_b.alias("trend"),
+            new_s.alias("s"),
+            F.concat(
+                acc.out,
+                F.array(
+                    F.struct(
+                        e.t.alias("t"),
+                        e.day.alias("day"),
+                        fitted.alias("fitted"),
+                        new_l.alias("level"),
+                        new_b.alias("trend"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        return (
+            F.when(acc.n < 6, buffered)
+            .when(acc.n == 6, initialized)
+            .otherwise(stepped)
+        )
+
+    folded = arr.select(
+        F.aggregate(F.col("ys"), init, step).getField("out").alias("out")
+    )
+    return folded.select(F.explode("out").alias("o")).select(
+        F.col("o.day").alias("day"),
+        F.col("o.t").alias("t"),
+        F.round("o.fitted", 6).alias("fitted_c"),
+        F.round("o.level", 6).alias("level_c"),
+        F.round("o.trend", 6).alias("trend_c"),
+    )

@@ -51,6 +51,10 @@ ALLOWED = {
     "stats_jarque_bera": {"single-partition-exchange"},
     "stats_runs_test": {"cartesian", "single-partition-exchange"},
     "stats_durbin_watson": {"cartesian", "single-partition-exchange"},
+    # Holt-Winters: the fold input is the 30-day collapsed grid
+    # (t-numbering window + single collect) — the model-sized
+    # sequential primitive, same class as ts_holt_linear.
+    "ts_holt_winters_seasonal": {"single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

@@ -558,3 +558,32 @@ def test_durbin_watson_matches_bruteforce(spark, duck):
     dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum())
     # milli-cent residual quantization vs full precision: ~1e-6 rel
     assert abs(got["dw"] - dw) < 1e-4
+
+
+def test_holt_winters_matches_pure_python(spark, duck):
+    got = _run(spark, "ts_holt_winters_seasonal").sort_values("t")
+    daily = duck.execute(
+        "SELECT date_trunc('day', ts) AS day,"
+        " CAST(CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT)"
+        " AS DOUBLE) AS c FROM events GROUP BY day ORDER BY day"
+    ).df()
+    c = list(daily["c"].astype(float))
+    level = sum(c[:7]) / 7.0
+    trend = (c[6] - c[0]) / 6.0
+    s = [v - level for v in c[:7]]
+    rows = []
+    for t in range(8, len(c) + 1):
+        yv = c[t - 1]
+        idx = (t - 1) % 7
+        fitted = level + trend + s[idx]
+        new_l = 0.5 * (yv - s[idx]) + 0.5 * (level + trend)
+        new_b = 0.5 * (new_l - level) + 0.5 * trend
+        s[idx] = 0.5 * (yv - new_l) + 0.5 * s[idx]
+        level, trend = new_l, new_b
+        rows.append((t, fitted, level, trend))
+    assert len(got) == len(rows)
+    for (t, fitted, lvl, trd), (_, r) in zip(rows, got.iterrows()):
+        assert int(r["t"]) == t
+        assert abs(r["fitted_c"] - fitted) < 1e-6
+        assert abs(r["level_c"] - lvl) < 1e-6
+        assert abs(r["trend_c"] - trd) < 1e-6
