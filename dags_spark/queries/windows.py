@@ -5053,3 +5053,301 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o.level", 6).alias("level_c"),
         F.round("o.trend", 6).alias("trend_c"),
     )
+
+
+_MARKOV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _markov_component_sql(j: int) -> str:
+    """v'_j = sum_i v[i] * p[i][j] as a FIXED left-assoc 5-term sum —
+    the literal tree both engines must share. p is the flattened
+    5x5 row-stochastic list (row-major, 1-based)."""
+    terms = [f"h.v[{i + 1}] * h.p[{i * 5 + j + 1}]" for i in range(5)]
+    return " + ".join(terms)
+
+
+@register(
+    "iter_markov_stationary",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type AS src, next_type AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev WHERE next_type IS NOT NULL
+  GROUP BY src, dst
+),
+rowtot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY src
+),
+-- NOTE: anchor literals are CAST to DOUBLE explicitly — DuckDB
+-- types a bare 0.2 as DECIMAL(2,1) and the recursive UNION ALL
+-- then coerces every iterate back to one decimal digit, silently
+-- freezing the recursion at its start vector (probed this round).
+pm AS (
+  SELECT COALESCE(MAX(CASE WHEN src = 'click' AND dst = 'click' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p00,
+         COALESCE(MAX(CASE WHEN src = 'click' AND dst = 'error' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p01,
+         COALESCE(MAX(CASE WHEN src = 'click' AND dst = 'purchase' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p02,
+         COALESCE(MAX(CASE WHEN src = 'click' AND dst = 'signup' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p03,
+         COALESCE(MAX(CASE WHEN src = 'click' AND dst = 'view' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p04,
+         COALESCE(MAX(CASE WHEN src = 'error' AND dst = 'click' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p10,
+         COALESCE(MAX(CASE WHEN src = 'error' AND dst = 'error' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p11,
+         COALESCE(MAX(CASE WHEN src = 'error' AND dst = 'purchase' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p12,
+         COALESCE(MAX(CASE WHEN src = 'error' AND dst = 'signup' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p13,
+         COALESCE(MAX(CASE WHEN src = 'error' AND dst = 'view' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p14,
+         COALESCE(MAX(CASE WHEN src = 'purchase' AND dst = 'click' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p20,
+         COALESCE(MAX(CASE WHEN src = 'purchase' AND dst = 'error' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p21,
+         COALESCE(MAX(CASE WHEN src = 'purchase' AND dst = 'purchase' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p22,
+         COALESCE(MAX(CASE WHEN src = 'purchase' AND dst = 'signup' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p23,
+         COALESCE(MAX(CASE WHEN src = 'purchase' AND dst = 'view' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p24,
+         COALESCE(MAX(CASE WHEN src = 'signup' AND dst = 'click' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p30,
+         COALESCE(MAX(CASE WHEN src = 'signup' AND dst = 'error' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p31,
+         COALESCE(MAX(CASE WHEN src = 'signup' AND dst = 'purchase' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p32,
+         COALESCE(MAX(CASE WHEN src = 'signup' AND dst = 'signup' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p33,
+         COALESCE(MAX(CASE WHEN src = 'signup' AND dst = 'view' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p34,
+         COALESCE(MAX(CASE WHEN src = 'view' AND dst = 'click' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p40,
+         COALESCE(MAX(CASE WHEN src = 'view' AND dst = 'error' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p41,
+         COALESCE(MAX(CASE WHEN src = 'view' AND dst = 'purchase' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p42,
+         COALESCE(MAX(CASE WHEN src = 'view' AND dst = 'signup' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p43,
+         COALESCE(MAX(CASE WHEN src = 'view' AND dst = 'view' THEN CAST(n AS DOUBLE) / tot END), 0.0) AS p44
+  FROM counts JOIN rowtot USING (src)
+),
+h AS (
+  SELECT 0 AS k, CAST(0.2 AS DOUBLE) AS v0, CAST(0.2 AS DOUBLE) AS v1, CAST(0.2 AS DOUBLE) AS v2, CAST(0.2 AS DOUBLE) AS v3, CAST(0.2 AS DOUBLE) AS v4, pm.*
+  FROM pm
+  UNION ALL
+  SELECT k + 1,
+         h.v0 * h.p00 + h.v1 * h.p10 + h.v2 * h.p20 + h.v3 * h.p30 + h.v4 * h.p40,
+         h.v0 * h.p01 + h.v1 * h.p11 + h.v2 * h.p21 + h.v3 * h.p31 + h.v4 * h.p41,
+         h.v0 * h.p02 + h.v1 * h.p12 + h.v2 * h.p22 + h.v3 * h.p32 + h.v4 * h.p42,
+         h.v0 * h.p03 + h.v1 * h.p13 + h.v2 * h.p23 + h.v3 * h.p33 + h.v4 * h.p43,
+         h.v0 * h.p04 + h.v1 * h.p14 + h.v2 * h.p24 + h.v3 * h.p34 + h.v4 * h.p44,
+         p00, p01, p02, p03, p04, p10, p11, p12, p13, p14, p20, p21, p22, p23, p24, p30, p31, p32, p33, p34, p40, p41, p42, p43, p44
+  FROM h WHERE k < 20
+)
+SELECT ROUND(v0, 6) AS pi_click, ROUND(v1, 6) AS pi_error, ROUND(v2, 6) AS pi_purchase, ROUND(v3, 6) AS pi_signup, ROUND(v4, 6) AS pi_view,
+       CAST(20 AS BIGINT) AS n_iterations
+FROM h WHERE k = 20
+""",
+    tags=("iterative", "events"),
+)
+def iter_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain by
+    POWER ITERATION — the steady-state 'where do user journeys
+    spend their time' vector behind Markov attribution and
+    PageRank-class analytics. The 5x5 transition matrix estimates
+    as exact-count ratios (one LEAD + two hash-aggs); the iteration
+    v <- vP runs 20 steps on the MODEL, not the data: the oracle as
+    a recursive CTE carrying the flattened row-major matrix and the
+    5-vector as lists, Spark as one aggregate() fold over a literal
+    20-step array — and each component is the SAME literal
+    left-associated 5-term sum, so the vectors agree bit-for-bit
+    with no quantization. The 100 TB lesson in one key: reduce the
+    corpus to sufficient statistics once, iterate driver-free on
+    the grid."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = pairs.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
+    joined = pairs.join(F.broadcast(rowtot), "src")
+    pm = joined.agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("src") == s) & (F.col("dst") == d),
+                            F.col("n").cast("double") / F.col("tot"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                for s in _MARKOV_TYPES
+                for d in _MARKOV_TYPES
+            ]
+        ).alias("p")
+    )
+    acc_t = "struct<v:array<double>,p:array<double>>"
+    init = F.expr(
+        f"CAST(struct(array(0.2D, 0.2D, 0.2D, 0.2D, 0.2D), p) AS {acc_t})"
+    )
+
+    def step(acc, _):
+        comps = []
+        for j in range(5):
+            c = None
+            for i in range(5):
+                term = F.element_at(acc.v, i + 1) * F.element_at(
+                    acc.p, i * 5 + j + 1
+                )
+                c = term if c is None else c + term
+            comps.append(c)
+        return F.struct(F.array(*comps).alias("v"), acc.p.alias("p"))
+
+    folded = pm.select(
+        F.aggregate(
+            F.expr("sequence(1, 20)"),
+            init,
+            step,
+        )
+        .getField("v")
+        .alias("v")
+    )
+    return folded.select(
+        *[
+            F.round(F.element_at("v", j + 1), 6).alias(f"pi_{t}")
+            for j, t in enumerate(_MARKOV_TYPES)
+        ],
+        F.lit(20).cast("bigint").alias("n_iterations"),
+    )
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle="""
+WITH RECURSIVE demand AS (
+  SELECT p.p_brand AS brand,
+         date_diff('day', DATE '1998-01-01', CAST(l.l_shipdate AS DATE)) + 1
+           AS t,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l.l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY brand, t
+),
+brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+spine AS MATERIALIZED (
+  SELECT b.brand, gs.t, COALESCE(d.d, 0) AS d
+  FROM brands b
+  CROSS JOIN (SELECT unnest(generate_series(1, 365)) AS t) gs
+  LEFT JOIN demand d ON d.brand = b.brand AND d.t = gs.t
+),
+h AS (
+  SELECT brand, 0 AS t, 0 AS seen,
+         CAST(0 AS DOUBLE) AS z, CAST(0 AS DOUBLE) AS q,
+         0 AS last_t, CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS sq
+  FROM brands
+  UNION ALL
+  SELECT h.brand, y.t,
+         CASE WHEN y.d > 0 THEN 1 ELSE h.seen END,
+         CASE WHEN y.d = 0 THEN h.z
+              WHEN h.seen = 0 THEN CAST(y.d AS DOUBLE)
+              ELSE 0.5 * h.z + 0.5 * y.d END,
+         CASE WHEN y.d = 0 THEN h.q
+              WHEN h.seen = 0 THEN CAST(y.t - h.last_t AS DOUBLE)
+              ELSE 0.5 * h.q + 0.5 * (y.t - h.last_t) END,
+         CASE WHEN y.d = 0 THEN h.last_t ELSE y.t END,
+         h.nd + CASE WHEN y.d > 0 THEN 1 ELSE 0 END,
+         h.sq + y.d
+  FROM h JOIN spine y ON y.brand = h.brand AND y.t = h.t + 1
+)
+SELECT brand,
+       CAST(nd AS BIGINT) AS n_demand_days,
+       CAST(sq AS BIGINT) AS total_qty,
+       ROUND(z, 6) AS z_size,
+       ROUND(q, 6) AS q_interval,
+       ROUND(z / q, 6) AS croston_rate
+FROM h WHERE t = 365
+""",
+    tags=("timeseries", "iterative", "lineitem"),
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD — the standard forecaster for INTERMITTENT
+    demand (spare parts, long-tail SKUs) where plain exponential
+    smoothing biases toward zero: smooth the nonzero demand SIZES
+    (z) and the INTERVALS between demand days (q) separately, each
+    with dyadic alpha=0.5, and forecast z/q units per day. Per-brand
+    daily 1998 demand on a dense 365-day spine (zero days are what
+    make the method exist); the sequential fold runs per brand —
+    PARALLEL across the 25 brand groups, sequential within — as one
+    aggregate() over each brand's sorted (day, demand) array, while
+    the oracle drives the identical recurrence as a recursive CTE
+    keyed by (brand, t). Demand sizes/intervals are exact integers,
+    every smoothing step an exact IEEE halving: states match
+    bit-for-bit. The grouped-fold shape is the 100 TB story: reduce
+    facts to per-key model series, then fold keys independently."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    demand = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"), F.lit("1998-01-01").cast("date")
+                )
+                + 1
+            ).alias("t"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    brands = pt.select(F.col("p_brand").alias("brand")).distinct()
+    spine = (
+        brands.crossJoin(
+            F.broadcast(
+                table(spark, sf_dir, "region")
+                .limit(1)
+                .select(F.explode(F.sequence(F.lit(1), F.lit(365))).alias("t"))
+            )
+        )
+        .join(demand, ["brand", "t"], "left")
+        .select("brand", "t", F.coalesce("d", F.lit(0)).cast("bigint").alias("d"))
+    )
+    arr = spine.groupBy("brand").agg(
+        F.sort_array(F.collect_list(F.struct("t", "d"))).alias("ys")
+    )
+    acc_t = (
+        "struct<seen:int,z:double,q:double,last_t:int,nd:bigint,sq:bigint>"
+    )
+    init = F.expr(
+        f"CAST(struct(0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0,"
+        f" CAST(0 AS BIGINT), CAST(0 AS BIGINT)) AS {acc_t})"
+    )
+
+    def step(acc, e):
+        nonzero = e.d > 0
+        z = (
+            F.when(~nonzero, acc.z)
+            .when(acc.seen == 0, e.d.cast("double"))
+            .otherwise(0.5 * acc.z + 0.5 * e.d)
+        )
+        q = (
+            F.when(~nonzero, acc.q)
+            .when(acc.seen == 0, (e.t - acc.last_t).cast("double"))
+            .otherwise(0.5 * acc.q + 0.5 * (e.t - acc.last_t))
+        )
+        return F.struct(
+            F.when(nonzero, 1).otherwise(acc.seen).alias("seen"),
+            z.alias("z"),
+            q.alias("q"),
+            F.when(nonzero, e.t).otherwise(acc.last_t).cast("int").alias("last_t"),
+            (acc.nd + F.when(nonzero, 1).otherwise(0)).alias("nd"),
+            (acc.sq + e.d).alias("sq"),
+        )
+
+    folded = arr.select(
+        "brand", F.aggregate(F.col("ys"), init, step).alias("st")
+    )
+    return folded.select(
+        "brand",
+        F.col("st.nd").cast("bigint").alias("n_demand_days"),
+        F.col("st.sq").cast("bigint").alias("total_qty"),
+        F.round("st.z", 6).alias("z_size"),
+        F.round("st.q", 6).alias("q_interval"),
+        F.round(F.col("st.z") / F.col("st.q"), 6).alias("croston_rate"),
+    )

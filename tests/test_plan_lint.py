@@ -55,6 +55,11 @@ ALLOWED = {
     # (t-numbering window + single collect) — the model-sized
     # sequential primitive, same class as ts_holt_linear.
     "ts_holt_winters_seasonal": {"single-partition-exchange"},
+    # Markov stationary: 1-row matrix pivot (grid of 25 transition
+    # probabilities) folded 20 steps; Croston crosses the 25-brand
+    # dim with a 365-literal spine (both model-sized relations).
+    "iter_markov_stationary": {"single-partition-exchange"},
+    "ts_croston_intermittent": {"cartesian"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

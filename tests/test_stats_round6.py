@@ -587,3 +587,67 @@ def test_holt_winters_matches_pure_python(spark, duck):
         assert abs(r["fitted_c"] - fitted) < 1e-6
         assert abs(r["level_c"] - lvl) < 1e-6
         assert abs(r["trend_c"] - trd) < 1e-6
+
+
+def test_markov_stationary_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "iter_markov_stationary").iloc[0]
+    df = duck.execute(
+        """
+        WITH ev AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nt
+          FROM events)
+        SELECT event_type AS src, nt AS dst, COUNT(*) AS n
+        FROM ev WHERE nt IS NOT NULL GROUP BY src, dst
+        """
+    ).df()
+    types = ["click", "error", "purchase", "signup", "view"]
+    P = np.zeros((5, 5))
+    for _, r in df.iterrows():
+        P[types.index(r["src"]), types.index(r["dst"])] = r["n"]
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(5, 0.2)
+    for _ in range(20):
+        v = v @ P
+    for j, t in enumerate(types):
+        assert abs(got[f"pi_{t}"] - v[j]) < 1e-6, t
+    assert abs(sum(got[f"pi_{t}"] for t in types) - 1.0) < 1e-6
+
+
+def test_croston_matches_pure_python(spark, duck):
+    got = _run(spark, "ts_croston_intermittent").set_index("brand")
+    df = duck.execute(
+        """
+        SELECT p.p_brand AS brand,
+               date_diff('day', DATE '1998-01-01', CAST(l.l_shipdate AS DATE))
+                 + 1 AS t,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY brand, t ORDER BY brand, t
+        """
+    ).df()
+    brands = duck.execute("SELECT DISTINCT p_brand FROM part").df()["p_brand"]
+    for brand in brands:
+        g = df[df["brand"] == brand]
+        dm = dict(zip(g["t"].astype(int), g["d"].astype(int)))
+        seen, z, q, last_t, nd, sq = 0, 0.0, 0.0, 0, 0, 0
+        for t in range(1, 366):
+            d = dm.get(t, 0)
+            sq += d
+            if d > 0:
+                if seen == 0:
+                    z, q = float(d), float(t - last_t)
+                else:
+                    z = 0.5 * z + 0.5 * d
+                    q = 0.5 * q + 0.5 * (t - last_t)
+                seen, last_t, nd = 1, t, nd + 1
+        r = got.loc[brand]
+        assert int(r["n_demand_days"]) == nd and int(r["total_qty"]) == sq
+        assert abs(r["z_size"] - round(z, 6)) < 1e-9
+        assert abs(r["q_interval"] - round(q, 6)) < 1e-9
+        assert abs(r["croston_rate"] - round(z / q, 6)) < 1e-9
