@@ -4712,3 +4712,166 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+WITH tagged AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 3000 THEN 'low'
+              WHEN c_acctbal < 7000 THEN 'mid'
+              ELSE 'high' END AS sens
+  FROM customer
+),
+cells AS (
+  SELECT seg, nat, sens, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tagged GROUP BY seg, nat, sens
+),
+termed AS (
+  SELECT seg, nat, n,
+         CAST(ROUND(-(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY seg, nat))
+                    * ln(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY seg, nat))
+                    * 1000000000, 0) AS BIGINT) AS term_nano
+  FROM cells
+),
+cohorts AS (
+  SELECT seg, nat,
+         CAST(SUM(n) AS BIGINT) AS cohort_size,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_sens,
+         CAST(SUM(term_nano) AS BIGINT) AS ent_nano
+  FROM termed GROUP BY seg, nat
+)
+SELECT seg, nat, cohort_size, n_distinct_sens,
+       ROUND(ent_nano / 1000000000.0, 6) AS sens_entropy,
+       n_distinct_sens >= 3 AS distinct_l3,
+       ent_nano / 1000000000.0 >= ln(3.0) AS entropy_l3
+FROM cohorts
+""",
+    tags=("dq", "privacy"),
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — k-anonymity's necessary complement: a
+    large cohort is still unsafe if everyone in it shares the same
+    SENSITIVE value. Per quasi-identifier cohort (segment, nation)
+    over a 4-band balance sensitivity: distinct-l (>= 3 distinct
+    sensitive values) AND entropy-l (sensitive-distribution entropy
+    >= ln 3, the stricter criterion that catches 99%-skewed
+    cohorts). Cell counts are exact; each cell's -p*ln p term is
+    quantized to nano-units BEFORE the cohort sum (the standard
+    libm lane). Cohort and cell tables are QI-domain sized — two
+    hash-aggs, zero wide shuffles at 100 TB."""
+    c = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    cells = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        sens.alias("sens"),
+    ).groupBy("seg", "nat", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("seg", "nat")
+    pp = F.col("n").cast("double") / F.sum("n").over(w)
+    cells = cells.withColumn(
+        "term_nano",
+        F.round(-pp * F.log(pp) * 1000000000, 0).cast("bigint"),
+    )
+    cohorts = cells.groupBy("seg", "nat").agg(
+        F.sum("n").cast("bigint").alias("cohort_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_sens"),
+        F.sum("term_nano").cast("bigint").alias("ent_nano"),
+    )
+    return cohorts.select(
+        "seg",
+        "nat",
+        "cohort_size",
+        "n_distinct_sens",
+        F.round(F.col("ent_nano") / 1000000000.0, 6).alias("sens_entropy"),
+        (F.col("n_distinct_sens") >= 3).alias("distinct_l3"),
+        (F.col("ent_nano") / 1000000000.0 >= F.log(F.lit(3.0))).alias(
+            "entropy_l3"
+        ),
+    )
+
+
+@register(
+    "dq_dp_noisy_count",
+    oracle="""
+WITH counts AS (
+  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY seg
+),
+seeded AS (
+  SELECT seg, true_count,
+         ((instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 1, 1)) - 1) * CAST(1048576 AS DOUBLE)
+          + (instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 2, 1)) - 1) * CAST(65536 AS DOUBLE)
+          + (instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 3, 1)) - 1) * CAST(4096 AS DOUBLE)
+          + (instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 4, 1)) - 1) * CAST(256 AS DOUBLE)
+          + (instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 5, 1)) - 1) * CAST(16 AS DOUBLE)
+          + (instr('0123456789abcdef', substr(md5(seg || ':dp:1'), 6, 1)) - 1)
+         ) / CAST(16777216 AS DOUBLE) AS u
+  FROM counts
+),
+noised AS (
+  SELECT seg, true_count, u,
+         CAST(FLOOR(ROUND(
+           -(CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+             * ln(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))) / CAST(1 AS DOUBLE), 9) * 1000000)
+           AS BIGINT) AS noise_micro
+  FROM seeded
+)
+SELECT seg, true_count,
+       ROUND(u, 6) AS u_seed,
+       ROUND(noise_micro / CAST(1000000 AS DOUBLE), 6) AS laplace_noise,
+       ROUND(true_count + noise_micro / CAST(1000000 AS DOUBLE), 6) AS noisy_count
+FROM noised
+""",
+    tags=("dq", "privacy"),
+)
+def dq_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE COUNT RELEASE (epsilon = 1, Laplace
+    mechanism) with a SEEDED noise lane: the Laplace draw comes from
+    inverse-CDF sampling of a deterministic md5-derived uniform
+    (u from 24 hash bits), so the privacy MACHINERY — sensitivity-1
+    count, b = 1/epsilon scale, sign-split inverse CDF
+    -sgn(u-1/2) * b * ln(1 - 2|u-1/2|) — is real and testable while
+    the run stays reproducible (a production release would swap the
+    seed source for a CSPRNG; everything else is unchanged). The
+    libm ln quantizes to micro-units per group before the add (the
+    standard lane). The true count rides along because this is the
+    audit view, not the release view. Group-domain sized; one
+    hash-agg."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    nib = lambda j: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5(seg || ':dp:1'), {j}, 1)) - 1)"
+    )
+    u_expr = (
+        f"({nib(1)} * CAST(1048576 AS DOUBLE) + {nib(2)} * CAST(65536 AS DOUBLE) + {nib(3)} * CAST(4096 AS DOUBLE)"
+        f" + {nib(4)} * CAST(256 AS DOUBLE) + {nib(5)} * CAST(16 AS DOUBLE) + {nib(6)}) / CAST(16777216 AS DOUBLE)"
+    )
+    seeded = counts.selectExpr("seg", "true_count", f"{u_expr} AS u")
+    noised = seeded.selectExpr(
+        "seg",
+        "true_count",
+        "u",
+        "CAST(FLOOR(ROUND("
+        " -(CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+        " * ln(CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))) / CAST(1 AS DOUBLE), 9) * 1000000)"
+        " AS BIGINT) AS noise_micro",
+    )
+    return noised.selectExpr(
+        "seg",
+        "true_count",
+        "ROUND(u, 6) AS u_seed",
+        "ROUND(noise_micro / CAST(1000000 AS DOUBLE), 6) AS laplace_noise",
+        "ROUND(true_count + noise_micro / CAST(1000000 AS DOUBLE), 6) AS noisy_count",
+    )
