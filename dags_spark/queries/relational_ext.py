@@ -4875,3 +4875,312 @@ def dq_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(noise_micro / CAST(1000000 AS DOUBLE), 6) AS laplace_noise",
         "ROUND(true_count + noise_micro / CAST(1000000 AS DOUBLE), 6) AS noisy_count",
     )
+
+
+@register(
+    "rank_map_at_k",
+    oracle="""
+WITH rel AS (
+  SELECT l_orderkey AS okey, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_custkey,
+         CASE WHEN r.rel >= 5 THEN 1 ELSE 0 END AS is_rel,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS pos
+  FROM orders o JOIN rel r ON o.o_orderkey = r.okey
+),
+hits AS (
+  SELECT o_custkey, pos, is_rel,
+         SUM(is_rel) OVER (PARTITION BY o_custkey ORDER BY pos) AS hits_k
+  FROM ranked
+),
+peruser AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN pos <= 10 AND is_rel = 1
+                       THEN hits_k * (2520 // pos) ELSE 0 END) AS BIGINT)
+           AS ap_scaled,
+         CAST(SUM(is_rel) AS BIGINT) AS n_relevant
+  FROM hits GROUP BY o_custkey
+)
+SELECT o_custkey AS user_key, n_relevant, ap_scaled,
+       CASE WHEN n_relevant = 0 THEN 0.0
+            ELSE ROUND(CAST(ap_scaled AS DOUBLE)
+                       / (2520.0 * LEAST(n_relevant, 10)), 6) END AS ap10
+FROM peruser
+""",
+    tags=("rank", "orders"),
+)
+def rank_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION @ 10 — the binary-relevance ranking metric
+    that completes the eval trio (MRR = first hit only, NDCG =
+    graded gains, AP = all hits position-weighted), on the same
+    surrogate task as rank_ndcg_at_k (system ranking by totalprice,
+    relevant = order with >= 5 lineitems). The trick that keeps it
+    EXACT: precision@k terms hits_k/k have denominators 1..10, so
+    each term scales by the literal LCM 2520 (2520//pos is an exact
+    integer for every pos <= 10) — the per-user sum is exact BIGINT
+    and AP divides once by 2520 * min(R, 10). One window for the
+    running hit count, one hash-agg; per-user rows so the oracle
+    compares the full distribution, not just the mean."""
+    rel = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    o = table(spark, sf_dir, "orders")
+    ranked = o.join(rel, o["o_orderkey"] == rel["okey"]).select(
+        "o_custkey",
+        F.when(F.col("rel") >= 5, 1).otherwise(0).alias("is_rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), "o_orderkey"
+            )
+        )
+        .alias("pos"),
+    )
+    hits = ranked.withColumn(
+        "hits_k",
+        F.sum("is_rel").over(
+            Window.partitionBy("o_custkey").orderBy("pos")
+        ),
+    )
+    peruser = hits.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") <= 10) & (F.col("is_rel") == 1),
+                F.col("hits_k") * (F.lit(2520) / F.col("pos")).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ap_scaled"),
+        F.sum("is_rel").cast("bigint").alias("n_relevant"),
+    )
+    return peruser.select(
+        F.col("o_custkey").alias("user_key"),
+        "n_relevant",
+        "ap_scaled",
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("ap_scaled").cast("double")
+                / (2520.0 * F.least(F.col("n_relevant"), F.lit(10))),
+                6,
+            )
+        )
+        .alias("ap10"),
+    )
+
+
+@register(
+    "stats_beta_binomial_shrinkage",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey % 25 AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x
+  FROM orders GROUP BY grp
+),
+q AS (
+  SELECT grp, n, x,
+         CAST(ROUND(CAST(x AS DOUBLE) / n * 1000000000, 0) AS BIGINT)
+           AS p_nano
+  FROM g
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(p_nano) AS BIGINT) AS sp,
+         CAST(SUM(p_nano * p_nano) AS BIGINT) AS spp
+  FROM q
+),
+ab AS (
+  SELECT k, sp, spp,
+         CAST(sp AS DOUBLE) / k / 1000000000.0 AS m,
+         (CAST(spp AS DOUBLE) / k
+          - (CAST(sp AS DOUBLE) / k) * (CAST(sp AS DOUBLE) / k))
+           / 1000000000.0 / 1000000000.0 AS v
+  FROM mom
+),
+prior AS (
+  SELECT m, v,
+         m * (m * (1.0 - m) / v - 1.0) AS alpha,
+         (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+  FROM ab
+)
+SELECT q.grp, q.n, q.x,
+       ROUND(CAST(q.x AS DOUBLE) / q.n, 6) AS raw_rate,
+       ROUND(p.alpha, 6) AS alpha,
+       ROUND(p.beta, 6) AS beta,
+       ROUND((q.x + p.alpha) / (q.n + p.alpha + p.beta), 6) AS shrunk_rate
+FROM q CROSS JOIN prior p
+""",
+    tags=("stats", "agg"),
+)
+def stats_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES SHRINKAGE of per-group rates — the
+    beta-binomial answer to 'which segment really converts best'
+    when group sizes differ: fit a Beta(alpha, beta) prior to the 25
+    observed fulfilled-rates by METHOD OF MOMENTS (alpha+beta =
+    m(1-m)/v - 1), then shrink each group's raw x/n toward the prior
+    mean by (x+alpha)/(n+alpha+beta) — small groups move a lot,
+    big groups barely. Each group rate is quantized to nano-units
+    before the cross-group moment sums (the standard exact-
+    accumulation lane); the prior is ONE broadcast row; shrunken
+    rates are a single shared double tree per group. Two grid aggs
+    + one broadcast cross — nothing data-sized moves twice."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy((F.col("o_custkey") % 25).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    q = g.withColumn(
+        "p_nano",
+        F.round(F.col("x").cast("double") / F.col("n") * 1000000000, 0).cast(
+            "bigint"
+        ),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("p_nano").cast("bigint").alias("sp"),
+        F.sum(F.col("p_nano") * F.col("p_nano")).cast("bigint").alias("spp"),
+    )
+    ab = mom.selectExpr(
+        "CAST(sp AS DOUBLE) / k / CAST(1000000000 AS DOUBLE) AS m",
+        "(CAST(spp AS DOUBLE) / k"
+        " - (CAST(sp AS DOUBLE) / k) * (CAST(sp AS DOUBLE) / k))"
+        " / CAST(1000000000 AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS v",
+    )
+    prior = ab.selectExpr(
+        "m",
+        "v",
+        "m * (m * (CAST(1 AS DOUBLE) - m) / v - CAST(1 AS DOUBLE)) AS alpha",
+        "(CAST(1 AS DOUBLE) - m)"
+        " * (m * (CAST(1 AS DOUBLE) - m) / v - CAST(1 AS DOUBLE)) AS beta",
+    )
+    return q.crossJoin(F.broadcast(prior)).select(
+        "grp",
+        "n",
+        "x",
+        F.round(F.col("x").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round(
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+@register(
+    "sample_block_bootstrap",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY t
+),
+nd AS (SELECT CAST(MAX(t) AS BIGINT) AS n_days FROM daily),
+picks AS (
+  SELECT b.b, blk.i,
+         1 + ((instr('0123456789abcdef',
+                     substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                            CAST(blk.i AS VARCHAR) || ':bb'), 1, 1)) - 1) * 256
+              + (instr('0123456789abcdef',
+                       substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                              CAST(blk.i AS VARCHAR) || ':bb'), 2, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                       substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+                              CAST(blk.i AS VARCHAR) || ':bb'), 3, 1)) - 1))
+             % ((SELECT n_days FROM nd) - 4) AS start_t
+  FROM (SELECT unnest(generate_series(1, 200)) AS b) b
+  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS i) blk
+),
+resampled AS (
+  SELECT p.b, CAST(SUM(d.c) AS BIGINT) AS total_c
+  FROM picks p
+  JOIN daily d ON d.t BETWEEN p.start_t AND p.start_t + 4
+  GROUP BY p.b
+),
+ranked AS (
+  SELECT total_c,
+         ROW_NUMBER() OVER (ORDER BY total_c, b) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM resampled
+)
+SELECT CAST(MAX(nb) AS BIGINT) AS n_boot,
+       ROUND(CAST(SUM(total_c) AS BIGINT) / CAST(MAX(nb) AS DOUBLE), 6)
+         AS boot_mean_c,
+       CAST(MAX(CASE WHEN rn = 5 THEN total_c END) AS BIGINT) AS ci_lo_c,
+       CAST(MAX(CASE WHEN rn = 195 THEN total_c END) AS BIGINT) AS ci_hi_c
+FROM ranked
+""",
+    tags=("sample", "events", "timeseries"),
+)
+def sample_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-BLOCK BOOTSTRAP — the bootstrap that respects serial
+    correlation (i.i.d. resampling destroys the autocorrelation the
+    runs/DW keys just measured): each of B=200 resamples draws 6
+    OVERLAPPABLE 5-day blocks of the daily-revenue series, block
+    starts chosen by a deterministic md5 lane (the repo's seeded-
+    sampling convention), and the 2.5/97.5 percentile of the
+    resample totals is the CI — reported as exact order statistics
+    of exact cent sums (rank 5 / 195 of 200). The resample join is
+    picks x daily on a BETWEEN range — 1200 block rows against the
+    30-day grid, model-sized; the daily agg is the only data-sized
+    shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            + 1
+        ).alias("t")
+    ).agg(F.sum(cents("value")).cast("bigint").alias("c"))
+    nd = daily.agg(F.max("t").cast("bigint").alias("n_days"))
+    b = spark.range(1, 201).select(F.col("id").alias("b"))
+    i = spark.range(1, 7).select(F.col("id").alias("i"))
+    nib = lambda j: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5(CAST(b AS STRING) || ':' ||"
+        f" CAST(i AS STRING) || ':bb'), {j}, 1)) - 1)"
+    )
+    picks = (
+        b.crossJoin(i)
+        .crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "b",
+            "i",
+            f"1 + ({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+            " % (n_days - 4) AS start_t",
+        )
+    )
+    resampled = (
+        picks.join(
+            daily,
+            (F.col("t") >= F.col("start_t"))
+            & (F.col("t") <= F.col("start_t") + 4),
+        )
+        .groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("total_c"))
+    )
+    ranked = resampled.select(
+        "total_c",
+        F.row_number().over(Window.orderBy("total_c", "b")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    return ranked.agg(
+        F.max("nb").cast("bigint").alias("n_boot"),
+        F.round(
+            F.sum("total_c").cast("bigint") / F.max("nb").cast("double"), 6
+        ).alias("boot_mean_c"),
+        F.max(F.when(F.col("rn") == 5, F.col("total_c")))
+        .cast("bigint")
+        .alias("ci_lo_c"),
+        F.max(F.when(F.col("rn") == 195, F.col("total_c")))
+        .cast("bigint")
+        .alias("ci_hi_c"),
+    )

@@ -60,6 +60,11 @@ ALLOWED = {
     # dim with a 365-literal spine (both model-sized relations).
     "iter_markov_stationary": {"single-partition-exchange"},
     "ts_croston_intermittent": {"cartesian"},
+    # shrinkage: 1-row prior broadcast-crossed into the 25-group
+    # grid; bootstrap: 1200-literal pick spine range-joined to the
+    # 30-day grid, 200-row rank window — all model-sized.
+    "stats_beta_binomial_shrinkage": {"cartesian", "single-partition-exchange"},
+    "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

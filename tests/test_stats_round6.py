@@ -651,3 +651,47 @@ def test_croston_matches_pure_python(spark, duck):
         assert abs(r["z_size"] - round(z, 6)) < 1e-9
         assert abs(r["q_interval"] - round(q, 6)) < 1e-9
         assert abs(r["croston_rate"] - round(z / q, 6)) < 1e-9
+
+
+def test_beta_binomial_shrinkage_pulls_toward_prior_mean(spark, duck):
+    got = _run(spark, "stats_beta_binomial_shrinkage")
+    m = (got["alpha"] / (got["alpha"] + got["beta"])).iloc[0]
+    for _, r in got.iterrows():
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        # shrunken rate lies strictly between raw and the prior mean
+        lo, hi = min(raw, m), max(raw, m)
+        assert lo - 1e-9 <= shrunk <= hi + 1e-9
+        # bigger n -> less shrinkage, verified pairwise on extremes
+    big = got.loc[got["n"].idxmax()]
+    small = got.loc[got["n"].idxmin()]
+    if big["n"] > small["n"]:
+        assert abs(big["shrunk_rate"] - big["raw_rate"]) <= abs(
+            small["shrunk_rate"] - small["raw_rate"]
+        ) + 1e-6
+
+
+def test_block_bootstrap_matches_pure_python(spark, duck):
+    import hashlib
+
+    got = _run(spark, "sample_block_bootstrap").iloc[0]
+    daily = duck.execute(
+        "SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS c"
+        " FROM events GROUP BY t ORDER BY t"
+    ).df()
+    cmap = dict(zip(daily["t"].astype(int), daily["c"].astype(int)))
+    n_days = max(cmap)
+    totals = []
+    for b in range(1, 201):
+        tot = 0
+        for i in range(1, 7):
+            h = hashlib.md5(f"{b}:{i}:bb".encode()).hexdigest()
+            v = int(h[0], 16) * 256 + int(h[1], 16) * 16 + int(h[2], 16)
+            start = 1 + v % (n_days - 4)
+            tot += sum(cmap.get(t, 0) for t in range(start, start + 5))
+        totals.append(tot)
+    totals.sort()
+    assert int(got["n_boot"]) == 200
+    assert int(got["ci_lo_c"]) == totals[4]
+    assert int(got["ci_hi_c"]) == totals[194]
+    assert abs(got["boot_mean_c"] - sum(totals) / 200.0) < 1e-6
