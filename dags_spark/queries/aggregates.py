@@ -4876,3 +4876,94 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dw"),
     )
+
+
+@register(
+    "agg_mrr_bridge",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS ck, date_part('year', o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY ck, y
+),
+years AS (SELECT unnest(generate_series(1996, 2000)) AS y),
+pairs AS (
+  SELECT yr.y,
+         COALESCE(cur.rev_c, 0) AS cur_c,
+         COALESCE(prv.rev_c, 0) AS prv_c
+  FROM years yr
+  JOIN (SELECT DISTINCT ck FROM per) c ON TRUE
+  LEFT JOIN per cur ON cur.ck = c.ck AND cur.y = yr.y
+  LEFT JOIN per prv ON prv.ck = c.ck AND prv.y = yr.y - 1
+  WHERE COALESCE(cur.rev_c, 0) > 0 OR COALESCE(prv.rev_c, 0) > 0
+)
+SELECT y AS year,
+       CAST(SUM(CASE WHEN prv_c = 0 THEN cur_c ELSE 0 END) AS BIGINT)
+         AS new_c,
+       CAST(SUM(CASE WHEN prv_c > 0 AND cur_c > prv_c
+                     THEN cur_c - prv_c ELSE 0 END) AS BIGINT)
+         AS expansion_c,
+       CAST(SUM(CASE WHEN cur_c > 0 AND prv_c > cur_c
+                     THEN prv_c - cur_c ELSE 0 END) AS BIGINT)
+         AS contraction_c,
+       CAST(SUM(CASE WHEN cur_c = 0 THEN prv_c ELSE 0 END) AS BIGINT)
+         AS churned_c,
+       CAST(SUM(cur_c) - SUM(prv_c) AS BIGINT) AS delta_c
+FROM pairs GROUP BY y
+""",
+    tags=("orders", "finance"),
+)
+def agg_mrr_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURRING-REVENUE BRIDGE — the SaaS board-deck decomposition
+    of each year's revenue change into NEW (customer had nothing
+    last period), EXPANSION (grew), CONTRACTION (shrank but stayed),
+    and CHURNED (went to zero): new + expansion - contraction -
+    churned = delta ties out EXACTLY because every lane is the same
+    exact integer cents partitioned by sign and zero-ness — the
+    additive counterpart to agg_net_revenue_retention's ratios.
+    Customer-year revenue is one hash-agg; the year-pair alignment
+    is a self-join on (customer, year-1) pruned to customers active
+    in either endpoint. At 100 TB both sides of the self-join are
+    co-partitioned on the customer key — one shuffle, reused."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("y")
+    ).agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    cur = per.select("ck", "y", F.col("rev_c").alias("cur_c"))
+    prv = per.select("ck", (F.col("y") + 1).alias("y"), F.col("rev_c").alias("prv_c"))
+    pairs = (
+        cur.join(prv, ["ck", "y"], "full_outer")
+        .filter((F.col("y") >= 1996) & (F.col("y") <= 2000))
+        .select(
+            "y",
+            F.coalesce("cur_c", F.lit(0)).alias("cur_c"),
+            F.coalesce("prv_c", F.lit(0)).alias("prv_c"),
+        )
+        .filter((F.col("cur_c") > 0) | (F.col("prv_c") > 0))
+    )
+    return pairs.groupBy(F.col("y").alias("year")).agg(
+        F.sum(F.when(F.col("prv_c") == 0, F.col("cur_c")).otherwise(0))
+        .cast("bigint")
+        .alias("new_c"),
+        F.sum(
+            F.when(
+                (F.col("prv_c") > 0) & (F.col("cur_c") > F.col("prv_c")),
+                F.col("cur_c") - F.col("prv_c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("expansion_c"),
+        F.sum(
+            F.when(
+                (F.col("cur_c") > 0) & (F.col("prv_c") > F.col("cur_c")),
+                F.col("prv_c") - F.col("cur_c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contraction_c"),
+        F.sum(F.when(F.col("cur_c") == 0, F.col("prv_c")).otherwise(0))
+        .cast("bigint")
+        .alias("churned_c"),
+        (F.sum("cur_c") - F.sum("prv_c")).cast("bigint").alias("delta_c"),
+    )

@@ -5184,3 +5184,93 @@ def sample_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci_hi_c"),
     )
+
+
+@register(
+    "rank_lift_chart_deciles",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                  DESC, o_orderkey) AS decile
+  FROM orders
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS positives
+  FROM scored GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(positives) AS BIGINT) AS pt
+  FROM per
+),
+cum AS (
+  SELECT decile, n, positives,
+         CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(positives) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+  FROM per
+)
+SELECT c.decile, c.n, c.positives,
+       ROUND(CAST(c.positives AS DOUBLE) / c.n, 6) AS decile_rate,
+       ROUND(CAST(c.cum_pos AS DOUBLE) / t.pt, 6) AS cum_capture,
+       ROUND((CAST(c.cum_pos AS DOUBLE) / c.cum_n)
+             / (CAST(t.pt AS DOUBLE) / t.nt), 6) AS cum_lift
+FROM cum c CROSS JOIN tot t
+""",
+    tags=("rank", "orders", "stats"),
+)
+def rank_lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE GAINS / LIFT CHART — the model-eval table scoring
+    teams actually deploy from (AUC says 'how good', the lift chart
+    says 'how many of the top decile to contact'): rank by score
+    (order value, ties pinned by key), NTILE into deciles, and per
+    decile report the hit rate, cumulative capture of all
+    positives, and cumulative lift over the base rate. Counts are
+    exact; every ratio is one double division; the decile grid
+    windows over 10 rows. Completes the eval family next to
+    auc_exact / ks_2sample / rank_ndcg_at_k."""
+    o = table(spark, sf_dir, "orders")
+    scored = o.select(
+        cents("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(cents("o_totalprice").desc(), "o_orderkey"))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("positives"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("positives").cast("bigint").alias("pt"),
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "positives",
+        F.sum("n").over(Window.orderBy("decile")).cast("bigint").alias("cum_n"),
+        F.sum("positives")
+        .over(Window.orderBy("decile"))
+        .cast("bigint")
+        .alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "positives",
+        F.round(F.col("positives").cast("double") / F.col("n"), 6).alias(
+            "decile_rate"
+        ),
+        F.round(F.col("cum_pos").cast("double") / F.col("pt"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("pt").cast("double") / F.col("nt")),
+            6,
+        ).alias("cum_lift"),
+    )

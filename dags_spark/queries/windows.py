@@ -5351,3 +5351,101 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("st.q", 6).alias("q_interval"),
         F.round(F.col("st.z") / F.col("st.q"), 6).alias("croston_rate"),
     )
+
+
+@register(
+    "win_growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+),
+tagged AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM uw
+),
+staged AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN wk - prev_wk = 1 THEN 'retained'
+              ELSE 'resurrected' END AS stage,
+         user_id
+  FROM tagged
+),
+churn AS (
+  SELECT wk + 1 AS wk, 'churned' AS stage, user_id
+  FROM tagged t
+  WHERE NOT EXISTS (SELECT 1 FROM uw u
+                    WHERE u.user_id = t.user_id AND u.wk = t.wk + 1)
+    AND wk + 1 <= (SELECT MAX(wk) FROM uw)
+),
+allrows AS (
+  SELECT wk, stage, user_id FROM staged
+  UNION ALL
+  SELECT wk, stage, user_id FROM churn
+)
+SELECT wk AS week, stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS sample_user
+FROM allrows GROUP BY week, stage
+""",
+    tags=("events", "window", "growth"),
+)
+def win_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the startup-metrics decomposition of
+    weekly active users into NEW (first-ever week), RETAINED (also
+    active the previous week), RESURRECTED (returning after a gap),
+    and CHURNED (active week w, silent week w+1, attributed to
+    w+1): new + retained + resurrected - churned reconciles WAU
+    week over week, which is why growth teams trust this table over
+    any single retention number. One distinct user-week grid, one
+    user-keyed window (MIN + LAG in the same sort), and churn as an
+    anti-join of the grid against itself shifted one week — all
+    grid-sized after the initial distinct. The final-week edge is
+    excluded from churn (silence after the data edge is censoring,
+    not churn — the KM lesson applied to growth)."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        (
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                / 7
+            )
+        ).cast("bigint").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    tagged = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(w).alias("first_wk"),
+        F.lag("wk").over(w.orderBy("wk")).alias("prev_wk"),
+    )
+    staged = tagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("wk") - F.col("prev_wk") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+        "user_id",
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    nxt = uw.select(
+        "user_id", (F.col("wk") - 1).alias("wk")
+    )
+    churn = (
+        tagged.join(nxt, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") + 1 <= F.col("max_wk"))
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("stage"), "user_id")
+    )
+    allrows = staged.unionByName(churn)
+    return allrows.groupBy(F.col("wk").alias("week"), "stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )

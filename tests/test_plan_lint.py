@@ -65,6 +65,12 @@ ALLOWED = {
     # 30-day grid, 200-row rank window — all model-sized.
     "stats_beta_binomial_shrinkage": {"cartesian", "single-partition-exchange"},
     "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
+    # growth accounting crosses the 1-row max-week bound; lift chart
+    # NTILEs the full order set on one global rank (the decile
+    # assignment IS a global order — two-pass range-partition at
+    # 100 TB) and windows the 10-row decile grid.
+    "win_growth_accounting": {"cartesian"},
+    "rank_lift_chart_deciles": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
