@@ -5274,3 +5274,162 @@ def rank_lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+@register(
+    "iter_als_rank1",
+    oracle="""
+WITH RECURSIVE m AS (
+  SELECT user_id AS u, event_type AS it,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY u, it
+),
+items AS (SELECT DISTINCT event_type AS it FROM events),
+-- rank-1 ALS on the user x event-type count matrix: item vector v
+-- carried as 5 scalar columns (keyed to the sorted item list);
+-- user vector u is IMPLICIT (u_i = sum_j M_ij v_j / sum v_j^2), so
+-- each sweep folds u out algebraically and v updates in one
+-- data-sized agg pair: v'_j = sum_i M_ij u_i / sum u_i^2.
+iter AS (
+  SELECT 0 AS k,
+         CAST(1 AS DOUBLE) AS v1, CAST(1 AS DOUBLE) AS v2,
+         CAST(1 AS DOUBLE) AS v3, CAST(1 AS DOUBLE) AS v4,
+         CAST(1 AS DOUBLE) AS v5
+  UNION ALL
+  SELECT k + 1, nv.v1, nv.v2, nv.v3, nv.v4, nv.v5
+  FROM iter, LATERAL (
+    WITH uvec AS (
+      SELECT m.u,
+             CAST(SUM(CAST(ROUND(m.n * (CASE m.it
+                 WHEN 'click' THEN iter.v1 WHEN 'error' THEN iter.v2
+                 WHEN 'purchase' THEN iter.v3 WHEN 'signup' THEN iter.v4
+                 ELSE iter.v5 END) * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS num_micro
+      FROM m GROUP BY m.u
+    ),
+    unorm AS (
+      SELECT CAST(iter.v1*iter.v1 + iter.v2*iter.v2 + iter.v3*iter.v3
+                  + iter.v4*iter.v4 + iter.v5*iter.v5 AS DOUBLE) AS vn
+    ),
+    uu AS (
+      SELECT u, num_micro / CAST(1000000 AS DOUBLE) / (SELECT vn FROM unorm)
+               AS ui
+      FROM uvec
+    ),
+    vnum AS (
+      SELECT m.it,
+             CAST(SUM(CAST(ROUND(m.n * uu.ui * 1000000, 0) AS BIGINT))
+               AS BIGINT) AS num_micro
+      FROM m JOIN uu ON m.u = uu.u GROUP BY m.it
+    ),
+    un AS (
+      SELECT CAST(SUM(CAST(ROUND(ui * ui * 1000000000, 0) AS BIGINT))
+               AS BIGINT) AS un_nano
+      FROM uu
+    )
+    SELECT
+      MAX(CASE WHEN it = 'click' THEN num_micro END)
+        / CAST(1000000 AS DOUBLE)
+        / ((SELECT un_nano FROM un) / CAST(1000000000 AS DOUBLE)) AS v1,
+      MAX(CASE WHEN it = 'error' THEN num_micro END)
+        / CAST(1000000 AS DOUBLE)
+        / ((SELECT un_nano FROM un) / CAST(1000000000 AS DOUBLE)) AS v2,
+      MAX(CASE WHEN it = 'purchase' THEN num_micro END)
+        / CAST(1000000 AS DOUBLE)
+        / ((SELECT un_nano FROM un) / CAST(1000000000 AS DOUBLE)) AS v3,
+      MAX(CASE WHEN it = 'signup' THEN num_micro END)
+        / CAST(1000000 AS DOUBLE)
+        / ((SELECT un_nano FROM un) / CAST(1000000000 AS DOUBLE)) AS v4,
+      MAX(CASE WHEN it = 'view' THEN num_micro END)
+        / CAST(1000000 AS DOUBLE)
+        / ((SELECT un_nano FROM un) / CAST(1000000000 AS DOUBLE)) AS v5
+    FROM vnum
+  ) nv
+  WHERE k < 3
+)
+SELECT ROUND(v1, 6) AS v_click, ROUND(v2, 6) AS v_error,
+       ROUND(v3, 6) AS v_purchase, ROUND(v4, 6) AS v_signup,
+       ROUND(v5, 6) AS v_view,
+       CAST(3 AS BIGINT) AS n_sweeps
+FROM iter WHERE k = 3
+""",
+    tags=("iterative", "events"),
+)
+def iter_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-1 ALTERNATING LEAST SQUARES on the user x event-type
+    count matrix — the matrix-factorization primitive under every
+    collaborative recommender, in its smallest honest form: each
+    sweep solves u = Mv/||v||^2 then v = M'u/||u||^2 in closed form,
+    i.e. exactly two map-side-combinable hash-aggs per sweep over
+    the co-occurrence relation — the DATA-sized user factor never
+    materializes outside the plan (it is a join-aggregate, the
+    distributed-ALS lesson); only the MODEL-sized item factor (5
+    doubles + a norm) collects to the driver between sweeps,
+    exactly like MLlib broadcasting factors per iteration. Three
+    unrolled sweeps;
+    every sum over doubles quantizes per term to the standard
+    micro/nano integer lanes so both engines accumulate exact
+    integers (Spark unrolls the same algebra as DataFrame joins;
+    the oracle as a recursive CTE over LATERAL sub-aggregates).
+    Converges toward the dominant right-singular direction."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("it")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m.cache()
+    items = ["click", "error", "purchase", "signup", "view"]
+    v = {it: F.lit(1.0) for it in items}
+    for _ in range(3):
+        v_expr = None
+        for it in items:
+            term = F.when(F.col("it") == it, v[it])
+            v_expr = term if v_expr is None else v_expr.when(
+                F.col("it") == it, v[it]
+            )
+        # u_i = sum_j M_ij v_j / ||v||^2, numerators micro-quantized
+        uvec = m.withColumn("vj", v_expr).groupBy("u").agg(
+            F.sum(
+                F.round(F.col("n") * F.col("vj") * 1000000, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("num_micro")
+        )
+        vn = None
+        for it in items:
+            sq = v[it] * v[it]
+            vn = sq if vn is None else vn + sq
+        uu = uvec.select(
+            "u",
+            (
+                F.col("num_micro") / F.lit(1000000.0) / vn
+            ).alias("ui"),
+        )
+        # v_j = sum_i M_ij u_i / ||u||^2
+        joined = m.join(uu, "u")
+        vnum = joined.groupBy("it").agg(
+            F.sum(
+                F.round(F.col("n") * F.col("ui") * 1000000, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("num_micro")
+        )
+        un = uu.agg(
+            F.sum(
+                F.round(F.col("ui") * F.col("ui") * 1000000000, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("un_nano")
+        )
+        wide = vnum.groupBy().pivot("it", items).agg(F.max("num_micro"))
+        row = wide.crossJoin(F.broadcast(un)).collect()[0]
+        un_d = row["un_nano"] / 1e9
+        v = {
+            it: F.lit((row[it] / 1e6) / un_d) for it in items
+        }
+    out = m.sparkSession.createDataFrame([(3,)], "n_sweeps bigint")
+    sel = [
+        F.round(v[it], 6).alias(f"v_{it}") for it in items
+    ] + [F.col("n_sweeps")]
+    return out.select(*sel)

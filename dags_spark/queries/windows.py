@@ -5449,3 +5449,124 @@ def win_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.min("user_id").cast("bigint").alias("sample_user"),
     )
+
+
+@register(
+    "win_spc_western_electric",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day
+),
+lim AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(c AS HUGEINT) * c) AS ss
+  FROM daily
+),
+z AS (
+  SELECT day, c,
+         (c - CAST(s AS DOUBLE)/n)
+           / sqrt(CAST(ss AS DOUBLE)/n
+                  - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS zv
+  FROM daily CROSS JOIN lim
+),
+flags AS (
+  SELECT day, c, zv,
+         CASE WHEN abs(zv) > 3.0 THEN 1 ELSE 0 END AS beyond3,
+         SUM(CASE WHEN zv > 2.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS hi2_of3,
+         SUM(CASE WHEN zv < -2.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS lo2_of3,
+         SUM(CASE WHEN zv > 1.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS hi4_of5,
+         SUM(CASE WHEN zv < -1.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS lo4_of5,
+         SUM(CASE WHEN zv > 0.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+           AS hi8,
+         SUM(CASE WHEN zv < 0.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+           AS lo8,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM z
+)
+SELECT day, c, ROUND(zv, 6) AS z_score,
+       beyond3 = 1 AS rule1_beyond_3s,
+       (rn >= 3 AND (hi2_of3 >= 2 OR lo2_of3 >= 2)) AS rule2_2of3_beyond_2s,
+       (rn >= 5 AND (hi4_of5 >= 4 OR lo4_of5 >= 4)) AS rule3_4of5_beyond_1s,
+       (rn >= 8 AND (hi8 = 8 OR lo8 = 8)) AS rule4_8_same_side
+FROM flags
+""",
+    tags=("events", "window", "dq"),
+)
+def win_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC CONTROL CHART with the WESTERN ELECTRIC RULES — the
+    process-monitoring classic (manufacturing, SRE burn rates,
+    pipeline volumes): daily revenue z-scored against the series'
+    own center line and sigma, then the four WE run-rules flag
+    per day: (1) one point beyond 3 sigma, (2) 2-of-3 beyond 2
+    sigma same side, (3) 4-of-5 beyond 1 sigma same side, (4) 8
+    consecutive on one side. Each rule is one bounded ROWS-frame
+    count — run-rules ARE window queries, which is the point of the
+    key. Sigma comes from exact HUGEINT/DECIMAL38 moment sums; the
+    z and every comparison run the same shared double tree; early
+    rows where a rule's lookback is not yet full report FALSE (rn
+    guard) rather than firing on partial windows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("c")
+    )
+    lim = daily.agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
+    )
+    z = daily.crossJoin(F.broadcast(lim)).selectExpr(
+        "day",
+        "c",
+        "(c - CAST(s AS DOUBLE)/n)"
+        " / sqrt(CAST(ss AS DOUBLE)/n"
+        " - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS zv",
+    )
+    wd = Window.orderBy("day")
+
+    def lastn(cond, k):
+        return F.sum(F.when(cond, 1).otherwise(0)).over(
+            wd.rowsBetween(-(k - 1), 0)
+        )
+
+    flags = z.select(
+        "day",
+        "c",
+        "zv",
+        (F.abs(F.col("zv")) > 3.0).alias("beyond3"),
+        lastn(F.col("zv") > 2.0, 3).alias("hi2_of3"),
+        lastn(F.col("zv") < -2.0, 3).alias("lo2_of3"),
+        lastn(F.col("zv") > 1.0, 5).alias("hi4_of5"),
+        lastn(F.col("zv") < -1.0, 5).alias("lo4_of5"),
+        lastn(F.col("zv") > 0.0, 8).alias("hi8"),
+        lastn(F.col("zv") < 0.0, 8).alias("lo8"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return flags.select(
+        "day",
+        "c",
+        F.round("zv", 6).alias("z_score"),
+        F.col("beyond3").alias("rule1_beyond_3s"),
+        (
+            (F.col("rn") >= 3)
+            & ((F.col("hi2_of3") >= 2) | (F.col("lo2_of3") >= 2))
+        ).alias("rule2_2of3_beyond_2s"),
+        (
+            (F.col("rn") >= 5)
+            & ((F.col("hi4_of5") >= 4) | (F.col("lo4_of5") >= 4))
+        ).alias("rule3_4of5_beyond_1s"),
+        (
+            (F.col("rn") >= 8) & ((F.col("hi8") == 8) | (F.col("lo8") == 8))
+        ).alias("rule4_8_same_side"),
+    )

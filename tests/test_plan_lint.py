@@ -71,6 +71,11 @@ ALLOWED = {
     # 100 TB) and windows the 10-row decile grid.
     "win_growth_accounting": {"cartesian"},
     "rank_lift_chart_deciles": {"cartesian", "single-partition-exchange"},
+    # ALS emits a literal 1-row result after model-sized driver
+    # folds; SPC crosses the 1-row sigma limits into the 30-day
+    # grid and windows that grid.
+    "iter_als_rank1": {"single-partition-exchange"},
+    "win_spc_western_electric": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
