@@ -1023,3 +1023,57 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
             pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
         prev = line
     return width, height, pixels
+
+
+def encode_srt_pattern(seed: int) -> str:
+    """Deterministic SubRip (SRT) subtitle document: n = 3 + seed%8
+    cues; cue i (0-based) starts at i*4000 + (seed*37 + i*13) % 2000
+    ms, lasts 800 + (seed*11 + i*7) % 2400 ms, and carries a text
+    line of 10 + (seed + i*3) % 30 'x' characters. Cue starts are
+    strictly increasing but a long cue CAN overlap the next one —
+    real subtitle QC work for the parser."""
+
+    def tc(ms: int) -> str:
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, milli = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+    n = 3 + seed % 8
+    blocks = []
+    for i in range(n):
+        start = i * 4000 + (seed * 37 + i * 13) % 2000
+        dur = 800 + (seed * 11 + i * 7) % 2400
+        text = "x" * (10 + (seed + i * 3) % 30)
+        blocks.append(f"{i + 1}\n{tc(start)} --> {tc(start + dur)}\n{text}")
+    return "\n\n".join(blocks) + "\n"
+
+
+def parse_srt(doc: str) -> list[tuple[int, int, int, str]]:
+    """Parse SRT text into (index, start_ms, end_ms, text) cues with
+    strict validation: sequential indices, 'HH:MM:SS,mmm --> ...'
+    timecodes, end > start. Raises ValueError on malformed input."""
+    import re
+
+    tc = re.compile(
+        r"^(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> "
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3})$"
+    )
+    cues = []
+    for block in doc.strip().split("\n\n"):
+        lines = block.split("\n")
+        if len(lines) < 3:
+            raise ValueError(f"short cue block: {block!r}")
+        idx = int(lines[0])
+        m = tc.match(lines[1])
+        if not m:
+            raise ValueError(f"bad timecode line: {lines[1]!r}")
+        g = [int(x) for x in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        if end <= start:
+            raise ValueError(f"non-positive cue duration in block {idx}")
+        if idx != len(cues) + 1:
+            raise ValueError(f"non-sequential cue index {idx}")
+        cues.append((idx, start, end, "\n".join(lines[2:])))
+    return cues

@@ -468,3 +468,124 @@ def fn_web_mercator_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.min("event_id").cast("bigint").alias("first_event"),
     )
+
+
+@register(
+    "geo_tile_neighbor_smooth",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM events
+),
+proj AS (
+  SELECT FLOOR(ROUND((lon + 180.0) / 360.0 * 16.0 * 1000000000.0, 0)
+               / 1000000000.0) AS tx,
+         FLOOR(ROUND((1.0 - LN(TAN(lat * 0.017453292519943295)
+                               + 1.0 / COS(lat * 0.017453292519943295))
+                          / 3.141592653589793) / 2.0 * 16.0
+                     * 1000000000.0, 0) / 1000000000.0) AS ty
+  FROM pts
+),
+tiles AS (
+  SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM proj GROUP BY tx, ty
+),
+offsets AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM (SELECT unnest(generate_series(-1, 1)) AS d) dx
+  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) dy
+),
+sm AS (
+  SELECT t.tx, t.ty, t.n,
+         CAST(SUM(COALESCE(nb.n, 0)) AS BIGINT) AS smooth_sum,
+         CAST(SUM(CASE WHEN nb.n IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_present
+  FROM tiles t
+  CROSS JOIN offsets o
+  LEFT JOIN tiles nb
+    ON nb.tx = (t.tx + o.dx + 16) % 16 AND nb.ty = t.ty + o.dy
+  GROUP BY t.tx, t.ty, t.n
+)
+SELECT tx AS tile_x, ty AS tile_y, n AS n_points,
+       smooth_sum, n_present,
+       ROUND(smooth_sum / 9.0, 6) AS smoothed_density
+FROM sm
+""",
+    tags=("geo",),
+)
+def geo_tile_neighbor_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL NEIGHBOR SMOOTHING on the web-mercator grid — the
+    kernel-density-lite every geo heatmap ships: per zoom-4 tile,
+    the 3x3 neighborhood sum/mean of point counts (x wraps around
+    the antimeridian like longitude does; missing neighbors count
+    zero, so ocean edges dilute honestly). The join geometry is the
+    scalable pattern: tile counts first (ONE data-sized hash-agg),
+    then a 9-offset literal spine replicates the GRID, not the
+    points, and the neighbor lookup is an equi-join on tile keys —
+    at 100 TB the smoothing costs 9x the tile-grid size, never 9x
+    the data. Same quantized Mercator lane as fn_web_mercator_tile."""
+    ev = table(spark, sf_dir, "events")
+    lat = (
+        (F.col("event_id") * 2654435761 % 1600001).cast("double") / 10000.0
+    ) - 80.0
+    lon = (
+        (F.col("event_id") * 40503 % 3600001).cast("double") / 10000.0
+    ) - 180.0
+    rad = 0.017453292519943295
+    tx = F.floor(
+        F.round((lon + 180.0) / 360.0 * 16.0 * 1000000000.0, 0)
+        / 1000000000.0
+    ).cast("bigint")
+    ty = F.floor(
+        F.round(
+            (
+                1.0
+                - F.log(F.tan(lat * rad) + 1.0 / F.cos(lat * rad))
+                / 3.141592653589793
+            )
+            / 2.0
+            * 16.0
+            * 1000000000.0,
+            0,
+        )
+        / 1000000000.0
+    ).cast("bigint")
+    tiles = (
+        ev.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    offsets = (
+        spark.range(-1, 2)
+        .select(F.col("id").cast("bigint").alias("dx"))
+        .crossJoin(
+            spark.range(-1, 2).select(F.col("id").cast("bigint").alias("dy"))
+        )
+    )
+    nb = tiles.select(
+        F.col("tx").alias("ntx"), F.col("ty").alias("nty"), F.col("n").alias("nn")
+    )
+    sm = (
+        tiles.crossJoin(F.broadcast(offsets))
+        .join(
+            nb,
+            (F.col("ntx") == (F.col("tx") + F.col("dx") + 16) % 16)
+            & (F.col("nty") == F.col("ty") + F.col("dy")),
+            "left",
+        )
+        .groupBy("tx", "ty", "n")
+        .agg(
+            F.sum(F.coalesce("nn", F.lit(0))).cast("bigint").alias("smooth_sum"),
+            F.sum(F.when(F.col("nn").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_present"),
+        )
+    )
+    return sm.select(
+        F.col("tx").alias("tile_x"),
+        F.col("ty").alias("tile_y"),
+        F.col("n").alias("n_points"),
+        "smooth_sum",
+        "n_present",
+        F.round(F.col("smooth_sum") / 9.0, 6).alias("smoothed_density"),
+    )

@@ -4441,3 +4441,92 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
         " sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
     )
+
+
+@register(
+    "multimodal_srt_parse",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, 3 + doc_id % 8 AS n FROM documents WHERE doc_id % 4 = 2
+),
+cues AS (
+  SELECT d.doc_id, d.n, i.i,
+         i.i * 4000 + (d.doc_id * 37 + i.i * 13) % 2000 AS start_ms,
+         800 + (d.doc_id * 11 + i.i * 7) % 2400 AS dur_ms,
+         10 + (d.doc_id + i.i * 3) % 30 AS n_chars
+  FROM docs d
+  JOIN (SELECT unnest(generate_series(0, 10)) AS i) i ON i.i < d.n
+),
+flagged AS (
+  SELECT doc_id, n, i, start_ms, dur_ms, n_chars,
+         CASE WHEN i + 1 < n
+                   AND start_ms + dur_ms >
+                       (i + 1) * 4000 + (doc_id * 37 + (i + 1) * 13) % 2000
+              THEN 1 ELSE 0 END AS overlaps_next
+  FROM cues
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_cues,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+       CAST(SUM(overlaps_next) AS BIGINT) AS n_overlaps,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM flagged GROUP BY doc_id
+""",
+    tags=("multimodal", "text"),
+)
+def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTITLE (SRT) PARSE + QC — the text-structured container of
+    the video world: per document a deterministic SubRip file is
+    synthesized and then FULLY parsed in-kernel
+    (operators/multimodal.py parse_srt: block split, strict
+    HH:MM:SS,mmm timecode regex, sequential-index and positive-
+    duration validation that RAISES on malformed cues), emitting the
+    QC stats a captioning pipeline gates on — cue count, total
+    caption time, OVERLAPPING-cue count (a long cue running into
+    the next — real subtitle lint), and caption characters. The
+    oracle recomputes all four in closed form from the synthesis
+    formula, so the hash certifies the timecode arithmetic and
+    overlap scan, not string plumbing. Arrow mapInPandas batch;
+    only grid-sized stats leave the executor."""
+    from ..operators.multimodal import encode_srt_pattern, parse_srt
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                cues = parse_srt(encode_srt_pattern(i))
+                n_over = sum(
+                    1
+                    for a, b in zip(cues, cues[1:])
+                    if a[2] > b[1]
+                )
+                rows.append(
+                    (
+                        i,
+                        len(cues),
+                        sum(c[2] - c[1] for c in cues),
+                        n_over,
+                        sum(len(c[3]) for c in cues),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_cues",
+                    "total_dur_ms",
+                    "n_overlaps",
+                    "total_chars",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, n_cues BIGINT, total_dur_ms BIGINT,"
+        " n_overlaps BIGINT, total_chars BIGINT",
+    )

@@ -520,3 +520,19 @@ def test_png_roundtrip_filters_and_crc():
         decode_png_pixels(bytes(buf))
     with pytest.raises(ValueError, match="signature"):
         decode_png_pixels(b"not a png at all")
+
+
+def test_srt_parser_rejects_malformed():
+    import pytest
+
+    from dags_spark.operators.multimodal import encode_srt_pattern, parse_srt
+
+    good = encode_srt_pattern(42)
+    cues = parse_srt(good)
+    assert cues[0][0] == 1 and all(c[2] > c[1] for c in cues)
+    with pytest.raises(ValueError, match="timecode"):
+        parse_srt(good.replace(" --> ", " -> ", 1))
+    with pytest.raises(ValueError, match="non-sequential"):
+        parse_srt(good.replace("1\n00:", "9\n00:", 1))
+    with pytest.raises(ValueError, match="short cue"):
+        parse_srt("1\n00:00:00,000 --> 00:00:01,000")
