@@ -4967,3 +4967,76 @@ def agg_mrr_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("churned_c"),
         (F.sum("cur_c") - F.sum("prv_c")).cast("bigint").alias("delta_c"),
     )
+
+
+@register(
+    "stats_capture_recapture",
+    oracle="""
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-08'
+),
+w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM w1 JOIN w2 USING (user_id)) AS m
+)
+SELECT n1, n2, m,
+       ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 6) AS chapman_n_hat,
+       ROUND(CAST(n1 AS DOUBLE) * n2 / m, 6) AS lincoln_petersen_n_hat,
+       ROUND(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se_hat
+FROM c
+""",
+    tags=("stats", "events"),
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE POPULATION ESTIMATE — the ecology method
+    that data engineering quietly reuses to size unobserved
+    populations (total users when logging is sampled, true dedup
+    cardinality from two imperfect match passes): mark week-1
+    actives, recapture in week 2, and N-hat = n1*n2/m
+    (Lincoln-Petersen) with the Chapman small-sample correction
+    (n1+1)(n2+1)/(m+1) - 1 and its standard error. Three distinct
+    scans reduce to three scalar subqueries joined in one row; all
+    inputs exact BIGINTs, one shared double tree. The fixture's
+    dense users make m large (low SE) — the estimator is exercised,
+    not stressed."""
+    ev = table(spark, sf_dir, "events")
+    w1 = (
+        ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = w2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = w1.join(w2, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    return c.selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "ROUND((n1 + CAST(1 AS DOUBLE)) * (n2 + CAST(1 AS DOUBLE))"
+        " / (m + CAST(1 AS DOUBLE)) - CAST(1 AS DOUBLE), 6)"
+        " AS chapman_n_hat",
+        "ROUND(CAST(n1 AS DOUBLE) * n2 / m, 6) AS lincoln_petersen_n_hat",
+        "ROUND(sqrt((n1 + CAST(1 AS DOUBLE)) * (n2 + CAST(1 AS DOUBLE))"
+        " * (n1 - m) * (n2 - m)"
+        " / ((m + CAST(1 AS DOUBLE)) * (m + CAST(1 AS DOUBLE))"
+        " * (m + CAST(2 AS DOUBLE)))), 6) AS se_hat",
+    )

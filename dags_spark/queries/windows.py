@@ -5570,3 +5570,153 @@ def win_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") >= 8) & ((F.col("hi8") == 8) | (F.col("lo8") == 8))
         ).alias("rule4_8_same_side"),
     )
+
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]
+# |S|! * (n-1-|S|)! for n=4 channels, scaled Shapley weights (x 4! = 24)
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_sql() -> str:
+    """Exact Shapley attribution over the 4 non-purchase channels as
+    literal SQL: paths reduce to 4-bit masks with conversion counts;
+    for each channel c, phi_c * 24 = sum over subsets S not
+    containing c of w(|S|) * (v(S + c) - v(S)), v(S) = conversions
+    whose path-mask is a subset of S. Fully enumerated: 16 subsets,
+    integer weights, exact BIGINT arithmetic end-to-end."""
+    terms = {c: [] for c in range(4)}
+    for c in range(4):
+        cbit = 1 << c
+        for s in range(16):
+            if s & cbit:
+                continue
+            w = _SHAP_W[bin(s).count("1")]
+            terms[c].append(f"{w} * (v{s | cbit} - v{s})")
+    sel = []
+    for c, ch in enumerate(_SHAP_CHANNELS):
+        expr = " + ".join(terms[c])
+        sel.append(f"CAST({expr} AS BIGINT) AS phi24_{ch}")
+    return ", ".join(sel)
+
+
+@register(
+    "attribution_shapley",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv
+  FROM events
+),
+p AS (
+  SELECT user_id, conv AS conv_id FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, conv + 1 AS grp,
+         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'signup' THEN 4 ELSE 8 END AS bit
+  FROM ev WHERE event_type <> 'purchase'
+),
+paths AS (
+  SELECT p.user_id, p.conv_id,
+         CAST(COALESCE(bit_or(t.bit), 0) AS BIGINT) AS mask
+  FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.conv_id = t.grp
+  GROUP BY p.user_id, p.conv_id
+),
+mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv
+  FROM paths WHERE mask > 0 GROUP BY mask
+),
+subsets AS (SELECT unnest(generate_series(0, 15)) AS s),
+vs AS (
+  SELECT s,
+         CAST(COALESCE(SUM(CASE WHEN (mc.mask & s) = mc.mask
+                                THEN mc.n_conv END), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN mc ON TRUE
+  GROUP BY s
+),
+wide AS (
+  SELECT {', '.join(f"MAX(CASE WHEN s = {s} THEN v END) AS v{s}" for s in range(16))}
+  FROM vs
+)
+SELECT {_shap_sql()},
+       v15 AS total_attributed_conversions
+FROM wide
+""",
+    tags=("events", "attribution"),
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE ATTRIBUTION — the game-theoretic gold standard
+    (each channel's credit is its average marginal contribution over
+    all orderings of the channel coalition), computed EXACTLY, not
+    sampled: conversion paths (touch types since the previous
+    purchase) reduce to 4-bit channel masks with counts, the
+    characteristic function v(S) = conversions reachable with
+    channel set S is a 16-subset containment rollup of that
+    mask-count grid, and each phi is the closed Shapley sum with
+    integer weights scaled by 4! = 24 — exact BIGINT arithmetic
+    end-to-end, no permutation sampling. Efficiency holds by
+    construction: sum(phi) = v(full set). The pattern that matters
+    at 100 TB: the DATA reduces once to a 16-cell grid; the
+    exponential-in-channels part runs on the grid."""
+    ev = table(spark, sf_dir, "events")
+    wconv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn(
+        "conv",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            wconv
+        ),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("conv").alias("conv_id")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(8)
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", (F.col("conv") + 1).alias("grp"), bit.alias("bit")
+    )
+    p, t = p.alias("p"), t.alias("t")
+    paths = (
+        p.join(
+            t,
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("p.conv_id") == F.col("t.grp")),
+            "left",
+        )
+        .groupBy(F.col("p.user_id"), "conv_id")
+        .agg(
+            F.coalesce(F.expr("bit_or(bit)"), F.lit(0))
+            .cast("bigint")
+            .alias("mask")
+        )
+    )
+    mc = (
+        paths.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conv"))
+    )
+    subsets = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    vs = (
+        subsets.join(F.broadcast(mc), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    wide = vs.agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("v"))).alias(f"v{s}")
+            for s in range(16)
+        ]
+    )
+    return wide.selectExpr(
+        *_shap_sql().split(", "),
+        "v15 AS total_attributed_conversions",
+    )

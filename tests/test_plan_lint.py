@@ -76,6 +76,10 @@ ALLOWED = {
     # grid and windows that grid.
     "iter_als_rank1": {"single-partition-exchange"},
     "win_spc_western_electric": {"cartesian", "single-partition-exchange"},
+    # Shapley reduces data to a 16-cell mask grid then broadcast-
+    # crosses it; capture-recapture joins three 1-row scalar counts.
+    "attribution_shapley": {"cartesian", "single-partition-exchange"},
+    "stats_capture_recapture": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

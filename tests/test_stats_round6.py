@@ -695,3 +695,56 @@ def test_block_bootstrap_matches_pure_python(spark, duck):
     assert int(got["ci_lo_c"]) == totals[4]
     assert int(got["ci_hi_c"]) == totals[194]
     assert abs(got["boot_mean_c"] - sum(totals) / 200.0) < 1e-6
+
+
+def test_shapley_matches_permutation_bruteforce(spark, duck):
+    from itertools import permutations
+
+    got = _run(spark, "attribution_shapley").iloc[0]
+    masks = duck.execute(
+        """
+        WITH ev AS (
+          SELECT user_id, event_id, ts, event_type,
+                 SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS conv
+          FROM events),
+        p AS (SELECT user_id, conv AS cid FROM ev
+              WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, conv + 1 AS grp,
+                     CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                          WHEN 'signup' THEN 4 ELSE 8 END AS bit
+              FROM ev WHERE event_type <> 'purchase')
+        SELECT mask, COUNT(*) AS nc FROM (
+          SELECT p.user_id, p.cid,
+                 CAST(COALESCE(bit_or(t.bit), 0) AS BIGINT) AS mask
+          FROM p LEFT JOIN t ON p.user_id = t.user_id AND p.cid = t.grp
+          GROUP BY p.user_id, p.cid
+        ) GROUP BY mask
+        """
+    ).df()
+    mcount = {
+        int(r["mask"]): int(r["nc"])
+        for _, r in masks.iterrows()
+        if int(r["mask"]) > 0
+    }
+
+    def v(S):
+        return sum(nc for m, nc in mcount.items() if m & S == m)
+
+    channels = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    phi = {ch: 0.0 for ch in channels}
+    for perm in permutations(channels):
+        S = 0
+        for ch in perm:
+            gain = v(S | channels[ch]) - v(S)
+            phi[ch] += gain / 24.0
+            S |= channels[ch]
+    for ch in channels:
+        assert abs(got[f"phi24_{ch}"] / 24.0 - phi[ch]) < 1e-9, ch
+    # efficiency: credits sum to v(grand coalition)
+    assert (
+        abs(sum(phi.values()) - int(got["total_attributed_conversions"]))
+        < 1e-9
+    )
