@@ -5433,3 +5433,117 @@ def iter_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v[it], 6).alias(f"v_{it}") for it in items
     ] + [F.col("n_sweeps")]
     return out.select(*sel)
+
+
+def _bom_sql(intdiv: str, part_ref: str) -> str:
+    """Shared BOM-rollup SQL; parameterized only by the integer-
+    division operator (`//` DuckDB, `div` Spark) and the part-table
+    reference."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey {intdiv} 3 AS parent,
+         1 + p_partkey % 4 AS qty_per
+  FROM {part_ref} WHERE p_partkey >= 3
+),
+roots AS (
+  SELECT p_partkey AS root FROM {part_ref} WHERE p_partkey < 3
+),
+walk (root, node, mult) AS (
+  SELECT root, root, CAST(1 AS BIGINT) FROM roots
+  UNION ALL
+  SELECT w.root, e.child, w.mult * e.qty_per
+  FROM walk w JOIN edges e ON e.parent = w.node
+),
+costed AS (
+  SELECT w.root, w.node, w.mult,
+         CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT) AS price_c
+  FROM walk w JOIN {part_ref} p ON p.p_partkey = w.node
+)
+SELECT root,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(mult) AS BIGINT) AS max_mult,
+       CAST(SUM(mult) AS BIGINT) AS total_units,
+       CAST(SUM(mult * price_c) AS BIGINT) AS rolled_cost_c
+FROM costed GROUP BY root
+"""
+
+
+@register(
+    "sql_bom_rollup",
+    oracle=_bom_sql("//", "part"),
+    tags=("sql", "iterative", "part"),
+)
+def sql_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-LEVEL BILL-OF-MATERIALS COST ROLLUP — the canonical
+    recursive-CTE business query (MRP systems run exactly this):
+    parts form a ternary assembly forest (parent = key div 3,
+    quantity-per = 1 + key mod 4), and each root assembly's cost is
+    the sum over ALL transitive components of the PRODUCT of
+    quantities along the path times the component price — the
+    multiplied quantity rides the recursion as an exact BIGINT, so
+    unlike a flat transitive closure this exercises ACCUMULATION
+    through the fixpoint. Runs as the engine's NATIVE `WITH
+    RECURSIVE` on BOTH sides (Spark 4 UnionLoop vs DuckDB's
+    fixpoint) from one shared SQL text parameterized only by the
+    integer-division spelling — the declarative twin of the
+    hand-unrolled iter_* family. ~7 levels deep on the 2k-part
+    fixture; each iteration is one co-keyed join."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("bom_part_v")
+    return spark.sql(_bom_sql("div", "bom_part_v"))
+
+
+@register(
+    "agg_repeat_purchase_curve",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM per),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+SELECT k,
+       CAST(SUM(CASE WHEN n_orders >= k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers_at_least_k,
+       ROUND(CAST(SUM(CASE WHEN n_orders >= k THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n_cust FROM tot), 6) AS share,
+       ROUND(CAST(SUM(CASE WHEN n_orders >= k + 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN n_orders >= k THEN 1 ELSE 0 END), 6)
+         AS next_order_prob
+FROM per CROSS JOIN ks GROUP BY k
+""",
+    tags=("orders", "agg", "growth"),
+)
+def agg_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE CURVE — retention's transactional cousin: the
+    share of customers reaching at least k orders (k = 1..10) and
+    the conditional 'k -> k+1' repeat probability, the curve CLV
+    models are fit to and the fastest honest answer to 'do second
+    orders happen'. One per-customer count, one broadcast k-spine
+    cross, one grid agg; the conditional probability is a ratio of
+    exact counts within each k row."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    j = per.crossJoin(F.broadcast(ks))
+    grid = j.groupBy("k").agg(
+        F.sum(F.when(F.col("n_orders") >= F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers_at_least_k"),
+        F.sum(F.when(F.col("n_orders") >= F.col("k") + 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_next"),
+    )
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_customers_at_least_k",
+        F.round(
+            F.col("n_customers_at_least_k").cast("double") / F.col("n_cust"), 6
+        ).alias("share"),
+        F.round(
+            F.col("n_next").cast("double") / F.col("n_customers_at_least_k"), 6
+        ).alias("next_order_prob"),
+    )

@@ -59,7 +59,9 @@ ALLOWED = {
     # probabilities) folded 20 steps; Croston crosses the 25-brand
     # dim with a 365-literal spine (both model-sized relations).
     "iter_markov_stationary": {"single-partition-exchange"},
-    "ts_croston_intermittent": {"cartesian"},
+    # croston additionally reduces the 25-brand fold input in one
+    # task (model-sized after the spine collapse)
+    "ts_croston_intermittent": {"cartesian", "single-partition-exchange"},
     # shrinkage: 1-row prior broadcast-crossed into the 25-group
     # grid; bootstrap: 1200-literal pick spine range-joined to the
     # 30-day grid, 200-row rank window — all model-sized.
@@ -69,7 +71,9 @@ ALLOWED = {
     # NTILEs the full order set on one global rank (the decile
     # assignment IS a global order — two-pass range-partition at
     # 100 TB) and windows the 10-row decile grid.
-    "win_growth_accounting": {"cartesian"},
+    # growth accounting's churn anti-join reduces the user-week
+    # grid (collapsed grain) in one exchange
+    "win_growth_accounting": {"cartesian", "single-partition-exchange"},
     "rank_lift_chart_deciles": {"cartesian", "single-partition-exchange"},
     # ALS emits a literal 1-row result after model-sized driver
     # folds; SPC crosses the 1-row sigma limits into the 30-day
@@ -80,6 +84,13 @@ ALLOWED = {
     # crosses it; capture-recapture joins three 1-row scalar counts.
     "attribution_shapley": {"cartesian", "single-partition-exchange"},
     "stats_capture_recapture": {"cartesian", "single-partition-exchange"},
+    # repeat curve crosses the 10-literal k spine + 1-row total;
+    # BOM's UnionLoop anchor reduces 3 root rows in one task.
+    "agg_repeat_purchase_curve": {"cartesian", "single-partition-exchange"},
+    "sql_bom_rollup": {"cartesian", "single-partition-exchange"},
+    # tile smoothing crosses the tile GRID with the 9-offset
+    # literal spine — grid-sized replication by design
+    "geo_tile_neighbor_smooth": {"cartesian"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
