@@ -5040,3 +5040,84 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / ((m + CAST(1 AS DOUBLE)) * (m + CAST(1 AS DOUBLE))"
         " * (m + CAST(2 AS DOUBLE)))), 6) AS se_hat",
     )
+
+
+@register(
+    "agg_catalog_coverage",
+    oracle="""
+WITH sold AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY pk
+),
+banded AS (
+  SELECT p.p_partkey,
+         CASE WHEN s.pk IS NULL THEN 'never_sold'
+              WHEN s.n_lines <= 20 THEN 'tail_le_20'
+              WHEN s.n_lines <= 30 THEN 'mid_21_30'
+              WHEN s.n_lines <= 40 THEN 'upper_31_40'
+              ELSE 'head_41_plus' END AS band,
+         COALESCE(s.n_lines, 0) AS n_lines,
+         COALESCE(s.qty, 0) AS qty
+  FROM part p LEFT JOIN sold s ON p.p_partkey = s.pk
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_parts FROM tot), 6)
+         AS share_of_catalog,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM banded GROUP BY band
+""",
+    tags=("part", "lineitem", "agg"),
+)
+def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG COVERAGE — the assortment/recsys health table: every
+    part banded by how often it ever sold (never / tail / mid /
+    upper / head — thresholds bracket the fixture's ~30 lines/part
+    so every band does real work), with catalog share and demand
+    mass per band. The
+    'never_sold' band only exists because the CATALOG side drives
+    the join (part LEFT JOIN sales) — the classic inventory-
+    coverage trap inverted; a recommender trained on sales alone
+    cannot even see that band. One sales hash-agg, one dim-driven
+    left join (part broadcasts at test SF; co-keyed at 100 TB),
+    one 5-band grid agg."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    sold = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )
+    band = (
+        F.when(F.col("pk").isNull(), "never_sold")
+        .when(F.col("n_lines") <= 20, "tail_le_20")
+        .when(F.col("n_lines") <= 30, "mid_21_30")
+        .when(F.col("n_lines") <= 40, "upper_31_40")
+        .otherwise("head_41_plus")
+    )
+    banded = pt.join(sold, pt["p_partkey"] == sold["pk"], "left").select(
+        band.alias("band"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("qty", F.lit(0)).alias("qty"),
+    )
+    tot = pt.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_tot"))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double") / F.col("n_parts_tot"), 6
+            ).alias("share_of_catalog"),
+            "n_lines",
+            "total_qty",
+        )
+    )

@@ -5720,3 +5720,159 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_shap_sql().split(", "),
         "v15 AS total_attributed_conversions",
     )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY t
+),
+spine AS (
+  SELECT s.n, d.t, d.c, (d.t - 1) // s.n AS blk
+  FROM daily d
+  CROSS JOIN (SELECT unnest(list_value(5, 10, 15)) AS n) s
+  WHERE d.t <= 30
+),
+dev AS (
+  SELECT n, blk, t, c,
+         SUM(c) OVER (PARTITION BY n, blk ORDER BY t) AS cum,
+         SUM(c) OVER (PARTITION BY n, blk) AS s_blk,
+         SUM(CAST(c AS HUGEINT) * c) OVER (PARTITION BY n, blk) AS ss_blk,
+         ROW_NUMBER() OVER (PARTITION BY n, blk ORDER BY t) AS k
+  FROM spine
+),
+y AS (
+  SELECT n, blk,
+         MAX(cum - k * (CAST(s_blk AS DOUBLE) / n))
+           - MIN(cum - k * (CAST(s_blk AS DOUBLE) / n)) AS r,
+         sqrt(CAST(MAX(ss_blk) AS DOUBLE) / n
+              - (CAST(MAX(s_blk) AS DOUBLE) / n)
+                * (CAST(MAX(s_blk) AS DOUBLE) / n)) AS sd
+  FROM dev GROUP BY n, blk
+),
+rs AS (
+  SELECT n,
+         CAST(SUM(CAST(ROUND(r / sd * 1000000000, 0) AS BIGINT)) AS BIGINT)
+           AS rs_nano,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM y GROUP BY n
+),
+wide AS (
+  SELECT MAX(CASE WHEN n = 5 THEN rs_nano END)
+           / (MAX(CASE WHEN n = 5 THEN n_blocks END)
+              * CAST(1000000000 AS DOUBLE)) AS rs5,
+         MAX(CASE WHEN n = 10 THEN rs_nano END)
+           / (MAX(CASE WHEN n = 10 THEN n_blocks END)
+              * CAST(1000000000 AS DOUBLE)) AS rs10,
+         MAX(CASE WHEN n = 15 THEN rs_nano END)
+           / (MAX(CASE WHEN n = 15 THEN n_blocks END)
+              * CAST(1000000000 AS DOUBLE)) AS rs15
+  FROM rs
+),
+fit AS (
+  SELECT rs5, rs10, rs15,
+         ln(CAST(5 AS DOUBLE)) AS x1, ln(CAST(10 AS DOUBLE)) AS x2,
+         ln(CAST(15 AS DOUBLE)) AS x3,
+         ln(rs5) AS y1, ln(rs10) AS y2, ln(rs15) AS y3
+  FROM wide
+)
+SELECT ROUND(rs5, 6) AS rs_n5,
+       ROUND(rs10, 6) AS rs_n10,
+       ROUND(rs15, 6) AS rs_n15,
+       ROUND((3.0*(x1*y1 + x2*y2 + x3*y3) - (x1 + x2 + x3)*(y1 + y2 + y3))
+             / (3.0*(x1*x1 + x2*x2 + x3*x3)
+                - (x1 + x2 + x3)*(x1 + x2 + x3)), 6) AS hurst_h
+FROM fit
+""",
+    tags=("timeseries", "events", "stats"),
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by RESCALED-RANGE (R/S) ANALYSIS — the
+    long-memory diagnostic (H ~ 0.5 random walk, > 0.5 trending,
+    < 0.5 mean-reverting) that complements the runs test and DW:
+    the 30-day revenue series splits into complete blocks of 5 /
+    10 / 15 days; per block R = range of cumulative deviations from
+    the block mean, S = population sigma, and H is the log-log
+    slope of mean R/S against block size. Per-block R/S quantizes
+    to nano-units before the per-size mean (the standard lane);
+    the 3-point regression is a FIXED literal tree on the pivoted
+    wide row, so no data-dependent accumulation exists anywhere.
+    Cumulative deviations are one window cumsum per (size, block) —
+    grid-sized work after the daily agg."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            + 1
+        ).alias("t")
+    ).agg(F.sum(cents("value")).cast("bigint").alias("c"))
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "n int")
+    spine = (
+        daily.filter(F.col("t") <= 30)
+        .crossJoin(F.broadcast(sizes))
+        .select("n", "t", "c", F.expr("(t - 1) div n").alias("blk"))
+    )
+    wpart = Window.partitionBy("n", "blk")
+    dev = spine.select(
+        "n",
+        "blk",
+        "c",
+        F.sum("c").over(wpart.orderBy("t")).alias("cum"),
+        F.sum("c").over(wpart).alias("s_blk"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .over(wpart)
+        .alias("ss_blk"),
+        F.row_number().over(wpart.orderBy("t")).alias("k"),
+    )
+    ydev = F.col("cum") - F.col("k") * (
+        F.col("s_blk").cast("double") / F.col("n")
+    )
+    y = dev.groupBy("n", "blk").agg(
+        (F.max(ydev) - F.min(ydev)).alias("r"),
+        F.sqrt(
+            F.max("ss_blk").cast("double") / F.col("n")
+            - (F.max("s_blk").cast("double") / F.col("n"))
+            * (F.max("s_blk").cast("double") / F.col("n"))
+        ).alias("sd"),
+    )
+    rs = y.groupBy("n").agg(
+        F.sum(
+            F.round(F.col("r") / F.col("sd") * 1000000000, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rs_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+
+    def pick(n):
+        return F.max(F.when(F.col("n") == n, F.col("rs_nano"))) / (
+            F.max(F.when(F.col("n") == n, F.col("n_blocks")))
+            * F.lit(1000000000.0)
+        )
+
+    wide = rs.agg(
+        pick(5).alias("rs5"), pick(10).alias("rs10"), pick(15).alias("rs15")
+    )
+    fit = wide.selectExpr(
+        "rs5",
+        "rs10",
+        "rs15",
+        "ln(CAST(5 AS DOUBLE)) AS x1",
+        "ln(CAST(10 AS DOUBLE)) AS x2",
+        "ln(CAST(15 AS DOUBLE)) AS x3",
+        "ln(rs5) AS y1",
+        "ln(rs10) AS y2",
+        "ln(rs15) AS y3",
+    )
+    return fit.selectExpr(
+        "ROUND(rs5, 6) AS rs_n5",
+        "ROUND(rs10, 6) AS rs_n10",
+        "ROUND(rs15, 6) AS rs_n15",
+        "ROUND((3.0*(x1*y1 + x2*y2 + x3*y3)"
+        " - (x1 + x2 + x3)*(y1 + y2 + y3))"
+        " / (3.0*(x1*x1 + x2*x2 + x3*x3)"
+        " - (x1 + x2 + x3)*(x1 + x2 + x3)), 6) AS hurst_h",
+    )

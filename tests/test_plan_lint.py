@@ -91,6 +91,10 @@ ALLOWED = {
     # tile smoothing crosses the tile GRID with the 9-offset
     # literal spine — grid-sized replication by design
     "geo_tile_neighbor_smooth": {"cartesian"},
+    # hurst crosses the 30-day grid with a 3-literal size spine and
+    # windows (size, block) grids; coverage crosses a 1-row total.
+    "ts_hurst_rs": {"cartesian", "single-partition-exchange"},
+    "agg_catalog_coverage": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

@@ -748,3 +748,30 @@ def test_shapley_matches_permutation_bruteforce(spark, duck):
         abs(sum(phi.values()) - int(got["total_attributed_conversions"]))
         < 1e-9
     )
+
+
+def test_hurst_rs_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "ts_hurst_rs").iloc[0]
+    daily = duck.execute(
+        "SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS c"
+        " FROM events GROUP BY t ORDER BY t"
+    ).df()
+    c = daily["c"].astype(float).values[:30]
+    xs, ys = [], []
+    for n in (5, 10, 15):
+        rss = []
+        for b in range(30 // n):
+            x = c[b * n : (b + 1) * n]
+            dev = np.cumsum(x - x.mean())
+            r = dev.max() - dev.min()
+            s = x.std()  # population
+            rss.append(r / s)
+        mean_rs = float(np.mean(rss))
+        assert abs(got[f"rs_n{n}"] - mean_rs) < 1e-5
+        xs.append(np.log(n))
+        ys.append(np.log(mean_rs))
+    h, _ = np.polyfit(xs, ys, 1)
+    assert abs(got["hurst_h"] - h) < 1e-5
