@@ -5876,3 +5876,190 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (3.0*(x1*x1 + x2*x2 + x3*x3)"
         " - (x1 + x2 + x3)*(x1 + x2 + x3)), 6) AS hurst_h",
     )
+
+
+@register(
+    "win_vwap_rolling",
+    oracle="""
+WITH trades AS (
+  SELECT p.p_brand AS brand,
+         date_trunc('day', l.l_shipdate) AS day,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS pq_c,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY brand, day
+),
+win AS (
+  SELECT brand, day, pq_c, q,
+         CAST(SUM(pq_c) OVER (PARTITION BY brand ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pq7,
+         CAST(SUM(q) OVER (PARTITION BY brand ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS q7,
+         CAST(SUM(pq_c) OVER (PARTITION BY brand ORDER BY day)
+           AS BIGINT) AS pq_cum,
+         CAST(SUM(q) OVER (PARTITION BY brand ORDER BY day)
+           AS BIGINT) AS q_cum
+  FROM trades
+)
+SELECT brand, day,
+       ROUND(CAST(pq_c AS DOUBLE) / q, 6) AS day_vwap_c,
+       ROUND(CAST(pq7 AS DOUBLE) / q7, 6) AS vwap7_c,
+       ROUND(CAST(pq_cum AS DOUBLE) / q_cum, 6) AS vwap_cum_c
+FROM win
+""",
+    tags=("window", "lineitem", "finance"),
+)
+def win_vwap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP — volume-weighted average price, the trading/pricing
+    benchmark that a plain moving average of prices gets WRONG
+    (heavy-volume days must weigh more): per brand and day over
+    1998-Q1, the day's VWAP, the trailing-7-row VWAP, and the
+    cumulative (anchored) VWAP — each a RATIO OF WINDOWED SUMS, the
+    pattern that makes weighted averages composable under windows
+    (sum the numerator and denominator separately, divide once;
+    never average the averages). Both running sums are exact
+    BIGINTs; each output is one double division. One fact join +
+    day-grain hash-agg shuffles; the windows run on the brand-day
+    grid."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    trades = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("pq_c"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+        )
+    )
+    wb = Window.partitionBy("brand").orderBy("day")
+    win = trades.select(
+        "brand",
+        "day",
+        "pq_c",
+        "q",
+        F.sum("pq_c").over(wb.rowsBetween(-6, 0)).cast("bigint").alias("pq7"),
+        F.sum("q").over(wb.rowsBetween(-6, 0)).cast("bigint").alias("q7"),
+        F.sum("pq_c").over(wb).cast("bigint").alias("pq_cum"),
+        F.sum("q").over(wb).cast("bigint").alias("q_cum"),
+    )
+    return win.select(
+        "brand",
+        "day",
+        F.round(F.col("pq_c").cast("double") / F.col("q"), 6).alias(
+            "day_vwap_c"
+        ),
+        F.round(F.col("pq7").cast("double") / F.col("q7"), 6).alias("vwap7_c"),
+        F.round(F.col("pq_cum").cast("double") / F.col("q_cum"), 6).alias(
+            "vwap_cum_c"
+        ),
+    )
+
+
+@register(
+    "ts_walkforward_ols",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY t
+),
+pref AS (
+  SELECT t, y,
+         CAST(SUM(t) OVER (ORDER BY t) AS BIGINT) AS st,
+         CAST(SUM(y) OVER (ORDER BY t) AS BIGINT) AS sy,
+         CAST(SUM(t * t) OVER (ORDER BY t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) OVER (ORDER BY t) AS BIGINT) AS sty,
+         CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS n
+  FROM daily
+),
+cuts AS (SELECT unnest(list_value(15, 20, 25)) AS cutoff),
+fits AS (
+  SELECT c.cutoff, p.n, p.st, p.sy, p.stt, p.sty,
+         (p.n*CAST(p.sty AS DOUBLE) - CAST(p.st AS DOUBLE)*p.sy)
+           / (p.n*CAST(p.stt AS DOUBLE) - CAST(p.st AS DOUBLE)*p.st) AS b
+  FROM cuts c JOIN pref p ON p.t = c.cutoff
+),
+preds AS (
+  SELECT f.cutoff, f.b,
+         (CAST(f.sy AS DOUBLE) - f.b*f.st) / f.n AS a,
+         d.y AS actual
+  FROM fits f JOIN daily d ON d.t = f.cutoff + 1
+)
+SELECT cutoff,
+       ROUND(b, 6) AS slope_c_per_day,
+       ROUND(a + b*(cutoff + 1), 6) AS forecast_c,
+       CAST(actual AS BIGINT) AS actual_c,
+       ROUND(abs(a + b*(cutoff + 1) - actual), 6) AS abs_error_c
+FROM preds
+""",
+    tags=("timeseries", "events", "stats"),
+)
+def ts_walkforward_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALK-FORWARD BACKTEST of a linear trend — the honest way to
+    evaluate a forecaster (fit ONLY on data before each cutoff,
+    predict the next day, score against the actual): refits at
+    cutoffs 15/20/25 come FREE from prefix moments — running sums
+    of (t, y, t^2, t*y) in one window pass make every expanding-
+    window OLS a O(1) lookup at its cutoff row, the trick that
+    turns N refits from N scans into one. Exact integer prefix
+    sums; slope/intercept/forecast are single shared double trees
+    per cutoff. Completes the forecasting family's eval loop next
+    to ts_naive_forecast_error's fixed-origin baselines."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            + 1
+        ).alias("t")
+    ).agg(F.sum(cents("value")).cast("bigint").alias("y"))
+    wt = Window.orderBy("t")
+    pref = daily.select(
+        "t",
+        "y",
+        F.sum("t").over(wt).cast("bigint").alias("st"),
+        F.sum("y").over(wt).cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(wt).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).over(wt).cast("bigint").alias("sty"),
+        F.row_number().over(wt).cast("bigint").alias("n"),
+    )
+    cuts = spark.createDataFrame([(15,), (20,), (25,)], "cutoff bigint")
+    fits = cuts.join(
+        F.broadcast(pref), pref["t"] == cuts["cutoff"]
+    ).selectExpr(
+        "cutoff",
+        "n",
+        "st",
+        "sy",
+        "stt",
+        "sty",
+        "(n*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)"
+        " / (n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b",
+    )
+    nxt = daily.select(
+        (F.col("t") - 1).alias("cutoff"), F.col("y").alias("actual")
+    )
+    preds = fits.join(nxt, "cutoff").selectExpr(
+        "cutoff",
+        "b",
+        "(CAST(sy AS DOUBLE) - b*st) / n AS a",
+        "actual",
+    )
+    return preds.selectExpr(
+        "cutoff",
+        "ROUND(b, 6) AS slope_c_per_day",
+        "ROUND(a + b*(cutoff + 1), 6) AS forecast_c",
+        "CAST(actual AS BIGINT) AS actual_c",
+        "ROUND(abs(a + b*(cutoff + 1) - actual), 6) AS abs_error_c",
+    )

@@ -95,6 +95,9 @@ ALLOWED = {
     # windows (size, block) grids; coverage crosses a 1-row total.
     "ts_hurst_rs": {"cartesian", "single-partition-exchange"},
     "agg_catalog_coverage": {"cartesian", "single-partition-exchange"},
+    # walk-forward: prefix-moment window over the 30-day grid,
+    # 3-literal cutoff spine broadcast back.
+    "ts_walkforward_ols": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
