@@ -1744,3 +1744,79 @@ def fn_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.min("w").alias("example_word"),
     )
+
+
+# Damm quasigroup table (the standard 10x10 anti-symmetric, weakly
+# totally anti-symmetric matrix), flattened row-major into a 100-char
+# literal: cell (i, d) = substr(TABLE, i*10 + d + 1, 1).
+_DAMM_TABLE = (
+    "0317598642"
+    "7092154863"
+    "4206871359"
+    "1750983426"
+    "6123045978"
+    "3674209581"
+    "5869720134"
+    "8945362017"
+    "9438617205"
+    "2581436790"
+)
+
+
+def _damm_sql(key: str) -> str:
+    """Damm check digit of a zero-padded 7-digit key as shared SQL:
+    the quasigroup fold unrolls to 7 chained substr lookups into the
+    literal table — a lookup-table technique both engines execute
+    identically with no arithmetic at all."""
+    padded = f"lpad(CAST({key} AS STRING), 7, '0')"
+    interim = "0"
+    for pos in range(1, 8):
+        digit = f"CAST(substr({padded}, {pos}, 1) AS INT)"
+        interim = (
+            f"CAST(substr('{_DAMM_TABLE}',"
+            f" ({interim}) * 10 + {digit} + 1, 1) AS INT)"
+        )
+    return interim
+
+
+@register(
+    "fn_damm_checksum",
+    oracle=f"""
+WITH keyed AS (
+  SELECT c_custkey,
+         {_damm_sql('c_custkey').replace('AS STRING', 'AS VARCHAR')} AS damm
+  FROM customer
+)
+SELECT damm AS check_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(SUM(CASE WHEN damm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_valid
+FROM keyed GROUP BY damm
+""",
+    tags=("functions",),
+)
+def fn_damm_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMM CHECK DIGIT — the quasigroup checksum that catches ALL
+    single-digit errors AND all adjacent transpositions (which Luhn
+    misses for 09<->90), used by industrial ID schemes; next to
+    fn_luhn_checksum it completes the check-digit family. The
+    10x10 anti-symmetric quasigroup lives in a 100-char string
+    literal and the digit fold unrolls to 7 chained substr lookups
+    — a shared-SQL LOOKUP-TABLE lane (zero arithmetic, zero doubles)
+    that both engines evaluate bytewise-identically; the same trick
+    generalizes to any table-driven codec. Output is the check-
+    digit distribution over customer keys (near-uniform for a good
+    quasigroup), keeping the whole fold under one projection +
+    grid agg."""
+    c = table(spark, sf_dir, "customer")
+    keyed = c.selectExpr(
+        "c_custkey", f"{_damm_sql('c_custkey')} AS damm"
+    )
+    return keyed.groupBy(F.col("damm").alias("check_digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.sum(F.when(F.col("damm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_self_valid"),
+    )

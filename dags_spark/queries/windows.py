@@ -6063,3 +6063,100 @@ def ts_walkforward_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(actual AS BIGINT) AS actual_c",
         "ROUND(abs(a + b*(cutoff + 1) - actual), 6) AS abs_error_c",
     )
+
+
+@register(
+    "ts_alpha_beta_filter",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS t,
+         CAST(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS DOUBLE) AS y
+  FROM events GROUP BY t
+),
+h AS (
+  SELECT 1 AS t, y AS x, CAST(0 AS DOUBLE) AS v,
+         CAST(NULL AS DOUBLE) AS resid
+  FROM daily WHERE t = 1
+  UNION ALL
+  SELECT d.t,
+         (h.x + h.v) + 0.5 * (d.y - (h.x + h.v)),
+         h.v + 0.25 * (d.y - (h.x + h.v)),
+         d.y - (h.x + h.v)
+  FROM h JOIN daily d ON d.t = h.t + 1
+)
+SELECT t,
+       ROUND(x, 6) AS level_c,
+       ROUND(v, 6) AS velocity_c,
+       ROUND(resid, 6) AS innovation_c
+FROM h WHERE t > 1
+""",
+    tags=("timeseries", "events", "iterative"),
+)
+def ts_alpha_beta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALPHA-BETA (g-h) FILTER — the steady-state Kalman filter for
+    a constant-velocity state, the tracking-and-telemetry workhorse
+    when you cannot afford covariance updates: predict x' = x + v,
+    measure the innovation r = y - x', correct x += alpha*r,
+    v += beta*r. Gains are DYADIC (alpha = 1/2, beta = 1/4), so
+    like the Holt/Croston folds every update is an exact IEEE
+    halving chain — the Spark aggregate() fold and the DuckDB
+    recursive CTE agree bit-for-bit, no quantization. Emits the
+    per-day level, velocity, and innovation (the residual stream an
+    anomaly monitor would alarm on). One daily hash-agg; the fold
+    runs on the 30-day model."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            + 1
+        ).alias("t")
+    ).agg(F.sum(cents("value")).cast("bigint").cast("double").alias("y"))
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("t", "y"))).alias("ys")
+    )
+    out_t = "array<struct<t:bigint,x:double,v:double,resid:double>>"
+    acc_t = f"struct<n:int,x:double,v:double,out:{out_t}>"
+    init = F.expr(
+        f"CAST(struct(0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), array())"
+        f" AS {acc_t})"
+    )
+
+    def step(acc, e):
+        first = F.struct(
+            F.lit(1).alias("n"),
+            e.y.alias("x"),
+            F.lit(0.0).alias("v"),
+            acc.out.alias("out"),
+        )
+        pred = acc.x + acc.v
+        resid = e.y - pred
+        new_x = pred + 0.5 * resid
+        new_v = acc.v + 0.25 * resid
+        stepped = F.struct(
+            (acc.n + 1).alias("n"),
+            new_x.alias("x"),
+            new_v.alias("v"),
+            F.concat(
+                acc.out,
+                F.array(
+                    F.struct(
+                        e.t.alias("t"),
+                        new_x.alias("x"),
+                        new_v.alias("v"),
+                        resid.alias("resid"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        return F.when(acc.n == 0, first).otherwise(stepped)
+
+    folded = arr.select(
+        F.aggregate(F.col("ys"), init, step).getField("out").alias("out")
+    )
+    return folded.select(F.explode("out").alias("o")).select(
+        F.col("o.t").alias("t"),
+        F.round("o.x", 6).alias("level_c"),
+        F.round("o.v", 6).alias("velocity_c"),
+        F.round("o.resid", 6).alias("innovation_c"),
+    )

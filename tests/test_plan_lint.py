@@ -98,6 +98,9 @@ ALLOWED = {
     # walk-forward: prefix-moment window over the 30-day grid,
     # 3-literal cutoff spine broadcast back.
     "ts_walkforward_ols": {"cartesian", "single-partition-exchange"},
+    # alpha-beta filter folds the 30-day collapsed grid, same class
+    # as ts_holt_winters_seasonal.
+    "ts_alpha_beta_filter": {"single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast

@@ -775,3 +775,33 @@ def test_hurst_rs_matches_numpy(spark, duck):
         ys.append(np.log(mean_rs))
     h, _ = np.polyfit(xs, ys, 1)
     assert abs(got["hurst_h"] - h) < 1e-5
+
+
+def test_damm_matches_reference_algorithm(spark, duck):
+    table = [
+        [0, 3, 1, 7, 5, 9, 8, 6, 4, 2],
+        [7, 0, 9, 2, 1, 5, 4, 8, 6, 3],
+        [4, 2, 0, 6, 8, 7, 1, 3, 5, 9],
+        [1, 7, 5, 0, 9, 8, 3, 4, 2, 6],
+        [6, 1, 2, 3, 0, 4, 5, 9, 7, 8],
+        [3, 6, 7, 4, 2, 0, 9, 5, 8, 1],
+        [5, 8, 6, 9, 7, 2, 0, 1, 3, 4],
+        [8, 9, 4, 5, 3, 6, 2, 0, 1, 7],
+        [9, 4, 3, 8, 6, 1, 7, 2, 0, 5],
+        [2, 5, 8, 1, 4, 3, 6, 7, 9, 0],
+    ]
+
+    def damm(s):
+        interim = 0
+        for ch in s:
+            interim = table[interim][int(ch)]
+        return interim
+
+    assert damm("572") == 4  # the classic worked example
+    got = _run(spark, "fn_damm_checksum")
+    keys = duck.execute("SELECT c_custkey FROM customer").df()["c_custkey"]
+    from collections import Counter
+
+    ref = Counter(damm(str(int(k)).zfill(7)) for k in keys)
+    for _, r in got.iterrows():
+        assert int(r["n_keys"]) == ref[int(r["check_digit"])]
