@@ -1786,3 +1786,89 @@ def source_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("revenue"),
     )
+
+
+@register(
+    "table_format_deletion_vectors",
+    oracle="""
+WITH combined AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+),
+alive AS (SELECT * FROM combined WHERE o_orderkey % 9 <> 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_c,
+       CAST((SELECT COUNT(*) FROM combined WHERE o_orderkey % 9 = 0)
+         AS BIGINT) AS n_deleted,
+       CAST(4 AS BIGINT) AS n_data_files,
+       TRUE AS data_files_untouched,
+       CAST(1 AS BIGINT) AS n_dv_files,
+       TRUE AS compact_materializes_dvs
+FROM alive
+""",
+    tags=("table-format", "sink"),
+)
+def table_format_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (merge-on-read) — the lakehouse delete
+    strategy table_format_delete's copy-on-write contrasts against,
+    now implemented for real in the tablelog format: two appends
+    (2 files each), then delete_mor() stamps the matched keys as ONE
+    DV sidecar parquet while the four data files stay byte-for-byte
+    in place (the commit is O(deleted keys), the read pays an
+    anti-join), and a final compact() MATERIALIZES the DVs — it
+    rewrites from the DV-applied read and drops the sidecars. The
+    key asserts the whole lifecycle in its output row: row count
+    and cent sum after the MOR delete, that the delete commit kept
+    the exact base file list, the DV count, and that post-compact
+    the DVs are gone with values unchanged. Oracle recomputes the
+    surviving set relationally."""
+    import os
+
+    from ..tablelog import tmp_table
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = tmp_table("dags_dv_")
+    t.write(o.filter(F.col("o_orderkey") % 4 == 0).repartition(2), "append")
+    t.write(o.filter(F.col("o_orderkey") % 4 == 1).repartition(2), "append")
+    before = t.snapshot()["files"]
+    keys = (
+        t.read(spark)
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey")
+    )
+    n_deleted = keys.count()
+    t.delete_mor(spark, keys, ["o_orderkey"])
+    snap = t.snapshot()
+    after = snap["files"]
+    got = t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("total_c"),
+    )
+    row = got.collect()[0]
+    # compact() must materialize the deletes and drop the sidecars
+    t.compact(spark, target_files=1)
+    final = t.snapshot()
+    compacted_ok = (
+        not final.get("dvs")
+        and t.read(spark).count() == row["n_rows"]
+    )
+    # DV sidecars from the pre-compact commit still exist on disk for
+    # time travel until vacuum
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["total_c"],
+                n_deleted,
+                len(after),
+                before == after,
+                len(snap.get("dvs", [])),
+                bool(compacted_ok),
+            )
+        ],
+        "n_rows bigint, total_c bigint, n_deleted bigint,"
+        " n_data_files bigint, data_files_untouched boolean,"
+        " n_dv_files bigint, compact_materializes_dvs boolean",
+    )

@@ -6160,3 +6160,81 @@ def ts_alpha_beta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o.v", 6).alias("velocity_c"),
         F.round("o.resid", 6).alias("innovation_c"),
     )
+
+
+@register(
+    "win_record_highs",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day
+),
+runmax AS (
+  SELECT day, c,
+         MAX(c) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM daily
+),
+records AS (
+  SELECT day, c, rn,
+         CASE WHEN prev_max IS NULL OR c > prev_max THEN 1 ELSE 0 END
+           AS is_record
+  FROM runmax
+),
+gaps AS (
+  SELECT day, c, rn, is_record,
+         rn - LAG(rn) OVER (ORDER BY day) AS days_since_prev_record
+  FROM records WHERE is_record = 1
+)
+SELECT day, c AS revenue_c, rn AS day_number,
+       COALESCE(days_since_prev_record, 0) AS days_since_prev_record
+FROM gaps
+""",
+    tags=("events", "window", "timeseries"),
+)
+def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD HIGHS — 'best day ever' analytics: the days that set a
+    new all-time revenue record and the spacing between successive
+    records (under a random i.i.d. series the k-th record waits
+    ~e times longer than the (k-1)-th — stretching record gaps are
+    themselves a stationarity signal). A record is one comparison
+    against the running max over a frame ending at 1 PRECEDING
+    (CURRENT ROW would make every day trivially a record — the
+    same frame-bound lesson as last-touch attribution); gaps are a
+    LAG over the filtered record rows. Exact integer cents
+    end-to-end on the 30-day grid."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("c")
+    )
+    wd = Window.orderBy("day")
+    runmax = daily.select(
+        "day",
+        "c",
+        F.max("c")
+        .over(wd.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    records = runmax.filter(
+        F.col("prev_max").isNull() | (F.col("c") > F.col("prev_max"))
+    )
+    gaps = records.select(
+        "day",
+        "c",
+        "rn",
+        (F.col("rn") - F.lag("rn").over(Window.orderBy("day"))).alias(
+            "days_since_prev_record"
+        ),
+    )
+    return gaps.select(
+        "day",
+        F.col("c").alias("revenue_c"),
+        F.col("rn").alias("day_number"),
+        F.coalesce("days_since_prev_record", F.lit(0)).alias(
+            "days_since_prev_record"
+        ),
+    )

@@ -123,9 +123,13 @@ class TableLog:
         base = self.snapshot()
         version = base["version"] + 1
         files = new_files if mode == "overwrite" else base["files"] + new_files
-        self._publish(
-            version, {"version": version, "mode": mode, "files": files}
-        )
+        entry = {"version": version, "mode": mode, "files": files}
+        if mode == "append" and base.get("dvs"):
+            # merge-on-read deletes survive appends untouched: the DV
+            # sidecars keep masking the files they were stamped for.
+            entry["dvs"] = base["dvs"]
+            entry["dv_keys"] = base["dv_keys"]
+        self._publish(version, entry)
         return version
 
     def merge(
@@ -241,6 +245,55 @@ class TableLog:
         )
         return version
 
+    def delete_mor(
+        self,
+        spark: SparkSession,
+        df_keys: DataFrame,
+        keys: list[str],
+        base_version: int | None = None,
+    ) -> int:
+        """MERGE-ON-READ delete — the deletion-vector half that
+        delete() documents by contrast: the matched keys are written
+        as a DV SIDECAR parquet and the data files stay bit-for-bit
+        in place; read() applies the DV anti-join at scan time.
+        This is the write-cheap/read-taxed tradeoff real lakehouse
+        formats expose (Delta DVs, Iceberg position deletes):
+        deletes commit in O(deleted keys), and a later compact()
+        naturally MATERIALIZES them (it rewrites from read(), which
+        applies DVs) and drops the sidecars. Same optimistic
+        versioning as every other commit."""
+        snap = self.snapshot(base_version)
+        if not snap["files"]:
+            raise ValueError("nothing to delete from")
+        if snap.get("dv_keys") not in (None, keys):
+            raise ValueError("DV key columns must match prior DVs")
+        staging = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
+        df_keys.select(*keys).dropDuplicates(keys).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        dv_files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = f"dv-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.path, dst))
+            dv_files.append(dst)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        version = snap["version"] + 1
+        self._publish(
+            version,
+            {
+                "version": version,
+                "mode": "delete-mor",
+                "files": snap["files"],
+                "dvs": snap.get("dvs", []) + dv_files,
+                "dv_keys": keys,
+            },
+        )
+        return version
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the current snapshot's many small files
         as `target_files` larger ones and commit the swap as a new
@@ -334,7 +387,14 @@ class TableLog:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        if snap.get("dvs"):
+            dv_paths = [os.path.join(self.path, f) for f in snap["dvs"]]
+            dv = spark.read.parquet(*dv_paths).dropDuplicates(
+                snap["dv_keys"]
+            )
+            df = df.join(dv, on=snap["dv_keys"], how="left_anti")
+        return df
 
 
 def tmp_table(prefix: str = "dags_tablelog_") -> TableLog:

@@ -536,3 +536,33 @@ def test_srt_parser_rejects_malformed():
         parse_srt(good.replace("1\n00:", "9\n00:", 1))
     with pytest.raises(ValueError, match="short cue"):
         parse_srt("1\n00:00:00,000 --> 00:00:01,000")
+
+
+def test_delete_mor_lifecycle(spark):
+    """MOR deletes: sidecar commit leaves data files in place, read
+    applies the mask, appends carry DVs forward, compaction
+    materializes them and drops the sidecars, and prior versions
+    still time-travel to the undeleted rows."""
+    from dags_spark.tablelog import tmp_table
+
+    t = tmp_table("dags_dv_test_")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    v1 = t.write(df.repartition(2), "append")
+    keys = spark.range(0, 100, 10).selectExpr("id AS k")
+    v2 = t.delete_mor(spark, keys, ["k"])
+    snap = t.snapshot()
+    assert snap["files"] == t.snapshot(v1)["files"]  # untouched
+    assert len(snap["dvs"]) == 1
+    assert t.read(spark).count() == 90
+    # time travel to v1 still sees all rows
+    assert t.read(spark, version=v1).count() == 100
+    # append carries the DV mask forward
+    t.write(spark.range(100, 110).selectExpr("id AS k", "id * 2 AS v"), "append")
+    assert t.read(spark).count() == 100  # 90 + 10 new
+    assert t.snapshot().get("dvs")
+    # compact materializes
+    t.compact(spark, target_files=1)
+    final = t.snapshot()
+    assert not final.get("dvs")
+    assert t.read(spark).count() == 100
+    assert v2 == v1 + 1
