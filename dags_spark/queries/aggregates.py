@@ -5121,3 +5121,185 @@ def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "stats_mcnemar_paired",
+    oracle="""
+WITH y97 AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+  WHERE date_part('year', o_orderdate) = 1997
+),
+y98 AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+  WHERE date_part('year', o_orderdate) = 1998
+),
+paired AS (
+  SELECT c.c_custkey,
+         CASE WHEN a.ck IS NOT NULL THEN 1 ELSE 0 END AS in97,
+         CASE WHEN b.ck IS NOT NULL THEN 1 ELSE 0 END AS in98
+  FROM customer c
+  LEFT JOIN y97 a ON c.c_custkey = a.ck
+  LEFT JOIN y98 b ON c.c_custkey = b.ck
+),
+cells AS (
+  SELECT CAST(SUM(in97 * in98) AS BIGINT) AS both_active,
+         CAST(SUM(in97 * (1 - in98)) AS BIGINT) AS b_lost,
+         CAST(SUM((1 - in97) * in98) AS BIGINT) AS c_gained,
+         CAST(SUM((1 - in97) * (1 - in98)) AS BIGINT) AS neither
+  FROM paired
+)
+SELECT both_active, b_lost, c_gained, neither,
+       ROUND(pow(b_lost - CAST(c_gained AS DOUBLE), 2)
+             / (b_lost + CAST(c_gained AS DOUBLE)), 6) AS mcnemar_chi2,
+       ROUND((b_lost - CAST(c_gained AS DOUBLE))
+             / sqrt(b_lost + CAST(c_gained AS DOUBLE)), 6) AS z
+FROM cells
+""",
+    tags=("stats", "orders", "customer"),
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the PAIRED version of the two-proportion
+    test (the unpaired z-test double-counts the stable customers):
+    did activity change between 1997 and 1998, judged ONLY on the
+    discordant pairs — customers active in '97 but not '98 (b)
+    versus the reverse (c); chi2 = (b-c)^2/(b+c). This is the right
+    test for before/after comparisons on the SAME population —
+    churn vs reactivation asymmetry in one number. Two distinct
+    scans and two dim-keyed left joins produce exact 2x2 cell
+    counts; the statistic is one shared double tree."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    y97 = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("ck97"))
+        .distinct()
+    )
+    y98 = (
+        o.filter(F.year("o_orderdate") == 1998)
+        .select(F.col("o_custkey").alias("ck98"))
+        .distinct()
+    )
+    paired = (
+        c.join(y97, c["c_custkey"] == y97["ck97"], "left")
+        .join(y98, c["c_custkey"] == y98["ck98"], "left")
+        .select(
+            F.when(F.col("ck97").isNotNull(), 1).otherwise(0).alias("in97"),
+            F.when(F.col("ck98").isNotNull(), 1).otherwise(0).alias("in98"),
+        )
+    )
+    cells = paired.agg(
+        F.sum(F.col("in97") * F.col("in98")).cast("bigint").alias("both_active"),
+        F.sum(F.col("in97") * (1 - F.col("in98"))).cast("bigint").alias("b_lost"),
+        F.sum((1 - F.col("in97")) * F.col("in98"))
+        .cast("bigint")
+        .alias("c_gained"),
+        F.sum((1 - F.col("in97")) * (1 - F.col("in98")))
+        .cast("bigint")
+        .alias("neither"),
+    )
+    return cells.selectExpr(
+        "both_active",
+        "b_lost",
+        "c_gained",
+        "neither",
+        "ROUND(pow(b_lost - CAST(c_gained AS DOUBLE), 2)"
+        " / (b_lost + CAST(c_gained AS DOUBLE)), 6) AS mcnemar_chi2",
+        "ROUND((b_lost - CAST(c_gained AS DOUBLE))"
+        " / sqrt(b_lost + CAST(c_gained AS DOUBLE)), 6) AS z",
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle="""
+WITH med AS (
+  SELECT CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+    AS med_c
+  FROM (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100, 0)
+                                             AS BIGINT), o_orderkey) AS rn,
+           COUNT(*) OVER () AS n
+    FROM orders
+  )
+),
+rated AS (
+  SELECT CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                   > (SELECT med_c FROM med) THEN 1 ELSE 0 END AS r1,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r2
+  FROM orders
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r1 * r2) AS BIGINT) AS a,
+         CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+         CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+         CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS d
+  FROM rated
+)
+SELECT n, a, b, c, d,
+       ROUND((CAST(a + d AS DOUBLE) / n
+              - (CAST(a + b AS DOUBLE) * (a + c)
+                 + CAST(c + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(a + b AS DOUBLE) * (a + c)
+                       + CAST(c + d AS DOUBLE) * (b + d))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa,
+       ROUND(CAST(a + d AS DOUBLE) / n, 6) AS raw_agreement
+FROM cells
+""",
+    tags=("stats", "orders"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA — agreement between two labelers CORRECTED FOR
+    CHANCE (raw agreement flatters whenever the base rates are
+    lopsided — the standard gotcha when judging LLM-judge vs human
+    labels): here two deterministic 'raters' of every order
+    (above-median value vs fulfilled status), kappa = (p_o - p_e) /
+    (1 - p_e) with p_e from the raters' marginals. The 2x2 cells
+    are one exact-count pass after a tie-pinned lower-median split;
+    kappa is one shared double tree. The labeler-QC companion to
+    the krippendorff-free eval family (auc, lift, MAP)."""
+    o = table(spark, sf_dir, "orders")
+    cents_c = cents("o_totalprice")
+    ranked = o.select(
+        cents_c.alias("cents"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number()
+        .over(Window.orderBy(cents_c, "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")))
+        .cast("bigint")
+        .alias("med_c")
+    )
+    rated = o.crossJoin(F.broadcast(med)).select(
+        F.when(cents("o_totalprice") > F.col("med_c"), 1)
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r2"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("bigint").alias("a"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).cast("bigint").alias("d"),
+    )
+    return cells.selectExpr(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        "ROUND((CAST(a + d AS DOUBLE) / n"
+        " - (CAST(a + b AS DOUBLE) * (a + c)"
+        " + CAST(c + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n))"
+        " / (1.0 - (CAST(a + b AS DOUBLE) * (a + c)"
+        " + CAST(c + d AS DOUBLE) * (b + d))"
+        " / (CAST(n AS DOUBLE) * n)), 6) AS kappa",
+        "ROUND(CAST(a + d AS DOUBLE) / n, 6) AS raw_agreement",
+    )

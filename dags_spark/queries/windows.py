@@ -6238,3 +6238,70 @@ def win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev_record"
         ),
     )
+
+
+@register(
+    "win_dwell_time_by_state",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS eu, event_id,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_eu
+  FROM events
+),
+spans AS (
+  SELECT event_type, next_eu - eu AS dwell_us
+  FROM ev WHERE next_eu IS NOT NULL
+),
+tot AS (SELECT CAST(SUM(dwell_us) AS BIGINT) AS t FROM spans)
+SELECT event_type AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(dwell_us) AS BIGINT) AS dwell_us,
+       ROUND(CAST(SUM(dwell_us) AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS share_of_time,
+       CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS mean_dwell_us
+FROM spans GROUP BY event_type
+""",
+    tags=("events", "window"),
+)
+def win_dwell_time_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWELL TIME BY STATE — the screen-time decomposition: each
+    event OWNS the interval until the user's next event, so summing
+    owned intervals per event type answers 'where does user time
+    actually go' (counting events answers only 'what do users
+    click', and the two rankings routinely disagree). Final spans
+    are censored and dropped, same reasoning as the growth-
+    accounting edge. One LEAD per user timeline, one type-grid agg;
+    exact integer microseconds, mean dwell as exact integer
+    division."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        ev.select(
+            "event_type",
+            F.unix_micros("ts").alias("eu"),
+            F.lead(F.unix_micros("ts")).over(w).alias("next_eu"),
+        )
+        .filter(F.col("next_eu").isNotNull())
+        .select("event_type", (F.col("next_eu") - F.col("eu")).alias("dwell_us"))
+    )
+    tot = spans.agg(F.sum("dwell_us").cast("bigint").alias("t"))
+    return (
+        spans.groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("dwell_us").cast("bigint").alias("dwell_us"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            "n_spans",
+            "dwell_us",
+            F.round(F.col("dwell_us").cast("double") / F.col("t"), 6).alias(
+                "share_of_time"
+            ),
+            F.expr("dwell_us div n_spans").cast("bigint").alias(
+                "mean_dwell_us"
+            ),
+        )
+    )

@@ -101,6 +101,11 @@ ALLOWED = {
     # alpha-beta filter folds the 30-day collapsed grid, same class
     # as ts_holt_winters_seasonal.
     "ts_alpha_beta_filter": {"single-partition-exchange"},
+    # dwell/kappa cross 1-row totals/medians (scalar-subquery
+    # shape); kappa's median rank additionally needs one global
+    # order over orders (two-pass range sort at 100 TB).
+    "win_dwell_time_by_state": {"cartesian", "single-partition-exchange"},
+    "stats_cohens_kappa": {"cartesian", "single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
