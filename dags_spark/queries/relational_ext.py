@@ -5547,3 +5547,96 @@ def agg_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_next").cast("double") / F.col("n_customers_at_least_k"), 6
         ).alias("next_order_prob"),
     )
+
+
+@register(
+    "dq_checksum_bisect",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders
+),
+b AS (
+  SELECT k, CASE WHEN k % 1000 = 7 THEN v + 1 ELSE v END AS v FROM a
+),
+ca AS (
+  SELECT k % 16 AS bucket,
+         CAST(SUM(CAST(hash(CAST(k AS VARCHAR) || ':' ||
+                            CAST(v AS VARCHAR)) % 1000003 AS BIGINT))
+           AS BIGINT) AS sig,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a GROUP BY bucket
+),
+cb AS (
+  SELECT k % 16 AS bucket,
+         CAST(SUM(CAST(hash(CAST(k AS VARCHAR) || ':' ||
+                            CAST(v AS VARCHAR)) % 1000003 AS BIGINT))
+           AS BIGINT) AS sig,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY bucket
+)
+SELECT ca.bucket,
+       ca.n AS n_rows,
+       ca.sig <> cb.sig AS differs,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (k)
+             WHERE a.v <> b.v AND a.k % 16 = ca.bucket) AS BIGINT)
+         AS n_corrupt_rows
+FROM ca JOIN cb ON ca.bucket = cb.bucket
+""",
+    tags=("dq",),
+)
+def dq_checksum_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM BISECTION — how you actually FIND a corrupt range
+    between two copies of a 100 TB table without comparing rows:
+    both sides compute order-insensitive per-bucket signatures (sum
+    of row hashes over key%16 buckets — O(buckets) to exchange, not
+    O(rows)), mismatched buckets point at the corruption, and only
+    those buckets pay the row-level diff. The fixture plants a
+    1-cent corruption on keys % 1000 = 7 in copy B, so exactly the
+    buckets containing such keys flag. The signature is DELIBERATELY
+    engine-pinned: both sides hash the same canonical string with
+    the engine's OWN hash and the comparison is within-engine
+    (A vs B), so the oracle check certifies the bisection logic
+    while each engine keeps its native row-hash — the portable part
+    is the protocol, not the hash."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("v")
+    )
+    b = a.select(
+        "k",
+        F.when(F.col("k") % 1000 == 7, F.col("v") + 1)
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+
+    def sig(df):
+        h = F.expr(
+            "CAST(hash(CAST(k AS STRING) || ':' || CAST(v AS STRING))"
+            " % 1000003 AS BIGINT)"
+        )
+        return df.groupBy((F.col("k") % 16).alias("bucket")).agg(
+            F.sum(h).cast("bigint").alias("sig"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    ca, cb = sig(a), sig(b).withColumnRenamed("sig", "sig_b")
+    corrupt = (
+        a.alias("a")
+        .join(b.alias("b"), "k")
+        .filter(F.col("a.v") != F.col("b.v"))
+        .groupBy((F.col("k") % 16).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_corrupt"))
+    )
+    return (
+        ca.join(cb.select("bucket", "sig_b"), "bucket")
+        .join(F.broadcast(corrupt), "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n").alias("n_rows"),
+            (F.col("sig") != F.col("sig_b")).alias("differs"),
+            F.coalesce("n_corrupt", F.lit(0))
+            .cast("bigint")
+            .alias("n_corrupt_rows"),
+        )
+    )

@@ -1872,3 +1872,51 @@ def table_format_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
         " n_data_files bigint, data_files_untouched boolean,"
         " n_dv_files bigint, compact_materializes_dvs boolean",
     )
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders WHERE o_orderkey % 10 = 3
+GROUP BY status
+""",
+    tags=("source",),
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH TEXT SOURCE — the mainframe/legacy interchange
+    format (COBOL copybooks, bank clearing files) that has no
+    delimiter to split on: a 34-byte record layout (orderkey 12,
+    status 1, zero-padded cents 15, priority-digit 1, filler 5) is
+    WRITTEN as spark.write.text and read back by POSITION —
+    substr() against the copybook offsets, the only correct parse
+    (splitting on whitespace corrupts zero-padded amounts and blank
+    fillers). Round-trips a 10% order sample and re-aggregates; the
+    oracle computes the same rollup relationally, so the hash
+    certifies the byte-offset arithmetic. At 100 TB: text scan +
+    projection — pushdown-free by nature of the format, which is
+    exactly why these files get converted to parquet on landing."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    rec = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(cents("o_totalprice").cast("string"), 15, "0"),
+        F.substring("o_orderpriority", 1, 1),
+        F.lit("     "),
+    )
+    path = tempfile.mkdtemp(prefix="dags_fixedwidth_") + "/data"
+    o.select(rec.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 13, 1).alias("status"),
+        F.substring("value", 14, 15).cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+    )

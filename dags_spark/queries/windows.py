@@ -6305,3 +6305,107 @@ def win_dwell_time_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "funnel_window_clickhouse",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS eu, event_id FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(eu) AS t_view
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+l2 AS (
+  SELECT f.user_id, f.t_view, MIN(e.eu) AS t_click
+  FROM firsts f JOIN ev e ON e.user_id = f.user_id
+  WHERE e.event_type = 'click' AND e.eu > f.t_view
+    AND e.eu <= f.t_view + 86400000000
+  GROUP BY f.user_id, f.t_view
+),
+l3 AS (
+  SELECT c.user_id, MIN(e.eu) AS t_buy
+  FROM l2 c JOIN ev e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.eu > c.t_click
+    AND e.eu <= c.t_view + 86400000000
+  GROUP BY c.user_id
+),
+levels AS (
+  SELECT f.user_id,
+         CASE WHEN l3.user_id IS NOT NULL THEN 3
+              WHEN l2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS level
+  FROM firsts f
+  LEFT JOIN l2 ON f.user_id = l2.user_id
+  LEFT JOIN l3 ON f.user_id = l3.user_id
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS sample_user
+FROM levels GROUP BY level
+""",
+    tags=("events", "funnel", "window"),
+)
+def funnel_window_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED FUNNEL (the ClickHouse windowFunnel semantic) —
+    view -> click -> purchase where EVERY later stage must land
+    within 24h OF THE FIRST stage (not of the previous one — the
+    difference between 'converted within a day' and a chain of
+    slow hops; funnel_ordered_3step is the unwindowed cousin) and
+    stages must be strictly ordered in time. Each level is one
+    conditional-MIN semi-join anchored on the previous level's
+    timestamp — levels build left-to-right exactly like the
+    engine's own sequenceMatch state machine, and every timestamp
+    comparison is exact integer microseconds. Per-level user counts
+    out; user-keyed joins co-partition at 100 TB."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("eu")
+    )
+    day_us = 86400000000
+    firsts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("eu").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("eu").alias("ceu")
+    )
+    l2 = (
+        firsts.join(clicks, firsts["user_id"] == clicks["cu"])
+        .filter(
+            (F.col("ceu") > F.col("t_view"))
+            & (F.col("ceu") <= F.col("t_view") + day_us)
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ceu").alias("t_click"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("eu").alias("beu")
+    )
+    l3 = (
+        l2.join(buys, l2["user_id"] == buys["bu"])
+        .filter(
+            (F.col("beu") > F.col("t_click"))
+            & (F.col("beu") <= F.col("t_view") + day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("beu").alias("t_buy"))
+    )
+    levels = (
+        firsts.join(
+            l2.select("user_id", F.lit(1).alias("has2")), "user_id", "left"
+        )
+        .join(l3.select("user_id", F.lit(1).alias("has3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("has3").isNotNull(), 3)
+            .when(F.col("has2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("level"),
+        )
+    )
+    return levels.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )
