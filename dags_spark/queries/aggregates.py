@@ -5303,3 +5303,158 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n AS DOUBLE) * n)), 6) AS kappa",
         "ROUND(CAST(a + d AS DOUBLE) / n, 6) AS raw_agreement",
     )
+
+
+@register(
+    "agg_var_expected_shortfall",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day
+),
+chg AS (
+  SELECT day, c - LAG(c) OVER (ORDER BY day) AS delta
+  FROM daily
+),
+ranked AS (
+  SELECT delta,
+         ROW_NUMBER() OVER (ORDER BY delta, day) AS rn,
+         COUNT(*) OVER () AS n
+  FROM chg WHERE delta IS NOT NULL
+),
+var AS (
+  SELECT CAST(MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                       THEN delta END) AS BIGINT) AS var95,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT v.n,
+       v.var95 AS var95_c,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST(SUM(r.delta) AS BIGINT) AS tail_sum_c,
+       ROUND(CAST(SUM(r.delta) AS DOUBLE) / COUNT(*), 6) AS es95_c
+FROM ranked r CROSS JOIN var v
+WHERE r.delta <= v.var95
+GROUP BY v.n, v.var95
+""",
+    tags=("stats", "events", "finance"),
+)
+def agg_var_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTORICAL VALUE-AT-RISK + EXPECTED SHORTFALL — the risk
+    pair on day-over-day revenue changes: VaR95 is the explicit
+    type-1 order statistic at rank ceil(0.05*n) of the deltas (an
+    ACTUAL observed loss, no interpolation), and ES95 — the measure
+    Basel replaced VaR with, because VaR says nothing about how bad
+    the tail IS — averages every delta at or below it. Deltas are
+    exact integer cents off one LAG; ES is a ratio of exact tail
+    sums. One pinned rank over the 29-delta grid."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("c")
+    )
+    chg = daily.select(
+        "day", (F.col("c") - F.lag("c").over(Window.orderBy("day"))).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    ranked = chg.select(
+        "delta",
+        F.row_number().over(Window.orderBy("delta", "day")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    var = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("CAST(CEIL(0.05 * n) AS BIGINT)"),
+                F.col("delta"),
+            )
+        )
+        .cast("bigint")
+        .alias("var95"),
+        F.max("n").cast("bigint").alias("n_tot"),
+    )
+    tail = ranked.drop("n").crossJoin(F.broadcast(var)).filter(
+        F.col("delta") <= F.col("var95")
+    )
+    return tail.groupBy(
+        F.col("n_tot").alias("n"), F.col("var95").alias("var95_c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("delta").cast("bigint").alias("tail_sum_c"),
+        F.round(F.sum("delta").cast("double") / F.count(F.lit(1)), 6).alias(
+            "es95_c"
+        ),
+    ).select("n", "var95_c", "n_tail", "tail_sum_c", "es95_c")
+
+
+@register(
+    "stats_odds_ratio",
+    oracle="""
+WITH flagged AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS outcome
+  FROM orders
+),
+cells AS (
+  SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+         CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+         CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+         CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+  FROM flagged
+)
+SELECT a, b, c, d,
+       ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+         AS odds_ratio,
+       ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+         AS ci95_lo,
+       ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+         AS ci95_hi
+FROM cells
+""",
+    tags=("stats", "orders"),
+)
+def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODDS RATIO with the WOOLF LOG-INTERVAL — epidemiology's 2x2
+    effect measure (and logistic regression's exponentiated
+    coefficient): odds of fulfillment for high-priority vs
+    low-priority orders, OR = ad/bc, with the 95% CI from the
+    log-OR's delta-method variance 1/a + 1/b + 1/c + 1/d. Exact
+    cell counts from one conditional-sum pass; OR and both bounds
+    are single shared double trees (the z constant is pinned as a
+    literal, so there is no inverse-normal to disagree on). An
+    interval excluding 1 is the significance read-out."""
+    o = table(spark, sf_dir, "orders")
+    flagged = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("exposed"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("outcome"),
+    )
+    cells = flagged.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return cells.selectExpr(
+        "a",
+        "b",
+        "c",
+        "d",
+        "ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)"
+        " AS odds_ratio",
+        "ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+        " - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci95_lo",
+        "ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+        " + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci95_hi",
+    )

@@ -106,6 +106,11 @@ ALLOWED = {
     # order over orders (two-pass range sort at 100 TB).
     "win_dwell_time_by_state": {"cartesian", "single-partition-exchange"},
     "stats_cohens_kappa": {"cartesian", "single-partition-exchange"},
+    # VaR crosses the 1-row rank-5%/n row into the 29-delta grid;
+    # odds ratio / McNemar are 1-row cell aggregates.
+    "agg_var_expected_shortfall": {"cartesian", "single-partition-exchange"},
+    "stats_odds_ratio": {"single-partition-exchange"},
+    "stats_mcnemar_paired": {"single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
