@@ -111,6 +111,8 @@ ALLOWED = {
     "agg_var_expected_shortfall": {"cartesian", "single-partition-exchange"},
     "stats_odds_ratio": {"single-partition-exchange"},
     "stats_mcnemar_paired": {"single-partition-exchange"},
+    # record highs window the 30-day collapsed daily grid globally
+    "win_record_highs": {"single-partition-exchange"},
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
