@@ -5458,3 +5458,115 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
         " + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci95_hi",
     )
+
+
+@register(
+    "agg_price_dispersion",
+    oracle="""
+WITH x AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(l.l_extendedprice / l.l_quantity * 100, 0) AS BIGINT)
+           AS unit_c,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ranked AS (
+  SELECT brand, unit_c,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY unit_c, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY brand) AS n
+  FROM x
+),
+quart AS (
+  SELECT brand,
+         CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN unit_c END) AS BIGINT)
+           AS q1_c,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN unit_c END) AS BIGINT)
+           AS med_c,
+         CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN unit_c END)
+           AS BIGINT) AS q3_c
+  FROM ranked GROUP BY brand
+),
+mom AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(unit_c) AS BIGINT) AS s,
+         SUM(CAST(unit_c AS HUGEINT) * unit_c) AS ss
+  FROM x GROUP BY brand
+)
+SELECT m.brand, m.n,
+       ROUND(CAST(m.s AS DOUBLE) / m.n, 6) AS mean_unit_c,
+       q.med_c,
+       ROUND(sqrt(CAST(m.ss AS DOUBLE)/m.n
+                  - (CAST(m.s AS DOUBLE)/m.n)*(CAST(m.s AS DOUBLE)/m.n))
+             / (CAST(m.s AS DOUBLE)/m.n), 6) AS cv,
+       ROUND(CAST(q.q3_c - q.q1_c AS DOUBLE) / q.med_c, 6)
+         AS iqr_over_median
+FROM mom m JOIN quart q ON m.brand = q.brand
+""",
+    tags=("agg", "lineitem", "part", "finance"),
+)
+def agg_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE DISPERSION — the 'law of one price' violation measure
+    economists track per market (here per brand): the coefficient
+    of variation (sigma over mean, from exact HUGEINT/DECIMAL38
+    moment sums) next to the robust IQR-over-median (quartiles as
+    tie-pinned lower order statistics at ranks (n+3)//4 and
+    (3n+3)//4) — reporting BOTH is the point, since a single fat
+    outlier inflates CV while the quartile ratio holds still. Unit
+    prices quantize to integer cents once at the source. One window
+    rank + two brand-grid aggs."""
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0)
+        .cast("bigint")
+        .alias("unit_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wb = Window.partitionBy("brand").orderBy(
+        "unit_c", "l_orderkey", "l_linenumber"
+    )
+    ranked = x.select(
+        "brand",
+        "unit_c",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("brand")).alias("n"),
+    )
+    quart = ranked.groupBy("brand").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("unit_c")))
+        .cast("bigint")
+        .alias("q1_c"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("unit_c")))
+        .cast("bigint")
+        .alias("med_c"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("unit_c"))
+        )
+        .cast("bigint")
+        .alias("q3_c"),
+    )
+    mom = x.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("unit_c").cast("bigint").alias("s"),
+        F.sum((F.col("unit_c") * F.col("unit_c")).cast("decimal(38,0)")).alias(
+            "ss"
+        ),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return mom.join(quart, "brand").select(
+        "brand",
+        "n",
+        F.round(mean, 6).alias("mean_unit_c"),
+        "med_c",
+        F.round(
+            F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
+            / mean,
+            6,
+        ).alias("cv"),
+        F.round(
+            (F.col("q3_c") - F.col("q1_c")).cast("double") / F.col("med_c"), 6
+        ).alias("iqr_over_median"),
+    )

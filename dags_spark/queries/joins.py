@@ -15,7 +15,7 @@ Join-strategy notes for the 100 TB design point:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import SQL_DEC_SUM, cents, dec_sum, table
@@ -825,4 +825,112 @@ def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dec_sum("o_totalprice").alias("revenue"),
         )
+    )
+
+
+@register(
+    "join_lerp_curve",
+    oracle="""
+WITH knots AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         epoch_us(date_trunc('month', l_shipdate)) AS mu,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY m
+),
+curve AS (
+  SELECT m, mu, CAST(spend_c AS DOUBLE) / qty AS avg_price_c,
+         LEAD(mu) OVER (ORDER BY m) AS next_mu,
+         LEAD(CAST(spend_c AS DOUBLE) / qty) OVER (ORDER BY m)
+           AS next_price_c
+  FROM knots
+),
+probes AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS ou
+  FROM orders
+  WHERE o_orderkey % 37 = 0
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-12-01'
+),
+joined AS (
+  SELECT p.o_orderkey, p.ou, c.mu, c.next_mu,
+         c.avg_price_c, c.next_price_c
+  FROM probes p JOIN curve c
+    ON p.ou >= c.mu AND p.ou < c.next_mu
+)
+SELECT o_orderkey,
+       ROUND(avg_price_c
+             + (next_price_c - avg_price_c)
+               * (CAST(ou - mu AS DOUBLE) / (next_mu - mu)), 6)
+         AS interpolated_price_c,
+       ROUND(CAST(ou - mu AS DOUBLE) / (next_mu - mu), 6) AS frac
+FROM joined
+""",
+    tags=("join", "lineitem", "orders"),
+)
+def join_lerp_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIECEWISE-LINEAR CURVE LOOKUP — the rate-curve/price-curve
+    interpolation every pricing and risk system does (yield curves,
+    FX forwards, unit-cost curves): monthly average-price knots are
+    built once, each knot carries its SUCCESSOR via one LEAD (so a
+    knot row IS a segment), and probe timestamps range-join into
+    their bracketing segment and lerp between the endpoints —
+    as-of-backward and as-of-forward in ONE join instead of two.
+    Knot prices are exact-int ratios; the lerp fraction is exact
+    integer microseconds over exact segment width. At 100 TB the
+    curve is calendar-sized and broadcasts; probes never shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    knots = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("spend_c"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .select(
+            "m",
+            F.unix_micros(F.col("m").cast("timestamp")).alias("mu"),
+            (F.col("spend_c").cast("double") / F.col("qty")).alias(
+                "avg_price_c"
+            ),
+        )
+    )
+    w = Window.orderBy("m")
+    curve = knots.select(
+        "mu",
+        "avg_price_c",
+        F.lead("mu").over(w).alias("next_mu"),
+        F.lead("avg_price_c").over(w).alias("next_price_c"),
+    )
+    o = table(spark, sf_dir, "orders")
+    probes = o.filter(
+        (F.col("o_orderkey") % 37 == 0)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-12-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ou"),
+    )
+    joined = probes.join(
+        F.broadcast(curve),
+        (F.col("ou") >= F.col("mu")) & (F.col("ou") < F.col("next_mu")),
+    )
+    frac = (F.col("ou") - F.col("mu")).cast("double") / (
+        F.col("next_mu") - F.col("mu")
+    )
+    return joined.select(
+        "o_orderkey",
+        F.round(
+            F.col("avg_price_c")
+            + (F.col("next_price_c") - F.col("avg_price_c")) * frac,
+            6,
+        ).alias("interpolated_price_c"),
+        F.round(frac, 6).alias("frac"),
     )

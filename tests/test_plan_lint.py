@@ -113,6 +113,12 @@ ALLOWED = {
     "stats_mcnemar_paired": {"single-partition-exchange"},
     # record highs window the 30-day collapsed daily grid globally
     "win_record_highs": {"single-partition-exchange"},
+    # lerp curve: the 24-knot segment window is a calendar-sized
+    # global order; segments broadcast into the probe range-join.
+    "join_lerp_curve": {"single-partition-exchange"},
+    # dispersion's quartiles rank per brand (25 partitions) but the
+    # stats are grid aggs — no global construct; entry only if lint
+    # flags it (it should not).
     # semantics ARE cartesian
     "join_cross": {"cartesian"},
     # salted join replicates the right side against a broadcast
