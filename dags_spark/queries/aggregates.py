@@ -5570,3 +5570,90 @@ def agg_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q3_c") - F.col("q1_c")).cast("double") / F.col("med_c"), 6
         ).alias("iqr_over_median"),
     )
+
+
+@register(
+    "agg_rfm_migration_matrix",
+    oracle="""
+WITH fy AS (
+  SELECT o_custkey AS ck, date_part('year', o_orderdate) AS y,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM orders WHERE date_part('year', o_orderdate) IN (1997, 1998)
+  GROUP BY ck, y
+),
+seg AS (
+  SELECT ck, y,
+         CASE WHEN f >= 3 THEN 'heavy' WHEN f = 2 THEN 'medium'
+              ELSE 'light' END AS s
+  FROM fy
+),
+mat AS (
+  SELECT COALESCE(a.s, '<inactive>') AS seg_1997,
+         COALESCE(b.s, '<inactive>') AS seg_1998,
+         COALESCE(a.ck, b.ck) AS ck
+  FROM (SELECT * FROM seg WHERE y = 1997) a
+  FULL JOIN (SELECT * FROM seg WHERE y = 1998) b ON a.ck = b.ck
+),
+rowtot AS (
+  SELECT seg_1997, CAST(COUNT(*) AS BIGINT) AS rt FROM mat GROUP BY seg_1997
+)
+SELECT m.seg_1997, m.seg_1998,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / r.rt, 6) AS row_share
+FROM mat m JOIN rowtot r ON m.seg_1997 = r.seg_1997
+GROUP BY m.seg_1997, m.seg_1998, r.rt
+""",
+    tags=("orders", "agg", "growth"),
+)
+def agg_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION MATRIX — the year-over-year customer-value
+    transition table (the CRM counterpart of the Markov-transition
+    key): frequency segments per year (heavy/medium/light by order
+    count, '<inactive>' for absent years via a FULL join so both
+    churn INTO inactive and acquisition OUT of it are cells, not
+    blind spots), cross-tabulated 1997 -> 1998 with row-conditional
+    shares. Exact counts; one co-keyed self-join of the per-year
+    segment relation; grid-sized output the retention team reads
+    directly."""
+    o = table(spark, sf_dir, "orders")
+    fy = (
+        o.filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    seg = fy.select(
+        "ck",
+        "y",
+        F.when(F.col("f") >= 3, "heavy")
+        .when(F.col("f") == 2, "medium")
+        .otherwise("light")
+        .alias("s"),
+    )
+    a = seg.filter(F.col("y") == 1997).select(
+        F.col("ck").alias("ck_a"), F.col("s").alias("s_a")
+    )
+    b = seg.filter(F.col("y") == 1998).select(
+        F.col("ck").alias("ck_b"), F.col("s").alias("s_b")
+    )
+    mat = a.join(b, a["ck_a"] == b["ck_b"], "full").select(
+        F.coalesce("s_a", F.lit("<inactive>")).alias("seg_1997"),
+        F.coalesce("s_b", F.lit("<inactive>")).alias("seg_1998"),
+    )
+    rowtot = mat.groupBy("seg_1997").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rt")
+    )
+    return (
+        mat.groupBy("seg_1997", "seg_1998")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .join(F.broadcast(rowtot), "seg_1997")
+        .select(
+            "seg_1997",
+            "seg_1998",
+            "n_customers",
+            F.round(F.col("n_customers").cast("double") / F.col("rt"), 6).alias(
+                "row_share"
+            ),
+        )
+    )

@@ -1920,3 +1920,53 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total_c"),
     )
+
+
+@register(
+    "source_json_multiline",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders WHERE o_orderkey % 25 = 4
+GROUP BY status
+""",
+    tags=("source",),
+)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE JSON SOURCE — a single pretty-printed JSON ARRAY
+    per file (the shape REST exports and config dumps actually
+    arrive in), which line-oriented JSONL readers silently mangle:
+    Spark needs multiLine=true, which switches the reader from
+    line-splittable to WHOLE-FILE parsing — the key's docstring
+    point at 100 TB is that this mode makes each file one
+    unsplittable task, so landing pipelines should explode arrays
+    to JSONL early (source_json_lines is the splittable cousin).
+    The fixture writes a 4%-of-orders array via Python json.dump
+    (real indentation, commas inside strings untested no more),
+    reads it back through the multiLine path, and re-aggregates;
+    the oracle computes the rollup relationally."""
+    import json
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 4)
+    rows = [
+        {
+            "o_orderkey": r["o_orderkey"],
+            "o_orderstatus": r["o_orderstatus"],
+            "cents": r["cents"],
+        }
+        for r in o.select(
+            "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("cents")
+        ).collect()
+    ]
+    d = tempfile.mkdtemp(prefix="dags_mljson_")
+    with open(os.path.join(d, "export.json"), "w") as fh:
+        json.dump(rows, fh, indent=2)
+    parsed = spark.read.option("multiLine", "true").json(d)
+    return parsed.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+    )

@@ -2124,3 +2124,69 @@ def text_homoglyph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_homoglyphs"),
         (F.md5(scrub) == F.col("clean_md5")).alias("recovered"),
     )
+
+
+@register(
+    "text_edit_distance_bands",
+    oracle="""
+WITH pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         substr(a.text, 1, 30) AS ta, substr(b.text, 1, 30) AS tb
+  FROM documents a JOIN documents b
+    ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+),
+scored AS (
+  SELECT id_a, id_b, levenshtein(ta, tb) AS dist
+  FROM pairs
+)
+SELECT CASE WHEN dist = 0 THEN 'identical'
+            WHEN dist <= 5 THEN 'near'
+            WHEN dist <= 15 THEN 'related'
+            ELSE 'far' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist
+FROM scored GROUP BY band
+""",
+    tags=("text", "documents"),
+)
+def text_edit_distance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE BANDING over BLOCKED pairs — the verify stage
+    of every fuzzy-matching pipeline in its honest shape: a cheap
+    blocking key (doc_id % 50 stands in for the phonetic/prefix
+    keys of the dedup family) bounds the candidate set to
+    within-block pairs, and Levenshtein runs ONLY on those, on
+    30-char prefixes (both engines ship the same DP builtin — the
+    one string function whose cost is quadratic, which is exactly
+    why the blocking matters; distances are exact ints so the
+    banding is hash-stable). The 100 TB shape: candidate pairs are
+    block-local (one co-keyed self-join), never all-pairs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % 50).alias("blk_a"),
+        F.substring("text", 1, 30).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        (F.col("doc_id") % 50).alias("blk_b"),
+        F.substring("text", 1, 30).alias("tb"),
+    )
+    pairs = a.join(
+        b, (a["blk_a"] == b["blk_b"]) & (a["id_a"] < b["id_b"])
+    )
+    scored = pairs.select(
+        F.levenshtein("ta", "tb").cast("bigint").alias("dist")
+    )
+    band = (
+        F.when(F.col("dist") == 0, "identical")
+        .when(F.col("dist") <= 5, "near")
+        .when(F.col("dist") <= 15, "related")
+        .otherwise("far")
+    )
+    return scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.max("dist").cast("bigint").alias("max_dist"),
+    )
