@@ -2190,3 +2190,83 @@ def text_edit_distance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("bigint").alias("min_dist"),
         F.max("dist").cast("bigint").alias("max_dist"),
     )
+
+
+@register(
+    "text_burstiness",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS total
+  FROM counts GROUP BY w
+  ORDER BY total DESC, w LIMIT 20
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+mom AS (
+  SELECT v.w, v.total,
+         CAST(SUM(c.c * c.c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS docs_present
+  FROM vocab v JOIN counts c ON v.w = c.w
+  GROUP BY v.w, v.total
+)
+SELECT w AS word, total, docs_present,
+       ROUND(CAST(total AS DOUBLE) / (SELECT n_docs FROM nd), 6)
+         AS mean_per_doc,
+       ROUND((CAST(ss AS DOUBLE) / (SELECT n_docs FROM nd)
+              - pow(CAST(total AS DOUBLE) / (SELECT n_docs FROM nd), 2))
+             / (CAST(total AS DOUBLE) / (SELECT n_docs FROM nd)), 6)
+         AS burstiness_vmr
+FROM mom
+""",
+    tags=("text", "documents"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS (variance-to-mean ratio) — the corpus-
+    linguistics statistic separating CONTENT words (bursty: absent
+    from most docs, repeated where they appear; VMR > 1) from
+    FUNCTION words (Poisson-ish, VMR ~ 1), the signal behind better-
+    than-TF-IDF term weighting and boilerplate detection. Per-doc
+    counts for the top-20 vocabulary, with absent docs entering the
+    variance through the moment identity (sum over PRESENT docs of
+    c^2 is the full sum, absent docs contribute zero — no dense
+    grid materialized): VMR = (E[c^2] - E[c]^2)/E[c] over ALL docs.
+    Exact integer count moments; one vocab top-k, one vocab-joined
+    re-agg."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    vocab = (
+        counts.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("total"))
+        .orderBy(F.col("total").desc(), "w")
+        .limit(20)
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    mom = (
+        counts.join(F.broadcast(vocab), "w")
+        .groupBy("w", "total")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_present"),
+        )
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    return mom.crossJoin(F.broadcast(nd)).select(
+        F.col("w").alias("word"),
+        "total",
+        "docs_present",
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(
+            (F.col("ss").cast("double") / F.col("n_docs") - mean * mean)
+            / mean,
+            6,
+        ).alias("burstiness_vmr"),
+    )

@@ -116,6 +116,11 @@ ALLOWED = {
     # lerp curve: the 24-knot segment window is a calendar-sized
     # global order; segments broadcast into the probe range-join.
     "join_lerp_curve": {"single-partition-exchange"},
+    # ECE/burstiness cross 1-row totals; burstiness's top-20 vocab
+    # is a global LIMIT (single final task over partial top-ks).
+    "stats_calibration_ece": {"cartesian", "single-partition-exchange"},
+    "text_burstiness": {"cartesian", "single-partition-exchange"},
+    "agg_rfm_migration_matrix": {"single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).
