@@ -5722,3 +5722,122 @@ def stats_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_contribution"
         ),
     )
+
+
+@register(
+    "stats_breusch_pagan",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+idx AS (
+  SELECT y, date_diff('day', (SELECT MIN(day) FROM daily), day) AS t
+  FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM idx
+),
+fit AS (
+  SELECT n, st, sy,
+         (n*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)
+           / (n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b
+  FROM m
+),
+resid AS (
+  SELECT i.t,
+         CAST(FLOOR(ROUND(i.y - ((f.sy - f.b*f.st)/f.n) - f.b*i.t, 6))
+           AS BIGINT) AS e_m
+  FROM idx i CROSS JOIN fit f
+),
+aux AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(CAST(e_m AS HUGEINT) * e_m) AS DOUBLE) AS sg,
+         CAST(SUM(t * CAST(e_m AS HUGEINT) * e_m) AS DOUBLE) AS stg,
+         CAST(SUM(CAST(e_m AS HUGEINT) * e_m
+                  * CAST(e_m AS HUGEINT) * e_m) AS DOUBLE) AS sgg
+  FROM resid
+)
+SELECT n,
+       ROUND(pow(n*stg - CAST(st AS DOUBLE)*sg, 2)
+             / ((n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)
+                * (n*sgg - sg*sg)), 6) AS r2_aux,
+       ROUND(n * pow(n*stg - CAST(st AS DOUBLE)*sg, 2)
+             / ((n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)
+                * (n*sgg - sg*sg)), 6) AS lm_stat
+FROM aux
+""",
+    tags=("stats", "events", "timeseries"),
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BREUSCH–PAGAN HETEROSCEDASTICITY TEST (Koenker LM form) —
+    does the daily-trend residual VARIANCE itself trend? The
+    auxiliary regression of squared residuals on time needs only
+    moments again: LM = n * R^2_aux, chi2_1 under homoscedasticity
+    — the diagnostic that tells you whether the Granger/OLS keys'
+    standard errors can be trusted, completing the battery next to
+    Durbin-Watson (serial correlation) and Jarque-Bera (normality).
+    Residuals quantize to WHOLE cents (coarser than DW's milli-cent
+    lane on purpose: the auxiliary regression needs the residuals'
+    FOURTH power, and cents keep e^4 sums ~1e26 — twelve orders of
+    magnitude inside the HUGEINT/DECIMAL38 ceiling even at 100x
+    scale); R^2_aux is one shared double tree."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).cast("bigint").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("min_day"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        "y", F.datediff("day", "min_day").cast("bigint").alias("t")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    fit = m.selectExpr(
+        "n",
+        "st",
+        "sy",
+        "(n*CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)*sy)"
+        " / (n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st) AS b",
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            F.round(
+                F.col("y")
+                - ((F.col("sy") - F.col("b") * F.col("st")) / F.col("n"))
+                - F.col("b") * F.col("t"),
+                6,
+            )
+        )
+        .cast("bigint")
+        .alias("e_m"),
+    )
+    e2 = (F.col("e_m") * F.col("e_m")).cast("decimal(38,0)")
+    aux = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(e2).cast("double").alias("sg"),
+        F.sum(e2 * F.col("t")).cast("double").alias("stg"),
+        F.sum(e2 * e2).cast("double").alias("sgg"),
+    )
+    return aux.selectExpr(
+        "n",
+        "ROUND(pow(n*stg - CAST(st AS DOUBLE)*sg, 2)"
+        " / ((n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)"
+        " * (n*sgg - sg*sg)), 6) AS r2_aux",
+        "ROUND(n * pow(n*stg - CAST(st AS DOUBLE)*sg, 2)"
+        " / ((n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)"
+        " * (n*sgg - sg*sg)), 6) AS lm_stat",
+    )

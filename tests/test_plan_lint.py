@@ -121,6 +121,7 @@ ALLOWED = {
     "stats_calibration_ece": {"cartesian", "single-partition-exchange"},
     "text_burstiness": {"cartesian", "single-partition-exchange"},
     "agg_rfm_migration_matrix": {"single-partition-exchange"},
+    "stats_breusch_pagan": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).

@@ -805,3 +805,24 @@ def test_damm_matches_reference_algorithm(spark, duck):
     ref = Counter(damm(str(int(k)).zfill(7)) for k in keys)
     for _, r in got.iterrows():
         assert int(r["n_keys"]) == ref[int(r["check_digit"])]
+
+
+def test_breusch_pagan_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_breusch_pagan").iloc[0]
+    daily = duck.execute(
+        "SELECT date_trunc('day', ts) AS day,"
+        " CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS y"
+        " FROM events GROUP BY day ORDER BY day"
+    ).df()
+    y = daily["y"].astype(float).values
+    t = np.arange(len(y), dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    e = np.floor(np.round(y - a - b * t, 6))  # whole-cent lane
+    g = e * e
+    r = np.corrcoef(t, g)[0, 1] ** 2
+    lm = len(y) * r
+    assert int(got["n"]) == len(y)
+    assert abs(got["r2_aux"] - r) < 1e-5
+    assert abs(got["lm_stat"] - lm) < 1e-3
