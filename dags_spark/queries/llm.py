@@ -4530,3 +4530,133 @@ def multimodal_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, n_cues BIGINT, total_dur_ms BIGINT,"
         " n_overlaps BIGINT, total_chars BIGINT",
     )
+
+
+@register(
+    "sim_label_separation",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+within AS (
+  SELECT a.label,
+         CAST(FLOOR(ROUND(
+           list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm), 9) * 1000000000) AS BIGINT) AS cos_nano
+  FROM normed a JOIN normed b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+cross_p AS (
+  SELECT a.label,
+         CAST(FLOOR(ROUND(
+           list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm), 9) * 1000000000) AS BIGINT) AS cos_nano
+  FROM normed a JOIN normed b
+    ON b.label = (a.label + 1) % 10 AND a.vec_id % 5 = b.vec_id % 5
+),
+w AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_within,
+         CAST(SUM(cos_nano) AS BIGINT) AS s_within
+  FROM within GROUP BY label
+),
+c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cross,
+         CAST(SUM(cos_nano) AS BIGINT) AS s_cross
+  FROM cross_p GROUP BY label
+)
+SELECT w.label, w.n_within, c.n_cross,
+       ROUND(CAST(w.s_within AS DOUBLE) / w.n_within / 1000000000.0, 6)
+         AS mean_within_cos,
+       ROUND(CAST(c.s_cross AS DOUBLE) / c.n_cross / 1000000000.0, 6)
+         AS mean_cross_cos,
+       ROUND(CAST(w.s_within AS DOUBLE) / w.n_within / 1000000000.0
+             - CAST(c.s_cross AS DOUBLE) / c.n_cross / 1000000000.0, 6)
+         AS separation
+FROM w JOIN c ON w.label = c.label
+""",
+    tags=("similarity", "embeddings", "eval"),
+)
+def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE LABEL SEPARATION — the eval that tells you
+    whether an embedding is worth indexing BEFORE building the ANN:
+    per label, the mean cosine of within-label pairs minus the mean
+    cosine of cross-label pairs (to the cyclically-next label,
+    residue-blocked so the pair count stays bounded); positive
+    separation is the geometric precondition for every clustering
+    and kNN key downstream. Pair cosines are sequential-fold dot
+    products over normalized vectors, quantized to nano-units per
+    pair before the label means (the standard lane). Both pair sets
+    are BLOCKED equi-joins — within by label, cross by residue —
+    never all-pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    normed = v.select(
+        "vec_id",
+        "label",
+        "e",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("e"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+    )
+
+    def cos_nano(a, b):
+        dot = F.aggregate(
+            F.zip_with(a["ea"], b["eb"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(
+            F.round(dot / (a["na"] * b["nb"]), 9) * 1000000000
+        ).cast("bigint")
+
+    a = normed.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    within = a.join(
+        b, (a["la"] == b["lb"]) & (a["ida"] < b["idb"])
+    ).select(F.col("la").alias("label"), cos_nano(a, b).alias("cos_nano"))
+    cross = a.join(
+        b,
+        (b["lb"] == (a["la"] + 1) % 10) & (a["ida"] % 5 == b["idb"] % 5),
+    ).select(F.col("la").alias("label"), cos_nano(a, b).alias("cos_nano"))
+    w = within.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_within"),
+        F.sum("cos_nano").cast("bigint").alias("s_within"),
+    )
+    c = cross.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cross"),
+        F.sum("cos_nano").cast("bigint").alias("s_cross"),
+    )
+    mw = F.col("s_within").cast("double") / F.col("n_within") / 1000000000.0
+    mc = F.col("s_cross").cast("double") / F.col("n_cross") / 1000000000.0
+    return w.join(c, "label").select(
+        "label",
+        "n_within",
+        "n_cross",
+        F.round(mw, 6).alias("mean_within_cos"),
+        F.round(mc, 6).alias("mean_cross_cos"),
+        F.round(mw - mc, 6).alias("separation"),
+    )

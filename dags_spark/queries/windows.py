@@ -6409,3 +6409,73 @@ def funnel_window_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.min("user_id").cast("bigint").alias("sample_user"),
     )
+
+
+@register(
+    "win_rolling_beta",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS buy_c,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS views
+  FROM events GROUP BY day
+),
+win AS (
+  SELECT day, buy_c, views,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(views) OVER w AS BIGINT) AS sx,
+         CAST(SUM(buy_c) OVER w AS BIGINT) AS sy,
+         CAST(SUM(views * views) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(views * buy_c) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n,
+       ROUND((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)
+             / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx), 6)
+         AS beta_cents_per_view
+FROM win WHERE n = 14
+""",
+    tags=("events", "window", "timeseries"),
+)
+def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING BETA — the time-varying sensitivity of purchase
+    revenue to view traffic over a trailing 14-day window, the
+    windowed cousin of the Granger key's static coefficient (a
+    drifting beta IS regime change — exactly what the static fit
+    hides). The whole regression rides WINDOWED EXACT-INT MOMENT
+    SUMS (n, sum x, sum y, sum x^2, sum xy over the frame) — the
+    same separately-windowed-numerators discipline as VWAP, lifted
+    from ratios to regression; one double tree per day at the end.
+    Partial head windows are excluded (n = 14 guard) rather than
+    reported as noisy fits."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("buy_c"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("views"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("views").over(w).cast("bigint").alias("sx"),
+        F.sum("buy_c").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("views") * F.col("views")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("views") * F.col("buy_c")).over(w).cast("bigint").alias("sxy"),
+    ).filter(F.col("n") == 14)
+    return win.selectExpr(
+        "day",
+        "n",
+        "ROUND((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy)"
+        " / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx), 6)"
+        " AS beta_cents_per_view",
+    )

@@ -122,6 +122,8 @@ ALLOWED = {
     "text_burstiness": {"cartesian", "single-partition-exchange"},
     "agg_rfm_migration_matrix": {"single-partition-exchange"},
     "stats_breusch_pagan": {"cartesian", "single-partition-exchange"},
+    # rolling beta windows the 30-day collapsed daily grid globally
+    "win_rolling_beta": {"single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).

@@ -69,6 +69,8 @@ HEAVY = {
     "multimodal_png_decode": 25,
     "train_curriculum_buckets": 15,
     "win_elo_rating": 20,
+    "sim_label_separation": 30,
+    "text_edit_distance_bands": 30,
     # prefix-blocked candidates: 256 pairs / max cluster 4 at sf0.1
     "dedup_levenshtein_verify": 15,
     # round-4 additions (healthy 0.7-11 s at sf0.1)
