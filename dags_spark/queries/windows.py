@@ -6479,3 +6479,127 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx), 6)"
         " AS beta_cents_per_view",
     )
+
+
+@register(
+    "win_token_bucket_throttle",
+    oracle="""
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS eu, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+  FROM events
+),
+h AS (
+  SELECT user_id, 0 AS seq, CAST(5.0 AS DOUBLE) AS tokens,
+         CAST(0 AS BIGINT) AS admitted, CAST(0 AS BIGINT) AS last_eu,
+         CAST(0 AS INTEGER) AS started
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT h.user_id, e.seq,
+         CASE WHEN h.started = 0 THEN
+                CASE WHEN 5.0 >= 1.0 THEN 4.0 ELSE 5.0 END
+              ELSE
+                CASE WHEN LEAST(5.0, h.tokens
+                                + CAST(e.eu - h.last_eu AS DOUBLE)
+                                  / 2000000.0) >= 1.0
+                     THEN LEAST(5.0, h.tokens
+                                + CAST(e.eu - h.last_eu AS DOUBLE)
+                                  / 2000000.0) - 1.0
+                     ELSE LEAST(5.0, h.tokens
+                                + CAST(e.eu - h.last_eu AS DOUBLE)
+                                  / 2000000.0) END
+         END,
+         h.admitted + CASE WHEN h.started = 0 THEN 1
+              WHEN LEAST(5.0, h.tokens
+                         + CAST(e.eu - h.last_eu AS DOUBLE)
+                           / 2000000.0) >= 1.0 THEN 1 ELSE 0 END,
+         e.eu,
+         1
+  FROM h JOIN ev e ON e.user_id = h.user_id AND e.seq = h.seq + 1
+)
+SELECT h.user_id,
+       CAST(e.n_ev AS BIGINT) AS n_events,
+       h.admitted AS n_admitted,
+       CAST(e.n_ev - h.admitted AS BIGINT) AS n_dropped,
+       ROUND(h.tokens, 6) AS final_tokens
+FROM h JOIN (SELECT DISTINCT user_id, n_ev FROM ev) e
+  ON h.user_id = e.user_id AND h.seq = e.n_ev
+""",
+    tags=("events", "window", "iterative", "cep"),
+)
+def win_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET RATE LIMITER, REPLAYED — the ops/CEP primitive
+    (API quotas, alert debouncing) as an offline audit: per user,
+    a bucket of capacity 5 refilling at 1 token per 2 seconds
+    admits an event if a full token is available (consuming it) and
+    drops it otherwise. The refill uses exact integer microsecond
+    gaps over ONE double division per step, and both engines replay
+    the identical sequential tree — Spark as an aggregate() fold
+    over each user's sorted event array (PARALLEL across the 150
+    users, the grouped-fold shape shared with Croston/Elo), the
+    oracle as a per-user recursive CTE — so admit/drop decisions
+    and the fractional final balance match bit-for-bit. At 100 TB
+    this is applyInPandasWithState's batch replay twin."""
+    ev = table(spark, sf_dir, "events")
+    arr = (
+        ev.select("user_id", F.unix_micros("ts").alias("eu"), "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("eu", "event_id"))
+            ).alias("ys")
+        )
+    )
+    acc_t = (
+        "struct<started:int,tokens:double,admitted:bigint,last_eu:bigint>"
+    )
+    init = F.expr(
+        f"CAST(struct(0, CAST(5.0 AS DOUBLE), CAST(0 AS BIGINT),"
+        f" CAST(0 AS BIGINT)) AS {acc_t})"
+    )
+
+    def step(acc, e):
+        refilled = F.least(
+            F.lit(5.0),
+            acc.tokens + (e.eu - acc.last_eu).cast("double") / F.lit(2000000.0),
+        )
+        first = F.struct(
+            F.lit(1).alias("started"),
+            F.lit(4.0).alias("tokens"),
+            (acc.admitted + 1).alias("admitted"),
+            e.eu.alias("last_eu"),
+        )
+        admit = F.struct(
+            F.lit(1).alias("started"),
+            (refilled - 1.0).alias("tokens"),
+            (acc.admitted + 1).alias("admitted"),
+            e.eu.alias("last_eu"),
+        )
+        drop = F.struct(
+            F.lit(1).alias("started"),
+            refilled.alias("tokens"),
+            acc.admitted.alias("admitted"),
+            e.eu.alias("last_eu"),
+        )
+        return (
+            F.when(acc.started == 0, first)
+            .when(refilled >= 1.0, admit)
+            .otherwise(drop)
+        )
+
+    folded = arr.select(
+        "user_id",
+        F.size("ys").cast("bigint").alias("n_events"),
+        F.aggregate(F.col("ys"), init, step).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.admitted").cast("bigint").alias("n_admitted"),
+        (F.col("n_events") - F.col("st.admitted"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round("st.tokens", 6).alias("final_tokens"),
+    )

@@ -124,6 +124,9 @@ ALLOWED = {
     "stats_breusch_pagan": {"cartesian", "single-partition-exchange"},
     # rolling beta windows the 30-day collapsed daily grid globally
     "win_rolling_beta": {"single-partition-exchange"},
+    # token bucket folds per-user arrays; the fold input reduce is
+    # the grouped-collect, same class as croston.
+    "win_token_bucket_throttle": {"single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).

@@ -826,3 +826,26 @@ def test_breusch_pagan_matches_numpy(spark, duck):
     assert int(got["n"]) == len(y)
     assert abs(got["r2_aux"] - r) < 1e-5
     assert abs(got["lm_stat"] - lm) < 1e-3
+
+
+def test_token_bucket_matches_pure_python(spark, duck):
+    got = _run(spark, "win_token_bucket_throttle").set_index("user_id")
+    ev = duck.execute(
+        "SELECT user_id, epoch_us(ts) AS eu, event_id FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).df()
+    for uid, g in ev.groupby("user_id"):
+        tokens, admitted, last, started = 5.0, 0, 0, False
+        for eu in g["eu"].astype(int):
+            if not started:
+                tokens, admitted, started = 4.0, 1, True
+            else:
+                tokens = min(5.0, tokens + (eu - last) / 2000000.0)
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    admitted += 1
+            last = eu
+        r = got.loc[uid]
+        assert int(r["n_admitted"]) == admitted, uid
+        assert int(r["n_events"]) == len(g)
+        assert abs(r["final_tokens"] - round(tokens, 6)) < 1e-9
