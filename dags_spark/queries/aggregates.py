@@ -5841,3 +5841,157 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / ((n*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*st)"
         " * (n*sgg - sg*sg)), 6) AS lm_stat",
     )
+
+
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c,
+         NTILE(10) OVER (ORDER BY rev_c, o_custkey) AS decile
+  FROM per
+),
+per_d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(rev_c) AS BIGINT) AS rev_c
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM per_d)
+SELECT decile, n_customers, rev_c,
+       ROUND(CAST(rev_c AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS share_of_revenue,
+       ROUND(CAST(SUM(rev_c) OVER (ORDER BY decile) AS DOUBLE)
+             / (SELECT t FROM tot), 6) AS cum_share
+FROM per_d
+""",
+    tags=("orders", "agg", "finance"),
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE BY DECILE — revenue concentration as the table
+    the Gini coefficient integrates (agg_gini_revenue gives the
+    area; this gives the SHAPE — 'the top decile is 18% of revenue'
+    is an actionable sentence, 0.12 is not): customers rank by
+    revenue into tie-pinned NTILE deciles, each reporting its share
+    and the running cumulative share (the Lorenz ordinate). Exact
+    cent sums; two ratios per row; the global rank is the one
+    data-order construct (two-pass range sort at 100 TB, same note
+    as the lift chart)."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c")
+    )
+    ranked = per.select(
+        "rev_c",
+        F.ntile(10).over(Window.orderBy("rev_c", "o_custkey")).alias("decile"),
+    )
+    per_d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("rev_c"),
+    )
+    tot = per_d.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    return per_d.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "rev_c",
+        F.round(F.col("rev_c").cast("double") / F.col("t"), 6).alias(
+            "share_of_revenue"
+        ),
+        F.round(
+            F.sum("rev_c").over(Window.orderBy("decile")).cast("double")
+            / F.col("t"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "stats_markov_entropy_rate",
+    oracle="""
+WITH ev AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev WHERE dst IS NOT NULL GROUP BY src, dst
+),
+rowtot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS rt FROM counts GROUP BY src
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+terms AS (
+  SELECT c.src, c.dst,
+         CAST(FLOOR(ROUND(
+           -(CAST(c.n AS DOUBLE) / (SELECT t FROM tot))
+             * ln(CAST(c.n AS DOUBLE) / r.rt) / ln(2.0), 12)
+           * 1000000000) AS BIGINT) AS term_nano
+  FROM counts c JOIN rowtot r ON c.src = r.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(term_nano) AS BIGINT) / 1000000000.0, 6)
+         AS entropy_rate_bits,
+       ROUND(ln(5.0) / ln(2.0), 6) AS max_entropy_bits
+FROM terms
+""",
+    tags=("stats", "events"),
+)
+def stats_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the event-type Markov chain — how
+    unpredictable is the NEXT action given the current one, in bits
+    per step: H = -sum_ij pi_i p_ij log2 p_ij with the stationary
+    weight estimated empirically (each transition contributes its
+    corpus frequency, so pi_i p_ij = n_ij / N exactly). Against the
+    log2(5) ceiling this is the behavioral-predictability number —
+    the gap IS the signal a next-action model can exploit (and the
+    information-theoretic sibling of iter_markov_stationary, which
+    extracts the same chain's equilibrium instead). Per-cell terms
+    quantize to nano-bits before the 25-cell sum; counts are exact
+    from one LEAD + one hash-agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = counts.groupBy("src").agg(F.sum("n").cast("bigint").alias("rt"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    terms = (
+        counts.join(F.broadcast(rowtot), "src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.round(
+                    -(F.col("n").cast("double") / F.col("t"))
+                    * F.log(F.col("n").cast("double") / F.col("rt"))
+                    / F.log(F.lit(2.0)),
+                    12,
+                )
+                * 1000000000
+            )
+            .cast("bigint")
+            .alias("term_nano")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum("term_nano").cast("bigint") / 1000000000.0, 6).alias(
+            "entropy_rate_bits"
+        ),
+        F.round(F.log(F.lit(5.0)) / F.log(F.lit(2.0)), 6).alias(
+            "max_entropy_bits"
+        ),
+    )

@@ -127,6 +127,10 @@ ALLOWED = {
     # token bucket folds per-user arrays; the fold input reduce is
     # the grouped-collect, same class as croston.
     "win_token_bucket_throttle": {"single-partition-exchange"},
+    # lorenz NTILEs per-customer revenue on one global rank (same
+    # class as the lift chart); entropy rate crosses 1-row totals.
+    "agg_lorenz_deciles": {"cartesian", "single-partition-exchange"},
+    "stats_markov_entropy_rate": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).
