@@ -114,8 +114,10 @@ ALLOWED = {
     # record highs window the 30-day collapsed daily grid globally
     "win_record_highs": {"single-partition-exchange"},
     # lerp curve: the 24-knot segment window is a calendar-sized
-    # global order; segments broadcast into the probe range-join.
-    "join_lerp_curve": {"single-partition-exchange"},
+    # global order; segments broadcast into the probe RANGE-join,
+    # which Spark plans as a broadcast nested-loop — correct here
+    # because the build side is the calendar-sized curve.
+    "join_lerp_curve": {"cartesian", "single-partition-exchange"},
     # ECE/burstiness cross 1-row totals; burstiness's top-20 vocab
     # is a global LIMIT (single final task over partial top-ks).
     "stats_calibration_ece": {"cartesian", "single-partition-exchange"},
