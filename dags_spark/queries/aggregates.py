@@ -5995,3 +5995,150 @@ def stats_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy_bits"
         ),
     )
+
+
+@register(
+    "stats_pca_2x2_analytic",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))
+           AS BIGINT) AS sxx,
+         CAST(SUM(CAST(p_size AS BIGINT)
+                  * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS sxy,
+         SUM(CAST(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS syy
+  FROM part
+),
+cov AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)
+           AS a,
+         CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+           AS b,
+         CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+           AS d
+  FROM m
+)
+SELECT n,
+       ROUND((a + d)/2.0 + sqrt(pow((a - d)/2.0, 2) + b*b), 6) AS lambda1,
+       ROUND((a + d)/2.0 - sqrt(pow((a - d)/2.0, 2) + b*b), 6) AS lambda2,
+       ROUND(((a + d)/2.0 + sqrt(pow((a - d)/2.0, 2) + b*b)) / (a + d), 6)
+         AS explained_ratio,
+       ROUND(atan2(2.0*b, a - d) / 2.0, 6) AS rotation_rad
+FROM cov
+""",
+    tags=("stats", "part", "featureeng"),
+)
+def stats_pca_2x2_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 PCA IN CLOSED FORM — the analytic eigendecomposition of
+    the (size, price) covariance: lambda = (a+d)/2 +-
+    sqrt(((a-d)/2)^2 + b^2), rotation = atan2(2b, a-d)/2 — the
+    exact counterpart of embedding_pca_power's ITERATIVE top
+    component, useful whenever the feature pair is known and the
+    eigenproblem should cost one expression, not a loop. Covariance
+    entries come from exact integer moment sums (price^2 on the
+    HUGEINT/DECIMAL38 lane); eigenvalues, explained-variance ratio,
+    and the principal angle are one shared double tree. One
+    map-side-combinable pass."""
+    pt = table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("bigint")
+    y = cents("p_retailprice")
+    m = pt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    cov = m.selectExpr(
+        "n",
+        "CAST(sxx AS DOUBLE)/n"
+        " - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n) AS a",
+        "CAST(sxy AS DOUBLE)/n"
+        " - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n) AS b",
+        "CAST(syy AS DOUBLE)/n"
+        " - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n) AS d",
+    )
+    return cov.selectExpr(
+        "n",
+        "ROUND((a + d)/2.0 + sqrt(pow((a - d)/2.0, 2) + b*b), 6) AS lambda1",
+        "ROUND((a + d)/2.0 - sqrt(pow((a - d)/2.0, 2) + b*b), 6) AS lambda2",
+        "ROUND(((a + d)/2.0 + sqrt(pow((a - d)/2.0, 2) + b*b)) / (a + d), 6)"
+        " AS explained_ratio",
+        "ROUND(atan2(2.0*b, a - d) / 2.0, 6) AS rotation_rad",
+    )
+
+
+@register(
+    "stats_paired_ttest",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS ck, date_part('year', o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders WHERE date_part('year', o_orderdate) IN (1997, 1998)
+  GROUP BY ck, y
+),
+pairs AS (
+  SELECT a.rev_c - b.rev_c AS d
+  FROM (SELECT ck, rev_c FROM per WHERE y = 1998) a
+  JOIN (SELECT ck, rev_c FROM per WHERE y = 1997) b ON a.ck = b.ck
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         SUM(CAST(d AS HUGEINT) * d) AS ss
+  FROM pairs
+)
+SELECT n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_diff_c,
+       ROUND((CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE)/(n - 1)
+                     - CAST(s AS DOUBLE)*s/n/(n - 1)) / n), 6) AS t_stat
+FROM m
+""",
+    tags=("stats", "orders"),
+)
+def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED t-TEST — did the SAME customers spend more in 1998
+    than 1997? The within-subject design that the Welch key
+    (stats_ab_ttest) cannot replace: pairing differences out each
+    customer's own level, so between-customer variance — usually
+    the dominant term — never enters the denominator. The test is
+    a one-sample t on exact integer cent differences; the moment
+    sums ride the HUGEINT/DECIMAL38 lane and t = mean_d /
+    sqrt(s^2_d / n) is one shared double tree. One co-keyed
+    self-join, one pass."""
+    o = table(spark, sf_dir, "orders")
+    per = (
+        o.filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("y")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    a = per.filter(F.col("y") == 1998).select(
+        "ck", F.col("rev_c").alias("r98")
+    )
+    b = per.filter(F.col("y") == 1997).select(
+        "ck", F.col("rev_c").alias("r97")
+    )
+    pairs = a.join(b, "ck").select((F.col("r98") - F.col("r97")).alias("d"))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("ss"),
+    )
+    return m.selectExpr(
+        "n",
+        "ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_diff_c",
+        "ROUND((CAST(s AS DOUBLE) / n)"
+        " / sqrt((CAST(ss AS DOUBLE)/(n - 1)"
+        " - CAST(s AS DOUBLE)*s/n/(n - 1)) / n), 6) AS t_stat",
+    )

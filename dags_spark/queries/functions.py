@@ -1820,3 +1820,78 @@ def fn_damm_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_self_valid"),
     )
+
+
+def _feistel_sql(key: str) -> str:
+    """Two-round Feistel network over a 32-bit key split into 16-bit
+    halves, round function = 16 bits of md5 of (half || round salt).
+    A Feistel network is a BIJECTION regardless of the round
+    function — shared SQL text, md5 nibbles only."""
+
+    def rf(half: str, salt: str) -> str:
+        h = f"md5(CAST({half} AS STRING) || '{salt}')"
+        return (
+            f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+            f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+            f" + (instr('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+            f" + (instr('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+        )
+
+    l0 = f"({key} % 65536)"
+    r0 = f"({key} // 65536)" if False else f"CAST(floor({key} / 65536) AS BIGINT)"
+    # round 1: (l1, r1) = (r0, l0 XOR F(r0))
+    l1 = r0
+    r1 = f"(({l0} + {rf(r0, ':f1')}) % 65536)"
+    # round 2
+    l2 = r1
+    r2 = f"(({l1} + {rf(r1, ':f2')}) % 65536)"
+    return f"({r2} * 65536 + {l2})"
+
+
+@register(
+    "fn_feistel_permutation",
+    oracle=f"""
+WITH scrambled AS (
+  SELECT o_orderkey, {_feistel_sql('o_orderkey')} AS token
+  FROM orders WHERE o_orderkey < CAST(65536 AS BIGINT) * 65536
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       COUNT(*) = COUNT(DISTINCT token) AS is_bijective,
+       CAST(MIN(token) AS BIGINT) AS min_token,
+       CAST(MAX(token) AS BIGINT) AS max_token,
+       CAST(SUM(CASE WHEN token = o_orderkey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fixed_points
+FROM scrambled
+""",
+    tags=("functions", "privacy"),
+)
+def fn_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT-PRESERVING KEY SCRAMBLING via a 2-round FEISTEL
+    NETWORK — the pseudonymization trick that beats both hashing
+    (not invertible, collides) and sequence remapping (needs a
+    mapping table): split the 32-bit key into 16-bit halves and
+    swap-mix them with an md5-derived round function; the Feistel
+    structure guarantees a BIJECTION of the 32-bit space no matter
+    what the round function is, which the key asserts empirically
+    (count == distinct count). Stateless, deterministic, join-safe
+    across tables — scramble FKs on both sides and referential
+    integrity survives pseudonymization. Same md5-nibble shared-SQL
+    lane as the sampling keys; zero fixed points expected and
+    reported."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 65536 * 65536
+    )
+    scrambled = o.selectExpr(
+        "o_orderkey", f"{_feistel_sql('o_orderkey')} AS token"
+    )
+    return scrambled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.countDistinct("token").cast("bigint").alias("n_distinct_tokens"),
+        (F.count(F.lit(1)) == F.countDistinct("token")).alias("is_bijective"),
+        F.min("token").cast("bigint").alias("min_token"),
+        F.max("token").cast("bigint").alias("max_token"),
+        F.sum(F.when(F.col("token") == F.col("o_orderkey"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fixed_points"),
+    )

@@ -2270,3 +2270,107 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness_vmr"),
     )
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+firsts AS (
+  SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY w
+),
+doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks GROUP BY doc_id
+),
+checkpoints AS (SELECT unnest(list_value(100, 200, 300, 400, 500)) AS k),
+grid AS (
+  SELECT c.k,
+         (SELECT CAST(SUM(n_toks) AS BIGINT) FROM doc_tokens
+          WHERE doc_id < c.k) AS tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+          WHERE first_doc < c.k) AS vocab
+  FROM checkpoints c
+),
+pts AS (
+  SELECT k, tokens, vocab,
+         CAST(FLOOR(ROUND(ln(CAST(tokens AS DOUBLE)), 9) * 1000000)
+           AS BIGINT) AS xm,
+         CAST(FLOOR(ROUND(ln(CAST(vocab AS DOUBLE)), 9) * 1000000)
+           AS BIGINT) AS ym
+  FROM grid
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS DOUBLE) AS sx, CAST(SUM(ym) AS DOUBLE) AS sy,
+         CAST(SUM(xm * ym) AS DOUBLE) AS sxy,
+         CAST(SUM(xm * xm) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT p.k, p.tokens, p.vocab,
+       ROUND((f.n*f.sxy - f.sx*f.sy) / (f.n*f.sxx - f.sx*f.sx), 6)
+         AS heaps_beta
+FROM pts p CROSS JOIN fit f
+""",
+    tags=("text", "documents"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW — vocabulary growth V ~ K * N^beta, the corpus
+    statistic that tells a tokenizer/dedup planner how fast new
+    types keep arriving (beta ~ 0.5 for natural text; the fixture's
+    small closed vocabulary drives beta toward 0 — itself the
+    diagnostic that this corpus is synthetic): per word the FIRST
+    containing document (one hash-agg — no quadratic prefix
+    recount), vocabulary and token counts at five doc-id
+    checkpoints, and the log-log slope via micro-quantized logs
+    over the 5-point grid (the Weibull/Hurst lane). The per-word
+    first-occurrence trick is the scalable pattern: prefix vocab
+    curves come from ONE pass however many checkpoints you cut."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    firsts = toks.groupBy("w").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    cps = spark.createDataFrame(
+        [(100,), (200,), (300,), (400,), (500,)], "k bigint"
+    )
+    tok_grid = (
+        cps.join(doc_tokens, doc_tokens["doc_id"] < cps["k"])
+        .groupBy("k")
+        .agg(F.sum("n_toks").cast("bigint").alias("tokens"))
+    )
+    voc_grid = (
+        cps.join(firsts, firsts["first_doc"] < cps["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    grid = tok_grid.join(voc_grid, "k")
+    pts = grid.select(
+        "k",
+        "tokens",
+        "vocab",
+        F.floor(F.round(F.log(F.col("tokens").cast("double")), 9) * 1000000)
+        .cast("bigint")
+        .alias("xm"),
+        F.floor(F.round(F.log(F.col("vocab").cast("double")), 9) * 1000000)
+        .cast("bigint")
+        .alias("ym"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xm").cast("double").alias("sx"),
+        F.sum("ym").cast("double").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).cast("double").alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).cast("double").alias("sxx"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).selectExpr(
+        "k",
+        "tokens",
+        "vocab",
+        "ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta",
+    )

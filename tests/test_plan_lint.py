@@ -133,6 +133,12 @@ ALLOWED = {
     # class as the lift chart); entropy rate crosses 1-row totals.
     "agg_lorenz_deciles": {"cartesian", "single-partition-exchange"},
     "stats_markov_entropy_rate": {"cartesian", "single-partition-exchange"},
+    # analytic PCA / paired t / Feistel audit are 1-row aggregates;
+    # Heaps crosses the 5-checkpoint literal spine + 1-row fit.
+    "stats_pca_2x2_analytic": {"single-partition-exchange"},
+    "stats_paired_ttest": {"single-partition-exchange"},
+    "fn_feistel_permutation": {"single-partition-exchange"},
+    "text_heaps_law": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).
