@@ -849,3 +849,70 @@ def test_token_bucket_matches_pure_python(spark, duck):
         assert int(r["n_admitted"]) == admitted, uid
         assert int(r["n_events"]) == len(g)
         assert abs(r["final_tokens"] - round(tokens, 6)) < 1e-9
+
+
+def test_pca_2x2_matches_numpy(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_pca_2x2_analytic").iloc[0]
+    df = duck.execute(
+        "SELECT CAST(p_size AS BIGINT) AS x,"
+        " CAST(ROUND(p_retailprice*100,0) AS BIGINT) AS y FROM part"
+    ).df()
+    X = df[["x", "y"]].astype(float).values
+    cov = np.cov(X.T, bias=True)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert abs(got["lambda1"] - ev[0]) < max(1e-3, ev[0] * 1e-9)
+    assert abs(got["lambda2"] - ev[1]) < max(1e-3, abs(ev[1]) * 1e-9)
+    # moment-identity covariance vs numpy two-pass: ~1e-7 agreement
+    assert abs(got["explained_ratio"] - ev[0] / ev.sum()) < 1e-5
+
+
+def test_paired_ttest_matches_scipyless(spark, duck):
+    import numpy as np
+
+    got = _run(spark, "stats_paired_ttest").iloc[0]
+    df = duck.execute(
+        """
+        WITH per AS (
+          SELECT o_custkey AS ck, date_part('year', o_orderdate) AS y,
+                 CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+                   AS BIGINT) AS r
+          FROM orders WHERE date_part('year', o_orderdate) IN (1997, 1998)
+          GROUP BY ck, y)
+        SELECT a.r - b.r AS d
+        FROM (SELECT ck, r FROM per WHERE y = 1998) a
+        JOIN (SELECT ck, r FROM per WHERE y = 1997) b ON a.ck = b.ck
+        """
+    ).df()
+    d = df["d"].astype(float).values
+    t = d.mean() / (d.std(ddof=1) / np.sqrt(len(d)))
+    assert int(got["n"]) == len(d)
+    assert abs(got["t_stat"] - t) < max(1e-4, abs(t) * 1e-6)
+
+
+def test_feistel_is_bijective_and_invertible(spark):
+    got = _run(spark, "fn_feistel_permutation").iloc[0]
+    assert bool(got["is_bijective"])
+    assert int(got["n_distinct_tokens"]) == int(got["n_keys"])
+    # invert the 2-round network in pure Python for a sample of keys
+    import hashlib
+
+    def rf(half, salt):
+        h = hashlib.md5(f"{half}{salt}".encode()).hexdigest()
+        return int(h[:4], 16)
+
+    def forward(key):
+        l0, r0 = key % 65536, key // 65536
+        l1, r1 = r0, (l0 + rf(r0, ":f1")) % 65536
+        l2, r2 = r1, (l1 + rf(r1, ":f2")) % 65536
+        return r2 * 65536 + l2
+
+    def inverse(token):
+        l2, r2 = token % 65536, token // 65536
+        r1, l1 = l2, (r2 - rf(l2, ":f2")) % 65536
+        r0, l0 = l1, (r1 - rf(l1, ":f1")) % 65536
+        return r0 * 65536 + l0
+
+    for key in (1, 7, 999, 65535, 123456):
+        assert inverse(forward(key)) == key
