@@ -5640,3 +5640,88 @@ def dq_checksum_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_corrupt_rows"),
         )
     )
+
+
+@register(
+    "graph_edge_support",
+    oracle=f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+spine AS (
+  SELECT c_custkey AS i, r FROM customer
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+),
+raw AS (
+  SELECT {_lp_h24('VARCHAR', ':a')} % (SELECT n FROM nn) AS s,
+         {_lp_h24('VARCHAR', ':b')} % (SELECT n FROM nn) AS d
+  FROM spine
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, d) AS lo, GREATEST(s, d) AS hi
+  FROM raw WHERE s <> d
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.hi = e2.lo AND e1.lo < e2.lo
+  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+support AS (
+  SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+    SELECT a AS lo, b AS hi FROM tri
+    UNION ALL SELECT b AS lo, c AS hi FROM tri
+    UNION ALL SELECT a AS lo, c AS hi FROM tri
+  ) GROUP BY lo, hi
+)
+SELECT sup AS support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MIN(lo) AS BIGINT) AS sample_lo,
+       CAST(MIN(hi) AS BIGINT) AS sample_hi
+FROM support GROUP BY sup
+""",
+    tags=("iterative", "graph"),
+)
+def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE SUPPORT (triangles per edge) — the k-truss building
+    block and the strongest cheap tie-strength signal (an edge in
+    many triangles is embedded in a community; a zero-support edge
+    is a bridge): triangles enumerate once via the ordered two-path
+    join (the iter_triangle_count plan), then each triangle credits
+    its THREE edges through a union and the support histogram rolls
+    up. Same md5 edge synthesis as the link-prediction key, so the
+    two are directly comparable (support is the common-neighbor
+    count restricted to actual edges). At 100 TB: one wedge join +
+    one grid agg — no iteration until you actually peel a truss."""
+    c = table(spark, sf_dir, "customer")
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    spine = c.select(F.col("c_custkey").alias("i")).crossJoin(
+        F.broadcast(spark.range(3).select(F.col("id").cast("int").alias("r")))
+    )
+    raw = spine.crossJoin(F.broadcast(nn)).select(
+        (F.expr(_lp_h24("STRING", ":a")) % F.col("n")).alias("s"),
+        (F.expr(_lp_h24("STRING", ":b")) % F.col("n")).alias("d"),
+    )
+    edges = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("lo"), F.greatest("s", "d").alias("hi"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c2"))
+    wedges = e1.join(
+        e2, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("b2"))
+    ).select("a", "b", F.col("c2").alias("c"))
+    closing = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    sides = (
+        tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .unionAll(tri.select(F.col("b").alias("lo"), F.col("c").alias("hi")))
+        .unionAll(tri.select(F.col("a").alias("lo"), F.col("c").alias("hi")))
+    )
+    support = sides.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    return support.groupBy(F.col("sup").alias("support")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.min("lo").cast("bigint").alias("sample_lo"),
+        F.min("hi").cast("bigint").alias("sample_hi"),
+    )

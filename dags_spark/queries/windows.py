@@ -6603,3 +6603,62 @@ def win_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.round("st.tokens", 6).alias("final_tokens"),
     )
+
+
+@register(
+    "win_frame_exclude_emulated",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id % 5 AS grp,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day, grp
+)
+SELECT grp, day, c,
+       CAST(SUM(c) OVER (PARTITION BY grp ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                         EXCLUDE CURRENT ROW) AS BIGINT) AS peer_sum,
+       ROUND(CAST(SUM(c) OVER (PARTITION BY grp ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                               EXCLUDE CURRENT ROW) AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY grp ORDER BY day
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                - 1), 6) AS peer_mean,
+       ROUND(c - CAST(SUM(c) OVER (PARTITION BY grp ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                                   EXCLUDE CURRENT ROW) AS DOUBLE)
+                 / (COUNT(*) OVER (PARTITION BY grp ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    - 1), 6) AS deviation_from_peers
+FROM daily
+""",
+    tags=("window", "events"),
+)
+def win_frame_exclude_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW WINDOW FRAME, EMULATED — the SQL:2011
+    frame exclusion Spark lacks (DuckDB's oracle runs the NATIVE
+    `EXCLUDE CURRENT ROW`), and the construct leave-one-out
+    statistics actually need: each day's revenue compared to the
+    mean of its +-3-day PEERS, self excluded — include yourself and
+    every anomaly score is biased toward normal by exactly the
+    anomaly. The emulation is one subtraction: full-frame sum minus
+    the current row (and count minus one) — same algebra as the LOO
+    target-encoding key, applied to frames. Exact integer windowed
+    sums; one partitioned sort over the grp x day grid."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("user_id") % 5).alias("grp"),
+    ).agg(F.sum(cents("value")).cast("bigint").alias("c"))
+    w = Window.partitionBy("grp").orderBy("day").rowsBetween(-3, 3)
+    full_sum = F.sum("c").over(w)
+    full_cnt = F.count(F.lit(1)).over(w)
+    peer_sum = (full_sum - F.col("c")).cast("bigint")
+    peer_mean = peer_sum.cast("double") / (full_cnt - 1)
+    return daily.select(
+        "grp",
+        "day",
+        "c",
+        peer_sum.alias("peer_sum"),
+        F.round(peer_mean, 6).alias("peer_mean"),
+        F.round(F.col("c") - peer_mean, 6).alias("deviation_from_peers"),
+    )

@@ -139,6 +139,9 @@ ALLOWED = {
     "stats_paired_ttest": {"single-partition-exchange"},
     "fn_feistel_permutation": {"single-partition-exchange"},
     "text_heaps_law": {"cartesian", "single-partition-exchange"},
+    # edge support shares iter_triangle_count's allowlisted spine
+    # synthesis (3-row replica literal + 1-row count cross).
+    "graph_edge_support": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).
