@@ -5725,3 +5725,74 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").cast("bigint").alias("sample_lo"),
         F.min("hi").cast("bigint").alias("sample_hi"),
     )
+
+
+@register(
+    "dq_id_density_audit",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(event_id) AS BIGINT) AS lo,
+         CAST(MAX(event_id) AS BIGINT) AS hi,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+),
+gaps AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(gap - 1), 0) AS BIGINT) AS missing_ids
+  FROM (
+    SELECT event_id - LAG(event_id) OVER (ORDER BY event_id) AS gap
+    FROM events
+  ) WHERE gap > 1
+)
+SELECT s.n, s.lo, s.hi, s.n_distinct,
+       s.n = s.n_distinct AS ids_unique,
+       s.hi - s.lo + 1 = s.n AS ids_dense,
+       g.n_gaps, g.missing_ids,
+       ROUND(CAST(s.n AS DOUBLE) / (s.hi - s.lo + 1), 6) AS density
+FROM s CROSS JOIN gaps g
+""",
+    tags=("dq", "events"),
+)
+def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURROGATE-KEY DENSITY AUDIT — the ingestion sanity check that
+    catches silent drops and replays in one pass: are event ids
+    unique, is the range dense (max - min + 1 == count), how many
+    gaps and how many ids are missing inside them (a gap histogram
+    localizes a lost batch; a density below 1.0 quantifies it). The
+    gap scan is one LAG over the id order — the global sort is the
+    audit's nature (at 100 TB: audit per ingestion partition, then
+    roll partition boundaries up — same algebra on the partition
+    grid). Exact integers throughout."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("event_id").cast("bigint").alias("lo"),
+        F.max("event_id").cast("bigint").alias("hi"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
+    gap = ev.select(
+        (
+            F.col("event_id")
+            - F.lag("event_id").over(Window.orderBy("event_id"))
+        ).alias("gap")
+    ).filter(F.col("gap") > 1)
+    gaps = gap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum(F.col("gap") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("missing_ids"),
+    )
+    return s.crossJoin(F.broadcast(gaps)).select(
+        "n",
+        "lo",
+        "hi",
+        "n_distinct",
+        (F.col("n") == F.col("n_distinct")).alias("ids_unique"),
+        (F.col("hi") - F.col("lo") + 1 == F.col("n")).alias("ids_dense"),
+        "n_gaps",
+        "missing_ids",
+        F.round(
+            F.col("n").cast("double") / (F.col("hi") - F.col("lo") + 1), 6
+        ).alias("density"),
+    )

@@ -142,6 +142,10 @@ ALLOWED = {
     # edge support shares iter_triangle_count's allowlisted spine
     # synthesis (3-row replica literal + 1-row count cross).
     "graph_edge_support": {"cartesian", "single-partition-exchange"},
+    # seasonal strength windows the 30-day grid; id audit's LAG over
+    # the global id order IS the audit (per-partition at scale).
+    "ts_seasonal_strength": {"cartesian", "single-partition-exchange"},
+    "dq_id_density_audit": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).
