@@ -6142,3 +6142,206 @@ def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt((CAST(ss AS DOUBLE)/(n - 1)"
         " - CAST(s AS DOUBLE)*s/n/(n - 1)) / n), 6) AS t_stat",
     )
+
+
+@register(
+    "stats_g_test",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS r, o_orderpriority AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY r, c
+),
+margins AS (SELECT r, CAST(SUM(n) AS BIGINT) AS rn FROM obs GROUP BY r),
+colm AS (SELECT c, CAST(SUM(n) AS BIGINT) AS cn FROM obs GROUP BY c),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+terms AS (
+  SELECT CAST(FLOOR(ROUND(
+           2.0 * obs.n * ln(CAST(obs.n AS DOUBLE)
+                            / (CAST(rn AS DOUBLE) * cn / t)), 9)
+           * 1000000) AS BIGINT) AS term_micro
+  FROM obs
+  JOIN margins ON margins.r = obs.r
+  JOIN colm ON colm.c = obs.c
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(term_micro) AS BIGINT) / 1000000.0, 6) AS g_stat
+FROM terms
+""",
+    tags=("stats", "agg"),
+)
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-TEST (likelihood-ratio chi-square) — G = 2 sum O ln(O/E)
+    over the same (status x priority) contingency as
+    stats_chi_square: asymptotically the same chi2_2df reference but
+    ADDITIVE over table partitions (G of a merged table decomposes
+    exactly into within + between components, which Pearson's X^2
+    does not) — the property that makes it the right statistic for
+    hierarchical/drill-down independence testing. Per-cell terms
+    quantize to micro-units before the sum (libm ln lane); margins
+    broadcast."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    margins = obs.groupBy("r").agg(F.sum("n").cast("bigint").alias("rn"))
+    colm = obs.groupBy("c").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    terms = (
+        obs.join(F.broadcast(margins), "r")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.round(
+                    2.0 * F.col("n") * F.log(F.col("n").cast("double") / e), 9
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("term_micro")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum("term_micro").cast("bigint") / 1000000.0, 6).alias(
+            "g_stat"
+        ),
+    )
+
+
+@register(
+    "stats_poisson_rate_test",
+    oracle="""
+WITH w AS (
+  SELECT CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n2,
+         14.0 AS d1,
+         CAST(date_diff('day', TIMESTAMP '2024-01-15',
+                        MAX(ts) + INTERVAL 1 DAY) AS DOUBLE) AS d2
+  FROM events WHERE event_type = 'error'
+)
+SELECT n1, n2,
+       ROUND(n1 / d1, 6) AS rate1_per_day,
+       ROUND(n2 / d2, 6) AS rate2_per_day,
+       ROUND((n2 / d2) / (n1 / d1), 6) AS rate_ratio,
+       ROUND(ln((n2 / d2) / (n1 / d1))
+             / sqrt(1.0/n1 + 1.0/n2), 6) AS z_lnrr
+FROM w
+""",
+    tags=("stats", "events"),
+)
+def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE POISSON RATE TEST — did the ERROR rate change
+    between the first two weeks and the rest of the month? Counts
+    over exposure windows, the rate ratio, and the log-rate-ratio z
+    with variance 1/n1 + 1/n2 (the delta-method form SRE burn-rate
+    alerting uses; the count-data sibling of the proportion z-test).
+    Exposures are exact day spans (the second window's span comes
+    from the data edge, not an assumption); everything is one
+    conditional-sum pass and one shared double tree."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    w = ev.agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.lit(14.0).alias("d1"),
+        (
+            F.datediff(
+                F.date_add(F.max("ts").cast("date"), 1),
+                cut.cast("date"),
+            )
+        )
+        .cast("double")
+        .alias("d2"),
+    )
+    return w.selectExpr(
+        "n1",
+        "n2",
+        "ROUND(n1 / d1, 6) AS rate1_per_day",
+        "ROUND(n2 / d2, 6) AS rate2_per_day",
+        "ROUND((n2 / d2) / (n1 / d1), 6) AS rate_ratio",
+        "ROUND(ln((n2 / d2) / (n1 / d1))"
+        " / sqrt(1.0/n1 + 1.0/n2), 6) AS z_lnrr",
+    )
+
+
+@register(
+    "agg_hhi_by_year",
+    oracle="""
+WITH share AS (
+  SELECT date_part('year', l.l_shipdate) AS y, l.l_suppkey AS sk,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+           AS BIGINT) AS rev_c
+  FROM lineitem l GROUP BY y, sk
+),
+tot AS (SELECT y, CAST(SUM(rev_c) AS BIGINT) AS t FROM share GROUP BY y),
+hhi AS (
+  SELECT s.y,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(ROUND(
+           pow(CAST(s.rev_c AS DOUBLE) / t.t, 2) * 100000000 * 10000, 0)
+           AS BIGINT)) AS BIGINT) AS hhi_q
+  FROM share s JOIN tot t ON s.y = t.y
+  GROUP BY s.y
+)
+SELECT y AS year, n_suppliers,
+       ROUND(hhi_q / 10000.0, 6) AS hhi,
+       ROUND(hhi_q / 10000.0
+             - LAG(hhi_q / 10000.0) OVER (ORDER BY y), 6) AS hhi_delta
+FROM hhi
+""",
+    tags=("agg", "lineitem", "finance"),
+)
+def agg_hhi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI CONCENTRATION TREND — the Herfindahl index (sum of
+    squared market shares, x10^8 points convention) per shipment
+    year with its year-over-year delta: agg_revenue_hhi answers
+    'how concentrated', this answers the antitrust/vendor-risk
+    question 'is concentration RISING'. Per-(year, supplier) revenue
+    is exact cents; each squared share quantizes to 1e-4 HHI points
+    before the year sum (the standard lane), and the delta is one
+    LAG over the 7-year grid. Two hash-aggs + one co-keyed join."""
+    li = table(spark, sf_dir, "lineitem")
+    share = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(cents("l_extendedprice")).cast("bigint").alias("rev_c"))
+    tot = share.groupBy("y").agg(F.sum("rev_c").cast("bigint").alias("t"))
+    hhi = (
+        share.join(F.broadcast(tot), "y")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(
+                F.round(
+                    F.pow(F.col("rev_c").cast("double") / F.col("t"), 2)
+                    * 100000000
+                    * 10000,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("hhi_q"),
+        )
+    )
+    return hhi.select(
+        F.col("y").alias("year"),
+        "n_suppliers",
+        F.round(F.col("hhi_q") / 10000.0, 6).alias("hhi"),
+        F.round(
+            F.col("hhi_q") / 10000.0
+            - F.lag(F.col("hhi_q") / 10000.0).over(Window.orderBy("y")),
+            6,
+        ).alias("hhi_delta"),
+    )

@@ -1895,3 +1895,71 @@ def fn_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_fixed_points"),
     )
+
+
+def _easter_sql(y: str) -> tuple[str, str]:
+    """Anonymous Gregorian computus (Meeus/Jones/Butcher) — pure
+    integer arithmetic, identical text both engines; returns
+    (month_expr, day_expr)."""
+    a = f"({y} % 19)"
+    b = f"CAST(floor({y} / 100) AS BIGINT)"
+    c = f"({y} % 100)"
+    d = f"CAST(floor({b} / 4) AS BIGINT)"
+    e = f"({b} % 4)"
+    f_ = f"CAST(floor(({b} + 8) / 25) AS BIGINT)"
+    g = f"CAST(floor(({b} - {f_} + 1) / 3) AS BIGINT)"
+    h = f"((19 * {a} + {b} - {d} - {g} + 15) % 30)"
+    i = f"CAST(floor({c} / 4) AS BIGINT)"
+    k = f"({c} % 4)"
+    l = f"((32 + 2 * {e} + 2 * {i} - {h} - {k}) % 7)"
+    m = f"CAST(floor(({a} + 11 * {h} + 22 * {l}) / 451) AS BIGINT)"
+    month = f"CAST(floor(({h} + {l} - 7 * {m} + 114) / 31) AS BIGINT)"
+    day = f"((({h} + {l} - 7 * {m} + 114) % 31) + 1)"
+    return month, day
+
+
+@register(
+    "fn_easter_computus",
+    oracle=f"""
+WITH years AS (
+  SELECT DISTINCT date_part('year', o_orderdate) AS y FROM orders
+),
+easter AS (
+  SELECT y,
+         {_easter_sql('y')[0]} AS em,
+         {_easter_sql('y')[1]} AS ed
+  FROM years
+)
+SELECT CAST(y AS BIGINT) AS year,
+       CAST(em AS BIGINT) AS easter_month,
+       CAST(ed AS BIGINT) AS easter_day,
+       CAST(date_part('dow', make_date(CAST(y AS INT), CAST(em AS INT),
+                                       CAST(ed AS INT))) AS BIGINT)
+         AS day_of_week
+FROM easter
+""",
+    tags=("functions", "datetime"),
+)
+def fn_easter_computus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EASTER COMPUTUS (anonymous Gregorian / Meeus-Jones-Butcher
+    algorithm) — the hardest mainstream calendar computation (a
+    lunisolar fixpoint no closed calendar API exposes), and the
+    anchor for a whole family of business-calendar holidays (Good
+    Friday, Pentecost = +49d). Pure integer div/mod arithmetic in
+    SHARED SQL text over the fixture's order years; the oracle
+    cross-checks the result by asking the engine's own calendar for
+    the weekday — every computed date lands on day_of_week = 0
+    (Sunday), which is the built-in correctness certificate. At 100
+    TB calendar math is a broadcast dimension, never a row-wise
+    UDF."""
+    o = table(spark, sf_dir, "orders")
+    years = o.select(F.year("o_orderdate").alias("y")).distinct()
+    em, ed = _easter_sql("y")
+    easter = years.selectExpr("y", f"{em} AS emn", f"{ed} AS edy")
+    return easter.selectExpr(
+        "CAST(y AS BIGINT) AS year",
+        "CAST(emn AS BIGINT) AS easter_month",
+        "CAST(edy AS BIGINT) AS easter_day",
+        "CAST(dayofweek(make_date(CAST(y AS INT), CAST(emn AS INT),"
+        " CAST(edy AS INT))) - 1 AS BIGINT) AS day_of_week",
+    )

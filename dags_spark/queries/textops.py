@@ -2374,3 +2374,67 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         "ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta",
     )
+
+
+@register(
+    "dedup_phonetic_blocking",
+    oracle="""
+WITH words AS (
+  SELECT p_partkey, string_split(p_name, ' ')[1] AS w FROM part
+),
+keyed AS (
+  SELECT p_partkey, w, upper(substr(lower(w), 1, 1)) || rpad(substr(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(substr(translate(lower(w), 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'), 2), '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'), '7+', '7', 'g'), '8+', '8', 'g'), '9+', '9', 'g'), '0', ''), 1, 3), 3, '0') AS sdx FROM words
+),
+blocks AS (
+  SELECT sdx,
+         CAST(COUNT(*) AS BIGINT) AS block_size,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+         CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS candidate_pairs
+  FROM keyed GROUP BY sdx
+)
+SELECT sdx, block_size, n_distinct_words, candidate_pairs,
+       ROUND(CAST(candidate_pairs AS DOUBLE)
+             / (SELECT SUM(candidate_pairs) FROM blocks), 6)
+         AS share_of_pairs
+FROM blocks
+""",
+    tags=("dedup", "text", "part"),
+)
+def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING PROFILE — the capacity-planning view of an
+    entity-resolution pass: block part names by the simplified-
+    soundex key of their FIRST word (the fn_phonetic_soundex
+    pipeline applied as a blocking strategy) and report each
+    block's candidate-pair load n*(n-1)/2 plus its share of the
+    total comparison budget — the number that tells you which
+    hot block to split BEFORE running the quadratic verify stage
+    (the same df/hot-bucket discipline the minhash keys enforce).
+    Exact integer counts; two grid aggs."""
+    pt = table(spark, sf_dir, "part")
+    words = pt.select(
+        "p_partkey", F.split("p_name", " ").getItem(0).alias("w")
+    )
+    from .functions import _soundex_sql
+
+    keyed = words.selectExpr(
+        "p_partkey", "w", f"{_soundex_sql('w', False)} AS sdx"
+    )
+    blocks = keyed.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("block_size"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    )
+    tot = blocks.agg(
+        F.sum("candidate_pairs").cast("bigint").alias("tp")
+    )
+    return blocks.crossJoin(F.broadcast(tot)).select(
+        "sdx",
+        "block_size",
+        "n_distinct_words",
+        "candidate_pairs",
+        F.round(
+            F.col("candidate_pairs").cast("double") / F.col("tp"), 6
+        ).alias("share_of_pairs"),
+    )

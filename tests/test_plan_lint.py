@@ -146,6 +146,11 @@ ALLOWED = {
     # the global id order IS the audit (per-partition at scale).
     "ts_seasonal_strength": {"cartesian", "single-partition-exchange"},
     "dq_id_density_audit": {"cartesian", "single-partition-exchange"},
+    # G/Poisson/HHI/blocking: 1-row totals and grid windows only.
+    "stats_g_test": {"cartesian", "single-partition-exchange"},
+    "stats_poisson_rate_test": {"single-partition-exchange"},
+    "agg_hhi_by_year": {"single-partition-exchange"},
+    "dedup_phonetic_blocking": {"cartesian", "single-partition-exchange"},
     # dispersion's quartiles rank per brand (25 partitions) but the
     # stats are grid aggs — no global construct; entry only if lint
     # flags it (it should not).

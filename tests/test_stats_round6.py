@@ -916,3 +916,15 @@ def test_feistel_is_bijective_and_invertible(spark):
 
     for key in (1, 7, 999, 65535, 123456):
         assert inverse(forward(key)) == key
+
+
+def test_easter_matches_known_dates(spark):
+    got = _run(spark, "fn_easter_computus").set_index("year")
+    known = {
+        1995: (4, 16), 1996: (4, 7), 1997: (3, 30), 1998: (4, 12),
+        1999: (4, 4), 2000: (4, 23), 2001: (4, 15),
+    }
+    for y, (m, d) in known.items():
+        assert (int(got.loc[y, "easter_month"]),
+                int(got.loc[y, "easter_day"])) == (m, d), y
+        assert int(got.loc[y, "day_of_week"]) == 0  # always a Sunday
