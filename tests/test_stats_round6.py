@@ -928,3 +928,93 @@ def test_easter_matches_known_dates(spark):
         assert (int(got.loc[y, "easter_month"]),
                 int(got.loc[y, "easter_day"])) == (m, d), y
         assert int(got.loc[y, "day_of_week"]) == 0  # always a Sunday
+
+
+def test_vwap_never_averages_averages(spark, duck):
+    got = _run(spark, "win_vwap_rolling")
+    ref = duck.execute(
+        """
+        WITH t AS (
+          SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS day,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice*100,0) AS BIGINT))
+                   AS BIGINT) AS pq,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-04-01'
+          GROUP BY brand, day ORDER BY brand, day)
+        SELECT brand, day, pq, q FROM t
+        """
+    ).df()
+    import pandas as pd
+
+    for brand, g in ref.groupby("brand"):
+        g = g.sort_values("day").reset_index(drop=True)
+        sub = got[got["brand"] == brand].sort_values("day").reset_index(drop=True)
+        assert len(sub) == len(g)
+        for i in range(len(g)):
+            lo = max(0, i - 6)
+            pq7 = int(g["pq"][lo : i + 1].sum())
+            q7 = int(g["q"][lo : i + 1].sum())
+            assert abs(sub.loc[i, "vwap7_c"] - round(pq7 / q7, 6)) < 1e-9
+            pqc = int(g["pq"][: i + 1].sum())
+            qc = int(g["q"][: i + 1].sum())
+            assert abs(sub.loc[i, "vwap_cum_c"] - round(pqc / qc, 6)) < 1e-9
+
+
+def test_growth_accounting_reconciles_wau(spark, duck):
+    got = _run(spark, "win_growth_accounting")
+    wau = duck.execute(
+        "SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7"
+        " AS wk, COUNT(DISTINCT user_id) AS n FROM events GROUP BY wk"
+    ).df().set_index("wk")["n"].to_dict()
+    import collections
+
+    table = collections.defaultdict(dict)
+    for _, r in got.iterrows():
+        table[int(r["week"])][r["stage"]] = int(r["n_users"])
+    for wk, stages in table.items():
+        active = (
+            stages.get("new", 0)
+            + stages.get("retained", 0)
+            + stages.get("resurrected", 0)
+        )
+        assert active == wau.get(wk, 0), wk
+        # WAU(w) = WAU(w-1) + new + resurrected - churned  (w > first)
+        if wk - 1 in wau and wk in table:
+            expected = (
+                wau[wk - 1]
+                + stages.get("new", 0)
+                + stages.get("resurrected", 0)
+                - stages.get("churned", 0)
+            )
+            assert expected == wau[wk], wk
+
+
+def test_lift_chart_is_monotone_and_captures_all(spark):
+    got = _run(spark, "rank_lift_chart_deciles").sort_values("decile")
+    assert abs(got["cum_capture"].iloc[-1] - 1.0) < 1e-9
+    assert (got["cum_capture"].diff().dropna() >= -1e-12).all()
+    n_total = got["n"].sum()
+    assert abs(n_total - 15 * got["n"].iloc[0]) < n_total  # sanity
+
+
+def test_lerp_curve_fraction_bounds_and_endpoints(spark, duck):
+    got = _run(spark, "join_lerp_curve")
+    assert ((got["frac"] >= 0) & (got["frac"] < 1)).all()
+    curve = duck.execute(
+        """
+        SELECT date_trunc('month', l_shipdate) AS m,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))
+                 AS BIGINT) AS s,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY m ORDER BY m
+        """
+    ).df()
+    prices = (curve["s"] / curve["q"]).astype(float)
+    lo, hi = prices.min(), prices.max()
+    assert ((got["interpolated_price_c"] >= lo - 1e-6)
+            & (got["interpolated_price_c"] <= hi + 1e-6)).all()
