@@ -1018,3 +1018,56 @@ def test_lerp_curve_fraction_bounds_and_endpoints(spark, duck):
     lo, hi = prices.min(), prices.max()
     assert ((got["interpolated_price_c"] >= lo - 1e-6)
             & (got["interpolated_price_c"] <= hi + 1e-6)).all()
+
+
+def test_mrr_bridge_ties_out_exactly(spark, duck):
+    got = _run(spark, "agg_mrr_bridge")
+    per = duck.execute(
+        "SELECT date_part('year', o_orderdate) AS y,"
+        " CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)"
+        " AS rev FROM orders GROUP BY y"
+    ).df().set_index("y")["rev"].to_dict()
+    for _, r in got.iterrows():
+        y = int(r["year"])
+        # additive identity: new + expansion - contraction - churned
+        bridge = (
+            r["new_c"] + r["expansion_c"] - r["contraction_c"] - r["churned_c"]
+        )
+        assert bridge == r["delta_c"], y
+        # delta matches the independent per-year totals exactly
+        assert r["delta_c"] == per[y] - per[y - 1], y
+
+
+def test_catalog_coverage_partitions_the_catalog(spark, duck):
+    got = _run(spark, "agg_catalog_coverage")
+    n_parts = duck.execute("SELECT COUNT(*) FROM part").fetchone()[0]
+    n_lines = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert int(got["n_parts"].sum()) == n_parts
+    assert int(got["n_lines"].sum()) == n_lines
+    assert abs(got["share_of_catalog"].sum() - 1.0) < 1e-6
+
+
+def test_checksum_bisect_localizes_the_plant(spark, duck):
+    got = _run(spark, "dq_checksum_bisect")
+    planted = duck.execute(
+        "SELECT DISTINCT o_orderkey % 16 FROM orders"
+        " WHERE o_orderkey % 1000 = 7"
+    ).df().iloc[:, 0].astype(int).tolist()
+    flagged = set(got.loc[got["differs"], "bucket"].astype(int))
+    assert flagged == set(planted)
+    # corrupt counts only in flagged buckets
+    assert (got.loc[~got["differs"], "n_corrupt_rows"] == 0).all()
+    assert (got.loc[got["differs"], "n_corrupt_rows"] > 0).all()
+
+
+def test_dwell_time_shares_sum_to_one(spark):
+    got = _run(spark, "win_dwell_time_by_state")
+    assert abs(got["share_of_time"].sum() - 1.0) < 1e-5
+    assert (got["dwell_us"] > 0).all() and (got["n_spans"] > 0).all()
+
+
+def test_shrinkage_orders_small_groups_by_prior(spark):
+    got = _run(spark, "stats_beta_binomial_shrinkage")
+    # all shrunk rates lie strictly inside (0, 1) and alpha, beta > 0
+    assert ((got["shrunk_rate"] > 0) & (got["shrunk_rate"] < 1)).all()
+    assert (got["alpha"] > 0).all() and (got["beta"] > 0).all()
