@@ -292,6 +292,20 @@ class Graph:
                     out_path + ".__old__"
                 ):
                     os.rename(out_path + ".__old__", out_path)
+                # Crash recovery for the staged incremental publish: a
+                # surviving manifest means a prior run died between
+                # committing the batch's file list and finishing (or
+                # cleaning up) the renames. Roll the partial batch BACK
+                # by name — the ledger never committed, so this run
+                # will recompute and republish exactly those rows.
+                pub_manifest = out_path + ".__publish__.json"
+                if os.path.exists(pub_manifest):
+                    with open(pub_manifest) as fh:
+                        for fname in json.load(fh)["files"]:
+                            p = os.path.join(out_path, fname)
+                            if os.path.exists(p):
+                                os.unlink(p)
+                    os.unlink(pub_manifest)
                 stage_path = None
                 if incremental and spec.unique_on and os.path.exists(out_path):
                     # Accumulate + dedupe across RUNS, not just within the
@@ -407,13 +421,33 @@ class Graph:
                     # filenames embed a per-job UUID, so moves cannot
                     # collide with prior batches; _SUCCESS stays behind
                     # and dies with the stage dir.
+                    #
+                    # The per-file renames are not collectively atomic:
+                    # a crash mid-loop would leave a PARTIAL batch
+                    # visible, and (ledger uncommitted) the rerun would
+                    # append the same rows AGAIN. So the batch's file
+                    # list is committed to a manifest FIRST; recovery
+                    # at node start rolls a half-published batch back
+                    # by name, restoring the pre-batch snapshot before
+                    # the rerun reprocesses the same source files —
+                    # publish is all-or-nothing across crashes.
                     os.makedirs(out_path, exist_ok=True)
-                    for fname in os.listdir(stage_path):
-                        if fname.startswith("part-"):
-                            os.rename(
-                                os.path.join(stage_path, fname),
-                                os.path.join(out_path, fname),
-                            )
+                    staged = sorted(
+                        f
+                        for f in os.listdir(stage_path)
+                        if f.startswith("part-")
+                    )
+                    manifest = out_path + ".__publish__.json"
+                    tmpm = manifest + ".tmp"
+                    with open(tmpm, "w") as fh:
+                        json.dump({"files": staged}, fh)
+                    os.replace(tmpm, manifest)
+                    for fname in staged:
+                        os.rename(
+                            os.path.join(stage_path, fname),
+                            os.path.join(out_path, fname),
+                        )
+                    os.unlink(manifest)
                     shutil.rmtree(stage_path, ignore_errors=True)
                 df = spark.read.parquet(out_path)
         return df

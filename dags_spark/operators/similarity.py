@@ -24,6 +24,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ivf_cell_count(n: int) -> int:
+    """Sublinear coarse-quantizer sizing: ~sqrt(N/2) cells, clamped to
+    [16, 65536]. The sqrt rule is the standard IVF sizing (cells and
+    cell occupancy grow together, so probe work is O(sqrt(N)) either
+    way); the cap bounds the trained model absolutely. The centroid
+    table is the only thing the driver ever holds, so its footprint is
+    O(min(sqrt(N), 65536) * dim) — ~11 MB at a billion 64-dim vectors,
+    model-sized regardless of corpus scale. (The earlier ceil(N/128)
+    rule grew the model LINEARLY with the corpus: 8M centroids at 1e9
+    vectors — a driver-bound design, replaced by this.)"""
+    import math
+
+    return max(16, min(65536, math.ceil(math.sqrt(max(int(n), 1) / 2))))
+
+
+def md5_sample(df: DataFrame, id_col: str, cols: list[str], n: int) -> DataFrame:
+    """Deterministic uniform sample: the ``n`` rows with smallest
+    md5(id). orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-n, then a single n-row merge on the driver) — NOT a
+    global sort — so the sample is bounded-cost at any corpus size.
+    Asserted by test_ivf_seed_sample_plan_is_take_ordered."""
+    return (
+        df.select(*cols)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(n)
+    )
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -312,9 +341,11 @@ def _lloyd_refine(
       are exact under any shuffle/aggregation order (float addition is
       non-associative; quantized integer addition is not) — the same
       trick the exact vector-centroid keys use;
-    - only the (n_cells × dim) aggregate ever reaches the driver,
-      the same constant-size footprint as the fitted centroids
-      themselves. Empty cells keep their previous centroid.
+    - only n_cells packed array rows (the (n_cells × dim) aggregate)
+      ever reach the driver, the same model-sized footprint as the
+      fitted centroids themselves — and n_cells is sublinear in the
+      corpus (ivf_cell_count). Empty cells keep their previous
+      centroid.
     """
     from pyspark.sql.types import IntegerType
 
@@ -331,6 +362,10 @@ def _lloyd_refine(
     for _ in range(iters):
         nearest_cell = make_nearest_cell(cents)
 
+        # two-stage distributed reduce: exact quantized per-(cell,dim)
+        # partial sums, then per-cell packing into one array row — so
+        # exactly n_cells MODEL rows reach the driver, never a
+        # row-scale or dim-exploded result.
         stats = (
             with_norm(emb, vec_col)
             .select(
@@ -344,19 +379,22 @@ def _lloyd_refine(
                 F.sum(F.floor(F.col("v") * 1e8).cast("long")).alias("qs"),
                 F.count(F.lit(1)).alias("n"),
             )
+            .groupBy("cell")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "qs", "n"))
+                ).alias("dims")
+            )
             .collect()
         )
         new = cents.copy()
-        by_cell: dict[int, list] = {}
         for r in stats:
-            by_cell.setdefault(r["cell"], []).append(r)
-        for cell, rows in by_cell.items():
             vec = np.zeros(cents.shape[1])
-            for r in rows:
-                vec[r["pos"]] = (r["qs"] / 1e8) / r["n"]
-            norm = np.sqrt((vec * vec).sum())
-            if norm > 0:
-                new[cell] = vec / norm
+            for d in r["dims"]:
+                vec[d["pos"]] = (d["qs"] / 1e8) / d["n"]
+            nrm = np.sqrt((vec * vec).sum())
+            if nrm > 0:
+                new[r["cell"]] = vec / nrm
         cents = new
     return cents
 
@@ -395,10 +433,14 @@ def ann_ivf_topk(
        same lesson as blocked_pairs' kernel.
 
     Scale levers, all bounded:
-    - ``n_cells=None`` self-sizes to ~128 vectors per cell
-      (ceil(n/128), min 16 — the fixture keeps its pinned 16-cell
-      config), so per-cell work stays constant as the corpus grows;
-      one metadata-cheap count() job.
+    - ``n_cells=None`` self-sizes SUBLINEARLY to ~sqrt(N/2) cells,
+      clamped to [16, 65536] (ivf_cell_count; the fixture keeps its
+      pinned 16-cell config) — the standard IVF rule: cells and cell
+      occupancy grow together as sqrt(N). The trained model (the only
+      driver-resident state: seed sample, Lloyd per-cell means,
+      broadcast centroids) is therefore O(min(sqrt(N), cap) * dim) —
+      ~11 MB at 1e9 64-dim vectors — instead of the linear ceil(N/128)
+      it once was; one metadata-cheap count() job to size it.
     - hot cells (skewed quantizer) are SUB-SPLIT, not dropped: a cell
       with more than ``max_cell`` members shards by hash(id) and
       queries probe every shard — correctness preserved, worst-case
@@ -414,20 +456,12 @@ def ann_ivf_topk(
     fraction. Approximate by design -> rows check + recall property
     test (threshold 0.85).
     """
-    import math as _math
-
     from pyspark.sql.types import ArrayType, IntegerType
 
     if n_cells is None:
-        n_cells = max(16, _math.ceil(emb.count() / 128))
+        n_cells = ivf_cell_count(emb.count())
 
-    cent_rows = (
-        emb.select(id_col, vec_col)
-        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h", id_col)
-        .limit(n_cells)
-        .collect()
-    )
+    cent_rows = md5_sample(emb, id_col, [id_col, vec_col], n_cells).collect()
     cents = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
     cents = cents / np.sqrt((cents * cents).sum(axis=1, keepdims=True))
     if lloyd_iters > 0:
@@ -588,13 +622,7 @@ def _train_pq_codebooks(
     """Train per-subspace PQ codebooks on a deterministic md5-ordered
     sample (constant-size driver work — shipping a fitted model, same
     pattern as the IVF centroids). Returns (M, K, dim/M)."""
-    sample_rows = (
-        emb.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(train_size)
-        .collect()
-    )
+    sample_rows = md5_sample(emb, id_col, [id_col, vec_col], train_size).collect()
     sample = np.array(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
     )

@@ -1943,28 +1943,49 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     point at 100 TB is that this mode makes each file one
     unsplittable task, so landing pipelines should explode arrays
     to JSONL early (source_json_lines is the splittable cousin).
-    The fixture writes a 4%-of-orders array via Python json.dump
-    (real indentation, commas inside strings untested no more),
-    reads it back through the multiLine path, and re-aggregates;
-    the oracle computes the rollup relationally."""
-    import json
-    import os
+    The fixture is staged DISTRIBUTIVELY (no driver collect): each
+    task wraps its partition's to_json records in array punctuation
+    via a mapInPandas iterator kernel — the one shape a built-in
+    cannot express, because only the iterator sees partition
+    start/end — and writes ONE valid JSON array per part file
+    (newline-separated elements, comma lines between: legal JSON
+    whitespace). Read back through the multiLine path and
+    re-aggregated; the oracle computes the rollup relationally."""
     import tempfile
 
+    import pandas as pd  # noqa: PLC0415
+
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 4)
-    rows = [
-        {
-            "o_orderkey": r["o_orderkey"],
-            "o_orderstatus": r["o_orderstatus"],
-            "cents": r["cents"],
-        }
-        for r in o.select(
-            "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("cents")
-        ).collect()
-    ]
+    jdf = o.select(
+        F.to_json(
+            F.struct(
+                "o_orderkey",
+                "o_orderstatus",
+                cents("o_totalprice").alias("cents"),
+            )
+        ).alias("j")
+    )
+
+    def to_array_lines(batches):
+        # iterator-form kernel: sees the whole partition, so it can
+        # emit "[" before the first record and "]" after the last —
+        # each part file becomes one self-contained JSON array.
+        first = True
+        for pdf in batches:
+            lines = []
+            for j in pdf["j"]:
+                lines.append("[" if first else ",")
+                first = False
+                lines.append(j)
+            if lines:
+                yield pd.DataFrame({"value": lines})
+        if not first:
+            yield pd.DataFrame({"value": ["]"]})
+
     d = tempfile.mkdtemp(prefix="dags_mljson_")
-    with open(os.path.join(d, "export.json"), "w") as fh:
-        json.dump(rows, fh, indent=2)
+    jdf.mapInPandas(to_array_lines, schema="value string").write.mode(
+        "overwrite"
+    ).text(d)
     parsed = spark.read.option("multiLine", "true").json(d)
     return parsed.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -47,6 +47,21 @@ class CommitConflict(Exception):
     """Another writer committed this version first — rebase and retry."""
 
 
+def _norm_dvs(snap: dict) -> list[dict]:
+    """Normalize a snapshot's DV entries to ``{"name", "over"}`` dicts.
+    Legacy entries (pre-scoping flat strings) carried no file list, so
+    they are treated as key tombstones over every file in the snapshot
+    — the old (documented-wrong) semantics, preserved only for logs
+    written by old code."""
+    out = []
+    for d in snap.get("dvs") or []:
+        if isinstance(d, str):
+            out.append({"name": d, "over": list(snap["files"])})
+        else:
+            out.append(d)
+    return out
+
+
 class TableLog:
     def __init__(self, path: str) -> None:
         self.path = path
@@ -165,6 +180,25 @@ class TableLog:
         """
         from pyspark.sql import Window, functions as F
 
+        # Reject duplicate keys in the source batch up front: with two
+        # batch rows for one key the "keep the batch row" rule has no
+        # unique answer, and the surviving row would be whichever the
+        # shuffle happened to order first — nondeterministic across
+        # runs. Same contract as Delta's MERGE, which raises on
+        # multiple source matches.
+        dup = (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge source batch has duplicate keys for "
+                f"{keys}; dedupe upstream — the surviving row would be"
+                " arbitrary"
+            )
         snap = self.snapshot(base_version)
         if snap["files"]:
             base_df = self.read(spark, version=snap["version"])
@@ -181,7 +215,7 @@ class TableLog:
                 .drop("__pri", "__rn")
             )
         else:
-            merged = df.dropDuplicates(keys)
+            merged = df
         staging = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
         merged.write.mode("overwrite").parquet(staging)
         new_files = []
@@ -261,7 +295,15 @@ class TableLog:
         deletes commit in O(deleted keys), and a later compact()
         naturally MATERIALIZES them (it rewrites from read(), which
         applies DVs) and drops the sidecars. Same optimistic
-        versioning as every other commit."""
+        versioning as every other commit.
+
+        Each DV records the file list it was stamped against
+        (``{"name": ..., "over": [...]}``), mirroring how Delta/
+        Iceberg deletes are scoped per data file: read() applies a
+        DV's anti-join ONLY to the files in its ``over`` list, so a
+        row appended AFTER the delete that reuses a deleted key is a
+        genuine re-insert and survives — the DV masks history, not
+        the future."""
         snap = self.snapshot(base_version)
         if not snap["files"]:
             raise ValueError("nothing to delete from")
@@ -277,7 +319,9 @@ class TableLog:
                 continue
             dst = f"dv-{uuid.uuid4().hex}.parquet"
             os.rename(os.path.join(staging, f), os.path.join(self.path, dst))
-            dv_files.append(dst)
+            # scope the DV to the files it was stamped against — later
+            # appends are outside its mask by construction
+            dv_files.append({"name": dst, "over": list(snap["files"])})
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
@@ -347,7 +391,13 @@ class TableLog:
         keep_from = max(1, latest - retain_last + 1)
         referenced: set[str] = set()
         for v in range(keep_from, latest + 1):
-            referenced.update(self.snapshot(v)["files"])
+            snap = self.snapshot(v)
+            referenced.update(snap["files"])
+            # DV sidecars referenced by retained merge-on-read
+            # snapshots are live metadata: deleting them would turn
+            # the retained snapshot's masked read into an unmasked
+            # one (silent resurrection of deleted rows).
+            referenced.update(d["name"] for d in _norm_dvs(snap))
         removed_data = 0
         for f in os.listdir(self.path):
             if f.endswith(".parquet") and f not in referenced:
@@ -379,21 +429,44 @@ class TableLog:
         mergeSchema), so a table whose later commits ADDED columns
         reads as the widened schema with nulls backfilled — the
         additive half of schema evolution; type changes still fail
-        loudly, as they should."""
+        loudly, as they should.
+
+        Merge-on-read deletes apply PER FILE GROUP: snapshot files
+        are grouped by the set of DVs whose ``over`` list names them
+        (files appended after a delete are in no DV's scope and read
+        unmasked), each group anti-joins only its own DVs, and the
+        groups union back. Group count is bounded by the number of
+        distinct delete generations — commit-metadata scale, never
+        row scale."""
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError(f"version {snap['version']} is empty")
-        paths = [os.path.join(self.path, f) for f in snap["files"]]
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
-        if snap.get("dvs"):
-            dv_paths = [os.path.join(self.path, f) for f in snap["dvs"]]
-            dv = spark.read.parquet(*dv_paths).dropDuplicates(
-                snap["dv_keys"]
+        dvs = _norm_dvs(snap)
+        if not dvs:
+            paths = [os.path.join(self.path, f) for f in snap["files"]]
+            return reader.parquet(*paths)
+        scopes = [(d["name"], set(d["over"])) for d in dvs]
+        groups: dict[tuple, list[str]] = {}
+        for f in snap["files"]:
+            cover = tuple(n for n, over in scopes if f in over)
+            groups.setdefault(cover, []).append(f)
+        parts = []
+        for cover, files in groups.items():
+            part = reader.parquet(
+                *[os.path.join(self.path, f) for f in files]
             )
-            df = df.join(dv, on=snap["dv_keys"], how="left_anti")
+            if cover:
+                dv = spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in cover]
+                ).dropDuplicates(snap["dv_keys"])
+                part = part.join(dv, on=snap["dv_keys"], how="left_anti")
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=merge_schema)
         return df
 
 

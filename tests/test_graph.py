@@ -657,3 +657,52 @@ def test_graph_upsert_schema_evolution(spark, tmp_path):
         build("SELECT k, ts, CAST(3 AS BIGINT) AS ver FROM ev").run(
             spark, output_dir=out, incremental=True
         )
+
+
+def test_partial_publish_rolls_back_on_rerun(spark, sf_dir):
+    """ADVICE r6: a crash mid-publish (some staged part files renamed
+    into the snapshot, ledger uncommitted) must not duplicate rows on
+    the rerun. The publish manifest commits the batch's file list
+    before any rename; recovery rolls the partial batch back, so the
+    rerun republishes exactly once."""
+    import json as _json
+
+    work = tempfile.mkdtemp(prefix="dags_graph_crash_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    region = table(spark, sf_dir, "region")
+    region.coalesce(1).write.parquet(os.path.join(work, "stage1"))
+    for f in os.listdir(os.path.join(work, "stage1")):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(work, "stage1", f), os.path.join(src, f))
+
+    def build() -> Graph:
+        g = Graph("crash")
+        g.source("regions", src, schema="r_regionkey INT, r_name STRING")
+        g.sql_node(
+            "acc",
+            "SELECT r_regionkey, r_name FROM regions",
+            upstream=["regions"],
+            materialize=True,
+        )
+        return g
+
+    # simulate the crashed first run: batch files visible in the
+    # snapshot, publish manifest present, ledger NEVER committed
+    build().run(spark, output_dir=out, incremental=True)
+    acc_dir = os.path.join(out, "acc")
+    parts = sorted(f for f in os.listdir(acc_dir) if f.startswith("part-"))
+    assert parts
+    with open(acc_dir + ".__publish__.json", "w") as fh:
+        _json.dump({"files": parts}, fh)  # as if renames had just run
+    ledger = os.path.join(out, "_ledger")
+    for f in os.listdir(ledger):
+        os.unlink(os.path.join(ledger, f))  # ledger commit never happened
+
+    # rerun: recovery must roll the manifest's files back, then the
+    # run reprocesses the same source files -> exactly one copy
+    res = build().run(spark, output_dir=out, incremental=True)
+    assert res["acc"].count() == region.count()
+    assert spark.read.parquet(acc_dir).count() == region.count()
+    assert not os.path.exists(acc_dir + ".__publish__.json")

@@ -183,3 +183,54 @@ def test_vacuum_reclaims_orphans_and_expires_history(spark):
     again = t.vacuum(retain_last=2)
     assert again["removed_data_files"] == 0
     assert again["removed_log_entries"] == 0
+
+
+def test_vacuum_preserves_dv_sidecars_of_retained_snapshots(spark):
+    """vacuum() must treat DV sidecars referenced by retained
+    merge-on-read snapshots as live: deleting them would silently
+    resurrect the deleted rows in the retained snapshot."""
+    t = tmp_table()
+    t.write(spark.range(20).selectExpr("id AS k", "id*2 AS v"), "overwrite")
+    t.write(spark.range(20, 30).selectExpr("id AS k", "id*2 AS v"), "append")
+    doomed = spark.range(0, 20, 2).selectExpr("id AS k")
+    t.delete_mor(spark, doomed, ["k"])  # v3, latest
+    before = {r["k"] for r in t.read(spark).collect()}
+    assert len(before) == 20  # 30 - 10 masked
+    stats = t.vacuum(retain_last=1)  # only v3 retained
+    assert stats["removed_log_entries"] == 2
+    # the DV sidecar survived and the masked read is unchanged
+    assert any(f.startswith("dv-") for f in os.listdir(t.path))
+    assert {r["k"] for r in t.read(spark).collect()} == before
+
+
+def test_mor_delete_scopes_to_stamped_files_reinsert_survives(spark):
+    """A DV masks only the files it was stamped against: a row
+    appended AFTER the delete that reuses a deleted key is a genuine
+    re-insert and must survive the masked read."""
+    t = tmp_table()
+    t.write(spark.range(10).selectExpr("id AS k", "id AS v"), "overwrite")
+    t.delete_mor(spark, spark.createDataFrame([(3,), (7,)], "k INT"), ["k"])
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(10)) - {3, 7}
+    # re-insert key 3 with a new value via append
+    t.write(spark.createDataFrame([(3, 999)], "k INT, v INT"), "append")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[3] == 999  # re-insert visible
+    assert 7 not in got  # older delete still masks the old file
+    # a second MOR delete generation scopes independently
+    t.delete_mor(spark, spark.createDataFrame([(1,)], "k INT"), ["k"])
+    got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert 1 not in got2 and got2[3] == 999
+
+
+def test_merge_rejects_duplicate_batch_keys(spark):
+    """merge() raises on duplicate source keys instead of letting the
+    shuffle pick an arbitrary survivor (Delta MERGE's contract)."""
+    t = tmp_table()
+    t.write(spark.createDataFrame([(1, 10.0)], "k INT, v DOUBLE"), "overwrite")
+    dup = spark.createDataFrame([(2, 1.0), (2, 2.0)], "k INT, v DOUBLE")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(spark, dup, keys=["k"])
+    # empty-table branch enforces the same contract
+    t2 = tmp_table()
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t2.merge(spark, dup, keys=["k"])

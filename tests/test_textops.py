@@ -371,3 +371,44 @@ def test_ann_ivfpq_recall_vs_exact(spark, sf_dir):
     want = {(r.id_a, r.id_b) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.8, f"IVF-PQ recall {recall:.3f} below 0.8"
+
+
+def test_ivf_cell_count_sublinear():
+    """The IVF coarse quantizer must stay model-sized at any corpus
+    scale: sqrt growth with a hard cap, never linear in N (the old
+    ceil(N/128) rule put 8M centroids on the driver at 1e9 vectors).
+    This is the no-collect-scales-with-N guarantee for the ANN keys:
+    every driver-resident structure in ann_ivf_topk (seed sample,
+    Lloyd per-cell means, broadcast centroids) is O(ivf_cell_count)."""
+    import math
+
+    from dags_spark.operators.similarity import ivf_cell_count
+
+    assert ivf_cell_count(500) == 16       # fixture pin (sf0.001/0.01)
+    assert ivf_cell_count(2000) == 32      # sf0.1
+    assert ivf_cell_count(10**9) == 22361  # sqrt growth: ~11 MB model
+    assert ivf_cell_count(10**13) == 65536 # hard cap
+    prev = 16
+    for n in (10**4, 10**6, 10**8, 10**10):
+        c = ivf_cell_count(n)
+        assert prev <= c <= 65536
+        assert c <= 2 * math.isqrt(n) + 16  # sublinear envelope
+        prev = c
+
+
+def test_ivf_seed_sample_plan_is_take_ordered(spark, sf_dir):
+    """Seed-centroid sampling must compile to TakeOrderedAndProject
+    (per-partition top-n + single bounded merge), never a global
+    range-partitioned sort — the plan-level proof that the seed
+    collect is O(n_cells), not O(N)."""
+    from dags_spark.operators.similarity import md5_sample
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = (
+        md5_sample(emb, "vec_id", ["vec_id", "embedding"], 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
