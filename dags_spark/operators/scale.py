@@ -172,6 +172,15 @@ def global_rank(
     rank — is engine- and partitioning-independent. RangePartitioner
     samples to pick boundaries; that only moves WHERE a row ranks,
     never WHAT its rank is.
+
+    Phase 1 is PINNED with localCheckpoint before the offsets are
+    computed: the offsets subtree and the join-back subtree both
+    consume the range exchange, and without pinning AQE may coalesce
+    the two instances differently (or a caller's self-referencing
+    plan may re-evaluate the exchange), pairing offsets from one
+    partitioning with __pid from another — duplicate/gapped ranks.
+    The checkpoint is exactly the pass-1 materialization a two-pass
+    100 TB sort does anyway (write ranked runs, then publish).
     """
     from .trainprep import bucket_offsets
 
@@ -181,7 +190,7 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
     )
     win = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__within", F.row_number().over(win))
+    d = d.withColumn("__within", F.row_number().over(win)).localCheckpoint()
     offs = bucket_offsets(d, "__pid", F.lit(1))
     return (
         d.join(F.broadcast(offs), "__pid")

@@ -140,7 +140,14 @@ def global_cumsum(
 ) -> DataFrame:
     """Exclusive global running sum of ``weight_col`` in ``order_col``
     order (integer order key), via the two-phase bucket rewrite —
-    no single-partition window over the full table."""
+    no single-partition window over the full table.
+
+    Phase 1 is pinned with localCheckpoint before the offsets are
+    computed, for the same reason as scale.global_rank: the offsets
+    subtree and the join-back subtree both consume the bucket
+    shuffle, and an AQE re-plan (or a caller's self-referencing
+    plan) evaluating the two instances differently would pair
+    offsets from one partitioning with rows from another."""
     bucket = F.expr(f"CAST({order_col} AS BIGINT) div {bucket_width}")
     d = df.withColumn("__bkt", bucket)
     win = (
@@ -148,7 +155,7 @@ def global_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("__within", F.sum(weight_col).over(win))
+    d = d.withColumn("__within", F.sum(weight_col).over(win)).localCheckpoint()
     offs = bucket_offsets(d, "__bkt", F.col(weight_col))
     return (
         d.join(F.broadcast(offs), "__bkt")

@@ -5259,22 +5259,31 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - p_e) with p_e from the raters' marginals. The 2x2 cells
     are one exact-count pass after a tie-pinned lower-median split;
     kappa is one shared double tree. The labeler-QC companion to
-    the krippendorff-free eval family (auc, lift, MAP)."""
+    the krippendorff-free eval family (auc, lift, MAP).
+
+    The median's global rank comes from the two-phase global_rank
+    operator (range-partition + local rank + tiny offset table) —
+    never a single-partition window over the orders; the 1-row count
+    broadcast-crosses back in the scalar-subquery shape."""
+    from ..operators.scale import global_rank
+
     o = table(spark, sf_dir, "orders")
     cents_c = cents("o_totalprice")
-    ranked = o.select(
-        cents_c.alias("cents"),
-        "o_orderkey",
-        "o_orderstatus",
-        F.row_number()
-        .over(Window.orderBy(cents_c, "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = global_rank(
+        o.select(cents_c.alias("cents"), "o_orderkey"),
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
+        rank_col="rn",
     )
-    med = ranked.agg(
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")))
-        .cast("bigint")
-        .alias("med_c")
+    ntot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(ntot))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("med_c")
+        )
     )
     rated = o.crossJoin(F.broadcast(med)).select(
         F.when(cents("o_totalprice") > F.col("med_c"), 1)

@@ -4319,10 +4319,15 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (difficulty, doc_id)-pinned total order, so stage boundaries
     are deterministic and a long doc never straddles stages. The
     per-doc score is one exact-ratio double; the global running sum
-    is the only total-order window (at 100 TB: two-pass partition
-    cumsum — per-partition totals broadcast back — same algebra,
-    no single-partition sort; here Spark's WindowExec handles the
-    5k-doc fixture directly)."""
+    runs as the two-pass rewrite FOR REAL: global_rank pins the
+    (difficulty, doc_id) total order into an integer rank, and
+    global_cumsum turns that rank into an exclusive token cumsum via
+    per-bucket windows + a broadcast offset table — no
+    single-partition sort at any scale. The 1-row token total
+    broadcast-crosses back (scalar-subquery shape)."""
+    from ..operators.scale import global_rank
+    from ..operators.trainprep import global_cumsum
+
     d = table(spark, sf_dir, "documents")
     toks = F.size(F.split("text", " ")).cast("bigint")
     scored = d.select(
@@ -4332,17 +4337,19 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") - (toks - 1)).cast("double") / toks
         ).alias("difficulty"),
     )
-    w = Window.orderBy("difficulty", "doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    ranked = global_rank(
+        scored,
+        [F.col("difficulty").asc(), F.col("doc_id").asc()],
+        rank_col="__rn",
     )
-    cum = scored.select(
+    cumd = global_cumsum(ranked, "__rn", "toks", bucket_width=1024)
+    tot = scored.agg(F.sum("toks").cast("bigint").alias("total"))
+    cum = cumd.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "toks",
         "difficulty",
-        F.coalesce(F.sum("toks").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("cum_before"),
-        F.sum("toks").over(Window.partitionBy()).cast("bigint").alias("total"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+        "total",
     )
     return (
         cum.selectExpr("*", "cum_before * 5 div total AS bucket")

@@ -5231,14 +5231,40 @@ def rank_lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives, and cumulative lift over the base rate. Counts are
     exact; every ratio is one double division; the decile grid
     windows over 10 rows. Completes the eval family next to
-    auc_exact / ks_2sample / rank_ndcg_at_k."""
+    auc_exact / ks_2sample / rank_ndcg_at_k.
+
+    The decile assignment needs ONE global total order — supplied by
+    the two-phase global_rank operator (range-partition + local rank
+    + tiny offset table), never a single-partition NTILE window; the
+    NTILE bucket arithmetic (first N%10 buckets get one extra row) is
+    then exact integer math against the broadcast 1-row total, so the
+    result is bit-identical to NTILE(10) at any scale."""
+    from ..operators.scale import global_rank
+
     o = table(spark, sf_dir, "orders")
-    scored = o.select(
+    base = o.select(
         cents("o_totalprice").alias("score"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
-        F.ntile(10)
-        .over(Window.orderBy(cents("o_totalprice").desc(), "o_orderkey"))
-        .alias("decile"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        base,
+        [F.col("score").desc(), F.col("o_orderkey").asc()],
+        rank_col="rnk",
+    )
+    nrow = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    q = F.floor(F.col("n_tot") / 10).cast("bigint")
+    rem = (F.col("n_tot") % 10).cast("bigint")
+    scored = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "decile",
+        F.when(
+            F.col("rnk") <= rem * (q + F.lit(1)),
+            F.floor((F.col("rnk") - 1) / (q + F.lit(1))) + 1,
+        )
+        .otherwise(
+            rem + F.floor((F.col("rnk") - 1 - rem * (q + F.lit(1))) / q) + 1
+        )
+        .cast("int"),
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -37,10 +37,11 @@ ALLOWED = {
     # DTW: 5 per-type series rows cross to 10 pairs via a broadcast
     # nested-loop on t1 < t2 — the pair grid is the product.
     "ts_dtw_distance": {"cartesian"},
-    # curriculum: the equal-token-budget cut REQUIRES one global
-    # cumulative order; the windowed relation is 5k docs (collapsed
-    # grain), and the docstring gives the two-pass 100 TB rewrite.
-    "train_curriculum_buckets": {"single-partition-exchange"},
+    # curriculum: the global token cumsum now RUNS as the two-pass
+    # rewrite (global_rank + global_cumsum); residues are the 1-row
+    # token total broadcast-cross (scalar-subquery shape) and the
+    # offset-table reduces — model-sized, agg_global class.
+    "train_curriculum_buckets": {"cartesian", "single-partition-exchange"},
     # link prediction: the md5 spine crosses a 3-row replica literal
     # and 1-row count (same synthesis as iter_triangle_count's
     # allowlisted shape); degree/deg-join reduces are grid-sized.
@@ -67,12 +68,12 @@ ALLOWED = {
     # 30-day grid, 200-row rank window — all model-sized.
     "stats_beta_binomial_shrinkage": {"cartesian", "single-partition-exchange"},
     "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
-    # growth accounting crosses the 1-row max-week bound; lift chart
-    # NTILEs the full order set on one global rank (the decile
-    # assignment IS a global order — two-pass range-partition at
-    # 100 TB) and windows the 10-row decile grid.
-    # growth accounting's churn anti-join reduces the user-week
-    # grid (collapsed grain) in one exchange
+    # growth accounting crosses the 1-row max-week bound; its churn
+    # anti-join reduces the user-week grid (collapsed grain) in one
+    # exchange. Lift chart's decile assignment now RUNS on the
+    # two-pass global_rank; residues are the 1-row total cross
+    # (scalar-subquery shape) and the 10-row decile-grid window —
+    # model-sized, agg_global class.
     "win_growth_accounting": {"cartesian", "single-partition-exchange"},
     "rank_lift_chart_deciles": {"cartesian", "single-partition-exchange"},
     # ALS emits a literal 1-row result after model-sized driver
@@ -101,9 +102,10 @@ ALLOWED = {
     # alpha-beta filter folds the 30-day collapsed grid, same class
     # as ts_holt_winters_seasonal.
     "ts_alpha_beta_filter": {"single-partition-exchange"},
-    # dwell/kappa cross 1-row totals/medians (scalar-subquery
-    # shape); kappa's median rank additionally needs one global
-    # order over orders (two-pass range sort at 100 TB).
+    # dwell crosses 1-row totals (scalar-subquery shape); kappa's
+    # median rank now RUNS on the two-pass global_rank — residues
+    # are the 1-row count/median broadcast-crosses and offset-table
+    # reduces, model-sized, agg_global class.
     "win_dwell_time_by_state": {"cartesian", "single-partition-exchange"},
     "stats_cohens_kappa": {"cartesian", "single-partition-exchange"},
     # VaR crosses the 1-row rank-5%/n row into the 29-delta grid;
@@ -276,7 +278,7 @@ ALLOWED = {
     "stats_chi_square": {"cartesian", "single-partition-exchange"},
     # composes global_rank (range sort + tiny offset table — the
     # agg_pareto_customers constructs) into a final 1-row aggregate.
-    "agg_gini_revenue": {"single-partition-exchange", "global-sort"},
+    "agg_gini_revenue": {"single-partition-exchange"},
     # 1-row corpus token total broadcast-crossed into the per-source
     # term table — the text_tfidf scalar-subquery shape.
     "dq_corpus_drift_jsd": {"cartesian", "single-partition-exchange"},
