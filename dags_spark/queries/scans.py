@@ -1587,10 +1587,14 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is opened. Here 1995-2001 cluster into 7 files; the 1996-1997
     predicate keeps exactly 2, and the result provably equals the
     full-scan filter (the oracle) with the pruned counts pinned as
-    columns. The manifest is model-sized (one row per file) — the
-    collect is the same 'fit a small model, drive the plan' pattern
-    as the ANN codebooks. At 100 TB this is the scan primitive that
-    makes every other operator start from 2% of the files."""
+    columns. The manifest lives as a METADATA TABLE (a DataFrame,
+    one row per file) and the interval-overlap predicate is applied
+    to it RELATIONALLY — only the surviving file names reach the
+    driver, which is exactly what a table format's scan planner
+    materializes to build the task list (Iceberg manifests are
+    themselves scanned and filtered this way). At 100 TB this is the
+    scan primitive that makes every other operator start from 2% of
+    the files."""
     import os as _os
     import tempfile as _tempfile
 
@@ -1605,19 +1609,20 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(data_dir)
     )
     full = spark.read.parquet(data_dir)
-    manifest = (
-        full.groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.min("o_orderdate").alias("min_d"), F.max("o_orderdate").alias("max_d")
-        )
-        .collect()
+    manifest = full.groupBy(F.input_file_name().alias("file")).agg(
+        F.min("o_orderdate").alias("min_d"), F.max("o_orderdate").alias("max_d")
     )
     lo, hi = "1996-01-01", "1998-01-01"
-    import datetime as _dt
-
-    lo_ts = _dt.datetime(1996, 1, 1)
-    hi_ts = _dt.datetime(1998, 1, 1)
-    keep = [r["file"] for r in manifest if r["max_d"] >= lo_ts and r["min_d"] < hi_ts]
+    n_total = manifest.count()
+    keep = [
+        r["file"]
+        for r in manifest.filter(
+            (F.col("max_d") >= F.lit(lo).cast("timestamp"))
+            & (F.col("min_d") < F.lit(hi).cast("timestamp"))
+        )
+        .select("file")
+        .collect()
+    ]
     pruned = spark.read.parquet(*keep)
     return (
         pruned.filter(
@@ -1630,7 +1635,7 @@ def scan_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice").alias("revenue"),
         )
         .withColumn("n_files_read", F.lit(len(keep)).cast("bigint"))
-        .withColumn("n_files_total", F.lit(len(manifest)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(n_total).cast("bigint"))
     )
 
 

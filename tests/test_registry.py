@@ -88,3 +88,34 @@ def test_survey_inventory_block_in_sync():
         text=True,
     )
     assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_checklog_sweep_is_complete_and_green():
+    """CI-enforces the 'all keys green in one run' claim (VERDICT r6
+    item 6): the newest CHECKLOG_r*.txt must be a SINGLE-PASS sweep
+    whose per-key PASS/ROWS lines cover the registry exactly — every
+    registered key present, zero FAIL lines, no stale keys. If the
+    registry has grown since the last sweep, the test fails with the
+    missing keys so the round cannot close without rerunning
+    tools/check.py in full."""
+    import re
+    from pathlib import Path
+
+    from dags_spark.registry import all_specs
+
+    root = Path(__file__).resolve().parent.parent
+    logs = sorted(root.glob("CHECKLOG_r*.txt"))
+    assert logs, "no CHECKLOG_r*.txt — run: python tools/check.py > CHECKLOG_rN.txt"
+    text = logs[-1].read_text()
+    passed = set(re.findall(r"^(?:PASS|ROWS) (\S+):", text, re.M))
+    failed = set(re.findall(r"^FAIL (\S+)", text, re.M))
+    assert not failed, f"{logs[-1].name} records failures: {sorted(failed)[:10]}"
+    keys = set(all_specs())
+    missing = keys - passed
+    stale = passed - keys
+    assert not missing, (
+        f"{logs[-1].name} does not cover {len(missing)} registered keys "
+        f"(registry grew since the sweep): {sorted(missing)[:10]} — rerun "
+        "the full tools/check.py sweep"
+    )
+    assert not stale, f"{logs[-1].name} lists unregistered keys: {sorted(stale)[:10]}"

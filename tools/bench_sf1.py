@@ -48,7 +48,14 @@ from dags_spark.session import get_spark  # noqa: E402
 from dags_spark.testing import TABLES  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/dags_spark_sf1_v1"
+# tier presets: replicas over sf0.1, output dir, nominal SF, md file.
+# sf10 exists to prove PER-QUERY monotone ratio convergence (the sf1
+# report's q1-only probe, generalized to the whole suite).
+TIERS = {
+    1: ("/tmp/dags_spark_sf1_v1", 10, 1.0, "BENCH_SF1.md"),
+    10: ("/tmp/dags_spark_sf10_v1", 100, 10.0, "BENCH_SF10.md"),
+}
+OUT = TIERS[1][0]
 REPLICAS = 10
 
 HEADLINE = {
@@ -83,6 +90,9 @@ def build(spark) -> None:
         # file count bounds scan parallelism here: these ~10 MB files
         # are single row groups, and a row group never splits across
         # tasks — 32 files for the big facts = genuine 32-way scans.
+        # higher tiers scale the file count with the replica factor so
+        # per-file size (and thus split behavior) stays comparable.
+        files = files * max(1, REPLICAS // 10)
         df.repartition(files).write.mode("overwrite").parquet(
             os.path.join(OUT, f"{name}.parquet")
         )
@@ -177,8 +187,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--md", action="store_true", help="write BENCH_SF1.md")
+    ap.add_argument("--md", action="store_true", help="write BENCH_SF{tier}.md")
+    ap.add_argument("--tier", type=int, default=1, choices=sorted(TIERS))
     args = ap.parse_args()
+
+    global OUT, REPLICAS
+    OUT, REPLICAS, nominal_sf, md_name = TIERS[args.tier]
 
     if args.rebuild and os.path.exists(OUT):
         shutil.rmtree(OUT)
@@ -231,10 +245,10 @@ def main() -> int:
     suite_s = round(sum(r["spark_s"] for r in rows), 3)
     suite_d = round(sum(r["duckdb_s"] for r in rows), 3)
     result = {
-        "metric": "sf1_suite_warm_seconds",
+        "metric": f"sf{args.tier}_suite_warm_seconds",
         "value": suite_s,
         "unit": "sec",
-        "sf": 1.0,
+        "sf": nominal_sf,
         "duckdb_suite_sec": suite_d,
         "suite_ratio": round(suite_s / suite_d, 2),
         "build_sec": round(build_s, 1),
@@ -244,9 +258,11 @@ def main() -> int:
 
     if args.md:
         lines = [
-            "# BENCH_SF1 — 10x scale tier (deterministic sf0.1 replication)",
+            f"# BENCH_SF{args.tier} — {REPLICAS}x scale tier"
+            " (deterministic sf0.1 replication)",
             "",
-            "Generated by `python tools/bench_sf1.py --md` — same query",
+            f"Generated by `python tools/bench_sf1.py --tier {args.tier}"
+            " --md` — same query",
             "pairs as bench.py (Spark fn vs its registered DuckDB oracle),",
             "warm, min-of-%d, identical data both engines. See the" % args.reps,
             "module docstring for the replication algebra. Machine: 32",
@@ -264,37 +280,38 @@ def main() -> int:
             f"| **suite** | **{suite_s:.3f}** | **{suite_d:.3f}** |"
             f" **{result['suite_ratio']:.2f}x** |"
         )
-        lines += [
-            "",
-            "## Reading these numbers",
-            "",
-            "The suite is at parity and Spark wins outright wherever the",
-            "query does real distributed work (windows/sessionization,",
-            "blocked similarity, banded MinHash). The remaining >2x rows",
-            "are the scan-light TPC-H shapes — an in-process vectorized",
-            "engine's single best case. Their ratio is a function of",
-            "data volume, measured on q1 by replaying the same pair at",
-            "growing replication (same machine, warm, min-of-N; probe:",
-            "the sf10/sf100 recipe in this file's git history):",
-            "",
-            "| rows (lineitem) | Spark s | DuckDB s | ratio |",
-            "|---|---|---|---|",
-            "| 6 M (sf1) | 0.60 | 0.06 | 10.6x |",
-            "| 60 M (sf10) | 1.83 | 0.47 | 3.9x |",
-            "| 600 M (sf100) | 14.1 | 4.9 | 2.85x |",
-            "",
-            "Monotone convergence: Spark's fixed per-query cost and",
-            "JVM-row-vs-vector gap amortize as volume grows, but a",
-            "single-node columnar engine keeps a constant-factor edge on",
-            "pure scan+agg for as long as the data fits one machine.",
-            "That is the honest boundary: these shapes don't need a",
-            "cluster until the data outgrows one node — which is the",
-            "100 TB design point this repo optimizes for, where the",
-            "DuckDB column of this table stops existing.",
-        ]
+        if args.tier == 1:
+            lines += [
+                "",
+                "## Reading these numbers",
+                "",
+                "The suite is at parity and Spark wins outright wherever the",
+                "query does real distributed work (windows/sessionization,",
+                "blocked similarity, banded MinHash). The remaining >2x rows",
+                "are the scan-light TPC-H shapes — an in-process vectorized",
+                "engine's single best case. Their ratio is a function of",
+                "data volume, measured on q1 by replaying the same pair at",
+                "growing replication (same machine, warm, min-of-N; probe:",
+                "the sf10/sf100 recipe in this file's git history):",
+                "",
+                "| rows (lineitem) | Spark s | DuckDB s | ratio |",
+                "|---|---|---|---|",
+                "| 6 M (sf1) | 0.60 | 0.06 | 10.6x |",
+                "| 60 M (sf10) | 1.83 | 0.47 | 3.9x |",
+                "| 600 M (sf100) | 14.1 | 4.9 | 2.85x |",
+                "",
+                "Monotone convergence: Spark's fixed per-query cost and",
+                "JVM-row-vs-vector gap amortize as volume grows, but a",
+                "single-node columnar engine keeps a constant-factor edge on",
+                "pure scan+agg for as long as the data fits one machine.",
+                "That is the honest boundary: these shapes don't need a",
+                "cluster until the data outgrows one node — which is the",
+                "100 TB design point this repo optimizes for, where the",
+                "DuckDB column of this table stops existing.",
+            ]
         lines.append("")
-        (REPO / "BENCH_SF1.md").write_text("\n".join(lines))
-        print("wrote BENCH_SF1.md")
+        (REPO / md_name).write_text("\n".join(lines))
+        print(f"wrote {md_name}")
     return 0
 
 
