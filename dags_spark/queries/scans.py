@@ -2175,3 +2175,122 @@ def source_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (),
         reader_schema=reader_schema,
     )
+
+
+@register(
+    "source_warc_records",
+    oracle="""
+WITH html AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+           || '</title></head><body><p>'
+           || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                      '>', '&gt;')
+           || '</p></body></html>' AS h
+  FROM documents
+)
+SELECT doc_id, 200 AS http_status,
+       CAST(octet_length(encode(h)) AS BIGINT) AS n_bytes,
+       TRUE AS digest_ok, md5(h) AS html_md5
+FROM html
+""",
+    tags=("source",),
+)
+def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 crawl-archive source (ISO 28500 — the Common Crawl
+    container, THE raw input format of LLM training pipelines),
+    implemented spec-level in operators/warc.py since no WARC lib
+    ships here. documents are wrapped as HTTP response records (one
+    .warc file per partition, written executor-side), scanned back
+    via binaryFile — one archive per task, the same file-granular
+    parallelism real crawl processing uses — and parsed byte-level:
+    WARC headers, HTTP status line, Content-Length payload slicing,
+    and the sha1 WARC-Payload-Digest recomputed per record
+    (digest_ok must hold for every row; the oracle pins it TRUE).
+    The html md5 certifies the payload byte-exactly end-to-end."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.warc import build_response_record, parse_warc  # noqa: PLC0415
+
+    out = _tmpdir("warc")
+    html = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><title>doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><p>"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("text", "&", "&amp;"), "<", "&lt;"
+                    ),
+                    ">",
+                    "&gt;",
+                ),
+                F.lit("</p></body></html>"),
+            ).alias("h"),
+        )
+    )
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                chunks.append(
+                    build_response_record(
+                        uri=f"http://corpus.example/doc/{doc_id}",
+                        record_id=f"urn:example:{doc_id}",
+                        date="2026-01-01T00:00:00Z",
+                        html=h,
+                    )
+                )
+                n += 1
+        if not n:
+            return
+        path = os.path.join(out, f"part-{_uuid.uuid4().hex}.warc")
+        with open(path, "wb") as fh:
+            fh.write(b"".join(chunks))
+        yield pd.DataFrame({"path": [path], "n": [n]})
+
+    n_files = (
+        html.repartition(4).mapInPandas(_write, "path string, n bigint").count()
+    )
+    assert n_files > 0, "warc sink wrote no files"
+
+    def _read(batches):
+        from hashlib import md5 as _md5  # noqa: PLC0415
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = [
+                    r
+                    for r in parse_warc(bytes(content))
+                    if r.get("warc-type") == "response"
+                ]
+                if not recs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [
+                            int(r["warc-target-uri"].rsplit("/", 1)[1])
+                            for r in recs
+                        ],
+                        "http_status": [r["http_status"] for r in recs],
+                        "n_bytes": [len(r["body"]) for r in recs],
+                        "digest_ok": [bool(r["digest_ok"]) for r in recs],
+                        "html_md5": [
+                            _md5(r["body"]).hexdigest() for r in recs
+                        ],
+                    }
+                )
+
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.warc").load(out)
+    return bf.select("content").mapInPandas(
+        _read,
+        "doc_id bigint, http_status int, n_bytes bigint,"
+        " digest_ok boolean, html_md5 string",
+    )

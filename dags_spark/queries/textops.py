@@ -2438,3 +2438,47 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("candidate_pairs").cast("double") / F.col("tp"), 6
         ).alias("share_of_pairs"),
     )
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title, text AS body
+FROM documents
+""",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction, certified as an exact inverse: each
+    document is rendered to HTML (title tag + entity-escaped body —
+    the same synthesis source_warc_records archives) and the
+    extractor must recover the ORIGINAL text byte-exactly, entity
+    unescape included (&amp; last, mirroring &amp; first on escape —
+    the classic double-unescape bug is a hash failure here). All
+    scan-local regexp/replace built-ins, no shuffle, no Python: at
+    100 TB this runs at parquet-scan speed, which is why boilerplate
+    stripping is the cheapest stage of a crawl pipeline. Real-world
+    tag soup needs only a longer regexp chain in the same shape; the
+    escape guarantee ("<" cannot occur inside escaped text) is what
+    makes the tag regex exact here."""
+    html = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"),
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace("text", "&", "&amp;"), "<", "&lt;"),
+                ">",
+                "&gt;",
+            ),
+            F.lit("</p></body></html>"),
+        ).alias("h"),
+    )
+    title = F.regexp_extract("h", r"(?s)<title>(.*?)</title>", 1)
+    raw_body = F.regexp_extract("h", r"(?s)<p>(.*?)</p>", 1)
+    body = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw_body, "&lt;", "<"), "&gt;", ">"),
+        "&amp;",
+        "&",
+    )
+    return html.select("doc_id", title.alias("title"), body.alias("body"))

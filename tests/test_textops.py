@@ -412,3 +412,42 @@ def test_ivf_seed_sample_plan_is_take_ordered(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_warc_parse_roundtrip_and_digest():
+    """WARC codec: multi-record parse, header fidelity, payload
+    slicing by Content-Length, sha1 digest verification, and
+    detection of a corrupted body."""
+    from dags_spark.operators.warc import build_response_record, parse_warc
+
+    recs = b"".join(
+        build_response_record(
+            uri=f"http://x.example/doc/{i}",
+            record_id=f"urn:example:{i}",
+            date="2026-01-01T00:00:00Z",
+            html=f"<html><body><p>doc {i} &amp; more</p></body></html>",
+        )
+        for i in range(5)
+    )
+    out = parse_warc(recs)
+    assert len(out) == 5
+    for i, r in enumerate(out):
+        assert r["warc-type"] == "response"
+        assert r["warc-target-uri"].endswith(f"/doc/{i}")
+        assert r["http_status"] == 200
+        assert r["digest_ok"] is True
+        assert f"doc {i} &amp; more".encode() in r["body"]
+
+    # flip one payload byte: Content-Length slicing still works but
+    # the recomputed sha1 must disagree with the recorded digest
+    corrupt = bytearray(recs)
+    body_at = recs.index(b"doc 3")
+    corrupt[body_at] ^= 0xFF
+    bad = parse_warc(bytes(corrupt))
+    assert [r["digest_ok"] for r in bad] == [True, True, True, False, True]
+
+    # non-WARC bytes are rejected, not misparsed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad WARC version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
