@@ -4667,3 +4667,83 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mc, 6).alias("mean_cross_cos"),
         F.round(mw - mc, 6).alias("separation"),
     )
+
+
+@register(
+    "multimodal_mp4_meta",
+    oracle="""
+SELECT doc_id, 'isom' AS brand,
+       CAST(1 + doc_id % 7 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 7),
+            i -> 20 + ((doc_id + i) % 3) * 10)) AS BIGINT) AS duration,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 7),
+            i -> 10 + ((doc_id * 7 + i * 13) % 50))) AS BIGINT)
+         AS sample_bytes,
+       CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height,
+       TRUE AS sizes_ok
+FROM documents
+WHERE doc_id % 4 = 2
+""",
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 CONTAINER metadata extraction (ISO BMFF box grammar,
+    operators/isobmff.py): the mp4/webm *codec* payloads need ffmpeg
+    (absent — probe in CHECKLOG), but duration filters, frame-sample
+    planning, and corrupt-file triage over a video corpus only need
+    the container tables, and those are a public length-prefixed box
+    grammar walked byte-level here. Each doc synthesizes a valid
+    single-track mp4 (ftyp/moov/trak/stbl/mdat with run-length stts,
+    per-sample stsz, absolute stco) and the parser must recover the
+    movie duration, track dims (16.16 fixed point), sample count and
+    byte totals, and verify sum(stsz) == mdat payload with every
+    chunk offset inside mdat (sizes_ok — the oracle pins it TRUE).
+    In-kernel synth+parse, closed-form oracle: the hash certifies the
+    box walker, not plumbing."""
+    from ..operators.isobmff import build_mp4, parse_mp4
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n = 1 + i % 7
+                mp4 = build_mp4(
+                    track_id=i % 100 + 1,
+                    timescale=600,
+                    sample_durations=[20 + ((i + k) % 3) * 10 for k in range(n)],
+                    sample_sizes=[10 + ((i * 7 + k * 13) % 50) for k in range(n)],
+                    width=320 + (i % 4) * 160,
+                    height=240 + (i % 3) * 120,
+                )
+                meta = parse_mp4(mp4)
+                trk = meta["tracks"][0]
+                rows.append(
+                    (
+                        i,
+                        meta["brand"],
+                        trk["n_samples"],
+                        meta["duration"],
+                        trk["sample_bytes"],
+                        trk["width"],
+                        trk["height"],
+                        meta["sizes_ok"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "n_samples", "duration",
+                    "sample_bytes", "width", "height", "sizes_ok",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, brand STRING, n_samples BIGINT, duration BIGINT,"
+        " sample_bytes BIGINT, width BIGINT, height BIGINT, sizes_ok BOOLEAN",
+    )

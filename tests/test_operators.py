@@ -690,3 +690,42 @@ def test_avro_interop_with_jvm_library(spark, tmp_path):
     writer.close()
     _, out = read_container(theirs.read_bytes())
     assert out == recs
+
+
+def test_mp4_box_walker_and_integrity():
+    """ISO BMFF codec: build -> parse fidelity (duration, fixed-point
+    dims, run-length stts, stsz totals), stco landing inside mdat,
+    and corruption detection (truncation raises; stsz/mdat mismatch
+    flips sizes_ok)."""
+    import struct
+
+    import pytest as _pytest
+
+    from dags_spark.operators.isobmff import build_mp4, parse_mp4
+
+    mp4 = build_mp4(
+        track_id=9,
+        timescale=600,
+        sample_durations=[40, 40, 20, 20, 20],
+        sample_sizes=[30, 31, 32, 33, 34],
+        width=1280,
+        height=720,
+    )
+    meta = parse_mp4(mp4)
+    assert meta["brand"] == "isom"
+    assert (meta["timescale"], meta["duration"]) == (600, 140)
+    trk = meta["tracks"][0]
+    assert (trk["track_id"], trk["width"], trk["height"]) == (9, 1280, 720)
+    assert (trk["n_samples"], trk["stts_duration"], trk["sample_bytes"]) == (5, 140, 160)
+    assert meta["sizes_ok"]
+
+    with _pytest.raises(ValueError, match="bad box size"):
+        parse_mp4(mp4[:-10])
+
+    # grow the recorded size of sample 0 by one byte: boxes still
+    # parse, but sum(stsz) no longer matches the mdat payload
+    stsz_at = mp4.index(b"stsz")
+    first_size_at = stsz_at + 4 + 4 + 8  # type, ver/flags, fixed+count
+    bad = bytearray(mp4)
+    bad[first_size_at : first_size_at + 4] = struct.pack(">I", 31)
+    assert not parse_mp4(bytes(bad))["sizes_ok"]
