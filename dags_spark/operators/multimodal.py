@@ -262,13 +262,16 @@ def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB for COMPRESSED formats: PNG/JPEG/GIF pixel decode needs
-    PIL (absent). The uncompressed path is REAL: see
-    resize_bmp_nearest below (pure-Python 24-bit BMP decode ->
-    nearest-neighbor resample -> re-encode), driven end-to-end under
-    the hash check by the multimodal_resize_bmp key. Real shape for
-    the compressed variants: mapInPandas emitting the re-encoded
-    payload with updated meta."""
+    """STUB for the remaining COMPRESSED-format resizes (animated
+    GIF frames need an LZW decoder; PIL absent). PNG pixel decode is
+    REAL (decode_png_pixels below) and baseline JPEG decode/encode is
+    REAL from-spec (operators/jpegcodec.py, ImageIO-certified, driven
+    under the hash check by multimodal_jpeg_roundtrip), as is the
+    uncompressed path: resize_bmp_nearest (pure-Python 24-bit BMP
+    decode -> nearest-neighbor resample -> re-encode) under the
+    multimodal_resize_bmp key. Real shape for the remaining
+    variants: mapInPandas emitting the re-encoded payload with
+    updated meta."""
     raise NotImplementedError(
         "compressed-format resize requires PIL; BMP resize is implemented "
         "(resize_bmp_nearest); pipeline shape: "
@@ -277,12 +280,15 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(binary_df: DataFrame, every_n: int) -> DataFrame:
-    """STUB for COMPRESSED containers: mp4/webm decode needs ffmpeg
-    (absent). The uncompressed path is REAL: see sample_y4m_frames
-    below (pure-Python YUV4MPEG2 stream walk), driven end-to-end
-    under the hash check by the multimodal_video_y4m key. Real shape
-    for compressed variants: mapInPandas yielding one row per
-    sampled frame (doc_id, frame_idx, content)."""
+    """STUB for COMPRESSED-codec frame decode: mp4/webm PIXEL data
+    needs ffmpeg (absent). The mp4 CONTAINER layer is REAL from-spec
+    (operators/isobmff.py: box walk, stts/stsz/stco sample tables —
+    everything a frame-sampling PLAN needs, under the hash check by
+    multimodal_mp4_meta), and the uncompressed path is REAL: see
+    sample_y4m_frames below (pure-Python YUV4MPEG2 stream walk),
+    driven end-to-end under the hash check by the multimodal_video_y4m
+    key. Real shape for codec variants: mapInPandas yielding one row
+    per sampled frame (doc_id, frame_idx, content)."""
     raise NotImplementedError(
         "compressed-container frame sampling requires ffmpeg; Y4M sampling "
         "is implemented (sample_y4m_frames); pipeline shape: "

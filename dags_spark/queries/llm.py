@@ -4747,3 +4747,67 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, brand STRING, n_samples BIGINT, duration BIGINT,"
         " sample_bytes BIGINT, width BIGINT, height BIGINT, sizes_ok BOOLEAN",
     )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS height,
+       CAST((16 + (doc_id % 3) * 8) * (16 + (doc_id % 2) * 8) AS BIGINT)
+         AS n_px,
+       TRUE AS within_tol
+FROM documents
+WHERE doc_id % 4 = 3
+""",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG ENCODE + DECODE, from-spec (ITU-T T.81,
+    operators/jpegcodec.py) — the compressed-image pixel path the
+    multimodal family previously stubbed behind the absent-PIL probe.
+    Per doc a deterministic smooth RGB pattern is Huffman/DCT
+    round-tripped at a doc-varying quality (80-94) inside the Arrow
+    kernel; within_tol pins max per-sample |decoded - original| <= 16
+    (measured worst 10 across the corpus — lossy-codec error, not
+    slack: a mis-decoded MCU is off by hundreds). The codec itself is
+    certified against the JVM's javax.imageio in BOTH directions in
+    tests/test_operators.py, so the kernel exercised here is the same
+    machinery a mainstream decoder agrees with. The hash certifies
+    entropy coding, DCT quantization, and color transform end to end;
+    only closed-form dims and the tolerance verdict leave the
+    executor."""
+    import numpy as np
+
+    from ..operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        pattern_rgb,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w = 16 + (i % 3) * 8
+                h = 16 + (i % 2) * 8
+                img = pattern_rgb(w, h, seed=i)
+                out = decode_jpeg_pixels(
+                    encode_jpeg_pixels(img, quality=80 + i % 15)
+                )
+                err = int(np.abs(out.astype(int) - img.astype(int)).max())
+                rows.append((i, w, h, w * h, err <= 16))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_px", "within_tol"]
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
+        " within_tol BOOLEAN",
+    )

@@ -729,3 +729,83 @@ def test_mp4_box_walker_and_integrity():
     bad = bytearray(mp4)
     bad[first_size_at : first_size_at + 4] = struct.pack(">I", 31)
     assert not parse_mp4(bytes(bad))["sizes_ok"]
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """Baseline JPEG: deterministic encode, bounded lossy error on
+    smooth content, padding path for non-multiple-of-8 dims, real
+    compression, and non-baseline/garbage rejection."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dags_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        pattern_rgb,
+    )
+
+    img = pattern_rgb(24, 16, seed=3)
+    data = encode_jpeg_pixels(img, quality=85)
+    assert data == encode_jpeg_pixels(img, quality=85)
+    assert len(data) < img.size  # beats raw RGB on smooth content
+    out = decode_jpeg_pixels(data)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    odd = pattern_rgb(21, 13, seed=9)
+    oout = decode_jpeg_pixels(encode_jpeg_pixels(odd, quality=90))
+    assert oout.shape == odd.shape
+    assert np.abs(oout.astype(int) - odd.astype(int)).max() <= 16
+
+    with _pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg_pixels(b"\x00\x01\x02")
+    # progressive SOF2 must be rejected, not misdecoded
+    prog = bytearray(data)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_pixels(bytes(prog))
+
+
+def test_jpeg_interop_with_jvm_imageio(spark, tmp_path):
+    """Codec certification against the JVM's javax.imageio, both
+    directions: ImageIO decodes our 4:4:4 files within +/-2 of our
+    own decoder (T.81 allows per-implementation IDCT rounding), and
+    ImageIO's 4:2:0 output decodes through us within the looser
+    bound the chroma-upsampling filter difference implies."""
+    import numpy as np
+
+    from dags_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+        pattern_rgb,
+    )
+
+    jvm = spark._jvm
+    img = pattern_rgb(32, 24, seed=5)
+    ours_path = tmp_path / "ours.jpg"
+    ours_path.write_bytes(encode_jpeg_pixels(img, quality=85))
+
+    bimg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(ours_path)))
+    assert (bimg.getWidth(), bimg.getHeight()) == (32, 24)
+    iio = np.zeros((24, 32, 3), dtype=int)
+    for y in range(24):
+        for x in range(32):
+            p = bimg.getRGB(x, y)
+            iio[y, x] = [(p >> 16) & 255, (p >> 8) & 255, p & 255]
+    ours = decode_jpeg_pixels(ours_path.read_bytes()).astype(int)
+    assert np.abs(iio - ours).max() <= 2
+    assert np.abs(iio - img.astype(int)).max() <= 16
+
+    b2 = jvm.java.awt.image.BufferedImage(
+        32, 24, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(24):
+        for x in range(32):
+            r, g, b = (int(v) for v in img[y, x])
+            b2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    theirs_path = tmp_path / "theirs.jpg"
+    jvm.javax.imageio.ImageIO.write(b2, "jpg", jvm.java.io.File(str(theirs_path)))
+    theirs = decode_jpeg_pixels(theirs_path.read_bytes()).astype(int)
+    assert theirs.shape == (24, 32, 3)
+    assert np.abs(theirs - img.astype(int)).max() <= 48
+    assert np.abs(theirs - img.astype(int)).mean() <= 8
