@@ -4811,3 +4811,87 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, width BIGINT, height BIGINT, n_px BIGINT,"
         " within_tol BOOLEAN",
     )
+
+
+@register(
+    "multimodal_webm_meta",
+    oracle="""
+SELECT doc_id, 'webm' AS doc_type, 'V_VP9' AS codec,
+       CAST(1 + doc_id % 9 AS BIGINT) AS track_number,
+       CAST(320 + (doc_id % 5) * 64 AS BIGINT) AS width,
+       CAST(180 + (doc_id % 4) * 90 AS BIGINT) AS height,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_clusters,
+       CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS n_blocks,
+       CAST(list_sum(list_transform(
+              generate_series(0, (1 + doc_id % 4) * (1 + doc_id % 3) - 1),
+              i -> 40 + ((doc_id * 11 + i * 17) % 60))) AS BIGINT)
+         AS block_bytes
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+def multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM / Matroska CONTAINER metadata extraction (EBML grammar,
+    RFC 8794 — operators/ebml.py), closing the container half of the
+    webm gap the way multimodal_mp4_meta closes mp4: VP9/AV1 PIXEL
+    decode needs ffmpeg (absent), but corpus triage, duration
+    filters and block accounting only need the element tree. Each
+    doc synthesizes a valid single-track WebM (EBML header, Info
+    timescale + float duration, TrackEntry with codec id and pixel
+    dims, clusters of SimpleBlocks) and the parser walks VINT-framed
+    elements recovering doc type, track metadata, and per-block
+    payload byte totals net of block headers — all pinned closed-form
+    by the oracle. Truncated elements raise rather than misparse."""
+    from ..operators.ebml import build_webm, parse_webm
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n_clusters = 1 + i % 4
+                per_cluster = 1 + i % 3
+                sizes, k = [], 0
+                for _c in range(n_clusters):
+                    row = []
+                    for _b in range(per_cluster):
+                        row.append(40 + ((i * 11 + k * 17) % 60))
+                        k += 1
+                    sizes.append(row)
+                m = parse_webm(
+                    build_webm(
+                        track_number=1 + i % 9,
+                        codec_id="V_VP9",
+                        width=320 + (i % 5) * 64,
+                        height=180 + (i % 4) * 90,
+                        timescale_ns=1_000_000,
+                        duration_ticks=float(n_clusters * 1000),
+                        cluster_block_sizes=sizes,
+                    )
+                )
+                trk = m["tracks"][0]
+                rows.append(
+                    (
+                        i, m["doc_type"], trk["codec"], trk["number"],
+                        trk["width"], trk["height"], m["n_clusters"],
+                        m["n_blocks"], m["block_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "doc_type", "codec", "track_number", "width",
+                    "height", "n_clusters", "n_blocks", "block_bytes",
+                ],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, doc_type STRING, codec STRING, track_number BIGINT,"
+        " width BIGINT, height BIGINT, n_clusters BIGINT, n_blocks BIGINT,"
+        " block_bytes BIGINT",
+    )

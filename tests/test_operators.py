@@ -809,3 +809,48 @@ def test_jpeg_interop_with_jvm_imageio(spark, tmp_path):
     assert theirs.shape == (24, 32, 3)
     assert np.abs(theirs - img.astype(int)).max() <= 48
     assert np.abs(theirs - img.astype(int)).mean() <= 8
+
+
+def test_ebml_webm_walker_and_integrity():
+    """EBML codec: VINT framing (ids keep the marker, sizes strip
+    it), header/track/cluster fidelity, block byte accounting net of
+    SimpleBlock headers, float duration, truncation rejection."""
+    import pytest as _pytest
+
+    from dags_spark.operators.ebml import build_webm, parse_webm
+
+    w = build_webm(
+        track_number=3,
+        codec_id="V_VP9",
+        width=640,
+        height=360,
+        timescale_ns=1_000_000,
+        duration_ticks=4000.0,
+        cluster_block_sizes=[[100, 50], [75], [20, 5, 30]],
+    )
+    m = parse_webm(w)
+    assert m["doc_type"] == "webm"
+    assert (m["timescale_ns"], m["duration_ticks"]) == (1_000_000, 4000.0)
+    assert m["tracks"] == [
+        {"number": 3, "codec": "V_VP9", "width": 640, "height": 360}
+    ]
+    assert (m["n_clusters"], m["n_blocks"], m["block_bytes"]) == (3, 6, 280)
+
+    with _pytest.raises(ValueError, match="truncated element"):
+        parse_webm(w[:-5])
+
+    # a VINT size wider than minimal must still parse (spec-legal):
+    # rewrite DocType's 1-byte size 0x84 as the 2-byte form 0x4004
+    at = w.index(b"\x42\x82") + 2
+    assert w[at] == 0x84
+    legal = w[:at] + b"\x40\x04" + w[at + 1 :]
+    # outer sizes now disagree by one byte -> only check it walks the
+    # header; rebuild instead with a padded header element
+    from dags_spark.operators.ebml import EBML_ID, el, walk_ebml
+
+    hdr = el(0x4282, b"webm")
+    padded = bytes([hdr[0], hdr[1], 0x40, hdr[2] - 0x80]) + hdr[3:]
+    doc = el(EBML_ID, padded)
+    ids = [eid for eid, _, _ in walk_ebml(doc, 5, len(doc))]
+    assert ids == [0x4282]
+    del legal
