@@ -159,7 +159,13 @@ def blocked_pairs(
                     ia = np.repeat(np.arange(s.shape[0]) + i0, s.shape[1])
                     ib = np.tile(np.arange(s.shape[1]) + j0, s.shape[0])
                 if len(sims) > k:
-                    idx = np.lexsort((ib, ia, -sims))[:k]
+                    # argpartition (O(len)) + exact tie rescue at the
+                    # boundary, then lexsort only the survivors — a
+                    # full per-tile lexsort would dominate runtime
+                    part = np.argpartition(-sims, k - 1)[:k]
+                    kth = sims[part].min()
+                    keep = np.flatnonzero(sims >= kth)
+                    idx = keep[np.lexsort((ib[keep], ia[keep], -sims[keep]))[:k]]
                     sims, ia, ib = sims[idx], ia[idx], ib[idx]
                 sims_l.append(sims)
                 ia_l.append(ia)

@@ -66,8 +66,12 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit broadcast matters beyond the default 10 MB
     autoBroadcast threshold: at the 10x bench tier the pruned
     customer dim is ~24 MB, and without the hint Spark silently
-    flips to a second full-fact shuffle on o_custkey (measured 2x
-    the whole query). Broadcasting a pruned dim is the canonical
+    flips to a second full-fact shuffle on o_custkey — 135M rows
+    exchanged instead of 75M at that tier (warm local timings sit
+    within host noise of each other on 32 shared cores, verified by
+    an interleaved A/B; the extra fact-sized exchange is what
+    multiplies on a real cluster, where shuffle bytes cross
+    machines). Broadcasting a pruned dim is the canonical
     star-join shape up to the 8 GB broadcast ceiling; past that
     (customer at true 100 TB) the same query wants the fact and
     customer bucketed on the join key (join_bucketed_checked) or
