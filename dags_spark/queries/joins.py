@@ -57,25 +57,27 @@ GROUP BY n_name
 """,
 )
 def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join, dim-collapse-first: region/nation
-    broadcast into customer and the surviving (c_custkey, n_name)
-    lookup — column-pruned to two fields and region-filtered to 3/5
-    of customers — is itself broadcast into orders map-side, so the
-    only exchange in the whole plan is the unavoidable
-    lineitem-orders equi-shuffle. Folding the snowflake into one
-    explicit broadcast matters beyond the default 10 MB
-    autoBroadcast threshold: at the 10x bench tier the pruned
-    customer dim is ~24 MB, and without the hint Spark silently
-    flips to a second full-fact shuffle on o_custkey — 135M rows
-    exchanged instead of 75M at that tier (warm local timings sit
-    within host noise of each other on 32 shared cores, verified by
-    an interleaved A/B; the extra fact-sized exchange is what
-    multiplies on a real cluster, where shuffle bytes cross
-    machines). Broadcasting a pruned dim is the canonical
-    star-join shape up to the 8 GB broadcast ceiling; past that
-    (customer at true 100 TB) the same query wants the fact and
-    customer bucketed on the join key (join_bucketed_checked) or
-    AQE's size-aware re-plan instead of the hint."""
+    """TPC-H Q5-shaped star join: the fact chain (lineitem-orders)
+    stays a plain declarative join — Catalyst auto-broadcasts the
+    pruned orders side below the threshold and AQE re-plans by
+    runtime size above it — while the snowflake dim is collapsed
+    explicitly: region/nation broadcast into customer and the
+    surviving (c_custkey, n_name) lookup, column-pruned to two
+    fields and region-filtered to 3/5 of customers, carries ONE
+    broadcast hint into the fact output. That hint is the part
+    Catalyst cannot see without runtime stats (the pruned dim is
+    ~24 MB at the 10x tier, past the 10 MB autoBroadcast default,
+    and AQE is off in the bench profile): without it the plan adds a
+    second fact-sized exchange on o_custkey — 135M vs 75M rows
+    shuffled at that tier. Measured across tiers (interleaved A/B,
+    warm): collapsing the dim BEFORE the fact join instead adds two
+    sequential broadcast barriers that cost 2x at sf0.1 and win
+    nothing at sf10, so the hint rides the fact output where the
+    barrier latency hides behind the fact exchange. Past the 8 GB
+    broadcast ceiling (customer at true 100 TB) the same query wants
+    fact and customer bucketed on the join key
+    (join_bucketed_checked) or AQE's size-aware re-plan instead of
+    any hint."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -89,12 +91,10 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    o_dim = o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey).select(
-        "o_orderkey", "n_name"
-    )
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(o_dim, li.l_orderkey == o_dim.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
