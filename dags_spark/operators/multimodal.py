@@ -262,16 +262,16 @@ def attach_fake_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB for the remaining COMPRESSED-format resizes (animated
-    GIF frames need an LZW decoder; PIL absent). PNG pixel decode is
-    REAL (decode_png_pixels below) and baseline JPEG decode/encode is
-    REAL from-spec (operators/jpegcodec.py, ImageIO-certified, driven
-    under the hash check by multimodal_jpeg_roundtrip), as is the
-    uncompressed path: resize_bmp_nearest (pure-Python 24-bit BMP
-    decode -> nearest-neighbor resample -> re-encode) under the
-    multimodal_resize_bmp key. Real shape for the remaining
-    variants: mapInPandas emitting the re-encoded payload with
-    updated meta."""
+    """STUB kept only as the generic compressed-format resize entry
+    point: every image pixel path is now REAL from-spec — PNG
+    (decode_png_pixels below), baseline JPEG (operators/jpegcodec.py,
+    ImageIO-certified, under the multimodal_jpeg_roundtrip hash
+    check), GIF with real LZW (operators/giflzw.py, bit-exact vs the
+    JVM GIF reader, under multimodal_gif_lzw_decode), and the
+    uncompressed path resize_bmp_nearest under multimodal_resize_bmp.
+    Real shape for a compressed-variant resize: decode with the
+    matching codec above, resample, re-encode in mapInPandas emitting
+    the payload with updated meta."""
     raise NotImplementedError(
         "compressed-format resize requires PIL; BMP resize is implemented "
         "(resize_bmp_nearest); pipeline shape: "

@@ -4895,3 +4895,77 @@ def multimodal_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         " width BIGINT, height BIGINT, n_clusters BIGINT, n_blocks BIGINT,"
         " block_bytes BIGINT",
     )
+
+
+@register(
+    "multimodal_gif_lzw_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(12 + (doc_id % 3) * 4 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 3),
+         f -> list_sum(list_transform(
+                generate_series(0, (12 + (doc_id % 3) * 4) * 8 - 1),
+                p -> (p * 7 + f + doc_id) % 4)))) AS BIGINT) AS idx_sum,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 3),
+         f -> list_sum(list_transform(
+                generate_series(0, (12 + (doc_id % 3) * 4) * 8 - 1),
+                p -> ([255, 0, 0, 10])[((p * 7 + f + doc_id) % 4) + 1]))))
+         AS BIGINT) AS r_sum
+FROM documents
+WHERE doc_id % 5 = 1
+""",
+)
+def multimodal_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF PIXEL decode with real LZW (operators/giflzw.py) — the
+    step beyond multimodal_gif_frames' container walk, and the last
+    image format whose pixel path was still behind the absent-PIL
+    gate: variable-width LZW codes packed LSB-first across sub-block
+    chains, clear/EOI handling, dictionary growth to 4096 with
+    clear-reset, the cScSc just-added-code case. Each doc encodes a
+    multi-frame paletted animation and decodes it back in-kernel;
+    idx_sum pins the decompressed index stream and r_sum pins the
+    palette lookup (a decoder that reads the color table at the
+    wrong offset fails r_sum while idx_sum stays green). LZW is
+    lossless, so the codec is also certified BIT-EXACT against the
+    JVM's javax.imageio GIF reader in tests/test_operators.py —
+    unlike the JPEG bound, any single-pixel difference is a failure
+    there. Only closed-form sums leave the executor."""
+    from ..operators.giflzw import decode_gif_pixels, encode_gif_pixels
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w = 12 + (i % 3) * 4
+                h = 8
+                frames = [
+                    [(p * 7 + f + i) % 4 for p in range(w * h)]
+                    for f in range(1 + i % 3)
+                ]
+                dec = decode_gif_pixels(encode_gif_pixels(w, h, palette, frames))
+                idx_sum = sum(sum(fr) for fr in dec["frames"])
+                r_sum = sum(
+                    dec["palette"][x][0] for fr in dec["frames"] for x in fr
+                )
+                rows.append(
+                    (i, dec["width"], dec["height"], len(dec["frames"]),
+                     idx_sum, r_sum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames", "idx_sum", "r_sum"],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, n_frames BIGINT,"
+        " idx_sum BIGINT, r_sum BIGINT",
+    )

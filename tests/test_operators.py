@@ -895,3 +895,65 @@ def test_blocked_pairs_tiled_topk_matches_fold_path(spark):
 
     with _pytest.raises(Exception, match="max_block_rows"):
         blocked_pairs(df, max_block_rows=128).collect()
+
+
+def test_gif_lzw_codec_roundtrip():
+    """GIF LZW layer: encode->decode identity on adversarial streams
+    (long single-color runs exercising cScSc + dictionary-overflow
+    clears), full-file roundtrip, truncation rejection."""
+    import pytest as _pytest
+
+    from dags_spark.operators.giflzw import (
+        decode_gif_pixels,
+        encode_gif_pixels,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    for idx in (
+        [0] * 5000,
+        [i % 4 for i in range(10000)],
+        [(i * i) % 3 for i in range(4097)],
+        [1],
+        [],
+    ):
+        assert lzw_decode(lzw_encode(idx, 2), 2) == idx
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    frames = [[(p * 7 + f) % 4 for p in range(16 * 8)] for f in range(3)]
+    gif = encode_gif_pixels(16, 8, pal, frames)
+    assert gif == encode_gif_pixels(16, 8, pal, frames)
+    d = decode_gif_pixels(gif)
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["palette"][:4] == pal
+    assert d["frames"] == frames
+
+    with _pytest.raises(ValueError, match="truncated|trailer|unknown"):
+        decode_gif_pixels(gif[:-4])
+
+
+def test_gif_interop_with_jvm_imageio(spark, tmp_path):
+    """LZW is lossless, so parity with the JVM GIF reader is
+    BIT-EXACT: every pixel of every frame, palette-mapped, must
+    match our decoder's output."""
+    from dags_spark.operators.giflzw import encode_gif_pixels
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    frames = [[(p * 7 + f) % 4 for p in range(16 * 8)] for f in range(2)]
+    path = tmp_path / "t.gif"
+    path.write_bytes(encode_gif_pixels(16, 8, pal, frames))
+
+    jvm = spark._jvm
+    stream = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.File(str(path))
+    )
+    reader = jvm.javax.imageio.ImageIO.getImageReaders(stream).next()
+    reader.setInput(stream)
+    assert reader.getNumImages(True) == 2
+    for f in range(2):
+        img = reader.read(f)
+        for y in range(8):
+            for x in range(16):
+                p = img.getRGB(x, y)
+                got = ((p >> 16) & 255, (p >> 8) & 255, p & 255)
+                assert got == pal[frames[f][y * 16 + x]], (f, x, y)
