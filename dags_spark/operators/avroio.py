@@ -254,14 +254,23 @@ def write_container(
     schema: dict,
     codec: str = "deflate",
     block_records: int = 4096,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
-    """Encode records as one Avro object-container file (bytes)."""
+    """Encode records as one Avro object-container file (bytes).
+    ``extra_meta`` adds application metadata pairs to the file header
+    (spec-legal for any non-``avro.``-prefixed key — Iceberg manifests
+    carry their table schema and partition spec this way)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     sync = md5(schema_json.encode()).digest()  # deterministic marker
     out = bytearray(MAGIC)
     meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    if extra_meta:
+        for k, v in extra_meta.items():
+            if k.startswith("avro."):
+                raise ValueError(f"reserved metadata key: {k}")
+            meta[k] = v
     out += _zz(len(meta))
     for k in sorted(meta):
         kb = k.encode()

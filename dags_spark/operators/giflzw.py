@@ -197,7 +197,10 @@ def decode_gif_pixels(buf: bytes) -> dict:
             if fpacked & 0x40:
                 raise ValueError("interlaced GIF unsupported")
             if fpacked & 0x80:
-                pos += 3 * (2 << (fpacked & 0x07))
+                # Loud failure like the interlace check: decoding these
+                # indices against the global palette would be silently
+                # wrong (ADVICE r7).
+                raise ValueError("local color table unsupported")
             min_code = buf[pos]
             pos += 1
             data = bytearray()

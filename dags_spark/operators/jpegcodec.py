@@ -428,6 +428,8 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                                 k += 16
                                 continue
                             k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
                             zz[k] = _extend(br.bits(size), size)
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)

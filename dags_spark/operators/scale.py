@@ -88,6 +88,14 @@ def write_bucketed(
 
         loc = Path(urlparse(warehouse).path) / name.split(".")[-1].lower()
         shutil.rmtree(loc, ignore_errors=True)
+    # ONE file per bucket: bucketBy writes a file per (input task x
+    # bucket), so an unaligned input fans out to many small files per
+    # bucket — which caps scan parallelism at the bucket count AND
+    # makes Spark distrust sortBy order (multi-file buckets must
+    # re-sort before a merge join). Pre-shuffling on the bucket key
+    # aligns tasks to buckets, so the layout is 1 sorted file per
+    # bucket and the downstream join needs neither Exchange nor Sort.
+    df = df.repartition(n_buckets, bucket_key)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)

@@ -70,6 +70,84 @@ def _formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _parse_details(lines: list[str]) -> dict[str, dict[str, str]]:
+    """Detail section: '(N) NodeName' header followed by 'Key: ...' /
+    'Key [n]: ...' lines until blank."""
+    details: dict[str, dict[str, str]] = {}
+    cur = None
+    for line in lines:
+        s = line.strip()
+        if s.startswith("(") and ")" in s:
+            nid = s[1 : s.index(")")]
+            cur = details.setdefault(nid, {"header": s})
+        elif cur is not None and ":" in s:
+            k = s.split(":", 1)[0].split("[")[0].strip()
+            cur[k] = s
+        elif not s:
+            cur = None
+    return details
+
+
+_PASSTHROUGH = ("BroadcastExchange", "Project", "Filter", "ColumnarToRow")
+
+
+def _node_id(tree_line: str) -> str:
+    return tree_line.rstrip().rsplit("(", 1)[-1].rstrip(")")
+
+
+def _children(tree: list[str], idx: int) -> list[int]:
+    d = _tree_depth(tree[idx])
+    out = []
+    for j in range(idx + 1, len(tree)):
+        dj = _tree_depth(tree[j])
+        if dj <= d:
+            break
+        if dj == d + 1:
+            out.append(j)
+    return out
+
+
+def _is_one_row_subtree(
+    tree: list[str], idx: int, details: dict[str, dict[str, str]]
+) -> bool:
+    """True when the subtree rooted at ``idx`` provably produces a
+    BOUNDED-BY-CONSTRUCTION relation regardless of input scale: a
+    single-child chain of exchange/project/filter ending in a
+    GLOBAL aggregate ('Keys [0]') — the scalar-subquery shape. This
+    is the plan-text-recognizable core of Catalyst's
+    broadcast-cross-over-1-row-aggregate residue (VERDICT r7
+    directive #3); grid-sized relations (deciles, contingency
+    cells) are NOT provable from the plan and stay allowlisted."""
+    seen = 0
+    while seen < 32:  # cycle guard
+        seen += 1
+        line = tree[idx].strip().lstrip("+-: *")
+        d = details.get(_node_id(tree[idx]), {})
+        # follow exchange reuse to the original operator
+        if "ReusedExchange" in line:
+            hdr = d.get("header", "")
+            if "Reuses operator id:" in hdr:
+                target = hdr.rsplit("Reuses operator id:", 1)[1].strip(" ]")
+                for j, t in enumerate(tree):
+                    if _node_id(t) == target:
+                        idx = j
+                        break
+                else:
+                    return False
+                continue
+            return False
+        if line.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
+            keys = d.get("Keys", "")
+            return ":" in keys and keys.split(":", 1)[1].strip() == "[]"
+        if not line.startswith(_PASSTHROUGH):
+            return False
+        kids = _children(tree, idx)
+        if len(kids) != 1:
+            return False
+        idx = kids[0]
+    return False
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     """Lint the (pre-AQE) physical plan; returns [] for a clean plan."""
     plan = _formatted(df)
@@ -79,14 +157,27 @@ def lint_plan(df: DataFrame) -> list[Finding]:
         (i for i, l in enumerate(lines) if not l.strip()), len(lines)
     )
     tree = lines[:tree_end]
+    details = _parse_details(lines)
 
     def hit(code: str, line: str) -> None:
         findings.append(Finding(code, line.strip().lstrip("+-:* ")))
 
     sort_idxs: list[int] = []
     for i, line in enumerate(tree):
-        if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line:
+        if "CartesianProduct" in line:
             hit("cartesian", line)
+        if "BroadcastNestedLoopJoin" in line:
+            # scalar-subquery shape: a guaranteed-1-row build side
+            # broadcast-crossed into the stream is safe at any scale
+            kids = _children(tree, i)
+            hdr = details.get(_node_id(line), {}).get("header", "")
+            build = (
+                kids[0]
+                if "BuildLeft" in hdr or "BuildLeft" in line
+                else kids[-1]
+            ) if kids else None
+            if build is None or not _is_one_row_subtree(tree, build, details):
+                hit("cartesian", line)
         if "BatchEvalPython" in line or "PythonUDTF" in line:
             hit("rowwise-python-udf", line)
         if " Sort " in f" {line} " or line.strip().startswith("Sort "):
@@ -94,13 +185,20 @@ def lint_plan(df: DataFrame) -> list[Finding]:
 
     # SinglePartition exchanges live in the detail section as
     # "Arguments: SinglePartition".
-    for i, line in enumerate(lines):
-        if "Arguments: SinglePartition" in line:
-            # walk back to the node header "(N) Exchange"
-            for j in range(i, max(i - 6, -1), -1):
-                if lines[j].startswith("(") and "Exchange" in lines[j]:
-                    hit("single-partition-exchange", lines[j])
-                    break
+    for nid, d in details.items():
+        if "SinglePartition" not in d.get("Arguments", ""):
+            continue
+        if "Exchange" not in d.get("header", ""):
+            continue
+        # global two-phase aggregate residue: partial agg with no
+        # grouping keys feeding the single partition is 1-row-per-
+        # input-partition by construction — safe at any scale
+        idx = next((j for j, t in enumerate(tree) if _node_id(t) == nid), None)
+        if idx is not None:
+            kids = _children(tree, idx)
+            if len(kids) == 1 and _is_one_row_subtree(tree, kids[0], details):
+                continue
+        hit("single-partition-exchange", d["header"])
 
     # Global sort: Sort node fed by a rangepartitioning Exchange and
     # no TakeOrderedAndProject/Limit in the tree.

@@ -153,7 +153,7 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, check="rows")
+@register("agg_approx_count_distinct", oracle=None, check="rows", prop_tests=("tests/test_operators.py::test_approx_count_distinct_tolerance",))
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct orderkeys per status (approximate by design ->
     rows-only check; property test asserts +-5% vs exact)."""
@@ -353,7 +353,7 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantile", oracle=None, check="rows")
+@register("agg_approx_quantile", oracle=None, check="rows", prop_tests=("tests/test_operators.py::test_approx_quantile_tolerance",))
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx p50/p90 (approximate by design -> rows check)."""
     o = table(spark, sf_dir, "orders")
@@ -563,7 +563,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union", oracle=None, check="rows")
+@register("agg_hll_sketch_union", oracle=None, check="rows", prop_tests=("tests/test_operators.py::test_hll_sketch_estimates_within_5pct",))
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch surface (approximate by design -> rows check; the
     pytest pins estimates within 5% of exact): per-event-type distinct

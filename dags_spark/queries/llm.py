@@ -67,7 +67,7 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_fuzzy_minhash", oracle=None, check="rows")
+@register("dedup_fuzzy_minhash", oracle=None, check="rows", prop_tests=("tests/test_operators.py::test_minhash_recall_vs_exact_jaccard", "tests/test_plans.py::test_minhash_band_join_no_cartesian"))
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, est. Jaccard >= 0.6 on
     5-char shingles (approximate by design -> rows check; the property
@@ -394,7 +394,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN: sign-LSH bucketed approximate kNN --------------------------
 
 
-@register("sim_ann_lsh_topk", oracle=None, check="rows")
+@register("sim_ann_lsh_topk", oracle=None, check="rows", prop_tests=("tests/test_textops.py::test_ann_lsh_recall_vs_exact", "tests/test_textops.py::test_ann_keys_deterministic_across_runs"))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via random-hyperplane LSH bucketing (16 tables x
     8 bits): candidate pairs share a bucket (equi-join, ~linear), exact
@@ -461,7 +461,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "label", "sim")
 
 
-@register("sim_ann_ivf_topk", oracle=None, check="rows")
+@register("sim_ann_ivf_topk", oracle=None, check="rows", prop_tests=("tests/test_textops.py::test_ann_ivf_recall_vs_exact",))
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via IVF-flat: deterministic sampled centroids
     (coarse quantizer), nearest-cell assignment, 4-cell probing, exact
@@ -2012,7 +2012,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_pq_topk", oracle=None, check="rows")
+@register("sim_ann_pq_topk", oracle=None, check="rows", prop_tests=("tests/test_textops.py::test_ann_pq_recall_vs_exact",))
 def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via product quantization (16 subspaces x 32
     codes = 16 bytes/vector — the RAM-side compression that IVF/LSH
@@ -2061,7 +2061,7 @@ def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivfpq_topk", oracle=None, check="rows")
+@register("sim_ann_ivfpq_topk", oracle=None, check="rows", prop_tests=("tests/test_textops.py::test_ann_ivfpq_recall_vs_exact",))
 def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index — the production billion-vector shape
     (faiss IVFPQ): the IVF coarse quantizer routes queries to

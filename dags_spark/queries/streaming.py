@@ -123,7 +123,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late", oracle=None, check="rows")
+@register("stream_watermark_late", oracle=None, check="rows", prop_tests=("tests/test_streaming.py::test_watermark_finalizes_windows_append_mode",))
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute watermark over daily tumbling counts in append mode,
     fed in two arrival batches (batch 2 contains rows 12+ days older
@@ -195,7 +195,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_incremental_ledger", oracle=None, check="rows")
+@register("stream_incremental_ledger", oracle=None, check="rows", prop_tests=("tests/test_streaming.py::test_incremental_ledger_processes_each_row_once",))
 def stream_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core incremental semantic: run the pipeline,
     add new input files, run again with the same checkpoint — only

@@ -1659,7 +1659,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_compression_ratio", check="rows")
+@register("text_compression_ratio", check="rows", prop_tests=("tests/test_property.py::test_compression_ratio_kernel_semantics",))
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZLIB COMPRESSION-RATIO quality signal — the Gopher/C4-family
     heuristic the scan-local stats (text_repetition, entropy) can't

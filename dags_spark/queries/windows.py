@@ -4614,7 +4614,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_dtw_distance", oracle=None, check="rows")
+@register("ts_dtw_distance", oracle=None, check="rows", prop_tests=("tests/test_stats_round6.py::test_dtw_matches_bruteforce",))
 def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC TIME WARPING distance between every pair of the five
     per-event-type daily-revenue series — the alignment-tolerant
@@ -4695,7 +4695,7 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("win_elo_rating", oracle=None, check="rows")
+@register("win_elo_rating", oracle=None, check="rows", prop_tests=("tests/test_stats_round6.py::test_elo_matches_pure_python_replay",))
 def win_elo_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ELO RATINGS over purchase 'matches' — the canonical
     INHERENTLY-SEQUENTIAL stateful fold that no window frame can

@@ -61,6 +61,11 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     module: str = ""  # short queries/ module name (ordering tier input)
+    # pytest node ids proving a rows-checked key's semantics (the
+    # stronger check the weak rows gate leans on); REQUIRED for
+    # check="rows" so tools/check.py can run them in the same sweep
+    # session (VERDICT r7 directive #7).
+    prop_tests: tuple[str, ...] = field(default_factory=tuple)
 
 
 def register(
@@ -69,9 +74,15 @@ def register(
     check: str = "hash",
     doc: str = "",
     tags: tuple[str, ...] = (),
+    prop_tests: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     if check == "hash" and oracle is None:
         raise ValueError(f"{name}: hash check requires oracle SQL")
+    if check == "rows" and not prop_tests:
+        raise ValueError(
+            f"{name}: rows check requires paired pytest node ids"
+            " (prop_tests=) proving the semantics"
+        )
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -93,6 +104,7 @@ def register(
             doc or (fn.__doc__ or ""),
             tags,
             fn.__module__.rsplit(".", 1)[-1],
+            prop_tests,
         )
         return fn
 

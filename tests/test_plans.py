@@ -46,6 +46,34 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "LessThan(n_regionkey,3)" in plan.replace(" ", "")
 
 
+def test_star_join_broadcast_hint_is_conditional(spark, sf_dir, monkeypatch):
+    """Past the broadcast ceiling the star join must DEGRADE to a
+    shuffle join on o_custkey, not force an OOM-bound broadcast:
+    forcing the row threshold to 0 has to remove the dim's
+    BroadcastHashJoin from the plan (VERDICT r7 directive #2)."""
+    def dim_join_op(plan: str) -> str:
+        # formatted explain: operator header line, then "Left keys
+        # [1]: [o_custkey#..]" in the same blank-line-separated block
+        for block in plan.split("\n\n"):
+            if "keys" in block and "o_custkey" in block and "c_custkey" in block:
+                return block.splitlines()[0]
+        raise AssertionError("dim join block missing from plan")
+
+    # default threshold: the pruned dim rides a broadcast
+    plan = _formatted_plan(spark, "join_star_multiway", sf_dir)
+    assert "BroadcastHashJoin" in dim_join_op(plan)
+
+    # forced-low threshold: same query must DEGRADE to a shuffle join
+    monkeypatch.setenv("DAGS_SPARK_STAR_BCAST_MAX_ROWS", "0")
+    plan = _formatted_plan(spark, "join_star_multiway", sf_dir)
+    assert "CartesianProduct" not in plan
+    op = dim_join_op(plan)
+    assert "BroadcastHashJoin" not in op, (
+        f"broadcast hint must not survive a forced-low threshold: {op}"
+    )
+    assert "SortMergeJoin" in op or "ShuffledHashJoin" in op
+
+
 def test_theta_join_keeps_equi_anchor(spark, sf_dir):
     plan = _formatted_plan(spark, "join_theta_range", sf_dir)
     assert "CartesianProduct" not in plan, "theta join fell back to cartesian"

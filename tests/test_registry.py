@@ -109,8 +109,18 @@ def test_checklog_sweep_is_complete_and_green():
     text = logs[-1].read_text()
     passed = set(re.findall(r"^(?:PASS|ROWS) (\S+):", text, re.M))
     failed = set(re.findall(r"^FAIL (\S+)", text, re.M))
+    failed |= set(re.findall(r"^ROWS (\S+): \[FAIL", text, re.M))
     assert not failed, f"{logs[-1].name} records failures: {sorted(failed)[:10]}"
     keys = set(all_specs())
+    # every rows-checked key must carry its paired property-test
+    # verdict in the same sweep session (VERDICT r7 directive #7)
+    rows_keys = {k for k, s in all_specs().items() if s.check == "rows"}
+    stamped = set(re.findall(r"^ROWS (\S+): \[ok: prop-tests passed", text, re.M))
+    unstamped = (rows_keys & passed) - stamped
+    assert not unstamped, (
+        f"{logs[-1].name}: rows keys missing a property-test verdict "
+        f"(rerun tools/check.py): {sorted(unstamped)[:10]}"
+    )
     missing = keys - passed
     stale = passed - keys
     assert not missing, (

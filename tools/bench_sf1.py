@@ -54,7 +54,15 @@ BASE = "/root/testdata/sf0.1"
 TIERS = {
     1: ("/tmp/dags_spark_sf1_v1", 10, 1.0, "BENCH_SF1.md"),
     10: ("/tmp/dags_spark_sf10_v1", 100, 10.0, "BENCH_SF10.md"),
+    100: ("/tmp/dags_spark_sf100_v1", 1000, 100.0, "BENCH_SF100.md"),
 }
+
+# tier-100 exceptions (VERDICT r7 directive #4): these two queries'
+# DuckDB oracles are quadratic in corpus size (exact all-pairs cosine;
+# the n-gram Jaccard verify side) — at sf100 the oracle would run for
+# hours, so the Spark side is measured alone (single warm run) and the
+# sf10 oracle ratio is carried forward, clearly marked in the MD.
+ORACLE_SKIP_SF100 = {"q6_cosine_topk": 0.05, "q9_minhash_banded": 0.12}
 OUT = TIERS[1][0]
 REPLICAS = 10
 
@@ -183,12 +191,158 @@ def build(spark) -> None:
     Path(marker).touch()
 
 
+def bucketed_tier(spark, reps: int) -> dict:
+    """The exchange-free answer for the two non-converging fact
+    shapes (VERDICT r7 directive #1): q2_star_join and q8_tpch_q10
+    are exchange-bound because every run re-shuffles the
+    lineitem/orders fact pair on orderkey. At 100 TB that shuffle is
+    paid ONCE at layout time — both facts written bucketed+sorted on
+    the join key — and every subsequent query joins exchange-free.
+    This measures exactly that: same queries, same results (asserted
+    equal to the standard-layout Spark run), fact join with zero
+    Exchange, bucket-build cost reported separately as the amortized
+    one-time layout cost."""
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table as t
+    from dags_spark.operators.scale import write_bucketed
+    from dags_spark.queries import cents, dec_sum
+
+    tag = f"sf{REPLICAS // 10}"
+    t_li, t_o = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    n_buckets = 32
+
+    t0 = time.time()
+    li = t(spark, OUT, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    # orders keeps its own key name: Spark recognizes co-bucketed
+    # layouts across differently-named equi-join keys.
+    o = t(spark, OUT, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    write_bucketed(li, t_li, "l_orderkey", n_buckets, sort_key="l_orderkey")
+    write_bucketed(o, t_o, "o_orderkey", n_buckets, sort_key="o_orderkey")
+    build_s = round(time.time() - t0, 1)
+
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+    def q2_bucketed():
+        bli = spark.table(t_li)
+        bo = spark.table(t_o).filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        c = t(spark, OUT, "customer")
+        n = t(spark, OUT, "nation")
+        r = t(spark, OUT, "region").filter(F.col("r_regionkey") < 3)
+        dim = (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", "n_name")
+        )
+        return (
+            bli.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+            .groupBy("n_name")
+            .agg(
+                (F.sum(rev_c4).cast("double") / F.lit(10000.0)).alias("revenue"),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+        )
+
+    def q8_bucketed():
+        bli = spark.table(t_li).filter(F.col("l_returnflag") == "R")
+        bo = spark.table(t_o).filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        cust = t(spark, OUT, "customer")
+        nation = t(spark, OUT, "nation")
+        return (
+            bli.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                dec_sum(
+                    F.expr("l_extendedprice * (1 - l_discount)"), 4
+                ).alias("revenue")
+            )
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    specs = all_specs()
+    out: dict = {"bucket_build_sec": build_s, "n_buckets": n_buckets, "queries": []}
+    for label, key, fn in (
+        ("q2_star_join", "join_star_multiway", q2_bucketed),
+        ("q8_tpch_q10", "tpch_q10_returns", q8_bucketed),
+    ):
+        df = fn()
+
+        def shuffle_count(d) -> int:
+            import re
+
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+            plan = d._jdf.queryExecution().explainString(mode("formatted"))
+            # detail headers: "(12) Exchange" — BroadcastExchange is a
+            # different operator name and never matches
+            return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+        bkt_ex = shuffle_count(df)
+        std_ex = shuffle_count(specs[key].fn(spark, OUT))
+        # At the sf10 tier (where the fact pair genuinely shuffles —
+        # at sf1 Catalyst auto-broadcasts the filtered orders side and
+        # there is nothing to remove) the fact-pair shuffles must be
+        # GONE; what remains is the post-join aggregate grain, which
+        # is orders-of-magnitude smaller than the fact pair.
+        if REPLICAS >= 100:
+            assert bkt_ex < std_ex, f"{label}: bucketing removed no exchange"
+        # result parity vs the standard-layout Spark query
+        std = (
+            specs[key]
+            .fn(spark, OUT)
+            .toPandas()
+            .sort_values(by=list(specs[key].fn(spark, OUT).columns))
+            .reset_index(drop=True)
+        )
+        got = df.toPandas().sort_values(by=list(df.columns)).reset_index(drop=True)
+        assert got.equals(std[got.columns]), f"{label}: bucketed result diverged"
+
+        def once() -> float:
+            t1 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            return time.time() - t1
+
+        once()
+        s_t = round(min(once() for _ in range(reps)), 3)
+        out["queries"].append(
+            {
+                "query": label,
+                "spark_bucketed_s": s_t,
+                "shuffles_std": std_ex,
+                "shuffles_bucketed": bkt_ex,
+            }
+        )
+        print(
+            f"{label} [bucketed]: spark {s_t}s"
+            f" (shuffle exchanges {std_ex} -> {bkt_ex})",
+            flush=True,
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--md", action="store_true", help="write BENCH_SF{tier}.md")
     ap.add_argument("--tier", type=int, default=1, choices=sorted(TIERS))
+    ap.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="also measure q2/q8 on a pre-bucketed fact layout",
+    )
     args = ap.parse_args()
 
     global OUT, REPLICAS
@@ -201,7 +355,14 @@ def main() -> int:
     # same knob story as bench.py, scaled: sf1 shuffles carry ~10x the
     # bytes, so the 8-partition sf0.1 seed underparallelizes; 32 (=
     # cores) is the measured sweet spot. Splits follow file size up.
-    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # shuffle width scales with tier volume: ~60-450 MB/partition at
+    # 32 for tiers 1/10; sf100 moves ~10x the bytes per exchange, so
+    # 128 keeps partitions in the executor-memory comfort zone.
+    default_shuffle = {1: "32", 10: "32", 100: "128"}[args.tier]
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE", default_shuffle),
+    )
     # 4m splits + 32-file facts: measured best of {16m,4m,2m} x
     # {32,64} shuffle partitions for this suite on local[32].
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
@@ -221,6 +382,7 @@ def main() -> int:
     rows: list[dict] = []
     for label, key in HEADLINE.items():
         spec = specs[key]
+        skip_oracle = args.tier == 100 and label in ORACLE_SKIP_SF100
 
         def spark_once() -> float:
             t = time.time()
@@ -232,6 +394,23 @@ def main() -> int:
             con.execute(spec.oracle).fetchall()
             return time.time() - t
 
+        if skip_oracle:
+            # single warm run: these Spark sides are themselves
+            # block-quadratic and minutes-long at sf100
+            spark_once()
+            s_t = round(spark_once(), 3)
+            rows.append(
+                {
+                    "query": label,
+                    "spark_s": s_t,
+                    "duckdb_s": None,
+                    "ratio": None,
+                    "sf10_ratio_carried": ORACLE_SKIP_SF100[label],
+                }
+            )
+            print(f"{label}: spark {s_t}s  duckdb SKIPPED (quadratic oracle)",
+                  flush=True)
+            continue
         spark_once()
         s_t = round(min(spark_once() for _ in range(args.reps)), 3)
         duck_once()
@@ -242,8 +421,9 @@ def main() -> int:
         )
         print(f"{label}: spark {s_t}s  duckdb {d_t}s  ratio {ratio}x", flush=True)
 
-    suite_s = round(sum(r["spark_s"] for r in rows), 3)
-    suite_d = round(sum(r["duckdb_s"] for r in rows), 3)
+    measured = [r for r in rows if r["duckdb_s"] is not None]
+    suite_s = round(sum(r["spark_s"] for r in measured), 3)
+    suite_d = round(sum(r["duckdb_s"] for r in measured), 3)
     result = {
         "metric": f"sf{args.tier}_suite_warm_seconds",
         "value": suite_s,
@@ -254,6 +434,8 @@ def main() -> int:
         "build_sec": round(build_s, 1),
         "queries": rows,
     }
+    if args.bucketed:
+        result["bucketed"] = bucketed_tier(spark, args.reps)
     print(json.dumps(result))
 
     if args.md:
@@ -272,14 +454,55 @@ def main() -> int:
             "|---|---|---|---|",
         ]
         for r in rows:
-            lines.append(
-                f"| {r['query']} | {r['spark_s']:.3f} | {r['duckdb_s']:.3f} |"
-                f" {r['ratio']:.2f}x |"
-            )
+            if r["duckdb_s"] is None:
+                lines.append(
+                    f"| {r['query']} | {r['spark_s']:.3f} |"
+                    " (skipped: quadratic oracle) |"
+                    f" {r['sf10_ratio_carried']:.2f}x @sf10, carried |"
+                )
+            else:
+                lines.append(
+                    f"| {r['query']} | {r['spark_s']:.3f} |"
+                    f" {r['duckdb_s']:.3f} | {r['ratio']:.2f}x |"
+                )
         lines.append(
-            f"| **suite** | **{suite_s:.3f}** | **{suite_d:.3f}** |"
+            f"| **suite{' (8 measured pairs)' if len(measured) < len(rows) else ''}**"
+            f" | **{suite_s:.3f}** | **{suite_d:.3f}** |"
             f" **{result['suite_ratio']:.2f}x** |"
         )
+        if args.bucketed:
+            b = result["bucketed"]
+            std = {r["query"]: r for r in rows}
+            lines += [
+                "",
+                "## Bucketed layout (the 100 TB answer for the fact shapes)",
+                "",
+                "The two non-converging rows above are exchange-bound: every",
+                "run re-shuffles the lineitem/orders fact pair on orderkey.",
+                "At scale that shuffle is paid ONCE — both facts written",
+                f"bucketed+sorted on the join key ({b['n_buckets']} buckets,",
+                f"one-time layout cost {b['bucket_build_sec']}s, amortized",
+                "across every future query on the pair) — and the join runs",
+                "with the FACT-PAIR exchanges gone (per-plan shuffle",
+                "counts below — what remains is the post-join grain:",
+                "the group-key exchange, orders of magnitude smaller",
+                "than the fact pair). Results are asserted equal to the",
+                "standard-layout Spark run.",
+                "",
+                "| query | standard s | bucketed s | speedup |"
+                " vs DuckDB | shuffle exchanges |",
+                "|---|---|---|---|---|---|",
+            ]
+            for r in b["queries"]:
+                srow = std[r["query"]]
+                sp = srow["spark_s"] / r["spark_bucketed_s"]
+                vs = r["spark_bucketed_s"] / srow["duckdb_s"]
+                lines.append(
+                    f"| {r['query']} | {srow['spark_s']:.3f} |"
+                    f" {r['spark_bucketed_s']:.3f} | {sp:.1f}x |"
+                    f" {vs:.2f}x | {r['shuffles_std']} -> "
+                    f"{r['shuffles_bucketed']} |"
+                )
         if args.tier == 1:
             lines += [
                 "",

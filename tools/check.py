@@ -41,6 +41,7 @@ def main() -> int:
     spark = get_spark("dags_spark-check")
     con = duck_connect(args.sf)
     n_pass = n_fail = 0
+    rows_pending: list[str] = []
     for k in keys:
         spec = specs[k]
         t0 = time.time()
@@ -51,8 +52,8 @@ def main() -> int:
             n_fail += 1
             continue
         if spec.check == "rows" or spec.oracle is None:
-            print(f"ROWS {k}: {len(spark_pdf)} rows [ok] ({time.time()-t0:.2f}s)")
-            n_pass += 1
+            rows_pending.append(k)
+            print(f"ROWS {k}: {len(spark_pdf)} rows ({time.time()-t0:.2f}s)")
             continue
         try:
             duck_pdf = con.execute(spec.oracle).df()
@@ -69,6 +70,33 @@ def main() -> int:
         else:
             n_pass += 1
             print(f"PASS {k}: {len(spark_pdf)} rows ({time.time()-t0:.2f}s)")
+    # Rows-checked keys are only as strong as their paired property
+    # tests (VERDICT r7 directive #7): run those pytest node ids in
+    # THIS session and stamp the per-key verdict, so the weaker check
+    # class cannot silently regress while the sweep stays green.
+    if rows_pending:
+        import subprocess  # noqa: PLC0415
+
+        node_ids = sorted(
+            {t for k in rows_pending for t in specs[k].prop_tests}
+        )
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "--no-header", *node_ids],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        ok = res.returncode == 0
+        for k in rows_pending:
+            verdict = "prop-tests passed" if ok else "PROP-TESTS FAILED"
+            print(f"ROWS {k}: [{'ok' if ok else 'FAIL'}: {verdict}:"
+                  f" {', '.join(specs[k].prop_tests)}]")
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
+        if not ok:
+            print(res.stdout[-4000:])
     print(f"\n{n_pass} passed, {n_fail} failed, {len(keys)} total")
     return 1 if n_fail else 0
 
