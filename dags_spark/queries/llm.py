@@ -4969,3 +4969,90 @@ def multimodal_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, width BIGINT, height BIGINT, n_frames BIGINT,"
         " idx_sum BIGINT, r_sum BIGINT",
     )
+
+
+@register(
+    "multimodal_png_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(
+         generate_series(0, (8 + (doc_id % 4) * 4) * 6 - 1),
+         p -> ((p % (8 + (doc_id % 4) * 4)) * 3
+               + (p // (8 + (doc_id % 4) * 4)) * 7 + doc_id) % 256))
+         AS BIGINT) AS r_sum,
+       CAST(list_sum(list_transform(
+         generate_series(0, (8 + (doc_id % 4) * 4) * 6 - 1),
+         p -> ((p % (8 + (doc_id % 4) * 4)) * 5
+               + (p // (8 + (doc_id % 4) * 4)) * 2 + 2 * doc_id) % 256))
+         AS BIGINT) AS g_sum,
+       CAST(list_sum(list_transform(
+         generate_series(0, (8 + (doc_id % 4) * 4) * 6 - 1),
+         p -> ((p % (8 + (doc_id % 4) * 4))
+               + (p // (8 + (doc_id % 4) * 4)) * 11 + 3 * doc_id) % 256))
+         AS BIGINT) AS b_sum
+FROM documents
+WHERE doc_id % 5 = 2
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG WRITE + READ-BACK, from-spec (W3C PNG; stdlib zlib DEFLATE
+    — operators/pngcodec.py): the layered step above
+    multimodal_png_decode, which pins the READ side over a pattern
+    synthesizer. This key exercises a full arbitrary-pixel WRITER —
+    any caller-supplied scanlines, greyscale/RGB/RGBA colour types,
+    per-scanline filter selection cycling ALL FIVE spec filters
+    (None/Sub/Up/Average/Paeth — a codec that botches any one filter
+    or the Paeth tie-break fails the channel sums), and an IDAT
+    stream deliberately split across two chunks (spec §5.6: chunk
+    boundaries carry no semantics) — then decodes its own output
+    in-kernel and emits per-channel pixel sums the oracle recomputes
+    arithmetically. PNG is lossless, so the codec is additionally
+    certified BIT-EXACT against the JVM's javax.imageio PNG reader
+    in BOTH directions in tests/test_operators.py (same contract as
+    the JPEG/GIF codecs). Only closed-form dims and sums leave the
+    executor."""
+    from ..operators.pngcodec import decode_png_pixels, encode_png_pixels
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w = 8 + (i % 4) * 4
+                h = 6
+                img = [
+                    bytes(
+                        v
+                        for x in range(w)
+                        for v in (
+                            (x * 3 + y * 7 + i) % 256,
+                            (x * 5 + y * 2 + 2 * i) % 256,
+                            (x + y * 11 + 3 * i) % 256,
+                        )
+                    )
+                    for y in range(h)
+                ]
+                dec = decode_png_pixels(encode_png_pixels(w, h, img))
+                assert dec["rows"] == img  # lossless: exact or die
+                r_sum = sum(sum(r[0::3]) for r in dec["rows"])
+                g_sum = sum(sum(r[1::3]) for r in dec["rows"])
+                b_sum = sum(sum(r[2::3]) for r in dec["rows"])
+                rows.append(
+                    (i, dec["width"], dec["height"], r_sum, g_sum, b_sum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "r_sum", "g_sum", "b_sum"],
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        "doc_id BIGINT, width BIGINT, height BIGINT, r_sum BIGINT,"
+        " g_sum BIGINT, b_sum BIGINT",
+    )

@@ -91,6 +91,14 @@ def build(spark) -> None:
         return
     rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("r")
 
+    # The sf0.1 seeds are 1-3 files, so without a pre-explode
+    # repartition the xREPLICAS generator runs 1-3 tasks wide — at
+    # tier 100 that serializes a 600M-row produce onto 3 cores. Widen
+    # the INPUT first (cheap: the seed is ~MBs) so the explode and the
+    # downstream shuffle write run at machine width.
+    def wide(df):
+        return df.repartition(32)
+
     def scale_key(col):
         return (F.col(col) * REPLICAS + F.col("r")).alias(col)
 
@@ -105,7 +113,7 @@ def build(spark) -> None:
             os.path.join(OUT, f"{name}.parquet")
         )
 
-    li = t(spark, BASE, "lineitem").select("*", rep)
+    li = wide(t(spark, BASE, "lineitem")).select("*", rep)
     write(
         li.select(
             scale_key("l_orderkey"), scale_key("l_partkey"),
@@ -116,7 +124,7 @@ def build(spark) -> None:
         "lineitem",
         files=32,
     )
-    o = t(spark, BASE, "orders").select("*", rep)
+    o = wide(t(spark, BASE, "orders")).select("*", rep)
     write(
         o.select(
             scale_key("o_orderkey"), scale_key("o_custkey"),
@@ -125,7 +133,7 @@ def build(spark) -> None:
         "orders",
         files=32,
     )
-    c = t(spark, BASE, "customer").select("*", rep)
+    c = wide(t(spark, BASE, "customer")).select("*", rep)
     write(
         c.select(
             scale_key("c_custkey"), "c_name", "c_nationkey", "c_acctbal",
@@ -133,12 +141,12 @@ def build(spark) -> None:
         ),
         "customer",
     )
-    s = t(spark, BASE, "supplier").select("*", rep)
+    s = wide(t(spark, BASE, "supplier")).select("*", rep)
     write(
         s.select(scale_key("s_suppkey"), "s_name", "s_nationkey", "s_acctbal"),
         "supplier",
     )
-    p = t(spark, BASE, "part").select("*", rep)
+    p = wide(t(spark, BASE, "part")).select("*", rep)
     write(
         p.select(
             scale_key("p_partkey"), "p_name", "p_brand", "p_type", "p_size",
@@ -146,7 +154,7 @@ def build(spark) -> None:
         ),
         "part",
     )
-    ev = t(spark, BASE, "events").select("*", rep)
+    ev = wide(t(spark, BASE, "events")).select("*", rep)
     write(
         ev.select(
             scale_key("event_id"), "ts", scale_key("user_id"), "event_type",
@@ -155,7 +163,7 @@ def build(spark) -> None:
         "events",
         files=16,
     )
-    d = t(spark, BASE, "documents").select("*", rep)
+    d = wide(t(spark, BASE, "documents")).select("*", rep)
     write(
         d.select(
             scale_key("doc_id"),
@@ -170,7 +178,7 @@ def build(spark) -> None:
         ),
         "documents",
     )
-    e = t(spark, BASE, "embeddings").select("*", rep)
+    e = wide(t(spark, BASE, "embeddings")).select("*", rep)
     emb_cols = [f.name for f in e.schema.fields if f.name not in ("vec_id", "embedding", "r")]
     write(
         e.select(
