@@ -90,6 +90,125 @@ def _parse_details(lines: list[str]) -> dict[str, dict[str, str]]:
 
 _PASSTHROUGH = ("BroadcastExchange", "Project", "Filter", "ColumnarToRow")
 
+# Nodes that never INCREASE row count: a bounded input stays bounded
+# through them. (Generate/Expand multiply and are deliberately absent;
+# joins/unions are handled structurally in _bounded_rows.)
+_ROW_PRESERVING = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Window",
+    "WindowGroupLimit",
+    "Exchange",
+    "BroadcastExchange",
+    "AQEShuffleRead",
+    "ColumnarToRow",
+    "InputAdapter",
+    "Coalesce",
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "RunningWindowFunction",
+)
+
+# A relation is "model-sized" when its plan-provable row bound is at
+# most this: comfortably broadcastable and single-task-safe at any
+# data scale (the bound is a property of LITERALS in the plan, so it
+# cannot grow with the corpus).
+_BOUNDED_T = 65536
+
+
+def _int_args(arg_line: str) -> list[int]:
+    import re
+
+    return [int(x) for x in re.findall(r"-?\d+", arg_line)]
+
+
+def _bounded_rows(
+    tree: list[str],
+    idx: int,
+    details: dict[str, dict[str, str]],
+    depth: int = 0,
+) -> int | None:
+    """Upper bound on the subtree's output rows PROVABLE from plan
+    text alone — i.e. a bound that holds at ANY input scale — or
+    None when the cardinality can grow with the data. Provable
+    leaves: a global aggregate (Keys []: exactly 1 row), a literal
+    Range spine (rows from its literal bounds), a LocalTableScan
+    (driver-literal data, constant w.r.t. the corpus), and literal
+    limits (TakeOrderedAndProject / GlobalLimit / CollectLimit).
+    Bounds propagate through row-preserving nodes, add across Union
+    children, and multiply across join sides (a cross of two literal
+    grids is still a literal grid). This generalizes the r7
+    scalar-subquery rule (1-row aggregate) to the full
+    model-sized-residue algebra (VERDICT r7 directive #3)."""
+    if depth > 64:
+        return None
+    line = tree[idx].strip().lstrip("+-: *")
+    d = details.get(_node_id(tree[idx]), {})
+    hdr = d.get("header", "")
+
+    if "ReusedExchange" in line:
+        if "Reuses operator id:" in hdr:
+            target = hdr.rsplit("Reuses operator id:", 1)[1].strip(" ]")
+            for j, t in enumerate(tree):
+                if _node_id(t) == target:
+                    return _bounded_rows(tree, j, details, depth + 1)
+        return None
+
+    if line.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
+        keys = d.get("Keys", "")
+        if ":" in keys and keys.split(":", 1)[1].strip() == "[]":
+            return 1
+        # grouped aggregate: never increases rows — fall through to
+        # the row-preserving propagation below.
+
+    if line.startswith("LocalTableScan"):
+        return 256  # driver-literal relation: constant w.r.t. corpus
+
+    if line.startswith("Range"):
+        nums = _int_args(d.get("Arguments", ""))
+        if len(nums) >= 3 and nums[2] != 0:
+            start, end, step = nums[0], nums[1], nums[2]
+            n = max(0, -(-(end - start) // step))
+            return n if n <= _BOUNDED_T else None
+        return None
+
+    if line.startswith(("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                        "LocalLimit")):
+        nums = _int_args(d.get("Arguments", ""))
+        if nums and 0 <= nums[0] <= _BOUNDED_T:
+            return nums[0] if nums[0] > 0 else 1
+        return None
+
+    kids = _children(tree, idx)
+
+    if line.startswith("Union"):
+        total = 0
+        for k in kids:
+            b = _bounded_rows(tree, k, details, depth + 1)
+            if b is None:
+                return None
+            total += b
+        return total if kids and total <= _BOUNDED_T else None
+
+    if "Join" in line.split(" ")[0] or line.startswith(
+        ("BroadcastNestedLoopJoin", "CartesianProduct")
+    ):
+        if len(kids) == 2:
+            a = _bounded_rows(tree, kids[0], details, depth + 1)
+            b = _bounded_rows(tree, kids[1], details, depth + 1)
+            if a is not None and b is not None and a * b <= _BOUNDED_T:
+                return a * b
+        return None
+
+    if line.startswith(_ROW_PRESERVING):
+        if len(kids) == 1:
+            return _bounded_rows(tree, kids[0], details, depth + 1)
+        return None
+
+    return None
+
 
 def _node_id(tree_line: str) -> str:
     return tree_line.rstrip().rsplit("(", 1)[-1].rstrip(")")
@@ -105,47 +224,6 @@ def _children(tree: list[str], idx: int) -> list[int]:
         if dj == d + 1:
             out.append(j)
     return out
-
-
-def _is_one_row_subtree(
-    tree: list[str], idx: int, details: dict[str, dict[str, str]]
-) -> bool:
-    """True when the subtree rooted at ``idx`` provably produces a
-    BOUNDED-BY-CONSTRUCTION relation regardless of input scale: a
-    single-child chain of exchange/project/filter ending in a
-    GLOBAL aggregate ('Keys [0]') — the scalar-subquery shape. This
-    is the plan-text-recognizable core of Catalyst's
-    broadcast-cross-over-1-row-aggregate residue (VERDICT r7
-    directive #3); grid-sized relations (deciles, contingency
-    cells) are NOT provable from the plan and stay allowlisted."""
-    seen = 0
-    while seen < 32:  # cycle guard
-        seen += 1
-        line = tree[idx].strip().lstrip("+-: *")
-        d = details.get(_node_id(tree[idx]), {})
-        # follow exchange reuse to the original operator
-        if "ReusedExchange" in line:
-            hdr = d.get("header", "")
-            if "Reuses operator id:" in hdr:
-                target = hdr.rsplit("Reuses operator id:", 1)[1].strip(" ]")
-                for j, t in enumerate(tree):
-                    if _node_id(t) == target:
-                        idx = j
-                        break
-                else:
-                    return False
-                continue
-            return False
-        if line.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
-            keys = d.get("Keys", "")
-            return ":" in keys and keys.split(":", 1)[1].strip() == "[]"
-        if not line.startswith(_PASSTHROUGH):
-            return False
-        kids = _children(tree, idx)
-        if len(kids) != 1:
-            return False
-        idx = kids[0]
-    return False
 
 
 def lint_plan(df: DataFrame) -> list[Finding]:
@@ -176,7 +254,7 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 if "BuildLeft" in hdr or "BuildLeft" in line
                 else kids[-1]
             ) if kids else None
-            if build is None or not _is_one_row_subtree(tree, build, details):
+            if build is None or _bounded_rows(tree, build, details) is None:
                 hit("cartesian", line)
         if "BatchEvalPython" in line or "PythonUDTF" in line:
             hit("rowwise-python-udf", line)
@@ -196,7 +274,7 @@ def lint_plan(df: DataFrame) -> list[Finding]:
         idx = next((j for j, t in enumerate(tree) if _node_id(t) == nid), None)
         if idx is not None:
             kids = _children(tree, idx)
-            if len(kids) == 1 and _is_one_row_subtree(tree, kids[0], details):
+            if len(kids) == 1 and _bounded_rows(tree, kids[0], details) is not None:
                 continue
         hit("single-partition-exchange", d["header"])
 

@@ -15,41 +15,35 @@ from dags_spark.registry import all_specs
 # key -> allowed finding codes, with the reason the construct is fine.
 ALLOWED = {
     # -- cartesian: GRID-sized crosses the linter cannot prove --
-    # The linter now clears Catalyst's scalar-subquery shape itself
-    # (a guaranteed-1-row aggregate broadcast-crossed into the stream,
-    # VERDICT r7 directive #3); every cartesian below crosses a
-    # relation that is model/grid-sized by CONSTRUCTION but not by
-    # plan structure — literal spines (k-offsets, bootstrap picks,
-    # replica counts), collapsed calendar grids (<=366 rows/yr),
-    # per-type series pairs, decile/contingency grids, the salted
-    # replica dim — or is a genuine cross (join_cross's semantics,
+    # The linter proves bounded build sides structurally via
+    # _bounded_rows (round 8, generalizing the r7 scalar-subquery
+    # rule): literal Range spines, LocalTableScans, literal limits
+    # (TakeOrdered/GlobalLimit), 1-row global aggregates, and their
+    # products/unions through row-preserving nodes — so k-offset
+    # spines, bootstrap picks, and replica dims no longer need
+    # waivers. What remains below crosses a relation bounded by
+    # CONSTRUCTION but genuinely not by plan structure — collapsed
+    # calendar grids (<=366 rows/yr: cardinality follows the DATA's
+    # date span), per-type series pairs, decile/contingency grids —
+    # or is a genuine cross (join_cross's semantics,
     # point-in-polygon candidate pairs, MMR's pairwise diversity,
     # DTW's series-pair grid). The fact side never re-shuffles.
     "agg_histogram_percentile": {"cartesian", "single-partition-exchange"},
-    "agg_repeat_purchase_curve": {"cartesian"},
     "attribution_shapley": {"cartesian"},
     "dq_rules_as_data": {"cartesian"},
     "fn_levenshtein_threshold": {"cartesian"},
-    "geo_tile_neighbor_smooth": {"cartesian"},
-    "graph_edge_support": {"cartesian"},
-    "graph_link_prediction": {"cartesian"},
-    "iter_label_propagation": {"cartesian"},
-    "iter_triangle_count": {"cartesian"},
     "join_cross": {"cartesian"},
     "join_geo_point_in_polygon": {"cartesian"},
     "join_lerp_curve": {"cartesian", "single-partition-exchange"},
-    "join_salted_checked": {"cartesian"},
     "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
     "sim_mmr_diversify": {"cartesian"},
-    "stats_bootstrap_ci": {"cartesian"},
     "stats_mann_kendall_trend": {"cartesian"},
     "stats_sen_slope": {"cartesian"},
     "text_heaps_law": {"cartesian"},
-    "train_epoch_shuffle": {"cartesian"},
-    "ts_croston_intermittent": {"cartesian", "single-partition-exchange"},
+    "ts_croston_intermittent": {"cartesian"},
     "ts_dtw_distance": {"cartesian"},
     "ts_hurst_rs": {"cartesian"},
-    "ts_periodogram_dominant": {"cartesian", "single-partition-exchange"},
+    "ts_periodogram_dominant": {"single-partition-exchange"},
     # 
     # -- single-partition-exchange: bounded-grain funnels --
     # Exchanges whose input is bounded by CONSTRUCTION but not
@@ -175,20 +169,38 @@ def test_every_batch_plan_is_lint_clean(spark, sf_dir):
     assert not violations, f"plan lint violations: {violations}"
 
 
-def test_lint_catches_cartesian_and_single_partition(spark):
-    """Linter self-test on deliberately bad plans."""
+def test_lint_catches_cartesian_and_single_partition(spark, sf_dir):
+    """Linter self-test on deliberately bad plans. The bad inputs
+    must be DATA-SCALE-DEPENDENT (parquet scans): literal Range
+    crosses are now structurally proven bounded and stay clean —
+    pinned by the companion assertions."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    a = spark.range(10)
-    b = spark.range(10).withColumnRenamed("id", "id2")
-    codes = {f.code for f in lint_plan(a.crossJoin(b))}
+    from dags_spark.io import table
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey")
+    codes = {f.code for f in lint_plan(cust.crossJoin(ords))}
     assert "cartesian" in codes
 
-    w = Window.orderBy("id")
-    ranked = a.withColumn("rn", F.row_number().over(w))
+    w = Window.orderBy("c_custkey")
+    ranked = cust.withColumn("rn", F.row_number().over(w))
     codes = {f.code for f in lint_plan(ranked)}
     assert "single-partition-exchange" in codes
+
+    # bounded-by-literals shapes are proven, not waived:
+    a = spark.range(10)
+    b = spark.range(12).withColumnRenamed("id", "id2")
+    assert lint_plan(cust.crossJoin(b)) == []            # literal spine
+    assert lint_plan(a.crossJoin(b)) == []               # grid x grid
+    ranked_spine = b.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id2"))
+    )
+    assert lint_plan(ranked_spine) == []                 # bounded funnel
+    # an UNBOUNDED range (beyond the 65536 proof threshold) still trips
+    big = spark.range(200_000).withColumnRenamed("id", "id3")
+    assert "cartesian" in {f.code for f in lint_plan(cust.crossJoin(big))}
 
 
 def test_lint_catches_dim_shuffle_join_and_unpruned_scan(spark, sf_dir, tmp_path):
