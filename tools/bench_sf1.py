@@ -371,9 +371,20 @@ def main() -> int:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_SHUFFLE", default_shuffle),
     )
-    # 4m splits + 32-file facts: measured best of {16m,4m,2m} x
-    # {32,64} shuffle partitions for this suite on local[32].
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    # Split sizing must FOLLOW THE LAYOUT, not stay fixed: the goal is
+    # a scan-task count a few multiples of the core count. Tiers 1/10
+    # carry 32-320 ~10 MB files, so 4m splits (measured best of
+    # {16m,4m,2m}) land at 64-640 tasks. Tier 100 carries 3,200 files
+    # (~7 MB each): 4m would split each file in two — 6,400 tasks of
+    # pure scheduling overhead per fact scan, measured to inflate the
+    # scan-light TPC-H shapes 6-8x (q7 117.5s -> 19.5s, q8 119.4s ->
+    # 15.6s just by re-sizing; 512m is flat-to-worse, under-
+    # parallelized). 256m packs ~23 files per task -> ~140 tasks.
+    default_mpb = {1: "4m", 10: "4m", 100: "256m"}[args.tier]
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAXPB", default_mpb),
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
     build(spark)
