@@ -5139,3 +5139,72 @@ def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, n_samples BIGINT, n_blocks BIGINT,"
         " data_bytes BIGINT, first_sample_sum BIGINT, within_tol BOOLEAN",
     )
+
+
+@register(
+    "multimodal_midi_meta",
+    oracle="""
+WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS n FROM documents)
+SELECT d.doc_id,
+  CAST(d.n AS BIGINT) AS note_on_count,
+  CAST(COUNT(DISTINCT (d.doc_id*7 + 5*g.k) % 128) AS BIGINT)
+    AS distinct_pitches,
+  CAST(COUNT(DISTINCT g.k % 3) AS BIGINT) AS distinct_channels,
+  CAST(SUM(10 + g.k % 13) + d.n AS BIGINT) AS total_ticks,
+  CAST(SUM((d.doc_id*7 + 5*g.k) % 128) AS BIGINT) AS pitch_sum
+FROM d, LATERAL (SELECT UNNEST(range(d.n)) AS k) g
+GROUP BY d.doc_id, d.n
+""",
+    tags=("multimodal",),
+)
+def multimodal_midi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard MIDI File metadata extraction, container implemented
+    from the MMA SMF 1.0 spec (operators/midi.py) — the music-
+    interchange sibling of the MP4/WebM/WAV container walkers. Each
+    document deterministically becomes a format-0 SMF (notes derived
+    from doc_id; deltas exercise the spec's BIG-endian VLQ — the
+    mirror image of protobuf's LSB-first varint — and every second
+    note-off rides RUNNING STATUS, the classic parser trap), and the
+    kernel then parses those BYTES back: header fields, track walk,
+    meta/sysex skipping, note-on counting with the
+    velocity-0-is-note-off rule. The oracle recomputes every feature
+    relationally from the same derivation, so the parse is
+    value-certified per row, not just shape-checked. At 100 TB this
+    is the decode-to-features shape: binary column in, fixed-width
+    feature row out, no driver involvement."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.midi import build_smf, parse_smf  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 8
+                notes = [
+                    (10 + (k % 13), k % 3, (doc_id * 7 + 5 * k) % 128,
+                     64 + (k % 32))
+                    for k in range(n)
+                ]
+                meta = parse_smf(build_smf(notes))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "note_on_count": meta["note_on_count"],
+                        "distinct_pitches": meta["distinct_pitches"],
+                        "distinct_channels": meta["distinct_channels"],
+                        "total_ticks": meta["total_ticks"],
+                        "pitch_sum": meta["pitch_sum"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        _kernel,
+        "doc_id bigint, note_on_count bigint, distinct_pitches bigint, "
+        "distinct_channels bigint, total_ticks bigint, pitch_sum bigint",
+    )

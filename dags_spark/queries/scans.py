@@ -2421,3 +2421,357 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, http_status int, n_bytes bigint,"
         " digest_ok boolean, html_md5 string",
     )
+
+
+@register(
+    "source_protobuf_delimited",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) - 20000000 AS bal_c,
+       CAST(datediff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
+FROM orders
+""",
+    tags=("source",),
+)
+def source_protobuf_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol Buffers length-delimited stream source, wire format
+    implemented FROM THE PUBLIC SPEC (operators/protowire.py) — the
+    round-8 conversion of the standing `google.protobuf is absent`
+    probe into coverage, the same move the Avro/JPEG/GIF codecs made
+    in round 7. orders rows are encoded executor-side as proto
+    messages (varint, zigzag-sint64 for the mixed-sign balance,
+    length-delimited strings) with a v2 WRITER schema carrying an
+    extra field the reader never learns about; the READER schema
+    skips it by wire type — protobuf's entire schema-evolution
+    contract, certified here end-to-end on real relation data and in
+    tests/test_protowire.py against the spec's own golden byte
+    vectors. One stream file per partition, manifest-committed
+    (retried attempts' orphans invisible), scanned back via
+    binaryFile — one file per task, the standard splittable-by-file
+    parallelism for delimited proto shards at 100 TB."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.protowire import read_delimited, write_delimited  # noqa: PLC0415
+
+    writer_schema = {
+        1: ("o_orderkey", "int64"),
+        2: ("o_custkey", "int64"),
+        3: ("o_orderstatus", "string"),
+        4: ("bal_c", "sint64"),
+        5: ("order_day", "int64"),
+        6: ("o_orderpriority", "string"),  # v2-only: reader must skip
+    }
+    reader_schema = {k: v for k, v in writer_schema.items() if k != 6}
+
+    out = _tmpdir("proto")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (cents("o_totalprice") - F.lit(20000000)).alias("bal_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("order_day"),
+        "o_orderpriority",
+    )
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        recs: list[dict] = []
+        for pdf in batches:
+            recs.extend(pdf.to_dict("records"))
+        if not recs:
+            return
+        path = os.path.join(out, f"part-{_uuid.uuid4().hex}.pb")
+        with open(path, "wb") as fh:
+            fh.write(write_delimited(recs, writer_schema))
+        yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+    files = [
+        r["path"]
+        for r in o.repartition(4)
+        .mapInPandas(_write, "path string, n bigint")
+        .select("path")
+        .collect()
+    ]
+    assert files, "proto sink committed no files"
+
+    def _read(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = read_delimited(bytes(content), reader_schema)
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "bal_c bigint, order_day bigint",
+    )
+
+
+@register(
+    "source_tar_shards",
+    oracle="""
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_decoded,
+       md5(text) AS text_md5
+FROM documents
+""",
+    tags=("source",),
+)
+def source_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard source: the de-facto layout for
+    large multimodal training corpora is plain POSIX tar shards whose
+    members group into samples by basename stem ({key}.txt holds the
+    payload, {key}.json the metadata) — readable with nothing but the
+    tar spec, streamable, and splittable at SHARD granularity, which
+    is exactly how a 1000-executor job consumes them: one shard per
+    task, sequential reads inside. documents are packed into one tar
+    shard per partition executor-side (stdlib tarfile, USTAR format,
+    all timestamps/uids zeroed so shard bytes are deterministic),
+    manifest-committed, then scanned back via binaryFile with a
+    kernel that re-groups members by stem and re-joins payload with
+    metadata. The md5 pins the text byte-exact through the tar
+    round-trip; lang/source prove the sidecar JSON survives."""
+    import json as _json  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    out = _tmpdir("tarshard")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    def _write(batches):
+        import io as _io  # noqa: PLC0415
+        import tarfile as _tarfile  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+
+        buf = _io.BytesIO()
+        n = 0
+        with _tarfile.open(
+            fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT
+        ) as tf:
+            for pdf in batches:
+                for doc_id, text, lang, source in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                ):
+                    for ext, payload in (
+                        ("txt", str(text).encode("utf-8")),
+                        (
+                            "json",
+                            _json.dumps(
+                                {"lang": str(lang), "source": str(source)},
+                                sort_keys=True,
+                            ).encode("utf-8"),
+                        ),
+                    ):
+                        info = _tarfile.TarInfo(name=f"{int(doc_id):012d}.{ext}")
+                        info.size = len(payload)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        tf.addfile(info, _io.BytesIO(payload))
+                    n += 1
+        if not n:
+            return
+        path = os.path.join(out, f"shard-{_uuid.uuid4().hex}.tar")
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+        yield pd.DataFrame({"path": [path], "n": [n]})
+
+    files = [
+        r["path"]
+        for r in docs.repartition(4)
+        .mapInPandas(_write, "path string, n bigint")
+        .select("path")
+        .collect()
+    ]
+    assert files, "tar sink committed no files"
+
+    def _read(batches):
+        import io as _io  # noqa: PLC0415
+        import tarfile as _tarfile  # noqa: PLC0415
+        from hashlib import md5 as _md5  # noqa: PLC0415
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                samples: dict[str, dict] = {}
+                with _tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        stem, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(stem, {})[ext] = tf.extractfile(
+                            m
+                        ).read()
+                rows = []
+                for stem in sorted(samples):
+                    s = samples[stem]
+                    meta = _json.loads(s["json"].decode("utf-8"))
+                    text = s["txt"].decode("utf-8")
+                    rows.append(
+                        {
+                            "doc_id": int(stem),
+                            "lang": meta["lang"],
+                            "source": meta["source"],
+                            "n_chars_decoded": len(text),
+                            "text_md5": _md5(s["txt"]).hexdigest(),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read,
+        "doc_id bigint, lang string, source string, "
+        "n_chars_decoded bigint, text_md5 string",
+    )
+
+
+@register(
+    "source_zip_archive",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_c
+FROM orders WHERE o_orderkey % 11 = 3
+""",
+    tags=("source",),
+)
+def source_zip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive source (APPNOTE.TXT format, stdlib zipfile): the
+    shape vendor data drops actually arrive in — an archive of CSV
+    members. One zip per partition is built executor-side with fixed
+    DOS timestamps (deterministic bytes), manifest-committed, scanned
+    back via binaryFile, and each task walks the archive's CENTRAL
+    DIRECTORY (the trailing index that makes zip members seekable
+    without scanning the stream — the property that lets a reader
+    fan member extraction out across threads at scale) and parses
+    the CSV members. Deflate round-trips the payload; the values
+    hash-check against the relational oracle."""
+    import pandas as pd  # noqa: PLC0415
+
+    out = _tmpdir("ziparc")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 3)
+        .select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("total_c")
+        )
+    )
+
+    def _write(batches):
+        import io as _io  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+        import zipfile as _zipfile  # noqa: PLC0415
+
+        buf = _io.BytesIO()
+        n = 0
+        with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+            for i, pdf in enumerate(batches):
+                if pdf.empty:
+                    continue
+                lines = [
+                    f"{k},{c},{t}"
+                    for k, c, t in zip(
+                        pdf["o_orderkey"], pdf["o_custkey"], pdf["total_c"]
+                    )
+                ]
+                info = _zipfile.ZipInfo(
+                    f"chunk-{i:04d}.csv", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                zf.writestr(info, "\n".join(lines))
+                n += len(lines)
+        if not n:
+            return
+        path = os.path.join(out, f"arc-{_uuid.uuid4().hex}.zip")
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+        yield pd.DataFrame({"path": [path], "n": [n]})
+
+    files = [
+        r["path"]
+        for r in o.repartition(4)
+        .mapInPandas(_write, "path string, n bigint")
+        .select("path")
+        .collect()
+    ]
+    assert files, "zip sink committed no files"
+
+    def _read(batches):
+        import io as _io  # noqa: PLC0415
+        import zipfile as _zipfile  # noqa: PLC0415
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = {"o_orderkey": [], "o_custkey": [], "total_c": []}
+                with _zipfile.ZipFile(_io.BytesIO(bytes(content))) as zf:
+                    for name in zf.namelist():
+                        for line in zf.read(name).decode("utf-8").splitlines():
+                            k, c, t = line.split(",")
+                            rows["o_orderkey"].append(int(k))
+                            rows["o_custkey"].append(int(c))
+                            rows["total_c"].append(int(t))
+                if rows["o_orderkey"]:
+                    yield pd.DataFrame(rows)
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read, "o_orderkey bigint, o_custkey bigint, total_c bigint"
+    )
+
+
+@register(
+    "source_text_bz2",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders
+GROUP BY status
+""",
+    tags=("source",),
+)
+def source_text_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bzip2-compressed text round-trip through Spark's Hadoop codec
+    path. The scale point is WHY bz2 and not gzip for landing text:
+    bzip2 is a BLOCK-oriented stream (900 KB blocks with a
+    48-bit block magic), so Hadoop's BZip2Codec is SPLITTABLE — a
+    single 10 GB .bz2 file fans out across tasks, where the same
+    file gzipped is one unsplittable task and one straggler. (The
+    splittable cousin of source_json_multiline's whole-file
+    anti-pattern.) orders are written as pipe-delimited lines with
+    compression=bzip2, read back through the same codec, parsed with
+    split(), and re-aggregated; the rollup hash-checks against the
+    relational oracle."""
+    out = os.path.join(_tmpdir("bz2"), "orders_txt")
+    o = table(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    o.write.mode("overwrite").option("compression", "bzip2").text(out)
+    parsed = spark.read.text(out).select(
+        F.split(F.col("value"), r"\|").alias("p")
+    )
+    return (
+        parsed.select(
+            F.col("p").getItem(1).alias("status"),
+            F.col("p").getItem(2).cast("bigint").alias("c"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("total_c"),
+        )
+    )
