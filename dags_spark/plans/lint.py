@@ -124,11 +124,207 @@ def _int_args(arg_line: str) -> list[int]:
     return [int(x) for x in re.findall(r"-?\d+", arg_line)]
 
 
+# ---------------------------------------------------------------------------
+# Grouping-key cardinality algebra (round 8, VERDICT r7 directive #3):
+# an aggregate's output rows are bounded by the PRODUCT of its key
+# cardinalities, and three key classes are provably small:
+#
+#   calendar grain   year()/month()/date_trunc(...)/to_date()/cast-to-
+#                    date — cardinality grows with the data's TIME
+#                    SPAN, not its volume. 100 TB is reached by adding
+#                    rows per day, not by adding centuries, so a
+#                    day-grain key is bounded (~36.6k rows for a full
+#                    century) at any corpus size. Finer-than-day
+#                    grains (hour over a century = 876k) stay
+#                    unproven.
+#   literal modulus  pmod(x, K) / (x % K) / ntile(K) with a literal K.
+#   partition id     spark_partition_id(), and the engine's reserved
+#                    __pid/__bkt attributes (operators/scale.py /
+#                    operators/trainprep.py two-pass rank-offset
+#                    machinery). These survive a localCheckpoint as
+#                    ExistingRDD columns whose defining expression is
+#                    gone from the plan, so the bound rests on the
+#                    reserved-name CONTRACT: only the two-pass rewrite
+#                    emits those names, and it emits exactly one value
+#                    per shuffle partition — partition-count-grain
+#                    (cluster-sized), never data-grain.
+#   literal CASE     CASE WHEN ... THEN <lit> ... ELSE <lit> END —
+#                    bounded by its branch count.
+#
+# Attribute definitions are recovered from the detail section: every
+# `expr AS name#id` inside an Output/Arguments/Results line defines
+# name#id.  Aliased chains (y#1 AS year#2) resolve recursively.
+# ---------------------------------------------------------------------------
+
+_CENTURY_DAYS = 36600  # day-grain bound: a full century of days
+
+_CAL_GRAIN = {
+    "year": 200, "quarter": 800, "month": 2400, "week": 10500,
+    "day": _CENTURY_DAYS, "dd": _CENTURY_DAYS, "mm": 2400, "yy": 200,
+    "mon": 2400, "yyyy": 200,
+}
+
+_CAL_FUNC = {
+    "year": 200, "quarter": 4, "month": 12, "weekofyear": 53,
+    "dayofmonth": 31, "dayofweek": 7, "dayofyear": 366, "hour": 24,
+    "minute": 60, "second": 60,
+}
+
+_RESERVED_PARTITION_ATTRS = ("__pid", "__bkt")
+
+_ATTR_RE = None  # compiled lazily
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a bracket-list body on top-level commas (parens, angle
+    brackets, and square brackets nest)."""
+    out, depth, tok = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(tok).strip())
+            tok = []
+        else:
+            depth += ch in "([<"
+            depth -= ch in ")]>"
+            tok.append(ch)
+    last = "".join(tok).strip()
+    if last:
+        out.append(last)
+    return out
+
+
+def _bracket_body(line: str) -> str:
+    """'Output [2]: [a#1, f(x) AS b#2]' -> 'a#1, f(x) AS b#2'."""
+    if ":" not in line:
+        return ""
+    body = line.split(":", 1)[1]
+    i, j = body.find("["), body.rfind("]")
+    return body[i + 1 : j] if 0 <= i < j else ""
+
+
+def _attr_defs(details: dict[str, dict[str, str]]) -> dict[str, str]:
+    """Map 'name#id' -> defining expression, from every 'expr AS
+    name#id' in the plan's detail Output/Arguments/Results lines."""
+    defs: dict[str, str] = {}
+    for d in details.values():
+        for k in ("Output", "Arguments", "Results", "Aggregate Attributes"):
+            line = d.get(k)
+            if not line or " AS " not in line:
+                continue
+            for entry in _split_top(_bracket_body(line)):
+                if " AS " not in entry:
+                    continue
+                expr, alias = entry.rsplit(" AS ", 1)
+                alias = alias.strip()
+                if "#" in alias and " " not in alias:
+                    defs.setdefault(alias, expr.strip())
+    return defs
+
+
+def _is_attr_ref(s: str) -> bool:
+    global _ATTR_RE
+    if _ATTR_RE is None:
+        import re
+
+        _ATTR_RE = re.compile(r"^[A-Za-z_][\w$.]*#\d+[A-Za-z]?$")
+    return bool(_ATTR_RE.match(s))
+
+
+def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
+    """Provable cardinality upper bound of a grouping expression, or
+    None when it can grow with data volume."""
+    import re
+
+    if depth > 16 or not expr:
+        return None
+    expr = expr.strip()
+
+    if _is_attr_ref(expr):
+        name = expr.split("#", 1)[0]
+        if name in _RESERVED_PARTITION_ATTRS:
+            return _BOUNDED_T  # partition-count contract (see header)
+        nxt = defs.get(expr)
+        return _expr_bound(nxt, defs, depth + 1) if nxt else None
+
+    if expr.startswith("spark_partition_id(") or expr.startswith(
+        "SPARK_PARTITION_ID("
+    ):
+        return _BOUNDED_T
+
+    # cast-to-date is day grain; any other cast is cardinality-neutral
+    m = re.match(r"^cast\((.*) as (\w+)\)$", expr, re.S)
+    if m and _balanced(m.group(1)):
+        return _CENTURY_DAYS if m.group(2) == "date" else _expr_bound(
+            m.group(1), defs, depth + 1
+        )
+
+    m = re.match(r"^date_trunc\((\w+),", expr)
+    if m:
+        return _CAL_GRAIN.get(m.group(1).lower())
+    m = re.match(r"^trunc\(.*,\s*(\w+)\)$", expr)
+    if m:
+        return _CAL_GRAIN.get(m.group(1).lower())
+    if expr.startswith("to_date("):
+        return _CENTURY_DAYS
+    m = re.match(r"^(\w+)\(", expr)
+    if m and m.group(1) in _CAL_FUNC:
+        return _CAL_FUNC[m.group(1)]
+
+    m = re.match(r"^pmod\(.*,\s*(\d+)\)$", expr) or re.match(
+        r"^\(.* % (\d+)\)$", expr
+    )
+    if m:
+        k = int(m.group(1))
+        return k if 0 < k <= _BOUNDED_T else None
+    m = re.match(r"^ntile\((\d+)\)", expr)
+    if m:
+        k = int(m.group(1))
+        return k if 0 < k <= _BOUNDED_T else None
+
+    # CASE with all-literal outcomes: bounded by its branch count
+    if expr.startswith("CASE WHEN") and expr.endswith("END"):
+        outs = re.findall(r"(?:THEN|ELSE) (-?\d+(?:\.\d+)?|'[^']*'|null)", expr)
+        if outs and len(outs) >= expr.count("WHEN"):
+            return len(outs)
+
+    return None
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        depth += ch in "(["
+        depth -= ch in ")]"
+        if depth < 0:
+            return False
+    return depth == 0
+
+
+def _group_keys_bound(
+    keys_line: str, defs: dict[str, str]
+) -> int | None:
+    """Bound on a grouped aggregate's output rows: the product of its
+    key-expression bounds, when every key is provably small."""
+    body = _bracket_body(keys_line)
+    if not body:
+        return None
+    prod = 1
+    for entry in _split_top(body):
+        b = _expr_bound(entry, defs)
+        if b is None:
+            return None
+        prod *= b
+        if prod > _BOUNDED_T:
+            return None
+    return prod
+
+
 def _bounded_rows(
     tree: list[str],
     idx: int,
     details: dict[str, dict[str, str]],
     depth: int = 0,
+    defs: dict[str, str] | None = None,
 ) -> int | None:
     """Upper bound on the subtree's output rows PROVABLE from plan
     text alone — i.e. a bound that holds at ANY input scale — or
@@ -144,6 +340,8 @@ def _bounded_rows(
     model-sized-residue algebra (VERDICT r7 directive #3)."""
     if depth > 64:
         return None
+    if defs is None:
+        defs = _attr_defs(details)
     line = tree[idx].strip().lstrip("+-: *")
     d = details.get(_node_id(tree[idx]), {})
     hdr = d.get("header", "")
@@ -153,15 +351,21 @@ def _bounded_rows(
             target = hdr.rsplit("Reuses operator id:", 1)[1].strip(" ]")
             for j, t in enumerate(tree):
                 if _node_id(t) == target:
-                    return _bounded_rows(tree, j, details, depth + 1)
+                    return _bounded_rows(tree, j, details, depth + 1, defs)
         return None
 
     if line.startswith(("HashAggregate", "SortAggregate", "ObjectHashAggregate")):
         keys = d.get("Keys", "")
         if ":" in keys and keys.split(":", 1)[1].strip() == "[]":
             return 1
-        # grouped aggregate: never increases rows — fall through to
-        # the row-preserving propagation below.
+        # grouped aggregate: output rows <= product of its key
+        # cardinalities when every key is provably small (calendar
+        # grain / literal modulus / partition-id / literal CASE).
+        kb = _group_keys_bound(keys, defs)
+        if kb is not None:
+            return kb
+        # otherwise: never increases rows — fall through to the
+        # row-preserving propagation below.
 
     if line.startswith("LocalTableScan"):
         return 256  # driver-literal relation: constant w.r.t. corpus
@@ -186,7 +390,7 @@ def _bounded_rows(
     if line.startswith("Union"):
         total = 0
         for k in kids:
-            b = _bounded_rows(tree, k, details, depth + 1)
+            b = _bounded_rows(tree, k, details, depth + 1, defs)
             if b is None:
                 return None
             total += b
@@ -196,15 +400,15 @@ def _bounded_rows(
         ("BroadcastNestedLoopJoin", "CartesianProduct")
     ):
         if len(kids) == 2:
-            a = _bounded_rows(tree, kids[0], details, depth + 1)
-            b = _bounded_rows(tree, kids[1], details, depth + 1)
+            a = _bounded_rows(tree, kids[0], details, depth + 1, defs)
+            b = _bounded_rows(tree, kids[1], details, depth + 1, defs)
             if a is not None and b is not None and a * b <= _BOUNDED_T:
                 return a * b
         return None
 
     if line.startswith(_ROW_PRESERVING):
         if len(kids) == 1:
-            return _bounded_rows(tree, kids[0], details, depth + 1)
+            return _bounded_rows(tree, kids[0], details, depth + 1, defs)
         return None
 
     return None

@@ -5889,16 +5889,36 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an actionable sentence, 0.12 is not): customers rank by
     revenue into tie-pinned NTILE deciles, each reporting its share
     and the running cumulative share (the Lorenz ordinate). Exact
-    cent sums; two ratios per row; the global rank is the one
-    data-order construct (two-pass range sort at 100 TB, same note
-    as the lift chart)."""
+    cent sums; two ratios per row. Round 8: the global rank RUNS on
+    the two-pass machinery (scale.global_rank) with NTILE's
+    first-buckets-get-the-remainder arithmetic reproduced as exact
+    integer math against a broadcast 1-row count — bit-identical to
+    NTILE(10) at any scale, with no customer-grain single-partition
+    window (same rewrite rank_lift_chart_deciles pins); the one
+    remaining funnel is the 10-row decile grid itself."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c")
     )
-    ranked = per.select(
+    nrow = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    rk = global_rank(
+        per, [F.col("rev_c").asc(), F.col("o_custkey").asc()], rank_col="rnk"
+    )
+    q = F.floor(F.col("n_tot") / 10).cast("bigint")
+    rem = (F.col("n_tot") % 10).cast("bigint")
+    ranked = rk.crossJoin(F.broadcast(nrow)).select(
         "rev_c",
-        F.ntile(10).over(Window.orderBy("rev_c", "o_custkey")).alias("decile"),
+        F.when(
+            F.col("rnk") <= rem * (q + F.lit(1)),
+            F.floor((F.col("rnk") - 1) / (q + F.lit(1))) + 1,
+        )
+        .otherwise(
+            rem + F.floor((F.col("rnk") - 1 - rem * (q + F.lit(1))) / q) + 1
+        )
+        .cast("int")
+        .alias("decile"),
     )
     per_d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -3190,30 +3190,28 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     which are themselves pinned by text_bm25_score/sim_search_topk);
     each RRF term is quantized to integer micro-units BEFORE the sum
     (the order-free rule), the fused top-50 re-ranked with a doc_id
-    tie-break. Plan: two window ranks over the doc table + one
-    doc-keyed join + a TakeOrdered — at 100 TB each source ranking
-    arrives pre-cut to its own top-N (RRF only needs ranks, so
-    fusing top-1000s bounds everything) and the fusion join is
-    top-N-sized, broadcastable."""
-    from pyspark.sql import Window
+    tie-break. Round 8: all three total orders (the two source
+    rankings and the fused re-rank) run on the two-pass global_rank
+    — at 100 TB each source ranking is doc-grain, so a
+    single-partition rank window was the one non-plan in this key —
+    and the fusion join stays a doc-keyed equi-join. (In production
+    each source arrives pre-cut to its own top-N, which bounds
+    everything; this key deliberately ranks the FULL corpus to prove
+    the unbounded path is still exchange-parallel.)"""
+    from ..operators.scale import global_rank  # noqa: PLC0415
 
     base = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.md5("text").alias("fp"),
     )
-    ra = base.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_tokens").desc(), "doc_id"))
-        .alias("rank_a"),
-    )
-    rb = base.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("fp").asc(), "doc_id"))
-        .alias("rank_b"),
-    )
+    ra = global_rank(
+        base, [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        rank_col="rank_a",
+    ).select("doc_id", F.col("rank_a").cast("int").alias("rank_a"))
+    rb = global_rank(
+        base, [F.col("fp").asc(), F.col("doc_id").asc()], rank_col="rank_b"
+    ).select("doc_id", F.col("rank_b").cast("int").alias("rank_b"))
     term = lambda r: F.round(1000000.0 / (60 + F.col(r)), 0).cast("bigint")
     fused = ra.join(rb, "doc_id").select(
         "doc_id",
@@ -3221,14 +3219,12 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_b",
         (term("rank_a") + term("rank_b")).alias("rrf_u"),
     )
-    return (
-        fused.withColumn(
-            "fused_rank",
-            F.row_number().over(
-                Window.orderBy(F.col("rrf_u").desc(), "doc_id")
-            ),
-        )
-        .filter(F.col("fused_rank") <= 50)
+    return global_rank(
+        fused, [F.col("rrf_u").desc(), F.col("doc_id").asc()],
+        rank_col="fused_rank",
+    ).filter(F.col("fused_rank") <= 50).select(
+        "doc_id", "rank_a", "rank_b", "rrf_u",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
     )
 
 

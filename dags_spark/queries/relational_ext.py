@@ -2194,28 +2194,34 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamps every item's class and reports class sizes, the picking
     list a warehouse actually operates on). Class cuts are EXACT
     integer cross-multiplications (cum·100 ≤ tot·80 — no share
-    doubles, no boundary flips); the descending running sum runs
-    through the two-phase global_cumsum machinery at scale (the
-    fixture-sized key states it as a window, the same contract
-    agg_pareto_customers pins two-phase). Ties break on the part
-    key so the class boundary is deterministic."""
+    doubles, no boundary flips). Round 8: the descending running sum
+    now actually RUNS on the two-pass machinery instead of arguing
+    it would — global_rank totally orders the part-grain rows
+    (rev desc, partkey tie-break), global_cumsum accumulates in rank
+    order, and the grand total is a 1-row broadcast — so the
+    part-grain relation (which grows with the catalog) never funnels
+    through one task, and the plan passes the lint sweep with no
+    waiver."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+    from ..operators.trainprep import global_cumsum  # noqa: PLC0415
+
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(cents("l_extendedprice")).alias("c")
     )
-    wo = Window.orderBy(F.col("c").desc(), F.col("l_partkey").asc())
-    ranked = rev.select(
-        "l_partkey",
-        "c",
-        F.sum("c")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    ranked = global_rank(
+        rev, [F.col("c").desc(), F.col("l_partkey").asc()], rank_col="rnk"
     )
-    classed = ranked.select(
+    cum = global_cumsum(ranked, "rnk", "c", 4096, out_col="cum_before")
+    tot = rev.agg(F.sum("c").alias("tot"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
         "c",
-        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        F.when(
+            (F.col("cum_before") + F.col("c")) * 100 <= F.col("tot") * 80, "A"
+        )
+        .when(
+            (F.col("cum_before") + F.col("c")) * 100 <= F.col("tot") * 95, "B"
+        )
         .otherwise("C")
         .alias("abc"),
     )
@@ -3651,17 +3657,19 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — no float quantiles), and the max/median skew ratio. A
     ratio >> 1 is the signal to salt the key or lean on AQE skew
     handling; this is the measurement that justifies
-    join_salted_checked. One agg (sizes) + one sort over KEY-COUNT
-    rows (already reduced — not the fact table), 1-row output."""
+    join_salted_checked. One agg (sizes) + one TWO-PASS global rank
+    over KEY-COUNT rows (round 8: the key-grain relation grows with
+    the corpus, so the rank runs on scale.global_rank instead of a
+    single-partition window) + a 1-row key count broadcast, 1-row
+    output — no data-grain funnel anywhere in the plan."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+
     o = table(spark, sf_dir, "orders")
     sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("sz"))
-    w_r = Window.orderBy("sz", "o_custkey")
-    w_n = Window.partitionBy()
-    ranked = sizes.select(
-        "sz",
-        F.row_number().over(w_r).alias("r"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    nrow = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_rank(
+        sizes, [F.col("sz").asc(), F.col("o_custkey").asc()], rank_col="r"
+    ).crossJoin(F.broadcast(nrow))
 
     def at_pct(k: int):
         rank = F.greatest(F.expr(f"(n * {k}) DIV 100"), F.lit(1))
@@ -5785,11 +5793,17 @@ def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches silent drops and replays in one pass: are event ids
     unique, is the range dense (max - min + 1 == count), how many
     gaps and how many ids are missing inside them (a gap histogram
-    localizes a lost batch; a density below 1.0 quantifies it). The
-    gap scan is one LAG over the id order — the global sort is the
-    audit's nature (at 100 TB: audit per ingestion partition, then
-    roll partition boundaries up — same algebra on the partition
-    grid). Exact integers throughout."""
+    localizes a lost batch; a density below 1.0 quantifies it).
+    Round 8, the gap scan is genuinely distributed instead of argued:
+    ids are RANGE-partitioned (contiguous, non-overlapping id spans
+    per task), the LAG runs within each partition in parallel, and
+    the only global object is the partition-BOUNDARY table
+    (one (min,max) row per partition — partition-count-grain), whose
+    adjacent-span gaps are the lag gaps the per-partition pass
+    cannot see. Identical algebra to the former global-sort LAG at
+    any scale; pinned with localCheckpoint so the boundary subtree
+    and the within-partition subtree consume the SAME partitioning
+    (the global_rank AQE-pairing rule). Exact integers throughout."""
     ev = table(spark, sf_dir, "events")
     s = ev.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -5797,12 +5811,25 @@ def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("bigint").alias("hi"),
         F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
     )
-    gap = ev.select(
+    ids = (
+        ev.select("event_id")
+        .repartitionByRange(32, "event_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_in = Window.partitionBy("__pid").orderBy("event_id")
+    inner_gaps = ids.select(
+        (F.col("event_id") - F.lag("event_id").over(w_in)).alias("gap")
+    ).filter(F.col("gap") > 1)
+    bounds = ids.groupBy("__pid").agg(
+        F.min("event_id").alias("lo_p"), F.max("event_id").alias("hi_p")
+    )
+    boundary_gaps = bounds.select(
         (
-            F.col("event_id")
-            - F.lag("event_id").over(Window.orderBy("event_id"))
+            F.col("lo_p") - F.lag("hi_p").over(Window.orderBy("lo_p"))
         ).alias("gap")
     ).filter(F.col("gap") > 1)
+    gap = inner_gaps.unionAll(boundary_gaps)
     gaps = gap.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
         F.coalesce(F.sum(F.col("gap") - 1), F.lit(0))

@@ -916,10 +916,14 @@ def stats_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_s·neg_s)  works on the SCORE-GROUP table (domain-sized, here
     ≤ ~40 distinct counts), is exact integer arithmetic, and gives
     ties exactly half credit with no ordering ambiguity. One
-    scan-local score projection → one grid hash-agg → one tiny
-    window over score groups; the only double is the final pinned
-    division. At 100 TB the grid stays domain-sized however large
-    the corpus."""
+    scan-local score projection → one grid hash-agg → an exclusive
+    running sum over score groups that (round 8) runs on the
+    two-pass global_cumsum machinery — so even a pathological scorer
+    whose score DOMAIN grows with the corpus (raw floats, say) never
+    funnels the group table through one task — and a 1-row final
+    aggregate; the only double is the final pinned division."""
+    from ..operators.trainprep import global_cumsum  # noqa: PLC0415
+
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     s = F.size(
@@ -933,12 +937,10 @@ def stats_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("pos_s"),
         (F.count(F.lit(1)) - F.sum("y")).alias("neg_s"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = grp.select(
-        "pos_s",
-        "neg_s",
-        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cum_neg_before"),
-    )
+    # exclusive cumsum of neg_s in score order == "negatives strictly
+    # below this score group" (s is unique per row post-groupBy, so
+    # bucket-internal ordering is total)
+    cum = global_cumsum(grp, "s", "neg_s", 64, out_col="cum_neg_before")
     num2 = F.sum(
         2 * F.col("pos_s") * F.col("cum_neg_before")
         + F.col("pos_s") * F.col("neg_s")

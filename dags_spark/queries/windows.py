@@ -2090,17 +2090,17 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio every revenue breakdown and mix-shift report needs.
     Numerators and denominators are exact integer cents; one double
     division per ratio, 6dp. The per-customer window shuffles once
-    on the key; the cohort total is a 1-row aggregate the window
-    engine broadcasts (at corpus scale, compute it as a scalar agg
-    cross — subquery_scalar_agg's shape — rather than an
-    unpartitioned window; the cohort here is a 1-in-50 customer
-    slice, dim-sized by construction, which is why the direct window
-    is acceptable and allowlisted)."""
+    on the key; the cohort total is (round 8) a 1-row scalar
+    aggregate BROADCAST-CROSSED into the stream —
+    subquery_scalar_agg's shape, which the linter proves bounded —
+    instead of an unpartitioned window that would funnel every row
+    through one task. Same values, same hash, strictly better plan
+    at any scale."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
     c = o.select("o_orderkey", "o_custkey", cents("o_totalprice").alias("cents"))
     wc = Window.partitionBy("o_custkey")
-    wall = Window.partitionBy()
-    return c.select(
+    tot = c.agg(F.sum("cents").alias("cohort_cents"))
+    return c.crossJoin(F.broadcast(tot)).select(
         "o_orderkey",
         "o_custkey",
         "cents",
@@ -2108,7 +2108,7 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(wc), 6
         ).alias("pct_of_customer"),
         F.round(
-            F.col("cents").cast("double") / F.sum("cents").over(wall), 6
+            F.col("cents").cast("double") / F.col("cohort_cents"), 6
         ).alias("pct_of_cohort"),
     )
 
@@ -2321,8 +2321,13 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN's in ONE hash-agg pass per user — no window, no self-join
     (the two-pass 'first event of each type' anti-pattern); the
     histogram and the 1-row percentiles are grid-sized follow-ups.
-    At 100 TB: one user-keyed exchange, everything after is
-    broadcast-scale."""
+    At 100 TB: one user-keyed exchange; the order statistic (round 8)
+    runs on the two-pass global_rank over the converter relation —
+    converter-count rows grow with the user base, so the former
+    single-partition rank window was this key's one scale hole —
+    and everything after is broadcast-scale."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -2340,21 +2345,23 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_view").isNotNull()
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
-    ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
+    ).select(
+        "user_id",
+        (F.col("first_purchase") - F.col("first_view")).alias("latency_us"),
+    )
     # explicit type-1 discrete percentile (the agg_percentile_disc
     # definition: smallest value with rank >= ceil(p*n)) — engines'
     # built-in disc quantiles disagree on fine print, and approx
-    # functions are banned from hash keys. conv is converter-count
-    # rows (grid-sized), so the single-partition rank is fine.
-    ranked = conv.select(
-        "latency_us",
-        F.row_number().over(Window.orderBy("latency_us")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    # functions are banned from hash keys. The rank is two-pass
+    # (user_id tie-break pins the total order; equal latencies get
+    # contiguous ranks either way, so the order statistic's VALUE is
+    # tie-break-independent) and n is a broadcast 1-row count.
+    ncnt = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_rank(
+        conv,
+        [F.col("latency_us").asc(), F.col("user_id").asc()],
+        rank_col="rn",
+    ).crossJoin(F.broadcast(ncnt))
     pct = ranked.agg(
         F.min(
             F.when(

@@ -13,93 +13,74 @@ from dags_spark.plans import lint_plan
 from dags_spark.registry import all_specs
 
 # key -> allowed finding codes, with the reason the construct is fine.
+#
+# Round 8 second pass (VERDICT r7 directive #3, continued): the
+# linter now proves GROUPED aggregates bounded when every grouping
+# key is a calendar-grain expression (cardinality follows the data's
+# TIME SPAN, not its volume), a literal modulus (pmod/%/ntile), the
+# partition-id / reserved __pid/__bkt two-pass-rewrite attributes, or
+# an all-literal CASE — see the key-cardinality algebra in
+# plans/lint.py. That cleared the calendar folds (ts_*/win_* daily
+# series), the two-pass rank-offset tables (sort_multi,
+# train_curriculum_buckets, pack_sequences_greedy, ...), and the
+# literal-CASE contingency grids (cohens_kappa, runs_test,
+# mann_kendall, spc), and TEN data-grain funnels were REWRITTEN onto
+# the two-pass machinery (abc classification, exact AUC, join-key
+# skew, top-n-with-ties, percent-of-total, Lorenz/WOE deciles, RRF
+# rank fusion, time-to-convert percentiles, the id-density gap scan)
+# — 36 fewer waivers than round 8's first pass (78 -> 42). What
+# remains is argued per block below.
 ALLOWED = {
-    # -- cartesian: GRID-sized crosses the linter cannot prove --
-    # The linter proves bounded build sides structurally via
-    # _bounded_rows (round 8, generalizing the r7 scalar-subquery
-    # rule): literal Range spines, LocalTableScans, literal limits
-    # (TakeOrdered/GlobalLimit), 1-row global aggregates, and their
-    # products/unions through row-preserving nodes — so k-offset
-    # spines, bootstrap picks, and replica dims no longer need
-    # waivers. What remains below crosses a relation bounded by
-    # CONSTRUCTION but genuinely not by plan structure — collapsed
-    # calendar grids (<=366 rows/yr: cardinality follows the DATA's
-    # date span), per-type series pairs, decile/contingency grids —
-    # or is a genuine cross (join_cross's semantics,
-    # point-in-polygon candidate pairs, MMR's pairwise diversity,
-    # DTW's series-pair grid). The fact side never re-shuffles.
+    # -- cartesian: genuine crosses and unprovable grids --
+    # join_cross's semantics ARE cartesian; point-in-polygon /
+    # MMR / DTW / Hurst / Croston cross candidate pairs or
+    # series-pair grids that are small by construction (per-type
+    # series, polygon candidate buckets) but not by plan structure;
+    # shapley crosses the 2^k coalition grid (k<=3 channels);
+    # heaps'/levenshtein/rules-as-data cross vocab/rule grids whose
+    # cardinality follows distinct DATA values. The fact side never
+    # re-shuffles in any of them.
     "agg_histogram_percentile": {"cartesian", "single-partition-exchange"},
     "attribution_shapley": {"cartesian"},
     "dq_rules_as_data": {"cartesian"},
     "fn_levenshtein_threshold": {"cartesian"},
     "join_cross": {"cartesian"},
     "join_geo_point_in_polygon": {"cartesian"},
-    "join_lerp_curve": {"cartesian", "single-partition-exchange"},
     "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
     "sim_mmr_diversify": {"cartesian"},
-    "stats_mann_kendall_trend": {"cartesian"},
     "stats_sen_slope": {"cartesian"},
     "text_heaps_law": {"cartesian"},
     "ts_croston_intermittent": {"cartesian"},
     "ts_dtw_distance": {"cartesian"},
     "ts_hurst_rs": {"cartesian"},
-    "ts_periodogram_dominant": {"single-partition-exchange"},
-    # 
-    # -- single-partition-exchange: bounded-grain funnels --
-    # Exchanges whose input is bounded by CONSTRUCTION but not
-    # provably 1-row from the plan (those are now structurally
-    # cleared): global windows/folds over collapsed calendar grids
-    # (<=366 rows/yr), decile/quantile grids (<=100 rows), per-bucket
-    # offset tables from the two-pass global_rank/global_cumsum
-    # rewrite (rows = shuffle-partition count), sequential model
-    # folds (Holt/Weibull/KM — model-sized input reduced in one
-    # task), and contract-bearing small sorted outputs.
-    "agg_abc_classification": {"single-partition-exchange"},
-    "agg_equidepth_bins": {"single-partition-exchange"},
-    "agg_gini_revenue": {"single-partition-exchange"},
-    "agg_hhi_by_year": {"single-partition-exchange"},
+    #
+    # -- single-partition-exchange: data-grain funnels the algebra --
+    # -- cannot (and should not) clear                             --
+    # These funnel a DISTINCT-VALUE-grain relation (per-customer /
+    # per-score / per-doc aggregates) through one task for an
+    # order-statistic or sequential fold: exact KS/Mann-Whitney over
+    # score ranks, KM/Weibull survival folds, BH-FDR p-value
+    # ladders, shard packing — or a <=100-row decile/quantile grid
+    # (Lorenz, lift chart) whose CASE bucket arithmetic the algebra
+    # cannot bound. Each
+    # docstring argues the funnel grain (post-aggregate, orders of
+    # magnitude below the fact scan) or names the two-pass rewrite
+    # it would migrate to at true 100 TB key cardinality. Kept as
+    # waivers precisely so the list stays visible and shrinks only
+    # by real rewrites, not by linter generosity.
     "agg_lorenz_deciles": {"single-partition-exchange"},
-    "agg_pareto_customers": {"single-partition-exchange"},
-    "agg_var_expected_shortfall": {"single-partition-exchange"},
     "dq_distribution_psi": {"single-partition-exchange"},
-    "dq_id_density_audit": {"single-partition-exchange"},
-    "dq_join_key_skew": {"single-partition-exchange"},
-    "dq_row_count_anomaly": {"single-partition-exchange"},
-    "feat_woe_iv": {"single-partition-exchange"},
-    "funnel_time_to_convert": {"single-partition-exchange"},
-    "pack_sequences_greedy": {"single-partition-exchange"},
     "pack_shards_balanced": {"single-partition-exchange"},
     "rank_lift_chart_deciles": {"single-partition-exchange"},
-    "sim_rank_fusion_rrf": {"single-partition-exchange"},
-    "sort_multi": {"single-partition-exchange"},
-    "sort_nulls_last": {"single-partition-exchange"},
-    "stats_auc_exact": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
-    "stats_cohens_kappa": {"single-partition-exchange"},
-    "stats_durbin_watson": {"single-partition-exchange"},
     "stats_ks_2sample": {"single-partition-exchange"},
     "stats_mann_whitney_u": {"single-partition-exchange"},
-    "stats_runs_test": {"single-partition-exchange"},
     "stats_survival_km": {"single-partition-exchange"},
     "stats_weibull_fit": {"single-partition-exchange"},
-    "train_curriculum_buckets": {"single-partition-exchange"},
-    "ts_autocorrelation": {"single-partition-exchange"},
-    "ts_holt_linear": {"single-partition-exchange"},
-    "ts_holt_winters_seasonal": {"single-partition-exchange"},
-    "ts_naive_forecast_error": {"single-partition-exchange"},
-    "ts_seasonal_decompose": {"single-partition-exchange"},
-    "ts_seasonal_strength": {"single-partition-exchange"},
+    "ts_periodogram_dominant": {"single-partition-exchange"},
     "ts_walkforward_ols": {"single-partition-exchange"},
-    "ts_week_over_week": {"single-partition-exchange"},
-    "win_bollinger_breakout": {"single-partition-exchange"},
     "win_peak_concurrency": {"single-partition-exchange"},
-    "win_percent_of_total": {"single-partition-exchange"},
-    "win_range_interval_frame": {"single-partition-exchange"},
-    "win_record_highs": {"single-partition-exchange"},
     "win_rfm_segmentation": {"single-partition-exchange"},
-    "win_rolling_beta": {"single-partition-exchange"},
-    "win_spc_western_electric": {"single-partition-exchange"},
-    "win_topn_ties_dense": {"single-partition-exchange"},
     # 
     # -- global-sort: ORDER BY is the key's output contract --
     # Sorted final output is the declared semantics (TPC-H answer
@@ -232,6 +213,114 @@ def test_lint_catches_dim_shuffle_join_and_unpruned_scan(spark, sf_dir, tmp_path
     assert "unpruned-partition-scan" in {f.code for f in lint_plan(unpruned)}
     pruned = spark.read.parquet(d).filter(F.col("p") == 3)
     assert "unpruned-partition-scan" not in {f.code for f in lint_plan(pruned)}
+
+
+def test_lint_group_key_cardinality_algebra(spark, sf_dir):
+    """Round-8 second pass: grouped aggregates with provably-small
+    keys (calendar grain / literal modulus / partition id / literal
+    CASE) are bounded, so a global window or SinglePartition funnel
+    over them stays clean — while a data-grain key (custkey) still
+    trips."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("k")
+
+    # calendar grain: month-truncated key -> bounded -> clean
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert lint_plan(monthly) == []
+
+    # year() function key -> bounded -> clean
+    yearly = (
+        o.groupBy(F.year("o_orderdate").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert lint_plan(yearly) == []
+
+    # literal modulus key -> bounded -> clean
+    bucketed = (
+        o.groupBy(F.pmod(F.col("o_custkey"), F.lit(32)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert lint_plan(bucketed) == []
+
+    # all-literal CASE key -> bounded by branch count -> clean
+    cased = (
+        o.groupBy(
+            F.when(F.col("o_totalprice") > 1000, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert lint_plan(cased) == []
+
+    # spark_partition_id key (the two-pass offset-table shape) -> clean
+    offsets = (
+        o.withColumn("k", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert lint_plan(offsets) == []
+
+    # data-grain key still trips: per-customer grain through one task
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert "single-partition-exchange" in {f.code for f in lint_plan(per_cust)}
+
+    # finer-than-day calendar grain is NOT bounded: hour-truncation
+    hourly = (
+        o.groupBy(F.date_trunc("hour", "o_orderdate").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    assert "single-partition-exchange" in {f.code for f in lint_plan(hourly)}
+
+
+def test_expr_bound_unit():
+    """Pure-string unit coverage of the key-cardinality resolver."""
+    from dags_spark.plans.lint import _expr_bound, _group_keys_bound
+
+    defs = {
+        "m#3": "date_trunc(month, cast(ts#1 as timestamp), Some(UTC))",
+        "y#4": "year(o_orderdate#2)",
+        "alias#5": "m#3",
+        "b#6": "pmod(hash(o_custkey#7, 42), 64)",
+        "c#8": "CASE WHEN (x#9 > 2.0) THEN 1 WHEN (x#9 < -2.0) THEN 2 ELSE 0 END",
+        "d#10": "o_custkey#7",
+        "n#11": "ntile(10) windowspecdefinition(...)",
+        "p#12": "SPARK_PARTITION_ID()",
+    }
+    assert _expr_bound("m#3", defs) == 2400
+    assert _expr_bound("y#4", defs) == 200
+    assert _expr_bound("alias#5", defs) == 2400  # alias chain resolves
+    assert _expr_bound("b#6", defs) == 64
+    assert _expr_bound("c#8", defs) == 3
+    assert _expr_bound("d#10", defs) is None  # data-grain
+    assert _expr_bound("n#11", defs) == 10
+    assert _expr_bound("p#12", defs) is not None
+    assert _expr_bound("__pid#99", defs) is not None  # reserved name
+    assert _expr_bound("__bkt#99L", defs) is not None
+    assert _expr_bound("cast(ts#1 as date)", defs) == 36600
+    assert _expr_bound("date_trunc(hour, ts#1)", defs) is None
+    # product across keys, with the 65536 ceiling enforced
+    assert _group_keys_bound("Keys [2]: [m#3, y#4]", defs) is None  # 480k > cap
+    assert _group_keys_bound("Keys [2]: [y#4, c#8]", defs) == 600
+    assert _group_keys_bound("Keys [1]: [d#10]", defs) is None
 
 
 def test_global_rank_matches_single_window(spark):
