@@ -205,3 +205,57 @@ def global_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__within")).cast("long"))
         .drop("__pid", "__within", "__off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n: int,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Exact NTILE(n) over a total order WITHOUT the single-partition
+    window: two-phase global_rank supplies the total order, and
+    NTILE's bucket arithmetic (the first ``n_tot % n`` buckets get
+    one extra row) is reproduced as exact integer math against a
+    broadcast 1-row count — bit-identical to ``ntile(n)`` at any
+    scale. The order must carry a unique tie-break column (house
+    determinism rule 3), same contract as global_rank.
+
+    Shared by the decile/quintile keys (rank_lift_chart_deciles'
+    rewrite generalized): agg_lorenz_deciles, feat_woe_iv,
+    win_rfm_segmentation.
+    """
+    d = global_rank(df, order_cols, rank_col="__ntile_rnk")
+    nrow = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n_tot"))
+    q = F.floor(F.col("__n_tot") / n).cast("bigint")
+    rem = (F.col("__n_tot") % n).cast("bigint")
+    # rows failing the first branch only exist when q >= 1, so the
+    # ELSE division is never evaluated at q == 0 (n_tot < n).
+    # The least/greatest clamp is a mathematical no-op (the bucket is
+    # in [1, n] by construction) whose purpose is the PLAN: it makes
+    # the bucket's value range — and therefore the cardinality of any
+    # aggregate grouped on it — provable from plan text alone, so the
+    # n-row grid that follows an NTILE needs no lint waiver.
+    bucket = F.least(
+        F.lit(n),
+        F.greatest(
+            F.lit(1),
+            F.when(
+                F.col("__ntile_rnk") <= rem * (q + F.lit(1)),
+                F.floor((F.col("__ntile_rnk") - 1) / (q + F.lit(1))) + 1,
+            )
+            .otherwise(
+                rem
+                + F.floor(
+                    (F.col("__ntile_rnk") - 1 - rem * (q + F.lit(1))) / q
+                )
+                + 1
+            )
+            .cast("int"),
+        ),
+    ).cast("int")
+    return (
+        d.crossJoin(F.broadcast(nrow))
+        .withColumn(out_col, bucket)
+        .drop("__ntile_rnk", "__n_tot")
+    )

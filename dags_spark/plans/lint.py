@@ -168,6 +168,12 @@ _CAL_FUNC = {
     "year": 200, "quarter": 4, "month": 12, "weekofyear": 53,
     "dayofmonth": 31, "dayofweek": 7, "dayofyear": 366, "hour": 24,
     "minute": 60, "second": 60,
+    # datediff's value is a day count between two in-span dates, so
+    # its cardinality is bounded by the data's day span — the same
+    # grows-with-time-not-volume argument as date_trunc(day).
+    "datediff": _CENTURY_DAYS,
+    "date_diff": _CENTURY_DAYS,
+    "unix_date": _CENTURY_DAYS,
 }
 
 _RESERVED_PARTITION_ATTRS = ("__pid", "__bkt")
@@ -258,6 +264,12 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
             m.group(1), defs, depth + 1
         )
 
+    # additive/subtractive literal shift is a bijection: same
+    # cardinality as the shifted expression
+    m = re.match(r"^\((.*) [+-] -?\d+(?:\.\d+)?\)$", expr, re.S)
+    if m and _balanced(m.group(1)):
+        return _expr_bound(m.group(1), defs, depth + 1)
+
     m = re.match(r"^date_trunc\((\w+),", expr)
     if m:
         return _CAL_GRAIN.get(m.group(1).lower())
@@ -280,6 +292,27 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
     if m:
         k = int(m.group(1))
         return k if 0 < k <= _BOUNDED_T else None
+
+    # least(K, greatest(J, <integer expr>)) — a literal clamp on an
+    # integer-typed expression takes at most K-J+1 values. The
+    # integer-typed guard (explicit int cast or floor/ceil) keeps the
+    # rule sound: a clamped DOUBLE still has unbounded cardinality
+    # inside the range. global_ntile emits exactly this shape so the
+    # n-row grid after an NTILE is provable.
+    for outer, inner in (("least", "greatest"), ("greatest", "least")):
+        m = re.match(
+            rf"^{outer}\((-?\d+), {inner}\((-?\d+), (.*)\)\)$", expr, re.S
+        )
+        if m and _balanced(m.group(3)):
+            body = m.group(3)
+            is_int = bool(
+                re.match(r"^cast\(.* as (?:tiny|small|big)?int\)$", body, re.S)
+                or re.match(r"^(floor|ceil|ceiling)\(", body)
+            )
+            if is_int:
+                lo, hi = sorted((int(m.group(1)), int(m.group(2))))
+                width = hi - lo + 1
+                return width if 0 < width <= _BOUNDED_T else None
 
     # CASE with all-literal outcomes: bounded by its branch count
     if expr.startswith("CASE WHEN") and expr.endswith("END"):

@@ -2348,8 +2348,12 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic on a domain-sized grid (50 quantity
     levels regardless of row count). The tie-corrected variance
     sigma^2 = n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))) comes from the
-    same grid. One fact-scan hash-agg -> 50-row window -> 1-row
-    reduce; at 100 TB only the histogram shuffles."""
+    same grid. One fact-scan hash-agg -> exclusive grid cumsum (round
+    8: on the two-pass global_cumsum, so even a value DOMAIN that
+    grows with the corpus never funnels the grid through one task)
+    -> 1-row reduce; at 100 TB only the histogram shuffles."""
+    from ..operators.trainprep import global_cumsum  # noqa: PLC0415
+
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
@@ -2359,14 +2363,8 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n1_v"),
         F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("n2_v"),
     )
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    t_v = F.col("n1_v") + F.col("n2_v")
-    cum = hist.select(
-        "n1_v",
-        "n2_v",
-        t_v.alias("t_v"),
-        F.coalesce(F.sum(t_v).over(w), F.lit(0)).alias("cum_t"),
-    )
+    hist = hist.withColumn("t_v", F.col("n1_v") + F.col("n2_v"))
+    cum = global_cumsum(hist, "q", "t_v", 8, out_col="cum_t")
     lanes = cum.agg(
         F.sum("n1_v").cast("bigint").alias("n1"),
         F.sum("n2_v").cast("bigint").alias("n2"),
@@ -2438,12 +2436,18 @@ def stats_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled distinct value the ECDF gap |F1 - F2| equals
     |c1*n2 - c2*n1| / (n1*n2), so the max runs entirely in BIGINT
     integer arithmetic (no float ECDFs to drift) with one double
-    division at the end. Distinct-value histogram -> cumulative
-    window over the domain-sized grid -> 1-row broadcast of totals
-    crossed in -> exact max. The same grid pattern as the AUC and
-    Mann-Whitney keys: at 100 TB only distinct values shuffle, and a
-    production variant would pre-bin values to a bounded grid (the
-    statistic is then exact on the binned distribution)."""
+    division at the end. Distinct-value histogram -> cumulative grid
+    sums (round 8: both ECDF lanes run on the two-pass global_cumsum
+    — the distinct-value grid grows with the corpus for continuous
+    values, so the former single-partition window was this key's one
+    scale hole; inclusive = exclusive + own row) -> 1-row broadcast
+    of totals crossed in -> exact max. The same grid pattern as the
+    AUC and Mann-Whitney keys: at 100 TB only distinct values
+    shuffle, and a production variant would pre-bin values to a
+    bounded grid (the statistic is then exact on the binned
+    distribution)."""
+    from ..operators.trainprep import global_cumsum  # noqa: PLC0415
+
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -2455,10 +2459,11 @@ def stats_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2_v"
         ),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        F.sum("n1_v").over(w).alias("c1"),
-        F.sum("n2_v").over(w).alias("c2"),
+    cum = global_cumsum(hist, "value", "n1_v", 16, out_col="e1")
+    cum = global_cumsum(cum, "value", "n2_v", 16, out_col="e2")
+    cum = cum.select(
+        (F.col("e1") + F.col("n1_v")).alias("c1"),
+        (F.col("e2") + F.col("n2_v")).alias("c2"),
     )
     tot = hist.agg(
         F.sum("n1_v").cast("bigint").alias("n1"),
@@ -5889,37 +5894,24 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an actionable sentence, 0.12 is not): customers rank by
     revenue into tie-pinned NTILE deciles, each reporting its share
     and the running cumulative share (the Lorenz ordinate). Exact
-    cent sums; two ratios per row. Round 8: the global rank RUNS on
-    the two-pass machinery (scale.global_rank) with NTILE's
-    first-buckets-get-the-remainder arithmetic reproduced as exact
-    integer math against a broadcast 1-row count — bit-identical to
-    NTILE(10) at any scale, with no customer-grain single-partition
-    window (same rewrite rank_lift_chart_deciles pins); the one
-    remaining funnel is the 10-row decile grid itself."""
-    from ..operators.scale import global_rank  # noqa: PLC0415
+    cent sums; two ratios per row. Round 8: the decile assignment
+    RUNS on the two-pass global_ntile operator (exact NTILE
+    remainder arithmetic over global_rank — bit-identical to
+    NTILE(10) at any scale), so no customer-grain relation funnels
+    through one task; the one remaining funnel is the 10-row decile
+    grid itself."""
+    from ..operators.scale import global_ntile  # noqa: PLC0415
 
     o = table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).cast("bigint").alias("rev_c")
     )
-    nrow = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
-    rk = global_rank(
-        per, [F.col("rev_c").asc(), F.col("o_custkey").asc()], rank_col="rnk"
-    )
-    q = F.floor(F.col("n_tot") / 10).cast("bigint")
-    rem = (F.col("n_tot") % 10).cast("bigint")
-    ranked = rk.crossJoin(F.broadcast(nrow)).select(
-        "rev_c",
-        F.when(
-            F.col("rnk") <= rem * (q + F.lit(1)),
-            F.floor((F.col("rnk") - 1) / (q + F.lit(1))) + 1,
-        )
-        .otherwise(
-            rem + F.floor((F.col("rnk") - 1 - rem * (q + F.lit(1))) / q) + 1
-        )
-        .cast("int")
-        .alias("decile"),
-    )
+    ranked = global_ntile(
+        per,
+        [F.col("rev_c").asc(), F.col("o_custkey").asc()],
+        10,
+        out_col="decile",
+    ).select("rev_c", "decile")
     per_d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("rev_c").cast("bigint").alias("rev_c"),

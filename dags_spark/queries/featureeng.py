@@ -138,11 +138,11 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins finite — pinned identically in both engines. The only
     transcendental is one LN per 10-row output, rounded 6dp. Scale:
     the per-customer agg shards by key; the decile binning (round 8)
-    runs on the two-pass global_rank with NTILE's remainder
-    arithmetic as exact integer math against a broadcast 1-row count
-    — bit-identical to NTILE(10), no customer-grain single-partition
-    window — and the totals broadcast. Lint-clean with no waiver."""
-    from ..operators.scale import global_rank  # noqa: PLC0415
+    runs on the two-pass global_ntile operator (exact NTILE
+    remainder arithmetic over global_rank — bit-identical to
+    NTILE(10), no customer-grain single-partition window) and the
+    totals broadcast. Lint-clean with no waiver."""
+    from ..operators.scale import global_ntile  # noqa: PLC0415
 
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -153,26 +153,12 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.count("o_orderkey") >= 10, 1).otherwise(0).alias("good")
         )
     )
-    nrow = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
-    rk = global_rank(
+    binned = global_ntile(
         per_cust,
         [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
-        rank_col="rnk",
-    )
-    nq = F.floor(F.col("n_tot") / 10).cast("bigint")
-    rem = (F.col("n_tot") % 10).cast("bigint")
-    binned = rk.crossJoin(F.broadcast(nrow)).select(
-        "good",
-        F.when(
-            F.col("rnk") <= rem * (nq + F.lit(1)),
-            F.floor((F.col("rnk") - 1) / (nq + F.lit(1))) + 1,
-        )
-        .otherwise(
-            rem + F.floor((F.col("rnk") - 1 - rem * (nq + F.lit(1))) / nq) + 1
-        )
-        .cast("int")
-        .alias("bin"),
-    )
+        10,
+        out_col="bin",
+    ).select("good", "bin")
     tot = binned.agg(
         F.sum("good").alias("g_tot"), F.sum(1 - F.col("good")).alias("b_tot")
     )

@@ -5204,3 +5204,95 @@ def multimodal_midi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, note_on_count bigint, distinct_pitches bigint, "
         "distinct_channels bigint, total_ticks bigint, pitch_sum bigint",
     )
+
+
+@register(
+    "sim_hamming_binary_topk",
+    oracle="""
+WITH packed AS (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN g.i < 32 AND e.embedding[g.i + 1] > 0
+             THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END) AS BIGINT) AS w0,
+    CAST(SUM(CASE WHEN g.i >= 32 AND e.embedding[g.i + 1] > 0
+             THEN (CAST(1 AS BIGINT) << (g.i - 32)) ELSE 0 END) AS BIGINT)
+      AS w1
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(64)) AS i) g
+  GROUP BY e.vec_id
+),
+q AS (SELECT * FROM packed ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         CAST(bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+  FROM q, packed c WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, cand_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY hamming, cand_id) AS rnk
+  FROM scored
+)
+SELECT q_id, cand_id, hamming, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+""",
+    tags=("similarity", "embeddings"),
+)
+def sim_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED embedding search: sign-binarize each 64-dim
+    vector into two packed 32-bit words (1 bit per dimension — a 32x
+    memory cut vs float32, THE trick modern retrieval stacks use to
+    keep billion-vector indexes in RAM) and rank candidates by
+    HAMMING distance, computed entirely JVM-side as
+    bit_count(w_q XOR w_c) — two XORs + two popcounts per pair, no
+    floats, no UDF. Packing is one higher-order-function expression
+    (zip_with + aggregate) inside whole-stage codegen; sign(cos) bit
+    agreement approximates angular similarity (the SimHash identity,
+    dedup_simhash_pairs' cousin on the retrieval side — this key is
+    the cheap PREFILTER whose survivors sim_search_topk's exact
+    kernel reranks). The query side is a TakeOrdered(8) — provably
+    bounded in the plan, so the scoring product is broadcast-scale
+    by structure, while the candidate side streams: exactly the
+    brute-force-over-binary shape a 100 TB corpus runs per query
+    batch. Top-10 per query, integer-exact and fully deterministic
+    (hamming, cand_id) order."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    def word(off: int) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(slice(embedding, {off + 1}, 32), "
+            f"sequence(0, 31), (e, i) -> IF(e > 0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    packed = emb.select(
+        "vec_id", word(0).alias("w0"), word(32).alias("w1")
+    )
+    q = (
+        packed.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.bit_count(F.expr("w0 ^ qw0"))
+                + F.bit_count(F.expr("w1 ^ qw1"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )

@@ -5242,12 +5242,12 @@ def rank_lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc_exact / ks_2sample / rank_ndcg_at_k.
 
     The decile assignment needs ONE global total order — supplied by
-    the two-phase global_rank operator (range-partition + local rank
-    + tiny offset table), never a single-partition NTILE window; the
-    NTILE bucket arithmetic (first N%10 buckets get one extra row) is
-    then exact integer math against the broadcast 1-row total, so the
-    result is bit-identical to NTILE(10) at any scale."""
-    from ..operators.scale import global_rank
+    the two-phase global_ntile operator (range-partition + local
+    rank + tiny offset table + NTILE's first-N%10-buckets-get-one-
+    extra-row arithmetic as exact integer math against a broadcast
+    1-row total), never a single-partition NTILE window —
+    bit-identical to NTILE(10) at any scale."""
+    from ..operators.scale import global_ntile
 
     o = table(spark, sf_dir, "orders")
     base = o.select(
@@ -5255,24 +5255,11 @@ def rank_lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
         "o_orderkey",
     )
-    ranked = global_rank(
+    scored = global_ntile(
         base,
         [F.col("score").desc(), F.col("o_orderkey").asc()],
-        rank_col="rnk",
-    )
-    nrow = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
-    q = F.floor(F.col("n_tot") / 10).cast("bigint")
-    rem = (F.col("n_tot") % 10).cast("bigint")
-    scored = ranked.crossJoin(F.broadcast(nrow)).withColumn(
-        "decile",
-        F.when(
-            F.col("rnk") <= rem * (q + F.lit(1)),
-            F.floor((F.col("rnk") - 1) / (q + F.lit(1))) + 1,
-        )
-        .otherwise(
-            rem + F.floor((F.col("rnk") - 1 - rem * (q + F.lit(1))) / q) + 1
-        )
-        .cast("int"),
+        10,
+        out_col="decile",
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -24,11 +24,15 @@ from dags_spark.registry import all_specs
 # series), the two-pass rank-offset tables (sort_multi,
 # train_curriculum_buckets, pack_sequences_greedy, ...), and the
 # literal-CASE contingency grids (cohens_kappa, runs_test,
-# mann_kendall, spc), and TEN data-grain funnels were REWRITTEN onto
-# the two-pass machinery (abc classification, exact AUC, join-key
-# skew, top-n-with-ties, percent-of-total, Lorenz/WOE deciles, RRF
+# mann_kendall, spc, and the datediff day-index folds once the
+# resolver learned datediff + literal-shift), and FIFTEEN data-grain
+# funnels were REWRITTEN onto the two-pass machinery (abc
+# classification, exact AUC, KS and Mann-Whitney ECDF grids, join-key
+# skew, top-n-with-ties, percent-of-total, the Lorenz/WOE/lift-chart
+# deciles and RFM quintiles via the new global_ntile operator — whose
+# least/greatest clamp makes even the post-NTILE grid provable — RRF
 # rank fusion, time-to-convert percentiles, the id-density gap scan)
-# — 36 fewer waivers than round 8's first pass (78 -> 42). What
+# — 43 fewer waivers than round 8's first pass (78 -> 35). What
 # remains is argued per block below.
 ALLOWED = {
     # -- cartesian: genuine crosses and unprovable grids --
@@ -58,29 +62,21 @@ ALLOWED = {
     # -- cannot (and should not) clear                             --
     # These funnel a DISTINCT-VALUE-grain relation (per-customer /
     # per-score / per-doc aggregates) through one task for an
-    # order-statistic or sequential fold: exact KS/Mann-Whitney over
-    # score ranks, KM/Weibull survival folds, BH-FDR p-value
-    # ladders, shard packing — or a <=100-row decile/quantile grid
-    # (Lorenz, lift chart) whose CASE bucket arithmetic the algebra
-    # cannot bound. Each
+    # order-statistic or sequential fold: Weibull median-rank
+    # regression, BH-FDR p-value ladders, PSI/periodogram/
+    # peak-concurrency grid folds, histogram-percentile interpolation,
+    # bootstrap block picks, shard packing round-robin. Each
     # docstring argues the funnel grain (post-aggregate, orders of
     # magnitude below the fact scan) or names the two-pass rewrite
     # it would migrate to at true 100 TB key cardinality. Kept as
     # waivers precisely so the list stays visible and shrinks only
     # by real rewrites, not by linter generosity.
-    "agg_lorenz_deciles": {"single-partition-exchange"},
     "dq_distribution_psi": {"single-partition-exchange"},
     "pack_shards_balanced": {"single-partition-exchange"},
-    "rank_lift_chart_deciles": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
-    "stats_ks_2sample": {"single-partition-exchange"},
-    "stats_mann_whitney_u": {"single-partition-exchange"},
-    "stats_survival_km": {"single-partition-exchange"},
     "stats_weibull_fit": {"single-partition-exchange"},
     "ts_periodogram_dominant": {"single-partition-exchange"},
-    "ts_walkforward_ols": {"single-partition-exchange"},
     "win_peak_concurrency": {"single-partition-exchange"},
-    "win_rfm_segmentation": {"single-partition-exchange"},
     # 
     # -- global-sort: ORDER BY is the key's output contract --
     # Sorted final output is the declared semantics (TPC-H answer
@@ -317,6 +313,20 @@ def test_expr_bound_unit():
     assert _expr_bound("__bkt#99L", defs) is not None
     assert _expr_bound("cast(ts#1 as date)", defs) == 36600
     assert _expr_bound("date_trunc(hour, ts#1)", defs) is None
+    # datediff is day-span-bounded; a literal shift is a bijection
+    assert _expr_bound(
+        "(datediff(cast(ts#1 as date), 2024-01-01) + 1)", defs
+    ) == 36600
+    assert _expr_bound("(m#3 - 5)", defs) == 2400
+    assert _expr_bound("(d#10 + 1)", defs) is None  # still data-grain
+    # literal clamp on an INTEGER-typed expression: at most K-J+1
+    # values; the same clamp on an unproven-type body stays unproven
+    assert _expr_bound(
+        "least(10, greatest(1, cast(CASE WHEN (a#1 > 2) THEN 1 ELSE 2 END"
+        " as int)))", defs,
+    ) == 10
+    assert _expr_bound("least(5, greatest(1, floor(x#2 / 7.0)))", defs) == 5
+    assert _expr_bound("least(10, greatest(1, x#2))", defs) is None
     # product across keys, with the 65536 ceiling enforced
     assert _group_keys_bound("Keys [2]: [m#3, y#4]", defs) is None  # 480k > cap
     assert _group_keys_bound("Keys [2]: [y#4, c#8]", defs) == 600
