@@ -4382,17 +4382,20 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment sums (the agg_decayed_sum lane), so the regression
     inputs are exact integers and the closed-form slope/intercept/r2
     are single deterministic double trees. One duration hash-agg,
-    one pinned-order rank, one moment pass."""
+    one pinned-order rank — round 8 on the two-pass global_rank with
+    the plotting-position count n as a broadcast 1-row aggregate, so
+    the customer-grain duration table never funnels through one task
+    — one moment pass. Lint-clean with no waiver."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+
     o = table(spark, sf_dir, "orders")
     dur = o.groupBy("o_custkey").agg(
         (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1).alias("t")
     )
-    wnd = Window.orderBy("t", "o_custkey")
-    ranked = dur.select(
-        "t",
-        F.row_number().over(wnd).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ncnt = dur.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(
+        dur, [F.col("t").asc(), F.col("o_custkey").asc()], rank_col="i"
+    ).crossJoin(F.broadcast(ncnt))
     pts = ranked.select(
         F.floor(F.round(F.log(F.col("t").cast("double")), 9) * 1000000)
         .cast("bigint")

@@ -4130,15 +4130,20 @@ def pack_shards_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimal spread, which is what a K-way training job wants. The
     output reports each shard's balance ratio (total/ideal), the
     skew certificate a dataloader audits before a run. The global
-    size rank is the honest cost (range-partitioned sort); the
-    grand-total is a 1-row broadcast cross. Deterministic: ties
-    break on doc_id."""
+    size rank (round 8) runs on the two-pass global_rank —
+    range-partitioned local ranks + a partition-count offset table,
+    never a doc-grain single-partition window — and the grand-total
+    is a 1-row broadcast cross. Deterministic: ties break on
+    doc_id. Lint-clean with no waiver."""
+    from ..operators.scale import global_rank  # noqa: PLC0415
+
     d = table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    assigned = d.select(
-        "doc_id",
-        "n_chars",
-        ((F.row_number().over(w) - 1) % 8).alias("shard"),
+    assigned = global_rank(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        rank_col="__rnk",
+    ).select(
+        "doc_id", "n_chars", ((F.col("__rnk") - 1) % 8).alias("shard")
     )
     shards = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -2775,3 +2775,60 @@ def source_text_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("total_c"),
         )
     )
+
+
+@register(
+    "table_format_delta_checkpoint",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 4 < 3
+""",
+    tags=("sink", "table"),
+)
+def table_format_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol CHECKPOINT round-trip (PROTOCOL.md
+    "Checkpoints" — the depth increment on table_format_delta_export):
+    a five-commit table (overwrite, two appends, a compaction, one
+    more append) exports its ``_delta_log``, then a checkpoint
+    parquet + ``_last_checkpoint`` pointer are written AT THE
+    SECOND-TO-LAST version, and read-back goes through
+    ``replay_delta_from_checkpoint`` — the spec's reader walk that
+    loads state from the checkpoint file and applies ONLY the one
+    JSON commit after it, never touching the commits the checkpoint
+    summarizes. The recovered file set must equal both the full-log
+    replay and the tablelog snapshot before Spark scans it. At
+    100 TB checkpoints are why a reader's planning cost is
+    O(commits since checkpoint), not O(table history) — thousands of
+    commits collapse into one parquet read. (No third-party Delta
+    engine ships in this sandbox — probe recorded in CHECKLOG_r08 —
+    so conformance is pinned by the independent replay paths plus
+    tests/test_tablelog.py.)"""
+    from ..tablelog import (
+        replay_delta_from_checkpoint,
+        replay_delta_log,
+        tmp_table,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tmp_table()
+    t.write(o.filter(F.col("o_orderkey") % 4 == 0), mode="overwrite")
+    t.write(o.filter(F.col("o_orderkey") % 4 == 1), mode="append")
+    t.write(o.filter(F.col("o_orderkey") % 4 == 2), mode="append")
+    t.compact(spark, target_files=2)
+    t.write(
+        o.filter(F.col("o_orderkey") % 4 == 2).limit(0), mode="append"
+    )  # an empty tail commit the checkpoint must NOT include
+    t.export_delta_log(t.read(spark).schema.json())
+    # checkpoint at second-to-last delta version; the last JSON commit
+    # is applied on top by the checkpoint-aware reader
+    t.export_delta_checkpoint(t.latest_version() - 2)
+    files = replay_delta_from_checkpoint(t.path)
+    assert files == replay_delta_log(t.path), (
+        "checkpoint replay diverged from full-log replay"
+    )
+    want = {os.path.join(t.path, f) for f in t.snapshot()["files"]}
+    assert set(files) == want, "checkpoint replay diverged from snapshot"
+    return spark.read.parquet(*files)

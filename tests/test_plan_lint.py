@@ -25,14 +25,15 @@ from dags_spark.registry import all_specs
 # train_curriculum_buckets, pack_sequences_greedy, ...), and the
 # literal-CASE contingency grids (cohens_kappa, runs_test,
 # mann_kendall, spc, and the datediff day-index folds once the
-# resolver learned datediff + literal-shift), and FIFTEEN data-grain
+# resolver learned datediff + literal-shift), and SEVENTEEN data-grain
 # funnels were REWRITTEN onto the two-pass machinery (abc
 # classification, exact AUC, KS and Mann-Whitney ECDF grids, join-key
 # skew, top-n-with-ties, percent-of-total, the Lorenz/WOE/lift-chart
 # deciles and RFM quintiles via the new global_ntile operator — whose
 # least/greatest clamp makes even the post-NTILE grid provable — RRF
-# rank fusion, time-to-convert percentiles, the id-density gap scan)
-# — 43 fewer waivers than round 8's first pass (78 -> 35). What
+# rank fusion, time-to-convert percentiles, Weibull plotting ranks,
+# balanced shard packing, the id-density gap scan)
+# — 45 fewer waivers than round 8's first pass (78 -> 33). What
 # remains is argued per block below.
 ALLOWED = {
     # -- cartesian: genuine crosses and unprovable grids --
@@ -62,19 +63,18 @@ ALLOWED = {
     # -- cannot (and should not) clear                             --
     # These funnel a DISTINCT-VALUE-grain relation (per-customer /
     # per-score / per-doc aggregates) through one task for an
-    # order-statistic or sequential fold: Weibull median-rank
-    # regression, BH-FDR p-value ladders, PSI/periodogram/
-    # peak-concurrency grid folds, histogram-percentile interpolation,
-    # bootstrap block picks, shard packing round-robin. Each
+    # order-statistic or sequential fold over a grid bounded by the
+    # problem DOMAIN but not by plan structure: BH-FDR p-value
+    # ladders (rows = hypothesis-family size), PSI/periodogram/
+    # peak-concurrency grid folds, histogram-percentile
+    # interpolation, bootstrap block picks. Each
     # docstring argues the funnel grain (post-aggregate, orders of
     # magnitude below the fact scan) or names the two-pass rewrite
     # it would migrate to at true 100 TB key cardinality. Kept as
     # waivers precisely so the list stays visible and shrinks only
     # by real rewrites, not by linter generosity.
     "dq_distribution_psi": {"single-partition-exchange"},
-    "pack_shards_balanced": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
-    "stats_weibull_fit": {"single-partition-exchange"},
     "ts_periodogram_dominant": {"single-partition-exchange"},
     "win_peak_concurrency": {"single-partition-exchange"},
     # 

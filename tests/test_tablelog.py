@@ -374,3 +374,70 @@ def test_iceberg_export_refuses_deletion_vectors(spark):
     t.delete_mor(spark, spark.createDataFrame([(3,)], "k INT"), ["k"])
     with pytest.raises(ValueError, match="delete manifests"):
         export_iceberg(t, [{"id": 1, "name": "k", "required": False, "type": "long"}], {})
+
+
+def test_delta_checkpoint_protocol(spark):
+    """PROTOCOL.md checkpoint contract: the checkpoint parquet leads
+    with protocol+metaData rows, carries one add row per LIVE file at
+    the checkpoint version (tombstones omitted, dataChange=false),
+    `_last_checkpoint` points at it with the action count, the
+    checkpoint-aware replay equals the full-log replay, and loud
+    failures fire for a missing pointer and an unsupported reader
+    version."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dags_spark.tablelog import (
+        replay_delta_from_checkpoint,
+        replay_delta_log,
+        tmp_table,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    t = tmp_table()
+    t.write(df.filter(F.col("k") < 20), mode="overwrite")
+    t.write(df.filter(F.col("k") >= 20), mode="append")
+    t.compact(spark, target_files=1)
+    t.write(df.filter(F.col("k") < 5), mode="append")
+    t.export_delta_log(t.read(spark).schema.json())
+
+    # checkpoint at the compaction (delta v2); one commit follows
+    cp = t.export_delta_checkpoint(2)
+    rows = pq.read_table(cp).to_pylist()
+    assert rows[0]["protocol"]["minReaderVersion"] == 1
+    assert rows[1]["metaData"]["format"]["provider"] == "parquet"
+    adds = [r["add"] for r in rows[2:]]
+    assert all(a is not None and a["dataChange"] is False for a in adds)
+    # live set at v2 = the compacted layout, NOT the later append
+    snap_v3 = set(t.snapshot(3)["files"])  # tablelog v3 == delta v2
+    assert {a["path"] for a in adds} == snap_v3
+    with open(os.path.join(t.path, "_delta_log", "_last_checkpoint")) as fh:
+        ptr = json.load(fh)
+    assert ptr == {"version": 2, "size": 2 + len(adds)}
+
+    assert replay_delta_from_checkpoint(t.path) == replay_delta_log(t.path)
+
+    # loud failure: no pointer
+    t2 = tmp_table()
+    t2.write(df, mode="overwrite")
+    t2.export_delta_log(t2.read(spark).schema.json())
+    with _pytest.raises(FileNotFoundError):
+        replay_delta_from_checkpoint(t2.path)
+
+    # loud failure: future reader version in the checkpoint
+    t2.export_delta_checkpoint(0)
+    import pyarrow as pa
+
+    cp2 = os.path.join(t2.path, "_delta_log", f"{0:020d}.checkpoint.parquet")
+    tbl = pq.read_table(cp2)
+    pl = tbl.to_pylist()
+    pl[0]["protocol"]["minReaderVersion"] = 3
+    pq.write_table(pa.Table.from_pylist(pl, schema=tbl.schema), cp2)
+    with _pytest.raises(ValueError, match="reader version"):
+        replay_delta_from_checkpoint(t2.path)
