@@ -259,3 +259,43 @@ def global_ntile(
         .withColumn(out_col, bucket)
         .drop("__ntile_rnk", "__n_tot")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    out_col: str = "running",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """INCLUSIVE global running sum of ``weight_col`` over an
+    arbitrary multi-column total order, without the single-partition
+    window — the multi-key generalization of trainprep.global_cumsum
+    (whose bucket arithmetic needs one integer order column). Same
+    two-phase shape as global_rank: range-partition on the order,
+    accumulate within each partition in parallel, cumsum the
+    partition totals alone (a partition-count-sized table), add the
+    offsets back. The order must carry a unique tie-break column
+    (house determinism rule 3). Phase 1 is pinned with
+    localCheckpoint for the same AQE-pairing reason as global_rank.
+    Used by the sweep-line keys (win_peak_concurrency): the running
+    live-count over (ts, delta, user) boundaries."""
+    from .trainprep import bucket_offsets
+
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    win = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn(
+        "__within", F.sum(weight_col).over(win)
+    ).localCheckpoint()
+    offs = bucket_offsets(d, "__pid", F.col(weight_col))
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__within"))
+        .drop("__pid", "__within", "__off")
+    )

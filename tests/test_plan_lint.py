@@ -25,15 +25,16 @@ from dags_spark.registry import all_specs
 # train_curriculum_buckets, pack_sequences_greedy, ...), and the
 # literal-CASE contingency grids (cohens_kappa, runs_test,
 # mann_kendall, spc, and the datediff day-index folds once the
-# resolver learned datediff + literal-shift), and SEVENTEEN data-grain
+# resolver learned datediff + literal-shift), and EIGHTEEN data-grain
 # funnels were REWRITTEN onto the two-pass machinery (abc
 # classification, exact AUC, KS and Mann-Whitney ECDF grids, join-key
 # skew, top-n-with-ties, percent-of-total, the Lorenz/WOE/lift-chart
 # deciles and RFM quintiles via the new global_ntile operator — whose
 # least/greatest clamp makes even the post-NTILE grid provable — RRF
 # rank fusion, time-to-convert percentiles, Weibull plotting ranks,
-# balanced shard packing, the id-density gap scan)
-# — 45 fewer waivers than round 8's first pass (78 -> 33). What
+# balanced shard packing, the id-density gap scan, the
+# peak-concurrency sweep line via the new global_running_sum)
+# — 46 fewer waivers than round 8's first pass (78 -> 32). What
 # remains is argued per block below.
 ALLOWED = {
     # -- cartesian: genuine crosses and unprovable grids --
@@ -65,9 +66,9 @@ ALLOWED = {
     # per-score / per-doc aggregates) through one task for an
     # order-statistic or sequential fold over a grid bounded by the
     # problem DOMAIN but not by plan structure: BH-FDR p-value
-    # ladders (rows = hypothesis-family size), PSI/periodogram/
-    # peak-concurrency grid folds, histogram-percentile
-    # interpolation, bootstrap block picks. Each
+    # ladders (rows = hypothesis-family size), PSI/periodogram grid
+    # folds, histogram-percentile interpolation, bootstrap block
+    # picks. Each
     # docstring argues the funnel grain (post-aggregate, orders of
     # magnitude below the fact scan) or names the two-pass rewrite
     # it would migrate to at true 100 TB key cardinality. Kept as
@@ -76,7 +77,6 @@ ALLOWED = {
     "dq_distribution_psi": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
     "ts_periodogram_dominant": {"single-partition-exchange"},
-    "win_peak_concurrency": {"single-partition-exchange"},
     # 
     # -- global-sort: ORDER BY is the key's output contract --
     # Sorted final output is the declared semantics (TPC-H answer
@@ -380,3 +380,36 @@ def test_lint_readschema_whole_name_match(spark, tmp_path):
     assert "unpruned-partition-scan" in {f.code for f in lint_plan(unpruned)}
     pruned = spark.read.parquet(d).filter(F.col("year") == 1994)
     assert "unpruned-partition-scan" not in {f.code for f in lint_plan(pruned)}
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """Two-phase global_running_sum == naive inclusive global-window
+    running sum, over a multi-column order with ties broken by a
+    unique key, for several partition counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.scale import global_running_sum
+
+    rows = [(i, (i * 31) % 7, 1 if i % 3 else -1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g long, w long")
+    order = [F.col("g").asc(), F.col("w").asc(), F.col("k").asc()]
+    naive = {
+        r.k: r.run
+        for r in df.withColumn(
+            "run",
+            F.sum("w").over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    for nparts in (1, 7, 64):
+        got = {
+            r.k: r.run
+            for r in global_running_sum(
+                df, order, "w", out_col="run", n_partitions=nparts
+            ).collect()
+        }
+        assert got == naive, f"n_partitions={nparts}"
