@@ -6369,3 +6369,188 @@ def agg_hhi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi_delta"),
     )
+
+
+_KMV_K = 128
+
+_KMV_FRAC_SQL = """
+  (SELECT SUM(
+     (CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+           ELSE ascii(c) - 87 END)
+     * POWER(16, 13 - g.i)::DOUBLE)
+   FROM (SELECT UNNEST(range(1, 14)) AS i) g,
+        LATERAL (SELECT substr({kth}, g.i::INT, 1) AS c) cc
+  ) / POWER(16, 13)::DOUBLE
+"""
+
+
+@register(
+    "agg_kmv_distinct_intersect",
+    oracle=f"""
+WITH base AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y,
+         md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+),
+ranked AS (
+  SELECT y, h, ROW_NUMBER() OVER (PARTITION BY y ORDER BY h) AS r
+  FROM base
+),
+kept AS (SELECT y, h FROM ranked WHERE r <= {_KMV_K}),
+per AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth
+  FROM kept GROUP BY y
+),
+per_est AS (
+  SELECT y, n_kept,
+         CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS BIGINT)
+              ELSE CAST(ROUND(({_KMV_K} - 1)
+                   / ({_KMV_FRAC_SQL.format(kth='per.kth')}), 0) AS BIGINT)
+         END AS est
+  FROM per
+),
+uni AS (
+  SELECT h FROM (SELECT DISTINCT h FROM base) u ORDER BY h
+  LIMIT {_KMV_K}
+),
+uni_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth,
+         CAST(SUM(CASE WHEN a.ha IS NOT NULL AND b.hb IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM uni
+  LEFT JOIN (SELECT h AS ha FROM base WHERE y = 1995) a ON uni.h = a.ha
+  LEFT JOIN (SELECT h AS hb FROM base WHERE y = 1996) b ON uni.h = b.hb
+),
+uni_est AS (
+  SELECT n_kept, n_both,
+         CASE WHEN n_kept < {_KMV_K} THEN n_kept
+              ELSE CAST(ROUND(({_KMV_K} - 1)
+                   / ({_KMV_FRAC_SQL.format(kth='uni_stats.kth')}), 0)
+                   AS BIGINT)
+         END AS union_est
+  FROM uni_stats
+),
+ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN y = 1995 THEN h END) AS BIGINT) AS n95,
+    CAST(COUNT(DISTINCT CASE WHEN y = 1996 THEN h END) AS BIGINT) AS n96
+  FROM base
+)
+SELECT
+  (SELECT est FROM per_est WHERE y = 1995) AS est_1995,
+  (SELECT est FROM per_est WHERE y = 1996) AS est_1996,
+  u.union_est,
+  CAST(ROUND(u.n_both * 1.0 / u.n_kept * u.union_est, 0) AS BIGINT)
+    AS intersect_est,
+  ROUND(u.n_both * 1.0 / u.n_kept, 6) AS jaccard_est,
+  ex.n95 AS exact_1995, ex.n96 AS exact_1996
+FROM uni_est u CROSS JOIN ex
+""",
+    tags=("agg", "sketch"),
+)
+def agg_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT SKETCH with set INTERSECTION —
+    the capability HyperLogLog fundamentally lacks (HLL unions are
+    lossless, HLL intersections via inclusion-exclusion blow up):
+    keep the k smallest hash values per set; the k-th smallest,
+    viewed as a uniform draw in (0,1), estimates the distinct count
+    as (k-1)/U_k, and because a KMV sketch IS a uniform sample of
+    the hash space, the union sketch's overlap fraction estimates
+    Jaccard directly — intersection = jaccard x union_est (the
+    theta-sketch trick). Sets here are 1995 vs 1996 order customers
+    (genuine repeat-customer overlap). Every step is DETERMINISTIC
+    and cross-engine exact — md5 strings order identically in both
+    engines, the 13-hex-digit fraction is 52 bits (exact in a
+    double), so unlike HLL/approx keys this sketch HASH-CHECKS
+    against the oracle bit-for-bit, exact distincts included for
+    reference. At 100 TB: per-set k-smallest is a per-group
+    TakeOrdered (never a global sort), sketches are k-sized and
+    broadcastable, and merges are associative — the same
+    shard-then-merge story as dedup_exact_sharded."""
+    k = _KMV_K
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    base = o.select(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("y").orderBy("h")
+    kept = base.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    frac = (
+        F.conv(F.substring("kth", 1, 13), 16, 10).cast("double")
+        / float(16**13)
+    )
+    per = (
+        kept.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+             F.max("h").alias("kth"))
+        .select(
+            "y",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(F.round((k - 1) / frac, 0).cast("bigint"))
+            .alias("est"),
+        )
+    )
+    uni = base.select("h").distinct().orderBy("h").limit(k)
+    a = base.filter(F.col("y") == 1995).select(F.col("h").alias("ha"))
+    b = base.filter(F.col("y") == 1996).select(F.col("h").alias("hb"))
+    uni_stats = (
+        uni.join(F.broadcast(a), uni.h == a.ha, "left")
+        .join(F.broadcast(b), uni.h == b.hb, "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("h").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    uni_est = uni_stats.select(
+        "n_kept",
+        "n_both",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.round((k - 1) / frac, 0).cast("bigint"))
+        .alias("union_est"),
+    )
+    ex = base.agg(
+        F.countDistinct(F.when(F.col("y") == 1995, F.col("h"))).cast(
+            "bigint"
+        ).alias("exact_1995"),
+        F.countDistinct(F.when(F.col("y") == 1996, F.col("h"))).cast(
+            "bigint"
+        ).alias("exact_1996"),
+    )
+    est95 = per.filter(F.col("y") == 1995).select(
+        F.col("est").alias("est_1995")
+    )
+    est96 = per.filter(F.col("y") == 1996).select(
+        F.col("est").alias("est_1996")
+    )
+    return (
+        est95.crossJoin(F.broadcast(est96))
+        .crossJoin(F.broadcast(uni_est))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "est_1995",
+            "est_1996",
+            "union_est",
+            F.round(
+                F.col("n_both") * 1.0 / F.col("n_kept") * F.col("union_est"),
+                0,
+            )
+            .cast("bigint")
+            .alias("intersect_est"),
+            F.round(F.col("n_both") * 1.0 / F.col("n_kept"), 6).alias(
+                "jaccard_est"
+            ),
+            "exact_1995",
+            "exact_1996",
+        )
+    )
