@@ -5301,3 +5301,102 @@ def sim_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "multimodal_flac_meta",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 6) AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         CASE WHEN doc_id % 3 = 0 THEN 16 WHEN doc_id % 3 = 1 THEN 24
+              ELSE 8 END AS bits_per_sample,
+         1000 + (doc_id * 37) % 90000 AS total_samples
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
+       CAST(total_samples AS BIGINT) AS total_samples,
+       CAST((total_samples * 1000000) // sample_rate AS BIGINT)
+         AS duration_us,
+       CAST(3 AS BIGINT) AS n_blocks,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title
+FROM d
+""",
+    tags=("multimodal",),
+)
+def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata extraction, container implemented from the
+    xiph.org spec (operators/flacmeta.py) — the lossless-audio
+    sibling of the WAV/µ-law/ADPCM keys and the audio counterpart of
+    the MP4/WebM walkers. Each document deterministically becomes a
+    metadata-only FLAC stream (STREAMINFO's byte-straddling
+    20/3/5/36-bit pack, a VORBIS_COMMENT block — the format's one
+    LITTLE-endian island — and a terminal PADDING block), and the
+    same Arrow kernel parses the BYTES back: block walk with the
+    last-block flag, both endiannesses, bit unpacking, tag
+    extraction. Every output value is recomputed relationally by the
+    oracle, so the codec is value-certified per row. Compressed
+    FRAME decode needs a codec library absent here (probe recorded —
+    same boundary as VP9/H.264 for the video walkers)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.flacmeta import build_flac_meta, parse_flac_meta  # noqa: PLC0415
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                blob = build_flac_meta(
+                    sample_rate=8000 * (1 + doc_id % 6),
+                    channels=1 + doc_id % 2,
+                    bits_per_sample={0: 16, 1: 24, 2: 8}[doc_id % 3],
+                    total_samples=1000 + (doc_id * 37) % 90000,
+                    comments=[("TITLE", f"doc {doc_id}")],
+                )
+                m = parse_flac_meta(blob)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "bits_per_sample": m["bits_per_sample"],
+                        "total_samples": m["total_samples"],
+                        "n_blocks": m["n_blocks"],
+                        "title": m["comments"]["title"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parsed = docs.mapInPandas(
+        _kernel,
+        "doc_id bigint, sample_rate bigint, channels bigint, "
+        "bits_per_sample bigint, total_samples bigint, "
+        "n_blocks bigint, title string",
+    )
+    # duration as EXACT integer microseconds (BIGINT floor-div) — the
+    # house determinism rule; a rounded double ratio tie-breaks
+    # differently across engines on repr boundaries
+    return parsed.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "total_samples",
+        F.expr(
+            "CAST((total_samples * 1000000) DIV sample_rate AS BIGINT)"
+        ).alias("duration_us"),
+        "n_blocks",
+        "title",
+    )

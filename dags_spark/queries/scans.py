@@ -2832,3 +2832,50 @@ def table_format_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     want = {os.path.join(t.path, f) for f in t.snapshot()["files"]}
     assert set(files) == want, "checkpoint replay diverged from snapshot"
     return spark.read.parquet(*files)
+
+
+@register(
+    "source_sequencefile",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_c
+FROM orders WHERE o_orderkey % 13 = 5
+""",
+    tags=("source",),
+)
+def source_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop SequenceFile round-trip — the original Hadoop K/V
+    container (block-compressed, splittable via sync markers) that
+    two decades of MapReduce pipelines left on every data lake; an
+    engine claiming to replace those pipelines must still read their
+    outputs. This is the repo's ONE deliberate RDD-API key: Spark
+    exposes SequenceFile only at the RDD layer (saveAsSequenceFile /
+    sequenceFile with Writable<->Python conversion via the bundled
+    Pyrolite converters), there is no DataFrame source without a
+    third-party package, and the format IS a K/V record stream — so
+    the RDD hop is the honest surface, immediately lifted back into
+    a DataFrame for the relational tail. Keys are the order key
+    (LongWritable), values a pipe-packed payload (Text); read-back
+    splits per file-block task, the same parallelism story as any
+    sync-marked container at 100 TB."""
+    out = os.path.join(_tmpdir("seqfile"), "orders_seq")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 5)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                "|", F.col("o_orderstatus"), cents("o_totalprice").cast("string")
+            ).alias("payload"),
+        )
+    )
+    o.rdd.map(lambda r: (r.o_orderkey, r.payload)).saveAsSequenceFile(out)
+    back = spark.sparkContext.sequenceFile(out)
+    df = back.toDF(["o_orderkey", "payload"])
+    return df.select(
+        F.col("o_orderkey").cast("bigint"),
+        F.split_part(F.col("payload"), F.lit("|"), F.lit(1)).alias("status"),
+        F.split_part(F.col("payload"), F.lit("|"), F.lit(2))
+        .cast("bigint")
+        .alias("total_c"),
+    )

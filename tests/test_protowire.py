@@ -193,3 +193,45 @@ def test_midi_loud_failures():
     bad[idx] = 0x40
     with pytest.raises(ValueError):
         parse_smf(bytes(bad))
+
+
+# ---------------------------------------------------------------- FLAC
+
+
+def test_flac_streaminfo_bit_packing():
+    from dags_spark.operators.flacmeta import build_flac_meta, parse_flac_meta
+
+    blob = build_flac_meta(
+        sample_rate=44100,
+        channels=2,
+        bits_per_sample=16,
+        total_samples=(1 << 36) - 1,
+        comments=[("TITLE", "x"), ("ARTIST", "y")],
+    )
+    m = parse_flac_meta(blob)
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["bits_per_sample"] == 16
+    assert m["total_samples"] == (1 << 36) - 1  # field-width edge
+    assert m["n_blocks"] == 3
+    assert m["comments"] == {"title": "x", "artist": "y"}
+
+
+def test_flac_loud_failures():
+    import pytest
+
+    from dags_spark.operators.flacmeta import build_flac_meta, parse_flac_meta
+
+    blob = build_flac_meta(8000, 1, 16, 1000)
+    with pytest.raises(ValueError, match="stream marker"):
+        parse_flac_meta(b"fLaX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_flac_meta(blob[:20])
+    # STREAMINFO must be first: swap in a padding block header
+    bad = bytearray(blob)
+    bad[4] = 0x01  # type 1 (PADDING) where STREAMINFO must be
+    with pytest.raises(ValueError, match="first block"):
+        parse_flac_meta(bytes(bad))
+    with pytest.raises(ValueError, match="out of FLAC range"):
+        build_flac_meta(8000, 9, 16, 1000)
+    with pytest.raises(ValueError, match="field range"):
+        build_flac_meta(1 << 20, 1, 16, 1000)
