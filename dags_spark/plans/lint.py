@@ -210,7 +210,14 @@ def _bracket_body(line: str) -> str:
 
 def _attr_defs(details: dict[str, dict[str, str]]) -> dict[str, str]:
     """Map 'name#id' -> defining expression, from every 'expr AS
-    name#id' in the plan's detail Output/Arguments/Results lines."""
+    name#id' in the plan's detail Output/Arguments/Results lines.
+    Leaf attributes born from literal grids get a synthetic
+    '__bounded_range(n)' definition: a Range node's output (its row
+    count is in the Arguments literals) and a Generate node exploding
+    a literal sequence(a, b[, step]) — both yield exactly n values,
+    so aggregates grouped on them are grid-sized."""
+    import re
+
     defs: dict[str, str] = {}
     for d in details.values():
         for k in ("Output", "Arguments", "Results", "Aggregate Attributes"):
@@ -224,6 +231,46 @@ def _attr_defs(details: dict[str, dict[str, str]]) -> dict[str, str]:
                 alias = alias.strip()
                 if "#" in alias and " " not in alias:
                     defs.setdefault(alias, expr.strip())
+        hdr = d.get("header", "")
+        args = d.get("Arguments", "")
+        out = d.get("Output", "")
+        out_attrs = [
+            a for a in _split_top(_bracket_body(out)) if _is_attr_ref(a)
+        ] if out else []
+        if ") Range" in hdr and len(out_attrs) == 1:
+            m = re.search(r"Range \((-?\d+), (-?\d+), step=(-?\d+)", args)
+            if m:
+                start, end, step = (int(x) for x in m.groups())
+                if step != 0:
+                    n = max(0, -(-(end - start) // step))
+                    defs.setdefault(out_attrs[0], f"__bounded_range({n})")
+        if ") Generate" in hdr and "explode(" in args:
+            gen_attrs = None
+            m = re.search(r"\[([^\[\]]*)\]\s*$", args)
+            if m:
+                gen_attrs = [
+                    a.strip()
+                    for a in m.group(1).split(",")
+                    if _is_attr_ref(a.strip())
+                ]
+            n = None
+            m = re.search(
+                r"explode\(sequence\((-?\d+), (-?\d+)(?:, (-?\d+))?", args
+            )
+            if m:
+                a0, b0 = int(m.group(1)), int(m.group(2))
+                step = int(m.group(3)) if m.group(3) else 1
+                if step:
+                    n = max(0, (b0 - a0) // step + 1)
+            elif "UnsafeArrayData@" in args and d.get(
+                "Input", ""
+            ).rstrip().endswith(": []"):
+                # explode of a CONSTANT-FOLDED literal array with no
+                # input columns: plan-literal data, same convention
+                # as LocalTableScan (constant w.r.t. the corpus)
+                n = 256
+            if n is not None and gen_attrs and len(gen_attrs) == 1:
+                defs.setdefault(gen_attrs[0], f"__bounded_range({n})")
     return defs
 
 
@@ -256,6 +303,11 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
         "SPARK_PARTITION_ID("
     ):
         return _BOUNDED_T
+
+    m = re.match(r"^__bounded_range\((\d+)\)$", expr)
+    if m:
+        n = int(m.group(1))
+        return n if 0 < n <= _BOUNDED_T else None
 
     # cast-to-date is day grain; any other cast is cardinality-neutral
     m = re.match(r"^cast\((.*) as (\w+)\)$", expr, re.S)

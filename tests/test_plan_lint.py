@@ -34,7 +34,9 @@ from dags_spark.registry import all_specs
 # rank fusion, time-to-convert percentiles, Weibull plotting ranks,
 # balanced shard packing, the id-density gap scan, the
 # peak-concurrency sweep line via the new global_running_sum)
-# — 46 fewer waivers than round 8's first pass (78 -> 32). What
+# — 48 fewer waivers than round 8's first pass (78 -> 30; the
+# literal Range/explode(sequence) grid rule cleared the periodogram
+# and the bootstrap key entirely). What
 # remains is argued per block below.
 ALLOWED = {
     # -- cartesian: genuine crosses and unprovable grids --
@@ -52,7 +54,6 @@ ALLOWED = {
     "fn_levenshtein_threshold": {"cartesian"},
     "join_cross": {"cartesian"},
     "join_geo_point_in_polygon": {"cartesian"},
-    "sample_block_bootstrap": {"cartesian", "single-partition-exchange"},
     "sim_mmr_diversify": {"cartesian"},
     "stats_sen_slope": {"cartesian"},
     "text_heaps_law": {"cartesian"},
@@ -66,9 +67,8 @@ ALLOWED = {
     # per-score / per-doc aggregates) through one task for an
     # order-statistic or sequential fold over a grid bounded by the
     # problem DOMAIN but not by plan structure: BH-FDR p-value
-    # ladders (rows = hypothesis-family size), PSI/periodogram grid
-    # folds, histogram-percentile interpolation, bootstrap block
-    # picks. Each
+    # ladders (rows = hypothesis-family size), PSI bin folds,
+    # histogram-percentile interpolation. Each
     # docstring argues the funnel grain (post-aggregate, orders of
     # magnitude below the fact scan) or names the two-pass rewrite
     # it would migrate to at true 100 TB key cardinality. Kept as
@@ -76,7 +76,6 @@ ALLOWED = {
     # by real rewrites, not by linter generosity.
     "dq_distribution_psi": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
-    "ts_periodogram_dominant": {"single-partition-exchange"},
     # 
     # -- global-sort: ORDER BY is the key's output contract --
     # Sorted final output is the declared semantics (TPC-H answer
@@ -413,3 +412,30 @@ def test_global_running_sum_matches_single_window(spark):
             ).collect()
         }
         assert got == naive, f"n_partitions={nparts}"
+
+
+def test_lint_range_and_sequence_grid_rule(spark):
+    """A grouped aggregate keyed on a literal Range output (or an
+    exploded literal sequence) is grid-sized, so a global window over
+    it stays clean; the grid bound composes with the rest of the
+    algebra."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    grid = spark.range(2, 15).withColumnRenamed("id", "p")
+    folded = (
+        grid.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(Window.orderBy("p")))
+    )
+    assert lint_plan(folded) == []
+
+    seq = spark.range(1).select(
+        F.explode(F.expr("sequence(2, 14)")).alias("p")
+    )
+    folded2 = (
+        seq.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(Window.orderBy("p")))
+    )
+    assert lint_plan(folded2) == []
