@@ -182,17 +182,35 @@ _ATTR_RE = None  # compiled lazily
 
 
 def _split_top(s: str) -> list[str]:
-    """Split a bracket-list body on top-level commas (parens, angle
-    brackets, and square brackets nest)."""
-    out, depth, tok = [], 0, []
-    for ch in s:
-        if ch == "," and depth == 0:
+    """Split a bracket-list body on top-level commas. Parens and
+    square brackets always nest; angle brackets nest only in TYPE
+    position (``struct<a:int,b:int>`` — '<' glued to a word char and
+    followed by a non-space), so comparison operators in expressions
+    (``a <= b``, ``x > 2.0``, lambda ``->``) don't corrupt the depth
+    count."""
+    out, depth, angle, tok = [], 0, 0, []
+    prev = ""
+    for i, ch in enumerate(s):
+        nxt = s[i + 1] if i + 1 < len(s) else ""
+        if ch == "," and depth == 0 and angle == 0:
             out.append("".join(tok).strip())
             tok = []
-        else:
-            depth += ch in "([<"
-            depth -= ch in ")]>"
-            tok.append(ch)
+            prev = ch
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            ch == "<"
+            and (prev.isalnum() or prev == "_")
+            and nxt not in (" ", "=", "")
+        ):
+            angle += 1
+        elif ch == ">" and angle > 0 and prev not in (" ", "-", "="):
+            angle -= 1
+        tok.append(ch)
+        prev = ch
     last = "".join(tok).strip()
     if last:
         out.append(last)

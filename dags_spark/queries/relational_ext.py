@@ -2670,16 +2670,27 @@ def dq_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     again), +1 Laplace smoothing so empty cells stay finite, and
     per-bucket terms ROUNDED 9dp BEFORE summation so the float total
     is shuffle-order-free (this repo's standard quantization fence).
-    One scan, one bucket hash-agg, grid-sized everything after. The
-    era split is the time-slice comparison every daily monitor runs
-    against its training-period baseline."""
+    One scan, one bucket hash-agg, grid-sized everything after — and
+    round 8 the grid is PROVABLY sized: floor(log2(cents)) of a
+    positive 64-bit value is in [0, 63] by arithmetic, so the
+    least/greatest clamp (a value no-op, same trick as global_ntile)
+    lets the plan linter bound every downstream fold with no waiver.
+    The era split is the time-slice comparison every daily monitor
+    runs against its training-period baseline."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     tagged = o.select(
         F.when(F.year("o_orderdate") <= 1997, "base")
         .otherwise("cur")
         .alias("era"),
-        F.floor(
-            F.log(cents("o_totalprice").cast("double")) / F.log(F.lit(2.0))
+        F.least(
+            F.lit(63),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.log(cents("o_totalprice").cast("double"))
+                    / F.log(F.lit(2.0))
+                ).cast("int"),
+            ),
         )
         .cast("bigint")
         .alias("bucket"),

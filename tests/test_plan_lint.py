@@ -34,9 +34,11 @@ from dags_spark.registry import all_specs
 # rank fusion, time-to-convert percentiles, Weibull plotting ranks,
 # balanced shard packing, the id-density gap scan, the
 # peak-concurrency sweep line via the new global_running_sum)
-# — 48 fewer waivers than round 8's first pass (78 -> 30; the
+# — 48 fewer waivers than round 8's first pass (78 -> 29; the
 # literal Range/explode(sequence) grid rule cleared the periodogram
-# and the bootstrap key entirely). What
+# and the bootstrap key entirely; the PSI log2 grid cleared once
+# the clamp landed and the splitter stopped reading comparison
+# operators as type brackets). What
 # remains is argued per block below.
 ALLOWED = {
     # -- cartesian: genuine crosses and unprovable grids --
@@ -67,14 +69,13 @@ ALLOWED = {
     # per-score / per-doc aggregates) through one task for an
     # order-statistic or sequential fold over a grid bounded by the
     # problem DOMAIN but not by plan structure: BH-FDR p-value
-    # ladders (rows = hypothesis-family size), PSI bin folds,
-    # histogram-percentile interpolation. Each
+    # ladders (rows = hypothesis-family size) and the
+    # histogram-percentile interpolation grid. Each
     # docstring argues the funnel grain (post-aggregate, orders of
     # magnitude below the fact scan) or names the two-pass rewrite
     # it would migrate to at true 100 TB key cardinality. Kept as
     # waivers precisely so the list stays visible and shrinks only
     # by real rewrites, not by linter generosity.
-    "dq_distribution_psi": {"single-partition-exchange"},
     "stats_bh_fdr": {"single-partition-exchange"},
     # 
     # -- global-sort: ORDER BY is the key's output contract --
@@ -439,3 +440,24 @@ def test_lint_range_and_sequence_grid_rule(spark):
         .withColumn("cum", F.sum("n").over(Window.orderBy("p")))
     )
     assert lint_plan(folded2) == []
+
+
+def test_split_top_comparisons_vs_type_brackets():
+    """The detail-line splitter must nest struct<...> type brackets
+    but NOT comparison operators — a '<=' inside a CASE used to
+    swallow every following entry (the dq_distribution_psi defs
+    corruption)."""
+    from dags_spark.plans.lint import _split_top
+
+    body = ("CASE WHEN (year(d#1) <= 1997) THEN base ELSE cur END AS e#2, "
+            "cast(least(63, greatest(0, f#3)) as bigint) AS b#4")
+    parts = _split_top(body)
+    assert len(parts) == 2 and parts[1].endswith("AS b#4")
+
+    typed = "a#1, named_struct(x, struct<p:int,q:array<string>>) AS s#2"
+    parts = _split_top(typed)
+    assert len(parts) == 2 and parts[0] == "a#1"
+
+    lam = "zip_with(u#1, v#2, (e, i) -> IF(e > 0, 1, 0)) AS w#3, k#4"
+    parts = _split_top(lam)
+    assert len(parts) == 2 and parts[1] == "k#4"
