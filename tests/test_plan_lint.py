@@ -461,3 +461,45 @@ def test_split_top_comparisons_vs_type_brackets():
     lam = "zip_with(u#1, v#2, (e, i) -> IF(e > 0, 1, 0)) AS w#3, k#4"
     parts = _split_top(lam)
     assert len(parts) == 2 and parts[1] == "k#4"
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """Two-phase global_ntile == the engine's own NTILE(n) window,
+    including the first-buckets-take-the-remainder rule, for several
+    n and partition layouts, with duplicate order values tie-broken
+    by key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.scale import global_ntile
+
+    rows = [(i, (i * 17) % 23) for i in range(157)]  # 157 % n != 0
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("v").asc(), F.col("k").asc()]
+    for n in (3, 5, 10):
+        naive = {
+            r.k: r.b
+            for r in df.select(
+                "k", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        got = {
+            r.k: r.b
+            for r in global_ntile(df, order, n, out_col="b")
+            .select("k", "b")
+            .collect()
+        }
+        assert got == naive, f"n={n}"
+    # degenerate: fewer rows than buckets
+    tiny = spark.createDataFrame([(1, 1), (2, 2)], "k long, v long")
+    got = {
+        r.k: r.b
+        for r in global_ntile(tiny, order, 10, out_col="b").collect()
+    }
+    naive = {
+        r.k: r.b
+        for r in tiny.select(
+            "k", F.ntile(10).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == naive
