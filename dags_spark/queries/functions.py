@@ -1963,3 +1963,85 @@ def fn_easter_computus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(dayofweek(make_date(CAST(y AS INT), CAST(emn AS INT),"
         " CAST(edy AS INT))) - 1 AS BIGINT) AS day_of_week",
     )
+
+
+@register(
+    "fn_uuid_v7",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey,
+         lpad(lower(hex(CAST(epoch_ms(o_orderdate) AS BIGINT))), 12, '0')
+           AS ts_hex,
+         md5(CAST(o_orderkey AS VARCHAR)) AS m
+  FROM orders WHERE o_orderkey % 17 = 3
+),
+u AS (
+  SELECT o_orderkey,
+         ts_hex || '7' || substr(m, 1, 3)
+           || substr('89ab',
+                     1 + CAST(
+                       (CASE WHEN substr(m, 4, 1) BETWEEN '0' AND '9'
+                             THEN ascii(substr(m, 4, 1)) - 48
+                             ELSE ascii(substr(m, 4, 1)) - 87 END) % 4
+                       AS INT),
+                     1)
+           || substr(m, 5, 15) AS hex32
+  FROM b
+)
+SELECT o_orderkey,
+       substr(hex32, 1, 8) || '-' || substr(hex32, 9, 4) || '-'
+         || substr(hex32, 13, 4) || '-' || substr(hex32, 17, 4) || '-'
+         || substr(hex32, 21, 12) AS uuid7
+FROM u
+""",
+    tags=("fn",),
+)
+def fn_uuid_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUIDv7 construction from the RFC 9562 layout — the
+    time-ordered UUID replacing v4 as the default surrogate key in
+    new systems precisely because of a DISTRIBUTED-SYSTEMS property:
+    the leading 48-bit unix-ms timestamp makes ids cluster by
+    insertion time, so a parquet layout sorted by uuid7 gets the
+    same row-group time-locality a date column gives (v4 ids
+    scatter uniformly and destroy min/max pruning). Layout per spec:
+    unix_ts_ms(48) | ver=7(4) | rand_a(12) | var=10xx(2) |
+    rand_b(62); the 'random' bits here are md5-derived so the
+    construction is deterministic and HASH-CHECKED cross-engine
+    (the variant nibble maps one hash nibble onto {8,9,a,b} — the
+    four RFC-valid values of the 10xx variant). Pure string/bit
+    projection, scan-local, codegen'd; companion key to
+    fn_ulid_encode (same idea, Crockford encoding) and
+    fn_uuid_name_based (v5)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 3)
+    b = o.select(
+        "o_orderkey",
+        F.lpad(
+            F.lower(F.hex(F.unix_millis(F.col("o_orderdate").cast("timestamp")))),
+            12, "0"
+        ).alias("ts_hex"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("m"),
+    )
+    nib = F.substring("m", 4, 1)
+    nib_val = (
+        F.when(nib.between("0", "9"), F.ascii(nib) - 48)
+        .otherwise(F.ascii(nib) - 87)
+    )
+    hex32 = F.concat(
+        F.col("ts_hex"),
+        F.lit("7"),
+        F.substring("m", 1, 3),
+        F.substring(F.lit("89ab"), (nib_val % 4 + 1).cast("int"), 1),
+        F.substring("m", 5, 15),
+    )
+    u = b.select("o_orderkey", hex32.alias("hex32"))
+    return u.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring("hex32", 1, 8),
+            F.substring("hex32", 9, 4),
+            F.substring("hex32", 13, 4),
+            F.substring("hex32", 17, 4),
+            F.substring("hex32", 21, 12),
+        ).alias("uuid7"),
+    )

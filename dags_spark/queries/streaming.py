@@ -1231,3 +1231,79 @@ def stream_cdc_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful aggregation on the ROCKSDB state store provider —
+    the 100 TB streaming-state answer (round-8 probe conversion:
+    rocksdbjni ships in Spark's own jars, no extra install). The
+    default HDFS-backed store keeps every key's state as JVM heap
+    objects and full-snapshots each version — it dies when state
+    outgrows executor memory; RocksDB keeps state off-heap on local
+    SSD with incremental changelog checkpoints, which is how a
+    per-key state table larger than RAM (billions of users) stays
+    queryable. Same per-user running aggregate as
+    stream_stateful_running, two staged arrival batches so state
+    must SURVIVE a micro-batch boundary inside RocksDB, final state
+    == batch GROUP BY (hash-checked). The query's own progress
+    metrics must prove the provider engaged (rocksdb* custom
+    metrics present) — a silent fallback to the default store fails
+    the key loudly. The session conf is restored afterward so
+    sibling keys keep the default provider."""
+    import uuid as _uuid  # noqa: PLC0415
+
+    base = stage_events(spark, sf_dir, split="two")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = events_stream(
+            spark, os.path.join(base, "part*"), max_files_per_trigger=1
+        )
+        agg = sdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        name = f"mem_{_uuid.uuid4().hex[:12]}"
+        ckpt = tempfile.mkdtemp(prefix="dags_spark_ckpt_rocks_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        used_rocks = any(
+            any(
+                m.startswith("rocksdb")
+                for op in (p.get("stateOperators") or [])
+                for m in (op.get("customMetrics") or {})
+            )
+            for p in (q.recentProgress or [])
+        )
+        assert used_rocks, (
+            "RocksDB state store did not engage — provider fell back"
+        )
+        return spark.table(name)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
