@@ -123,15 +123,33 @@ def parse_flac_meta(data: bytes) -> dict:
                 "audio_md5": body[18:34].hex(),
             }
         elif btype == 4:
+            # Every length-prefixed read is bounds-checked so a body
+            # cut mid-walk raises the contract's typed ValueError —
+            # struct.unpack_from on a short buffer would surface
+            # struct.error, and a short slice would silently decode a
+            # truncated entry.
+            def _u32(buf: bytes, at: int) -> int:
+                if at + 4 > len(buf):
+                    raise ValueError("FLAC: truncated VORBIS_COMMENT")
+                (val,) = struct.unpack_from("<I", buf, at)
+                return val
+
             p = 0
-            (vlen,) = struct.unpack_from("<I", body, p)
+            vlen = _u32(body, p)
             p += 4 + vlen
-            (n,) = struct.unpack_from("<I", body, p)
+            n = _u32(body, p)
             p += 4
             for _ in range(n):
-                (elen,) = struct.unpack_from("<I", body, p)
+                elen = _u32(body, p)
                 p += 4
-                entry = body[p : p + elen].decode("utf-8")
+                if p + elen > len(body):
+                    raise ValueError("FLAC: truncated VORBIS_COMMENT")
+                try:
+                    entry = body[p : p + elen].decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        "FLAC: invalid UTF-8 comment entry"
+                    ) from exc
                 p += elen
                 k, _, v = entry.partition("=")
                 comments[k.lower()] = v

@@ -131,16 +131,28 @@ def parse_smf(data: bytes) -> dict:
         while p < len(track):
             delta, p = decode_vlq(track, p)
             ticks += delta
+            # Every indexed access below is bounds-checked first so a
+            # track cut mid-event raises the contract's typed
+            # ValueError, never a bare IndexError (a truncation right
+            # after the delta VLQ lands here with p == len(track)).
+            if p >= len(track):
+                raise ValueError("SMF: truncated event")
             b = track[p]
             if b == 0xFF:  # meta event
+                if p + 2 > len(track):
+                    raise ValueError("SMF: truncated event")
                 mtype = track[p + 1]
                 ln, p2 = decode_vlq(track, p + 2)
+                if p2 + ln > len(track):
+                    raise ValueError("SMF: truncated event")
                 p = p2 + ln
                 if mtype == 0x2F:
                     break
                 continue
             if b in (0xF0, 0xF7):  # sysex: VLQ length, skip
                 ln, p2 = decode_vlq(track, p + 1)
+                if p2 + ln > len(track):
+                    raise ValueError("SMF: truncated event")
                 p = p2 + ln
                 status = None  # sysex cancels running status
                 continue
@@ -152,9 +164,13 @@ def parse_smf(data: bytes) -> dict:
             kind = status & 0xF0
             ch = status & 0x0F
             if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
+                if p + 2 > len(track):
+                    raise ValueError("SMF: truncated event")
                 d1, d2 = track[p], track[p + 1]
                 p += 2
             elif kind in (0xC0, 0xD0):
+                if p + 1 > len(track):
+                    raise ValueError("SMF: truncated event")
                 d1, d2 = track[p], 0
                 p += 1
             else:

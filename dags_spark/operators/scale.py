@@ -299,3 +299,57 @@ def global_running_sum(
         .withColumn(out_col, F.col("__off") + F.col("__within"))
         .drop("__pid", "__within", "__off")
     )
+
+
+def global_running_min(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_min",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """INCLUSIVE global running MIN of ``value_col`` over a total
+    order, without the single-partition window — min is associative
+    and commutative, so the same two-phase __pid shape as
+    global_running_sum applies: range-partition on the order,
+    running min within each partition in parallel, then each
+    partition's prefix gets folded in via a broadcast offset table
+    holding the min of every PRECEDING partition (one row per
+    shuffle partition; F.least skips nulls, so the first partition —
+    whose offset is null — keeps its within-partition min).
+
+    A SUFFIX min (BH step-up's reverse running min) is this same
+    operator called with the order columns DESCENDING — which is
+    exactly how stats_bh_fdr consumes it. The order must carry a
+    unique tie-break column (house determinism rule 3); phase 1 is
+    pinned with localCheckpoint for the same AQE-pairing reason as
+    global_rank."""
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    win = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn(
+        "__within", F.min(value_col).over(win)
+    ).localCheckpoint()
+    offs = (
+        d.groupBy("__pid")
+        .agg(F.min(value_col).alias("__pmin"))
+        .withColumn(
+            "__offm",
+            F.min("__pmin").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__pid", "__offm")
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.least(F.col("__offm"), F.col("__within")))
+        .drop("__pid", "__within", "__offm")
+    )

@@ -81,6 +81,7 @@ def blocked_pairs(
     symmetric: bool = False,
     max_block_rows: int = 8192,
     per_block_topk: int | None = None,
+    per_query_topk: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -113,6 +114,19 @@ def blocked_pairs(
     rows to k per block — at sf1 (20k vectors) that is 20M pair
     rows down to 1k. Leave None for threshold/dedup consumers that
     need every pair.
+
+    per_query_topk=k (symmetric consumers): keep only each QUERY's
+    ~k best neighbors (by sim desc, id_b) inside the kernel, so a
+    per-query kNN emits O(k) rows per vector into its downstream
+    window instead of O(block) — the round-9 fix for the one
+    remaining avoidable-shuffle anti-pattern (sim_knn_per_query
+    shipped O(block^2) pair rows through a shuffle+window). The
+    prune is provably lossless against the consumer's ROUNDED-sim
+    ordering: rows are kept down to (k-th raw sim - 1e-6), and 6dp
+    HALF_UP rounding moves any value by <= 5e-7, so two pairs can
+    swap rounded order only when their raw sims differ by < 1e-6 —
+    every such boundary row survives the margin and the downstream
+    row_number sees the identical top-k candidate set.
 
     Hot-block guard: the kernel is O(block^2) BY DESIGN, so a skewed
     block key (one label holding 10^6 rows at 100 TB) would silently
@@ -224,6 +238,26 @@ def blocked_pairs(
         if symmetric:
             rev = out.rename(columns={"id_a": "id_b", "id_b": "id_a"})
             out = pd.concat([out, rev[out.columns]], ignore_index=True)
+        if per_query_topk is not None and len(out):
+            # per-query prune under the consumer's total order
+            # (sim desc, id_b), with the 1e-6 rounding-boundary
+            # margin argued in the docstring. Vectorized: rank rows
+            # within each id_a group, broadcast each group's k-th
+            # raw sim, keep everything above (kth - margin); groups
+            # smaller than k have no k-th row and keep all rows.
+            out = out.sort_values(
+                ["id_a", "sim", "id_b"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            ).reset_index(drop=True)
+            pos = out.groupby("id_a", sort=False).cumcount()
+            kth = (
+                out["sim"]
+                .where(pos == per_query_topk - 1)
+                .groupby(out["id_a"], sort=False)
+                .transform("max")
+            )
+            out = out[kth.isna() | (out["sim"] >= kth - 1e-6)]
         if per_block_topk is not None and len(out) > per_block_topk:
             # prune INSIDE the kernel with the identical total order
             # the consumer's global top-k applies; sims are the

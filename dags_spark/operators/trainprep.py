@@ -19,11 +19,12 @@ Scale notes:
   text comparison;
 - sequence packing needs a GLOBAL running sum, which naively is a
   single-partition window (a non-plan at 100 TB). `global_cumsum`
-  does the standard two-phase rewrite: per-bucket windows in
-  parallel + a tiny bucket-offset table (one row per bucket) that is
-  cumsum'd alone and broadcast back. Choose ``bucket_width`` so the
-  offset table stays ~10^5-10^6 rows; the result is bit-identical to
-  the single-window answer (integer sums are associative).
+  does the standard two-phase rewrite: range-partition on the order
+  key, per-partition windows in parallel + a tiny offset table (one
+  row per shuffle partition — partition-count-grain, NOT data- or
+  domain-grain) that is cumsum'd alone and broadcast back. The
+  result is bit-identical to the single-window answer (integer sums
+  are associative; the order key must be unique).
 """
 
 from __future__ import annotations
@@ -135,32 +136,48 @@ def global_cumsum(
     df: DataFrame,
     order_col: str,
     weight_col: str,
-    bucket_width: int,
+    n_partitions: int = 32,
     out_col: str = "cum_before",
 ) -> DataFrame:
     """Exclusive global running sum of ``weight_col`` in ``order_col``
-    order (integer order key), via the two-phase bucket rewrite —
-    no single-partition window over the full table.
+    order (unique integer order key), via the two-phase __pid rewrite
+    — no single-partition window over the full table.
+
+    Round-9 soundness rewrite: the old shape bucketed on
+    ``order_col div bucket_width`` — VALUE-DOMAIN grain, which grows
+    with the corpus, so the unpartitioned offset window was only
+    "bounded" by a false premise. Now range-partition on the order
+    key and accumulate per ``spark_partition_id()`` — genuinely
+    partition-count-grain (same shape as scale.global_rank /
+    global_running_sum), so the only unpartitioned window runs over
+    ``n_partitions`` rows regardless of data volume.
+
+    ``order_col`` must be UNIQUE (house determinism rule 3): range
+    partitioning may split equal keys across partitions, so ties
+    would make the exclusive prefix row-order-dependent. Every caller
+    orders by a rank, a distinct-value grid, or a unique id.
 
     Phase 1 is pinned with localCheckpoint before the offsets are
     computed, for the same reason as scale.global_rank: the offsets
-    subtree and the join-back subtree both consume the bucket
-    shuffle, and an AQE re-plan (or a caller's self-referencing
+    subtree and the join-back subtree both consume the range
+    exchange, and an AQE re-plan (or a caller's self-referencing
     plan) evaluating the two instances differently would pair
     offsets from one partitioning with rows from another."""
-    bucket = F.expr(f"CAST({order_col} AS BIGINT) div {bucket_width}")
-    d = df.withColumn("__bkt", bucket)
+    d = (
+        df.repartitionByRange(n_partitions, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
     win = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__within", F.sum(weight_col).over(win)).localCheckpoint()
-    offs = bucket_offsets(d, "__bkt", F.col(weight_col))
+    offs = bucket_offsets(d, "__pid", F.col(weight_col))
     return (
-        d.join(F.broadcast(offs), "__bkt")
+        d.join(F.broadcast(offs), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__within") - F.col(weight_col))
-        .drop("__bkt", "__within", "__off")
+        .drop("__pid", "__within", "__off")
     )
 
 
@@ -169,7 +186,7 @@ def pack_sequences(
     order_col: str,
     weight_col: str,
     seq_len: int,
-    bucket_width: int = 4096,
+    n_partitions: int = 32,
 ) -> DataFrame:
     """Greedy contiguous packing: lay documents end-to-end in
     ``order_col`` order and cut fixed ``seq_len``-token sequences.
@@ -177,7 +194,7 @@ def pack_sequences(
     (``seq_id``) and its offset within it (``seq_offset``) — the
     deterministic bookkeeping a packed-pretraining dataloader needs.
     """
-    d = global_cumsum(df, order_col, weight_col, bucket_width)
+    d = global_cumsum(df, order_col, weight_col, n_partitions)
     return (
         d.withColumn("seq_id", F.expr(f"cum_before div {seq_len}"))
         .withColumn("seq_offset", F.expr(f"pmod(cum_before, {seq_len})"))

@@ -139,7 +139,7 @@ def _int_args(arg_line: str) -> list[int]:
 #                    unproven.
 #   literal modulus  pmod(x, K) / (x % K) / ntile(K) with a literal K.
 #   partition id     spark_partition_id(), and the engine's reserved
-#                    __pid/__bkt attributes (operators/scale.py /
+#                    __pid attribute (operators/scale.py /
 #                    operators/trainprep.py two-pass rank-offset
 #                    machinery). These survive a localCheckpoint as
 #                    ExistingRDD columns whose defining expression is
@@ -176,7 +176,14 @@ _CAL_FUNC = {
     "unix_date": _CENTURY_DAYS,
 }
 
-_RESERVED_PARTITION_ATTRS = ("__pid", "__bkt")
+# Only __pid is partition-count-grain BY CONSTRUCTION
+# (spark_partition_id() has one value per shuffle partition, capped by
+# the session's partition count). __bkt was removed in round 9: the
+# old trainprep.global_cumsum defined it as value div bucket_width —
+# value-DOMAIN grain, which grows with the corpus — so bounding it at
+# the partition cap was a false premise. global_cumsum now runs on
+# the same __pid two-phase shape as scale.global_rank.
+_RESERVED_PARTITION_ATTRS = ("__pid",)
 
 _ATTR_RE = None  # compiled lazily
 
@@ -352,11 +359,16 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
     if m and m.group(1) in _CAL_FUNC:
         return _CAL_FUNC[m.group(1)]
 
-    m = re.match(r"^pmod\(.*,\s*(\d+)\)$", expr) or re.match(
-        r"^\(.* % (\d+)\)$", expr
-    )
+    m = re.match(r"^pmod\(.*,\s*(\d+)\)$", expr)
     if m:
         k = int(m.group(1))
+        return k if 0 < k <= _BOUNDED_T else None
+    # Bare % takes the DIVIDEND's sign in Spark, so a signed dividend
+    # yields residues in (-K, K) — up to 2K-1 distinct values, not K.
+    # Only pmod gets the tight bound.
+    m = re.match(r"^\(.* % (\d+)\)$", expr)
+    if m:
+        k = 2 * int(m.group(1)) - 1
         return k if 0 < k <= _BOUNDED_T else None
     m = re.match(r"^ntile\((\d+)\)", expr)
     if m:
@@ -384,11 +396,27 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
                 width = hi - lo + 1
                 return width if 0 < width <= _BOUNDED_T else None
 
-    # CASE with all-literal outcomes: bounded by its branch count
+    # CASE with all-literal outcomes: bounded by its branch count.
+    # EVERY branch must be a literal — match THEN/ELSE tokens
+    # positionally (a literal is only counted when followed by the
+    # next branch keyword or END, so `THEN 1 + col` doesn't count)
+    # and demand exactly count(WHEN) literal THENs plus a literal
+    # ELSE. One non-literal branch (e.g. `THEN col#5 ELSE 0`) makes
+    # the outcome domain data-grain, so the rule returns None.
+    # Nested CASEs inflate the WHEN count past the positional literal
+    # count and also fall through to None (conservative). A missing
+    # ELSE adds the implicit NULL outcome (+1).
     if expr.startswith("CASE WHEN") and expr.endswith("END"):
-        outs = re.findall(r"(?:THEN|ELSE) (-?\d+(?:\.\d+)?|'[^']*'|null)", expr)
-        if outs and len(outs) >= expr.count("WHEN"):
-            return len(outs)
+        n_when = expr.count("WHEN")
+        has_else = " ELSE " in expr
+        outs = re.findall(
+            r"(?:THEN|ELSE) (-?\d+(?:\.\d+)?|'[^']*'|null)"
+            r"(?= WHEN | ELSE | END)",
+            expr,
+        )
+        expected = n_when + (1 if has_else else 0)
+        if outs and len(outs) == expected:
+            return len(outs) + (0 if has_else else 1)
 
     return None
 

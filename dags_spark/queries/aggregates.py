@@ -2670,8 +2670,14 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     term order on both engines) and is QUANTIZED to a 1e-12 BIGINT
     lane before any ordering, so the BH sort key (p_q, brand) is
     deterministic. The step-up adjusted p is the reverse running
-    min of p*(m/rank) over the brand-count-sized table — a 25-row
-    window however big the fact scan. Rejections at q=.05."""
+    min of p*(m/rank) over the hypothesis family — and round 9 runs
+    the whole ladder on the two-pass machinery (global_rank for the
+    BH rank, global_running_min in DESCENDING order for the step-up
+    suffix min, a broadcast 1-row family count for m), so even a
+    family whose size grows with the catalog (per-SKU tests, not 25
+    brands) never funnels through one task: the last
+    single-partition-exchange waiver cleared by real rewrite.
+    Rejections at q=.05."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
@@ -2698,31 +2704,30 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         zv.alias("zv"),
         F.round(_norm_p2(zv) * 1000000000000.0, 0).cast("bigint").alias("p_q"),
     )
-    w_all = Window.partitionBy()
-    w_ord = Window.orderBy("p_q", "brand")
-    w_tail = Window.orderBy("p_q", "brand").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    ranked = pq.select(
-        "brand",
-        "n_b",
-        "x_b",
-        "zv",
-        "p_q",
-        (
+    from ..operators.scale import global_rank, global_running_min  # noqa: PLC0415
+
+    m_tot = pq.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    ranked = (
+        global_rank(
+            pq, [F.col("p_q").asc(), F.col("brand").asc()], rank_col="__rnk"
+        )
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "raw",
             (F.col("p_q").cast("double") / 1000000000000.0)
-            * F.count(F.lit(1)).over(w_all).cast("double")
-            / F.row_number().over(w_ord).cast("double")
-        ).alias("raw"),
+            * F.col("__m").cast("double")
+            / F.col("__rnk").cast("double"),
+        )
+        .drop("__rnk", "__m")
     )
-    adj = ranked.select(
-        "brand",
-        "n_b",
-        "x_b",
-        "zv",
-        "p_q",
-        F.min("raw").over(w_tail).alias("p_adj_raw"),
-    )
+    # BH step-up: suffix min in (p_q, brand) order == running min in
+    # the REVERSE order — two-pass, never a single-partition window.
+    adj = global_running_min(
+        ranked,
+        [F.col("p_q").desc(), F.col("brand").desc()],
+        "raw",
+        out_col="p_adj_raw",
+    ).drop("raw")
     return adj.select(
         "brand",
         "n_b",
@@ -6495,23 +6500,30 @@ def agg_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     uni = base.select("h").distinct().orderBy("h").limit(k)
-    a = base.filter(F.col("y") == 1995).select(F.col("h").alias("ha"))
-    b = base.filter(F.col("y") == 1996).select(F.col("h").alias("hb"))
-    uni_stats = (
-        uni.join(F.broadcast(a), uni.h == a.ha, "left")
-        .join(F.broadcast(b), uni.h == b.hb, "left")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.max("h").alias("kth"),
-            F.sum(
-                F.when(
-                    F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_both"),
-        )
+    # Membership via semi-joins keyed on the k union hashes: the
+    # k-row sketch is the BROADCAST side and the corpus-grain
+    # per-year sets STREAM past it (round 9 fix — the old shape
+    # broadcast the full per-year hash sets, which grow with the
+    # corpus, inverting the sketch's own scale story). base is
+    # distinct on (y, h), so each hits side is <= k unique hashes
+    # and the final intersection join is tiny x tiny.
+    a_hits = (
+        base.filter(F.col("y") == 1995)
+        .join(F.broadcast(uni), "h", "left_semi")
+        .select("h")
     )
+    b_hits = (
+        base.filter(F.col("y") == 1996)
+        .join(F.broadcast(uni), "h", "left_semi")
+        .select("h")
+    )
+    nboth = a_hits.join(F.broadcast(b_hits), "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    uni_stats = uni.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth"),
+    ).crossJoin(F.broadcast(nboth))
     uni_est = uni_stats.select(
         "n_kept",
         "n_both",

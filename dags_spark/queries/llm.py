@@ -127,8 +127,16 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 """,
 )
 def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10 nearest neighbors per vector within its label block."""
-    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"), symmetric=True)
+    """10 nearest neighbors per vector within its label block.
+    per_query_topk prunes each query to its ~10 best INSIDE the
+    Arrow kernel (lossless vs the window's rounded-sim order via the
+    1e-6 boundary margin — see blocked_pairs), so the shuffle+window
+    below ranks ~10 rows per vector instead of the O(block^2) pair
+    stream the round-8 shape emitted; the row_number then only
+    assigns ranks and trims margin survivors."""
+    pairs = blocked_pairs(
+        table(spark, sf_dir, "embeddings"), symmetric=True, per_query_topk=10
+    )
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -861,17 +869,18 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents laid end-to-end in
     doc_id order, cut into 512-token sequences; each doc gets the
     sequence id and offset of its start. The global running sum uses
-    the two-phase bucket rewrite (operators/trainprep.py:global_cumsum)
-    — parallel per-bucket windows + a one-row-per-bucket offset table
-    cumsum'd alone and broadcast back — bit-identical to the oracle's
-    single window without its single-partition bottleneck."""
+    the two-phase __pid rewrite (operators/trainprep.py:global_cumsum)
+    — range-partition on doc_id, parallel per-partition windows + a
+    one-row-per-shuffle-partition offset table cumsum'd alone and
+    broadcast back — bit-identical to the oracle's single window
+    without its single-partition bottleneck."""
     from ..operators.trainprep import pack_sequences
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     return pack_sequences(
-        d, order_col="doc_id", weight_col="n_tokens", seq_len=512, bucket_width=64
+        d, order_col="doc_id", weight_col="n_tokens", seq_len=512, n_partitions=32
     )
 
 
@@ -4323,7 +4332,7 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as the two-pass rewrite FOR REAL: global_rank pins the
     (difficulty, doc_id) total order into an integer rank, and
     global_cumsum turns that rank into an exclusive token cumsum via
-    per-bucket windows + a broadcast offset table — no
+    per-partition windows + a broadcast __pid offset table — no
     single-partition sort at any scale. The 1-row token total
     broadcast-crosses back (scalar-subquery shape)."""
     from ..operators.scale import global_rank
@@ -4343,7 +4352,7 @@ def train_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("difficulty").asc(), F.col("doc_id").asc()],
         rank_col="__rn",
     )
-    cumd = global_cumsum(ranked, "__rn", "toks", bucket_width=1024)
+    cumd = global_cumsum(ranked, "__rn", "toks", n_partitions=32)
     tot = scored.agg(F.sum("toks").cast("bigint").alias("total"))
     cum = cumd.crossJoin(F.broadcast(tot)).select(
         "doc_id",

@@ -670,7 +670,7 @@ def agg_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global_cumsum orders by an integer key: the rank IS that key.
     cum = global_cumsum(
-        ranked, order_col="rnk", weight_col="rev_c", bucket_width=256
+        ranked, order_col="rnk", weight_col="rev_c", n_partitions=32
     )
     tot = rev.agg(F.sum("rev_c").alias("tot"))
     return (
@@ -2212,7 +2212,7 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         rev, [F.col("c").desc(), F.col("l_partkey").asc()], rank_col="rnk"
     )
-    cum = global_cumsum(ranked, "rnk", "c", 4096, out_col="cum_before")
+    cum = global_cumsum(ranked, "rnk", "c", 32, out_col="cum_before")
     tot = rev.agg(F.sum("c").alias("tot"))
     classed = cum.crossJoin(F.broadcast(tot)).select(
         "c",

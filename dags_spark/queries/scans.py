@@ -593,6 +593,159 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "source_python_bus_partitioned",
+    oracle="""
+SELECT CAST(p AS INTEGER) AS bus_partition,
+       o AS bus_offset,
+       'k' || CAST((o * 7 + p) % 10 AS VARCHAR) AS msg_key,
+       p * 1000 + o AS payload
+FROM range(0, 4) t1(p), range(0, 120) t2(o)
+""",
+    tags=("source", "streaming"),
+)
+def source_python_bus_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-SHAPED partitioned message bus as a custom Python
+    STREAMING source — the resumable-bus contract this sandbox cannot
+    install a Kafka connector jar for (probe re-recorded round 9: no
+    spark-sql-kafka jar, no network), expressed against the same
+    public DataSourceStreamReader API a real connector binds:
+
+    - 4 TOPIC-PARTITIONS, each a totally-ordered offset log; the
+      planner emits ONE InputPartition per advancing topic-partition
+      per micro-batch (the Kafka task-assignment contract), so
+      partition reads run as parallel tasks, per-partition order is
+      preserved, and cross-partition order is (correctly) undefined —
+      a restart re-plans the assignment, which is the rebalance.
+    - PER-PARTITION OFFSETS: start/end are dicts keyed by partition
+      id, checkpoint-committed; a NEW query on the same checkpoint
+      resumes EVERY partition from its own cursor (never re-emits)
+      even though partitions advance at different rates (40/30/60/20
+      msgs per broker epoch, capped at 120).
+    - BROKER GROWTH BETWEEN RESTARTS: the drive loop bumps an epoch
+      file before each run — standing in for the external producers —
+      and latestOffset() polls it exactly as a Kafka reader polls
+      broker end offsets; the slowest partition needs 6 restarts to
+      drain, so resumption is exercised per-partition, not just
+      globally.
+    - COMMIT HOOK: commit(end) persists a consumer-group-style
+      offsets file. The engine calls it when the NEXT batch is
+      planned, so — exactly like Kafka auto-commit — the hook's
+      cursor trails the processed position by at most one batch; the
+      key asserts the full per-partition map fired and trails by
+      less than one epoch's rate, while the CHECKPOINT (the real
+      exactly-once cursor) is proven by the sink holding exactly one
+      copy of every message across all the restarts.
+
+    Exactly-once lands in the parquet sink via the batch-id-
+    partitioned foreachBatch writer (same recipe as
+    source_python_datasource_stream)."""
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from ..streaming.runner import run_foreach_batch_parquet
+
+    n_parts, cap = 4, 120
+    rates = {0: 40, 1: 30, 2: 60, 3: 20}
+
+    class _BusPartition(InputPartition):
+        def __init__(self, pid: int, start: int, end: int):
+            self.pid, self.start, self.end = pid, start, end
+
+    class _BusReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self._epoch_path = options["epoch_path"]
+            self._commit_path = options["commit_path"]
+
+        def initialOffset(self):
+            return {str(p): 0 for p in range(n_parts)}
+
+        def latestOffset(self):
+            with open(self._epoch_path) as fh:
+                epoch = int(fh.read().strip())
+            return {str(p): min(epoch * rates[p], cap) for p in range(n_parts)}
+
+        def partitions(self, start, end):
+            parts = [
+                _BusPartition(p, start[str(p)], end[str(p)])
+                for p in range(n_parts)
+                if end[str(p)] > start[str(p)]
+            ]
+            # a no-advance batch still needs one (empty) split
+            return parts or [_BusPartition(0, 0, 0)]
+
+        def read(self, partition):
+            p = partition.pid
+            for o in range(partition.start, partition.end):
+                yield (p, o, f"k{(o * 7 + p) % 10}", p * 1000 + o)
+
+        def commit(self, end):
+            with open(self._commit_path, "w") as fh:
+                json.dump(end, fh)
+
+    class BusSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dags_bus"
+
+        def schema(self) -> str:
+            return (
+                "bus_partition INT, bus_offset BIGINT, "
+                "msg_key STRING, payload BIGINT"
+            )
+
+        def streamReader(self, schema):
+            return _BusReader(self.options)
+
+    register_python_datasource(spark, BusSource)
+
+    work = tempfile.mkdtemp(prefix="dags_spark_bus_")
+    epoch_path = os.path.join(work, "broker_epoch.txt")
+    commit_path = os.path.join(work, "consumer_offsets.json")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    for epoch in range(1, 8):  # slowest partition drains at epoch 6
+        with open(epoch_path, "w") as fh:
+            fh.write(str(epoch))
+        sdf = (
+            spark.readStream.format("dags_bus")
+            .option("epoch_path", epoch_path)
+            .option("commit_path", commit_path)
+            .load()
+        )
+        run_foreach_batch_parquet(sdf, out_dir, ckpt=ckpt)
+        if spark.read.parquet(out_dir).count() >= n_parts * cap:
+            break
+    with open(commit_path) as fh:
+        committed = json.load(fh)
+    lagging = {
+        p: committed.get(str(p))
+        for p in range(n_parts)
+        if committed.get(str(p), -1) < cap - rates[p]
+    }
+    if lagging:
+        raise AssertionError(
+            f"bus commit hook trails by more than one batch: {lagging} "
+            f"(full map: {committed})"
+        )
+    sink = spark.read.parquet(out_dir)
+    n_rows = sink.count()
+    n_distinct = sink.select("bus_partition", "bus_offset").distinct().count()
+    if not (n_rows == n_distinct == n_parts * cap):
+        raise AssertionError(
+            f"exactly-once violated across restarts: {n_rows} rows, "
+            f"{n_distinct} distinct of {n_parts * cap} expected"
+        )
+    return spark.read.parquet(out_dir).select(
+        "bus_partition", "bus_offset", "msg_key", "payload"
+    )
+
+
+@register(
     "sink_python_datasource",
     oracle="""
 SELECT s_suppkey, s_name FROM supplier

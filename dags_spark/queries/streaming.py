@@ -379,8 +379,9 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (value/list/map), timers, and TTL on a StatefulProcessor class.
 # Its Arrow state serialization rides on protobuf, which this
 # container lacks (verified: `import google.protobuf` ->
-# ModuleNotFoundError, and pip is unavailable; re-probed round 8,
-# 2026-08-16 — still absent). The implementation
+# ModuleNotFoundError, and pip is unavailable; re-probed round 9,
+# 2026-08-16 — still absent, as are PIL/ffmpeg/pyiceberg/deltalake
+# and duckdb's network extension repo). The implementation
 # below is complete and registers ITSELF the moment the environment
 # grows protobuf — until then stream_stateful_running covers the
 # same semantics on the older API, so the engine never loses the

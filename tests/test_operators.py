@@ -221,8 +221,9 @@ def test_hierarchical_rollup_day_equals_direct(spark):
 
 
 def test_global_cumsum_matches_single_window(spark):
-    """Two-phase bucket cumsum == the naive global window, for bucket
-    widths that do and don't divide the key range, with gaps."""
+    """Two-phase __pid cumsum == the naive global window, for
+    partition counts below, at, and above the row count, with gaps
+    in the order key."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -242,9 +243,12 @@ def test_global_cumsum_matches_single_window(spark):
             ),
         ).collect()
     }
-    for width in (1, 7, 64, 1000):
-        got = {r.k: r.cum_before for r in global_cumsum(df, "k", "w", width).collect()}
-        assert got == naive, f"bucket_width={width}"
+    for n_parts in (1, 7, 64, 1000):
+        got = {
+            r.k: r.cum_before
+            for r in global_cumsum(df, "k", "w", n_parts).collect()
+        }
+        assert got == naive, f"n_partitions={n_parts}"
 
 
 def test_assign_split_covers_and_validates(spark):
@@ -895,6 +899,47 @@ def test_blocked_pairs_tiled_topk_matches_fold_path(spark):
 
     with _pytest.raises(Exception, match="max_block_rows"):
         blocked_pairs(df, max_block_rows=128).collect()
+
+
+def test_blocked_pairs_per_query_topk_lossless_and_bounded(spark):
+    """per_query_topk must (a) emit <= ~k rows per query out of the
+    kernel instead of O(block) — the round-9 shuffle-volume fix for
+    sim_knn_per_query — and (b) leave the downstream per-query
+    row_number top-k EXACTLY what the unpruned pair stream yields."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.similarity import blocked_pairs
+
+    k = 5
+    rows = []
+    for i in range(120):
+        v = [math.sin(i * 1.3 + j * 0.7) + 0.02 * i for j in range(8)]
+        rows.append((i, "L" if i % 3 else "R", v))
+    df = spark.createDataFrame(
+        rows, "vec_id INT, label STRING, embedding ARRAY<DOUBLE>"
+    )
+
+    pruned = blocked_pairs(df, symmetric=True, per_query_topk=k)
+    # kernel output is <= k + margin rows per query; with smooth
+    # non-tied sims the margin admits nobody, so exactly k (or the
+    # whole block when it is smaller than k).
+    per_q = pruned.groupBy("id_a").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_q and all(r.n <= k for r in per_q)
+
+    def knn(pairs):
+        w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), "id_b")
+        return sorted(
+            (r.id_a, r.id_b, r.rnk, r.sim)
+            for r in pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        )
+
+    full = blocked_pairs(df, symmetric=True)
+    assert knn(pruned) == knn(full)
 
 
 def test_gif_lzw_codec_roundtrip():

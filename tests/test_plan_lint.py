@@ -34,7 +34,8 @@ from dags_spark.registry import all_specs
 # rank fusion, time-to-convert percentiles, Weibull plotting ranks,
 # balanced shard packing, the id-density gap scan, the
 # peak-concurrency sweep line via the new global_running_sum)
-# — 48 fewer waivers than round 8's first pass (78 -> 29; the
+# — 48 fewer waivers than round 8's first pass (78 -> 29, and 28
+# in round 9 once stats_bh_fdr migrated onto global_running_min; the
 # literal Range/explode(sequence) grid rule cleared the periodogram
 # and the bootstrap key entirely; the PSI log2 grid cleared once
 # the clamp landed and the splitter stopped reading comparison
@@ -63,21 +64,13 @@ ALLOWED = {
     "ts_dtw_distance": {"cartesian"},
     "ts_hurst_rs": {"cartesian"},
     #
-    # -- single-partition-exchange: data-grain funnels the algebra --
-    # -- cannot (and should not) clear                             --
-    # These funnel a DISTINCT-VALUE-grain relation (per-customer /
-    # per-score / per-doc aggregates) through one task for an
-    # order-statistic or sequential fold over a grid bounded by the
-    # problem DOMAIN but not by plan structure: BH-FDR p-value
-    # ladders (rows = hypothesis-family size) and the
-    # histogram-percentile interpolation grid. Each
-    # docstring argues the funnel grain (post-aggregate, orders of
-    # magnitude below the fact scan) or names the two-pass rewrite
-    # it would migrate to at true 100 TB key cardinality. Kept as
-    # waivers precisely so the list stays visible and shrinks only
-    # by real rewrites, not by linter generosity.
-    "stats_bh_fdr": {"single-partition-exchange"},
-    # 
+    # (round 9: stats_bh_fdr's single-partition-exchange waiver —
+    # the last one standing alone — cleared by REAL rewrite: the BH
+    # ladder now runs on global_rank + the new global_running_min
+    # called in descending order for the step-up suffix min.
+    # agg_histogram_percentile above retains its argued pair: its
+    # interpolation grid is the cartesian the docstring defends.)
+    #
     # -- global-sort: ORDER BY is the key's output contract --
     # Sorted final output is the declared semantics (TPC-H answer
     # ordering, ranked fusion/sampling lists); the sort runs on the
@@ -310,7 +303,25 @@ def test_expr_bound_unit():
     assert _expr_bound("n#11", defs) == 10
     assert _expr_bound("p#12", defs) is not None
     assert _expr_bound("__pid#99", defs) is not None  # reserved name
-    assert _expr_bound("__bkt#99L", defs) is not None
+    # __bkt dropped from the reserved contract in round 9: the old
+    # global_cumsum defined it as value div width — DOMAIN-grain, so
+    # treating it as partition-count-grain was a false premise.
+    assert _expr_bound("__bkt#99L", defs) is None
+    # bare % takes the dividend's sign: up to 2K-1 residues, not K
+    assert _expr_bound("(v#1 % 16)", defs) == 31
+    assert _expr_bound("pmod(v#1, 16)", defs) == 16
+    # CASE soundness (round 9): one non-literal branch voids the
+    # bound; a missing ELSE adds the implicit null outcome.
+    assert _expr_bound(
+        "CASE WHEN (x#9 > 2.0) THEN col#5 ELSE 0 END", defs
+    ) is None
+    assert _expr_bound(
+        "CASE WHEN (x#9 > 2.0) THEN 1 ELSE col#5 END", defs
+    ) is None
+    assert _expr_bound("CASE WHEN (x#9 > 2.0) THEN 1 END", defs) == 2
+    assert _expr_bound(
+        "CASE WHEN (x#9 > 2.0) THEN 1 + col#5 ELSE 0 END", defs
+    ) is None
     assert _expr_bound("cast(ts#1 as date)", defs) == 36600
     assert _expr_bound("date_trunc(hour, ts#1)", defs) is None
     # datediff is day-span-bounded; a literal shift is a bijection
@@ -413,6 +424,42 @@ def test_global_running_sum_matches_single_window(spark):
             ).collect()
         }
         assert got == naive, f"n_partitions={nparts}"
+
+
+def test_global_running_min_matches_single_window(spark):
+    """Two-phase running min == the single-partition window, in both
+    ascending and DESCENDING (suffix-min, the BH step-up shape)
+    order, across partition counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.scale import global_running_min
+
+    rows = [(i, float((i * 37) % 23) - 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    for order in (
+        [F.col("k").asc()],
+        [F.col("k").desc()],  # suffix min over ascending k
+    ):
+        naive = {
+            r.k: r.rm
+            for r in df.withColumn(
+                "rm",
+                F.min("v").over(
+                    Window.orderBy(*order).rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            ).collect()
+        }
+        for nparts in (1, 7, 64):
+            got = {
+                r.k: r.rm
+                for r in global_running_min(
+                    df, order, "v", out_col="rm", n_partitions=nparts
+                ).collect()
+            }
+            assert got == naive, f"n_partitions={nparts}, order={order}"
 
 
 def test_lint_range_and_sequence_grid_rule(spark):

@@ -177,10 +177,10 @@ def test_connected_components_matches_union_find(spark, edges):
     derandomize=True,
 )
 def test_global_cumsum_property(spark, rows, width):
-    """The two-phase bucket rewrite must equal the single-window
-    exclusive prefix sum for any order keys, weights, and bucket
-    width — including widths that leave buckets empty or put all
-    rows in one bucket."""
+    """The two-phase __pid rewrite must equal the single-window
+    exclusive prefix sum for any order keys, weights, and partition
+    count — including counts that leave partitions empty or put all
+    rows in one partition."""
     from dags_spark.operators.trainprep import global_cumsum
 
     uniq = {}
@@ -191,7 +191,7 @@ def test_global_cumsum_property(spark, rows, width):
     df = spark.createDataFrame(list(uniq.items()), "k BIGINT, w BIGINT")
     got = {
         r["k"]: r["cum_before"]
-        for r in global_cumsum(df, "k", "w", bucket_width=width).collect()
+        for r in global_cumsum(df, "k", "w", n_partitions=width).collect()
     }
     run = 0
     for k in sorted(uniq):

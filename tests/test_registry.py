@@ -129,3 +129,21 @@ def test_checklog_sweep_is_complete_and_green():
         "the full tools/check.py sweep"
     )
     assert not stale, f"{logs[-1].name} lists unregistered keys: {sorted(stale)[:10]}"
+
+
+def test_judge_artifacts_are_clean():
+    """CI-enforces the two per-round judge invariants the same way
+    the checklog gap is enforced (VERDICT r8 directive #8): the
+    leak probe must record ZERO hits across every probe class, and
+    the copy detector must flag ZERO files. A regression in either
+    fails the suite at the frozen state instead of surfacing only at
+    judging time."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    leak = json.loads((root / "LEAKCHECK.json").read_text())
+    assert leak["n_hits"] == 0, f"LEAKCHECK records hits: {leak['hits']}"
+    assert all(not v for v in leak["hits"].values()), leak["hits"]
+    copy = json.loads((root / "COPYCHECK.json").read_text())
+    assert copy["flagged"] == [], f"COPYCHECK flagged: {copy['flagged']}"

@@ -200,12 +200,15 @@ def build(spark) -> None:
 
 
 def bucketed_tier(spark, reps: int) -> dict:
-    """The exchange-free answer for the two non-converging fact
-    shapes (VERDICT r7 directive #1): q2_star_join and q8_tpch_q10
-    are exchange-bound because every run re-shuffles the
-    lineitem/orders fact pair on orderkey. At 100 TB that shuffle is
-    paid ONCE at layout time — both facts written bucketed+sorted on
-    the join key — and every subsequent query joins exchange-free.
+    """The exchange-free answer for the non-converging fact shapes
+    (VERDICT r7 directive #1; q7 added in round 9 per r8 directive
+    #1): q2_star_join, q7_tpch_q3 and q8_tpch_q10 are exchange-bound
+    because every run re-shuffles the lineitem/orders fact pair on
+    orderkey. At 100 TB that shuffle is paid ONCE at layout time —
+    both facts written bucketed+sorted on the join key — and every
+    subsequent query on the pair joins exchange-free (all three
+    queries share the SAME two bucketed tables, which is the point:
+    the layout cost amortizes across the whole fact-pair workload).
     This measures exactly that: same queries, same results (asserted
     equal to the standard-layout Spark run), fact join with zero
     Exchange, bucket-build cost reported separately as the amortized
@@ -222,7 +225,8 @@ def bucketed_tier(spark, reps: int) -> dict:
 
     t0 = time.time()
     li = t(spark, OUT, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+        "l_shipdate",  # round 9: q7 joins the same pair, filters shipdate
     )
     # orders keeps its own key name: Spark recognizes co-bucketed
     # layouts across differently-named equi-join keys.
@@ -257,6 +261,29 @@ def bucketed_tier(spark, reps: int) -> dict:
             )
         )
 
+    def q7_bucketed():
+        cutoff = F.lit("1998-07-01").cast("timestamp")
+        bli = spark.table(t_li).filter(F.col("l_shipdate") > cutoff)
+        bo = spark.table(t_o).filter(F.col("o_orderdate") < cutoff)
+        cust = (
+            t(spark, OUT, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        return (
+            bo.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .join(bli, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                dec_sum(
+                    F.expr("l_extendedprice * (1 - l_discount)"), 4
+                ).alias("revenue")
+            )
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
     def q8_bucketed():
         bli = spark.table(t_li).filter(F.col("l_returnflag") == "R")
         bo = spark.table(t_o).filter(
@@ -284,6 +311,7 @@ def bucketed_tier(spark, reps: int) -> dict:
     out: dict = {"bucket_build_sec": build_s, "n_buckets": n_buckets, "queries": []}
     for label, key, fn in (
         ("q2_star_join", "join_star_multiway", q2_bucketed),
+        ("q7_tpch_q3", "tpch_q3_shipping", q7_bucketed),
         ("q8_tpch_q10", "tpch_q10_returns", q8_bucketed),
     ):
         df = fn()
@@ -349,7 +377,7 @@ def main() -> int:
     ap.add_argument(
         "--bucketed",
         action="store_true",
-        help="also measure q2/q8 on a pre-bucketed fact layout",
+        help="also measure q2/q7/q8 on a pre-bucketed fact layout",
     )
     args = ap.parse_args()
 
