@@ -483,6 +483,101 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contractions (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014 —
+    public algorithm): the round count is O(log^2 n) INDEPENDENT OF
+    GRAPH DIAMETER, the bound min-label propagation
+    (``connected_components`` above) lacks — a path graph of length
+    10^6 takes ~10^6 propagation rounds but ~40 star rounds. Near-dup
+    graphs have tiny diameters, so both work there; this is the
+    variant that also survives pathological chains (log-style data,
+    linked update sequences) at 100 TB.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(N(u) ∪ {u}); small-star over (max,min)-directed edges:
+    every smaller neighbor and u itself attach to m. Each step is one
+    groupBy + join (distributed, no driver graph), lineage truncated
+    per round with localCheckpoint; the fixpoint is a star forest
+    rooted at each component's minimum id.
+
+    Returns (id, component), component = min id of the component —
+    the same deterministic contract as connected_components, asserted
+    equal on random graphs by tests/test_operators.py.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = (
+            e.select("u", "v")
+            .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        return (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = d.join(mins, "u")
+        return (
+            nbrs.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 2^63-scale hashes overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select("v")
+        .distinct()
+        .select(F.col("v").alias("id"), F.col("v").alias("component"))
+    )
+    return comp.union(roots).distinct()
+
+
 # --- winnowing fingerprints (exact substring-overlap dedup) ----------
 # Document fingerprinting via winnowing (Schleimer, Wilkerson, Aiken,
 # SIGMOD 2003, public): hash every k-char gram, slide a window of w

@@ -1525,6 +1525,87 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_iban_mod97",
+    oracle="""
+WITH built AS (
+  SELECT c_custkey,
+         'GB' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+              || chr(65 + CAST(c_custkey % 26 AS INTEGER))
+              || chr(65 + CAST(c_custkey * 2 % 26 AS INTEGER))
+              || chr(65 + CAST(c_custkey * 3 % 26 AS INTEGER))
+              || chr(65 + CAST(c_custkey * 5 % 26 AS INTEGER))
+              || lpad(CAST(c_custkey * 7919 % 100000000000000 AS VARCHAR),
+                      14, '0') AS iban
+  FROM customer
+),
+folded AS (
+  SELECT c_custkey, iban,
+         list_reduce(
+           list_transform(
+             string_split_regex(substr(iban, 5) || substr(iban, 1, 4), ''),
+             c -> CASE WHEN c BETWEEN '0' AND '9' THEN CAST(c AS INTEGER)
+                       ELSE ord(c) - 55 END),
+           (acc, v) -> (acc * (CASE WHEN v < 10 THEN 10 ELSE 100 END) + v)
+                       % 97) AS residue
+  FROM built
+)
+SELECT c_custkey, iban, CAST(residue AS BIGINT) AS residue,
+       residue = 1 AS valid
+FROM folded
+""",
+)
+def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN mod-97 VALIDATION (ISO 7064 / ISO 13616): move the first
+    4 chars to the end, expand letters to two digits (A=10..Z=35),
+    and the number mod 97 must equal 1. The expanded number is up to
+    ~34 digits — far past BIGINT — so the practical implementation
+    is the char-by-char FOLD acc = (acc*10_or_100 + v) mod 97, which
+    both engines run as a higher-order array fold (Spark
+    F.aggregate, DuckDB list_reduce), entirely JVM/vector-side — the
+    canonical 'checksum too big for the integer type' pattern every
+    payments DQ pipeline needs. IBANs are synthesized GB-style from
+    c_custkey (letters in the bank code exercise the two-digit
+    expansion; check digits come from custkey%100, so ~1% validate
+    and the rest pin the residue arithmetic)."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    letter = lambda m: F.chr(  # noqa: E731
+        (65 + (k * m) % 26).cast("bigint")
+    )
+    iban = F.concat(
+        F.lit("GB"),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        letter(1),
+        letter(2),
+        letter(3),
+        letter(5),
+        F.lpad((k * 7919 % 100000000000000).cast("string"), 14, "0"),
+    )
+    d = c.select("c_custkey", iban.alias("iban"))
+    rearr = F.concat(F.substring("iban", 5, 18), F.substring("iban", 1, 4))
+    vals = F.transform(
+        F.split(rearr, ""),
+        lambda ch: F.when(
+            ch.between("0", "9"), ch.cast("int")
+        ).otherwise(F.ascii(ch) - 55),
+    )
+    residue = F.aggregate(
+        vals,
+        F.lit(0),
+        lambda acc, v: (
+            acc * F.when(v < 10, F.lit(10)).otherwise(F.lit(100)) + v
+        )
+        % 97,
+    )
+    return d.select(
+        "c_custkey",
+        "iban",
+        residue.cast("bigint").alias("residue"),
+        (residue == 1).alias("valid"),
+    )
+
+
 _ULID_ALPHABET = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
 
 

@@ -2667,6 +2667,161 @@ def source_protobuf_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_cbor_records",
+    oracle="""
+SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS nation,
+       s_name AS name,
+       CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_c,
+       CAST(s_suppkey % 3 + s_suppkey * 1000 AS BIGINT) AS tag_sum,
+       CAST(length(s_name) + 1 + s_suppkey % 40 AS BIGINT) AS comment_len
+FROM supplier
+""",
+    tags=("source",),
+)
+def source_cbor_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR (RFC 8949) record-sequence source, wire format
+    implemented FROM THE PUBLIC SPEC (operators/cborio.py) — the
+    third varint family in the codebase after protobuf's LSB-first
+    LEB128 and SMF's MSB-first VLQ: CBOR heads carry 5 bits of
+    'additional info' that either IS the value (< 24) or selects a
+    1/2/4-byte big-endian argument. supplier rows are encoded
+    executor-side as one CBOR map per record (unsigned + NEGATIVE
+    ints for the mixed-sign balance, UTF-8 text, a nested tag
+    array), laid end-to-end as an RFC 8742 CBOR Sequence — one shard
+    file per partition, scanned back via binaryFile, one shard per
+    task. The fixture data spans all three multi-byte head forms
+    (comment lengths > 23, balances > 255, tag values > 65535), so a
+    decoder that only handles the immediate form cannot hash-match;
+    truncation raises typed ValueError
+    (tests/test_operators.py::test_cbor_roundtrip_and_truncation)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.cborio import decode_sequence, encode_item  # noqa: PLC0415
+
+    out = _tmpdir("cbor")
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_name",
+        cents("s_acctbal").alias("bal_c"),
+        # text long enough to cross the 23-byte immediate-form
+        # ceiling (the fixture supplier table has no comment column)
+        F.concat_ws(
+            " ", "s_name", F.expr("repeat('y', s_suppkey % 40)")
+        ).alias("s_comment"),
+    )
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        blob = bytearray()
+        n = 0
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                blob += encode_item(
+                    {
+                        "id": int(r["s_suppkey"]),
+                        "nation": int(r["s_nationkey"]),
+                        "name": r["s_name"],
+                        "bal": int(r["bal_c"]),
+                        "tags": [
+                            int(r["s_suppkey"]) % 3,
+                            int(r["s_suppkey"]) * 1000,
+                        ],
+                        "comment": r["s_comment"],
+                    }
+                )
+                n += 1
+        if not n:
+            return
+        path = os.path.join(out, f"part-{_uuid.uuid4().hex}.cbor")
+        with open(path, "wb") as fh:
+            fh.write(bytes(blob))
+        yield pd.DataFrame({"path": [path], "n": [n]})
+
+    files = [
+        r["path"]
+        for r in sup.repartition(4)
+        .mapInPandas(_write, "path string, n bigint")
+        .select("path")
+        .collect()
+    ]
+    assert files, "cbor sink committed no files"
+
+    def _read(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = decode_sequence(bytes(content))
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "id": [r["id"] for r in recs],
+                            "nation": [r["nation"] for r in recs],
+                            "name": [r["name"] for r in recs],
+                            "bal_c": [r["bal"] for r in recs],
+                            "tag_sum": [sum(r["tags"]) for r in recs],
+                            "comment_len": [len(r["comment"]) for r in recs],
+                        }
+                    )
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read,
+        "id bigint, nation bigint, name string, bal_c bigint, "
+        "tag_sum bigint, comment_len bigint",
+    )
+
+
+@register(
+    "source_gzip_multistream",
+    oracle="""
+SELECT CAST(r AS BIGINT) AS n, 'line-' || CAST(r AS VARCHAR) AS line,
+       CAST(r // 100 AS BIGINT) AS member
+FROM range(0, 300) t(r)
+""",
+    tags=("source",),
+)
+def source_gzip_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenated-member gzip source: RFC 1952 §2.2 explicitly
+    allows a .gz file to be a SEQUENCE of independently-compressed
+    members, and appending-producer pipelines (log shippers, `cat
+    a.gz b.gz > all.gz` compaction) emit exactly that. Many naive
+    decoders stop at the first member's end-of-stream and silently
+    drop the rest — the classic truncation-without-an-error bug.
+    This key writes THREE members (100 lines each) into one .gz and
+    asserts the text scan surfaces all 300 lines: Spark's Hadoop
+    GzipCodec must keep inflating across member boundaries, and the
+    relational oracle pins every line, so a first-member-only read
+    cannot pass. Single non-splittable file by design — the 100 TB
+    layout note is that multistream .gz still gates parallelism at
+    FILE granularity (one task per file), which is why the engine's
+    preferred text layouts are many-file bz2/zstd or parquet; this
+    key certifies correctness on the format users actually ship."""
+    import gzip as _gzip  # noqa: PLC0415
+
+    work = _tmpdir("gzms")
+    path = os.path.join(work, "multi.gz")
+    with open(path, "wb") as raw:
+        for member in range(3):
+            # each member independently compressed, then concatenated
+            raw.write(
+                _gzip.compress(
+                    "".join(
+                        f"line-{n}\n"
+                        for n in range(member * 100, (member + 1) * 100)
+                    ).encode()
+                )
+            )
+    lines = spark.read.text(path)
+    n = F.split(F.col("value"), "-").getItem(1).cast("bigint")
+    return lines.select(
+        n.alias("n"),
+        F.col("value").alias("line"),
+        (n / 100).cast("bigint").alias("member"),
+    )
+
+
+@register(
     "source_tar_shards",
     oracle="""
 SELECT doc_id, lang, source,

@@ -2484,3 +2484,100 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "&",
     )
     return html.select("doc_id", title.alias("title"), body.alias("body"))
+
+
+@register(
+    "text_boilerplate_chunk_dedup",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT t.doc_id, g.k,
+         array_to_string(
+           list_slice(t.toks, CAST(g.k * 10 + 1 AS BIGINT),
+                      CAST(g.k * 10 + 10 AS BIGINT)), ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT UNNEST(range(CAST(ceil(len(t.toks) / 10.0) AS BIGINT))) AS k
+  ) g
+),
+df AS (
+  SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS docfreq
+  FROM ch GROUP BY 1
+),
+j AS (
+  SELECT ch.doc_id, ch.k, ch.chunk, df.docfreq
+  FROM ch JOIN df ON md5(ch.chunk) = df.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN docfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       md5(COALESCE(
+         string_agg(chunk, ' ' ORDER BY k) FILTER (WHERE docfreq < 3),
+         '')) AS kept_md5
+FROM j GROUP BY doc_id
+""",
+    tags=("textops", "dedup", "trainprep"),
+)
+def text_boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL BOILERPLATE DEDUP — the CCNet/RefinedWeb move:
+    instead of dropping whole near-dup documents, split every doc
+    into fixed 10-token chunks, count each chunk's DOCUMENT
+    frequency corpus-wide, and strip chunks appearing in >= 3 docs
+    (navigation bars, license footers, cookie banners — the
+    boilerplate that survives doc-level dedup because the documents
+    around it differ). Returns per-doc chunk counts and the md5 of
+    the kept text in original chunk order, so the oracle certifies
+    the RECONSTRUCTION, not just the counts.
+
+    Scale shape: explode to chunk grain (rows ~ tokens/10), hash-agg
+    the doc frequency on md5(chunk) — never the raw text — and one
+    equi-join back. A viral chunk (in 10^6 docs) is a hot JOIN key;
+    the df side is chunk-distinct-grain (unbroadcastable), so the
+    join relies on AQE skew splitting, and the reassembly
+    collect_list window is doc-grain (bounded by doc length). No
+    pairs are ever enumerated — df-based dedup is linear where
+    pairwise near-dup is quadratic."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.array_join(
+                    F.slice(toks, k * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("k", "chunk"),
+    )
+    chunks = chunks.withColumn("h", F.md5("chunk"))
+    df = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    j = chunks.join(df, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("docfreq") >= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("docfreq") < 3,
+                                    F.struct("k", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("chunk"),
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -901,6 +901,44 @@ def test_blocked_pairs_tiled_topk_matches_fold_path(spark):
         blocked_pairs(df, max_block_rows=128).collect()
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star CC must reach the same (id -> min id)
+    fixpoint as min-label propagation on (a) a seeded random graph
+    with several components and (b) a 400-node PATH — the
+    adversarial-diameter case star contraction exists for (label
+    propagation would need 400 rounds there; the star variant is
+    capped at 30 and must still converge)."""
+    from dags_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def comp_map(df):
+        return {r.id: r.component for r in df.collect()}
+
+    # (a) deterministic pseudo-random graph: 3 disjoint blobs + loners
+    edges = []
+    for blob, base in ((0, 0), (1, 1000), (2, 2000)):
+        for i in range(60):
+            a = base + (i * 17) % 60
+            b = base + (i * 31 + 7) % 60
+            if a != b:
+                edges.append((a, b))
+        del blob
+    rand_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = comp_map(connected_components_star(rand_df))
+    prop = comp_map(connected_components(rand_df))
+    assert star == prop and star, "random-graph fixpoints diverged"
+
+    # (b) the long path: 0-1-2-...-400
+    path_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    star_p = comp_map(connected_components_star(path_df))
+    assert set(star_p.values()) == {0}, "path did not contract to root 0"
+    assert len(star_p) == 401
+
+
 def test_blocked_pairs_per_query_topk_lossless_and_bounded(spark):
     """per_query_topk must (a) emit <= ~k rows per query out of the
     kernel instead of O(block) — the round-9 shuffle-volume fix for

@@ -91,6 +91,7 @@ ALLOWED = {
     # stream source's full-directory snapshot).
     "scan_file_metadata": {"unpruned-partition-scan"},
     "sink_partition_overwrite_dynamic": {"unpruned-partition-scan"},
+    "source_python_bus_partitioned": {"unpruned-partition-scan"},
     "source_python_datasource_stream": {"unpruned-partition-scan"},
     # 
     # -- rowwise-python-udf: API-coverage keys --

@@ -235,3 +235,128 @@ def test_flac_loud_failures():
         build_flac_meta(8000, 9, 16, 1000)
     with pytest.raises(ValueError, match="field range"):
         build_flac_meta(1 << 20, 1, 16, 1000)
+
+
+def test_ico_directory_walk_and_256_rule():
+    import pytest
+
+    from dags_spark.operators.binmeta import build_ico, parse_ico
+
+    m = parse_ico(build_ico([(256, 128, 32, 40), (16, 16, 8, 10)]))
+    assert m == {
+        "n_images": 2,
+        "max_width": 256,  # stored as byte 0 per spec
+        "max_height": 128,
+        "payload_bytes": 50,
+        "distinct_bpp": 2,
+    }
+    blob = build_ico([(32, 32, 4, 20)])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ico(blob[:4])
+    with pytest.raises(ValueError, match="truncated directory"):
+        parse_ico(blob[:10])
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_ico(blob[:-5])
+    with pytest.raises(ValueError, match="bad header"):
+        parse_ico(b"\x00\x00\x02\x00" + blob[4:])  # type 2 = CUR
+
+
+def test_id3_syncsafe_and_frame_walk():
+    import pytest
+
+    from dags_spark.operators.binmeta import (
+        _syncsafe_decode,
+        _syncsafe_encode,
+        build_id3v2,
+        parse_id3v2,
+    )
+
+    for n in (0, 1, 127, 128, 300, 2**21, 2**28 - 1):
+        enc = _syncsafe_encode(n)
+        assert not any(b & 0x80 for b in enc)  # the no-0xFF guarantee
+        assert _syncsafe_decode(enc) == n
+    # the plain-big-endian confusion: 200 encodes as 00 00 01 48, a
+    # naive u32 read of which is 328
+    assert _syncsafe_encode(200) == bytes([0, 0, 1, 0x48])
+
+    tag = build_id3v2([("TIT2", b"\x03hello"), ("COMM", b"\x00" * 200)])
+    t = parse_id3v2(tag)
+    assert t["n_frames"] == 2
+    assert t["texts"] == {"TIT2": "hello"}
+    assert t["payload_bytes"] == 206
+    with pytest.raises(ValueError, match="bad magic"):
+        parse_id3v2(b"XD3" + tag[3:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_id3v2(tag[:30])
+    with pytest.raises(ValueError, match="MSB set"):
+        _syncsafe_decode(bytes([0x80, 0, 0, 0]))
+
+
+def test_aiff_f80_roundtrip_and_chunk_walk():
+    import pytest
+
+    from dags_spark.operators.binmeta import (
+        _f80_decode,
+        _f80_encode,
+        build_aiff,
+        parse_aiff,
+    )
+
+    for r in (8000.0, 11025.0, 16000.0, 22050.0, 44100.0, 48000.0,
+              96000.0, 192000.0, 44100.5):
+        assert _f80_decode(_f80_encode(r)) == r
+    a = parse_aiff(build_aiff(2, 37, 16, 44100.0))
+    assert a == {
+        "channels": 2,
+        "sample_frames": 37,
+        "sample_size": 16,
+        "sample_rate": 44100.0,
+        "ssnd_bytes": 148,
+    }
+    # odd-length SSND exercises the IFF even-padding rule
+    b = parse_aiff(build_aiff(1, 3, 8, 8000.0))
+    assert b["ssnd_bytes"] == 3
+    blob = build_aiff(1, 4, 8, 8000.0)
+    with pytest.raises(ValueError, match="bad FORM"):
+        parse_aiff(b"FARM" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_aiff(blob[:-3])  # FORM length check fires first
+    with pytest.raises(ValueError, match="truncated chunk"):
+        # keep the FORM length consistent but cut the final chunk body
+        cut = bytearray(blob[:-3])
+        cut[4:8] = (len(cut) - 8).to_bytes(4, "big")
+        parse_aiff(bytes(cut))
+
+
+def test_cbor_roundtrip_and_truncation():
+    import pytest
+
+    from dags_spark.operators.cborio import (
+        decode_item,
+        decode_sequence,
+        encode_item,
+    )
+
+    # all three multi-byte head forms + immediate
+    for n in (0, 23, 24, 255, 256, 65535, 65536, 2**32 - 1, 2**32):
+        assert decode_item(encode_item(n)) == (n, len(encode_item(n)))
+        assert decode_item(encode_item(-n - 1))[0] == -n - 1
+    # RFC 8949 golden bytes: 500 = 0x19 0x01 0xF4; -500 = 0x39 0x01 0xF3
+    assert encode_item(500) == bytes([0x19, 0x01, 0xF4])
+    assert encode_item(-500) == bytes([0x39, 0x01, 0xF3])
+    assert encode_item("a") == bytes([0x61, ord("a")])
+
+    recs = [
+        {"id": i, "neg": -(i + 1), "name": "s" * (i % 40) + str(i),
+         "tags": [i % 3, i * 1000]}
+        for i in range(0, 300, 7)
+    ]
+    blob = b"".join(encode_item(r) for r in recs)
+    assert decode_sequence(blob) == recs
+    for cut in (1, 5, len(blob) - 1):
+        with pytest.raises(ValueError):
+            decode_sequence(blob[:cut])
+    with pytest.raises(ValueError, match="unsupported additional"):
+        decode_sequence(bytes([0x1F]))  # ai=31 (indefinite) not in subset
+    with pytest.raises(ValueError, match="unsupported type"):
+        encode_item(1.5)

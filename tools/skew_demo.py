@@ -1,0 +1,202 @@
+"""Skew demonstration at the sf10 tier (VERDICT r8 directive #7):
+measure `operators.scale.salted_join` against the plain shuffle join
+on a DELIBERATELY skewed key — one hot key holding ~30% of the fact
+side — and record wall time plus the per-task row maximum.
+
+Design of the demonstration (why each knob is set the way it is):
+
+- Fact side: the sf10 lineitem (~60M rows) with a synthetic
+  ``skew_key``: rows whose xxhash64(l_orderkey) lands in 30% of the
+  hash space all map to key 0; the rest spread over 10k keys. This
+  is the "one customer with 10^9 rows" shape, deterministic across
+  runs (no RNG).
+- Dim side: 10k keys with a payload — small enough to broadcast,
+  which is exactly why ``spark.sql.autoBroadcastJoinThreshold=-1``
+  is forced: the demo stands in for a fact⋈fact join whose right
+  side CANNOT broadcast; letting Catalyst broadcast the dim would
+  (correctly) make skew irrelevant and measure nothing.
+- AQE OFF for both variants: AQE's skew-join splitting is Spark's
+  automatic answer for sort-merge joins, and it is ON everywhere
+  else in this repo. The explicit salt exists for when AQE can't
+  help (hash joins, deterministic layout control), so the demo
+  isolates exactly that lever. The MD section says so.
+- Per-task max: the join output's partition row counts
+  (spark_partition_id() of the join's own partitioning, BEFORE any
+  re-aggregation) — the volume the straggler task actually carries.
+
+Outputs one JSON line and (with --md) appends a section to
+BENCH_SF10.md.
+
+Usage: python tools/skew_demo.py [--md] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from dags_spark.session import get_spark  # noqa: E402
+
+SF10_DIR = "/tmp/dags_spark_sf10_v1"
+HOT_PCT = 30  # % of fact rows on the hot key
+N_KEYS = 10_000
+N_SALTS = 8
+
+
+def build_sides(spark):
+    from pyspark.sql import functions as F
+
+    from dags_spark.io import table as t
+
+    li = t(spark, SF10_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    h = F.abs(F.xxhash64("l_orderkey"))
+    fact = li.withColumn(
+        "skew_key",
+        F.when(h % 100 < HOT_PCT, F.lit(0)).otherwise(F.pmod(h, N_KEYS)),
+    )
+    dim = (
+        spark.range(N_KEYS)
+        .select(
+            F.col("id").alias("skew_key"),
+            (F.col("id") % 97).cast("double").alias("rate"),
+        )
+    )
+    return fact, dim
+
+
+def run_variant(spark, salted: bool, reps: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from dags_spark.operators.scale import salted_join
+
+    fact, dim = build_sides(spark)
+    if salted:
+        joined = salted_join(fact, dim, "skew_key", n_salts=N_SALTS)
+    else:
+        joined = fact.join(dim, "skew_key")
+
+    # per-task row volume of the join output partitioning: count rows
+    # per spark_partition_id BEFORE anything re-shuffles them. The
+    # partial count per partition is map-side; only 32 (pid, n) rows
+    # move. Measured once (it is a property of the plan, not noise).
+    by_pid = (
+        joined.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(
+            F.max("count").alias("max_task_rows"),
+            F.sum("count").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_tasks"),
+        )
+        .collect()[0]
+    )
+
+    # checksum for cross-variant parity (salting must not change the
+    # join's content)
+    chk = joined.agg(
+        F.sum(F.col("l_extendedprice") * F.col("rate")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
+    def once() -> float:
+        t0 = time.time()
+        joined.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    once()  # warm
+    wall = round(min(once() for _ in range(reps)), 3)
+    return {
+        "variant": "salted" if salted else "plain",
+        "wall_s": wall,
+        "max_task_rows": int(by_pid.max_task_rows),
+        "total_rows": int(by_pid.total_rows),
+        "n_tasks": int(by_pid.n_tasks),
+        "checksum": (round(float(chk.s), 2), int(chk.n)),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--md", action="store_true")
+    args = ap.parse_args()
+
+    if not (Path(SF10_DIR) / "_COMPLETE").exists():
+        print(f"sf10 tier data missing at {SF10_DIR}; run "
+              "tools/bench_sf1.py --tier 10 first", file=sys.stderr)
+        return 2
+
+    spark = get_spark("dags_spark-skew-demo")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    plain = run_variant(spark, salted=False, reps=args.reps)
+    salted = run_variant(spark, salted=True, reps=args.reps)
+    assert plain["checksum"] == salted["checksum"], (
+        "salted join diverged from plain join: "
+        f"{plain['checksum']} vs {salted['checksum']}"
+    )
+
+    result = {
+        "metric": "skew_demo_sf10",
+        "hot_pct": HOT_PCT,
+        "n_keys": N_KEYS,
+        "n_salts": N_SALTS,
+        "plain": plain,
+        "salted": salted,
+        "max_task_rows_ratio": round(
+            plain["max_task_rows"] / max(salted["max_task_rows"], 1), 2
+        ),
+        "wall_speedup": round(plain["wall_s"] / max(salted["wall_s"], 1e-9), 2),
+    }
+    print(json.dumps(result))
+
+    if args.md:
+        md = REPO / "BENCH_SF10.md"
+        lines = [
+            "",
+            "## Skew demonstration: salted vs plain join on a hot key",
+            "",
+            f"One synthetic hot key carries {HOT_PCT}% of the sf10 lineitem",
+            f"fact ({plain['total_rows']:,} join-output rows); the remaining",
+            f"rows spread over {N_KEYS:,} keys. Broadcast is disabled (the",
+            "demo stands in for a fact⋈fact join whose right side cannot",
+            "broadcast) and AQE is OFF for both variants — AQE skew-split is",
+            "Spark's automatic answer for sort-merge joins and stays on in",
+            "the engine; the explicit salt (`operators/scale.salted_join`)",
+            "is the deterministic lever for when AQE cannot help (hash",
+            "joins, layout control). Content asserted identical.",
+            "",
+            "| variant | wall (s) | max rows in one task | tasks |",
+            "|---|---|---|---|",
+            (
+                f"| plain shuffle join | {plain['wall_s']} |"
+                f" {plain['max_task_rows']:,} | {plain['n_tasks']} |"
+            ),
+            (
+                f"| salted x{N_SALTS} | {salted['wall_s']} |"
+                f" {salted['max_task_rows']:,} | {salted['n_tasks']} |"
+            ),
+            "",
+            (
+                f"The salt bounds the straggler: per-task max drops"
+                f" {result['max_task_rows_ratio']}x"
+                f" (wall {result['wall_speedup']}x on 32 local cores; on a"
+                " real cluster the wall gap IS the straggler gap, since the"
+                " hot task pins one executor while the fleet idles)."
+            ),
+        ]
+        with md.open("a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print(f"appended skew section to {md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
