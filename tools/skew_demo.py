@@ -64,7 +64,7 @@ def build_sides(spark):
         spark.range(N_KEYS)
         .select(
             F.col("id").alias("skew_key"),
-            (F.col("id") % 97).cast("double").alias("rate"),
+            (F.col("id") % 97).cast("long").alias("rate"),
         )
     )
     return fact, dim
@@ -97,9 +97,13 @@ def run_variant(spark, salted: bool, reps: int) -> dict:
     )
 
     # checksum for cross-variant parity (salting must not change the
-    # join's content)
+    # join's content) — exact integer cents so plan-dependent float
+    # summation order cannot alias as a divergence
     chk = joined.agg(
-        F.sum(F.col("l_extendedprice") * F.col("rate")).alias("s"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * F.col("rate")
+        ).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
 
@@ -116,7 +120,7 @@ def run_variant(spark, salted: bool, reps: int) -> dict:
         "max_task_rows": int(by_pid.max_task_rows),
         "total_rows": int(by_pid.total_rows),
         "n_tasks": int(by_pid.n_tasks),
-        "checksum": (round(float(chk.s), 2), int(chk.n)),
+        "checksum": (int(chk.s), int(chk.n)),
     }
 
 
