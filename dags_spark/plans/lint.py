@@ -294,6 +294,19 @@ def _attr_defs(details: dict[str, dict[str, str]]) -> dict[str, str]:
                 # input columns: plan-literal data, same convention
                 # as LocalTableScan (constant w.r.t. the corpus)
                 n = 256
+            else:
+                # explode of an INLINE literal array — the plan
+                # prints the elements verbatim (e.g. [0.5,0.9,0.99])
+                # when no input column feeds the Generate, so the
+                # element count is readable from the text (round 9).
+                m = re.match(r"^explode\(\[([^\[\]]*)\]\)", args)
+                if m and d.get("Input", "").rstrip().endswith(": []"):
+                    items = [s for s in m.group(1).split(",") if s.strip()]
+                    if items and all(
+                        re.fullmatch(r"-?\d+(?:\.\d+(?:E-?\d+)?)?", s.strip())
+                        for s in items
+                    ):
+                        n = len(items)
             if n is not None and gen_attrs and len(gen_attrs) == 1:
                 defs.setdefault(gen_attrs[0], f"__bounded_range({n})")
     return defs
@@ -388,8 +401,14 @@ def _expr_bound(expr: str, defs: dict[str, str], depth: int = 0) -> int | None:
         if m and _balanced(m.group(3)):
             body = m.group(3)
             is_int = bool(
-                re.match(r"^cast\(.* as (?:tiny|small|big)?int\)$", body, re.S)
-                or re.match(r"^(floor|ceil|ceiling)\(", body)
+                re.match(
+                    r"^cast\(.* as (?:tiny|small|big)?int\)$",
+                    body,
+                    re.S | re.I,
+                )
+                # Spark prints CEIL/FLOOR uppercase in plan text —
+                # match case-insensitively (round 9)
+                or re.match(r"^(floor|ceil|ceiling)\(", body, re.I)
             )
             if is_int:
                 lo, hi = sorted((int(m.group(1)), int(m.group(2))))
@@ -517,6 +536,40 @@ def _bounded_rows(
         return None
 
     kids = _children(tree, idx)
+
+    if line.startswith("Generate"):
+        import re  # noqa: PLC0415
+
+        # Generate MULTIPLIES rows; it is provable only when the
+        # exploded collection's length is readable from the plan text
+        # (literal sequence(a, b[, step]) or an inline literal array)
+        # — then output <= n * child bound (round 9).
+        args = d.get("Arguments", "")
+        if ":" in args:
+            args = args.split(":", 1)[1].strip()
+        n = None
+        m = re.search(
+            r"explode\(sequence\((-?\d+), (-?\d+)(?:, (-?\d+))?", args
+        )
+        if m:
+            a0, b0 = int(m.group(1)), int(m.group(2))
+            step = int(m.group(3)) if m.group(3) else 1
+            if step:
+                n = max(0, (b0 - a0) // step + 1)
+        else:
+            m = re.match(r"^explode\(\[([^\[\]]*)\]\)", args)
+            if m:
+                items = [s for s in m.group(1).split(",") if s.strip()]
+                if items and all(
+                    re.fullmatch(r"-?\d+(?:\.\d+(?:E-?\d+)?)?", s.strip())
+                    for s in items
+                ):
+                    n = len(items)
+        if n is not None and len(kids) == 1:
+            child = _bounded_rows(tree, kids[0], details, depth + 1, defs)
+            if child is not None and n * child <= _BOUNDED_T:
+                return n * child
+        return None
 
     if line.startswith("Union"):
         total = 0

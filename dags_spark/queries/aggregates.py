@@ -6566,3 +6566,818 @@ def agg_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_1996",
         )
     )
+
+
+# ---------------------------------------------------------- round 9
+# Nonparametric / exact-test family: Kruskal-Wallis (K-group rank
+# test on the value histogram), Fisher's exact 2x2, Friedman's
+# within-block rank test, and the Murphy decomposition of the Brier
+# score. All follow the house grid-lane discipline: corpus-scale
+# work is one hash aggregate; the statistic folds over a bounded
+# grid with exact-integer (or quantized-lane) arithmetic so both
+# engines agree bit-for-bit.
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na_v,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nn_v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr_v
+  FROM lineitem GROUP BY q
+),
+cum AS (
+  SELECT na_v, nn_v, nr_v, na_v + nn_v + nr_v AS t_v,
+         COALESCE(SUM(na_v + nn_v + nr_v) OVER (
+           ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_t
+  FROM hist
+),
+lanes AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+         CAST(SUM(nn_v) AS BIGINT) AS n_n,
+         CAST(SUM(nr_v) AS BIGINT) AS n_r,
+         CAST(SUM(na_v * (2 * cum_t + t_v + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(nn_v * (2 * cum_t + t_v + 1)) AS BIGINT) AS r2_n,
+         CAST(SUM(nr_v * (2 * cum_t + t_v + 1)) AS BIGINT) AS r2_r,
+         CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_sum
+  FROM cum
+),
+h AS (
+  SELECT n_a, n_n, n_r,
+         CAST(n_a + n_n + n_r AS DOUBLE) AS nd,
+         (CAST(r2_a AS DOUBLE) * CAST(r2_a AS DOUBLE) / (4.0 * n_a)
+          + CAST(r2_n AS DOUBLE) * CAST(r2_n AS DOUBLE) / (4.0 * n_n)
+          + CAST(r2_r AS DOUBLE) * CAST(r2_r AS DOUBLE) / (4.0 * n_r)
+         ) AS ssq,
+         CAST(tie_sum AS DOUBLE) AS tie_d
+  FROM lanes
+)
+SELECT n_a, n_n, n_r,
+       ROUND(12.0 / (nd * (nd + 1.0)) * ssq - 3.0 * (nd + 1.0), 6) AS h_stat,
+       ROUND((12.0 / (nd * (nd + 1.0)) * ssq - 3.0 * (nd + 1.0))
+             / (1.0 - tie_d / (nd * nd * nd - nd)), 6) AS h_adj
+FROM h
+""",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — the K-group generalization of the
+    Mann-Whitney rank test (one-way ANOVA on ranks): do the three
+    return-flag populations (A/N/R) differ in quantity location,
+    with no normality assumption? Same scalable identity as
+    stats_mann_whitney_u: never rank rows globally — work on the
+    VALUE HISTOGRAM, where every group-g row at value v has average
+    rank cum_t + (t_v+1)/2, so the DOUBLED rank sum 2*R_g =
+    sum n_gv*(2*cum_t + t_v + 1) is exact BIGINT arithmetic over a
+    domain-sized grid (50 quantity levels regardless of corpus).
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), tie-corrected by
+    C = 1 - sum(t^3-t)/(N^3-N); both fold on ONE result row from
+    exact integer lanes (tie cubes stay exact through t ~ 2.1e6
+    rows per grid value; beyond that swap the lane to DECIMAL).
+    Scale: one fact-scan hash-agg -> two-pass grid cumsum
+    (global_cumsum, no single-task window) -> 1-row reduce."""
+    from ..operators.trainprep import global_cumsum  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == fl, 1).otherwise(0)).alias(c)
+            for fl, c in (("A", "na_v"), ("N", "nn_v"), ("R", "nr_v"))
+        ]
+    )
+    hist = hist.withColumn(
+        "t_v", F.col("na_v") + F.col("nn_v") + F.col("nr_v")
+    )
+    cum = global_cumsum(hist, "q", "t_v", 8, out_col="cum_t")
+    rank_w = 2 * F.col("cum_t") + F.col("t_v") + 1
+    lanes = cum.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nn_v").cast("bigint").alias("n_n"),
+        F.sum("nr_v").cast("bigint").alias("n_r"),
+        F.sum(F.col("na_v") * rank_w).cast("bigint").alias("r2_a"),
+        F.sum(F.col("nn_v") * rank_w).cast("bigint").alias("r2_n"),
+        F.sum(F.col("nr_v") * rank_w).cast("bigint").alias("r2_r"),
+        F.sum(F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    nd = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast("double")
+    ssq = (
+        F.col("r2_a").cast("double") * F.col("r2_a").cast("double")
+        / (4.0 * F.col("n_a"))
+        + F.col("r2_n").cast("double") * F.col("r2_n").cast("double")
+        / (4.0 * F.col("n_n"))
+        + F.col("r2_r").cast("double") * F.col("r2_r").cast("double")
+        / (4.0 * F.col("n_r"))
+    )
+    h = 12.0 / (nd * (nd + 1.0)) * ssq - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    return lanes.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_adj"),
+    )
+
+
+def _sql_lnfact(e: str) -> str:
+    """ln(m!) as ONE expression string valid in BOTH Spark SQL and
+    DuckDB — exact-literal table for m <= 20 (CPython lgamma values,
+    parsed to the identical double by both engines), Stirling series
+    (m+1/2)ln m - m + ln(2*pi)/2 + 1/12m - 1/360m^3 + 1/1260m^5 above
+    (absolute error < 4e-13 at m=21, shrinking as m grows). Sharing
+    the TEXT is the determinism argument: both engines evaluate the
+    same double-op sequence on the same exact-integer inputs."""
+    import math  # noqa: PLC0415
+
+    tbl = " ".join(
+        f"WHEN {k} THEN {float(math.lgamma(k + 1))!r}" for k in range(21)
+    )
+    m = f"CAST({e} AS DOUBLE)"
+    stirling = (
+        f"(({m} + 0.5) * LN({m}) - {m} + 0.9189385332046727"
+        f" + 1.0/(12.0*{m}) - 1.0/(360.0*{m}*{m}*{m})"
+        f" + 1.0/(1260.0*{m}*{m}*{m}*{m}*{m}))"
+    )
+    return f"(CASE {e} {tbl} ELSE {stirling} END)"
+
+
+def _sql_lnchoose(n: str, k: str) -> str:
+    """ln C(n,k) from the shared ln-factorial text."""
+    return (
+        f"({_sql_lnfact(n)} - {_sql_lnfact(k)}"
+        f" - {_sql_lnfact(f'({n}) - ({k})')})"
+    )
+
+
+# lnP(k) of the hypergeometric cell count, then nano-quantized:
+# identical text evaluated by Spark's F.expr and DuckDB.
+_FISHER_LNP = (
+    f"({_sql_lnchoose('r1', 'kk')}"
+    f" + {_sql_lnchoose('(n - r1)', '(c1 - kk)')}"
+    f" - {_sql_lnchoose('n', 'c1')})"
+)
+_FISHER_LANE = (
+    f"CAST(FLOOR(ROUND({_FISHER_LNP}, 12) * 1000000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "stats_fisher_exact",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(SUM(CASE WHEN p_size <= 10 AND p_type LIKE 'PROMO%'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN p_size <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM part
+),
+grid AS (
+  SELECT m.a, m.r1, m.c1, m.n, gs.kk
+  FROM m, (SELECT UNNEST(generate_series(0, (SELECT LEAST(r1, c1) FROM m)))
+           AS kk) gs
+  WHERE gs.kk >= m.r1 + m.c1 - m.n
+),
+lanes AS (
+  SELECT a, r1, c1, n, kk, {_FISHER_LANE} AS lnp_q
+  FROM grid
+),
+obs AS (
+  SELECT lnp_q AS obs_q FROM lanes WHERE kk = a
+)
+SELECT MAX(a) AS a, MAX(r1) AS r1, MAX(c1) AS c1, MAX(n) AS n,
+       ROUND(CAST(SUM(CASE WHEN lnp_q <= (SELECT obs_q FROM obs) + 1
+                  THEN CAST(ROUND(EXP(CAST(lnp_q AS DOUBLE) / 1000000000.0)
+                            * 1000000000000.0, 0) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) / 1000000000000.0, 9) AS p_two
+FROM lanes
+""",
+)
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER'S EXACT TEST on the 2x2 table (small part: p_size<=10)
+    x (promo type: p_type LIKE 'PROMO%') — the exact independence
+    test for contingency tables whose margins are too small for the
+    chi-square approximation (stats_chi_square / stats_g_test are
+    the large-count path; Fisher's whole point is the regime where
+    they fail). Two-sided p = sum of hypergeometric P(k) over every
+    table at least as extreme as the observed one (P(k) <= P(a),
+    with one nano-lane of slack mirroring the standard (1+1e-7)
+    tolerance). Engine-exactness: ln C(n,k) comes from ONE shared
+    expression text (_sql_lnfact — exact literal table to 20!,
+    Stirling series above, < 4e-13 absolute) evaluated by F.expr and
+    DuckDB alike; each lnP is guard-rounded and nano-quantized to
+    BIGINT before the extremeness comparison, each included term's
+    probability pico-quantized before the order-free exact-integer
+    sum. Scale: the margins fold in one hash-agg over the fact; the
+    enumeration grid is the SMALLER MARGIN (min(r1,c1)+1 terms) —
+    by construction the regime where the exact test is the right
+    tool; corpus-scale margins belong to the z/chi-square keys."""
+    p = table(spark, sf_dir, "part")
+    m = p.agg(
+        F.sum(
+            F.when(
+                (F.col("p_size") <= 10) & F.col("p_type").like("PROMO%"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("p_size") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    grid = m.select(
+        "a",
+        "r1",
+        "c1",
+        "n",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("bigint"), F.col("r1") + F.col("c1") - F.col("n")),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("kk"),
+    )
+    lanes = grid.select(
+        "a", "r1", "c1", "n", "kk", F.expr(_FISHER_LANE).alias("lnp_q")
+    )
+    # obs as a GLOBAL AGG (not filter-then-select): provably 1 row,
+    # so the broadcast cross join below is lint-clean by structure.
+    obs = lanes.agg(
+        F.max(F.when(F.col("kk") == F.col("a"), F.col("lnp_q"))).alias("obs_q")
+    )
+    return (
+        lanes.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("a").alias("a"),
+            F.max("r1").alias("r1"),
+            F.max("c1").alias("c1"),
+            F.max("n").alias("n"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("lnp_q") <= F.col("obs_q") + 1,
+                        F.round(
+                            F.exp(F.col("lnp_q").cast("double") / 1e9)
+                            * 1e12,
+                            0,
+                        ).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / 1e12,
+                9,
+            ).alias("p_two"),
+        )
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+WITH cell AS (
+  SELECT date_trunc('month', o_orderdate) AS blk, o_orderpriority AS trt,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS val_c
+  FROM orders GROUP BY blk, trt
+),
+full_blk AS (
+  SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+),
+ranked AS (
+  SELECT c.blk, c.trt,
+         2 * RANK() OVER (PARTITION BY c.blk ORDER BY c.val_c)
+           + COUNT(*) OVER (PARTITION BY c.blk, c.val_c) - 1 AS r2
+  FROM cell c JOIN full_blk b ON c.blk = b.blk
+),
+per_trt AS (
+  SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY trt
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT COUNT(*) AS tc FROM ranked r
+        JOIN cell c ON r.blk = c.blk AND r.trt = c.trt
+        GROUP BY c.blk, c.val_c) g
+),
+lanes AS (
+  SELECT CAST(MAX(n_blocks) AS DOUBLE) AS nb,
+         SUM(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE) / 4.0) AS ssq,
+         (SELECT CAST(tie_sum AS DOUBLE) FROM ties) AS tie_d
+  FROM per_trt
+)
+SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(5 AS INT) AS k_treat,
+       ROUND(12.0 / (nb * 5.0 * 6.0) * ssq - 3.0 * nb * 6.0, 6) AS q_stat,
+       ROUND((12.0 / (nb * 5.0 * 6.0) * ssq - 3.0 * nb * 6.0)
+             / (1.0 - tie_d / (nb * 5.0 * 24.0)), 6) AS q_adj
+FROM lanes
+""",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST — the nonparametric repeated-measures ANOVA: do
+    the 5 order priorities differ in average order value, judged
+    WITHIN each month-block so secular price drift cancels (the
+    blocked design a t-test family can't give you)? One observation
+    per (month, priority) cell — the exact cents-lane average, so
+    both engines rank the identical doubles — then ranks 1..5 within
+    each complete block (average-rank tie handling via the doubled
+    lane 2r = 2*RANK + tiecount - 1, exact integers), and
+    Q = 12/(nk(k+1)) * sum_j Rbar_j^2 - 3n(k+1) with the tie
+    correction 1 - sum(t^3-t)/(nk(k^2-1)). The o_orderpriority
+    domain is exactly 5 values (FIXTURES.md), so incomplete blocks
+    (HAVING count = 5) are excluded identically on both sides.
+    Scale: the only corpus-grain work is the (month, priority) cell
+    aggregate — one shuffle with map-side combine; everything after
+    runs on the calendar-grain grid (months x 5)."""
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        (
+            F.sum(cents("o_totalprice")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("val_c")
+    )
+    full_blk = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("nc")).filter(
+        F.col("nc") == 5
+    ).select("blk")
+    c = cell.join(F.broadcast(full_blk), "blk")
+    w_rank = Window.partitionBy("blk").orderBy("val_c")
+    w_tie = Window.partitionBy("blk", "val_c")
+    ranked = c.select(
+        "blk",
+        "trt",
+        "val_c",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1).alias(
+            "r2"
+        ),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    ties = (
+        ranked.groupBy("blk", "val_c")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    lanes = per_trt.agg(
+        F.max("n_blocks").cast("double").alias("nb"),
+        F.sum(
+            F.col("r2_sum").cast("double") * F.col("r2_sum").cast("double") / 4.0
+        ).alias("ssq"),
+    ).crossJoin(F.broadcast(ties.select(F.col("tie_sum").cast("double").alias("tie_d"))))
+    q = 12.0 / (F.col("nb") * 5.0 * 6.0) * F.col("ssq") - 3.0 * F.col("nb") * 6.0
+    return lanes.select(
+        F.col("nb").cast("bigint").alias("n_blocks"),
+        F.lit(5).cast("int").alias("k_treat"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(
+            q / (1.0 - F.col("tie_d") / (F.col("nb") * 5.0 * 24.0)), 6
+        ).alias("q_adj"),
+    )
+
+
+@register(
+    "stats_brier_decomposition",
+    oracle="""
+WITH lab AS (
+  SELECT EXTRACT(hour FROM ts) AS hb,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_train
+  FROM events
+),
+trn AS (
+  SELECT hb, CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(y) AS BIGINT) AS st
+  FROM lab WHERE is_train = 1 GROUP BY hb
+),
+gtrn AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS ntot, CAST(SUM(st) AS BIGINT) AS stot
+  FROM trn
+),
+ev AS (
+  SELECT hb, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(y) AS BIGINT) AS s_k
+  FROM lab WHERE is_train = 0 GROUP BY hb
+),
+gev AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n_all, CAST(SUM(s_k) AS BIGINT) AS s_all
+  FROM ev
+),
+terms AS (
+  SELECT e.n_k, e.s_k,
+         COALESCE(CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE),
+                  CAST(g.stot AS DOUBLE) / CAST(g.ntot AS DOUBLE)) AS p_hat,
+         CAST(e.s_k AS DOUBLE) / CAST(e.n_k AS DOUBLE) AS y_bar_k,
+         CAST(v.s_all AS DOUBLE) / CAST(v.n_all AS DOUBLE) AS y_bar,
+         v.n_all
+  FROM ev e LEFT JOIN trn t ON e.hb = t.hb
+  CROSS JOIN gtrn g CROSS JOIN gev v
+),
+lanes AS (
+  SELECT MAX(n_all) AS n_eval,
+         MAX(y_bar) AS y_bar,
+         CAST(SUM(CAST(FLOOR(ROUND(n_k * p_hat * p_hat
+                  - 2.0 * p_hat * s_k + s_k, 12) * 1000000000.0)
+                  AS BIGINT)) AS BIGINT) AS brier_q,
+         CAST(SUM(CAST(FLOOR(ROUND(n_k * (p_hat - y_bar_k)
+                  * (p_hat - y_bar_k), 12) * 1000000000.0)
+                  AS BIGINT)) AS BIGINT) AS rel_q,
+         CAST(SUM(CAST(FLOOR(ROUND(n_k * (y_bar_k - y_bar)
+                  * (y_bar_k - y_bar), 12) * 1000000000.0)
+                  AS BIGINT)) AS BIGINT) AS res_q
+  FROM terms
+)
+SELECT n_eval,
+       ROUND(CAST(brier_q AS DOUBLE) / 1000000000.0 / n_eval, 6) AS brier,
+       ROUND(CAST(rel_q AS DOUBLE) / 1000000000.0 / n_eval, 6) AS reliability,
+       ROUND(CAST(res_q AS DOUBLE) / 1000000000.0 / n_eval, 6) AS resolution,
+       ROUND(y_bar * (1.0 - y_bar), 6) AS uncertainty
+FROM lanes
+""",
+)
+def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE + MURPHY DECOMPOSITION — the standard calibration
+    audit for a probabilistic classifier: Brier = REL - RES + UNC,
+    where reliability measures calibration error, resolution the
+    forecaster's discrimination, uncertainty the base-rate entropy.
+    The forecaster here is the honest temporal-split baseline: the
+    per-hour-of-day purchase rate FIT ON THE FIRST 15 DAYS scores
+    the rest of the month (resubstitution would force REL = 0 and
+    grade nothing; stats_calibration_ece bins the same idea by
+    predicted prob). All inputs are exact integer lanes (n_k, s_k
+    per hour bucket); the per-bucket double terms are guard-rounded
+    and nano-quantized before the order-free exact sum, so both
+    engines agree bit-for-bit. Scale: two hash-aggs onto the
+    24-bucket calendar grid + one broadcast of two 1-row totals —
+    at 100 TB only the label scan is corpus-grain."""
+    ev = table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.hour("ts").alias("hb"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    trn = (
+        lab.filter(F.col("is_train") == 1)
+        .groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.sum("y").cast("bigint").alias("st"),
+        )
+    )
+    gtrn = trn.agg(
+        F.sum("nt").cast("bigint").alias("ntot"),
+        F.sum("st").cast("bigint").alias("stot"),
+    )
+    evl = (
+        lab.filter(F.col("is_train") == 0)
+        .groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+            F.sum("y").cast("bigint").alias("s_k"),
+        )
+    )
+    gev = evl.agg(
+        F.sum("n_k").cast("bigint").alias("n_all"),
+        F.sum("s_k").cast("bigint").alias("s_all"),
+    )
+    terms = (
+        evl.join(F.broadcast(trn.withColumnRenamed("hb", "thb")),
+                 F.col("hb") == F.col("thb"), "left")
+        .crossJoin(F.broadcast(gtrn))
+        .crossJoin(F.broadcast(gev))
+        .select(
+            "n_k",
+            "s_k",
+            F.coalesce(
+                F.col("st").cast("double") / F.col("nt").cast("double"),
+                F.col("stot").cast("double") / F.col("ntot").cast("double"),
+            ).alias("p_hat"),
+            (F.col("s_k").cast("double") / F.col("n_k").cast("double")).alias(
+                "y_bar_k"
+            ),
+            (F.col("s_all").cast("double") / F.col("n_all").cast("double")).alias(
+                "y_bar"
+            ),
+            "n_all",
+        )
+    )
+
+    def lane(expr):
+        return (
+            F.sum(F.floor(F.round(expr, 12) * 1e9).cast("bigint"))
+            .cast("bigint")
+        )
+
+    lanes = terms.agg(
+        F.max("n_all").alias("n_eval"),
+        F.max("y_bar").alias("y_bar"),
+        lane(
+            F.col("n_k") * F.col("p_hat") * F.col("p_hat")
+            - 2.0 * F.col("p_hat") * F.col("s_k")
+            + F.col("s_k")
+        ).alias("brier_q"),
+        lane(
+            F.col("n_k")
+            * (F.col("p_hat") - F.col("y_bar_k"))
+            * (F.col("p_hat") - F.col("y_bar_k"))
+        ).alias("rel_q"),
+        lane(
+            F.col("n_k")
+            * (F.col("y_bar_k") - F.col("y_bar"))
+            * (F.col("y_bar_k") - F.col("y_bar"))
+        ).alias("res_q"),
+    )
+    return lanes.select(
+        "n_eval",
+        F.round(F.col("brier_q").cast("double") / 1e9 / F.col("n_eval"), 6).alias(
+            "brier"
+        ),
+        F.round(F.col("rel_q").cast("double") / 1e9 / F.col("n_eval"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_q").cast("double") / 1e9 / F.col("n_eval"), 6).alias(
+            "resolution"
+        ),
+        F.round(F.col("y_bar") * (1.0 - F.col("y_bar")), 6).alias("uncertainty"),
+    )
+
+
+@register(
+    "obs_apdex_score",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_satisfied,
+       CAST(SUM(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tolerating,
+       ROUND((CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
+              + CAST(SUM(CASE WHEN value > 50.0 AND value <= 200.0
+                         THEN 1 ELSE 0 END) AS DOUBLE) / 2.0)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS apdex
+FROM events GROUP BY event_type
+""",
+)
+def obs_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APDEX (Application Performance Index, Apdex Alliance spec) —
+    the industry-standard user-satisfaction fold for latency-like
+    measures: score = (satisfied + tolerating/2) / total with the
+    tolerating band at (T, 4T], here T = 50 on events.value, graded
+    per event_type. Exact integer threshold counts; the score is one
+    double division rounded at 6dp. Scale: a single partial+final
+    hash-agg on a 5-value key — the monitoring fold you run over
+    every span/request record at 100 TB without a second shuffle."""
+    ev = table(spark, sf_dir, "events")
+    sat = F.sum(F.when(F.col("value") <= 50.0, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("value") > 50.0) & (F.col("value") <= 200.0), 1).otherwise(0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        F.round(
+            (sat.cast("double") + tol.cast("double") / 2.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("apdex"),
+    )
+
+
+# Prometheus-style le-bucket upper bounds for obs_histogram_quantile
+# (literal, shared by both engines; +Inf handled as the terminal arm).
+_PROM_LE = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0]
+
+
+@register(
+    "obs_histogram_quantile",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT event_type,
+         CASE {' '.join(f"WHEN value <= {b!r} THEN {i}" for i, b in enumerate(_PROM_LE))}
+              ELSE {len(_PROM_LE)} END AS bkt
+  FROM events
+),
+counts AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY event_type, bkt
+),
+cum AS (
+  SELECT event_type, bkt, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bkt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         SUM(c) OVER (PARTITION BY event_type) AS n_tot
+  FROM counts
+),
+hit AS (
+  SELECT event_type, bkt, c, cum_c - c AS cum_prev, n_tot,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bkt) AS rn
+  FROM cum
+  WHERE CAST(cum_c AS DOUBLE) >= 0.95 * CAST(n_tot AS DOUBLE)
+),
+bounds AS (
+  SELECT event_type, bkt, c, cum_prev, n_tot,
+         CASE bkt WHEN 0 THEN 0.0
+              {' '.join(f"WHEN {i + 1} THEN {b!r}" for i, b in enumerate(_PROM_LE[:-1]))}
+              WHEN {len(_PROM_LE)} THEN {_PROM_LE[-1]!r} ELSE 0.0 END AS lo,
+         CASE bkt {' '.join(f"WHEN {i} THEN {b!r}" for i, b in enumerate(_PROM_LE))}
+              ELSE {_PROM_LE[-1]!r} END AS hi
+  FROM hit WHERE rn = 1
+)
+SELECT event_type, CAST(n_tot AS BIGINT) AS n_total, bkt AS bucket_idx,
+       ROUND(CASE WHEN bkt = {len(_PROM_LE)} THEN hi
+            ELSE lo + (hi - lo) * (0.95 * CAST(n_tot AS DOUBLE) - cum_prev)
+                 / CAST(c AS DOUBLE) END, 6) AS p95_est
+FROM bounds
+""",
+)
+def obs_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMETHEUS histogram_quantile(0.95, ...) — the quantile
+    estimator every SRE dashboard runs: pre-bucketed cumulative
+    ('le') histograms with LINEAR INTERPOLATION inside the first
+    bucket whose cumulative count crosses q*N (and the PromQL
+    convention of returning the upper bound for the +Inf bucket).
+    The le grid is a 7-entry literal shared by both engines, so
+    bucketing, the per-series cumulative walk, and the crossing
+    bucket are exact integer decisions; only the final interpolation
+    is float, rounded at 6dp. This is the DDSketch/t-digest
+    alternative when the histogram layout is FIXED at write time —
+    the aggregation is a pure counter add, mergeable across any
+    shard topology. Scale: one hash-agg onto (type x 8 literal
+    buckets), then windows over that bounded grid."""
+    ev = table(spark, sf_dir, "events")
+    bkt = F.lit(len(_PROM_LE))
+    for i, b in reversed(list(enumerate(_PROM_LE))):
+        bkt = F.when(F.col("value") <= b, F.lit(i)).otherwise(bkt)
+    counts = ev.select("event_type", bkt.alias("bkt")).groupBy(
+        "event_type", "bkt"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bkt",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n_tot"),
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("bkt")
+    hit = (
+        cum.filter(
+            F.col("cum_c").cast("double") >= 0.95 * F.col("n_tot").cast("double")
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .withColumn("cum_prev", F.col("cum_c") - F.col("c"))
+    )
+    lo = F.lit(0.0)
+    for i, b in enumerate(_PROM_LE[:-1]):
+        lo = F.when(F.col("bkt") == i + 1, F.lit(b)).otherwise(lo)
+    lo = F.when(F.col("bkt") == len(_PROM_LE), F.lit(_PROM_LE[-1])).otherwise(lo)
+    hi = F.lit(_PROM_LE[-1])
+    for i, b in reversed(list(enumerate(_PROM_LE))):
+        hi = F.when(F.col("bkt") == i, F.lit(b)).otherwise(hi)
+    est = F.when(F.col("bkt") == len(_PROM_LE), hi).otherwise(
+        lo
+        + (hi - lo)
+        * (0.95 * F.col("n_tot").cast("double") - F.col("cum_prev"))
+        / F.col("c").cast("double")
+    )
+    return hit.select(
+        "event_type",
+        F.col("n_tot").cast("bigint").alias("n_total"),
+        F.col("bkt").alias("bucket_idx"),
+        F.round(est, 6).alias("p95_est"),
+    )
+
+
+@register(
+    "agg_ddsketch_quantile",
+    oracle="""
+WITH params AS (
+  SELECT LN(1.01 / 0.99) AS lg, 1.01 / 0.99 AS gamma
+),
+bkt AS (
+  SELECT GREATEST(0, LEAST(3000,
+           CAST(CEIL(ROUND(LN(o_totalprice) / (SELECT lg FROM params), 9))
+                AS BIGINT))) AS b
+  FROM orders
+),
+counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bkt GROUP BY b
+),
+cum AS (
+  SELECT b, c,
+         SUM(c) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         SUM(c) OVER () AS n_tot
+  FROM counts
+),
+qs AS (
+  SELECT UNNEST([0.5, 0.9, 0.99]) AS qq
+),
+hit AS (
+  SELECT qs.qq, cum.b, cum.n_tot,
+         ROW_NUMBER() OVER (PARTITION BY qs.qq ORDER BY cum.b) AS rn
+  FROM qs JOIN cum
+    ON CAST(cum.cum_c AS DOUBLE)
+       >= CAST(FLOOR(qs.qq * (cum.n_tot - 1)) + 1 AS DOUBLE)
+)
+SELECT qq AS q, CAST(n_tot AS BIGINT) AS n_total, b AS bucket_idx,
+       ROUND(2.0 * EXP(CAST(b AS DOUBLE) * (SELECT lg FROM params))
+             / ((SELECT gamma FROM params) + 1.0), 2) AS est
+FROM hit WHERE rn = 1
+""",
+)
+def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH (Masson, Rim & Lee, VLDB 2019) — the
+    relative-error quantile sketch: bucket i = ceil(ln x / ln gamma)
+    with gamma = (1+a)/(1-a), a = 1%, guarantees every returned
+    quantile is within 1% RELATIVE error of the true value — the
+    property HLL-style rank sketches lack and exact percentiles pay
+    a global sort for. The sketch IS the bucket-count map: pure
+    counter adds, mergeable across any shard topology, at most
+    ~3000 buckets over o_totalprice's entire dynamic range (the
+    literal clamp also makes the grid provably bounded). Estimates
+    2*gamma^i/(gamma+1) for q in {0.5, 0.9, 0.99} at rank
+    floor(q*(n-1))+1. Engine-exactness: the log-bucket index is
+    guard-rounded (9dp) before ceil so both engines land identical
+    integer buckets; counts and the cumulative walk are exact
+    integers; the only float output is the estimate, rounded at
+    2dp. Scale: one hash-agg onto the bounded log grid — at 100 TB
+    the quantile costs one shuffle of <= 3001 rows."""
+    import math  # noqa: PLC0415
+
+    lg = math.log(1.01 / 0.99)
+    gamma = 1.01 / 0.99
+    o = table(spark, sf_dir, "orders")
+    b = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(3000).cast("bigint"),
+            F.ceil(F.round(F.log(F.col("o_totalprice")) / F.lit(lg), 9)).cast(
+                "bigint"
+            ),
+        ),
+    )
+    counts = o.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n_tot"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("qq")
+    )
+    hit = (
+        qs.join(
+            cum,
+            F.col("cum_c").cast("double")
+            >= (F.floor(F.col("qq") * (F.col("n_tot") - 1)) + 1).cast("double"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qq").orderBy("b")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = 2.0 * F.exp(F.col("b").cast("double") * F.lit(lg)) / F.lit(gamma + 1.0)
+    return hit.select(
+        F.col("qq").alias("q"),
+        F.col("n_tot").cast("bigint").alias("n_total"),
+        F.col("b").alias("bucket_idx"),
+        F.round(est, 2).alias("est"),
+    )

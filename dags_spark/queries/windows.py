@@ -6793,3 +6793,591 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(sdd AS DOUBLE)/n - (CAST(sd AS DOUBLE)/n)"
         "*(CAST(sd AS DOUBLE)/n))), 6) AS seasonal_strength",
     )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "stats_logrank_test",
+    oracle="""
+WITH firstev AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+u AS (
+  SELECT e.user_id, CAST(MIN(e.ts) AS DATE) AS t0,
+         CAST(MAX(e.ts) AS DATE) AS tlast,
+         CAST(MIN(CASE WHEN e.event_type = 'error' THEN e.ts END) AS DATE)
+           AS terr,
+         MAX(CASE WHEN f.event_type = 'click' THEN 1 ELSE 0 END) AS g1
+  FROM events e JOIN firstev f ON e.user_id = f.user_id AND f.rn = 1
+  GROUP BY e.user_id
+),
+subj AS (
+  SELECT date_diff('day', t0, COALESCE(terr, tlast)) AS dur,
+         CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS observed, g1
+  FROM u
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(g1) AS BIGINT) AS n1_all
+  FROM subj
+),
+bydur AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS rem,
+         CAST(SUM(g1) AS BIGINT) AS rem1,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(SUM(observed * g1) AS BIGINT) AS d1
+  FROM subj GROUP BY dur
+),
+risk AS (
+  SELECT dur, d, d1,
+         (SELECT n_all FROM tot)
+           - COALESCE(SUM(rem) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t,
+         (SELECT n1_all FROM tot)
+           - COALESCE(SUM(rem1) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1_t
+  FROM bydur
+),
+terms AS (
+  SELECT d, d1,
+         CAST(FLOOR(ROUND(CAST(d AS DOUBLE) * n1_t / n_t, 12)
+                    * 1000000000.0) AS BIGINT) AS e_q,
+         CAST(FLOOR(ROUND(CAST(d AS DOUBLE) * (CAST(n1_t AS DOUBLE) / n_t)
+                    * (1.0 - CAST(n1_t AS DOUBLE) / n_t)
+                    * (CAST(n_t - d AS DOUBLE) / (CAST(n_t AS DOUBLE) - 1.0)),
+                    12) * 1000000000.0) AS BIGINT) AS v_q
+  FROM risk WHERE d >= 1 AND n_t >= 2
+),
+lanes AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e_q) AS BIGINT) AS e1_q,
+         CAST(SUM(v_q) AS BIGINT) AS v_q
+  FROM terms
+)
+SELECT (SELECT n1_all FROM tot) AS n1_subjects,
+       (SELECT n_all FROM tot) AS n_subjects,
+       o1,
+       ROUND(CAST(e1_q AS DOUBLE) / 1000000000.0, 6) AS e1,
+       ROUND((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000000.0)
+             * (CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000000.0)
+             / (CAST(v_q AS DOUBLE) / 1000000000.0), 6) AS chi2
+FROM lanes
+""",
+    tags=("stats", "timeseries"),
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK (Mantel-Cox) TEST — the censoring-correct two-group
+    survival comparison that completes stats_survival_km: does
+    time-to-first-error differ between users whose FIRST event was a
+    click and everyone else? At each distinct event time the
+    observed group-1 deaths d1_t are compared with the
+    hypergeometric expectation E1_t = d_t * n1_t/n_t and variance
+    V_t = d_t (n1_t/n_t)(1-n1_t/n_t)(n_t-d_t)/(n_t-1); chi2 =
+    (O1-E1)^2/V ~ chi2(1) under H0. Risk sets n_t, n1_t come from
+    TWO exclusive cumsums over the same day-grid window (grid <=
+    max-duration rows — the same bounded day-index fold
+    stats_survival_km uses); each per-time E and V term is
+    guard-rounded and nano-quantized before the order-free exact
+    sum. Scale: per-user span aggregate (one shuffle on user_id) +
+    a broadcast 1-row total; only the grid walks the window."""
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w_first).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        )
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").cast("date").alias("t0"),
+            F.max("ts").cast("date").alias("tlast"),
+            F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+            .cast("date")
+            .alias("terr"),
+        )
+        .join(first, "user_id")
+    )
+    subj = u.select(
+        F.datediff(F.coalesce("terr", "tlast"), F.col("t0")).alias("dur"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("observed"),
+        "g1",
+    )
+    tot = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("g1").cast("bigint").alias("n1_all"),
+    )
+    bydur = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rem"),
+        F.sum("g1").cast("bigint").alias("rem1"),
+        F.sum("observed").cast("bigint").alias("d"),
+        F.sum(F.col("observed") * F.col("g1")).cast("bigint").alias("d1"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        bydur.crossJoin(F.broadcast(tot))
+        .select(
+            "dur",
+            "d",
+            "d1",
+            "n_all",
+            "n1_all",
+            (
+                F.col("n_all")
+                - F.coalesce(F.sum("rem").over(w_prev), F.lit(0))
+            ).alias("n_t"),
+            (
+                F.col("n1_all")
+                - F.coalesce(F.sum("rem1").over(w_prev), F.lit(0))
+            ).alias("n1_t"),
+        )
+        .filter((F.col("d") >= 1) & (F.col("n_t") >= 2))
+    )
+    frac = F.col("n1_t").cast("double") / F.col("n_t")
+    e_term = F.col("d").cast("double") * F.col("n1_t") / F.col("n_t")
+    v_term = (
+        F.col("d").cast("double")
+        * frac
+        * (1.0 - frac)
+        * ((F.col("n_t") - F.col("d")).cast("double")
+           / (F.col("n_t").cast("double") - 1.0))
+    )
+    lanes = risk.agg(
+        F.max("n1_all").alias("n1_subjects"),
+        F.max("n_all").alias("n_subjects"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.floor(F.round(e_term, 12) * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("e1_q"),
+        F.sum(F.floor(F.round(v_term, 12) * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("v_q"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1_q").cast("double") / 1e9
+    return lanes.select(
+        "n1_subjects",
+        "n_subjects",
+        "o1",
+        F.round(F.col("e1_q").cast("double") / 1e9, 6).alias("e1"),
+        F.round(diff * diff / (F.col("v_q").cast("double") / 1e9), 6).alias(
+            "chi2"
+        ),
+    )
+
+
+# ERR@10 rank-r scale factors: 16^(10-r) * (2520/r) — the common
+# denominator 16^10 * 2520 clears every 1/16^r and 1/r exactly, so
+# each cascade term is a BIGINT (max ~2.6e15, sum ~3e16: safe).
+_ERR_MUL = {
+    r: (16 ** (10 - r)) * (2520 // r) for r in range(1, 11)
+}
+_ERR_DENOM = float((16 ** 10) * 2520)
+_ERR_MUL_SQL = (
+    "CASE pos "
+    + " ".join(f"WHEN {r} THEN CAST({m} AS BIGINT)" for r, m in _ERR_MUL.items())
+    + " END"
+)
+
+
+@register(
+    "rank_err_cascade",
+    oracle=f"""
+WITH rel AS (
+  SELECT l_orderkey AS okey,
+         LEAST(CAST(COUNT(*) AS BIGINT), 4) AS rel
+  FROM lineitem GROUP BY okey
+),
+ranked AS (
+  SELECT o.o_custkey,
+         ((1::BIGINT << r.rel) - 1) AS g,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS pos
+  FROM orders o JOIN rel r ON o.o_orderkey = r.okey
+),
+cascade AS (
+  SELECT o_custkey, g, pos,
+         CAST(COALESCE(PRODUCT(16 - g) OVER (
+           PARTITION BY o_custkey ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 1.0) AS BIGINT) AS num_prev
+  FROM ranked WHERE pos <= 10
+)
+SELECT o_custkey AS user_key,
+       CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       CAST(SUM(g * num_prev * ({_ERR_MUL_SQL})) AS BIGINT) AS err_q,
+       ROUND(CAST(SUM(g * num_prev * ({_ERR_MUL_SQL})) AS DOUBLE)
+             / {_ERR_DENOM!r}, 9) AS err10
+FROM cascade GROUP BY o_custkey
+""",
+)
+def rank_err_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED RECIPROCAL RANK (ERR@10) — the cascade-model ranking
+    metric (Chapelle et al., CIKM 2009): a user scans down the list
+    and stops at position r with probability R_r * prod_{i<r}(1-R_i),
+    contributing 1/r; unlike NDCG's position discount, a highly
+    relevant hit ABSORBS attention and devalues everything below it.
+    Same deterministic surrogate task as rank_ndcg_at_k (system
+    ranking by o_totalprice, graded relevance = lineitem count capped
+    at 4, R = (2^rel - 1)/16). Exactness: with R's denominator pinned
+    at 16 and depth at 10, every term is a RATIONAL with denominator
+    16^r * r — multiplying by 16^(10-r) * (2520/r) (a 10-entry
+    literal table shared by both engines) clears all of them, so
+    ERR's numerator is an exact BIGINT sum; the cascade product
+    prod(16-g_i) is a windowed PRODUCT over <= 9 small integers
+    (max 15^9 ~ 3.8e10 — exact in the double accumulator on both
+    engines, cast back to BIGINT). Scale: one row_number window and
+    one product window sharing the same user-key partition, then a
+    partial+final agg — per-user state is top-10-sized, so 100 TB of
+    rankings shard cleanly."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rel = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.least(F.count(F.lit(1)).cast("bigint"), F.lit(4).cast("bigint")).alias(
+            "rel"
+        )
+    )
+    j = o.join(rel, o.o_orderkey == rel.okey)
+    w_sys = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1
+    ranked = j.select(
+        "o_custkey",
+        gain.alias("g"),
+        F.row_number().over(w_sys).alias("pos"),
+    ).filter(F.col("pos") <= 10)
+    w_casc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cascade = ranked.select(
+        "o_custkey",
+        "g",
+        "pos",
+        F.coalesce(F.product(16 - F.col("g")).over(w_casc), F.lit(1.0))
+        .cast("bigint")
+        .alias("num_prev"),
+    )
+    mul = F.lit(0).cast("bigint")
+    for r, m in _ERR_MUL.items():
+        mul = F.when(F.col("pos") == r, F.lit(m).cast("bigint")).otherwise(mul)
+    err_q = F.sum(F.col("g") * F.col("num_prev") * mul).cast("bigint")
+    return cascade.groupBy(F.col("o_custkey").alias("user_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        err_q.alias("err_q"),
+        F.round(err_q.cast("double") / F.lit(_ERR_DENOM), 9).alias("err10"),
+    )
+
+
+@register(
+    "win_max_subarray_kadane",
+    oracle="""
+WITH cell AS (
+  SELECT p.p_brand AS brand, date_trunc('month', o.o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, m
+),
+scaled AS (
+  SELECT brand, m, rev_c,
+         CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS nm,
+         rev_c * CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT)
+           - CAST(SUM(rev_c) OVER (PARTITION BY brand) AS BIGINT) AS v
+  FROM cell
+),
+pfx0 AS (
+  SELECT brand, m, nm,
+         SUM(v) OVER (PARTITION BY brand ORDER BY m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+  FROM scaled
+),
+pfx AS (
+  SELECT brand, m, nm, pfx,
+         COALESCE(MIN(pfx) OVER (PARTITION BY brand ORDER BY m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS min_prev
+  FROM pfx0
+),
+best AS (
+  SELECT brand, m, nm,
+         pfx - LEAST(CAST(0 AS BIGINT), min_prev) AS run_v,
+         ROW_NUMBER() OVER (PARTITION BY brand
+           ORDER BY pfx - LEAST(CAST(0 AS BIGINT), min_prev) DESC, m) AS rn
+  FROM pfx
+)
+SELECT brand, CAST(nm AS BIGINT) AS n_months,
+       ROUND(CAST(run_v AS DOUBLE) / CAST(nm AS DOUBLE) / 10000.0, 6)
+         AS best_run_sum,
+       m AS best_end_month
+FROM best WHERE rn = 1
+""",
+)
+def win_max_subarray_kadane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM-SUBARRAY (Kadane's problem) per brand — 'which
+    consecutive month run beat the brand's own average hardest?':
+    the classic O(n) DP, re-expressed for a distributed engine as
+    PURE PREFIX ALGEBRA: max over t of (prefix_t - min(0,
+    min_{t'<t} prefix_t')) equals the best subarray sum, so two
+    per-brand window passes (running sum, running min of it)
+    replace the sequential fold — no recursion, no UDF. Values are
+    the brand's monthly revenue CENTERED on its own mean, kept
+    exact by scaling through the month count: v = rev_c*nm - tot_c
+    is an exact BIGINT (envelope: |v| < nm * tot_c ~ 1e17 at
+    sf100-month grain — inside int64), and the single double
+    division happens only in the output. End month breaks ties.
+    Scale: one fact aggregate onto (brand x month) cells, then
+    brand-partitioned windows over calendar-grain rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cell = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("rev_c"))
+    )
+    w_brand = Window.partitionBy("brand")
+    scaled = cell.select(
+        "brand",
+        "m",
+        F.count(F.lit(1)).over(w_brand).cast("bigint").alias("nm"),
+        (
+            F.col("rev_c") * F.count(F.lit(1)).over(w_brand).cast("bigint")
+            - F.sum("rev_c").over(w_brand).cast("bigint")
+        ).alias("v"),
+    )
+    w_run = (
+        Window.partitionBy("brand")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pfx = scaled.select(
+        "brand", "m", "nm", F.sum("v").over(w_run).alias("pfx")
+    )
+    w_prev = (
+        Window.partitionBy("brand")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx = pfx.withColumn(
+        "min_prev", F.coalesce(F.min("pfx").over(w_prev), F.lit(0).cast("bigint"))
+    )
+    run_v = F.col("pfx") - F.least(F.lit(0).cast("bigint"), F.col("min_prev"))
+    w_best = Window.partitionBy("brand").orderBy(
+        run_v.desc(), F.col("m").asc()
+    )
+    best = pfx.select(
+        "brand",
+        "m",
+        "nm",
+        run_v.alias("run_v"),
+        F.row_number().over(w_best).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "brand",
+        F.col("nm").cast("bigint").alias("n_months"),
+        F.round(
+            F.col("run_v").cast("double") / F.col("nm").cast("double") / 10000.0,
+            6,
+        ).alias("best_run_sum"),
+        F.col("m").alias("best_end_month"),
+    )
+
+
+@register(
+    "obs_error_budget_burn",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type AS service, date_trunc('hour', ts) AS hb,
+         CAST(FLOOR(epoch(date_trunc('hour', ts)) / 3600.0) AS BIGINT) AS hidx,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY service, hb, hidx
+),
+rolled AS (
+  SELECT service, hb, n_total, n_err,
+         SUM(n_total) OVER (PARTITION BY service ORDER BY hidx
+           RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot6,
+         SUM(n_err) OVER (PARTITION BY service ORDER BY hidx
+           RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS err6
+  FROM hourly
+)
+SELECT service, hb, n_total, n_err,
+       ROUND(CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.05, 6)
+         AS burn_1h,
+       ROUND(CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE) / 0.05, 6) AS burn_6h,
+       (CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) / 0.05 > 14.4
+        AND CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE) / 0.05 > 6.0) AS page
+FROM rolled
+""",
+)
+def obs_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN RATE with multiwindow alerting (the
+    Google SRE Workbook ch.5 policy): for a 95% latency SLO
+    (value <= 250 is in-SLO) the budget is 5%, burn =
+    violation_rate / budget, and a page fires only when BOTH the
+    fast window (1h, threshold 14.4 = exhausting a 30d budget in
+    ~2d) and the slow window (6h, threshold 6) burn hot — the
+    two-window AND is what kills flapping alerts. Burn is evaluated
+    PER SERVICE (event_type), which is both the real production
+    shape (an SLO belongs to a service) and the scale shape: the
+    rolling 6h side is a RANGE frame over the epoch-hour index
+    partitioned by service, so traffic gaps are handled by time and
+    no window ever crosses service shards. Counts are exact
+    integers; the burn ratios are single double divisions rounded
+    at 6dp. Scale: one hash-agg onto (service x hour), then a
+    service-partitioned window — 100 TB of request logs never
+    funnels through one task."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("service"),
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("value") > 250.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    ).withColumn(
+        "hidx",
+        F.floor(F.unix_timestamp("hb").cast("double") / 3600.0).cast("bigint"),
+    )
+    w6 = Window.partitionBy("service").orderBy("hidx").rangeBetween(-5, 0)
+    rolled = hourly.select(
+        "service",
+        "hb",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).alias("tot6"),
+        F.sum("n_err").over(w6).alias("err6"),
+    )
+    burn1 = F.col("n_err").cast("double") / F.col("n_total").cast("double") / 0.05
+    burn6 = F.col("err6").cast("double") / F.col("tot6").cast("double") / 0.05
+    return rolled.select(
+        "service",
+        "hb",
+        "n_total",
+        "n_err",
+        F.round(burn1, 6).alias("burn_1h"),
+        F.round(burn6, 6).alias("burn_6h"),
+        ((burn1 > 14.4) & (burn6 > 6.0)).alias("page"),
+    )
+
+
+@register(
+    "win_ulcer_index",
+    oracle="""
+WITH cell AS (
+  SELECT p.p_brand AS brand, date_trunc('month', o.o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, m
+),
+dd AS (
+  SELECT brand, m, rev_c,
+         MAX(rev_c) OVER (PARTITION BY brand ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+  FROM cell
+),
+lanes AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(CAST(FLOOR(ROUND(
+           (100.0 * CAST(peak_c - rev_c AS DOUBLE) / CAST(peak_c AS DOUBLE))
+           * (100.0 * CAST(peak_c - rev_c AS DOUBLE) / CAST(peak_c AS DOUBLE)),
+           12) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dd2_q,
+         ROUND(MAX(100.0 * CAST(peak_c - rev_c AS DOUBLE)
+                   / CAST(peak_c AS DOUBLE)), 6) AS max_drawdown_pct
+  FROM dd GROUP BY brand
+)
+SELECT brand, n_months,
+       ROUND(SQRT(CAST(dd2_q AS DOUBLE) / 1000000000.0
+                  / CAST(n_months AS DOUBLE)), 6) AS ulcer_index,
+       max_drawdown_pct
+FROM lanes
+""",
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULCER INDEX (Martin & McCann) per brand — the downside-risk
+    measure win_drawdown_max can't give you: UI = sqrt(mean of
+    squared percentage drawdowns from the running peak), so it
+    weights both DEPTH and DURATION of underwater stretches (a
+    brand that dips 30% for six months hurts more than a one-month
+    spike of the same depth — max-drawdown sees them as equal).
+    Monthly revenue in exact cents lanes; the running peak is an
+    exact BIGINT window max; each squared-drawdown double term is
+    guard-rounded and nano-quantized before the order-free exact
+    sum, sqrt and rounding only at the output. Scale: one fact
+    aggregate onto (brand x month) cells, then a brand-partitioned
+    window over calendar-grain rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cell = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("rev_c"))
+    )
+    w_peak = (
+        Window.partitionBy("brand")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = cell.select(
+        "brand",
+        "rev_c",
+        F.max("rev_c").over(w_peak).alias("peak_c"),
+    )
+    dd_pct = (
+        100.0
+        * (F.col("peak_c") - F.col("rev_c")).cast("double")
+        / F.col("peak_c").cast("double")
+    )
+    lanes = dd.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum(F.floor(F.round(dd_pct * dd_pct, 12) * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("dd2_q"),
+        F.round(F.max(dd_pct), 6).alias("max_drawdown_pct"),
+    )
+    return lanes.select(
+        "brand",
+        "n_months",
+        F.round(
+            F.sqrt(
+                F.col("dd2_q").cast("double")
+                / 1e9
+                / F.col("n_months").cast("double")
+            ),
+            6,
+        ).alias("ulcer_index"),
+        "max_drawdown_pct",
+    )
