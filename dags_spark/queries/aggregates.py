@@ -7381,3 +7381,118 @@ def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("bucket_idx"),
         F.round(est, 2).alias("est"),
     )
+
+
+@register(
+    "stats_mcc_f1_confusion",
+    oracle="""
+WITH lab AS (
+  SELECT EXTRACT(hour FROM ts) AS hb,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_train
+  FROM events
+),
+trn AS (
+  SELECT hb, CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS st
+  FROM lab WHERE is_train = 1 GROUP BY hb
+),
+gtrn AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS ntot, CAST(SUM(st) AS BIGINT) AS stot
+  FROM trn
+),
+scored AS (
+  SELECT e.y,
+         CASE WHEN COALESCE(CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE),
+                            CAST(g.stot AS DOUBLE) / CAST(g.ntot AS DOUBLE))
+                   >= CAST(g.stot AS DOUBLE) / CAST(g.ntot AS DOUBLE)
+              THEN 1 ELSE 0 END AS yhat
+  FROM lab e LEFT JOIN trn t ON e.hb = t.hb
+  CROSS JOIN gtrn g
+  WHERE e.is_train = 0
+),
+cm AS (
+  SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_pos,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_pos,
+       ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / SQRT((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                    * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn)),
+             6) AS mcc
+FROM cm
+""",
+)
+def stats_mcc_f1_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX + F1 + MATTHEWS CORRELATION for the same
+    honest temporal-split classifier stats_brier_decomposition
+    grades probabilistically: predict 'purchase' when the bucket's
+    TRAIN-period rate clears the global train base rate, evaluate on
+    the held-out second half-month. MCC is the metric that stays
+    honest under class imbalance (purchases are a minority class
+    here — accuracy would look great predicting all-zero; F1 ignores
+    TN; MCC = (TP*TN - FP*FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    uses all four cells). The four cells are exact integer lanes
+    from one hash-agg; every derived metric is a single double
+    expression on the 1-row result, rounded at 6dp. Scale: the
+    score join is a 24-row broadcast onto the label scan — one
+    corpus-grain pass, no shuffle beyond the global fold."""
+    ev = table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.hour("ts").alias("hb"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    trn = (
+        lab.filter(F.col("is_train") == 1)
+        .groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.sum("y").cast("bigint").alias("st"),
+        )
+    )
+    gtrn = trn.agg(
+        F.sum("nt").cast("bigint").alias("ntot"),
+        F.sum("st").cast("bigint").alias("stot"),
+    )
+    base = F.col("stot").cast("double") / F.col("ntot").cast("double")
+    p_hat = F.coalesce(
+        F.col("st").cast("double") / F.col("nt").cast("double"), base
+    )
+    scored = (
+        lab.filter(F.col("is_train") == 0)
+        .join(F.broadcast(trn.withColumnRenamed("hb", "thb")),
+              F.col("hb") == F.col("thb"), "left")
+        .crossJoin(F.broadcast(gtrn))
+        .select(
+            "y", F.when(p_hat >= base, 1).otherwise(0).alias("yhat")
+        )
+    )
+    cm = scored.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp / (tp + fp), 6).alias("precision_pos"),
+        F.round(tp / (tp + fn), 6).alias("recall_pos"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+            6,
+        ).alias("mcc"),
+    )

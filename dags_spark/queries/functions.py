@@ -16,7 +16,7 @@ Cross-engine dialect traps handled here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import SQL_CENTS, SQL_DEC_SUM, cents, dec_sum, table
@@ -2125,4 +2125,202 @@ def fn_uuid_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hex32", 17, 4),
             F.substring("hex32", 21, 12),
         ).alias("uuid7"),
+    )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "fn_semver_compare",
+    oracle="""
+WITH v AS (
+  SELECT p_partkey, p_brand,
+         CAST(p_size % 5 AS BIGINT) || '.'
+           || CAST(p_partkey % 6 AS BIGINT) || '.'
+           || CAST(p_partkey % 3 AS BIGINT)
+           || CASE p_partkey % 4
+                WHEN 1 THEN '-alpha'
+                WHEN 2 THEN '-' || CAST(p_partkey % 20 AS BIGINT)
+                WHEN 3 THEN '-rc'
+                ELSE '' END AS version
+  FROM part
+),
+parsed AS (
+  SELECT p_partkey, p_brand, version,
+         CAST(split_part(split_part(version, '-', 1), '.', 1) AS BIGINT) AS maj,
+         CAST(split_part(split_part(version, '-', 1), '.', 2) AS BIGINT) AS mnr,
+         CAST(split_part(split_part(version, '-', 1), '.', 3) AS BIGINT) AS pat,
+         CASE WHEN version LIKE '%-%'
+              THEN split_part(version, '-', 2) ELSE NULL END AS pre
+  FROM v
+),
+keyed AS (
+  SELECT p_partkey, p_brand, version, maj, mnr, pat,
+         CASE WHEN pre IS NULL THEN 1 ELSE 0 END AS is_release,
+         CASE WHEN pre IS NULL THEN 1
+              WHEN regexp_matches(pre, '^[0-9]+$') THEN 0 ELSE 1 END
+           AS pre_alpha,
+         CASE WHEN pre IS NOT NULL AND regexp_matches(pre, '^[0-9]+$')
+              THEN CAST(pre AS BIGINT) ELSE -1 END AS pre_num,
+         COALESCE(CASE WHEN pre IS NOT NULL
+                       AND NOT regexp_matches(pre, '^[0-9]+$')
+                       THEN pre END, '') AS pre_str
+  FROM parsed
+)
+SELECT p_partkey, version,
+       CAST(RANK() OVER (PARTITION BY p_brand
+         ORDER BY maj, mnr, pat, is_release, pre_alpha, pre_num, pre_str)
+         AS BIGINT) AS precedence_rank
+FROM keyed
+""",
+)
+def fn_semver_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMVER 2.0.0 PRECEDENCE (semver.org §11) — parse version
+    strings and rank them by the spec's comparison algebra: numeric
+    major.minor.patch; ANY pre-release sorts BEFORE its release
+    (1.2.3-rc < 1.2.3 — the rule naive string sorts get backwards);
+    among pre-releases, numeric identifiers compare numerically and
+    sort BEFORE alphanumeric ones, which compare as ASCII strings.
+    The version strings are constructed from part keys (so all four
+    shapes — release, numeric pre, 'alpha', 'rc' — occur and tie
+    within a (maj,mnr,pat) group), then PARSED BACK with
+    split_part/regexp like any registry/package-index pipeline
+    would: the operator's surface is string-in, rank-out. RANK (not
+    row_number) exposes precedence TIES exactly — equal versions
+    share a rank. Scale: pure per-row string functions + one
+    brand-partitioned window; no shuffle beyond the rank's hash
+    partition."""
+    p = table(spark, sf_dir, "part")
+    version = F.concat(
+        (F.col("p_size") % 5).cast("bigint").cast("string"),
+        F.lit("."),
+        (F.col("p_partkey") % 6).cast("string"),
+        F.lit("."),
+        (F.col("p_partkey") % 3).cast("string"),
+        F.when(F.col("p_partkey") % 4 == 1, F.lit("-alpha"))
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat(F.lit("-"), (F.col("p_partkey") % 20).cast("string")),
+        )
+        .when(F.col("p_partkey") % 4 == 3, F.lit("-rc"))
+        .otherwise(F.lit("")),
+    )
+    v = p.select("p_partkey", "p_brand", version.alias("version"))
+    core = F.split_part(F.col("version"), F.lit("-"), F.lit(1))
+    pre = F.when(
+        F.col("version").like("%-%"),
+        F.split_part(F.col("version"), F.lit("-"), F.lit(2)),
+    )
+    parsed = v.select(
+        "p_partkey",
+        "p_brand",
+        "version",
+        F.split_part(core, F.lit("."), F.lit(1)).cast("bigint").alias("maj"),
+        F.split_part(core, F.lit("."), F.lit(2)).cast("bigint").alias("mnr"),
+        F.split_part(core, F.lit("."), F.lit(3)).cast("bigint").alias("pat"),
+        pre.alias("pre"),
+    )
+    is_num = F.col("pre").rlike("^[0-9]+$")
+    keyed = parsed.select(
+        "p_partkey",
+        "p_brand",
+        "version",
+        "maj",
+        "mnr",
+        "pat",
+        F.when(F.col("pre").isNull(), 1).otherwise(0).alias("is_release"),
+        F.when(F.col("pre").isNull(), 1)
+        .when(is_num, 0)
+        .otherwise(1)
+        .alias("pre_alpha"),
+        F.when(F.col("pre").isNotNull() & is_num, F.col("pre").cast("bigint"))
+        .otherwise(F.lit(-1))
+        .alias("pre_num"),
+        F.coalesce(
+            F.when(F.col("pre").isNotNull() & ~is_num, F.col("pre")), F.lit("")
+        ).alias("pre_str"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        "maj", "mnr", "pat", "is_release", "pre_alpha", "pre_num", "pre_str"
+    )
+    return keyed.select(
+        "p_partkey",
+        "version",
+        F.rank().over(w).cast("bigint").alias("precedence_rank"),
+    )
+
+
+@register(
+    "fn_cron_next_fire",
+    oracle="""
+WITH spec AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 60 AS BIGINT) AS cm,
+         CAST(o_orderkey % 24 AS BIGINT) AS ch,
+         CAST(o_orderkey % 7 AS BIGINT) AS cdow,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS now_dow
+  FROM orders
+),
+calc AS (
+  SELECT o_orderkey, o_orderdate, cm, ch, cdow,
+         CASE WHEN (cdow - now_dow + 7) % 7 = 0 AND ch = 0 AND cm = 0
+              THEN 7 ELSE (cdow - now_dow + 7) % 7 END AS days_ahead
+  FROM spec
+)
+SELECT o_orderkey,
+       CAST(cm AS VARCHAR) || ' ' || CAST(ch AS VARCHAR) || ' * * '
+         || CAST(cdow AS VARCHAR) AS cron_expr,
+       o_orderdate + INTERVAL (days_ahead) DAY + INTERVAL (ch) HOUR
+         + INTERVAL (cm) MINUTE AS next_fire,
+       CAST(days_ahead * 1440 + ch * 60 + cm AS BIGINT) AS wait_minutes
+FROM calc
+""",
+)
+def fn_cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRON NEXT-FIRE-TIME evaluation for the (minute hour * * dow)
+    schedule family — the scheduler primitive behind every batch
+    orchestrator: given 'now' (o_orderdate, midnight-valued) and a
+    cron spec derived from the order key, compute the next strictly-
+    future fire instant CLOSED-FORM (no candidate-grid scan):
+    days_ahead = (dow_target - dow_now) mod 7, bumped to a full week
+    when the same-day fire time (h=0,m=0) would collide with 'now'
+    exactly — the strictly-after contract. Both engines share the
+    cron dow convention 0=Sunday; Spark's dayofweek() is 1=Sunday,
+    so the Spark side shifts by 1 while DuckDB's dayofweek() is
+    0=Sunday natively — the one calendar-convention seam, pinned by
+    the oracle (house determinism rule 6 families). wait_minutes is
+    exact integer arithmetic; next_fire is date + interval on both
+    sides. Scale: pure per-row expressions, zero shuffles — the
+    100 TB shape is a map over the schedule table."""
+    o = table(spark, sf_dir, "orders")
+    spec = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderkey") % 60).cast("bigint").alias("cm"),
+        (F.col("o_orderkey") % 24).cast("bigint").alias("ch"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("cdow"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("now_dow"),
+    )
+    raw = (F.col("cdow") - F.col("now_dow") + 7) % 7
+    days = F.when(
+        (raw == 0) & (F.col("ch") == 0) & (F.col("cm") == 0), F.lit(7)
+    ).otherwise(raw)
+    calc = spec.withColumn("days_ahead", days.cast("bigint"))
+    return calc.select(
+        "o_orderkey",
+        F.concat_ws(
+            " ",
+            F.col("cm").cast("string"),
+            F.col("ch").cast("string"),
+            F.lit("*"),
+            F.lit("*"),
+            F.col("cdow").cast("string"),
+        ).alias("cron_expr"),
+        (
+            F.col("o_orderdate")
+            + F.expr("make_interval(0, 0, 0, days_ahead, ch, cm, 0)")
+        ).alias("next_fire"),
+        (F.col("days_ahead") * 1440 + F.col("ch") * 60 + F.col("cm"))
+        .cast("bigint")
+        .alias("wait_minutes"),
     )

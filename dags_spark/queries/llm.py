@@ -5738,3 +5738,174 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks",
         "title",
     )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "multimodal_dft_bin_energy",
+    oracle="""
+WITH grid AS (
+  SELECT d.doc_id, n.n, k.k,
+         CAST((d.doc_id * 7 + n.n * (1 + d.doc_id % 5)) % 256 - 128
+              AS DOUBLE) AS s
+  FROM documents d,
+       (SELECT UNNEST(generate_series(0, 63)) AS n) n,
+       (SELECT UNNEST([1, 3, 5]) AS k) k
+),
+lanes AS (
+  SELECT doc_id, k,
+         CAST(SUM(CAST(FLOOR(ROUND(s * COS(0.09817477042468103 * n * k), 12)
+                  * 1000000000.0) AS BIGINT)) AS BIGINT) AS re_q,
+         CAST(SUM(CAST(FLOOR(ROUND(s * SIN(0.09817477042468103 * n * k), 12)
+                  * 1000000000.0) AS BIGINT)) AS BIGINT) AS im_q
+  FROM grid GROUP BY doc_id, k
+)
+SELECT doc_id, CAST(k AS BIGINT) AS k,
+       ROUND((CAST(re_q AS DOUBLE) / 1000000000.0)
+             * (CAST(re_q AS DOUBLE) / 1000000000.0)
+             + (CAST(im_q AS DOUBLE) / 1000000000.0)
+             * (CAST(im_q AS DOUBLE) / 1000000000.0), 3) AS energy
+FROM lanes
+""",
+)
+def multimodal_dft_bin_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-BIN DFT ENERGY (the Goertzel-class single-bin spectral
+    feature every audio pipeline extracts before a classifier):
+    energy at bin k of an N=64-sample frame is |sum_n s[n] *
+    e^(-2pi*i*k*n/N)|^2 — computed here as an explicit cos/sin dot
+    product so the whole feature is a GROUP-BY-AGGREGATE, not a
+    sequential filter: explode the (sample x bin) grid, one
+    hash-agg back to (doc, bin). The frame is a deterministic
+    synthetic waveform keyed on doc_id (period 256/(1+id%5) —
+    different docs peak at different bins, so the feature actually
+    discriminates; the container has no audio codec, and the house
+    multimodal keys pin REAL decode paths — wav/adpcm/mulaw — this
+    key pins the downstream FEATURE math at scale). Each cos/sin
+    term is guard-rounded and nano-quantized before the order-free
+    exact sum (floats only re-enter in the final energy, rounded at
+    3dp). Scale: the 192x explode is map-side (Generate), the only
+    shuffle is the (doc, bin) hash-agg with map-side combine."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    c = 0.09817477042468103  # 2*pi/64, pinned literal on both engines
+    grid = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("n"),
+    ).select(
+        "doc_id",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k"),
+        (
+            (F.col("doc_id") * 7 + F.col("n") * (1 + F.col("doc_id") % 5))
+            % 256
+            - 128
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    ang = F.lit(c) * F.col("n") * F.col("k")
+    lanes = grid.groupBy("doc_id", "k").agg(
+        F.sum(
+            F.floor(F.round(F.col("s") * F.cos(ang), 12) * 1e9).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("re_q"),
+        F.sum(
+            F.floor(F.round(F.col("s") * F.sin(ang), 12) * 1e9).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("im_q"),
+    )
+    re_d = F.col("re_q").cast("double") / 1e9
+    im_d = F.col("im_q").cast("double") / 1e9
+    return lanes.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("k"),
+        F.round(re_d * re_d + im_d * im_d, 3).alias("energy"),
+    )
+
+
+_DECON_DOT = (
+    "list_sum(list_transform(generate_series(1, len(t.embedding)),"
+    " i -> t.embedding[i] * b.embedding[i]))"
+)
+_DECON_NORM_T = (
+    "SQRT(list_sum(list_transform(generate_series(1, len(t.embedding)),"
+    " i -> t.embedding[i] * t.embedding[i])))"
+)
+_DECON_NORM_B = (
+    "SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),"
+    " i -> b.embedding[i] * b.embedding[i])))"
+)
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+),
+sims AS (
+  SELECT t.vec_id,
+         ROUND({_DECON_DOT} / ({_DECON_NORM_T} * {_DECON_NORM_B}), 6) AS sim
+  FROM train t CROSS JOIN bench b
+)
+SELECT vec_id, MAX(sim) AS max_benchmark_sim,
+       CAST(SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       MAX(sim) >= 0.5 AS drop_doc
+FROM sims GROUP BY vec_id
+""",
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE TEST-SET DECONTAMINATION — the third
+    decontamination modality after exact n-gram overlap
+    (decontaminate_ngram) and substring winnowing: a training doc is
+    dropped when its embedding is cosine-similar (>= 0.5 on this
+    fixture's unit-scale vectors) to ANY benchmark/eval doc, the
+    screen that catches PARAPHRASED leakage n-grams can't see
+    (GPT-3-era dedup papers' semantic-dedup recipe). The benchmark
+    side (vec_id % 50 = 0 here) is small BY CONSTRUCTION — real
+    eval suites are 1e3-1e5 docs — so the 100 TB plan is exactly
+    this one: broadcast the benchmark matrix, stream the train
+    corpus through it once, never shuffle the big side. The cosine
+    is a JVM-side higher-order-function dot (F.zip_with +
+    F.aggregate — no Python in the hot path), summed in index order
+    on both engines and rounded at 6dp before the max/threshold
+    fold."""
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    train = emb.filter(F.col("vec_id") % 50 != 0).select(
+        "vec_id", "embedding"
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = F.round(
+        dot(F.col("embedding"), F.col("b_emb"))
+        / (
+            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
+        ),
+        6,
+    )
+    sims = train.crossJoin(F.broadcast(bench)).select(
+        "vec_id", sim.alias("sim")
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max("sim").alias("max_benchmark_sim"),
+        F.sum(F.when(F.col("sim") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+        (F.max("sim") >= 0.5).alias("drop_doc"),
+    )

@@ -5847,3 +5847,92 @@ def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / (F.col("hi") - F.col("lo") + 1), 6
         ).alias("density"),
     )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "iter_closeness_centrality",
+    oracle="""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM customer),
+edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * 37 + 11) % (SELECT n FROM nn) AS dst
+  FROM customer
+),
+walk (seed, node, depth) AS (
+  SELECT src, src, 0 FROM edges WHERE src % 100 = 0
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 6
+),
+dists AS (
+  SELECT seed, node, MIN(depth) AS d
+  FROM walk GROUP BY seed, node
+)
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(60 / d) AS BIGINT) AS h_q,
+       ROUND(CAST(SUM(60 / d) AS DOUBLE) / 60.0, 6) AS harmonic_closeness
+FROM dists WHERE d > 0
+GROUP BY seed
+""",
+)
+def iter_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CLOSENESS CENTRALITY (Boldi & Vigna's fix of classic
+    closeness for disconnected graphs: H(s) = sum 1/d(s,u), so
+    unreachable nodes contribute 0 instead of poisoning the mean)
+    for the seed set of the house functional graph (dst = (37k+11)
+    mod N, seeds k%100=0), truncated at 6 hops — the k-hop
+    influence measure recommender graphs rank sources by. The BFS
+    is the same UNROLLED 6-join frontier expansion as
+    iter_reachability_bfs but carries the SEED dimension, with a
+    per-level distinct on (seed, node) keeping each frontier at
+    most |seeds|x|nodes|; min-depth over revisits. EXACT INTEGER
+    output: depths are 1..6, so 60/d is integral and H*60 is a
+    BIGINT lane — no float until the final /60 display division.
+    Scale: each hop is one equi-join shuffle on the node key; seed
+    count controls the frontier width, so landmark-style sampling
+    (pick sqrt(N) seeds) is the standard 100 TB deployment of
+    exactly this plan."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.select("c_custkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 37 + 11) % F.col("n")).alias("dst"),
+        )
+    )
+    seeds = edges.filter(F.col("src") % 100 == 0).select(
+        F.col("src").alias("seed"), F.col("src").alias("node"), F.lit(0).alias("d")
+    )
+    levels = [seeds]
+    frontier = seeds
+    for depth in range(1, 7):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"), F.lit(depth).alias("d"))
+            .distinct()
+        )
+        levels.append(frontier)
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    dists = walk.groupBy("seed", "node").agg(F.min("d").alias("d")).filter(
+        F.col("d") > 0
+    )
+    return dists.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum(F.lit(60) / F.col("d")).cast("bigint").alias("h_q"),
+        F.round(
+            F.sum(F.lit(60) / F.col("d")).cast("double") / 60.0, 6
+        ).alias("harmonic_closeness"),
+    ).select(
+        F.col("seed").cast("bigint").alias("seed"),
+        "n_reached",
+        "h_q",
+        "harmonic_closeness",
+    )

@@ -3187,3 +3187,261 @@ def source_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_c"),
     )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "source_arrow_ipc_stream",
+    oracle="""
+SELECT s_suppkey AS id, s_name AS name,
+       CAST(s_nationkey AS BIGINT) AS nation,
+       CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_c
+FROM supplier
+""",
+    tags=("source",),
+)
+def source_arrow_ipc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC STREAM format source (the Arrow columnar wire
+    protocol: schema message + record-batch messages, also the
+    payload of Flight and the body of Feather v2) — the interchange
+    format a 100 TB feature platform actually speaks between
+    engines. Shards are written executor-side with pyarrow's stream
+    writer (one .arrows file per partition, multiple record batches
+    per file to exercise batch iteration), scanned back via
+    binaryFile + open_stream — one shard per task, so the read
+    parallelizes at file grain exactly like the tar/zip/sequencefile
+    sources. The supplier roundtrip (int64 + utf8 + exact cents
+    lane) is pinned by the relational oracle."""
+    import pandas as pd  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.ipc  # noqa: PLC0415
+
+    out = _tmpdir("arrowipc")
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("bigint").alias("nation"),
+        cents("s_acctbal").alias("bal_c"),
+    )
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        tbl = pa.Table.from_pandas(
+            pd.concat(pdfs, ignore_index=True), preserve_index=False
+        )
+        path = os.path.join(out, f"part-{_uuid.uuid4().hex}.arrows")
+        with pa.ipc.new_stream(path, tbl.schema) as w:
+            # several small batches per shard: a reader that only
+            # consumes the first batch cannot hash-match
+            for chunk in tbl.to_batches(max_chunksize=7):
+                w.write_batch(chunk)
+        yield pd.DataFrame({"path": [path]})
+
+    files = [
+        r["path"]
+        for r in sup.repartition(4)
+        .mapInPandas(_write, "path string")
+        .collect()
+    ]
+    assert files, "arrow ipc sink committed no files"
+
+    def _read(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                with pa.ipc.open_stream(pa.BufferReader(bytes(content))) as r:
+                    yield r.read_all().to_pandas()
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read, "id bigint, name string, nation bigint, bal_c bigint"
+    )
+
+
+@register(
+    "source_pcap_packets",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+       CAST(16 + event_id % 48 AS BIGINT) AS pkt_len,
+       CAST(event_id % 2 = 1 AS BOOLEAN) AS from_bigendian
+FROM events
+""",
+    tags=("source",),
+)
+def source_pcap_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcap capture-file source, wire format implemented FROM THE
+    PUBLIC SPEC (operators/pcapio.py — the libpcap/tcpdump format):
+    24-byte global header whose MAGIC doubles as a byte-order mark,
+    16-byte per-packet record headers (ts_sec/ts_usec/incl_len/
+    orig_len), raw payload bytes. Events become packets (payload =
+    8-byte big-endian event_id + deterministic filler to
+    16 + id%48 bytes); odd-id packets are written into BIG-ENDIAN
+    captures and even-id into little-endian ones, so a reader that
+    ignores the 0xd4c3b2a1 swapped magic produces garbage ts/len on
+    half the corpus and cannot hash-match. One capture file per
+    (partition, endianness) — scanned back via binaryFile, one
+    capture per task. Truncation raises typed ValueError
+    (tests/test_operators.py::test_pcap_roundtrip_and_truncation)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.pcapio import read_pcap, write_pcap  # noqa: PLC0415
+
+    out = _tmpdir("pcap")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("long").alias("ts_sec")
+    )
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        by_endian: dict[bool, list] = {False: [], True: []}
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                eid = int(r["event_id"])
+                n = 16 + eid % 48
+                payload = eid.to_bytes(8, "big") + bytes(
+                    (eid + i) % 256 for i in range(n - 8)
+                )
+                by_endian[eid % 2 == 1].append(
+                    (int(r["ts_sec"]), 0, payload)
+                )
+        rows = []
+        for be, pkts in by_endian.items():
+            if not pkts:
+                continue
+            path = os.path.join(
+                out, f"cap-{'be' if be else 'le'}-{_uuid.uuid4().hex}.pcap"
+            )
+            with open(path, "wb") as fh:
+                fh.write(write_pcap(pkts, big_endian=be))
+            rows.append(path)
+        if rows:
+            yield pd.DataFrame({"path": rows})
+
+    files = [
+        r["path"]
+        for r in ev.repartition(4).mapInPandas(_write, "path string").collect()
+    ]
+    assert files, "pcap sink committed no files"
+
+    def _read(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                cap = read_pcap(bytes(content))
+                recs = [
+                    {
+                        "event_id": int.from_bytes(data[:8], "big"),
+                        "ts_sec": ts_sec,
+                        "pkt_len": orig,
+                        "from_bigendian": cap["big_endian"],
+                    }
+                    for ts_sec, _us, orig, data in cap["packets"]
+                ]
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read,
+        "event_id bigint, ts_sec bigint, pkt_len bigint,"
+        " from_bigendian boolean",
+    )
+
+
+@register(
+    "source_mbox_messages",
+    oracle="""
+SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) || '@example.test' AS msg_id,
+       lang AS subject_lang,
+       CAST(length('From the start: ') + length(lang) + 1 + length(text)
+            AS BIGINT) AS body_chars,
+       CAST(1 + CASE WHEN text LIKE 'From %' THEN 1 ELSE 0 END AS BIGINT)
+         AS from_lines
+FROM documents
+""",
+    tags=("source",),
+)
+def source_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mailbox source (RFC 4155 framing + mboxrd quoting),
+    implemented from the public spec (operators/mboxio.py). Each
+    document becomes a message whose BODY deliberately starts with
+    'From the start: ...' — a line the writer must quote ('>From')
+    or every downstream reader splits the message in half (the
+    format's classic defect). The reader strips exactly one quoting
+    level (mboxrd, the reversible convention; mboxo would corrupt a
+    genuine '>From' line), folds RFC 5322 header continuations, and
+    the oracle pins per-message body length INCLUDING the unquoted
+    From-line, so lossy quoting or bad framing cannot hash-match.
+    One mbox shard per partition via binaryFile — file-grain
+    parallel like every archive source here."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.mboxio import read_mbox, write_mbox  # noqa: PLC0415
+
+    out = _tmpdir("mbox")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def _write(batches):
+        import uuid as _uuid  # noqa: PLC0415
+
+        msgs = []
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                body = f"From the start: {r['lang']}\n{r['text']}"
+                msgs.append(
+                    (
+                        f"doc-{int(r['doc_id'])}@example.test",
+                        [
+                            ("Message-ID", f"doc-{int(r['doc_id'])}@example.test"),
+                            ("Subject", f"lang {r['lang']}"),
+                            ("X-Doc-Id", str(int(r["doc_id"]))),
+                        ],
+                        body,
+                    )
+                )
+        if not msgs:
+            return
+        path = os.path.join(out, f"shard-{_uuid.uuid4().hex}.mbox")
+        with open(path, "wb") as fh:
+            fh.write(write_mbox(msgs))
+        yield pd.DataFrame({"path": [path]})
+
+    files = [
+        r["path"]
+        for r in docs.repartition(4).mapInPandas(_write, "path string").collect()
+    ]
+    assert files, "mbox sink committed no files"
+
+    def _read(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = []
+                for m in read_mbox(bytes(content)):
+                    hdr = dict(m["headers"])
+                    recs.append(
+                        {
+                            "doc_id": int(hdr["X-Doc-Id"]),
+                            "msg_id": hdr["Message-ID"],
+                            "subject_lang": hdr["Subject"].split()[-1],
+                            "body_chars": len(m["body"]),
+                            "from_lines": sum(
+                                1
+                                for ln in m["body"].split("\n")
+                                if ln.startswith("From ")
+                            ),
+                        }
+                    )
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    bf = spark.read.format("binaryFile").load(files)
+    return bf.select("content").mapInPandas(
+        _read,
+        "doc_id bigint, msg_id string, subject_lang string,"
+        " body_chars bigint, from_lines bigint",
+    )

@@ -7381,3 +7381,101 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ulcer_index"),
         "max_drawdown_pct",
     )
+
+
+@register(
+    "ts_matrix_profile_motif",
+    oracle="""
+WITH wk AS (
+  SELECT date_trunc('week', o_orderdate) AS w,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY w
+),
+idx AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY w) - 1 AS i FROM wk
+),
+subseq AS (
+  SELECT a0.i,
+         [a0.cnt, a1.cnt, a2.cnt, a3.cnt] AS v
+  FROM idx a0
+  JOIN idx a1 ON a1.i = a0.i + 1
+  JOIN idx a2 ON a2.i = a0.i + 2
+  JOIN idx a3 ON a3.i = a0.i + 3
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST((a.v[1]-b.v[1])*(a.v[1]-b.v[1]) + (a.v[2]-b.v[2])*(a.v[2]-b.v[2])
+            + (a.v[3]-b.v[3])*(a.v[3]-b.v[3]) + (a.v[4]-b.v[4])*(a.v[4]-b.v[4])
+            AS BIGINT) AS dist2
+  FROM subseq a JOIN subseq b ON b.i >= a.i + 4
+),
+ranked AS (
+  SELECT i, j, dist2,
+         ROW_NUMBER() OVER (ORDER BY dist2, i, j) AS rn
+  FROM pairs
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, dist2,
+       CAST(rn AS BIGINT) AS motif_rank
+FROM ranked WHERE rn <= 5
+""",
+    tags=("timeseries",),
+)
+def ts_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX-PROFILE MOTIF DISCOVERY (Yeh et al., ICDM 2016 — the
+    MP's top-k motif query): find the most similar pair of
+    non-overlapping length-4 subsequences in the weekly order-count
+    series, i.e. the recurring demand shape. The profile is
+    all-pairs subsequence distance with the trivial-match EXCLUSION
+    ZONE (j >= i+4, so a window never matches its own overlap);
+    distances are UN-normalized Euclidean on exact integer counts —
+    every dist2 is an exact BIGINT, the ranking is total (tie:
+    i, j), and no float enters at all. The subsequence table is
+    built by 3 self-equi-joins on the week index (a shifted-key
+    join, NOT a window collect — each join is a broadcast-size
+    calendar-grain relation). The pair grid is quadratic BY
+    CONTRACT (the matrix profile is defined over all pairs) on the
+    calendar-grain axis: ~350 weeks -> 60k pairs at any corpus
+    volume, because adding rows fattens the counts, not the grid.
+    Scale: one corpus-grain hash-agg to weeks; everything after is
+    grid-sized."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    idx = wk.select(
+        "cnt", (F.row_number().over(Window.orderBy("w")) - 1).alias("i")
+    )
+    a0 = idx.select(F.col("i"), F.col("cnt").alias("c0"))
+    sub = a0
+    for t in (1, 2, 3):
+        nxt = idx.select(
+            (F.col("i") - t).alias(f"i{t}"), F.col("cnt").alias(f"c{t}")
+        )
+        sub = sub.join(nxt, sub.i == F.col(f"i{t}")).drop(f"i{t}")
+    a = sub.select(
+        F.col("i").alias("ai"), *[F.col(f"c{t}").alias(f"a{t}") for t in range(4)]
+    )
+    b = sub.select(
+        F.col("i").alias("bi"), *[F.col(f"c{t}").alias(f"b{t}") for t in range(4)]
+    )
+    d2 = sum(
+        (F.col(f"a{t}") - F.col(f"b{t}")) * (F.col(f"a{t}") - F.col(f"b{t}"))
+        for t in range(4)
+    )
+    pairs = a.join(b, F.col("bi") >= F.col("ai") + 4).select(
+        F.col("ai").alias("i"),
+        F.col("bi").alias("j"),
+        d2.cast("bigint").alias("dist2"),
+    )
+    # top-5 via sort+limit (TakeOrderedAndProject — no global window
+    # over the pair grid); the rank label is a window over 5 rows.
+    top = pairs.orderBy("dist2", "i", "j").limit(5)
+    return top.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "dist2",
+        F.row_number()
+        .over(Window.orderBy("dist2", "i", "j"))
+        .cast("bigint")
+        .alias("motif_rank"),
+    )

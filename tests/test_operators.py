@@ -1221,3 +1221,75 @@ def test_adpcm_parity_with_audioop_and_container():
 
     with _pytest.raises(ValueError):
         decode_wav_adpcm(encode_wav_pattern(64, 8000))
+
+
+# ---------------------------------------------------------- round 9
+
+def test_pcap_roundtrip_and_truncation():
+    """Both endiannesses round-trip; every truncation class raises a
+    typed ValueError (the from-spec codec contract)."""
+    import pytest
+
+    from dags_spark.operators.pcapio import read_pcap, write_pcap
+
+    pkts = [
+        (1700000000, 123456, b"\x01\x02\x03\x04"),
+        (1700000001, 999999, bytes(range(64))),
+    ]
+    for be in (False, True):
+        blob = write_pcap(pkts, big_endian=be)
+        cap = read_pcap(blob)
+        assert cap["big_endian"] is be
+        assert [(t, u, o) for t, u, o, _ in cap["packets"]] == [
+            (t, u, len(p)) for t, u, p in pkts
+        ]
+        assert [d for *_x, d in cap["packets"]] == [p for *_y, p in pkts]
+        # swapped-magic file parsed on the "wrong" machine still reads
+        # identically — the byte-order mark does its job
+        assert read_pcap(blob)["packets"] == cap["packets"]
+    blob = write_pcap(pkts)
+    with pytest.raises(ValueError, match="truncated global"):
+        read_pcap(blob[:20])
+    with pytest.raises(ValueError, match="truncated record header"):
+        read_pcap(blob[: 24 + 8])
+    with pytest.raises(ValueError, match="truncated packet data"):
+        read_pcap(blob[: 24 + 16 + 2])
+    with pytest.raises(ValueError, match="bad magic"):
+        read_pcap(b"\x00" * 24)
+    # snaplen truncates the CAPTURED bytes but keeps orig_len honest
+    cap = read_pcap(write_pcap([(1, 0, bytes(100))], snaplen=10))
+    ts, us, orig, data = cap["packets"][0]
+    assert orig == 100 and len(data) == 10
+
+
+def test_mbox_roundtrip_quoting_and_errors():
+    """mboxrd quoting is reversible for bodies containing 'From ' and
+    '>From ' lines; framing and header folding survive; malformed
+    input raises typed ValueError."""
+    import pytest
+
+    from dags_spark.operators.mboxio import read_mbox, write_mbox
+
+    body = "From the top\nplain line\n>From quoted already\n>>From deeper\nend"
+    msgs = [
+        (
+            "a@x",
+            [("Subject", "one"), ("X-Long", "first part")],
+            body,
+        ),
+        ("b@y", [("Subject", "two")], "short"),
+    ]
+    blob = write_mbox(msgs)
+    got = read_mbox(blob)
+    assert len(got) == 2
+    assert got[0]["sender"] == "a@x"
+    assert got[0]["body"] == body  # mboxrd: lossless round-trip
+    assert got[1]["body"] == "short"
+    # header continuation folding
+    folded = b"From c@z Thu Jan  1 00:00:00 1970\nSubject: a\n very long\n\nbody\n\n"
+    m = read_mbox(folded)[0]
+    assert dict(m["headers"])["Subject"] == "a very long"
+    with pytest.raises(ValueError, match="postmark"):
+        read_mbox(b"not a mailbox\n")
+    with pytest.raises(ValueError, match="malformed header"):
+        read_mbox(b"From a@x now\nbadheader\n\nbody\n\n")

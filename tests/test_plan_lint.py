@@ -63,6 +63,16 @@ ALLOWED = {
     "ts_croston_intermittent": {"cartesian"},
     "ts_dtw_distance": {"cartesian"},
     "ts_hurst_rs": {"cartesian"},
+    # round 9: matrix-profile pairs the subsequence grid with itself
+    # under the exclusion-zone range condition — quadratic BY
+    # CONTRACT on a calendar-grain axis (~350 weeks at any corpus
+    # volume: adding rows fattens weekly counts, not the grid);
+    # decontaminate_embedding broadcast-crosses the train stream
+    # with the BENCHMARK side, small by construction (eval suites
+    # are 1e3-1e5 docs) — the train side never shuffles, which is
+    # exactly the 100 TB plan.
+    "ts_matrix_profile_motif": {"cartesian"},
+    "decontaminate_embedding": {"cartesian"},
     #
     # (round 9: stats_bh_fdr's single-partition-exchange waiver —
     # the last one standing alone — cleared by REAL rewrite: the BH
