@@ -7496,3 +7496,302 @@ def stats_mcc_f1_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcc"),
     )
+
+
+@register(
+    "eval_pass_at_k",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey % 500 AS problem_id,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c
+  FROM orders GROUP BY problem_id
+  HAVING COUNT(*) >= 5
+)
+SELECT CAST(problem_id AS BIGINT) AS problem_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(c AS BIGINT) AS n_correct,
+       ROUND(CASE WHEN n - c < 5 THEN 1.0 ELSE
+         1.0 - (CAST(n - c AS DOUBLE) / n)
+             * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+             * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+             * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+             * (CAST(n - c - 4 AS DOUBLE) / (n - 4)) END, 9) AS pass_at_5
+FROM s
+""",
+    tags=("stats", "llm"),
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K — the unbiased estimator behind every code-gen eval
+    (HumanEval/MBPP reporting): given n sampled completions per
+    problem of which c pass the tests, pass@k = 1 - C(n-c,k)/C(n,k),
+    the probability that a random size-k subset contains at least
+    one passing sample. Computed in the numerically safe PRODUCT
+    form prod_{i=0..k-1} (n-c-i)/(n-i) — the binomial-ratio form
+    overflows integer arithmetic the moment n grows with the corpus
+    (C(3e6, 5) >> 2^63), while each product factor stays in [0,1]
+    at ANY n, so the same expression is exact-enough at sf0.01 and
+    at 100 TB. k=5 is unrolled as five literal factors: a fixed
+    evaluation order both engines execute identically (no
+    order-sensitive SUM of logs). Problems with n < k are excluded
+    (the estimator is undefined there); n-c < k short-circuits to
+    1.0 before any zero/negative factor. Scale: one partial+final
+    hash aggregate on the problem key, then per-row closed-form
+    math — no second shuffle, no window."""
+    o = table(spark, sf_dir, "orders")
+    s = (
+        o.groupBy((F.col("o_custkey") % 500).cast("bigint").alias("problem_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "c"
+            ),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    n, c = F.col("n"), F.col("c")
+    prod = (
+        ((n - c).cast("double") / n)
+        * ((n - c - 1).cast("double") / (n - 1))
+        * ((n - c - 2).cast("double") / (n - 2))
+        * ((n - c - 3).cast("double") / (n - 3))
+        * ((n - c - 4).cast("double") / (n - 4))
+    )
+    return s.select(
+        "problem_id",
+        n.cast("bigint").alias("n_samples"),
+        c.cast("bigint").alias("n_correct"),
+        F.round(
+            F.when(n - c < 5, F.lit(1.0)).otherwise(F.lit(1.0) - prod), 9
+        ).alias("pass_at_5"),
+    )
+
+
+@register(
+    "stats_pinball_loss",
+    oracle="""
+WITH train AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+                                     l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_orderkey % 2 = 1
+),
+q AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS q50,
+         MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS q90
+  FROM train GROUP BY l_returnflag
+),
+test AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem WHERE l_orderkey % 2 = 0
+)
+SELECT t.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(MAX(q50) AS BIGINT) AS q50_cents,
+       CAST(MAX(q90) AS BIGINT) AS q90_cents,
+       ROUND(AVG(GREATEST(0.5 * (t.cents - q50), (0.5 - 1.0) * (t.cents - q50)))
+             / 100.0, 6) AS pinball_50,
+       ROUND(AVG(GREATEST(0.9 * (t.cents - q90), (0.9 - 1.0) * (t.cents - q90)))
+             / 100.0, 6) AS pinball_90
+FROM test t JOIN q ON t.l_returnflag = q.l_returnflag
+GROUP BY t.l_returnflag
+""",
+    tags=("stats",),
+)
+def stats_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (QUANTILE) LOSS — the proper scoring rule for
+    quantile forecasts (M5-uncertainty metric, SLA-latency
+    forecasting): loss_tau(y, q) = max(tau*(y-q), (tau-1)*(y-q)),
+    minimized in expectation exactly when q is the true
+    tau-quantile. A per-returnflag forecast is FIT on the odd-orderkey
+    half (exact discrete P50/P90 via the deterministic
+    (cents, orderkey, linenumber) rank — same total order both
+    engines) and SCORED on the even half: train/test by key parity
+    is leakage-free and reproducible at any scale. Money stays in
+    exact BIGINT cents through ranking; the loss averages in DOUBLE
+    and rounds. Scale: one window per half on the 3-flag partition
+    key, one broadcastable 3-row quantile table joined back to the
+    test stream — the fact scan never re-shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    cts = cents("l_extendedprice")
+    train = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_returnflag", cts.alias("cents"), "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = train.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q90"),
+    )
+    test = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_returnflag", cts.alias("cents")
+    )
+    j = test.join(F.broadcast(q), "l_returnflag")
+    d50 = F.col("cents") - F.col("q50")
+    d90 = F.col("cents") - F.col("q90")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.max("q50").cast("bigint").alias("q50_cents"),
+        F.max("q90").cast("bigint").alias("q90_cents"),
+        F.round(
+            F.avg(F.greatest(0.5 * d50, (0.5 - 1.0) * d50)) / 100.0, 6
+        ).alias("pinball_50"),
+        F.round(
+            F.avg(F.greatest(0.9 * d90, (0.9 - 1.0) * d90)) / 100.0, 6
+        ).alias("pinball_90"),
+    )
+
+
+@register(
+    "stats_isotonic_pava",
+    oracle="""
+WITH bins AS (
+  SELECT o_orderkey % 20 AS b,
+         CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM orders GROUP BY b
+),
+cums AS (
+  SELECT b, w, x,
+         SUM(x) OVER (ORDER BY b) AS cx,
+         SUM(w) OVER (ORDER BY b) AS cw
+  FROM bins
+),
+pre AS (
+  SELECT b, w, x, cx, cw, cx - x AS px, cw - w AS pw FROM cums
+),
+grid AS (
+  SELECT t1.range AS i, t2.range AS j, t3.range AS k
+  FROM range(20) t1, range(20) t2, range(20) t3
+  WHERE t2.range <= t1.range AND t1.range <= t3.range
+),
+means AS (
+  SELECT g.i, g.j,
+         (CAST(ck.cx AS DOUBLE) - pj.px) / (ck.cw - pj.pw) AS m
+  FROM grid g
+  JOIN pre pj ON pj.b = g.j
+  JOIN pre ck ON ck.b = g.k
+),
+inner_min AS (
+  SELECT i, j, MIN(m) AS mn FROM means GROUP BY i, j
+),
+fit AS (
+  SELECT i, MAX(mn) AS f FROM inner_min GROUP BY i
+)
+SELECT CAST(fit.i AS BIGINT) AS bin,
+       b.w AS n,
+       ROUND(CAST(b.x AS DOUBLE) / b.w, 9) AS y_raw,
+       ROUND(fit.f, 9) AS y_iso
+FROM fit JOIN bins b ON b.b = fit.i
+""",
+    tags=("stats",),
+)
+def stats_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (PAVA) — the calibration fit behind
+    reliability curves and monotone score->probability mappings:
+    the least-squares NON-DECREASING step function through the
+    per-bin outcome rates. Instead of the sequential
+    pool-adjacent-violators loop (inherently serial, hostile to a
+    distributed engine), the fit uses the exact MINIMAX identity
+    f_i = max_{j<=i} min_{k>=i} mean(y_j..y_k) — every PAVA
+    textbook's closed form — over the B=20 score-bin grid: the
+    (j,i,k) index grid is a LITERAL bounded lattice (1,540 rows at
+    B=20, data-independent) built by sequential sequence-explodes,
+    and the weighted range means come from exclusive/inclusive
+    prefix sums of exact BIGINT bin counts, so both engines
+    evaluate the identical finite min/max lattice — min/max are
+    order-insensitive, no FP-accumulation-order hazard. Scale: ONE
+    partial+final aggregate over the fact scan compresses the
+    corpus to 20 rows; everything after is constant work. The
+    output is provably monotone (pytest-asserted)."""
+    o = table(spark, sf_dir, "orders")
+    bins = o.groupBy((F.col("o_orderkey") % 20).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "b",
+        "w",
+        "x",
+        F.sum("x").over(wc).alias("cx"),
+        F.sum("w").over(wc).alias("cw"),
+    ).select(
+        "b",
+        "w",
+        "x",
+        "cx",
+        "cw",
+        (F.col("cx") - F.col("x")).alias("px"),
+        (F.col("cw") - F.col("w")).alias("pw"),
+    )
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"))
+        .select(
+            "i", F.explode(F.sequence(F.lit(0), F.col("i"))).alias("j")
+        )
+        .select(
+            "i",
+            "j",
+            F.explode(F.sequence(F.col("i"), F.lit(19))).alias("k"),
+        )
+    )
+    means = (
+        grid.join(
+            F.broadcast(pre.select(F.col("b").alias("j"), "px", "pw")), "j"
+        )
+        .join(
+            F.broadcast(
+                pre.select(F.col("b").alias("k"), "cx", "cw")
+            ),
+            "k",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("cx").cast("double") - F.col("px"))
+                / (F.col("cw") - F.col("pw"))
+            ).alias("m"),
+        )
+    )
+    fit = (
+        means.groupBy("i", "j")
+        .agg(F.min("m").alias("mn"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("f"))
+    )
+    return fit.join(
+        F.broadcast(bins.select(F.col("b").alias("i"), "w", "x")), "i"
+    ).select(
+        F.col("i").cast("bigint").alias("bin"),
+        F.col("w").alias("n"),
+        F.round(F.col("x").cast("double") / F.col("w"), 9).alias("y_raw"),
+        F.round("f", 9).alias("y_iso"),
+    )

@@ -16,6 +16,7 @@ Cross-engine dialect traps handled here:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2323,4 +2324,327 @@ def fn_cron_next_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("days_ahead") * 1440 + F.col("ch") * 60 + F.col("cm"))
         .cast("bigint")
         .alias("wait_minutes"),
+    )
+
+
+@register(
+    "fn_snowflake_id_decode",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) * 86400000 AS ts_ms,
+         o_custkey % 32 AS dc,
+         o_orderkey % 32 AS wk,
+         o_orderkey % 4096 AS seq
+  FROM orders WHERE o_orderkey % 7 = 2
+),
+ids AS (
+  SELECT o_orderkey,
+         (ts_ms << 22) | (dc << 17) | (wk << 12) | seq AS snowflake_id,
+         ts_ms, dc, wk, seq
+  FROM src
+)
+SELECT o_orderkey,
+       CAST(snowflake_id AS BIGINT) AS snowflake_id,
+       CAST(snowflake_id >> 22 AS BIGINT) AS dec_ts_ms,
+       CAST((snowflake_id >> 17) & 31 AS BIGINT) AS dec_datacenter,
+       CAST((snowflake_id >> 12) & 31 AS BIGINT) AS dec_worker,
+       CAST(snowflake_id & 4095 AS BIGINT) AS dec_sequence,
+       (snowflake_id >> 22) = ts_ms AND ((snowflake_id >> 17) & 31) = dc
+         AND ((snowflake_id >> 12) & 31) = wk
+         AND (snowflake_id & 4095) = seq AS roundtrip_ok
+FROM ids
+""",
+)
+def fn_snowflake_id_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNOWFLAKE-ID PACK/DECODE — the 64-bit time-sortable id layout
+    (41-bit ms timestamp | 5-bit datacenter | 5-bit worker | 12-bit
+    sequence) every distributed id service mints (Twitter
+    Snowflake; Discord/Instagram variants shift the same fields).
+    Ids are PACKED from order attributes with shift-or arithmetic
+    and DECODED back with shift-and masks — the decode any
+    event-pipeline does to recover event time + shard from a bare
+    id without a lookup join (the k-sortability that makes these
+    ids range-prunable in time-partitioned storage). All BIGINT
+    bitwise ops, JVM-side, zero shuffle: per-row codegen at any
+    scale; the roundtrip_ok column certifies pack∘decode =
+    identity on every row."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 2)
+    src = o.select(
+        "o_orderkey",
+        (F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint") * 86400000).alias("ts_ms"),
+        (F.col("o_custkey") % 32).alias("dc"),
+        (F.col("o_orderkey") % 32).alias("wk"),
+        (F.col("o_orderkey") % 4096).alias("seq"),
+    )
+    sid = (
+        F.shiftleft("ts_ms", 22)
+        .bitwiseOR(F.shiftleft("dc", 17))
+        .bitwiseOR(F.shiftleft("wk", 12))
+        .bitwiseOR(F.col("seq"))
+    )
+    ids = src.select("o_orderkey", sid.alias("snowflake_id"), "ts_ms", "dc", "wk", "seq")
+    s = F.col("snowflake_id")
+    dec_ts = F.shiftright(s, 22)
+    dec_dc = F.shiftright(s, 17).bitwiseAND(F.lit(31))
+    dec_wk = F.shiftright(s, 12).bitwiseAND(F.lit(31))
+    dec_seq = s.bitwiseAND(F.lit(4095))
+    return ids.select(
+        "o_orderkey",
+        s.cast("bigint").alias("snowflake_id"),
+        dec_ts.cast("bigint").alias("dec_ts_ms"),
+        dec_dc.cast("bigint").alias("dec_datacenter"),
+        dec_wk.cast("bigint").alias("dec_worker"),
+        dec_seq.cast("bigint").alias("dec_sequence"),
+        (
+            (dec_ts == F.col("ts_ms"))
+            & (dec_dc == F.col("dc"))
+            & (dec_wk == F.col("wk"))
+            & (dec_seq == F.col("seq"))
+        ).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "fn_user_agent_parse",
+    oracle="""
+WITH ua AS (
+  SELECT c_custkey,
+         CAST(90 + c_custkey % 30 AS BIGINT) AS v,
+         CAST(4000 + c_custkey % 500 AS BIGINT) AS b,
+         c_custkey % 5 AS cls
+  FROM customer
+),
+s AS (
+  SELECT c_custkey,
+    CASE cls
+      WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.' || b || '.100 Safari/537.36'
+      WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/' || v || '.1 Safari/605.1.15'
+      WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:' || v || '.0) Gecko/20100101 Firefox/' || v || '.0'
+      WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/' || v || '.0.0.0 Safari/537.36 Edg/' || v || '.0.' || b || '.64'
+      ELSE 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+    END AS ua
+  FROM ua
+)
+SELECT c_custkey, ua,
+  CASE WHEN regexp_matches(lower(ua), 'bot') THEN 'bot'
+       WHEN ua LIKE '%Edg/%' THEN 'Edge'
+       WHEN ua LIKE '%Chrome/%' THEN 'Chrome'
+       WHEN ua LIKE '%Firefox/%' THEN 'Firefox'
+       WHEN ua LIKE '%Version/%' AND ua LIKE '%Safari/%' THEN 'Safari'
+       ELSE 'other' END AS family,
+  CAST(CASE WHEN regexp_matches(lower(ua), 'bot') THEN 0
+       WHEN ua LIKE '%Edg/%' THEN CAST(regexp_extract(ua, 'Edg/([0-9]+)', 1) AS BIGINT)
+       WHEN ua LIKE '%Chrome/%' THEN CAST(regexp_extract(ua, 'Chrome/([0-9]+)', 1) AS BIGINT)
+       WHEN ua LIKE '%Firefox/%' THEN CAST(regexp_extract(ua, 'Firefox/([0-9]+)', 1) AS BIGINT)
+       WHEN ua LIKE '%Version/%' THEN CAST(regexp_extract(ua, 'Version/([0-9]+)', 1) AS BIGINT)
+       ELSE 0 END AS BIGINT) AS major_version,
+  CASE WHEN ua LIKE '%Windows NT%' THEN 'Windows'
+       WHEN ua LIKE '%Mac OS X%' THEN 'macOS'
+       WHEN ua LIKE '%Linux%' THEN 'Linux'
+       ELSE 'other' END AS os
+FROM s
+""",
+)
+def fn_user_agent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-AGENT PARSING — the first projection every web-log
+    pipeline runs: classify browser family / major version / OS
+    from the UA string with ordered token rules (bot markers first,
+    then Edg/ BEFORE Chrome/ — Edge ships the Chrome token, the
+    classic misclassification — then Firefox, then Safari which
+    requires Version/ because Chrome also ships the Safari token).
+    Five realistic UA shapes are synthesized per customer
+    (Chrome/Safari/Firefox/Edge/bot with key-derived versions) and
+    parsed back with the SAME regexp dialect both engines compile.
+    Pure per-row string/regex projection: whole-stage codegen,
+    pushdown-transparent, no shuffle at any scale."""
+    c = table(spark, sf_dir, "customer")
+    v = (90 + F.col("c_custkey") % 30).cast("bigint").cast("string")
+    b = (4000 + F.col("c_custkey") % 500).cast("bigint").cast("string")
+    cls = F.col("c_custkey") % 5
+    ua = (
+        F.when(cls == 0, F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"), v, F.lit(".0."), b, F.lit(".100 Safari/537.36")))
+        .when(cls == 1, F.concat(F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"), v, F.lit(".1 Safari/605.1.15")))
+        .when(cls == 2, F.concat(F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:"), v, F.lit(".0) Gecko/20100101 Firefox/"), v, F.lit(".0")))
+        .when(cls == 3, F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"), v, F.lit(".0.0.0 Safari/537.36 Edg/"), v, F.lit(".0."), b, F.lit(".64")))
+        .otherwise(F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)"))
+    )
+    s = c.select("c_custkey", ua.alias("ua"))
+    u = F.col("ua")
+    is_bot = F.lower(u).rlike("bot")
+    family = (
+        F.when(is_bot, "bot")
+        .when(u.contains("Edg/"), "Edge")
+        .when(u.contains("Chrome/"), "Chrome")
+        .when(u.contains("Firefox/"), "Firefox")
+        .when(u.contains("Version/") & u.contains("Safari/"), "Safari")
+        .otherwise("other")
+    )
+    major = (
+        F.when(is_bot, F.lit("0"))
+        .when(u.contains("Edg/"), F.regexp_extract(u, r"Edg/([0-9]+)", 1))
+        .when(u.contains("Chrome/"), F.regexp_extract(u, r"Chrome/([0-9]+)", 1))
+        .when(u.contains("Firefox/"), F.regexp_extract(u, r"Firefox/([0-9]+)", 1))
+        .when(u.contains("Version/"), F.regexp_extract(u, r"Version/([0-9]+)", 1))
+        .otherwise(F.lit("0"))
+    )
+    os_ = (
+        F.when(u.contains("Windows NT"), "Windows")
+        .when(u.contains("Mac OS X"), "macOS")
+        .when(u.contains("Linux"), "Linux")
+        .otherwise("other")
+    )
+    return s.select(
+        "c_custkey",
+        "ua",
+        family.alias("family"),
+        major.cast("bigint").alias("major_version"),
+        os_.alias("os"),
+    )
+
+
+@register(
+    "fn_mime_type_sniff",
+    oracle="""
+WITH src AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN '89504E470D0A1A0A'
+           WHEN 1 THEN 'FFD8FFE0'
+           WHEN 2 THEN '474946383961'
+           WHEN 3 THEN '255044462D'
+           WHEN 4 THEN '504B0304'
+           WHEN 5 THEN '1F8B08'
+           WHEN 6 THEN '524946460000000057415645'
+           ELSE '00000018667479706D703432'
+         END || upper(md5(text)) AS hx
+  FROM documents
+),
+h AS (SELECT doc_id, substr(hx, 1, 32) AS h32, substr(hx, 1, 8) AS magic8
+      FROM src)
+SELECT doc_id, magic8,
+  CASE WHEN h32 LIKE '89504E47%' THEN 'image/png'
+       WHEN h32 LIKE 'FFD8FF%' THEN 'image/jpeg'
+       WHEN h32 LIKE '4749463837%' OR h32 LIKE '4749463839%' THEN 'image/gif'
+       WHEN h32 LIKE '25504446%' THEN 'application/pdf'
+       WHEN h32 LIKE '504B0304%' THEN 'application/zip'
+       WHEN h32 LIKE '1F8B%' THEN 'application/gzip'
+       WHEN h32 LIKE '52494646%' AND substr(h32, 17, 8) = '57415645'
+         THEN 'audio/wav'
+       WHEN substr(h32, 9, 8) = '66747970' THEN 'video/mp4'
+       ELSE 'application/octet-stream' END AS mime
+FROM h
+""",
+)
+def fn_mime_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME-TYPE SNIFFING BY MAGIC BYTES — the ingestion gate every
+    multimodal corpus needs BEFORE trusting a file extension: the
+    content-type is decided from the leading bytes (PNG's 8-byte
+    signature, JPEG FFD8FF, GIF87a/89a, %PDF-, ZIP PK.., gzip 1F8B,
+    plus the two NON-prefix shapes that break naive startswith
+    sniffers — RIFF needs 'WAVE' at byte offset 8, MP4 keys on
+    'ftyp' at offset 4 AFTER the box-size word). Eight header
+    shapes are synthesized per document (magic + md5-of-text
+    payload), materialized as a real BINARY column via unhex, and
+    sniffed Spark-side with binary substring + hex — the actual
+    byte-level plumbing a 100 TB binaryFile scan would run; the
+    oracle mirrors the classification on the hex string. Per-row
+    projection, codegen, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 8 == 0, "89504E470D0A1A0A")
+        .when(F.col("doc_id") % 8 == 1, "FFD8FFE0")
+        .when(F.col("doc_id") % 8 == 2, "474946383961")
+        .when(F.col("doc_id") % 8 == 3, "255044462D")
+        .when(F.col("doc_id") % 8 == 4, "504B0304")
+        .when(F.col("doc_id") % 8 == 5, "1F8B08")
+        .when(F.col("doc_id") % 8 == 6, "524946460000000057415645")
+        .otherwise("00000018667479706D703432")
+    )
+    bin_ = F.unhex(F.concat(magic, F.upper(F.md5("text"))))
+    h = d.select(
+        "doc_id",
+        F.hex(F.substring(bin_, 1, 16)).alias("h32"),
+        F.hex(F.substring(bin_, 1, 4)).alias("magic8"),
+    )
+    c = F.col("h32")
+    mime = (
+        F.when(c.startswith("89504E47"), "image/png")
+        .when(c.startswith("FFD8FF"), "image/jpeg")
+        .when(
+            c.startswith("4749463837") | c.startswith("4749463839"),
+            "image/gif",
+        )
+        .when(c.startswith("25504446"), "application/pdf")
+        .when(c.startswith("504B0304"), "application/zip")
+        .when(c.startswith("1F8B"), "application/gzip")
+        .when(
+            c.startswith("52494646")
+            & (F.substring(c, 17, 8) == "57415645"),
+            "audio/wav",
+        )
+        .when(F.substring(c, 9, 8) == "66747970", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return h.select("doc_id", "magic8", mime.alias("mime"))
+
+
+@register(
+    "fn_quoted_printable",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text)
+            - strlen(regexp_replace(text, '[^!-<>-~]', '', 'g'))
+         AS BIGINT) AS n_escaped,
+       md5(text) AS dec_md5,
+       TRUE AS roundtrip_ok
+FROM documents
+""",
+)
+def fn_quoted_printable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTED-PRINTABLE CODEC (RFC 2045 §6.7) — the MIME transfer
+    encoding every mbox/email pipeline must invert before text
+    processing (pairs with source_mbox_messages): bytes outside
+    the printable-ASCII safe set become =XX hex escapes, lines wrap
+    at 76 chars with '=' soft breaks. Encode and decode run as
+    Arrow-batched pandas UDFs over the CPython binascii
+    b2a_qp/a2b_qp primitives (quotetabs mode: space/tab escape
+    too, so the escape census is position-independent). The
+    oracle certifies BOTH directions without reimplementing the
+    codec in SQL: n_escaped (counted Spark-side from the ENCODED
+    stream as '=HH' triplets — soft breaks '=\\n' never match) must
+    equal the analytic unsafe-byte count octet_length minus the
+    kept-safe-bytes length, and dec_md5 (md5 of the DECODED text)
+    must equal md5 of the original — encode∘decode = identity,
+    byte-exact. Scale: two vectorized Arrow stages, per-row,
+    no shuffle."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("string")
+    def qp_encode(s: pd.Series) -> pd.Series:
+        import binascii
+
+        return s.map(
+            lambda t: binascii.b2a_qp(
+                t.encode("utf-8"), quotetabs=1, istext=0
+            ).decode("ascii")
+        )
+
+    @pandas_udf("string")
+    def qp_decode(s: pd.Series) -> pd.Series:
+        import binascii
+
+        return s.map(
+            lambda t: binascii.a2b_qp(t.encode("ascii")).decode("utf-8")
+        )
+
+    d = table(spark, sf_dir, "documents")
+    enc = d.select("doc_id", "text", qp_encode("text").alias("enc"))
+    return enc.select(
+        "doc_id",
+        F.regexp_count("enc", F.lit(r"=[0-9A-F]{2}"))
+        .cast("bigint")
+        .alias("n_escaped"),
+        F.md5(qp_decode("enc")).alias("dec_md5"),
+        (F.md5(qp_decode("enc")) == F.md5("text")).alias("roundtrip_ok"),
     )

@@ -3445,3 +3445,91 @@ def source_mbox_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, msg_id string, subject_lang string,"
         " body_chars bigint, from_lines bigint",
     )
+
+
+@register(
+    "source_syslog_rfc5424",
+    oracle="""
+WITH src AS (
+  SELECT (o_custkey % 24) * 8 + o_orderkey % 8 AS pri,
+         'app' || CAST(o_orderkey % 4 AS BIGINT) AS app,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders WHERE o_orderkey % 8 = 1
+)
+SELECT CAST(pri // 8 AS BIGINT) AS facility,
+       CAST(pri % 8 AS BIGINT) AS severity,
+       app,
+       CAST(COUNT(*) AS BIGINT) AS n_msgs,
+       CAST(SUM(cents) AS BIGINT) AS total_c,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM src GROUP BY facility, severity, app
+""",
+    tags=("source",),
+)
+def source_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSLOG SOURCE (RFC 5424) — the structured syslog wire format
+    every ops/observability lake ingests: '<PRI>VERSION TIMESTAMP
+    HOSTNAME APP-NAME PROCID MSGID [SD-ID k="v" ...] MSG', where
+    PRI packs facility*8+severity into one integer (the decode rule
+    §6.2.1 — div/mod, not two fields) and the STRUCTURED-DATA
+    block carries typed key=value pairs that naive space-splitting
+    destroys (values contain spaces; the [..] element must be
+    regex-extracted as a unit). Lines are synthesized from orders,
+    written as a real text file, read back via spark.read.text and
+    parsed with anchored regexp_extract — PRI decode, app-name
+    field, SD param values (status, exact cents), trailing message
+    key — then rolled up per (facility, severity, app). The oracle
+    computes the rollup relationally, so the hash certifies every
+    extraction offset. At 100 TB: line-splittable text scan,
+    per-row regex in codegen, one aggregate exchange on the tiny
+    (facility, severity, app) grain."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 1)
+    pri = ((F.col("o_custkey") % 24) * 8 + F.col("o_orderkey") % 8).cast(
+        "bigint"
+    )
+    line = F.concat(
+        F.lit("<"),
+        pri.cast("string"),
+        F.lit(">1 2024-03-01T12:00:00.000Z host"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(" app"),
+        (F.col("o_orderkey") % 4).cast("string"),
+        F.lit(" "),
+        (1000 + F.col("o_orderkey") % 9000).cast("string"),
+        F.lit(" MSG"),
+        (F.col("o_orderkey") % 100).cast("string"),
+        F.lit(' [order@32473 status="'),
+        F.col("o_orderstatus"),
+        F.lit('" cents="'),
+        cents("o_totalprice").cast("string"),
+        F.lit('"] completed order '),
+        F.col("o_orderkey").cast("string"),
+    )
+    path = tempfile.mkdtemp(prefix="dags_syslog_") + "/data"
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    v = F.col("value")
+    parsed = raw.select(
+        F.regexp_extract(v, r"^<([0-9]+)>", 1).cast("bigint").alias("pri"),
+        F.regexp_extract(
+            v, r"^<[0-9]+>1 \S+ \S+ (\S+) ", 1
+        ).alias("app"),
+        F.regexp_extract(v, r'cents="([0-9]+)"', 1)
+        .cast("bigint")
+        .alias("cents"),
+        F.regexp_extract(v, r"completed order ([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("okey"),
+    )
+    return parsed.groupBy(
+        (F.col("pri") / 8).cast("bigint").alias("facility"),
+        (F.col("pri") % 8).cast("bigint").alias("severity"),
+        "app",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+        F.sum("okey").cast("bigint").alias("key_sum"),
+    )

@@ -2581,3 +2581,294 @@ def text_boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_md5"),
         )
     )
+
+
+# ---------------------------------------------------------- round 9
+
+@register(
+    "text_bleu_score",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pair AS (
+  SELECT c.doc_id AS doc_id, c.t AS ct, r.t AS rt
+  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0 AND len(c.t) >= 2 AND len(r.t) >= 2
+),
+cg AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, 1 AS n, unnest(ct) AS g FROM pair
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(generate_series(1, len(ct) - 1),
+                                 i -> ct[i] || ' ' || ct[i + 1])) AS g
+    FROM pair
+  ) GROUP BY doc_id, n, g
+),
+rg AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, 1 AS n, unnest(rt) AS g FROM pair
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(generate_series(1, len(rt) - 1),
+                                 i -> rt[i] || ' ' || rt[i + 1])) AS g
+    FROM pair
+  ) GROUP BY doc_id, n, g
+),
+m AS (
+  SELECT cg.doc_id, cg.n,
+         SUM(cg.cnt) AS tot,
+         SUM(LEAST(cg.cnt, COALESCE(rg.cnt, 0))) AS clip
+  FROM cg LEFT JOIN rg
+    ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.g = cg.g
+  GROUP BY cg.doc_id, cg.n
+),
+p AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 1 THEN (clip + 1.0) / (tot + 1.0) END) AS p1,
+         MAX(CASE WHEN n = 2 THEN (clip + 1.0) / (tot + 1.0) END) AS p2
+  FROM m GROUP BY doc_id
+)
+SELECT pair.doc_id,
+       CAST(len(ct) AS BIGINT) AS c_len,
+       CAST(len(rt) AS BIGINT) AS r_len,
+       ROUND(p1, 6) AS p1,
+       ROUND(p2, 6) AS p2,
+       ROUND(LEAST(1.0, exp(1.0 - CAST(len(rt) AS DOUBLE) / len(ct)))
+             * exp(0.5 * (ln(p1) + ln(p2))), 6) AS bleu2
+FROM pair JOIN p ON p.doc_id = pair.doc_id
+""",
+    tags=("text", "llm"),
+)
+def text_bleu_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU — the machine-translation / generation-eval metric
+    (Papineni 2002): CLIPPED n-gram precision (a candidate n-gram
+    counts only up to its count in the reference — the rule that
+    kills "the the the" gaming) geometrically averaged over n=1,2,
+    times the brevity penalty exp(1 - r/c) that punishes
+    too-short candidates, with add-one (Lin-Och) smoothing so a
+    zero 2-gram overlap degrades instead of zeroing the score.
+    Candidate/reference pairs are adjacent documents (even id vs
+    id+1) — a deterministic pairing at any corpus size. Everything
+    is explode + hash-aggregate + one equi-join of the two n-gram
+    streams on (pair, n, gram): fully partitionable on doc_id at
+    100 TB, no window, no UDF; the clipping is a LEAST over joined
+    exact counts and both engines run the identical closed-form
+    exp/ln at the end (rounded to 1e-6)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    c = d.filter((F.col("doc_id") % 2 == 0) & (F.size("t") >= 2)).select(
+        F.col("doc_id"), F.col("t").alias("ct")
+    )
+    r = d.filter(F.size("t") >= 2).select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("rt")
+    )
+    pair = c.join(r, "doc_id")
+
+    def grams(col):
+        toks = F.col(col)
+        bi = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda g: g.contains(" "),
+        )
+        uni = pair.select(
+            "doc_id", F.lit(1).alias("n"), F.explode(toks).alias("g")
+        )
+        big = pair.select(
+            "doc_id", F.lit(2).alias("n"), F.explode(bi).alias("g")
+        )
+        return (
+            uni.unionAll(big)
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cg, rg = grams("ct"), grams("rt")
+    m = (
+        cg.alias("c")
+        .join(
+            rg.alias("r"),
+            (F.col("c.doc_id") == F.col("r.doc_id"))
+            & (F.col("c.n") == F.col("r.n"))
+            & (F.col("c.g") == F.col("r.g")),
+            "left",
+        )
+        .groupBy(F.col("c.doc_id").alias("doc_id"), F.col("c.n").alias("n"))
+        .agg(
+            F.sum("c.cnt").alias("tot"),
+            F.sum(
+                F.least(F.col("c.cnt"), F.coalesce(F.col("r.cnt"), F.lit(0)))
+            ).alias("clip"),
+        )
+    )
+    sm = (F.col("clip") + 1.0) / (F.col("tot") + 1.0)
+    p = m.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, sm)).alias("p1"),
+        F.max(F.when(F.col("n") == 2, sm)).alias("p2"),
+    )
+    lens = pair.select(
+        "doc_id", F.size("ct").alias("cl"), F.size("rt").alias("rl")
+    )
+    bp = F.least(
+        F.lit(1.0), F.exp(1.0 - F.col("rl").cast("double") / F.col("cl"))
+    )
+    return lens.join(p, "doc_id").select(
+        "doc_id",
+        F.col("cl").cast("bigint").alias("c_len"),
+        F.col("rl").cast("bigint").alias("r_len"),
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round(
+            bp * F.exp(0.5 * (F.log("p1") + F.log("p2"))), 6
+        ).alias("bleu2"),
+    )
+
+
+@register(
+    "text_rouge_n",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pair AS (
+  SELECT c.doc_id AS doc_id, c.t AS ct, r.t AS rt
+  FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 1 AND len(c.t) >= 2 AND len(r.t) >= 2
+),
+cg AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, 1 AS n, unnest(ct) AS g FROM pair
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(generate_series(1, len(ct) - 1),
+                                 i -> ct[i] || ' ' || ct[i + 1])) AS g
+    FROM pair
+  ) GROUP BY doc_id, n, g
+),
+rg AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, 1 AS n, unnest(rt) AS g FROM pair
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(generate_series(1, len(rt) - 1),
+                                 i -> rt[i] || ' ' || rt[i + 1])) AS g
+    FROM pair
+  ) GROUP BY doc_id, n, g
+),
+m AS (
+  SELECT rg.doc_id, rg.n,
+         SUM(rg.cnt) AS ref_tot,
+         SUM(COALESCE(cg.cnt, 0)) AS cand_tot_matched,
+         SUM(LEAST(rg.cnt, COALESCE(cg.cnt, 0))) AS clip
+  FROM rg LEFT JOIN cg
+    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+  GROUP BY rg.doc_id, rg.n
+),
+ct AS (
+  SELECT doc_id, n, SUM(cnt) AS cand_tot FROM cg GROUP BY doc_id, n
+),
+pr AS (
+  SELECT m.doc_id, m.n,
+         CAST(m.clip AS DOUBLE) / ct.cand_tot AS p,
+         CAST(m.clip AS DOUBLE) / m.ref_tot AS r
+  FROM m JOIN ct ON ct.doc_id = m.doc_id AND ct.n = m.n
+)
+SELECT doc_id,
+       ROUND(MAX(CASE WHEN n = 1 THEN p END), 6) AS rouge1_p,
+       ROUND(MAX(CASE WHEN n = 1 THEN r END), 6) AS rouge1_r,
+       ROUND(MAX(CASE WHEN n = 1 THEN
+         CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END END), 6)
+         AS rouge1_f,
+       ROUND(MAX(CASE WHEN n = 2 THEN
+         CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END END), 6)
+         AS rouge2_f
+FROM pr GROUP BY doc_id
+""",
+    tags=("text", "llm"),
+)
+def text_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-N — the summarization-eval metric (Lin 2004): clipped
+    n-gram RECALL against the reference (how much of the reference
+    the candidate recovers — the complement of BLEU's precision
+    view), reported with precision and F1 at n=1 and F1 at n=2.
+    Pairs are odd-id docs against their successor (disjoint from
+    text_bleu_score's even pairing, so the two keys certify the
+    machinery on different pair populations). Identical
+    distributed shape to BLEU: explode n-grams, exact hash counts,
+    one equi-join of reference stream against candidate stream on
+    (pair, n, gram), LEAST for clipping — doc_id-partitionable at
+    any scale, zero-overlap pairs degrade to F1=0 through the
+    guarded closed form instead of NaN."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    c = d.filter((F.col("doc_id") % 2 == 1) & (F.size("t") >= 2)).select(
+        F.col("doc_id"), F.col("t").alias("ct")
+    )
+    r = d.filter(F.size("t") >= 2).select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("rt")
+    )
+    pair = c.join(r, "doc_id")
+
+    def grams(col):
+        toks = F.col(col)
+        bi = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda g: g.contains(" "),
+        )
+        uni = pair.select(
+            "doc_id", F.lit(1).alias("n"), F.explode(toks).alias("g")
+        )
+        big = pair.select(
+            "doc_id", F.lit(2).alias("n"), F.explode(bi).alias("g")
+        )
+        return (
+            uni.unionAll(big)
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cg, rg = grams("ct"), grams("rt")
+    m = (
+        rg.alias("r")
+        .join(
+            cg.alias("c"),
+            (F.col("r.doc_id") == F.col("c.doc_id"))
+            & (F.col("r.n") == F.col("c.n"))
+            & (F.col("r.g") == F.col("c.g")),
+            "left",
+        )
+        .groupBy(F.col("r.doc_id").alias("doc_id"), F.col("r.n").alias("n"))
+        .agg(
+            F.sum("r.cnt").alias("ref_tot"),
+            F.sum(
+                F.least(F.col("r.cnt"), F.coalesce(F.col("c.cnt"), F.lit(0)))
+            ).alias("clip"),
+        )
+    )
+    ctot = cg.groupBy("doc_id", "n").agg(F.sum("cnt").alias("cand_tot"))
+    pr = m.join(ctot, ["doc_id", "n"]).select(
+        "doc_id",
+        "n",
+        (F.col("clip").cast("double") / F.col("cand_tot")).alias("p"),
+        (F.col("clip").cast("double") / F.col("ref_tot")).alias("r"),
+    )
+    f1 = F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    return pr.groupBy("doc_id").agg(
+        F.round(F.max(F.when(F.col("n") == 1, F.col("p"))), 6).alias(
+            "rouge1_p"
+        ),
+        F.round(F.max(F.when(F.col("n") == 1, F.col("r"))), 6).alias(
+            "rouge1_r"
+        ),
+        F.round(F.max(F.when(F.col("n") == 1, f1)), 6).alias("rouge1_f"),
+        F.round(F.max(F.when(F.col("n") == 2, f1)), 6).alias("rouge2_f"),
+    )

@@ -7479,3 +7479,65 @@ def ts_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("motif_rank"),
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+WITH t AS (
+  SELECT l_partkey % 50 AS symbol,
+         CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS bar_month,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS px,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           * 10000000000000
+           + l_orderkey * 10 + l_linenumber AS ord,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT CAST(symbol AS BIGINT) AS symbol, bar_month,
+       CAST(arg_min(px, ord) AS BIGINT) AS open_c,
+       CAST(MAX(px) AS BIGINT) AS high_c,
+       CAST(MIN(px) AS BIGINT) AS low_c,
+       CAST(arg_max(px, ord) AS BIGINT) AS close_c,
+       CAST(SUM(qty) AS BIGINT) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_trades
+FROM t GROUP BY symbol, bar_month
+""",
+    tags=("timeseries",),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC CANDLESTICK RESAMPLE — the tick->bar downsample every
+    market-data / metrics store runs (kdb xbar, InfluxDB aggregate
+    windows, TimescaleDB time_bucket + first/last): per (symbol,
+    month), the OPEN (first price in event order), HIGH, LOW, CLOSE
+    (last price), volume and trade count. First/last are NOT
+    order-by-value aggregates — they need the EVENT-TIME total
+    order, expressed engine-portably as min_by/max_by over a
+    deterministic BIGINT ordinal (shipdate-days * 1e13 + orderkey*10
+    + linenumber: unique per line, collision-free to sf100's 6e9
+    keys). This is the shape that REPLACES a per-symbol window sort
+    at scale: one partial+final hash aggregate — min_by/max_by
+    combine associatively on partials, so 100 TB of ticks reduce
+    map-side without ever materializing a sorted window. Money in
+    exact BIGINT cents."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_partkey") % 50).cast("bigint").alias("symbol"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("bar_month"),
+        cents("l_extendedprice").alias("px"),
+        (
+            F.unix_date(F.col("l_shipdate").cast("date")).cast("bigint")
+            * F.lit(10000000000000).cast("bigint")
+            + F.col("l_orderkey") * 10
+            + F.col("l_linenumber")
+        ).alias("ord"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return t.groupBy("symbol", "bar_month").agg(
+        F.min_by("px", "ord").cast("bigint").alias("open_c"),
+        F.max("px").cast("bigint").alias("high_c"),
+        F.min("px").cast("bigint").alias("low_c"),
+        F.max_by("px", "ord").cast("bigint").alias("close_c"),
+        F.sum("qty").cast("bigint").alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
