@@ -7795,3 +7795,134 @@ def stats_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x").cast("double") / F.col("w"), 9).alias("y_raw"),
         F.round("f", 9).alias("y_iso"),
     )
+
+
+@register(
+    "stats_benjamini_yekutieli",
+    oracle="""
+WITH seg AS (
+  SELECT o_custkey % 25 AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x_b
+  FROM orders GROUP BY segment
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n_tot, CAST(SUM(x_b) AS BIGINT) AS x_tot
+  FROM seg
+),
+z AS (
+  SELECT segment, n_b, x_b,
+         (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         / SQRT((CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                * (1.0 - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                / CAST(n_b AS DOUBLE)) AS zv
+  FROM seg CROSS JOIN tot
+),
+pq AS (
+  SELECT segment, n_b, x_b, zv,
+         CAST(ROUND((__P2__) * 1000000000000.0, 0) AS BIGINT) AS p_q
+  FROM z
+),
+ranked AS (
+  SELECT segment, n_b, x_b, zv, p_q,
+         ROW_NUMBER() OVER (ORDER BY p_q, segment) AS rnk,
+         COUNT(*) OVER () AS m
+  FROM pq
+),
+cm AS (SELECT SUM(1.0 / rnk) AS c_m FROM ranked),
+raw AS (
+  SELECT segment, n_b, x_b, zv, p_q,
+         (CAST(p_q AS DOUBLE) / 1000000000000.0)
+         * CAST(m AS DOUBLE) * (SELECT c_m FROM cm)
+         / CAST(rnk AS DOUBLE) AS raw
+  FROM ranked
+),
+adj AS (
+  SELECT segment, n_b, x_b, zv, p_q,
+         MIN(raw) OVER (ORDER BY p_q, segment
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_adj_raw
+  FROM raw
+)
+SELECT CAST(segment AS BIGINT) AS segment, n_b, x_b,
+       ROUND(zv, 6) AS z_stat, p_q,
+       ROUND(LEAST(p_adj_raw, 1.0), 9) AS p_adj,
+       LEAST(p_adj_raw, 1.0) <= 0.05 AS reject
+FROM adj
+""".replace("__P2__", _SQL_NORM_P2.format(z="zv")),
+    tags=("stats",),
+)
+def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-YEKUTIELI FDR correction — the BH step-up under
+    ARBITRARY dependence (Benjamini & Yekutieli 2001): when the
+    per-segment tests share customers/seasonality and independence
+    cannot be argued, the BH threshold is inflated by the harmonic
+    factor c(m) = sum_{i=1..m} 1/i, giving p_adj = p * m * c(m) /
+    rank followed by the same suffix min. The harmonic factor is
+    computed DISTRIBUTIVELY with no loop: after the two-pass
+    global_rank the ranks are exactly 1..m, so c(m) = SUM(1/rank)
+    over the family — one 1-row aggregate, broadcast back. The
+    whole ladder reuses the bh_fdr two-pass machinery (global_rank
+    + descending global_running_min), so a family that grows with
+    the catalog never funnels through one task. P-values are
+    quantized to a 1e-12 BIGINT lane before ordering (deterministic
+    sort key both engines)."""
+    o = table(spark, sf_dir, "orders")
+    seg = o.groupBy((F.col("o_custkey") % 25).alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    tot = seg.agg(
+        F.sum("n_b").cast("bigint").alias("n_tot"),
+        F.sum("x_b").cast("bigint").alias("x_tot"),
+    )
+    z = seg.crossJoin(F.broadcast(tot))
+    p0 = F.col("x_tot").cast("double") / F.col("n_tot").cast("double")
+    zv = (
+        F.col("x_b").cast("double") / F.col("n_b").cast("double") - p0
+    ) / F.sqrt(p0 * (1.0 - p0) / F.col("n_b").cast("double"))
+    pq = z.select(
+        "segment",
+        "n_b",
+        "x_b",
+        zv.alias("zv"),
+        F.round(_norm_p2(zv) * 1000000000000.0, 0).cast("bigint").alias("p_q"),
+    )
+    from ..operators.scale import global_rank, global_running_min  # noqa: PLC0415
+
+    ranked = global_rank(
+        pq, [F.col("p_q").asc(), F.col("segment").asc()], rank_col="__rnk"
+    )
+    consts = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+        F.sum(F.lit(1.0) / F.col("__rnk")).alias("__cm"),
+    )
+    raw = (
+        ranked.crossJoin(F.broadcast(consts))
+        .withColumn(
+            "raw",
+            (F.col("p_q").cast("double") / 1000000000000.0)
+            * F.col("__m").cast("double")
+            * F.col("__cm")
+            / F.col("__rnk").cast("double"),
+        )
+        .drop("__rnk", "__m", "__cm")
+    )
+    adj = global_running_min(
+        raw,
+        [F.col("p_q").desc(), F.col("segment").desc()],
+        "raw",
+        out_col="p_adj_raw",
+    ).drop("raw")
+    return adj.select(
+        F.col("segment").cast("bigint").alias("segment"),
+        "n_b",
+        "x_b",
+        F.round("zv", 6).alias("z_stat"),
+        "p_q",
+        F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
+        (F.least(F.col("p_adj_raw"), F.lit(1.0)) <= 0.05).alias("reject"),
+    )

@@ -2648,3 +2648,91 @@ def fn_quoted_printable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(qp_decode("enc")).alias("dec_md5"),
         (F.md5(qp_decode("enc")) == F.md5("text")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_punycode",
+    oracle="""
+WITH lbl AS (
+  SELECT p_partkey,
+         lower(split_part(p_name, ' ', 1)) ||
+         CASE p_partkey % 5
+           WHEN 1 THEN 'é' WHEN 2 THEN 'ü' WHEN 3 THEN '中文'
+           WHEN 4 THEN 'λ' ELSE '' END AS label
+  FROM part
+)
+SELECT p_partkey, label,
+       label = regexp_replace(label, '[^!-~]', '', 'g') AS is_ascii,
+       NOT (label = regexp_replace(label, '[^!-~]', '', 'g')) AS has_xn_prefix,
+       CAST(length(regexp_replace(label, '[^!-~]', '', 'g')) AS BIGINT)
+         AS n_basic,
+       CASE WHEN label = regexp_replace(label, '[^!-~]', '', 'g')
+            THEN label END AS encoded_if_ascii,
+       TRUE AS roundtrip_ok
+FROM lbl
+""",
+)
+def fn_punycode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUNYCODE / IDN LABELS (RFC 3492 + the IDNA xn-- surface
+    rule) — the encoding every URL canonicalizer and domain-dedup
+    pipeline must apply before comparing hostnames: unicode labels
+    become 'xn--' + the bootstring ASCII form; pure-ASCII labels
+    pass through UNCHANGED (the identity the oracle checks
+    literally via encoded_if_ascii). The codec is implemented
+    FROM THE SPEC in operators/punycode.py (§6.1-6.3 pseudocode:
+    bias adaptation, variable-length integers, the insertion-sort
+    coding loop) and certified two ways: against the independent
+    CPython 'punycode' codec in pytest, and here by the
+    decode∘encode = identity roundtrip_ok column over every label
+    plus the analytic basic-char census. Encode and decode run as
+    Arrow-batched pandas UDFs — per-row, no shuffle; at 100 TB this
+    is a map stage on the hostname column."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    from ..operators.punycode import (  # noqa: PLC0415
+        idn_decode_label,
+        idn_encode_label,
+    )
+
+    @pandas_udf("string")
+    def enc(s: pd.Series) -> pd.Series:
+        return s.map(idn_encode_label)
+
+    @pandas_udf("string")
+    def dec(s: pd.Series) -> pd.Series:
+        return s.map(idn_decode_label)
+
+    p = table(spark, sf_dir, "part")
+    suffix = (
+        F.when(F.col("p_partkey") % 5 == 1, "é")
+        .when(F.col("p_partkey") % 5 == 2, "ü")
+        .when(F.col("p_partkey") % 5 == 3, "中文")
+        .when(F.col("p_partkey") % 5 == 4, "λ")
+        .otherwise("")
+    )
+    lbl = p.select(
+        "p_partkey",
+        F.concat(
+            F.lower(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))),
+            suffix,
+        ).alias("label"),
+    )
+    basic = F.regexp_replace("label", r"[^!-~]", "")
+    e = lbl.select(
+        "p_partkey",
+        "label",
+        (F.col("label") == basic).alias("is_ascii"),
+        enc("label").alias("encoded"),
+        F.length(basic).cast("bigint").alias("n_basic"),
+    )
+    return e.select(
+        "p_partkey",
+        "label",
+        "is_ascii",
+        F.col("encoded").startswith("xn--").alias("has_xn_prefix"),
+        "n_basic",
+        F.when(F.col("is_ascii"), F.col("encoded")).alias(
+            "encoded_if_ascii"
+        ),
+        (dec("encoded") == F.col("label")).alias("roundtrip_ok"),
+    )

@@ -5936,3 +5936,198 @@ def iter_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_q",
         "harmonic_closeness",
     )
+
+
+# Shared md5-derived uniform in [0,1) at 16-bit resolution — four
+# hex nibbles decoded with the same instr trick as _NIB; identical
+# expression text runs on both engines.
+def _U16(key_expr: str) -> str:
+    h = f"md5({key_expr})"
+    nib = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    parts = " + ".join(
+        f"({nib.format(h=h, i=i)}) * {w}"
+        for i, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+    return f"(CAST({parts} AS DOUBLE) / 65536.0)"
+
+
+# Poisson(1) CDF ladder (exact cumulative probabilities to 17 sig
+# figs — identical literals in both engines' CASE).
+_POIS1_CDF = (
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238462),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+    (6, 0.9999167588507119),
+)
+
+
+def _POIS1(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_expr} < {p!r} THEN {k}" for k, p in _POIS1_CDF
+    )
+    return f"(CASE {whens} ELSE 7 END)"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (SELECT unnest(generate_series(0, 2)) AS rep),
+w AS (
+  SELECT o.o_orderpriority, r.rep,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         {_POIS1(_U16("cast(o.o_orderkey as string) || ':' || cast(r.rep as string)"))} AS k
+  FROM orders o CROSS JOIN reps r
+)
+SELECT o_orderpriority, CAST(rep AS BIGINT) AS rep,
+       CAST(SUM(k) AS BIGINT) AS n_eff,
+       CAST(SUM(k * cents) AS BIGINT) AS total_c,
+       ROUND(CAST(SUM(k * cents) AS DOUBLE) / SUM(k) / 100.0, 6) AS boot_mean
+FROM w GROUP BY o_orderpriority, rep
+""",
+    tags=("sample", "stats"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the only bootstrap that works at 100 TB:
+    classic resampling needs n draws WITH replacement from a corpus
+    no single node can hold, but Poisson(1) per-row weights are an
+    asymptotically exact substitute (Chamandy et al., Google 2012)
+    that needs NO coordination: each row independently draws its
+    multiplicity in each replicate, so the whole resample is one
+    streaming map over the scan. The draw is DETERMINISTIC — u from
+    four md5 nibbles of (key:replicate) through the shared _U16
+    expression, mapped through the exact Poisson(1) inverse-CDF
+    ladder — so both engines (and any retry, on any cluster) build
+    byte-identical replicates: reproducible bootstrap CIs. Three
+    replicates unroll from a literal sequence; per-replicate means
+    come out of ONE partial+final aggregate over exact BIGINT
+    weighted cents (weights 0-7, no overflow) — shuffle grain is
+    (priority x replicate), never the fact."""
+    o = table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("rep"),
+        cents("o_totalprice").alias("cents"),
+        "o_orderkey",
+    ).withColumn(
+        "k",
+        F.expr(
+            _POIS1(
+                _U16(
+                    "cast(o_orderkey as string) || ':' || cast(rep as string)"
+                )
+            )
+        ),
+    )
+    return w.groupBy("o_orderpriority", F.col("rep").cast("bigint").alias("rep")).agg(
+        F.sum("k").cast("bigint").alias("n_eff"),
+        F.sum(F.col("k") * F.col("cents")).cast("bigint").alias("total_c"),
+        F.round(
+            F.sum(F.col("k") * F.col("cents")).cast("double")
+            / F.sum("k")
+            / 100.0,
+            6,
+        ).alias("boot_mean"),
+    )
+
+
+@register(
+    "iter_ppr_restart",
+    oracle="""
+WITH RECURSIVE nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM customer),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+edges AS MATERIALIZED (
+  SELECT id AS src, dst FROM (
+    SELECT id, id + 1 + (id * 7 + 11) % 40 AS dst FROM nodes
+    UNION ALL
+    SELECT id, id + 1 + (id * 13 + 5) % 37 AS dst FROM nodes
+  ) WHERE dst < (SELECT n FROM nn)
+),
+outdeg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+),
+seeds AS MATERIALIZED (SELECT id FROM nodes WHERE id % 100 = 0),
+ns AS MATERIALIZED (SELECT COUNT(*) AS s FROM seeds),
+walks (node, prob, depth) AS (
+  SELECT id, 1.0 / (SELECT s FROM ns), 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.prob * 0.85 / od.d, w.depth + 1
+  FROM walks w
+  JOIN edges e ON e.src = w.node
+  JOIN outdeg od ON od.src = w.node
+  WHERE w.depth < 8
+)
+SELECT CAST(node AS BIGINT) AS node,
+       ROUND(SUM(CASE WHEN depth < 8 THEN prob * 0.15 ELSE prob END), 6)
+         AS mass
+FROM walks GROUP BY node
+HAVING ROUND(SUM(CASE WHEN depth < 8 THEN prob * 0.15 ELSE prob END), 6)
+       > 0.0
+""",
+)
+def iter_ppr_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK (random walk with restart) — the
+    seeded variant behind 'similar items', fraud-neighborhood
+    scoring and graph-based retrieval: mass teleports back to the
+    SEED SET (every 100th node) with probability 0.15 each step
+    instead of to all nodes, so scores measure proximity to the
+    seeds. Spark runs the textbook distributed power iteration —
+    8 unrolled rounds of p <- 0.15*s + 0.85 * M'p, each one
+    equi-join (frontier x edges x out-degree) + hash re-aggregate
+    on the destination, the exact shape a Pregel superstep lowers
+    to, partitionable on node id at any graph size. The oracle
+    certifies it through the CLOSED WALK EXPANSION of the same
+    recurrence: p_8 = sum_{t<8} 0.15 * 0.85^t M'^t s + 0.85^8 M'^8
+    s, enumerated as a recursive CTE over all length-<=8 walks from
+    the seeds with probability alpha^len * prod(1/outdeg) — two
+    genuinely different evaluation strategies, one fixed point.
+    Dangling nodes absorb (sub-stochastic M), identically in both
+    forms. Masses rounded at 1e-6; zero-rounded rows dropped on
+    both sides."""
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    nodes = cust.select(F.col("c_custkey").alias("id"))
+    e1 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 7 + 11) % 40).alias("dst"),
+    )
+    e2 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 13 + 5) % 37).alias("dst"),
+    )
+    edges = (
+        e1.unionAll(e2)
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("dst") < F.col("n"))
+        .select("src", "dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    em = edges.join(outdeg, "src").select("src", "dst", "d")
+    seeds = nodes.filter(F.col("id") % 100 == 0)
+    ns = seeds.agg(F.count(F.lit(1)).alias("s"))
+    p = seeds.crossJoin(F.broadcast(ns)).select(
+        F.col("id").alias("node"), (F.lit(1.0) / F.col("s")).alias("mass")
+    )
+    restart = seeds.crossJoin(F.broadcast(ns)).select(
+        F.col("id").alias("node"),
+        (F.lit(0.15) / F.col("s")).alias("mass"),
+    )
+    for _ in range(8):
+        spread = (
+            p.join(em, p["node"] == em["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("mass") * 0.85 / F.col("d")).alias("mass"),
+            )
+        )
+        p = (
+            restart.unionAll(spread)
+            .groupBy("node")
+            .agg(F.sum("mass").alias("mass"))
+        )
+    return p.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("mass", 6).alias("mass"),
+    ).filter(F.col("mass") > 0.0)

@@ -3533,3 +3533,200 @@ def source_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_c"),
         F.sum("okey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "source_clf_accesslog",
+    oracle="""
+WITH src AS (
+  SELECT CASE o_orderkey % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+              WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS method,
+         CASE o_orderkey % 5 WHEN 0 THEN 200 WHEN 1 THEN 200
+              WHEN 2 THEN 304 WHEN 3 THEN 404 ELSE 500 END AS status,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS bytes,
+         o_orderkey
+  FROM orders WHERE o_orderkey % 6 = 2
+)
+SELECT method, CAST(status AS BIGINT) AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_req,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM src GROUP BY method, status
+""",
+    tags=("source",),
+)
+def source_clf_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMBINED-LOG-FORMAT SOURCE — the Apache/Nginx access-log line
+    ('ip - user [timestamp] "METHOD path HTTP/1.1" status bytes
+    "referer" "user-agent"') that web-scale training corpora and
+    every traffic pipeline ingest. The parse traps are QUOTING: the
+    request line and referer/UA live in double quotes and contain
+    spaces (naive split corrupts them), the timestamp bracket
+    contains a space before the timezone, and '-' means null for
+    bytes/user. Lines are synthesized from orders (method/status
+    classes, exact byte counts, the order key smuggled into the
+    path), written as a real text file, read back with
+    spark.read.text and parsed by ONE anchored regex that respects
+    the quote structure; rolled up per (method, status) with byte
+    totals. The oracle recomputes relationally: the hash certifies
+    every capture group. At 100 TB: splittable text scan, codegen
+    regex, tiny aggregate exchange."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 6 == 2)
+    method = (
+        F.when(F.col("o_orderkey") % 4 == 0, "GET")
+        .when(F.col("o_orderkey") % 4 == 1, "POST")
+        .when(F.col("o_orderkey") % 4 == 2, "PUT")
+        .otherwise("DELETE")
+    )
+    status = (
+        F.when(F.col("o_orderkey") % 5 == 0, 200)
+        .when(F.col("o_orderkey") % 5 == 1, 200)
+        .when(F.col("o_orderkey") % 5 == 2, 304)
+        .when(F.col("o_orderkey") % 5 == 3, 404)
+        .otherwise(500)
+    )
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("o_custkey") % 256).cast("string"),
+        F.lit("."),
+        (F.col("o_orderkey") % 256).cast("string"),
+        F.lit(" - user"),
+        (F.col("o_custkey") % 100).cast("string"),
+        F.lit(' [10/Oct/2024:13:55:36 -0700] "'),
+        method,
+        F.lit(" /order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit('?src=a b HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        cents("o_totalprice").cast("string"),
+        F.lit(' "https://ref.example/with space" "Mozilla/5.0 (X11; Linux)"'),
+    )
+    path = tempfile.mkdtemp(prefix="dags_clf_") + "/data"
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    v = F.col("value")
+    rx = (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (.*?) (\S+)" '
+        r'([0-9]{3}) ([0-9]+|-) "([^"]*)" "([^"]*)"$'
+    )
+    parsed = raw.select(
+        F.regexp_extract(v, rx, 5).alias("method"),
+        F.regexp_extract(v, rx, 8).cast("bigint").alias("status"),
+        F.regexp_extract(v, rx, 9).cast("bigint").alias("bytes"),
+        F.regexp_extract(
+            F.regexp_extract(v, rx, 6), r"^/order/([0-9]+)", 1
+        )
+        .cast("bigint")
+        .alias("okey"),
+    )
+    return parsed.groupBy("method", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_req"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.sum("okey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "source_ics_calendar",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         'prio-' || trim(o_orderpriority) AS cal,
+         strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS dstart,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 = 3
+)
+SELECT cal,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_c,
+       CAST(SUM(o_orderkey) AS BIGINT) AS uid_sum,
+       CAST(MIN(dstart) AS VARCHAR) AS first_day,
+       CAST(MAX(dstart) AS VARCHAR) AS last_day
+FROM src GROUP BY cal
+""",
+    tags=("source",),
+)
+def source_ics_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCALENDAR SOURCE (RFC 5545) — the VEVENT interchange format
+    with the parse trap every naive reader hits: LINE FOLDING
+    (§3.1) — content lines longer than 75 octets are split with
+    CRLF + single space, so 'SUMMARY:Order re' / ' view meeting' is
+    ONE logical line. The unfold is the spec's own rule run in
+    reverse — delete every CRLF-followed-by-space — done here as a
+    single regexp_replace over WHOLE-FILE text (wholetext read:
+    fold pairs must never straddle a split, the same
+    unsplittable-task trade json multiline documents), then the
+    VEVENT blocks explode line-wise and UID/DTSTART/SUMMARY/
+    X-CENTS properties regex-extract per event. Events are
+    synthesized from orders with every SUMMARY deliberately folded;
+    per-calendar rollups (count, exact cents, uid sum, date span)
+    are certified by the relational oracle. At 100 TB: one task per
+    .ics file — shard the calendar export, not the parser."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 3)
+    ev = F.concat(
+        F.lit("BEGIN:VEVENT\r\nUID:"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("@example.com\r\nDTSTART;VALUE=DATE:"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyyMMdd"),
+        F.lit("\r\nSUMMARY:Order review for key "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" in bucket\r\n  "),
+        F.lit("prio-"),
+        F.trim(F.col("o_orderpriority")),
+        F.lit("\r\nX-CENTS:"),
+        cents("o_totalprice").cast("string"),
+        F.lit("\r\nEND:VEVENT"),
+    )
+    path = tempfile.mkdtemp(prefix="dags_ics_") + "/data"
+    o.select(ev.alias("value")).write.mode("overwrite").text(path)
+    whole = spark.read.format("text").option("wholetext", True).load(path)
+    # RFC 5545 §3.1 unfold: CRLF (or bare LF from the text sink)
+    # followed by one space/tab is a continuation — delete the pair.
+    unfolded = whole.select(
+        F.regexp_replace("value", r"\r?\n[ \t]", "").alias("txt")
+    )
+    lines = unfolded.select(
+        F.posexplode(F.split("txt", r"\r?\n")).alias("pos", "line")
+    )
+    props = lines.filter(F.col("line").rlike("^(UID|DTSTART|SUMMARY|X-CENTS)"))
+    parsed = props.select(
+        F.when(
+            F.col("line").startswith("UID:"),
+            F.regexp_extract("line", r"^UID:([0-9]+)@", 1),
+        ).alias("uid"),
+        F.when(
+            F.col("line").startswith("DTSTART"),
+            F.regexp_extract("line", r":([0-9]{8})$", 1),
+        ).alias("dstart"),
+        F.when(
+            F.col("line").startswith("SUMMARY:"),
+            F.regexp_extract("line", r"in bucket (prio-.+)$", 1),
+        ).alias("cal"),
+        F.when(
+            F.col("line").startswith("X-CENTS:"),
+            F.regexp_extract("line", r"^X-CENTS:([0-9]+)$", 1),
+        ).alias("cents"),
+        (F.monotonically_increasing_id() / 4).cast("bigint").alias("ev"),
+    )
+    # Each VEVENT contributes exactly 4 property lines in fixed
+    # order (UID, DTSTART, SUMMARY, X-CENTS) within its file, so
+    # integer-dividing the per-partition running line ordinal by 4
+    # groups the properties back into their event.
+    event = parsed.groupBy("ev").agg(
+        F.max("uid").cast("bigint").alias("uid"),
+        F.max("dstart").alias("dstart"),
+        F.max("cal").alias("cal"),
+        F.max("cents").cast("bigint").alias("cents"),
+    )
+    return event.groupBy("cal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_c"),
+        F.sum("uid").cast("bigint").alias("uid_sum"),
+        F.min("dstart").alias("first_day"),
+        F.max("dstart").alias("last_day"),
+    )

@@ -7541,3 +7541,126 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("volume"),
         F.count(F.lit(1)).cast("bigint").alias("n_trades"),
     )
+
+
+@register(
+    "ts_theta_method",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY flag, ym
+),
+idx AS (
+  SELECT flag, ym, CAST(cents AS DOUBLE) / 100.0 AS x,
+         ym - MIN(ym) OVER (PARTITION BY flag) + 1 AS t
+  FROM m
+),
+ols AS (
+  SELECT flag,
+         CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(MAX(t) AS BIGINT) AS t_max,
+         (SUM(t * x) - SUM(t) * SUM(x) / COUNT(*))
+           / (SUM(t * t) - SUM(t) * SUM(t) / COUNT(*)) AS b,
+         SUM(x) / COUNT(*)
+           - (SUM(t * x) - SUM(t) * SUM(x) / COUNT(*))
+             / (SUM(t * t) - SUM(t) * SUM(t) / COUNT(*))
+             * SUM(t) / COUNT(*) AS a
+  FROM idx GROUP BY flag
+),
+theta AS (
+  SELECT i.flag, i.t, o.t_max, o.a, o.b, o.n_pts,
+         2.0 * i.x - (o.a + o.b * i.t) AS y
+  FROM idx i JOIN ols o ON o.flag = i.flag
+),
+ses AS (
+  SELECT flag,
+         SUM(CASE WHEN t = 1 THEN power(0.5, t_max - 1) * y
+                  ELSE 0.5 * power(0.5, t_max - t) * y END) AS s
+  FROM theta GROUP BY flag
+)
+SELECT o.flag, o.n_pts,
+       ROUND(o.a, 6) AS trend_a,
+       ROUND(o.b, 6) AS trend_b,
+       ROUND(s.s, 6) AS ses_theta,
+       ROUND(0.5 * s.s + 0.5 * (o.a + o.b * (o.t_max + 1)), 6)
+         AS forecast_1
+FROM ols o JOIN ses s ON s.flag = o.flag
+""",
+    tags=("timeseries",),
+)
+def ts_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-METHOD FORECAST (Assimakopoulos & Nikolopoulos 2000) —
+    the M3-competition-winning decomposition: split the series into
+    theta-lines, here the classic pair theta=0 (the OLS linear
+    trend, pure long-run signal) and theta=2 (2x - trend, the
+    curvature-doubled residual line), forecast the first by
+    extrapolation and the second by SES, and average. The SES
+    recursion is flattened to its CLOSED FORM — s_T =
+    sum_i w_i y_i with w_i = alpha(1-alpha)^(T-i) (the t=1 term
+    keeps the (1-alpha)^(T-1) seed weight) — and alpha is pinned at
+    0.5 so every weight is an EXACT dyadic power: multiplying a
+    double by 2^-k is lossless, leaving only the order-insensitive
+    final SUM, rounded at 1e-6 on both engines. Time is a monthly
+    grain (year*12+month, gap-tolerant month distance, not row
+    position). Scale: the fact scan collapses to (flag, month) in
+    one partial+final aggregate (~84 points per flag at ANY corpus
+    size); OLS moments and the SES sum are second-stage aggregates
+    on that bounded grain — no per-row window over the fact."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (
+            F.year(F.col("l_shipdate").cast("date")) * 12
+            + F.month(F.col("l_shipdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("ym"),
+    ).agg(dec_sum(cents("l_extendedprice")).alias("cents"))
+    wmin = Window.partitionBy("flag")
+    idx = m.select(
+        "flag",
+        (F.col("cents").cast("double") / 100.0).alias("x"),
+        (F.col("ym") - F.min("ym").over(wmin) + 1).alias("t"),
+    )
+    t, x = F.col("t"), F.col("x")
+    n = F.count(F.lit(1))
+    b_num = F.sum(t * x) - F.sum(t) * F.sum(x) / n
+    b_den = F.sum(t * t) - F.sum(t) * F.sum(t) / n
+    ols = idx.groupBy("flag").agg(
+        n.cast("bigint").alias("n_pts"),
+        F.max("t").cast("bigint").alias("t_max"),
+        (b_num / b_den).alias("b"),
+        (F.sum(x) / n - (b_num / b_den) * F.sum(t) / n).alias("a"),
+    )
+    theta = idx.join(F.broadcast(ols), "flag").select(
+        "flag",
+        "t",
+        "t_max",
+        (2.0 * x - (F.col("a") + F.col("b") * t)).alias("y"),
+    )
+    ses = theta.groupBy("flag").agg(
+        F.sum(
+            F.when(
+                t == 1,
+                F.pow(F.lit(0.5), F.col("t_max") - 1) * F.col("y"),
+            ).otherwise(
+                0.5 * F.pow(F.lit(0.5), F.col("t_max") - t) * F.col("y")
+            )
+        ).alias("s")
+    )
+    return ols.join(ses, "flag").select(
+        "flag",
+        "n_pts",
+        F.round("a", 6).alias("trend_a"),
+        F.round("b", 6).alias("trend_b"),
+        F.round("s", 6).alias("ses_theta"),
+        F.round(
+            0.5 * F.col("s")
+            + 0.5 * (F.col("a") + F.col("b") * (F.col("t_max") + 1)),
+            6,
+        ).alias("forecast_1"),
+    )
