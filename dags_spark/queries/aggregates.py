@@ -7926,3 +7926,187 @@ def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.col("p_adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
         (F.least(F.col("p_adj_raw"), F.lit(1.0)) <= 0.05).alias("reject"),
     )
+
+
+@register(
+    "stats_negative_binomial_fit",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS k
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+),
+mom AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM per_cust GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_cust,
+       ROUND(CAST(sk AS DOUBLE) / n_cust, 6) AS mean_k,
+       ROUND(CAST(skk AS DOUBLE) / n_cust
+             - (CAST(sk AS DOUBLE) / n_cust) * (CAST(sk AS DOUBLE) / n_cust),
+             6) AS var_k,
+       ROUND(CASE WHEN CAST(skk AS DOUBLE) / n_cust
+                       - POWER(CAST(sk AS DOUBLE) / n_cust, 2)
+                       > CAST(sk AS DOUBLE) / n_cust
+             THEN POWER(CAST(sk AS DOUBLE) / n_cust, 2)
+                  / (CAST(skk AS DOUBLE) / n_cust
+                     - POWER(CAST(sk AS DOUBLE) / n_cust, 2)
+                     - CAST(sk AS DOUBLE) / n_cust)
+             END, 6) AS nb_r,
+       ROUND(CASE WHEN CAST(skk AS DOUBLE) / n_cust
+                       - POWER(CAST(sk AS DOUBLE) / n_cust, 2)
+                       > CAST(sk AS DOUBLE) / n_cust
+             THEN (CAST(sk AS DOUBLE) / n_cust)
+                  / (CAST(skk AS DOUBLE) / n_cust
+                     - POWER(CAST(sk AS DOUBLE) / n_cust, 2))
+             END, 6) AS nb_p,
+       CAST(skk AS DOUBLE) / n_cust - POWER(CAST(sk AS DOUBLE) / n_cust, 2)
+         > CAST(sk AS DOUBLE) / n_cust AS overdispersed
+FROM mom
+""",
+    tags=("stats",),
+)
+def stats_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL FIT by method of moments — the standard
+    model for OVERDISPERSED counts (orders per customer, events per
+    user, defects per unit) where Poisson's mean=variance assumption
+    fails: NB(r, p) with r = m^2/(v - m) and p = m/v from the
+    sample mean m and (population) variance v.
+    Customers with ZERO orders are kept through the LEFT join — the
+    zero class drives the dispersion estimate, and dropping it is
+    the classic silent bias. Moments come from exact BIGINT
+    sum/sum-of-squares per segment (one partial+final aggregate
+    after a customer-grain count), so both engines compute v from
+    the identical integers; the overdispersion guard (v > m) nulls
+    the fit where Poisson already suffices instead of emitting a
+    negative r. Scale: join partitioned on custkey, two hash
+    aggregates, 5-row output."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").cast("bigint").alias("k"))
+    )
+    mom = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    m = F.col("sk").cast("double") / F.col("n_cust")
+    v = F.col("skk").cast("double") / F.col("n_cust") - m * m
+    over = v > m
+    return mom.select(
+        "c_mktsegment",
+        "n_cust",
+        F.round(m, 6).alias("mean_k"),
+        F.round(v, 6).alias("var_k"),
+        F.round(F.when(over, m * m / (v - m)), 6).alias("nb_r"),
+        F.round(F.when(over, m / v), 6).alias("nb_p"),
+        over.alias("overdispersed"),
+    )
+
+
+@register(
+    "stats_power_analysis_2prop",
+    oracle="""
+WITH arms AS (
+  SELECT o_custkey % 20 AS segment,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'control' ELSE 'treat' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM orders GROUP BY segment, arm
+),
+wide AS (
+  SELECT segment,
+         MAX(CASE WHEN arm = 'control' THEN CAST(x AS DOUBLE) / n END) AS p1,
+         MAX(CASE WHEN arm = 'control' THEN n END) AS n1,
+         MAX(CASE WHEN arm = 'treat' THEN CAST(x AS DOUBLE) / n END) AS p2,
+         MAX(CASE WHEN arm = 'treat' THEN n END) AS n2
+  FROM arms GROUP BY segment
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(n1 AS BIGINT) AS n_control, CAST(n2 AS BIGINT) AS n_treat,
+       ROUND(p1, 6) AS p_control, ROUND(p2, 6) AS p_treat,
+       ROUND(p2 - p1, 6) AS effect_abs,
+       CASE WHEN ABS(p2 - p1) > 1e-12 THEN
+         CAST(CEIL(POWER(1.959964 + 0.841621, 2)
+              * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+              / POWER(p2 - p1, 2)) AS BIGINT)
+       END AS n_required_per_arm,
+       CASE WHEN ABS(p2 - p1) > 1e-12 THEN
+         CEIL(POWER(1.959964 + 0.841621, 2)
+              * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+              / POWER(p2 - p1, 2)) <= LEAST(n1, n2)
+       ELSE FALSE END AS adequately_powered
+FROM wide
+""",
+    tags=("stats",),
+)
+def stats_power_analysis_2prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ANALYSIS for a two-proportion test — the experiment-
+    planning calculation every A/B platform runs BEFORE launch and
+    every meta-analysis runs after: given the observed control/
+    treatment rates per segment, the required sample size per arm
+    for 80% power at two-sided alpha=0.05 is n = (z_{a/2} + z_b)^2 *
+    (p1 q1 + p2 q2) / (p2 - p1)^2 (Fleiss). The normal quantiles
+    are PINNED LITERALS (1.959964, 0.841621) — the fixed
+    (alpha, power) design point every power table publishes — so no
+    inverse-CDF polynomial can disagree between engines; the
+    adequately_powered flag then compares requirement to the arms'
+    actual sizes, the exact 'can this segment support a read-out?'
+    gate. One aggregate to the (segment, arm) grain, a 2-row pivot
+    per segment, per-row closed form: nothing here scales with the
+    fact beyond the first aggregate."""
+    o = table(spark, sf_dir, "orders")
+    arms = o.groupBy(
+        (F.col("o_custkey") % 20).alias("segment"),
+        F.when(F.col("o_orderkey") % 2 == 0, "control")
+        .otherwise("treat")
+        .alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    wide = arms.groupBy("segment").agg(
+        F.max(
+            F.when(
+                F.col("arm") == "control",
+                F.col("x").cast("double") / F.col("n"),
+            )
+        ).alias("p1"),
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n1"),
+        F.max(
+            F.when(
+                F.col("arm") == "treat",
+                F.col("x").cast("double") / F.col("n"),
+            )
+        ).alias("p2"),
+        F.max(F.when(F.col("arm") == "treat", F.col("n"))).alias("n2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    req = F.ceil(
+        F.pow(F.lit(1.959964 + 0.841621), 2)
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / F.pow(p2 - p1, 2)
+    )
+    nonzero = F.abs(p2 - p1) > 1e-12
+    return wide.select(
+        F.col("segment").cast("bigint").alias("segment"),
+        F.col("n1").cast("bigint").alias("n_control"),
+        F.col("n2").cast("bigint").alias("n_treat"),
+        F.round(p1, 6).alias("p_control"),
+        F.round(p2, 6).alias("p_treat"),
+        F.round(p2 - p1, 6).alias("effect_abs"),
+        F.when(nonzero, req.cast("bigint")).alias("n_required_per_arm"),
+        F.when(nonzero, req <= F.least(F.col("n1"), F.col("n2")))
+        .otherwise(F.lit(False))
+        .alias("adequately_powered"),
+    )

@@ -2736,3 +2736,66 @@ def fn_punycode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dec("encoded") == F.col("label")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_xpath_extract",
+    oracle="""
+WITH x AS (
+  SELECT o_orderkey,
+         '<order id="' || o_orderkey || '"><status>' || o_orderstatus
+         || '</status><items>'
+         || repeat('<item qty="2"/>', CAST(1 + o_orderkey % 3 AS BIGINT))
+         || '</items><total>' || CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+         || '</total></order>' AS xml
+  FROM orders WHERE o_orderkey % 9 = 4
+)
+SELECT o_orderkey,
+       regexp_extract(xml, 'id="([0-9]+)"', 1) AS id_attr,
+       regexp_extract(xml, '<status>(.*?)</status>', 1) AS status,
+       CAST(regexp_extract(xml, '<total>([0-9]+)</total>', 1) AS BIGINT)
+         AS total_c,
+       CAST((length(xml) - length(replace(xml, '<item ', ''))) // 6
+            AS BIGINT) AS n_items
+FROM x
+""",
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPATH EXTRACTION — Spark's xpath_* function family (the
+    Hive-inherited surface: xpath_string for text nodes,
+    xpath_long for numeric casts, xpath_number with XPath's own
+    count() for node-set cardinality, and attribute axes via /@id)
+    run against per-row XML fragments — the shape config payloads
+    and legacy B2B feeds arrive in when a full spark-xml schema
+    read (source_xml) is overkill and you just need three fields
+    out. DuckDB has no XPath engine, so the oracle extracts the
+    SAME values with anchored regexes over the identical
+    synthesized fragment — two different parsers, one answer,
+    which is exactly the certification xpath needs (namespace-free
+    well-formed input). Per-row JVM evaluation, no UDF, no
+    shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 4)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><items>"),
+        F.repeat(
+            F.lit('<item qty="2"/>'),
+            (1 + F.col("o_orderkey") % 3).cast("int"),
+        ),
+        F.lit("</items><total>"),
+        cents("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    x = o.select("o_orderkey", xml.alias("xml"))
+    return x.select(
+        "o_orderkey",
+        F.xpath_string("xml", F.lit("/order/@id")).alias("id_attr"),
+        F.xpath_string("xml", F.lit("/order/status")).alias("status"),
+        F.xpath_long("xml", F.lit("/order/total")).alias("total_c"),
+        F.xpath_number("xml", F.lit("count(/order/items/item)"))
+        .cast("bigint")
+        .alias("n_items"),
+    )

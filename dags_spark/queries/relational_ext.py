@@ -6131,3 +6131,190 @@ def iter_ppr_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.round("mass", 6).alias("mass"),
     ).filter(F.col("mass") > 0.0)
+
+
+@register(
+    "merge_crdt_pncounter",
+    oracle="""
+WITH inc AS (
+  SELECT o_custkey % 100 AS counter_key,
+         o_orderkey % 5 AS replica,
+         o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'n' ELSE 'p' END AS sign
+  FROM orders
+),
+site_a AS (
+  SELECT counter_key, replica, sign, CAST(COUNT(*) AS BIGINT) AS c
+  FROM inc WHERE o_orderkey % 3 != 0 GROUP BY counter_key, replica, sign
+),
+site_b AS (
+  SELECT counter_key, replica, sign, CAST(COUNT(*) AS BIGINT) AS c
+  FROM inc WHERE o_orderkey % 4 != 0 GROUP BY counter_key, replica, sign
+),
+merged AS (
+  SELECT COALESCE(a.counter_key, b.counter_key) AS counter_key,
+         COALESCE(a.replica, b.replica) AS replica,
+         COALESCE(a.sign, b.sign) AS sign,
+         GREATEST(COALESCE(a.c, 0), COALESCE(b.c, 0)) AS m,
+         COALESCE(a.c, 0) AS ac, COALESCE(b.c, 0) AS bc
+  FROM site_a a FULL OUTER JOIN site_b b
+    ON a.counter_key = b.counter_key AND a.replica = b.replica
+       AND a.sign = b.sign
+)
+SELECT CAST(counter_key AS BIGINT) AS counter_key,
+       CAST(SUM(CASE WHEN sign = 'p' THEN m ELSE 0 END) AS BIGINT) AS p_total,
+       CAST(SUM(CASE WHEN sign = 'n' THEN m ELSE 0 END) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN sign = 'p' THEN m ELSE -m END) AS BIGINT) AS value,
+       CAST(SUM(ac) AS BIGINT) AS site_a_obs,
+       CAST(SUM(bc) AS BIGINT) AS site_b_obs,
+       SUM(m) >= GREATEST(SUM(ac), SUM(bc)) AS merge_dominates
+FROM merged GROUP BY counter_key
+""",
+    tags=("merge",),
+)
+def merge_crdt_pncounter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRDT PN-COUNTER MERGE — the conflict-free replicated counter
+    (Shapiro 2011) behind every eventually-consistent like/view/
+    inventory count: each replica owns a monotone increment (P) and
+    decrement (N) slot, sites gossip their vectors, and merge is
+    ELEMENT-WISE MAX per (counter, replica, sign) — commutative,
+    associative, idempotent, so replays and re-merges are free. Two
+    sites with DIVERGENT partial views (different key-modulus
+    observation sets) are built from orders, merged with the
+    max-join, and read out as value = sum(P) - sum(N). The
+    merge_dominates column certifies the join-semilattice law: the
+    merged vector dominates both inputs. This is exactly how a 100
+    TB pipeline folds per-shard counter snapshots without
+    coordination — a full-outer equi-join on the vector key + one
+    GREATEST, partitionable on counter_key, no window, no state."""
+    o = table(spark, sf_dir, "orders")
+    inc = o.select(
+        (F.col("o_custkey") % 100).alias("counter_key"),
+        (F.col("o_orderkey") % 5).alias("replica"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "n")
+        .otherwise("p")
+        .alias("sign"),
+    )
+
+    def site(pred):
+        return (
+            inc.filter(pred)
+            .groupBy("counter_key", "replica", "sign")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    a = site(F.col("o_orderkey") % 3 != 0)
+    b = site(F.col("o_orderkey") % 4 != 0)
+    merged = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.counter_key") == F.col("b.counter_key"))
+            & (F.col("a.replica") == F.col("b.replica"))
+            & (F.col("a.sign") == F.col("b.sign")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("a.counter_key"), F.col("b.counter_key")).alias(
+                "counter_key"
+            ),
+            F.coalesce(F.col("a.sign"), F.col("b.sign")).alias("sign"),
+            F.greatest(
+                F.coalesce(F.col("a.c"), F.lit(0)),
+                F.coalesce(F.col("b.c"), F.lit(0)),
+            ).alias("m"),
+            F.coalesce(F.col("a.c"), F.lit(0)).alias("ac"),
+            F.coalesce(F.col("b.c"), F.lit(0)).alias("bc"),
+        )
+    )
+    is_p = F.col("sign") == "p"
+    return merged.groupBy(
+        F.col("counter_key").cast("bigint").alias("counter_key")
+    ).agg(
+        F.sum(F.when(is_p, F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias("p_total"),
+        F.sum(F.when(~is_p, F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias("n_total"),
+        F.sum(F.when(is_p, F.col("m")).otherwise(-F.col("m")))
+        .cast("bigint")
+        .alias("value"),
+        F.sum("ac").cast("bigint").alias("site_a_obs"),
+        F.sum("bc").cast("bigint").alias("site_b_obs"),
+        (
+            F.sum("m") >= F.greatest(F.sum("ac"), F.sum("bc"))
+        ).alias("merge_dominates"),
+    )
+
+
+@register(
+    "agg_hdr_histogram",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS val
+  FROM orders
+),
+b AS (
+  SELECT o_orderpriority, val,
+         CAST(length(bin(val)) - 1 AS BIGINT) AS e
+  FROM v
+),
+sub AS (
+  SELECT o_orderpriority, val, e,
+         CASE WHEN e >= 3 THEN (val >> (e - 3)) & 7 ELSE val & 7 END AS s
+  FROM b
+)
+SELECT o_orderpriority,
+       e, CAST(s AS BIGINT) AS s,
+       CAST(CASE WHEN e >= 3 THEN (8 + s) << (e - 3) ELSE s END AS BIGINT)
+         AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(val) AS BIGINT) AS lo_seen,
+       CAST(MAX(val) AS BIGINT) AS hi_seen
+FROM sub GROUP BY o_orderpriority, e, s
+""",
+    tags=("agg", "observability"),
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-HISTOGRAM BUCKETS — the log-linear layout (Gil Tene's
+    HdrHistogram, also Prometheus native histograms) that records
+    value distributions with BOUNDED RELATIVE ERROR and a few
+    hundred fixed buckets regardless of range: the exponent tier is
+    floor(log2(v)) and each tier splits into 8 linear sub-buckets
+    (top 3 mantissa bits), giving <= 12.5% relative width
+    everywhere. The exponent is computed EXACTLY as
+    length(bin(v))-1 — integer bit-length, no floating log2 whose
+    boundary rounding differs between libms — and the sub-bucket is
+    pure shift/mask. Unlike a quantile sketch this is lossless at
+    the bucket grain, mergeable by simple count addition (the CRDT
+    of histograms — see merge_crdt_pncounter), and the 100 TB
+    shape is ONE partial+final hash aggregate on a key space
+    bounded at ~64*8 per group, with min/max per bucket certifying
+    the boundaries."""
+    o = table(spark, sf_dir, "orders")
+    val = cents("o_totalprice")
+    b = o.select(
+        "o_orderpriority",
+        val.alias("val"),
+        (F.length(F.bin(val)) - 1).cast("bigint").alias("e"),
+    )
+    s = F.expr(
+        "CASE WHEN e >= 3 THEN shiftright(val, cast(e - 3 AS int)) & 7"
+        " ELSE val & 7 END"
+    )
+    sub = b.select("o_orderpriority", "val", "e", s.alias("s"))
+    lo = F.expr(
+        "CASE WHEN e >= 3 THEN shiftleft(8 + s, cast(e - 3 AS int))"
+        " ELSE s END"
+    )
+    return sub.groupBy(
+        "o_orderpriority", "e", F.col("s").cast("bigint").alias("s")
+    ).agg(
+        F.max(lo).cast("bigint").alias("bucket_lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("val").cast("bigint").alias("lo_seen"),
+        F.max("val").cast("bigint").alias("hi_seen"),
+    )

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3729,4 +3731,115 @@ def source_ics_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("uid").cast("bigint").alias("uid_sum"),
         F.min("dstart").alias("first_day"),
         F.max("dstart").alias("last_day"),
+    )
+
+
+@register(
+    "source_pem_asn1",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         'CN=cust' || CAST(o_custkey % 7 AS BIGINT) AS subject,
+         CAST(10 + o_orderkey % 50 AS BIGINT) AS payload_len
+  FROM orders WHERE o_orderkey % 13 = 5
+)
+SELECT subject,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(o_orderkey) AS BIGINT) AS serial_sum,
+       CAST(SUM(payload_len) AS BIGINT) AS payload_bytes
+FROM src GROUP BY subject
+""",
+    tags=("source",),
+)
+def source_pem_asn1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEM / ASN.1 DER SOURCE — the certificate-and-key interchange
+    stack (RFC 7468 armor over X.690 DER) that a fleet-wide cert
+    inventory or key-rotation audit must parse at scale: records
+    are DER-encoded EXECUTOR-SIDE (SEQUENCE { INTEGER serial,
+    UTF8String subject, OCTET STRING payload } via the from-spec
+    encoder in operators/asn1.py — short AND long-form lengths
+    both exercised, payloads straddle the 0x80 boundary), wrapped
+    in base64 PEM armor with 64-column folding, written as a text
+    source, and read back: whole-file text -> regex block split ->
+    armor strip -> Spark unbase64 to real BINARY -> the bounds-
+    checked TLV walker (ValueError on any truncation, never
+    IndexError) in an Arrow-batched UDF. Rollups per subject are
+    certified relationally — the hash covers encoder, armor,
+    de-armor and walker in one loop. At 100 TB: one task per PEM
+    bundle file; shard the bundle, not the parser."""
+    import tempfile
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("string")
+    def to_pem(okey: pd.Series, subj: pd.Series) -> pd.Series:
+        import base64
+
+        from ..operators.asn1 import (
+            der_integer,
+            der_octets,
+            der_sequence,
+            der_utf8,
+        )
+
+        def one(k, s):
+            der = der_sequence(
+                der_integer(int(k)),
+                der_utf8(s),
+                der_octets(b"\xab" * (10 + int(k) % 50)),
+            )
+            b64 = base64.b64encode(der).decode("ascii")
+            folded = "\n".join(
+                b64[i : i + 64] for i in range(0, len(b64), 64)
+            )
+            return (
+                "-----BEGIN DAGS RECORD-----\n"
+                + folded
+                + "\n-----END DAGS RECORD-----"
+            )
+
+        return pd.Series([one(k, s) for k, s in zip(okey, subj)])
+
+    @pandas_udf(
+        "struct<serial: bigint, subject: string, payload_len: bigint>"
+    )
+    def parse_der(b: pd.Series) -> pd.DataFrame:
+        from ..operators.asn1 import parse_record
+
+        rows = []
+        for buf in b:
+            r = parse_record(bytes(buf))
+            rows.append(
+                (int(r["serial"]), r["subject"], int(r["payload_len"]))
+            )
+        return pd.DataFrame(
+            rows, columns=["serial", "subject", "payload_len"]
+        )
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 5)
+    subj = F.concat(F.lit("CN=cust"), (F.col("o_custkey") % 7).cast("string"))
+    pem = o.select(to_pem("o_orderkey", subj.alias("s")).alias("value"))
+    path = tempfile.mkdtemp(prefix="dags_pem_") + "/data"
+    pem.write.mode("overwrite").text(path)
+    whole = spark.read.format("text").option("wholetext", True).load(path)
+    blocks = whole.select(
+        F.explode(
+            F.regexp_extract_all(
+                "value",
+                F.lit(
+                    r"(?s)-----BEGIN DAGS RECORD-----\n(.*?)"
+                    r"\n-----END DAGS RECORD-----"
+                ),
+                1,
+            )
+        ).alias("b64")
+    )
+    der = blocks.select(
+        F.unbase64(F.regexp_replace("b64", r"\n", "")).alias("der")
+    )
+    rec = der.select(parse_der("der").alias("r")).select("r.*")
+    return rec.groupBy("subject").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum("serial").cast("bigint").alias("serial_sum"),
+        F.sum("payload_len").cast("bigint").alias("payload_bytes"),
     )

@@ -2872,3 +2872,107 @@ def text_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("n") == 1, f1)), 6).alias("rouge1_f"),
         F.round(F.max(F.when(F.col("n") == 2, f1)), 6).alias("rouge2_f"),
     )
+
+
+@register(
+    "text_sentence_segmentation",
+    oracle="""
+WITH prose AS (
+  SELECT p_partkey,
+         CASE p_partkey % 3
+           WHEN 0 THEN 'Dr. ' || p_name || ' met Mr. Smith. It was fine. See e.g. the ' || p_brand || ' case. End of report.'
+           WHEN 1 THEN 'The ' || p_name || ' arrived. Prof. Jones checked it, i.e. thoroughly. Approved.'
+           ELSE p_brand || ' vs. the field. ' || p_name || ' won easily. No further review needed. Case closed. Done.'
+         END AS t
+  FROM part
+),
+protected AS (
+  SELECT p_partkey, t,
+         replace(replace(replace(replace(replace(replace(t,
+           'Dr.', 'Dr<P>'), 'Mr.', 'Mr<P>'), 'Prof.', 'Prof<P>'),
+           'e.g.', 'e<P>g<P>'), 'i.e.', 'i<P>e<P>'), 'vs.', 'vs<P>')
+           AS safe
+  FROM prose
+),
+sents AS (
+  SELECT p_partkey, t,
+         list_transform(
+           list_filter(string_split_regex(safe, '\\.\\s*'),
+                       s -> length(s) > 0),
+           s -> replace(s, '<P>', '.')) AS parts
+  FROM protected
+)
+SELECT p_partkey,
+       CAST(len(parts) AS BIGINT) AS n_sentences,
+       parts[1] AS first_sentence,
+       CAST(length(parts[len(parts)]) AS BIGINT) AS last_sentence_len
+FROM sents
+""",
+    tags=("text",),
+)
+def text_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE SEGMENTATION with abbreviation protection — the
+    rule-based splitter training pipelines run before sentence-level
+    dedup and chunking: a naive split on '.' shreds 'Dr.', 'e.g.'
+    and 'vs.' into garbage sentences. The classic two-phase
+    algorithm: PROTECT the abbreviation inventory by rewriting its
+    periods to a sentinel, split on the remaining sentence-final
+    periods (+ trailing whitespace), then RESTORE the sentinels
+    inside each sentence. Prose with every trap is synthesized from
+    part names in three template classes; the output (sentence
+    count, first sentence VERBATIM — restored abbreviations intact
+    — and last-sentence length) hash-certifies protect, split and
+    restore. Pure per-row string pipeline: replace chains +
+    regexp split + array ops, all codegen, no shuffle; at 100 TB
+    this is a map over the documents scan."""
+    p = table(spark, sf_dir, "part")
+    t = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.lit("Dr. "), F.col("p_name"),
+                F.lit(" met Mr. Smith. It was fine. See e.g. the "),
+                F.col("p_brand"), F.lit(" case. End of report."),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit("The "), F.col("p_name"),
+                F.lit(" arrived. Prof. Jones checked it, i.e. thoroughly. Approved."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("p_brand"), F.lit(" vs. the field. "),
+                F.col("p_name"),
+                F.lit(" won easily. No further review needed. Case closed. Done."),
+            )
+        )
+    )
+    prose = p.select("p_partkey", t.alias("t"))
+    safe = F.col("t")
+    for abbr, repl in (
+        ("Dr.", "Dr<P>"),
+        ("Mr.", "Mr<P>"),
+        ("Prof.", "Prof<P>"),
+        ("e.g.", "e<P>g<P>"),
+        ("i.e.", "i<P>e<P>"),
+        ("vs.", "vs<P>"),
+    ):
+        safe = F.replace(safe, F.lit(abbr), F.lit(repl))
+    parts = F.transform(
+        F.filter(
+            F.split(safe, r"\.\s*"), lambda s: F.length(s) > 0
+        ),
+        lambda s: F.replace(s, F.lit("<P>"), F.lit(".")),
+    )
+    sents = prose.select("p_partkey", parts.alias("parts"))
+    return sents.select(
+        "p_partkey",
+        F.size("parts").cast("bigint").alias("n_sentences"),
+        F.col("parts").getItem(0).alias("first_sentence"),
+        F.length(F.element_at("parts", -1))
+        .cast("bigint")
+        .alias("last_sentence_len"),
+    )
