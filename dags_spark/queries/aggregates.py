@@ -8110,3 +8110,81 @@ def stats_power_analysis_2prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("adequately_powered"),
     )
+
+
+@register(
+    "stats_gumbel_max_fit",
+    oracle="""
+WITH daily_max AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS mx
+  FROM orders GROUP BY o_orderpriority, d
+),
+mom AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(mx AS DOUBLE)) / COUNT(*) / 100.0 AS m,
+         (SUM(CAST(mx AS DOUBLE) * mx) / COUNT(*)
+          - POWER(SUM(CAST(mx AS DOUBLE)) / COUNT(*), 2)) / 10000.0 AS v
+  FROM daily_max GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_days,
+       ROUND(m, 6) AS mean_max,
+       ROUND(SQRT(6.0 * v) / PI(), 6) AS beta,
+       ROUND(m - 0.5772156649015329 * SQRT(6.0 * v) / PI(), 6) AS mu,
+       ROUND(m - 0.5772156649015329 * SQRT(6.0 * v) / PI()
+             - SQRT(6.0 * v) / PI() * LN(-LN(0.99)), 6)
+         AS return_level_p99
+FROM mom
+""",
+    tags=("stats",),
+)
+def stats_gumbel_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUMBEL (EV-I) FIT of block maxima — extreme-value theory's
+    answer to 'how big is the 1-in-100-day spike?': the Fisher-
+    Tippett limit says daily MAXIMA converge to a Gumbel, fit here
+    by method of moments (beta = sqrt(6 v)/pi, mu = mean -
+    gamma_EulerMascheroni * beta — the constant pinned as an exact
+    literal) from the per-(priority, day) maxima of order totals;
+    the p99 return level mu - beta*ln(-ln(0.99)) is the capacity-
+    planning number SRE/risk teams actually quote. Two cascaded
+    hash aggregates — fact scan -> (priority, day) max (the
+    block-maxima reduce, map-side combinable) -> per-priority
+    moments on the bounded day grain — no window, no sort; money
+    exact in BIGINT cents through both reductions, moments in
+    DOUBLE only at the 5-row tail."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.max(cents("o_totalprice")).cast("bigint").alias("mx"))
+    n = F.count(F.lit(1))
+    m = F.sum(F.col("mx").cast("double")) / n / 100.0
+    v = (
+        F.sum(F.col("mx").cast("double") * F.col("mx")) / n
+        - F.pow(F.sum(F.col("mx").cast("double")) / n, 2)
+    ) / 10000.0
+    mom = daily.groupBy("o_orderpriority").agg(
+        n.cast("bigint").alias("n_days"),
+        m.alias("m"),
+        v.alias("v"),
+    )
+    import math  # noqa: PLC0415
+
+    gamma = 0.5772156649015329
+    beta = F.sqrt(6.0 * F.col("v")) / math.pi
+    mu = F.col("m") - gamma * beta
+    return mom.select(
+        "o_orderpriority",
+        "n_days",
+        F.round("m", 6).alias("mean_max"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(mu - beta * F.log(-F.log(F.lit(0.99))), 6).alias(
+            "return_level_p99"
+        ),
+    )

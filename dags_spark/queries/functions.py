@@ -2799,3 +2799,244 @@ def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_items"),
     )
+
+
+@register(
+    "fn_excel_serial_date",
+    oracle="""
+WITH serials AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1899-12-30' AS BIGINT)
+           AS big_serial,
+         CAST(o_orderkey % 70 AS BIGINT) AS small_serial
+  FROM orders WHERE o_orderkey % 10 = 6
+)
+SELECT o_orderkey, big_serial, small_serial,
+       CAST(DATE '1899-12-30' + CAST(big_serial AS INTEGER) AS VARCHAR)
+         AS big_date,
+       CASE
+         WHEN small_serial = 60 THEN NULL
+         WHEN small_serial < 60
+           THEN CAST(DATE '1899-12-31' + CAST(small_serial AS INTEGER)
+                     AS VARCHAR)
+         ELSE CAST(DATE '1899-12-30' + CAST(small_serial AS INTEGER)
+                   AS VARCHAR)
+       END AS small_date,
+       small_serial = 60 AS is_phantom_leap_day,
+       TRUE AS roundtrip_ok
+FROM serials
+""",
+)
+def fn_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEL 1900-SYSTEM SERIAL DATES — the conversion every
+    spreadsheet-ingesting pipeline gets subtly wrong: Excel counts
+    days from a fictional 1900-01-00 AND inherits Lotus 1-2-3's
+    deliberate bug that 1900 was a leap year, so serial 60 is the
+    PHANTOM 1900-02-29 (a date that never existed) and serials
+    59 and 61 are one real day apart. Correct decode: serial >= 61
+    -> 1899-12-30 + serial; serial < 60 -> 1899-12-31 + serial;
+    serial 60 -> NULL (quarantine, not a guess). Modern serials
+    from order dates round-trip exactly; small serials sweep the
+    bug window on every row batch. Pure date arithmetic, per-row
+    codegen, no shuffle — and the reason the rule matters at
+    100 TB: one systematic off-by-one across a spreadsheet-era
+    backfill corrupts every date-partitioned join downstream."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 6)
+    big = F.unix_date(F.col("o_orderdate").cast("date")).cast(
+        "bigint"
+    ) - F.unix_date(F.lit("1899-12-30").cast("date"))
+    small = (F.col("o_orderkey") % 70).cast("bigint")
+    s = o.select(
+        "o_orderkey",
+        big.alias("big_serial"),
+        small.alias("small_serial"),
+    )
+    anchor30 = F.lit("1899-12-30").cast("date")
+    anchor31 = F.lit("1899-12-31").cast("date")
+    return s.select(
+        "o_orderkey",
+        "big_serial",
+        "small_serial",
+        F.date_add(anchor30, F.col("big_serial").cast("int"))
+        .cast("string")
+        .alias("big_date"),
+        F.when(F.col("small_serial") == 60, F.lit(None).cast("string"))
+        .when(
+            F.col("small_serial") < 60,
+            F.date_add(anchor31, F.col("small_serial").cast("int")).cast(
+                "string"
+            ),
+        )
+        .otherwise(
+            F.date_add(anchor30, F.col("small_serial").cast("int")).cast(
+                "string"
+            )
+        )
+        .alias("small_date"),
+        (F.col("small_serial") == 60).alias("is_phantom_leap_day"),
+        (
+            F.unix_date(F.date_add(anchor30, F.col("big_serial").cast("int")))
+            - F.unix_date(anchor30)
+            == F.col("big_serial")
+        ).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "fn_geo_utm_zone",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         -80.0 + (c_custkey % 164) + 0.25 AS lat,
+         -180.0 + ((c_custkey * 7) % 360) + 0.25 AS lon
+  FROM customer
+),
+base AS (
+  SELECT c_custkey, lat, lon,
+         CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS BIGINT) AS z0,
+         substr('CDEFGHJKLMNPQRSTUVWX',
+                CAST(LEAST(FLOOR((lat + 80.0) / 8.0), 19) AS INTEGER) + 1,
+                1) AS band
+  FROM pts
+)
+SELECT c_custkey, ROUND(lat, 2) AS lat, ROUND(lon, 2) AS lon,
+       CAST(CASE
+         WHEN band = 'V' AND lon >= 3.0 AND lon < 12.0 THEN 32
+         WHEN band = 'X' AND lon >= 0.0 AND lon < 9.0 THEN 31
+         WHEN band = 'X' AND lon >= 9.0 AND lon < 21.0 THEN 33
+         WHEN band = 'X' AND lon >= 21.0 AND lon < 33.0 THEN 35
+         WHEN band = 'X' AND lon >= 33.0 AND lon < 42.0 THEN 37
+         ELSE z0 END AS BIGINT) AS zone,
+       band,
+       band = 'V' AND lon >= 3.0 AND lon < 12.0 AS norway_exception,
+       band = 'X' AND lon >= 0.0 AND lon < 42.0 AS svalbard_exception
+FROM base
+""",
+)
+def fn_geo_utm_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM ZONE + MGRS LATITUDE BAND — the grid assignment every
+    geospatial sharding/indexing layer needs before projecting:
+    zone = floor((lon+180)/6)+1 and the 8-degree band letters
+    C..X (I and O skipped — the lookup-string trick encodes that),
+    X stretched to 12 degrees for 72..84N. The two FAMOUS
+    exceptions are implemented, not footnoted: zone 32V widened
+    over southwest Norway (3E-12E at 56-64N), and the Svalbard
+    zones 31/33/35/37 replacing 31-37 even zones at band X —
+    the rules naive floor-division sharding silently violates,
+    misplacing every Norwegian and Arctic point one zone over.
+    Synthetic lat/lon sweep the full valid range including both
+    exception windows (offset .25 keeps every point off the
+    boundary meridians). Pure per-row arithmetic + one substr
+    lookup — codegen, no shuffle, the partition-key function for a
+    planet-scale spatial layout."""
+    c = table(spark, sf_dir, "customer")
+    lat = -80.0 + (F.col("c_custkey") % 164) + 0.25
+    lon = -180.0 + ((F.col("c_custkey") * 7) % 360) + 0.25
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    z0 = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("bigint")
+    band = F.substring(
+        F.lit("CDEFGHJKLMNPQRSTUVWX"),
+        F.least(F.floor((F.col("lat") + 80.0) / 8.0), F.lit(19)).cast("int")
+        + 1,
+        1,
+    )
+    base = pts.select("c_custkey", "lat", "lon", z0.alias("z0"), band.alias("band"))
+    lo = F.col("lon")
+    is_v = F.col("band") == "V"
+    is_x = F.col("band") == "X"
+    zone = (
+        F.when(is_v & (lo >= 3.0) & (lo < 12.0), 32)
+        .when(is_x & (lo >= 0.0) & (lo < 9.0), 31)
+        .when(is_x & (lo >= 9.0) & (lo < 21.0), 33)
+        .when(is_x & (lo >= 21.0) & (lo < 33.0), 35)
+        .when(is_x & (lo >= 33.0) & (lo < 42.0), 37)
+        .otherwise(F.col("z0"))
+    )
+    return base.select(
+        "c_custkey",
+        F.round("lat", 2).alias("lat"),
+        F.round("lon", 2).alias("lon"),
+        zone.cast("bigint").alias("zone"),
+        "band",
+        (is_v & (lo >= 3.0) & (lo < 12.0)).alias("norway_exception"),
+        (is_x & (lo >= 0.0) & (lo < 42.0)).alias("svalbard_exception"),
+    )
+
+
+@register(
+    "fn_rgb_to_hsl",
+    oracle="""
+WITH px AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 3) % 256 AS BIGINT) AS r,
+         CAST((c_custkey * 7) % 256 AS BIGINT) AS g,
+         CAST((c_custkey * 11) % 256 AS BIGINT) AS b
+  FROM customer
+),
+mm AS (
+  SELECT c_custkey, r, g, b,
+         GREATEST(r, g, b) AS mx, LEAST(r, g, b) AS mn
+  FROM px
+)
+SELECT c_custkey, r, g, b,
+       ROUND(CASE
+         WHEN mx = mn THEN 0.0
+         WHEN mx = r THEN
+           CASE WHEN 60.0 * (g - b) / (mx - mn) < 0
+                THEN 60.0 * (g - b) / (mx - mn) + 360.0
+                ELSE 60.0 * (g - b) / (mx - mn) END
+         WHEN mx = g THEN 60.0 * (b - r) / (mx - mn) + 120.0
+         ELSE 60.0 * (r - g) / (mx - mn) + 240.0 END, 6) AS h,
+       ROUND(CASE WHEN mx = mn THEN 0.0
+             ELSE CAST(mx - mn AS DOUBLE)
+                  / (255.0 - ABS(CAST(mx + mn AS DOUBLE) - 255.0))
+             END, 6) AS s,
+       ROUND(CAST(mx + mn AS DOUBLE) / 510.0, 6) AS l
+FROM mm
+""",
+)
+def fn_rgb_to_hsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGB -> HSL COLOR-SPACE CONVERSION — the per-pixel transform
+    an image-metadata pipeline runs for palette/brightness analysis
+    (pairs with multimodal_bmp_histogram's channel stats): hue from
+    the piecewise max-channel formula with the negative-wraparound
+    branch (+360 when the red-sector expression dips below zero —
+    the branch naive ports drop, shifting magenta hues by a full
+    turn), saturation via the symmetric |mx+mn-255| form that
+    merges the L<0.5 and L>=0.5 cases into one expression, and
+    lightness (mx+mn)/510. All arithmetic starts from exact small
+    integers, the grey guard (mx=mn) short-circuits the 0/0 hue,
+    and both engines evaluate the identical piecewise tree. Pure
+    per-row math — at scale this is a vectorized map inside the
+    decode stage, no shuffle."""
+    c = table(spark, sf_dir, "customer")
+    px = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 3) % 256).cast("bigint").alias("r"),
+        ((F.col("c_custkey") * 7) % 256).cast("bigint").alias("g"),
+        ((F.col("c_custkey") * 11) % 256).cast("bigint").alias("b"),
+    )
+    r, g, b = F.col("r"), F.col("g"), F.col("b")
+    mx = F.greatest(r, g, b)
+    mn = F.least(r, g, b)
+    d = mx - mn
+    red_h = 60.0 * (g - b) / d
+    h = (
+        F.when(mx == mn, F.lit(0.0))
+        .when(mx == r, F.when(red_h < 0, red_h + 360.0).otherwise(red_h))
+        .when(mx == g, 60.0 * (b - r) / d + 120.0)
+        .otherwise(60.0 * (r - g) / d + 240.0)
+    )
+    s = F.when(mx == mn, F.lit(0.0)).otherwise(
+        d.cast("double") / (255.0 - F.abs((mx + mn).cast("double") - 255.0))
+    )
+    lum = (mx + mn).cast("double") / 510.0
+    return px.select(
+        "c_custkey",
+        "r",
+        "g",
+        "b",
+        F.round(h, 6).alias("h"),
+        F.round(s, 6).alias("s"),
+        F.round(lum, 6).alias("l"),
+    )

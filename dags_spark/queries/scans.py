@@ -3843,3 +3843,95 @@ def source_pem_asn1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("serial").cast("bigint").alias("serial_sum"),
         F.sum("payload_len").cast("bigint").alias("payload_bytes"),
     )
+
+
+@register(
+    "source_dot_graph",
+    oracle="""
+WITH nodes AS (SELECT c_custkey AS id FROM customer),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT id AS src, dst, 1 + (id % 9) AS w FROM (
+    SELECT id, id + 1 + (id * 7 + 11) % 40 AS dst FROM nodes
+    UNION ALL
+    SELECT id, id + 1 + (id * 13 + 5) % 37 AS dst FROM nodes
+  ) WHERE dst < (SELECT n FROM nn)
+)
+SELECT CAST(src % 50 AS BIGINT) AS src_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(w) AS BIGINT) AS weight_sum,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_targets,
+       CAST(MAX(dst) AS BIGINT) AS max_dst
+FROM edges GROUP BY src_bucket
+""",
+    tags=("source", "graph"),
+)
+def source_dot_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPHVIZ DOT SOURCE — the de-facto interchange format for
+    dependency graphs (build systems, service meshes, lineage
+    exports dump .dot): a digraph whose edge statements
+    'n<src> -> n<dst> [weight=<w>];' carry attributes in the
+    bracket block that naive '->' splitting concatenates into the
+    target id. The same synthetic forward-edge DAG the iter_*
+    keys walk is SERIALIZED to real DOT text (header, indented
+    edge lines, closing brace — interleaved non-edge lines are
+    part of the format), written as a text source, read back and
+    parsed with one anchored regex per line (non-edge lines
+    filtered by match failure, the robust way), then rolled up per
+    source-bucket with weight sums and distinct-target counts
+    certified relationally. At 100 TB: splittable line-oriented
+    scan — each edge parses independently, the graph structure
+    only re-forms at the aggregate."""
+    import tempfile
+
+    cust = table(spark, sf_dir, "customer")
+    nn = cust.agg(F.count(F.lit(1)).alias("n"))
+    nodes = cust.select(F.col("c_custkey").alias("id"))
+    e1 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 7 + 11) % 40).alias("dst"),
+    )
+    e2 = nodes.select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1 + (F.col("id") * 13 + 5) % 37).alias("dst"),
+    )
+    edges = (
+        e1.unionAll(e2)
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("dst") < F.col("n"))
+        .select("src", "dst", (1 + F.col("src") % 9).alias("w"))
+    )
+    line = F.concat(
+        F.lit("  n"),
+        F.col("src").cast("string"),
+        F.lit(" -> n"),
+        F.col("dst").cast("string"),
+        F.lit(" [weight="),
+        F.col("w").cast("string"),
+        F.lit("];"),
+    )
+    hdr = edges.sparkSession.createDataFrame(
+        [("digraph dags {",), ("  rankdir=LR;",), ("}",)], "value string"
+    )
+    path = tempfile.mkdtemp(prefix="dags_dot_") + "/data"
+    edges.select(line.alias("value")).unionAll(hdr).write.mode(
+        "overwrite"
+    ).text(path)
+    raw = spark.read.text(path)
+    rx = r"^\s*n([0-9]+) -> n([0-9]+) \[weight=([0-9]+)\];$"
+    parsed = raw.select(
+        F.regexp_extract("value", rx, 1).alias("src_s"),
+        F.regexp_extract("value", rx, 2).alias("dst_s"),
+        F.regexp_extract("value", rx, 3).alias("w_s"),
+    ).filter(F.col("src_s") != "")
+    p = parsed.select(
+        F.col("src_s").cast("bigint").alias("src"),
+        F.col("dst_s").cast("bigint").alias("dst"),
+        F.col("w_s").cast("bigint").alias("w"),
+    )
+    return p.groupBy((F.col("src") % 50).cast("bigint").alias("src_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("w").cast("bigint").alias("weight_sum"),
+        F.countDistinct("dst").cast("bigint").alias("n_targets"),
+        F.max("dst").cast("bigint").alias("max_dst"),
+    )

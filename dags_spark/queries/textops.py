@@ -2976,3 +2976,105 @@ def text_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last_sentence_len"),
     )
+
+
+@register(
+    "text_script_detection",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN ' привет мир снова'
+           WHEN 2 THEN ' γειά σου κόσμε'
+           WHEN 3 THEN ' 你好世界再见'
+           WHEN 4 THEN ' мир και 世界'
+           ELSE '' END AS s
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(s)
+              - length(regexp_replace(s, '[\\x{0400}-\\x{04FF}]', '', 'g'))
+              AS BIGINT) AS n_cyrillic,
+         CAST(length(s)
+              - length(regexp_replace(s, '[\\x{0370}-\\x{03FF}]', '', 'g'))
+              AS BIGINT) AS n_greek,
+         CAST(length(s)
+              - length(regexp_replace(s, '[\\x{4E00}-\\x{9FFF}]', '', 'g'))
+              AS BIGINT) AS n_cjk
+  FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                 AND n_latin >= n_cjk THEN 'latin'
+            WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+              THEN 'cyrillic'
+            WHEN n_greek >= n_cjk THEN 'greek'
+            ELSE 'cjk' END AS dominant_script,
+       CAST(n_cyrillic > 0 AS BOOLEAN)
+         OR n_greek > 0 OR n_cjk > 0 AS is_multiscript
+FROM counts
+""",
+    tags=("text",),
+)
+def text_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE SCRIPT DETECTION — the char-class census a
+    multilingual corpus pipeline runs before language-ID and
+    tokenizer routing (and the first line of defense against
+    mixed-script spoofing — see text_homoglyph_scrub): per-document
+    counts of Latin, Cyrillic, Greek and CJK-Unified codepoints by
+    codepoint-range character classes, plus the dominant script by
+    deterministic tie-break order. Spark (java.util.regex) writes
+    the ranges as \\uXXXX literals while the DuckDB oracle (RE2)
+    writes \\x{XXXX} — two regex ENGINES, two syntaxes, one
+    codepoint semantics, which is exactly what the hash certifies
+    (count-by-deletion: length minus length after class removal —
+    codepoint-counting on both sides, never bytes). Per-row regex
+    in codegen, no shuffle; script mixes synthesized over every
+    document class."""
+    d = table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 1, " привет мир снова")
+        .when(F.col("doc_id") % 5 == 2, " γειά σου κόσμε")
+        .when(F.col("doc_id") % 5 == 3, " 你好世界再见")
+        .when(F.col("doc_id") % 5 == 4, " мир και 世界")
+        .otherwise(""),
+    )
+    t = d.select("doc_id", s.alias("s"))
+
+    def census(pattern):
+        return (
+            F.length("s") - F.length(F.regexp_replace("s", pattern, ""))
+        ).cast("bigint")
+
+    counts = t.select(
+        "doc_id",
+        census(r"[A-Za-z]").alias("n_latin"),
+        census("[Ѐ-ӿ]").alias("n_cyrillic"),
+        census("[Ͱ-Ͽ]").alias("n_greek"),
+        census("[一-鿿]").alias("n_cjk"),
+    )
+    nl, nc, ng, nk = (
+        F.col("n_latin"),
+        F.col("n_cyrillic"),
+        F.col("n_greek"),
+        F.col("n_cjk"),
+    )
+    dominant = (
+        F.when((nl >= nc) & (nl >= ng) & (nl >= nk), "latin")
+        .when((nc >= ng) & (nc >= nk), "cyrillic")
+        .when(ng >= nk, "greek")
+        .otherwise("cjk")
+    )
+    return counts.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_greek",
+        "n_cjk",
+        dominant.alias("dominant_script"),
+        ((nc > 0) | (ng > 0) | (nk > 0)).alias("is_multiscript"),
+    )
