@@ -5825,17 +5825,28 @@ def multimodal_dft_bin_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantize each float32 element onto an exact 1e-6 integer lattice
+# BEFORE any arithmetic: dot products and squared norms then become
+# ORDER-INSENSITIVE exact BIGINT sums, so no engine's fold order,
+# vectorization chunking, or float-vs-double multiply can move a
+# cosine by even one ulp (the r9 full-pytest flake: a sim exactly on
+# the 1e-6 round-half boundary flipped with DuckDB's list_sum
+# chunking under load).
+_DECON_Q = "list_transform({e}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
 _DECON_DOT = (
-    "list_sum(list_transform(generate_series(1, len(t.embedding)),"
-    " i -> t.embedding[i] * b.embedding[i]))"
+    "CAST(list_sum(list_transform(generate_series(1, len(t.embedding)),"
+    " i -> " + _DECON_Q.format(e="t.embedding") + "[i] * "
+    + _DECON_Q.format(e="b.embedding") + "[i])) AS DOUBLE)"
 )
 _DECON_NORM_T = (
-    "SQRT(list_sum(list_transform(generate_series(1, len(t.embedding)),"
-    " i -> t.embedding[i] * t.embedding[i])))"
+    "SQRT(CAST(list_sum(list_transform(generate_series(1, len(t.embedding)),"
+    " i -> " + _DECON_Q.format(e="t.embedding") + "[i] * "
+    + _DECON_Q.format(e="t.embedding") + "[i])) AS DOUBLE))"
 )
 _DECON_NORM_B = (
-    "SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),"
-    " i -> b.embedding[i] * b.embedding[i])))"
+    "SQRT(CAST(list_sum(list_transform(generate_series(1, len(b.embedding)),"
+    " i -> " + _DECON_Q.format(e="b.embedding") + "[i] * "
+    + _DECON_Q.format(e="b.embedding") + "[i])) AS DOUBLE))"
 )
 
 
@@ -5873,9 +5884,12 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one: broadcast the benchmark matrix, stream the train
     corpus through it once, never shuffle the big side. The cosine
     is a JVM-side higher-order-function dot (F.zip_with +
-    F.aggregate — no Python in the hot path), summed in index order
-    on both engines and rounded at 6dp before the max/threshold
-    fold."""
+    F.aggregate — no Python in the hot path) over elements
+    QUANTIZED to an exact 1e-6 BIGINT lattice, so the dot and the
+    squared norms are order-insensitive integer sums — bit-identical
+    on any engine, thread count, or fold order — and only the final
+    sqrt/divide touch floating point (single IEEE ops,
+    deterministic), rounded at 6dp before the max/threshold fold."""
     emb = table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
@@ -5884,12 +5898,21 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def quant(a):
+        return F.transform(
+            a,
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast(
+                "bigint"
+            ),
         )
+
+    def dot(a, b):
+        # exact BIGINT lattice dot — order-insensitive, ulp-proof
+        return F.aggregate(
+            F.zip_with(quant(a), quant(b), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).cast("double")
 
     sim = F.round(
         dot(F.col("embedding"), F.col("b_emb"))
