@@ -68,6 +68,13 @@ def _read_tlv(buf: bytes, p: int) -> tuple[int, int, int]:
         if p + nbytes > len(buf):
             raise ValueError("DER: truncated long-form length")
         length = int.from_bytes(buf[p : p + nbytes], "big")
+        # DER minimal-length rule: long form is only legal when the
+        # value does not fit the shorter encoding (0x81 needs >= 0x80,
+        # 0x82 needs >= 0x100) — enforce what the docstring promises.
+        if length < (0x80 if first == 0x81 else 0x100):
+            raise ValueError(
+                f"DER: non-minimal long-form length {length} after {first:#x}"
+            )
         p += nbytes
     else:
         raise ValueError(f"DER: unsupported length octet {first:#x}")

@@ -44,6 +44,8 @@ def write_pcap(
         struct.pack(bo + _GH, MAGIC_US, 2, 4, 0, 0, snaplen, linktype)
     )
     for ts_sec, ts_usec, payload in packets:
+        if not 0 <= ts_sec < 2**32:
+            raise ValueError(f"pcap: ts_sec out of uint32 range: {ts_sec}")
         if not 0 <= ts_usec < 1_000_000:
             raise ValueError(f"pcap: ts_usec out of range: {ts_usec}")
         data = payload[:snaplen]

@@ -6051,19 +6051,21 @@ outdeg AS MATERIALIZED (
 seeds AS MATERIALIZED (SELECT id FROM nodes WHERE id % 100 = 0),
 ns AS MATERIALIZED (SELECT COUNT(*) AS s FROM seeds),
 walks (node, prob, depth) AS (
-  SELECT id, 1.0 / (SELECT s FROM ns), 0 FROM seeds
+  SELECT id, CAST(6553600000000 AS BIGINT), 0 FROM seeds
   UNION ALL
-  SELECT e.dst, w.prob * 0.85 / od.d, w.depth + 1
+  SELECT e.dst, (w.prob * 17) // (20 * od.d), w.depth + 1
   FROM walks w
   JOIN edges e ON e.src = w.node
   JOIN outdeg od ON od.src = w.node
   WHERE w.depth < 8
 )
 SELECT CAST(node AS BIGINT) AS node,
-       ROUND(SUM(CASE WHEN depth < 8 THEN prob * 0.15 ELSE prob END), 6)
+       ROUND(CAST(SUM(CASE WHEN depth < 8 THEN prob * 3 // 20 ELSE prob END)
+                  AS DOUBLE) / 6553600000000.0 / (SELECT s FROM ns), 6)
          AS mass
 FROM walks GROUP BY node
-HAVING ROUND(SUM(CASE WHEN depth < 8 THEN prob * 0.15 ELSE prob END), 6)
+HAVING ROUND(CAST(SUM(CASE WHEN depth < 8 THEN prob * 3 // 20 ELSE prob END)
+                  AS DOUBLE) / 6553600000000.0 / (SELECT s FROM ns), 6)
        > 0.0
 """,
 )
@@ -6085,7 +6087,23 @@ def iter_ppr_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely different evaluation strategies, one fixed point.
     Dangling nodes absorb (sub-stochastic M), identically in both
     forms. Masses rounded at 1e-6; zero-rounded rows dropped on
-    both sides."""
+    both sides.
+
+    EXACT INTEGER LATTICE (round 10, ADVICE r9 #1): the two
+    strategies sum double products in different orders, so agreement
+    used to hang on ROUND(...,6) absorbing low-order drift — the
+    flake class the decontaminate_embedding fix quantized away in
+    round 9. The walk algebra here is exactly representable: every
+    step multiplies by 0.85/d = 17/(20*d) with d in {1,2} (two
+    generator rules per node, minus boundary-clipped edges), so a
+    seed mass of C = 20^8 * 2^8 = 6_553_600_000_000 stays integer
+    through all 8 steps (after t steps every term keeps a
+    20^(8-t)*2^(8-t) factor, so the next 20*d division is exact,
+    including the 3/20 restart weighting). Both engines now fold
+    BIGINTs — order-independent, no drift — and perform ONE double
+    division per node (mi / C / s, same order both sides) before
+    the shared 6dp round. Max |mi| = s*C (~1e15 at sf1) is far
+    inside int64; the 17x intermediate stays under 2e17."""
     cust = table(spark, sf_dir, "customer")
     nn = cust.agg(F.count(F.lit(1)).alias("n"))
     nodes = cust.select(F.col("c_custkey").alias("id"))
@@ -6107,30 +6125,35 @@ def iter_ppr_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = edges.join(outdeg, "src").select("src", "dst", "d")
     seeds = nodes.filter(F.col("id") % 100 == 0)
     ns = seeds.agg(F.count(F.lit(1)).alias("s"))
-    p = seeds.crossJoin(F.broadcast(ns)).select(
-        F.col("id").alias("node"), (F.lit(1.0) / F.col("s")).alias("mass")
+    lattice = 20**8 * 2**8  # exact through 8 steps of *17 div (20*d)
+    p = seeds.select(
+        F.col("id").alias("node"), F.lit(lattice).cast("bigint").alias("mi")
     )
-    restart = seeds.crossJoin(F.broadcast(ns)).select(
+    restart = seeds.select(
         F.col("id").alias("node"),
-        (F.lit(0.15) / F.col("s")).alias("mass"),
+        F.lit(lattice * 3 // 20).cast("bigint").alias("mi"),
     )
     for _ in range(8):
         spread = (
             p.join(em, p["node"] == em["src"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("mass") * 0.85 / F.col("d")).alias("mass"),
+                F.expr("(mi * 17) div (20 * d)").alias("mi"),
             )
         )
         p = (
             restart.unionAll(spread)
             .groupBy("node")
-            .agg(F.sum("mass").alias("mass"))
+            .agg(F.sum("mi").alias("mi"))
         )
-    return p.select(
-        F.col("node").cast("bigint").alias("node"),
-        F.round("mass", 6).alias("mass"),
-    ).filter(F.col("mass") > 0.0)
+    mass = F.round(
+        F.col("mi").cast("double") / F.lit(float(lattice)) / F.col("s"), 6
+    )
+    return (
+        p.crossJoin(F.broadcast(ns))
+        .select(F.col("node").cast("bigint").alias("node"), mass.alias("mass"))
+        .filter(F.col("mass") > 0.0)
+    )
 
 
 @register(

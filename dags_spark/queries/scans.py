@@ -3757,8 +3757,10 @@ def source_pem_asn1(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory or key-rotation audit must parse at scale: records
     are DER-encoded EXECUTOR-SIDE (SEQUENCE { INTEGER serial,
     UTF8String subject, OCTET STRING payload } via the from-spec
-    encoder in operators/asn1.py — short AND long-form lengths
-    both exercised, payloads straddle the 0x80 boundary), wrapped
+    encoder in operators/asn1.py — the pipeline's records are all
+    short-form (payload <= 59 B, whole record < 0x80); long-form
+    lengths and the 0x80 boundary are exercised by the encoder's
+    unit tests, not by this fixture), wrapped
     in base64 PEM armor with 64-column folding, written as a text
     source, and read back: whole-file text -> regex block split ->
     armor strip -> Spark unbase64 to real BINARY -> the bounds-

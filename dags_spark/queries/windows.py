@@ -6952,9 +6952,12 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((F.col("n_t") - F.col("d")).cast("double")
            / (F.col("n_t").cast("double") - 1.0))
     )
+    # subject totals ride in via the 1-row broadcast `tot`, NOT as
+    # MAX over the (d>=1 AND n_t>=2)-filtered risk rows: if that
+    # filter ever leaves zero rows the MAXes would go NULL while the
+    # oracle's scalar subqueries still return the real counts
+    # (ADVICE r9 #6 — the stats_fisher_exact pattern).
     lanes = risk.agg(
-        F.max("n1_all").alias("n1_subjects"),
-        F.max("n_all").alias("n_subjects"),
         F.sum("d1").cast("bigint").alias("o1"),
         F.sum(F.floor(F.round(e_term, 12) * 1e9).cast("bigint"))
         .cast("bigint")
@@ -6962,11 +6965,11 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.round(v_term, 12) * 1e9).cast("bigint"))
         .cast("bigint")
         .alias("v_q"),
-    )
+    ).crossJoin(F.broadcast(tot))
     diff = F.col("o1").cast("double") - F.col("e1_q").cast("double") / 1e9
     return lanes.select(
-        "n1_subjects",
-        "n_subjects",
+        F.col("n1_all").alias("n1_subjects"),
+        F.col("n_all").alias("n_subjects"),
         "o1",
         F.round(F.col("e1_q").cast("double") / 1e9, 6).alias("e1"),
         F.round(diff * diff / (F.col("v_q").cast("double") / 1e9), 6).alias(

@@ -1260,6 +1260,13 @@ def test_pcap_roundtrip_and_truncation():
     cap = read_pcap(write_pcap([(1, 0, bytes(100))], snaplen=10))
     ts, us, orig, data = cap["packets"][0]
     assert orig == 100 and len(data) == 10
+    # ts_sec outside uint32 fails the typed-ValueError contract too
+    # (round-10 ADVICE fix: used to escape as struct.error)
+    with pytest.raises(ValueError, match="ts_sec"):
+        write_pcap([(-1, 0, b"x")])
+    with pytest.raises(ValueError, match="ts_sec"):
+        write_pcap([(2**32, 0, b"x")])
+    write_pcap([(2**32 - 1, 0, b"x")])  # boundary stays accepted
 
 
 def test_mbox_roundtrip_quoting_and_errors():

@@ -47,6 +47,23 @@ def test_der_roundtrip_and_truncation_fuzz():
                 parse_record(rec[:cut])
 
 
+def test_der_rejects_non_minimal_long_form_lengths():
+    """DER minimal-length strictness (round-10 ADVICE fix): a
+    long-form length whose value fits the shorter encoding must be
+    rejected, exactly as the _read_tlv docstring promises."""
+    from dags_spark.operators.asn1 import _read_tlv
+
+    # 0x81 carrying 0x05 (< 0x80): BER-legal, DER-illegal
+    with pytest.raises(ValueError, match="non-minimal"):
+        _read_tlv(b"\x04\x81\x05" + b"\x00" * 5, 0)
+    # 0x82 carrying 0x0080 (< 0x100): same rule one level up
+    with pytest.raises(ValueError, match="non-minimal"):
+        _read_tlv(b"\x04\x82\x00\x80" + b"\x00" * 0x80, 0)
+    # boundary values stay accepted: 0x81/0x80 and 0x82/0x0100
+    assert _read_tlv(b"\x04\x81\x80" + b"\x00" * 0x80, 0) == (4, 3, 0x80)
+    assert _read_tlv(b"\x04\x82\x01\x00" + b"\x00" * 0x100, 0) == (4, 4, 0x100)
+
+
 def test_crdt_pncounter_lattice_laws(spark):
     out = _run(spark, "merge_crdt_pncounter")
     assert out["merge_dominates"].all()
