@@ -82,6 +82,7 @@ def blocked_pairs(
     max_block_rows: int = 8192,
     per_block_topk: int | None = None,
     per_query_topk: int | None = None,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -91,14 +92,36 @@ def blocked_pairs(
 
     Execution: Arrow-batched ``applyInPandas`` per block — one numpy
     kernel per label group instead of a JVM join that materializes a
-    64-double array copy per pair (~30x faster at 2k vectors). The
-    kernel loops over DIMENSIONS and vectorizes over PAIRS, so every
-    dot/norm is accumulated in the exact left-to-right order of
-    ``F.aggregate``/DuckDB ``list_sum`` — each float32*float32
-    product is exact in float64 and the fold order matches, making
-    the raw doubles bit-identical to the SQL oracle. Rounding to 6dp
-    stays JVM-side (``F.round`` HALF_UP == DuckDB ROUND; numpy's
-    scaled round can misround the last ulp).
+    64-double array copy per pair (~30x faster at 2k vectors). Every
+    EMITTED similarity is accumulated in the exact left-to-right
+    order of ``F.aggregate``/DuckDB ``list_sum`` (loop over
+    DIMENSIONS, vectorize over PAIRS) — each float32*float32 product
+    is exact in float64 and the fold order matches, making the raw
+    doubles bit-identical to the SQL oracle. Rounding to 6dp stays
+    JVM-side (``F.round`` HALF_UP == DuckDB ROUND; numpy's scaled
+    round can misround the last ulp).
+
+    ROUND 10 (guide §4.2 — hand whole batches to BLAS): pruning
+    consumers (``per_block_topk`` / ``per_query_topk`` / ``min_sim``)
+    no longer pay the sequential fold for ALL O(n^2) pairs. CANDIDATE
+    SELECTION runs as tiled float64 GEMMs (2048-wide, ~32 MB a tile,
+    near-peak BLAS instead of 2*dim fancy-index gathers per pair) and
+    only the survivors are recomputed with the exact sequential fold
+    above, so the emitted values are unchanged to the last bit. The
+    GEMM prefilter is lossless because its values differ from the
+    fold by < ~1e-13 absolute (both sum the same 64 exact float64
+    products; normalized inputs bound the condition number), and
+    every cut keeps a 1.01e-6 margin below the decision boundary —
+    four orders of magnitude wider than the worst-case discrepancy —
+    with the final decision re-taken on the exact folds. Measured
+    (tools/ab_r10.py, old/new interleaved one session, min-of-N):
+    sf0.1 whole-query q6 1.09x, kNN 1.12x (fixed scheduling cost
+    dominates at 20k vectors); sf10 tier q6 12.65 -> 12.11 s (4m
+    splits) and 34.8 -> 29.8 s (2m splits). The bigger round-10 gain
+    at the tiers is EXACTNESS: the old big-block path emitted raw
+    GEMM doubles (documented last-ulp-off vs the oracle), the new
+    path re-ranks survivors with the exact fold — sf10 q6 output now
+    matches the DuckDB oracle bit-for-bit (verified this round).
 
     Scale: one shuffle on the block key; each block must fit one
     task (fine for label/IVF-bucket blocking — cap block sizes
@@ -109,11 +132,25 @@ def blocked_pairs(
     sim desc, id_a, id_b — the same total order downstream top-k
     uses, so a global top-k over the pruned stream is EXACTLY the
     global top-k over all pairs: a globally-ranked pair is also
-    top-k within its own block under any total order). For pure
-    top-k consumers this cuts the Arrow transfer from O(block^2)
-    rows to k per block — at sf1 (20k vectors) that is 20M pair
-    rows down to 1k. Leave None for threshold/dedup consumers that
-    need every pair.
+    top-k within its own block under any total order), plus any
+    boundary rows within 1e-6 raw sim of the k-th (downstream
+    consumers rank the ROUNDED sims, and 6dp rounding can merge two
+    raw values that differ by < 1e-6 into an id-tiebroken tie; the
+    margin rows make the pruned stream safe under that order too —
+    emitting a handful of extra rows is always sound for a top-k
+    consumer). For pure top-k consumers this cuts the Arrow transfer
+    from O(block^2) rows to ~k per block — at sf1 (20k vectors) that
+    is 20M pair rows down to ~1k.
+
+    min_sim=t: threshold pushdown for dedup consumers that filter
+    ``sim >= t`` downstream: the kernel emits only pairs with raw
+    sim >= t - 1e-6 (every row whose ROUNDED sim can pass the
+    consumer's filter survives: HALF_UP 6dp rounding moves a value
+    by <= 5e-7). The downstream filter still applies on the rounded
+    values, so results are identical — but the Arrow transfer drops
+    from O(block^2) rows to the matching pairs only, and candidate
+    selection runs on the GEMM prefilter. Leave None for consumers
+    that need every pair.
 
     per_query_topk=k (symmetric consumers): keep only each QUERY's
     ~k best neighbors (by sim desc, id_b) inside the kernel, so a
@@ -140,31 +177,41 @@ def blocked_pairs(
         f"id_a {id_type}, id_b {id_type}, {block_col} {blk_type}, sim double"
     )
 
-    def _tiled_topk(
+    # Margins (see docstring): 1e-6 covers the 6dp HALF_UP rounding
+    # boundary; the extra 1e-8 dwarfs the < ~1e-13 GEMM-vs-fold
+    # float64 discrepancy while staying far under any real sim gap.
+    _GEMM_MARGIN = 1.01e-6
+    _TILE = 2048
+
+    def _exact_sims(
+        m: np.ndarray, norms: np.ndarray, ia: np.ndarray, ib: np.ndarray
+    ) -> np.ndarray:
+        """Sequential-fold cosine for the given pair index arrays —
+        the bit-exact arithmetic of F.aggregate / DuckDB list_sum
+        (loop over dimensions, vectorize over pairs)."""
+        acc = np.zeros(len(ia))
+        for i in range(m.shape[1]):
+            acc = acc + m[ia, i] * m[ib, i]
+        return acc / (norms[ia] * norms[ib])
+
+    def _gemm_pairs_topk(
         pdf: pd.DataFrame, m: np.ndarray, norms: np.ndarray, n: int
     ) -> pd.DataFrame:
-        """Bounded-memory scale path for top-k PAIR consumers: tile
-        the n x n similarity matrix (2048-wide BLAS matmuls, ~32 MB a
-        tile), keep each tile's k best under the SAME total order
-        (sim desc, id_a, id_b) and reduce — exactly the global top-k,
-        since a globally-ranked pair is top-k inside its own tile.
-        Values come from a float64 GEMM instead of the dimension-
-        sequential fold, so the last ulp may differ from the SQL
-        oracle — which is why hash-checked tiers keep blocks under
-        ``max_block_rows`` and this path serves the big-block bench
-        tiers; flop count is the same O(n^2 d) (exact top-k over all
-        pairs admits no general shortcut) but memory stays O(tile^2)
-        instead of O(n^2)."""
-        tile = 2048
+        """Unordered-pair candidate selection via tiled GEMM
+        (bounded memory: ~32 MB a tile at any n), exact re-rank of
+        the survivors. Emits each block's top-k under (sim desc,
+        id_a, id_b) plus 1e-6-boundary ties; min_sim mode emits every
+        pair with raw sim >= min_sim - 1e-6. All emitted sims are the
+        exact sequential fold."""
         k = per_block_topk
         mn = m / norms[:, None]
-        sims_l: list[np.ndarray] = []
         ia_l: list[np.ndarray] = []
         ib_l: list[np.ndarray] = []
-        for i0 in range(0, n, tile):
-            ai = mn[i0 : i0 + tile]
-            for j0 in range(i0, n, tile):
-                s = ai @ mn[j0 : j0 + tile].T
+        g_l: list[np.ndarray] = []
+        for i0 in range(0, n, _TILE):
+            ai = mn[i0 : i0 + _TILE]
+            for j0 in range(i0, n, _TILE):
+                s = ai @ mn[j0 : j0 + _TILE].T
                 if i0 == j0:
                     iu = np.triu_indices(s.shape[0], 1)
                     sims, ia, ib = s[iu], iu[0] + i0, iu[1] + j0
@@ -172,31 +219,76 @@ def blocked_pairs(
                     sims = s.ravel()
                     ia = np.repeat(np.arange(s.shape[0]) + i0, s.shape[1])
                     ib = np.tile(np.arange(s.shape[1]) + j0, s.shape[0])
-                if len(sims) > k:
-                    # argpartition (O(len)) + exact tie rescue at the
-                    # boundary, then lexsort only the survivors — a
-                    # full per-tile lexsort would dominate runtime
+                if min_sim is not None:
+                    keep = np.flatnonzero(sims >= min_sim - _GEMM_MARGIN)
+                    sims, ia, ib = sims[keep], ia[keep], ib[keep]
+                if k is not None and len(sims) > k:
+                    # argpartition (O(len)) + margin rescue at the
+                    # boundary — a full per-tile sort would dominate
                     part = np.argpartition(-sims, k - 1)[:k]
                     kth = sims[part].min()
-                    keep = np.flatnonzero(sims >= kth)
-                    idx = keep[np.lexsort((ib[keep], ia[keep], -sims[keep]))[:k]]
-                    sims, ia, ib = sims[idx], ia[idx], ib[idx]
-                sims_l.append(sims)
+                    keep = np.flatnonzero(sims >= kth - _GEMM_MARGIN)
+                    sims, ia, ib = sims[keep], ia[keep], ib[keep]
                 ia_l.append(ia)
                 ib_l.append(ib)
-        sims = np.concatenate(sims_l)
-        ia = np.concatenate(ia_l)
-        ib = np.concatenate(ib_l)
-        idx = np.lexsort((ib, ia, -sims))[:k]
+                g_l.append(sims)
+        ia = np.concatenate(ia_l) if ia_l else np.array([], dtype=np.int64)
+        ib = np.concatenate(ib_l) if ib_l else np.array([], dtype=np.int64)
+        g = np.concatenate(g_l) if g_l else np.array([])
+        if k is not None and len(g) > k:
+            # global GEMM cut before the exact recompute
+            part = np.argpartition(-g, k - 1)[:k]
+            kth = g[part].min()
+            keep = np.flatnonzero(g >= kth - _GEMM_MARGIN)
+            ia, ib = ia[keep], ib[keep]
+        # exact re-rank: survivors recomputed with the fold the
+        # oracle uses; every decision below is on exact values
+        sim = _exact_sims(m, norms, ia, ib)
+        if min_sim is not None:
+            keep = np.flatnonzero(sim >= min_sim - 1e-6)
+            ia, ib, sim = ia[keep], ib[keep], sim[keep]
+        if k is not None and len(sim) > k:
+            order = np.lexsort((ib, ia, -sim))
+            ia, ib, sim = ia[order], ib[order], sim[order]
+            kth = sim[k - 1]
+            cut = int(np.searchsorted(-sim, -(kth - 1e-6), side="right"))
+            ia, ib, sim = ia[:cut], ib[:cut], sim[:cut]
         ids = pdf[id_col].to_numpy()
         return pd.DataFrame(
             {
-                "id_a": ids[ia[idx]],
-                "id_b": ids[ib[idx]],
+                "id_a": ids[ia],
+                "id_b": ids[ib],
                 block_col: pdf[block_col].iloc[0],
-                "sim": sims[idx],
+                "sim": sim,
             }
         )
+
+    def _gemm_query_candidates(
+        m: np.ndarray, norms: np.ndarray, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-query candidate selection for the symmetric kNN path:
+        each query keeps its per_query_topk best neighbors by GEMM
+        sim plus the margin band — a superset of the exact top-k and
+        of every 1e-6 boundary row, so the exact per-query prune
+        below sees the identical candidate set it would have seen
+        over all pairs."""
+        k = per_query_topk
+        mn = m / norms[:, None]
+        ia_l: list[np.ndarray] = []
+        ib_l: list[np.ndarray] = []
+        for q0 in range(0, n, _TILE):
+            s = mn[q0 : q0 + _TILE] @ mn.T
+            rows = np.arange(s.shape[0])
+            s[rows, rows + q0] = -np.inf  # exclude self
+            if n - 1 > k:
+                kth = -np.partition(-s, k - 1, axis=1)[:, k - 1]
+                mask = s >= (kth - _GEMM_MARGIN)[:, None]
+            else:
+                mask = np.isfinite(s)
+            qi, j = np.nonzero(mask)
+            ia_l.append(qi + q0)
+            ib_l.append(j)
+        return np.concatenate(ia_l), np.concatenate(ib_l)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
@@ -219,25 +311,34 @@ def blocked_pairs(
         for i in range(dim):  # sequential fold == F.aggregate order
             norm2 = norm2 + m[:, i] * m[:, i]
         norms = np.sqrt(norm2)
-        if n > max_block_rows:
-            return _tiled_topk(pdf, m, norms, n)
-        ia, ib = np.triu_indices(n, 1)
-        acc = np.zeros(len(ia))
-        for i in range(dim):
-            acc = acc + m[ia, i] * m[ib, i]
-        sim = acc / (norms[ia] * norms[ib])
         ids = pdf[id_col].to_numpy()
-        out = pd.DataFrame(
-            {
-                "id_a": ids[ia],
-                "id_b": ids[ib],
-                block_col: pdf[block_col].iloc[0],
-                "sim": sim,
-            }
-        )
-        if symmetric:
-            rev = out.rename(columns={"id_a": "id_b", "id_b": "id_a"})
-            out = pd.concat([out, rev[out.columns]], ignore_index=True)
+        if not symmetric and (per_block_topk is not None or min_sim is not None):
+            return _gemm_pairs_topk(pdf, m, norms, n)
+        if symmetric and per_query_topk is not None:
+            ia, ib = _gemm_query_candidates(m, norms, n)
+            out = pd.DataFrame(
+                {
+                    "id_a": ids[ia],
+                    "id_b": ids[ib],
+                    block_col: pdf[block_col].iloc[0],
+                    "sim": _exact_sims(m, norms, ia, ib),
+                }
+            )
+        else:
+            # full-pairs consumers: every sim is emitted, so the
+            # sequential fold runs over all pairs — no GEMM shortcut
+            ia, ib = np.triu_indices(n, 1)
+            out = pd.DataFrame(
+                {
+                    "id_a": ids[ia],
+                    "id_b": ids[ib],
+                    block_col: pdf[block_col].iloc[0],
+                    "sim": _exact_sims(m, norms, ia, ib),
+                }
+            )
+            if symmetric:
+                rev = out.rename(columns={"id_a": "id_b", "id_b": "id_a"})
+                out = pd.concat([out, rev[out.columns]], ignore_index=True)
         if per_query_topk is not None and len(out):
             # per-query prune under the consumer's total order
             # (sim desc, id_b), with the 1e-6 rounding-boundary

@@ -465,7 +465,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= threshold (0.4 exercises the path on the random fixture
     vectors; real near-dup corpora use ~0.95). Same Arrow kernel as
     sim_search_topk; at scale swap label blocking for LSH/IVF buckets."""
-    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"))
+    # min_sim pushes the threshold into the Arrow kernel (round 10):
+    # only pairs that can pass the rounded filter below are emitted
+    # (raw >= 0.4 - 1e-6), so the Arrow transfer carries the matches
+    # instead of O(block^2) rows; the filter on the rounded sims is
+    # unchanged and the final rows are identical (oracle-verified).
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"), min_sim=0.4)
     return pairs.filter(F.col("sim") >= 0.4).select("id_a", "id_b", "label", "sim")
 
 
@@ -1094,7 +1099,7 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncation."""
     from ..operators.dedup import connected_components
 
-    pairs = blocked_pairs(table(spark, sf_dir, "embeddings")).filter(
+    pairs = blocked_pairs(table(spark, sf_dir, "embeddings"), min_sim=0.4).filter(
         F.col("sim") >= 0.4
     )
     return connected_components(
@@ -1585,7 +1590,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
-    pairs = blocked_pairs(emb).filter(F.col("sim") >= 0.4)
+    pairs = blocked_pairs(emb, min_sim=0.4).filter(F.col("sim") >= 0.4)
     comp = connected_components(pairs.select("id_a", "id_b"))
     dropped = comp.filter(F.col("component") < F.col("id")).select(
         F.col("id").alias("vec_id")

@@ -1,0 +1,224 @@
+"""Round-10 A/B harness: old vs new implementation, one session.
+
+The box's absolute numbers drift ±20% between sessions (page cache,
+JIT state, co-tenants), so every round-10 claim of the form "X s ->
+Y s" is re-derived here as an INTERLEAVED same-session A/B: variant A
+and variant B alternate rep by rep, min-of-N each, and the rows of
+both variants are asserted identical before any timing is reported.
+
+Old implementations come from git (`git show <rev>:<path>`) loaded as
+a shadow module — no copy-pasted stale code to rot.
+
+Usage: python tools/ab_r10.py [--reps 7] [pair ...]
+Pairs: q10, q6, knn, dedup_cos
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+from dags_spark.registry import all_specs  # noqa: E402
+from dags_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The last commit before the round-10 optimization work.
+BASE_REV = os.environ.get("SPARK_GRAFT_AB_BASE", "eca3bf9")
+
+
+def load_old(rel_path: str, name: str):
+    """Materialize `git show BASE_REV:rel_path` as an importable module."""
+    src = subprocess.run(
+        ["git", "show", f"{BASE_REV}:{rel_path}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    d = Path(tempfile.mkdtemp(prefix="ab_r10_"))
+    p = d / f"{name}.py"
+    p.write_text(src)
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    assert spec.loader is not None
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def bench_profile(spark) -> None:
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    )
+    # bench.py's sf0.1 default; the replica tiers need bigger splits
+    # (mirror tools/bench_sf1.py: 4m at tier 1/10, 256m at tier 100)
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_AB_SPLITS", "2m"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+def table(spark, name: str):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def time_noop(spark, df) -> float:
+    t = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t
+
+
+def rows_key(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(str(v) for v in row) for row in pdf[cols].itertuples(index=False)
+    )
+
+
+def ab(spark, label: str, mk_old, mk_new, reps: int, check: bool = True) -> None:
+    if check:
+        assert rows_key(mk_old()) == rows_key(mk_new()), f"{label}: rows differ"
+    else:
+        # q6 at the replica tiers: the round-9 big-block path emitted
+        # raw GEMM doubles (documented last-ulp-off), the round-10 path
+        # re-ranks with the exact oracle fold — rows differ BY DESIGN
+        # and the new side is the one proven equal to the DuckDB oracle
+        # (see OPTIMIZATION_r10.md). Row counts must still agree.
+        assert len(rows_key(mk_old())) == len(rows_key(mk_new())), (
+            f"{label}: row counts differ"
+        )
+    # warm both twice (codegen + JIT tiering), then interleave
+    for mk in (mk_old, mk_new, mk_old, mk_new):
+        time_noop(spark, mk())
+    olds, news = [], []
+    for _ in range(reps):
+        olds.append(time_noop(spark, mk_old()))
+        news.append(time_noop(spark, mk_new()))
+    o, n = min(olds), min(news)
+    print(
+        f"AB {label}: old {o:.3f}s new {n:.3f}s ({o / n:.2f}x) "
+        f"[old med {sorted(olds)[len(olds) // 2]:.3f} "
+        f"new med {sorted(news)[len(news) // 2]:.3f}]",
+        flush=True,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("pairs", nargs="*", default=["q10", "q6", "knn", "dedup_cos"])
+    args = ap.parse_args()
+
+    spark = get_spark("dags_spark-ab-r10")
+    bench_profile(spark)
+    specs = all_specs()
+    old_sim = load_old("dags_spark/operators/similarity.py", "old_similarity")
+
+    if "q10" in args.pairs:
+        # old = the round-9 window dedup (queries/textops.py@BASE_REV
+        # can't shadow-load — relative imports + double registration —
+        # so the 8 lines are restated; quality_expr is unchanged and
+        # imported live).
+        from dags_spark.operators.textops import quality_expr
+
+        def old_q10():
+            docs = table(spark, "documents")
+            kept = docs.withColumn("quality", quality_expr("text")).filter(
+                F.col("quality") >= 0.55
+            )
+            w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ded = (
+                kept.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("lang", F.length("text").cast("bigint").alias("n_chars"))
+            )
+            return ded.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                    "avg_chars"
+                ),
+            )
+
+        ab(
+            spark,
+            "q10_text_pipeline",
+            old_q10,
+            lambda: specs["text_pipeline_clean"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
+    if "q6" in args.pairs:
+        def old_q6():
+            pairs = old_sim.blocked_pairs(table(spark, "embeddings"), per_block_topk=100)
+            return pairs.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(100)
+
+        ab(
+            spark,
+            "q6_sim_search_topk",
+            old_q6,
+            lambda: specs["sim_search_topk"].fn(spark, SF_DIR),
+            args.reps,
+            # exact-row compare only where both sides take the exact
+            # small-block path; tier blocks legitimately differ (see ab())
+            check="sf0.1" in SF_DIR,
+        )
+
+    if "knn" in args.pairs:
+        def old_knn():
+            pairs = old_sim.blocked_pairs(
+                table(spark, "embeddings"), symmetric=True, per_query_topk=10
+            )
+            w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+            return (
+                pairs.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 10)
+                .select(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    "sim",
+                    "rnk",
+                )
+            )
+
+        ab(
+            spark,
+            "sim_knn_per_query",
+            old_knn,
+            lambda: specs["sim_knn_per_query"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
+    if "dedup_cos" in args.pairs:
+        def old_dc():
+            pairs = old_sim.blocked_pairs(table(spark, "embeddings"))
+            return pairs.filter(F.col("sim") >= 0.4).select(
+                "id_a", "id_b", "label", "sim"
+            )
+
+        ab(
+            spark,
+            "dedup_embedding_cosine",
+            old_dc,
+            lambda: specs["dedup_embedding_cosine"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
