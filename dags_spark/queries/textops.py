@@ -161,13 +161,44 @@ def text_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id per identical text) -> per-language corpus stats.
 
     The three stages fuse under Catalyst: the score is computed in the
-    scan stage, the dedup window is the only wide exchange (keyed on
+    scan stage, the dedup is the only wide exchange (keyed on
     md5(text), never raw text at the shuffle... the md5 partition key
     is what survives a 100 TB corpus), and the final agg is map-side
     combinable.
-    """
-    from pyspark.sql import Window
 
+    ROUND 10 (guide §2.3, "shuffle fewer bytes"): the dedup used to be
+    a row_number() window over md5(text) — whose exchange carried the
+    FULL text column (plans/r10/q10_text_pipeline_before.txt: Exchange
+    input [doc_id, text, lang, _w0]) plus two sorts around it. It is
+    now a min_by hash aggregate: each kept row is projected to
+    (md5, lang_code, n_chars) BEFORE the exchange and
+    partial-aggregated map-side, so only one ~50-byte proxy row per
+    distinct text per task crosses the wire — the text itself never
+    does, at any corpus size — and both sorts disappear. Equivalent by
+    construction: row_number()=1 ordered by doc_id picks the
+    min-doc_id row per fingerprint; min_by(..., doc_id) picks the same
+    row's fields (doc_id is unique, so the min is unique); identical
+    texts share length, so min(length) IS the winner's n_chars.
+
+    lang rides through the aggregation packed into a BIGINT
+    (hex of the 8-byte space-padded code, decoded back after the agg):
+    HashAggregateExec requires every aggregation-buffer field to be
+    UnsafeRow-mutable (fixed width), so min_by carrying a string or
+    struct falls back to SortAggregate — one extra Sort per side of
+    the exchange (measured 0.34 s vs 0.29 s at sf0.1). With two BIGINT
+    buffers the whole dedup stays a hash aggregate. The packing is
+    faithful for any lang of <= 8 ASCII bytes; the documents schema
+    pins lang to 2-char ISO 639-1 codes.
+
+    Measured (tools/ab_r10.py, old and new INTERLEAVED in one session,
+    min/median of 7 at sf0.1, of 3 at the sf10 tier): sf0.1 min
+    0.301 -> 0.287 s, median 0.402 -> 0.346 s; sf10 statistically a
+    tie (min 1.83 vs 1.91 s) because the interpreted quality filter
+    dominates both variants at that tier. The win is the plan shape,
+    which is what scales: 2 Sorts + Window -> HashAggregate pair
+    (zero Sort nodes), exchange width text -> md5 + 2 bigints
+    (guarded by tests/test_plans.py).
+    """
     docs = table(spark, sf_dir, "documents")
     # quality inline, not a join of the corpus with its own scored
     # projection: a self-join on doc_id is an extra shuffle (or a
@@ -176,11 +207,22 @@ def text_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.withColumn("quality", quality_expr("text")).filter(
         F.col("quality") >= 0.55
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # lang packed into a bigint so the min_by buffer is all fixed
+    # width -> HashAggregate (see docstring); n_chars needs no min_by
+    # because the grouping key md5(text) fixes the length.
+    lang_code = F.expr("cast(conv(hex(rpad(lang, 8, ' ')), 16, 10) as bigint)")
     ded = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", F.length("text").cast("bigint").alias("n_chars"))
+        kept.groupBy(F.md5("text").alias("__fp"))
+        .agg(
+            F.min_by(lang_code, F.col("doc_id")).alias("__lc"),
+            F.min(F.length("text").cast("bigint")).alias("n_chars"),
+        )
+        .select(
+            F.expr(
+                "rtrim(decode(unhex(lpad(hex(__lc), 16, '0')), 'UTF-8'))"
+            ).alias("lang"),
+            "n_chars",
+        )
     )
     return ded.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

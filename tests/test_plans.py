@@ -166,10 +166,19 @@ def test_ngram_jaccard_plan_prunes_hot_grams_broadcast(spark, sf_dir):
 
 def test_text_pipeline_single_wide_exchange(spark, sf_dir):
     """The fused cleaning pipeline should shuffle exactly twice (dedup
-    window + final agg) — no self-join of the corpus with its scored
-    projection."""
+    + final agg) — no self-join of the corpus with its scored
+    projection. Round 10: the dedup is a min_by hash aggregate, so the
+    plan must carry NO window and NO sort, and the text column must
+    not survive into any Exchange (only the md5/struct proxy does)."""
+    import re
+
     plan = _formatted_plan(spark, "text_pipeline_clean", sf_dir)
     assert "Join" not in plan, "corpus self-join crept back into the pipeline"
+    assert "Window" not in plan, "window dedup crept back (sorts + full-text shuffle)"
+    assert not re.search(r"\bSort \(\d+\)", plan), "sort crept into the pipeline"
+    # both exchanges ship proxies, never the raw text column
+    for m in re.finditer(r"\(\d+\) Exchange\b[^(]*Input \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), f"text crossed an exchange: {m.group(1)}"
 
 
 def test_vocab_topk_aggregates_before_window(spark, sf_dir):
