@@ -223,16 +223,26 @@ def token_ngrams(
     projection by substituting the full transform expression into the
     predicate, so Catalyst evaluates the gram array once for the
     filter and again for the output — measured 4x slower on the 5k-doc
-    fixture. Filtering on ``size(__toks)`` keeps the re-evaluated
-    expression down to the cheap split. Grams are built by direct
+    fixture. Round 10: the short-doc predicate itself no longer
+    touches the token array either — ``filter(size(__toks) >= n)``
+    was getting pushed through the repartition by substituting the
+    split into the predicate (visible in the round-10 before-plan:
+    ``Filter size(split(text)) >= 3`` below the Exchange), i.e. every
+    doc was fully tokenized a second time on the scan side of the
+    shuffle. The token count of a single-space split is just
+    spaces+1, so the filter is now pure length arithmetic on the raw
+    text (identical integers, no array), sits before the repartition,
+    and also ships fewer rows through it. Grams are built by direct
     element indexing (``t[i-1] || ' ' || t[i] ...``) rather than
     ``concat_ws(slice(...))`` — no per-position array copy (~2x).
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    c = F.col(text_col)
+    n_tok = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + F.lit(1)
     toks = (
-        docs.repartition(n_parts)
+        docs.filter(n_tok >= n)
+        .repartition(n_parts)
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
-        .filter(F.size("__toks") >= n)
     )
     gram = " || ' ' || ".join(f"__toks[i + {j}]" for j in range(-1, n - 1))
     grams = F.array_distinct(

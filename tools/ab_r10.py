@@ -202,6 +202,21 @@ def main() -> int:
             args.reps,
         )
 
+    if "q9" in args.pairs:
+        # old = round-9 token_ngrams whose size(__toks) filter Catalyst
+        # pushed below the repartition as size(split(text)) — a second
+        # full tokenization per doc; new filters on length arithmetic.
+        # Shadow module must be loaded at HEAD~? No: BASE_REV works for
+        # any commit at/after the operator existed.
+        old_dedup = load_old("dags_spark/operators/dedup.py", "old_dedup")
+        ab(
+            spark,
+            "q9_minhash_banded",
+            lambda: old_dedup.minhash_banded_pairs(table(spark, "documents")),
+            lambda: specs["dedup_minhash_banded"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
     if "dedup_cos" in args.pairs:
         def old_dc():
             pairs = old_sim.blocked_pairs(table(spark, "embeddings"))
