@@ -83,6 +83,7 @@ def blocked_pairs(
     per_block_topk: int | None = None,
     per_query_topk: int | None = None,
     min_sim: float | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -142,6 +143,19 @@ def blocked_pairs(
     from O(block^2) rows to ~k per block — at sf1 (20k vectors) that
     is 20M pair rows down to ~1k.
 
+    n_chunks=m (unordered-pair consumers only, i.e. symmetric=False
+    with per_block_topk or min_sim): split each block's upper
+    triangle into m(m+1)/2 chunk-pair kernel tasks (deterministic
+    xxhash64 chunking; (c,c) groups run the chunk's triangle,
+    (ca,cb) groups the bipartite cross) so stage parallelism stops
+    being bounded by the number of blocks. Every unordered pair
+    lands in exactly one group, so min_sim output is identical and
+    per-group top-k (+margin ties) is a superset of the block top-k
+    that the consumer's global top-k trims to the same rows. The
+    vector column is shuffled m times instead of once — use when the
+    kernel dominates the exchange (big blocks), and derive m from
+    ``defaultParallelism`` so it scales with the cluster.
+
     min_sim=t: threshold pushdown for dedup consumers that filter
     ``sim >= t`` downstream: the kernel emits only pairs with raw
     sim >= t - 1e-6 (every row whose ROUNDED sim can pass the
@@ -195,43 +209,85 @@ def blocked_pairs(
         return acc / (norms[ia] * norms[ib])
 
     def _gemm_pairs_topk(
-        pdf: pd.DataFrame, m: np.ndarray, norms: np.ndarray, n: int
+        pdf: pd.DataFrame,
+        m: np.ndarray,
+        norms: np.ndarray,
+        n: int,
+        a_idx: np.ndarray | None = None,
+        b_idx: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Unordered-pair candidate selection via tiled GEMM
         (bounded memory: ~32 MB a tile at any n), exact re-rank of
-        the survivors. Emits each block's top-k under (sim desc,
+        the survivors. Emits the group's top-k under (sim desc,
         id_a, id_b) plus 1e-6-boundary ties; min_sim mode emits every
         pair with raw sim >= min_sim - 1e-6. All emitted sims are the
-        exact sequential fold."""
+        exact sequential fold.
+
+        a_idx/b_idx (chunk-pair mode): restrict to the BIPARTITE
+        pairs between two disjoint row subsets (indices into the
+        id-sorted frame) instead of the full upper triangle — the
+        n_chunks split. Pairs are emitted id-ordered (ids follow the
+        sorted index order, so a simple index swap suffices)."""
         k = per_block_topk
         mn = m / norms[:, None]
         ia_l: list[np.ndarray] = []
         ib_l: list[np.ndarray] = []
         g_l: list[np.ndarray] = []
-        for i0 in range(0, n, _TILE):
-            ai = mn[i0 : i0 + _TILE]
-            for j0 in range(i0, n, _TILE):
-                s = ai @ mn[j0 : j0 + _TILE].T
-                if i0 == j0:
-                    iu = np.triu_indices(s.shape[0], 1)
-                    sims, ia, ib = s[iu], iu[0] + i0, iu[1] + j0
-                else:
-                    sims = s.ravel()
-                    ia = np.repeat(np.arange(s.shape[0]) + i0, s.shape[1])
-                    ib = np.tile(np.arange(s.shape[1]) + j0, s.shape[0])
-                if min_sim is not None:
-                    keep = np.flatnonzero(sims >= min_sim - _GEMM_MARGIN)
-                    sims, ia, ib = sims[keep], ia[keep], ib[keep]
-                if k is not None and len(sims) > k:
-                    # argpartition (O(len)) + margin rescue at the
-                    # boundary — a full per-tile sort would dominate
-                    part = np.argpartition(-sims, k - 1)[:k]
-                    kth = sims[part].min()
-                    keep = np.flatnonzero(sims >= kth - _GEMM_MARGIN)
-                    sims, ia, ib = sims[keep], ia[keep], ib[keep]
-                ia_l.append(ia)
-                ib_l.append(ib)
-                g_l.append(sims)
+
+        def _keep_tile(s: np.ndarray) -> np.ndarray:
+            """Flat survivor positions of one GEMM tile — the cut is
+            taken on the RAW tile before any index materialization
+            (np.repeat/np.tile of the full 4M-pair index arrays per
+            2048^2 tile cost ~2x the GEMM itself at the sf100 tier;
+            survivors are ~k, so building indices only for them via
+            divmod is ~free). -inf cells (masked diagonal) never
+            survive either cut."""
+            flat = s.ravel()
+            if min_sim is not None:
+                return np.flatnonzero(flat >= min_sim - _GEMM_MARGIN)
+            if k is not None and flat.size > k:
+                part = np.argpartition(-flat, k - 1)[:k]
+                thr = flat[part].min() - _GEMM_MARGIN
+                if not np.isfinite(thr):
+                    # fewer than k real pairs in a masked tile: the
+                    # k-th value is a -inf mask cell, and -inf >= -inf
+                    # would resurrect diagonal cells as self-pairs
+                    return np.flatnonzero(np.isfinite(flat))
+                return np.flatnonzero(flat >= thr)
+            return np.flatnonzero(np.isfinite(flat))
+
+        def _emit(s, keep, rows, cols, ordered):
+            sims = s.ravel()[keep]
+            qi, j = np.divmod(keep, len(cols))
+            ia, ib = rows[qi], cols[j]
+            if not ordered:
+                # disjoint chunks -> ia != ib; order pairs by index
+                # (== id order on the sorted frame)
+                sw = ia > ib
+                ia, ib = np.where(sw, ib, ia), np.where(sw, ia, ib)
+            ia_l.append(ia)
+            ib_l.append(ib)
+            g_l.append(sims)
+
+        if a_idx is not None:
+            for i0 in range(0, len(a_idx), _TILE):
+                at = a_idx[i0 : i0 + _TILE]
+                for j0 in range(0, len(b_idx), _TILE):
+                    bt = b_idx[j0 : j0 + _TILE]
+                    s = mn[at] @ mn[bt].T
+                    _emit(s, _keep_tile(s), at, bt, ordered=False)
+        else:
+            for i0 in range(0, n, _TILE):
+                ai = mn[i0 : i0 + _TILE]
+                rows = np.arange(i0, min(i0 + _TILE, n))
+                for j0 in range(i0, n, _TILE):
+                    s = ai @ mn[j0 : j0 + _TILE].T
+                    cols = np.arange(j0, min(j0 + _TILE, n))
+                    if i0 == j0:
+                        # mask the diagonal+lower triangle out before
+                        # the flat cut (no triu fancy-index pass)
+                        s[np.tril_indices(s.shape[0], 0, s.shape[1])] = -np.inf
+                    _emit(s, _keep_tile(s), rows, cols, ordered=True)
         ia = np.concatenate(ia_l) if ia_l else np.array([], dtype=np.int64)
         ib = np.concatenate(ib_l) if ib_l else np.array([], dtype=np.int64)
         g = np.concatenate(g_l) if g_l else np.array([])
@@ -313,6 +369,23 @@ def blocked_pairs(
         norms = np.sqrt(norm2)
         ids = pdf[id_col].to_numpy()
         if not symmetric and (per_block_topk is not None or min_sim is not None):
+            if "__ck" in pdf.columns:
+                ca = int(pdf["__ca"].iloc[0])
+                cb = int(pdf["__cb"].iloc[0])
+                if ca == cb:
+                    # group (c,c) holds exactly chunk c's rows: the
+                    # plain triangle over the group IS the chunk's
+                    # within-chunk pairs
+                    return _gemm_pairs_topk(pdf, m, norms, n)
+                ck = pdf["__ck"].to_numpy()
+                return _gemm_pairs_topk(
+                    pdf,
+                    m,
+                    norms,
+                    n,
+                    a_idx=np.flatnonzero(ck == ca),
+                    b_idx=np.flatnonzero(ck == cb),
+                )
             return _gemm_pairs_topk(pdf, m, norms, n)
         if symmetric and per_query_topk is not None:
             ia, ib = _gemm_query_candidates(m, norms, n)
@@ -370,9 +443,55 @@ def blocked_pairs(
             ).head(per_block_topk)
         return out
 
-    pairs = emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
-        kernel, schema=out_schema
-    )
+    if n_chunks is not None and n_chunks > 1 and not symmetric and (
+        per_block_topk is not None or min_sim is not None
+    ):
+        # Chunk-pair split (round 10): a block's kernel is one task,
+        # so stage parallelism is bounded by the number of BLOCKS —
+        # measured 9-10 busy cores of 32 through the whole sf100 q6
+        # kernel stage (10 labels). Deterministically chunk ids m
+        # ways and run one kernel task per unordered CHUNK PAIR
+        # ((c,c) = chunk triangle, (ca,cb) = bipartite): every
+        # unordered id pair lands in exactly one group, so min_sim
+        # output is IDENTICAL, and each group emits its own top-k
+        # plus margin ties — a superset of the block top-k (fewer
+        # competitors per group), which the consumer's global
+        # rounded-sim top-k trims to the identical final rows. Cost:
+        # the vector column is shuffled m times instead of once —
+        # pay it only when the GEMM dominates the exchange (the
+        # callers derive m from defaultParallelism; see
+        # sim_search_topk). GEMM flop count is unchanged.
+        mck = int(n_chunks)
+        ck = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mck)).cast("int")
+        grps = F.array(
+            *[
+                F.struct(
+                    F.least(ck, F.lit(x)).alias("ca"),
+                    F.greatest(ck, F.lit(x)).alias("cb"),
+                )
+                for x in range(mck)
+            ]
+        )
+        src = (
+            emb.select(id_col, block_col, vec_col)
+            .withColumn("__ck", ck)
+            .withColumn("__g", F.explode(grps))
+            .select(
+                id_col,
+                block_col,
+                vec_col,
+                "__ck",
+                F.col("__g.ca").alias("__ca"),
+                F.col("__g.cb").alias("__cb"),
+            )
+        )
+        pairs = src.groupBy(block_col, "__ca", "__cb").applyInPandas(
+            kernel, schema=out_schema
+        )
+    else:
+        pairs = emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
+            kernel, schema=out_schema
+        )
     return pairs.select(
         "id_a", "id_b", block_col, F.round("sim", 6).alias("sim")
     )
