@@ -3195,10 +3195,11 @@ SELECT
        AS BIGINT) AS n_false_neg,
   CAST(SUM(CASE WHEN nhit = 3 AND is_member = 0 THEN 1 ELSE 0 END)
        AS BIGINT) AS n_false_pos,
-  CAST(ROUND(
-    1e4 * SUM(CASE WHEN nhit = 3 AND is_member = 0 THEN 1 ELSE 0 END)
-        / SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END), 0)
-    AS BIGINT) AS fpr_bp
+  CASE WHEN SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END) > 0 THEN
+    CAST(ROUND(
+      1e4 * SUM(CASE WHEN nhit = 3 AND is_member = 0 THEN 1 ELSE 0 END)
+          / SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END), 0)
+      AS BIGINT) END AS fpr_bp
 FROM truth
 """,
     tags=("dq",),
@@ -3272,14 +3273,21 @@ def dq_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_members",
         "n_false_neg",
         "n_false_pos",
-        F.round(
-            1e4
-            * F.col("n_false_pos")
-            / (F.col("n_probes") - F.col("n_true_members")),
-            0,
-        )
-        .cast("bigint")
-        .alias("fpr_bp"),
+        # guarded: at SFs where every probe id is a member (sf0.1:
+        # custkeys cover 1..15000 > the 3000 probes) there are zero
+        # non-member probes and the FPR is undefined — NULL, not a
+        # DIVIDE_BY_ZERO under ANSI (caught by the round-10 sf0.1
+        # sweep; identical output at the oracle SFs, which all have
+        # non-member probes).
+        F.when(
+            F.col("n_probes") - F.col("n_true_members") > 0,
+            F.round(
+                1e4
+                * F.col("n_false_pos")
+                / (F.col("n_probes") - F.col("n_true_members")),
+                0,
+            ).cast("bigint"),
+        ).alias("fpr_bp"),
     )
 
 

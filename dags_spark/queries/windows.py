@@ -3537,9 +3537,14 @@ WITH daily AS (
   FROM orders GROUP BY day
 ),
 lanes AS (
+  -- 128-bit ss lane (HUGEINT / Spark DECIMAL(38,0)): daily rev_c is
+  -- ~1e9 cents at sf0.1 already, so the 7-day sum of BIGINT squares
+  -- brushes the int64 edge (7 * (1e9)^2 ~ 7e18 of 9.2e18) and
+  -- overflows one decade later; the wide lane keeps the exact-sigma
+  -- contract to ~1e14-cent days. Identical doubles after the cast.
   SELECT day, rev_c,
          CAST(SUM(rev_c) OVER w AS BIGINT) AS s_c,
-         CAST(SUM(rev_c * rev_c) OVER w AS BIGINT) AS ss_c,
+         SUM(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS ss_c,
          COUNT(*) OVER w AS n_w
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -3584,7 +3589,12 @@ def win_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "rev_c",
         F.sum("rev_c").over(w).cast("bigint").alias("s_c"),
-        F.sum(F.col("rev_c") * F.col("rev_c")).over(w).cast("bigint").alias("ss_c"),
+        # 128-bit ss lane (DECIMAL(38,0) == oracle HUGEINT): BIGINT
+        # squares overflow the 7-day frame one decade above sf0.1 —
+        # see the oracle comment; the double it feeds is unchanged.
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c"))
+        .over(w)
+        .alias("ss_c"),
         F.count(F.lit(1)).over(w).alias("n_w"),
     )
     n_d = F.col("n_w").cast("double")

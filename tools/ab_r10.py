@@ -217,6 +217,77 @@ def main() -> int:
             args.reps,
         )
 
+    if "pca" in args.pairs:
+        # old = the round-9 phase 1 (posexplode + vec_id self-join);
+        # queries/llm.py can't shadow-load (relative imports + double
+        # registration), so the phase is restated verbatim. Phase 2 is
+        # identical code on both sides.
+        def old_pca():
+            e = table(spark, "embeddings")
+            q = e.select(
+                "vec_id", F.posexplode("embedding").alias("pos", "x")
+            ).select(
+                "vec_id",
+                "pos",
+                (
+                    F.floor(F.col("x").cast("double") * 1000).cast("bigint")
+                    + ((F.col("vec_id") % 21) - 10) * 3 * (F.col("pos") + 1)
+                ).alias("q"),
+            )
+            nn = e.agg(F.count(F.lit(1)).alias("n"))
+            sums = q.groupBy("pos").agg(F.sum("q").alias("s"))
+            a, b = q.alias("a"), q.alias("b")
+            s2 = (
+                a.join(b, "vec_id")
+                .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+                .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("s2"))
+            )
+            si = sums.select(F.col("pos").alias("i"), F.col("s").alias("si"))
+            sj = sums.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+            m = (
+                s2.join(F.broadcast(si), "i")
+                .join(F.broadcast(sj), "j")
+                .crossJoin(F.broadcast(nn))
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("n").cast("decimal(38,0)") * F.col("s2")
+                        - F.col("si").cast("decimal(38,0)") * F.col("sj")
+                    ).alias("m"),
+                )
+            )
+            v = q.select("pos").distinct().select(
+                F.col("pos").alias("j"), F.lit(1000).cast("bigint").alias("v")
+            )
+            for _ in range(3):
+                w = (
+                    m.join(F.broadcast(v), "j")
+                    .groupBy(F.col("i"))
+                    .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+                )
+                ws = w.selectExpr("i", "CAST(w div 65536 AS BIGINT) AS ws")
+                vmax = ws.agg(
+                    F.greatest(
+                        F.max(F.abs("ws")), F.lit(1).cast("bigint")
+                    ).alias("vmax")
+                )
+                v = ws.crossJoin(F.broadcast(vmax)).selectExpr(
+                    "i AS j", "(ws * 1000) div vmax AS v"
+                )
+            return v.select(
+                F.col("j").cast("int").alias("pos"),
+                F.col("v").cast("bigint").alias("pc1_scaled"),
+            )
+
+        ab(
+            spark,
+            "embedding_pca_power",
+            old_pca,
+            lambda: specs["embedding_pca_power"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
     if "dedup_cos" in args.pairs:
         def old_dc():
             pairs = old_sim.blocked_pairs(table(spark, "embeddings"))
