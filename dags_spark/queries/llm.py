@@ -5958,12 +5958,6 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/divide touch floating point (single IEEE ops,
     deterministic), rounded at 6dp before the max/threshold fold."""
     emb = table(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
-    )
-    train = emb.filter(F.col("vec_id") % 50 != 0).select(
-        "vec_id", "embedding"
-    )
 
     def quant(a):
         return F.transform(
@@ -5973,19 +5967,31 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    def dot(a, b):
+    def fold_dot(a, b):
         # exact BIGINT lattice dot — order-insensitive, ulp-proof
         return F.aggregate(
-            F.zip_with(quant(a), quant(b), lambda x, y: x * y),
+            F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
-        ).cast("double")
+        )
+
+    # Round 10 (guide §2.3 "don't recompute per pair"): quantize each
+    # vector and fold its squared norm ONCE per ROW before the cross
+    # join — the committed plan re-ran both quantizations and all
+    # three folds per PAIR (6 interpreted array transforms + 3 folds
+    # x |train| x |bench|). Identical BIGINTs, identical sim doubles.
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("b_id"), quant(F.col("embedding")).alias("b_q")
+    ).select("b_id", "b_q", fold_dot(F.col("b_q"), F.col("b_q")).alias("b_n2"))
+    train = emb.filter(F.col("vec_id") % 50 != 0).select(
+        "vec_id", quant(F.col("embedding")).alias("q")
+    ).select("vec_id", "q", fold_dot(F.col("q"), F.col("q")).alias("n2"))
 
     sim = F.round(
-        dot(F.col("embedding"), F.col("b_emb"))
+        fold_dot(F.col("q"), F.col("b_q")).cast("double")
         / (
-            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-            * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
+            F.sqrt(F.col("n2").cast("double"))
+            * F.sqrt(F.col("b_n2").cast("double"))
         ),
         6,
     )
