@@ -2052,27 +2052,26 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram fingerprints, never text bodies); at 100 TB you'd hash
     trigrams to 64-bit before the shuffle (xxhash64) and the plan is
     unchanged. Deterministic: ties broken by the min doc_id rule."""
+    from ..operators.dedup import token_ngrams
+
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    tri_arr = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tri = (
-        d.select("doc_id", F.explode(tri_arr).alias("trigram"))
-        .distinct()
+    # Round 10 (guide §2.4): trigram building now rides the shared
+    # token_ngrams operator (direct-index gram concat, parallel
+    # repartition before the CPU-bound shingling, per-doc
+    # array_distinct == the old global DISTINCT on (doc_id, trigram)
+    # since a doc's grams were already deduped within the doc) — the
+    # committed plan hand-built grams with the 2x-slower
+    # concat_ws/element_at form on the scanner's 1-2 partitions AND
+    # evaluated that subtree twice (groupBy + join-back). First-
+    # occurrence attribution is a min window over the trigram
+    # partition: one exchange instead of the groupBy + join pair.
+    # Identical rows.
+    tri = token_ngrams(d, "doc_id", "text", 3).select(
+        "doc_id", F.explode("g").alias("trigram")
     )
-    first_seen = tri.groupBy("trigram").agg(F.min("doc_id").alias("first_doc"))
-    j = tri.join(first_seen, "trigram")
+    j = tri.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("trigram"))
+    )
     is_novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tri"),
