@@ -53,6 +53,49 @@ def md5_sample(df: DataFrame, id_col: str, cols: list[str], n: int) -> DataFrame
     )
 
 
+def adaptive_chunks(df: DataFrame, max_block_rows: int = 8192) -> int:
+    """Scale-gated chunk count for ``blocked_pairs(n_chunks=...)``.
+
+    Round 10 derived ``n_chunks = isqrt(defaultParallelism)``
+    UNCONDITIONALLY, which at local[32] turned a 2,000-vector corpus
+    into 150 Python kernel tasks plus a 5x explode of the vector
+    column into the shuffle — the only code-linked bench regression
+    of that round (driver q6 0.281 -> 0.764 s, and inversely scaled:
+    faster at 8 cores than 32). The chunk split only pays when the
+    per-block GEMM dominates task scheduling + the m-way shuffle
+    duplication, i.e. on big corpora.
+
+    Gate (driver-side, NO job — the bench times plan build): the
+    optimizer's scan statistic ``sizeInBytes`` (= file bytes for a
+    parquet scan) estimates corpus rows at a deliberately LOW
+    ~256 B/row (the fixture measures ~400 B/row: 64xfloat32 + id +
+    label + metadata), overestimating rows so the gate errs toward
+    chunking, which is always lossless (see blocked_pairs). Chunk
+    only when the corpus exceeds 8*max_block_rows estimated rows —
+    below that, even spread over just 8 blocks no block reaches the
+    hot-block cap and one-task-per-block kernels finish in
+    milliseconds; above it (the sf10/sf100 tiers: 200k/2M vectors)
+    blocks are 10k+ rows and the split keeps all cores busy (the
+    round-10 sf100 3x win, 1234 -> 411 s). Stats lookup failure falls
+    back to chunking ON — at unknown scale the bounded-parallelism
+    failure mode (9/32 cores for the whole kernel stage) costs more
+    than the small-corpus overhead."""
+    import math
+
+    spark = df.sparkSession
+    m = max(1, math.isqrt(spark.sparkContext.defaultParallelism))
+    if m <= 1:
+        return 1
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        est_rows = est_bytes // 256
+    except Exception:
+        return m
+    return m if est_rows > 8 * max_block_rows else 1
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 

@@ -23,6 +23,7 @@ from ..operators.similarity import (
     SQL_DOT,
     SQL_NORM,
     SQL_VEC_D,
+    adaptive_chunks,
     ann_lsh_topk,
     blocked_pairs,
 )
@@ -100,8 +101,6 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked pair is top-100 in its own block under the same total
     order), and it cuts the kernel's Arrow output from O(block^2)
     pair rows to 100 per label (20M -> 1k rows at sf1)."""
-    import math
-
     # Chunk-pair split (round 10): block count == label count, so the
     # kernel stage ran at most ~10 tasks regardless of cluster size.
     # m = isqrt(parallelism) gives ~m(m+1)/2 groups per block —
@@ -112,10 +111,13 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plus rounding-margin ties, a superset of the block top-100, and
     # the global orderBy/limit below trims to the identical rows
     # (oracle-verified at sf0.001/0.01/0.1 and vs the sf10 tier).
-    m = max(1, math.isqrt(spark.sparkContext.defaultParallelism))
-    pairs = blocked_pairs(
-        table(spark, sf_dir, "embeddings"), per_block_topk=100, n_chunks=m
-    )
+    # Round 11: gated on corpus size (adaptive_chunks) — unconditional
+    # chunking turned 2k sf0.1 vectors into 150 kernel tasks + a 5x
+    # vector-column explode (driver q6 0.28 -> 0.76 s, r10's only
+    # code-linked bench regression); small corpora now keep
+    # one-task-per-label, the sf10/sf100 tiers keep the split.
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = blocked_pairs(emb, per_block_topk=100, n_chunks=adaptive_chunks(emb))
     return pairs.orderBy(
         F.col("sim").desc(), F.col("id_a"), F.col("id_b")
     ).limit(100)

@@ -63,3 +63,24 @@ def test_no_self_pairs_when_tiles_smaller_than_k(spark):
     assert (out["id_a"] != out["id_b"]).all()
     # 12 vectors -> 66 unordered pairs, all emitted (k > pairs)
     assert len(out.drop_duplicates(["id_a", "id_b"])) == 66
+
+
+def test_adaptive_chunks_gate(spark, emb):
+    """Round 11: the chunk split is gated on corpus size. Small corpora
+    (sf0.1's 2k vectors) must stay one-task-per-block (m=1 — the r10
+    unconditional split was the round's only code-linked bench
+    regression); corpora past ~64k estimated rows chunk at
+    isqrt(defaultParallelism)."""
+    import math
+
+    from dags_spark.operators.similarity import adaptive_chunks
+
+    # sf0.1 embeddings: ~0.8 MB -> ~3k estimated rows -> no chunking
+    assert adaptive_chunks(emb) == 1
+    # a scan whose optimizer stats exceed the gate must chunk: union
+    # the scan until est rows (sizeInBytes/256) clears 8*8192
+    big = emb
+    for _ in range(7):  # 2^7 = 128x -> ~100 MB stats
+        big = big.union(big)
+    expected = max(1, math.isqrt(spark.sparkContext.defaultParallelism))
+    assert adaptive_chunks(big) == expected
