@@ -69,7 +69,6 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float = 0.6,
     num_hashes: int = 16,
     rows_per_band: int = 2,
-    cache_shingles: bool = False,
     max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-duplicate pairs via hand-rolled MinHash + LSH banding,
@@ -89,13 +88,17 @@ def minhash_near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, exact jaccard.
 
-    cache_shingles=True persists the shingle DataFrame (it feeds both
-    the signature pass and the verify join). Opt-in only: the returned
-    plan is lazy, so the operator cannot know when to unpersist — a
-    caller that opts in owns the `.unpersist()` after consuming the
-    result. Default off: Catalyst's exchange reuse already shares most
-    of the work, and an unpaired cache leaks executor storage memory
-    across bench/test loops.
+    Round 11 (guide §2.4/§5, the winnow_overlap_pairs treatment): the
+    shingle table feeds THREE consumers — the signature pass and both
+    sides of the exact-Jaccard verify join — and without lineage
+    pinning Catalyst re-evaluated the scan -> repartition -> shingle
+    transform per consumer (4 parquet scans in the round-11
+    before-plan). It is now localCheckpoint'd: INTRA-RUN only, one
+    shingle array per doc, recomputed from parquet every invocation;
+    the executor-memory blocks are released by the ContextCleaner
+    when the plan is garbage-collected, so no unpersist bookkeeping
+    (the problem the old opt-in ``cache_shingles`` flag had — that
+    flag is gone, lineage pinning is now unconditional).
     """
     # Repartition BEFORE the CPU-bound shingle transform: a documents
     # table is bytes-per-thousand-rows small, so the file-size splitter
@@ -115,9 +118,8 @@ def minhash_near_dup_pairs(
         docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
         .repartition(n_parts)
         .select(F.col(id_col), shingles(text_col, k).alias("sh"))
+        .localCheckpoint()
     )
-    if cache_shingles:
-        sh.cache()
 
     exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
     sig = exploded.groupBy(id_col).agg(*[_mh_expr(i) for i in range(num_hashes)])

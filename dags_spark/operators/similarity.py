@@ -127,6 +127,8 @@ def blocked_pairs(
     per_query_topk: int | None = None,
     min_sim: float | None = None,
     n_chunks: int | None = None,
+    round_dp: int | None = 6,
+    pre_chunked: bool = False,
 ) -> DataFrame:
     """Candidate pairs within a block with exact cosine similarity
     (rounded 6dp) — columns: id_a, id_b, <block_col>, sim.
@@ -221,6 +223,23 @@ def blocked_pairs(
     swap rounded order only when their raw sims differ by < 1e-6 —
     every such boundary row survives the margin and the downstream
     row_number sees the identical top-k candidate set.
+
+    round_dp (round 11): decimal places of the final JVM-side
+    F.round on sim — the family's 6dp hashing lane by default. Pass
+    None to emit the RAW exact-fold doubles for consumers that
+    quantize on their own (finer) lattice: sim_knn_hubness rounds at
+    1e-12 and sim_label_separation at 1e-9, both strictly finer than
+    the kernel's 1e-6 prune margins, so every prune argument above
+    holds a fortiori (two rows can swap quantized order only when
+    their raw sims differ by less than the quantum << the margin).
+
+    pre_chunked (round 11, internal): the caller has ALREADY attached
+    __ck/__ca/__cb chunk columns and wants the kernel grouped by
+    (block_col, __ca, __cb) — used by sim_label_separation's
+    bipartite cross-label pairing, where the "chunks" are the two
+    label sides rather than a hash split. Exactly one group per
+    (block, side-pair); the kernel's bipartite branch emits each
+    cross pair once.
 
     Hot-block guard: the kernel is O(block^2) BY DESIGN, so a skewed
     block key (one label holding 10^6 rows at 100 TB) would silently
@@ -486,7 +505,11 @@ def blocked_pairs(
             ).head(per_block_topk)
         return out
 
-    if n_chunks is not None and n_chunks > 1 and not symmetric and (
+    if pre_chunked:
+        pairs = emb.groupBy(block_col, "__ca", "__cb").applyInPandas(
+            kernel, schema=out_schema
+        )
+    elif n_chunks is not None and n_chunks > 1 and not symmetric and (
         per_block_topk is not None or min_sim is not None
     ):
         # Chunk-pair split (round 10): a block's kernel is one task,
@@ -535,9 +558,156 @@ def blocked_pairs(
         pairs = emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
             kernel, schema=out_schema
         )
-    return pairs.select(
-        "id_a", "id_b", block_col, F.round("sim", 6).alias("sim")
+    sim_out = F.col("sim") if round_dp is None else F.round("sim", round_dp)
+    return pairs.select("id_a", "id_b", block_col, sim_out.alias("sim"))
+
+
+def blocked_l2_pairs(
+    emb: DataFrame,
+    max_dist: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Unordered same-block pairs with exact Euclidean distance
+    <= ~max_dist — the L2 sibling of ``blocked_pairs(min_sim=...)``
+    (round 11, guide §4.2/§2.3). Columns: id_a, id_b, <block_col>,
+    l2 (rounded 6dp, the family's hashing lane).
+
+    Candidate selection runs as tiled GEMMs on the identity
+    ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b (bounded memory at any
+    block size), cut at (max_dist + 1e-6)^2 + 1e-9 — the 1e-6 covers
+    the 6dp HALF_UP rounding boundary (a pair can round into the
+    consumer's ``l2 <= max_dist`` filter only if raw l2 <=
+    max_dist + 5e-7) and the 1e-9 d^2 slack dwarfs the < ~1e-10
+    float64 discrepancy between the GEMM identity and the direct
+    difference fold (both sum 64 exact float32-product terms; the
+    identity adds one subtraction of ~equal-magnitude sums).
+    Survivors are recomputed with the EXACT sequential fold the
+    oracle uses — loop over dimensions, acc + (a_i-b_i)^2, one final
+    sqrt — so every emitted double is bit-identical to DuckDB
+    list_sum + sqrt; a final margin filter keeps l2 <= max_dist +
+    1.01e-6 and the consumer's rounded filter decides. The Arrow
+    transfer drops from O(block^2) pair rows to the matches.
+
+    n_chunks: same unordered chunk-pair split as blocked_pairs —
+    every pair lands in exactly one group, so threshold output is
+    identical; derive from adaptive_chunks() so small corpora stay
+    one-task-per-block. Blocks never raise here: the tiled GEMM
+    bounds kernel memory, and a threshold consumer's output is the
+    matches, not the O(n^2) stream."""
+    id_type = emb.schema[id_col].dataType.simpleString()
+    blk_type = emb.schema[block_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_type}, id_b {id_type}, {block_col} {blk_type}, l2 double"
     )
+    _TILE = 2048
+    d2_cut = (max_dist + 1e-6) ** 2 + 1e-9
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], block_col: [], "l2": []})
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n2 = np.einsum("ij,ij->i", m, m)
+        ia_l: list[np.ndarray] = []
+        ib_l: list[np.ndarray] = []
+
+        def _emit(d2, rows, cols, ordered):
+            keep = np.flatnonzero(d2.ravel() <= d2_cut)
+            if not len(keep):
+                return
+            qi, j = np.divmod(keep, len(cols))
+            ia, ib = rows[qi], cols[j]
+            if not ordered:
+                sw = ia > ib
+                ia, ib = np.where(sw, ib, ia), np.where(sw, ia, ib)
+            ia_l.append(ia)
+            ib_l.append(ib)
+
+        if "__ck" in pdf.columns and int(pdf["__ca"].iloc[0]) != int(
+            pdf["__cb"].iloc[0]
+        ):
+            ck = pdf["__ck"].to_numpy()
+            a_all = np.flatnonzero(ck == int(pdf["__ca"].iloc[0]))
+            b_all = np.flatnonzero(ck == int(pdf["__cb"].iloc[0]))
+            for i0 in range(0, len(a_all), _TILE):
+                at = a_all[i0 : i0 + _TILE]
+                for j0 in range(0, len(b_all), _TILE):
+                    bt = b_all[j0 : j0 + _TILE]
+                    d2 = n2[at][:, None] + n2[bt][None, :] - 2.0 * (m[at] @ m[bt].T)
+                    _emit(d2, at, bt, ordered=False)
+        else:
+            for i0 in range(0, n, _TILE):
+                rows = np.arange(i0, min(i0 + _TILE, n))
+                for j0 in range(i0, n, _TILE):
+                    cols = np.arange(j0, min(j0 + _TILE, n))
+                    d2 = (
+                        n2[rows][:, None]
+                        + n2[cols][None, :]
+                        - 2.0 * (m[rows] @ m[cols].T)
+                    )
+                    if i0 == j0:
+                        d2[np.tril_indices(d2.shape[0], 0, d2.shape[1])] = np.inf
+                    _emit(d2, rows, cols, ordered=True)
+        ia = np.concatenate(ia_l) if ia_l else np.array([], dtype=np.int64)
+        ib = np.concatenate(ib_l) if ib_l else np.array([], dtype=np.int64)
+        # exact re-rank: sequential difference fold == DuckDB list_sum
+        # (loop over dimensions, vectorize over pairs), one sqrt
+        acc = np.zeros(len(ia))
+        for i in range(m.shape[1]):
+            d = m[ia, i] - m[ib, i]
+            acc = acc + d * d
+        l2 = np.sqrt(acc)
+        keep = np.flatnonzero(l2 <= max_dist + 1.01e-6)
+        ia, ib, l2 = ia[keep], ib[keep], l2[keep]
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                block_col: pdf[block_col].iloc[0],
+                "l2": l2,
+            }
+        )
+
+    if n_chunks is not None and n_chunks > 1:
+        mck = int(n_chunks)
+        ck = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mck)).cast("int")
+        grps = F.array(
+            *[
+                F.struct(
+                    F.least(ck, F.lit(x)).alias("ca"),
+                    F.greatest(ck, F.lit(x)).alias("cb"),
+                )
+                for x in range(mck)
+            ]
+        )
+        src = (
+            emb.select(id_col, block_col, vec_col)
+            .withColumn("__ck", ck)
+            .withColumn("__g", F.explode(grps))
+            .select(
+                id_col,
+                block_col,
+                vec_col,
+                "__ck",
+                F.col("__g.ca").alias("__ca"),
+                F.col("__g.cb").alias("__cb"),
+            )
+        )
+        pairs = src.groupBy(block_col, "__ca", "__cb").applyInPandas(
+            kernel, schema=out_schema
+        )
+    else:
+        pairs = (
+            emb.select(id_col, block_col, vec_col)
+            .groupBy(block_col)
+            .applyInPandas(kernel, schema=out_schema)
+        )
+    return pairs.select("id_a", "id_b", block_col, F.round("l2", 6).alias("l2"))
 
 
 def ann_lsh_topk(
@@ -617,7 +787,17 @@ def ann_lsh_topk(
         return pd.Series(list(codes))
 
     base = with_norm(emb.select(id_col, vec_col), vec_col)
-    coded = base.withColumn("codes", bucket_codes(as_double(F.col(vec_col))))
+    # Round 11 (guide §2.4/§5, the winnow_overlap_pairs treatment):
+    # the coded table feeds THREE consumers — the hot-bucket census,
+    # the probe side and the index side of the candidate join — and
+    # without lineage pinning Catalyst re-evaluated the whole
+    # scan -> projection -> sign-LSH UDF subtree for each (6 parquet
+    # scans / 6 ArrowEvalPython nodes in the round-11 before-plan).
+    # localCheckpoint is INTRA-RUN only: one row per vector
+    # (vec_d, vnorm, codes), recomputed from parquet every invocation.
+    coded = base.withColumn(
+        "codes", bucket_codes(as_double(F.col(vec_col)))
+    ).localCheckpoint()
     buckets = coded.select(
         id_col, "vec_d", "vnorm", F.posexplode("codes").alias("tbl", "bucket")
     )

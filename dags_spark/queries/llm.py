@@ -25,6 +25,7 @@ from ..operators.similarity import (
     SQL_VEC_D,
     adaptive_chunks,
     ann_lsh_topk,
+    blocked_l2_pairs,
     blocked_pairs,
 )
 from ..registry import register
@@ -850,25 +851,22 @@ def sim_pairwise_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close pairs by exact Euclidean distance within label blocks
     (l2 <= 1.2 on the random fixture; real corpora tune the radius).
     The metric-space companion to dedup_embedding_cosine: same
-    blocked equi-join shape, sequential-fold arithmetic identical to
-    the oracle's list_sum, so the raw doubles hash-match."""
+    blocked shape, sequential-fold arithmetic identical to the
+    oracle's list_sum, so the raw doubles hash-match.
+
+    Round 11 (guide §4.2): the blocked JVM join evaluated an
+    interpreted 64-element zip_with+fold per PAIR (~200k pairs at
+    sf0.1) and shipped every pair through the filter. Candidates now
+    come from blocked_l2_pairs' tiled-GEMM prefilter
+    (||a-b||^2 = ||a||^2+||b||^2-2ab, margin-cut at the threshold),
+    survivors recomputed with the exact difference fold — emitted
+    doubles bit-identical (oracle-verified at sf0.001/0.01/0.1), and
+    the Arrow transfer is the matches, not O(block^2). The rounded
+    filter below is unchanged and takes the final decision."""
     emb = table(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select("vec_id", "label", e.alias("e"))
-    a = v.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("e").alias("ea")
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("e").alias("eb")
-    )
-    diff2 = F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y))
-    l2 = F.round(
-        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6
-    )
-    return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "label", l2.alias("l2"))
-        .filter(F.col("l2") <= 1.2)
+    pairs = blocked_l2_pairs(emb, max_dist=1.2, n_chunks=adaptive_chunks(emb))
+    return pairs.select("id_a", "id_b", "label", "l2").filter(
+        F.col("l2") <= 1.2
     )
 
 
@@ -3925,41 +3923,28 @@ def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold shared with sim_mmr_diversify (bit-identical
     cross-engine, so rank cuts cannot diverge), and the in-degree
     is one count shuffle. Vectors nobody selects report 0 — the
-    anti-hubs, equally diagnostic."""
+    anti-hubs, equally diagnostic.
+
+    Round 11 (guide §4.2): the label-blocked self-join evaluated a
+    64-element interpreted JVM fold per PAIR (~400k folds at sf0.1,
+    each materializing element_at gathers). Candidates now come from
+    blocked_pairs' symmetric per-query GEMM kernel (per_query_topk=5,
+    round_dp=None for the raw exact-fold doubles), which emits each
+    query's ~5 best plus 1e-6-margin ties — a superset of the
+    quantized top-5, since two pairs can swap cos_q (1e-12 lattice)
+    order only when their raw sims differ by < 1e-12 << the margin.
+    The quantization, row_number cut, in-degree count and left join
+    are unchanged JVM-side, so emitted values are bit-identical
+    (the kernel's sequential fold is the same arithmetic as the old
+    dot_fold — oracle-verified at sf0.001/0.01/0.1)."""
     e = table(spark, sf_dir, "embeddings")
-
-    def dot_fold(a: str, b: str):
-        return F.expr(
-            f"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), "
-            f"(acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE) "
-            f"* CAST(element_at({b}, i) AS DOUBLE))"
-        )
-
-    normed = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    pairs = blocked_pairs(
+        e, symmetric=True, per_query_topk=5, round_dp=None
+    ).select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.round(F.col("sim") * 1000000000000.0, 0).cast("bigint").alias("cos_q"),
     )
-    a = normed.select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("a_label"),
-        F.col("embedding").alias("ae"),
-        F.col("nrm").alias("an"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("b_label"),
-        F.col("embedding").alias("be"),
-        F.col("nrm").alias("bn"),
-    )
-    cos_q = F.round(
-        dot_fold("ae", "be") / (F.col("an") * F.col("bn")) * 1000000000000.0, 0
-    ).cast("bigint")
-    pairs = a.join(
-        b,
-        (F.col("a_label") == F.col("b_label")) & (F.col("src") != F.col("dst")),
-    ).select("src", "dst", cos_q.alias("cos_q"))
     w = Window.partitionBy("src").orderBy(F.col("cos_q").desc(), "dst")
     knn = (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -3969,7 +3954,7 @@ def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     indeg = knn.groupBy(F.col("dst").alias("vec_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("in_degree")
     )
-    return normed.join(indeg, "vec_id", "left").select(
+    return e.select("vec_id", "label").join(indeg, "vec_id", "left").select(
         "vec_id",
         "label",
         F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
@@ -4818,52 +4803,60 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     products over normalized vectors, quantized to nano-units per
     pair before the label means (the standard lane). Both pair sets
     are BLOCKED equi-joins — within by label, cross by residue —
-    never all-pairs."""
+    never all-pairs.
+
+    Round 11 (guide §4.2): both pair sets previously paid an
+    interpreted 64-element JVM fold per PAIR (~280k folds at sf0.1).
+    Raw cosines now come from the blocked_pairs Arrow kernel
+    (round_dp=None — this key quantizes on its own 1e-9 lattice):
+    the within set is the kernel's full-pairs triangle per label,
+    the cross set rides the kernel's bipartite branch (pre_chunked)
+    with block key (label-edge, residue) and the two labels as the
+    "chunk" sides, min_sim=-2 so every pair is emitted. The kernel's
+    sequential fold is the same arithmetic as the old zip_with fold,
+    so the floor(round(.,9)*1e9) quantization below sees bit-identical
+    doubles (oracle-verified at sf0.001/0.01/0.1); pair ORDER within
+    a pair is irrelevant (cosine is symmetric, the label comes from
+    the block key)."""
     emb = table(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select("vec_id", "label", e.alias("e"))
-    normed = v.select(
-        "vec_id",
-        "label",
-        "e",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("e"), lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("nrm"),
+    cos_nano = F.floor(F.round(F.col("sim"), 9) * 1000000000).cast("bigint")
+
+    within = blocked_pairs(emb, round_dp=None).select(
+        F.col("label"), cos_nano.alias("cos_nano")
     )
 
-    def cos_nano(a, b):
-        dot = F.aggregate(
-            F.zip_with(a["ea"], b["eb"], lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # cross pairs (label l) x (label (l+1)%10), matching vec_id%5
+    # residue: one bipartite kernel group per (edge l, residue) block.
+    base = emb.select("vec_id", "label", "embedding")
+    a_side = base.select(
+        "vec_id", "label", "embedding",
+        F.col("label").alias("__edge"), F.lit(0).alias("__ck"),
+    )
+    b_side = base.select(
+        "vec_id", "label", "embedding",
+        ((F.col("label") + 9) % 10).alias("__edge"), F.lit(1).alias("__ck"),
+    )
+    frame = (
+        a_side.unionByName(b_side)
+        .select(
+            "vec_id",
+            "embedding",
+            "__ck",
+            (F.col("__edge") * 5 + F.col("vec_id") % 5).cast("int").alias("__blk"),
         )
-        return F.floor(
-            F.round(dot / (a["na"] * b["nb"]), 9) * 1000000000
-        ).cast("bigint")
-
-    a = normed.select(
-        F.col("vec_id").alias("ida"),
-        F.col("label").alias("la"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+        .withColumn("__ca", F.lit(0))
+        .withColumn("__cb", F.lit(1))
     )
-    b = normed.select(
-        F.col("vec_id").alias("idb"),
-        F.col("label").alias("lb"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+    cross = blocked_pairs(
+        frame,
+        block_col="__blk",
+        min_sim=-2.0,
+        round_dp=None,
+        pre_chunked=True,
+    ).select(
+        (F.col("__blk") / 5).cast("int").alias("label"),
+        cos_nano.alias("cos_nano"),
     )
-    within = a.join(
-        b, (a["la"] == b["lb"]) & (a["ida"] < b["idb"])
-    ).select(F.col("la").alias("label"), cos_nano(a, b).alias("cos_nano"))
-    cross = a.join(
-        b,
-        (b["lb"] == (a["la"] + 1) % 10) & (a["ida"] % 5 == b["idb"] % 5),
-    ).select(F.col("la").alias("label"), cos_nano(a, b).alias("cos_nano"))
     w = within.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_within"),
         F.sum("cos_nano").cast("bigint").alias("s_within"),

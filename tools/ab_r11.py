@@ -129,7 +129,76 @@ def main() -> int:
             args.reps,
         )
 
+    if {"hubness", "l2", "labelsep"} & set(args.pairs):
+        old_llm = load_old_llm()
+
+    if "hubness" in args.pairs:
+        ab(
+            spark,
+            "sim_knn_hubness",
+            lambda: old_llm["sim_knn_hubness"](spark, SF_DIR),
+            lambda: specs["sim_knn_hubness"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
+    if "l2" in args.pairs:
+        ab(
+            spark,
+            "sim_pairwise_l2",
+            lambda: old_llm["sim_pairwise_l2"](spark, SF_DIR),
+            lambda: specs["sim_pairwise_l2"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
+    if "labelsep" in args.pairs:
+        ab(
+            spark,
+            "sim_label_separation",
+            lambda: old_llm["sim_label_separation"](spark, SF_DIR),
+            lambda: specs["sim_label_separation"].fn(spark, SF_DIR),
+            args.reps,
+        )
+
     return 0
+
+
+def load_old_llm():
+    """queries/llm.py@BASE_REV can't shadow-load wholesale (relative
+    imports + double registration), so the three round-11 rewrite
+    targets are re-executed from their old source: extract each old
+    function body via the registry pattern and exec with the live
+    imports. Returns {key: fn}."""
+    import re
+
+    src = subprocess.run(
+        ["git", "show", f"{BASE_REV}:dags_spark/queries/llm.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    from pyspark.sql import Window  # noqa: F401
+
+    from dags_spark.io import table  # noqa: F401
+    from dags_spark.operators import similarity as _sim
+
+    ns = {
+        "F": F,
+        "Window": Window,
+        "table": table,
+        "blocked_pairs": _sim.blocked_pairs,
+    }
+    out = {}
+    for key in ("sim_knn_hubness", "sim_pairwise_l2", "sim_label_separation"):
+        m = re.search(
+            rf"def {key}\(spark.*?\n(?=\n\n@register|\n\n@|\n\ndef |\Z)",
+            src,
+            re.S,
+        )
+        assert m, f"old source for {key} not found"
+        exec(m.group(0), ns)  # noqa: S102
+        out[key] = ns[key]
+    return out
 
 
 if __name__ == "__main__":
